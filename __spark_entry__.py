@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator from SURVEY.md §2 implemented by
+``pandas_profiling_personal_spark``; ``oracle_sql()`` holds the equivalent DuckDB
+SQL. Both sides are generated from the shared spec in
+``pandas_profiling_personal_spark/parity.py`` so aliases/rounding/tie-breaks match.
 """
 
 from __future__ import annotations
@@ -13,26 +12,95 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pandas_profiling_personal_spark import parity as P
+
+LINEITEM_NUMERIC = [
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_linenumber",
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+]
+LINEITEM_ALL = LINEITEM_NUMERIC + ["l_returnflag", "l_linestatus", "l_shipdate"]
+CUSTOMER_STRINGS = ["c_name", "c_mktsegment"]
+DUP_SUBSET = ["l_returnflag", "l_linestatus", "l_quantity", "l_discount", "l_tax"]
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: single-pass scalar profile of lineitem at sf0.001."""
+    return P.numeric_summary_query("lineitem", LINEITEM_NUMERIC)(
+        spark, "/root/testdata/sf0.001"
+    )
+
+
+_SPECS: dict[str, tuple] = {
+    # (spark_query_fn, oracle_sql or None)
+    "numeric_summary_lineitem": (
+        P.numeric_summary_query("lineitem", LINEITEM_NUMERIC),
+        P.numeric_summary_sql("lineitem", LINEITEM_NUMERIC),
+    ),
+    "mad_lineitem": (
+        P.mad_query("lineitem", ["l_quantity", "l_extendedprice", "l_discount"]),
+        P.mad_sql("lineitem", ["l_quantity", "l_extendedprice", "l_discount"]),
+    ),
+    "value_counts_returnflag": (
+        P.value_counts_query("lineitem", "l_returnflag"),
+        P.value_counts_sql("lineitem", "l_returnflag"),
+    ),
+    "top_k_part_brand": (
+        P.top_k_query("part", "p_brand", 5),
+        P.top_k_sql("part", "p_brand", 5),
+    ),
+    "distinct_unique_lineitem": (
+        P.distinct_unique_query("lineitem", LINEITEM_ALL),
+        P.distinct_unique_sql("lineitem", LINEITEM_ALL),
+    ),
+    "missing_counts_events": (
+        P.missing_counts_query(
+            "events", ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ),
+        P.missing_counts_sql(
+            "events", ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ),
+    ),
+    "histogram_extendedprice": (
+        P.histogram_query("lineitem", "l_extendedprice", 10),
+        P.histogram_sql("lineitem", "l_extendedprice", 10),
+    ),
+    "top_duplicates_lineitem": (
+        P.top_duplicates_query("lineitem", DUP_SUBSET, 10),
+        P.top_duplicates_sql("lineitem", DUP_SUBSET, 10),
+    ),
+    "duplicate_stats_orders": (
+        P.duplicate_stats_query("orders"),
+        P.duplicate_stats_sql("orders"),
+    ),
+    "string_lengths_customer": (
+        P.string_lengths_query("customer", CUSTOMER_STRINGS),
+        P.string_lengths_sql("customer", CUSTOMER_STRINGS),
+    ),
+    "date_stats_orders": (
+        P.date_stats_query("orders", ["o_orderdate"]),
+        P.date_stats_sql("orders", ["o_orderdate"]),
+    ),
+    "pearson_lineitem": (
+        P.pearson_query(
+            "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        ),
+        P.pearson_sql(
+            "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        ),
+    ),
+    "json_extract_events": (P.json_props_query(), P.json_props_sql()),
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec[0] for name, spec in _SPECS.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: spec[1] for name, spec in _SPECS.items() if spec[1] is not None}

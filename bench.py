@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+
+``value`` is the wall-clock of the flagship full profile of lineitem (constant
+job-count pipeline, default approximate tier — the 100 TB configuration);
+``queries`` adds per-operator timings of every oracle-parity query (exact tier).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pandas_profiling_personal_spark.session import get_session
+
+    spark = get_session(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    # flagship: full default-tier profile of lineitem (approx estimators — the
+    # configuration that scales; exact tier is for the oracle gate)
+    df = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    t0 = time.time()
+    profile(df, ProfileConfig(exact=False))
+    flagship = time.time() - t0
+
+    timings: dict[str, float] = {}
+    for name, fn in E.queries().items():
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "lineitem_full_profile_wall",
+                "value": round(flagship, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

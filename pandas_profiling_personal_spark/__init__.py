@@ -1,0 +1,28 @@
+"""pandas_profiling_personal_spark — a PySpark-native data profiling / EDA engine.
+
+A from-scratch rebuild of the capabilities of chanedwin/pandas-profiling-personal
+(pandas-profiling v2.9 fork with a Spark backend) as an idiomatic Spark DataFrame
+application. Unlike the reference, which issues ~5-10 Spark jobs *per column*
+(reference: src/pandas_profiling/model/summary.py:135-193 drives one describe per
+column, each with several actions), this engine folds all scalar per-column
+statistics into a handful of whole-table aggregation passes, so a full profile of a
+1,000-column table is still a constant number of Spark jobs.
+
+Public API:
+    profile(df, config=None) -> ProfileResult      # full EDA profile
+    ProfileConfig                                   # explicit config (no global singleton)
+"""
+
+from pandas_profiling_personal_spark.config import ProfileConfig
+from pandas_profiling_personal_spark.plans.profile import ProfileResult, profile
+from pandas_profiling_personal_spark.types import VariableType, variable_types
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ProfileConfig",
+    "ProfileResult",
+    "profile",
+    "VariableType",
+    "variable_types",
+]

@@ -1,0 +1,95 @@
+"""Profiling configuration.
+
+The reference keeps a *global mutable* confuse YAML singleton
+(reference: src/pandas_profiling/config.py:11-178, config_default.yaml:1-194) which is
+thread-unsafe with its describe ThreadPool. This engine passes an immutable dataclass
+explicitly instead. Field names/thresholds mirror the reference defaults where they
+exist so behavior is comparable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class ProfileConfig:
+    # --- accuracy / scale knobs -------------------------------------------------
+    #: exact=True uses exact percentile / countDistinct (oracle & test mode);
+    #: exact=False uses percentile_approx / approx_count_distinct (100 TB mode).
+    exact: bool = False
+    #: relative error for approximate quantiles (reference: spark.quantile_error=0.05,
+    #: config_default.yaml:98)
+    quantile_relative_error: float = 0.05
+    #: quantile points reported per numeric column
+    #: (reference: summary_algorithms.py:248-252)
+    quantiles: tuple[float, ...] = (0.05, 0.25, 0.5, 0.75, 0.95)
+    #: max distinct values transferred to the driver per column
+    #: (reference: spark.to_pandas_limit=250, config_default.yaml:100)
+    driver_value_limit: int = 250
+    #: top-N frequent values kept in the report (reference: n_freq_table_max=10)
+    top_k: int = 10
+    #: extreme observations kept per end (reference: n_extreme_obs=10)
+    n_extreme_obs: int = 10
+
+    # --- histograms ---------------------------------------------------------------
+    #: 0 = auto bins via Freedman-Diaconis/Sturges on the driver
+    #: (reference: config_default.yaml:134-141, bins=auto capped at max_bins)
+    histogram_bins: int = 0
+    histogram_max_bins: int = 250
+
+    # --- feature toggles ------------------------------------------------------
+    length_stats: bool = True
+    char_analysis: bool = False
+    #: correlation measures to compute: subset of
+    #: {"pearson","spearman","kendall","cramers","phik"}; reference Spark defaults
+    #: enable only pearson (config_default.yaml:70-92)
+    correlations: tuple[str, ...] = ("pearson",)
+    #: max distinct for a categorical column to enter Cramér's V
+    #: (reference: categorical_maximum_correlation_distinct=100)
+    categorical_maximum_correlation_distinct: int = 100
+    duplicates: bool = True
+    #: top-N duplicate row groups (reference: duplicates.head=10)
+    duplicates_head: int = 10
+    samples_head: int = 10
+    samples_random: int = 10
+    missing_diagrams: bool = True
+    #: content-based type inference (string->bool/numeric, low-cardinality numeric
+    #: ->categorical), mirroring the reference *pandas* path which its Spark path
+    #: dropped (reference: typeset_relations.py:39-101)
+    infer_types: bool = False
+    low_categorical_threshold: int = 5
+
+    # --- alert thresholds (reference: config_default.yaml:30-44) -----------------
+    skewness_threshold: float = 20.0
+    cardinality_threshold: int = 50
+    unique_threshold: float = 1.0  # p_unique >= -> UNIQUE (not an alert by default)
+    missing_threshold: float = 0.0  # p_missing > -> MISSING alert
+    zeros_threshold: float = 0.0  # p_zeros > 0 and > 1% -> ZEROS
+    chi_squared_threshold: float = 0.999
+    correlation_threshold: float = 0.9
+    duplicates_threshold: float = 0.01  # >1% duplicate rows -> DUPLICATES alert
+
+    # --- misc ---------------------------------------------------------------------
+    seed: int = 42
+    #: persist the input before the multi-pass profile (reference persists an
+    #: na.drop() copy eagerly, dataframe_wrappers.py:366-372; we persist the raw df
+    #: and use null-aware aggregates instead)
+    persist: bool = True
+    column_order: str = "none"  # none | asc | desc (reference: summary.py:124-132)
+
+    def with_(self, **kw) -> "ProfileConfig":
+        return replace(self, **kw)
+
+
+#: reference "minimal" tier (reference: config_minimal.yaml): cheap stats only.
+MINIMAL = ProfileConfig(
+    correlations=(),
+    duplicates=False,
+    char_analysis=False,
+    missing_diagrams=False,
+    histogram_bins=10,
+)
+
+#: oracle/test tier: exact estimators so results hash-match a DuckDB oracle.
+EXACT = ProfileConfig(exact=True)

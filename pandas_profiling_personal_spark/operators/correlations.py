@@ -1,0 +1,173 @@
+"""Correlation matrices (C1-C6).
+
+Pearson/Spearman: the reference assembles an ML ``features`` vector eagerly at wrap
+time and calls ``pyspark.ml.stat.Correlation`` (reference: correlations.py:102-137,
+dataframe_wrappers.py:373-383). This engine computes the Pearson matrix with
+pairwise ``F.corr`` aggregates folded into ONE ``df.agg`` pass — no vector
+materialization, whole-stage codegen, and exactly the textbook estimator an external
+oracle computes. For very wide tables (p > ~60, i.e. >~1800 aggregate expressions)
+``pyspark.ml.stat.Correlation`` remains available via ``method="ml"``.
+
+Spearman needs per-column average ranks — a global sort per column. We rank via a
+window over each column (distributed sort), then reuse the Pearson pass on ranks.
+Reference leaves Spearman/Kendall/PhiK off by default on Spark
+(config_default.yaml:76-92); they are opt-in here too.
+
+Kendall/PhiK: single-group ``applyInPandas`` escape hatch like the reference
+(correlations.py:152-216, :456-521) — documented all-data-on-one-executor caveat.
+
+Cramér's V: pure DataFrame contingency ``groupBy(c1,c2).count()`` + driver-side
+chi² with the bias correction (reference: correlations.py:219-264) — no
+StringIndexer/ChiSquareTest pipeline needed, and oracle-matchable.
+"""
+
+from __future__ import annotations
+
+import math
+from itertools import combinations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from pandas_profiling_personal_spark.functions import stats as S
+
+
+def pearson_matrix(
+    df: DataFrame, columns: list[str], method: str = "agg"
+) -> dict[tuple[str, str], float | None]:
+    """Pearson correlation for every pair of ``columns`` in one pass."""
+    pairs = list(combinations(columns, 2))
+    if not pairs:
+        return {}
+    if method == "ml":  # fallback for very wide tables
+        return _ml_corr(df, columns, "pearson")
+    exprs = [
+        F.corr(S.col(a), S.col(b)).alias(f"p{i}") for i, (a, b) in enumerate(pairs)
+    ]
+    row = df.agg(*exprs).collect()[0]
+    return {(a, b): row[f"p{i}"] for i, (a, b) in enumerate(pairs)}
+
+
+def spearman_matrix(
+    df: DataFrame, columns: list[str]
+) -> dict[tuple[str, str], float | None]:
+    """Spearman = Pearson over average ranks. One window-rank per column (global
+    sort each — expensive, opt-in), then a single corr pass."""
+    ranked = df.select(*[S.col(c) for c in columns])
+    for c in columns:
+        # average rank for ties = (rank + (count-1)/2); computed via two windows
+        w_ord = Window.orderBy(S.col(c))
+        w_val = Window.partitionBy(S.col(c))
+        ranked = ranked.withColumn(
+            f"__rk_{c}",
+            F.when(
+                S.col(c).isNotNull(),
+                F.rank().over(w_ord) + (F.count(F.lit(1)).over(w_val) - 1) / 2.0,
+            ),
+        )
+    rank_cols = [f"__rk_{c}" for c in columns]
+    pairs = list(combinations(range(len(columns)), 2))
+    exprs = [
+        F.corr(F.col(rank_cols[i]), F.col(rank_cols[j])).alias(f"p{k}")
+        for k, (i, j) in enumerate(pairs)
+    ]
+    row = ranked.agg(*exprs).collect()[0]
+    return {
+        (columns[i], columns[j]): row[f"p{k}"] for k, (i, j) in enumerate(pairs)
+    }
+
+
+def cramers_v(
+    df: DataFrame, col_a: str, col_b: str, bias_correction: bool = True
+) -> float | None:
+    """Cramér's V from a distributed contingency table + driver chi².
+
+    Gate on cardinality before calling (reference gates at
+    categorical_maximum_correlation_distinct=100)."""
+    ct = (
+        df.where(S.col(col_a).isNotNull() & S.col(col_b).isNotNull())
+        .groupBy(S.col(col_a).alias("a"), S.col(col_b).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if not ct:
+        return None
+    a_vals = sorted({r["a"] for r in ct}, key=str)
+    b_vals = sorted({r["b"] for r in ct}, key=str)
+    r_idx = {v: i for i, v in enumerate(a_vals)}
+    c_idx = {v: i for i, v in enumerate(b_vals)}
+    rows, cols = len(a_vals), len(b_vals)
+    table = [[0.0] * cols for _ in range(rows)]
+    for rec in ct:
+        table[r_idx[rec["a"]]][c_idx[rec["b"]]] = float(rec["n"])
+    n = sum(map(sum, table))
+    if n == 0 or rows < 2 or cols < 2:
+        return None
+    row_sum = [sum(t) for t in table]
+    col_sum = [sum(table[i][j] for i in range(rows)) for j in range(cols)]
+    chi2 = 0.0
+    for i in range(rows):
+        for j in range(cols):
+            exp = row_sum[i] * col_sum[j] / n
+            if exp > 0:
+                chi2 += (table[i][j] - exp) ** 2 / exp
+    phi2 = chi2 / n
+    r, k = rows, cols
+    if bias_correction:
+        # reference: correlations.py:219-264 (Bergsma-Wicher correction)
+        phi2 = max(0.0, phi2 - (k - 1) * (r - 1) / (n - 1))
+        r = r - (r - 1) ** 2 / (n - 1)
+        k = k - (k - 1) ** 2 / (n - 1)
+    denom = min(k - 1, r - 1)
+    if denom <= 0:
+        return None
+    return math.sqrt(phi2 / denom)
+
+
+def kendall_matrix(df: DataFrame, columns: list[str]):
+    """Kendall's tau via the reference's single-group pandas escape hatch
+    (correlations.py:152-216): ships all selected data to ONE executor. Opt-in;
+    documented scale caveat (a true distributed tau is arXiv:1704.03767)."""
+    import pandas as pd  # noqa: F401
+
+    def _corr(pdf):
+        return pdf[columns].corr(method="kendall").reset_index(names="column")
+
+    schema = "column string, " + ", ".join(f"`{c}` double" for c in columns)
+    out = (
+        df.select(*[S.col(c).cast("double").alias(c) for c in columns])
+        .withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(lambda _, pdf: _corr(pdf), schema)
+    )
+    pdf = out.toPandas().set_index("column")
+    return {
+        (a, b): float(pdf.loc[a, b]) for a, b in combinations(columns, 2)
+    }
+
+
+def high_correlations(
+    matrix: dict[tuple[str, str], float | None], threshold: float = 0.9
+) -> dict[str, list[str]]:
+    """C6: per-column list of highly correlated fields
+    (reference: correlations.py:570-590)."""
+    out: dict[str, list[str]] = {}
+    for (a, b), v in matrix.items():
+        if v is not None and abs(v) >= threshold:
+            out.setdefault(a, []).append(b)
+            out.setdefault(b, []).append(a)
+    return out
+
+
+def _ml_corr(df: DataFrame, columns: list[str], method: str):
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.stat import Correlation
+
+    asm = VectorAssembler(
+        inputCols=columns, outputCol="__features", handleInvalid="skip"
+    )
+    vec = asm.transform(df.select(*[S.col(c).cast("double").alias(c) for c in columns]))
+    mat = Correlation.corr(vec, "__features", method).collect()[0][0].toArray()
+    return {
+        (a, b): float(mat[i][j])
+        for (i, a), (j, b) in combinations(enumerate(columns), 2)
+    }

@@ -1,0 +1,180 @@
+"""Single-pass scalar column summaries — the heart of the engine.
+
+The reference computes per-column statistics with several Spark actions *per column*
+(reference: src/pandas_profiling/model/summary_algorithms.py:166-197 one agg per
+column; :512-535 counts per column; series_wrappers.py:69-71 a persist+count per
+column; summary.py:155-188 a ThreadPool to paper over the job storm). This engine
+builds ONE wide ``df.agg(...)`` containing every scalar statistic for every column:
+Catalyst compiles it to a single partial+final hash aggregation over one scan, so
+cost is one table pass regardless of column count — the design that survives 100 TB.
+
+A second (optional, numeric-only) pass computes MAD, which needs the median from
+pass 1 (reference: summary_algorithms.py:584-591, minus its int-cast bug).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+
+from pandas_profiling_personal_spark.config import ProfileConfig
+from pandas_profiling_personal_spark.functions import stats as S
+from pandas_profiling_personal_spark.types import (
+    VariableType as VT,
+    is_float_type,
+    variable_types,
+)
+
+#: stats whose values are timestamps/dates rather than numbers
+_DATETIME_STATS = {"min", "max"}
+
+
+def scalar_summary(
+    df: DataFrame,
+    config: ProfileConfig | None = None,
+    types: dict[str, VT] | None = None,
+) -> dict[str, dict[str, Any]]:
+    """All scalar per-column stats in one aggregation pass (+1 for MAD).
+
+    Returns ``{column: {stat: value, ...}, ..., "__table__": {...}}``.
+    """
+    config = config or ProfileConfig()
+    types = types or variable_types(df)
+    float_cols = {
+        f.name for f in df.schema.fields if is_float_type(f.dataType)
+    }
+
+    exprs = [S.n_rows().alias("__n")]
+    for i, (name, vt) in enumerate(types.items()):
+        c = S.col(name)
+        p = f"c{i}"
+        exprs.append(F.count(c).alias(f"{p}__count"))
+        if vt in (VT.ARRAY, VT.MAP, VT.STRUCT):
+            # maps/structs aren't hashable by approx_count_distinct; profile opaquely
+            # via their string form (reference converts maps to array(keys, values)
+            # before grouping — dataframe_wrappers.py:520-531; casting is simpler
+            # and equally distributed)
+            exprs.append(
+                F.approx_count_distinct(c.cast("string")).alias(f"{p}__approx_distinct")
+            )
+            continue
+        exprs.append(S.n_distinct(c, exact=config.exact).alias(f"{p}__n_distinct"))
+        if vt is VT.NUMERIC:
+            exprs += [
+                S.mean(c).alias(f"{p}__mean"),
+                S.stddev(c).alias(f"{p}__std"),
+                S.variance(c).alias(f"{p}__variance"),
+                F.min(c).alias(f"{p}__min"),
+                F.max(c).alias(f"{p}__max"),
+                F.sum(c).alias(f"{p}__sum"),
+                S.skewness_sample(c).alias(f"{p}__skewness"),
+                S.kurtosis_sample(c).alias(f"{p}__kurtosis"),
+                S.n_zeros(c).alias(f"{p}__n_zeros"),
+                S.n_negative(c).alias(f"{p}__n_negative"),
+            ]
+            if name in float_cols:
+                exprs += [
+                    S.n_infinite(c).alias(f"{p}__n_infinite"),
+                    S.n_nan(c).alias(f"{p}__n_nan"),
+                ]
+            for q in config.quantiles:
+                exprs.append(
+                    S.quantile(
+                        c, q, config.exact, config.quantile_relative_error
+                    ).alias(f"{p}__q_{_qkey(q)}")
+                )
+        elif vt is VT.BOOLEAN:
+            exprs.append(S.n_true(c).alias(f"{p}__n_true"))
+        elif vt is VT.DATETIME:
+            exprs += [F.min(c).alias(f"{p}__min"), F.max(c).alias(f"{p}__max")]
+        elif vt is VT.CATEGORICAL:
+            exprs.append(S.n_empty(c).alias(f"{p}__n_empty"))
+            if config.length_stats:
+                for sname, e in S.length_stats(c).items():
+                    exprs.append(e.alias(f"{p}__{sname}"))
+
+    row = df.agg(*exprs).collect()[0].asDict()
+    n = row.pop("__n")
+
+    out: dict[str, dict[str, Any]] = {"__table__": {"n": n, "n_var": len(types)}}
+    for i, (name, vt) in enumerate(types.items()):
+        p = f"c{i}"
+        stats = {
+            k[len(p) + 2 :]: v for k, v in row.items() if k.startswith(p + "__")
+        }
+        stats["type"] = vt
+        stats["n"] = n
+        stats["n_missing"] = n - stats["count"]
+        stats["p_missing"] = stats["n_missing"] / n if n else 0.0
+        _derive(stats, vt, n)
+        out[name] = stats
+    return out
+
+
+def mad_summary(
+    df: DataFrame,
+    medians: dict[str, float],
+    config: ProfileConfig | None = None,
+) -> dict[str, float | None]:
+    """Median absolute deviation for numeric columns, one aggregation pass.
+
+    Needs the per-column median from :func:`scalar_summary`. The reference computes
+    approxQuantile(0.5) of ``abs(col - median)`` but first casts the column to int —
+    a bug we do not reproduce (reference: summary_algorithms.py:584-591)."""
+    config = config or ProfileConfig()
+    exprs = []
+    names = []
+    for i, (name, med) in enumerate(medians.items()):
+        if med is None or (isinstance(med, float) and math.isnan(med)):
+            continue
+        c = F.abs(S.col(name) - F.lit(float(med)))
+        exprs.append(
+            S.quantile(c, 0.5, config.exact, config.quantile_relative_error).alias(
+                f"c{i}__mad"
+            )
+        )
+        names.append((f"c{i}__mad", name))
+    if not exprs:
+        return {}
+    row = df.agg(*exprs).collect()[0].asDict()
+    return {name: row[alias] for alias, name in names}
+
+
+def _qkey(q: float) -> str:
+    return str(q).replace(".", "_")
+
+
+def _derive(stats: dict[str, Any], vt: VT, n: int) -> None:
+    """Driver-side derived scalars (reference: summary_algorithms.py:246-256)."""
+    cnt = stats["count"]
+    if vt is VT.NUMERIC:
+        mn, mx = stats.get("min"), stats.get("max")
+        if mn is not None and mx is not None:
+            stats["range"] = mx - mn
+        q25 = stats.get("q_0_25")
+        q75 = stats.get("q_0_75")
+        if q25 is not None and q75 is not None:
+            stats["iqr"] = q75 - q25
+        stats["median"] = stats.get("q_0_5")
+        mean = stats.get("mean")
+        std = stats.get("std")
+        stats["cv"] = (std / mean) if (mean not in (None, 0) and std is not None) else None
+        stats["p_zeros"] = stats["n_zeros"] / cnt if cnt else 0.0
+        if "n_infinite" in stats:
+            stats["p_infinite"] = stats["n_infinite"] / cnt if cnt else 0.0
+        stats["p_negative"] = stats["n_negative"] / cnt if cnt else 0.0
+        # reference: no row order on Spark => monotonicity unsupported
+        # (summary_algorithms.py:600-606); we report None, not a fake False
+        stats["monotonic"] = None
+    elif vt is VT.BOOLEAN:
+        stats["n_false"] = cnt - stats["n_true"] if cnt else 0
+        stats["p_true"] = stats["n_true"] / cnt if cnt else None
+    elif vt is VT.DATETIME:
+        mn, mx = stats.get("min"), stats.get("max")
+        if mn is not None and mx is not None:
+            stats["range"] = mx - mn
+    if "n_distinct" in stats:
+        stats["p_distinct"] = stats["n_distinct"] / cnt if cnt else None
+        stats["is_unique_approx"] = stats["n_distinct"] == cnt if cnt else None

@@ -1,0 +1,505 @@
+"""Oracle-parity queries: each engine operator as a (Spark plan, DuckDB SQL) pair.
+
+These back ``__spark_entry__.queries()`` / ``oracle_sql()``. Both sides are generated
+from the same spec so column names, rounding, and tie-breaks line up exactly:
+
+* floats rounded to ``ROUND=4`` decimals on BOTH sides (absorbs partition-order
+  FP noise; magnitudes in the testdata keep the boundary-collision risk ~1e-5);
+* sums aggregated as exact DECIMAL and cast back to double (order-independent,
+  bit-identical across engines — see functions/stats.stable_sum);
+* skew/kurt: Spark population estimators corrected to the sample (Fisher)
+  estimators DuckDB/pandas use (functions/stats.skewness_sample);
+* quantiles: exact ``percentile`` vs DuckDB ``quantile_cont`` (same linear
+  interpolation);
+* top-K / LIMIT queries: fully deterministic ORDER BY (count desc, then keys);
+* histogram buckets: explicit IEEE arithmetic identical on both sides.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pandas_profiling_personal_spark.functions import stats as S
+from pandas_profiling_personal_spark.operators import frequencies as FQ
+
+ROUND = 4
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    return read_parquet(spark, f"{sf_dir}/{table}.parquet")
+
+
+def _r(c, nd: int = ROUND):
+    return F.round(c, nd)
+
+
+def _long(one_row_df: DataFrame, triples: list[tuple[str, str, str]]) -> DataFrame:
+    """Explode a 1-row wide aggregate into (col_name, stat, value double) rows."""
+    structs = [
+        F.struct(
+            F.lit(col).alias("col_name"),
+            F.lit(stat).alias("stat"),
+            F.col(alias).cast("double").alias("value"),
+        )
+        for col, stat, alias in triples
+    ]
+    return one_row_df.select(F.explode(F.array(*structs)).alias("kv")).select("kv.*")
+
+
+# --------------------------------------------------------------------------------
+# numeric scalar summary (A4-A9 of SURVEY §2.4) — long format
+# --------------------------------------------------------------------------------
+
+_NUM_STATS_SQL = {
+    "count": "CAST(count({c}) AS DOUBLE)",
+    "n_missing": "CAST(count(*) - count({c}) AS DOUBLE)",
+    "mean": "round(avg({c}), 4)",
+    "std": "round(stddev_samp({c}), 4)",
+    "min": "CAST(min({c}) AS DOUBLE)",
+    "max": "CAST(max({c}) AS DOUBLE)",
+    "sum": "CAST(sum(CAST({c} AS DECIMAL(30,4))) AS DOUBLE)",
+    "skewness": "round(skewness({c}), 4)",
+    "kurtosis": "round(kurtosis({c}), 4)",
+    "n_zeros": "CAST(sum(CASE WHEN {c} = 0 THEN 1 ELSE 0 END) AS DOUBLE)",
+    "q05": "round(quantile_cont({c}, 0.05), 4)",
+    "q25": "round(quantile_cont({c}, 0.25), 4)",
+    "median": "round(quantile_cont({c}, 0.5), 4)",
+    "q75": "round(quantile_cont({c}, 0.75), 4)",
+    "q95": "round(quantile_cont({c}, 0.95), 4)",
+    "iqr": "round(quantile_cont({c}, 0.75) - quantile_cont({c}, 0.25), 4)",
+    "range": "CAST(max({c}) - min({c}) AS DOUBLE)",
+    "cv": "round(stddev_samp({c}) / avg({c}), 4)",
+}
+
+
+def _num_exprs(col: str, prefix: str) -> list:
+    c = S.col(col)
+    q = lambda p: S.quantile(c, p, exact=True)  # noqa: E731
+    return [
+        F.count(c).alias(f"{prefix}__count"),
+        S.n_missing(c).alias(f"{prefix}__n_missing"),
+        _r(S.mean(c)).alias(f"{prefix}__mean"),
+        _r(S.stddev(c)).alias(f"{prefix}__std"),
+        F.min(c).alias(f"{prefix}__min"),
+        F.max(c).alias(f"{prefix}__max"),
+        S.stable_sum(c).alias(f"{prefix}__sum"),
+        _r(S.skewness_sample(c)).alias(f"{prefix}__skewness"),
+        _r(S.kurtosis_sample(c)).alias(f"{prefix}__kurtosis"),
+        S.n_zeros(c).alias(f"{prefix}__n_zeros"),
+        _r(q(0.05)).alias(f"{prefix}__q05"),
+        _r(q(0.25)).alias(f"{prefix}__q25"),
+        _r(q(0.5)).alias(f"{prefix}__median"),
+        _r(q(0.75)).alias(f"{prefix}__q75"),
+        _r(q(0.95)).alias(f"{prefix}__q95"),
+        _r(q(0.75) - q(0.25)).alias(f"{prefix}__iqr"),
+        (F.max(c) - F.min(c)).alias(f"{prefix}__range"),
+        _r(S.coef_variation(c)).alias(f"{prefix}__cv"),
+    ]
+
+
+def numeric_summary_query(table: str, cols: list[str]) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load(spark, sf_dir, table)
+        exprs = []
+        triples = []
+        for i, col in enumerate(cols):
+            exprs += _num_exprs(col, f"c{i}")
+            triples += [
+                (col, stat, f"c{i}__{stat}") for stat in _NUM_STATS_SQL
+            ]
+        return _long(df.agg(*exprs), triples)
+
+    return fn
+
+
+def numeric_summary_sql(table: str, cols: list[str]) -> str:
+    aggs, selects = [], []
+    for i, col in enumerate(cols):
+        for stat, tmpl in _NUM_STATS_SQL.items():
+            aggs.append(f"{tmpl.format(c=col)} AS c{i}__{stat}")
+            selects.append(
+                f"SELECT '{col}' AS col_name, '{stat}' AS stat,"
+                f" c{i}__{stat} AS value FROM agg"
+            )
+    return (
+        f"WITH agg AS (SELECT {', '.join(aggs)} FROM {table})\n"
+        + "\nUNION ALL ".join(selects)
+    )
+
+
+# --------------------------------------------------------------------------------
+# MAD (A8) — self-contained plan: median via broadcast cross join
+# --------------------------------------------------------------------------------
+
+
+def mad_query(table: str, cols: list[str]) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load(spark, sf_dir, table)
+        med = df.agg(
+            *[
+                S.quantile(S.col(c), 0.5, exact=True).alias(f"med_{i}")
+                for i, c in enumerate(cols)
+            ]
+        )
+        joined = df.crossJoin(F.broadcast(med))
+        exprs = [
+            _r(
+                S.quantile(
+                    F.abs(S.col(c) - F.col(f"med_{i}")), 0.5, exact=True
+                )
+            ).alias(f"mad_{i}")
+            for i, c in enumerate(cols)
+        ]
+        return _long(
+            joined.agg(*exprs), [(c, "mad", f"mad_{i}") for i, c in enumerate(cols)]
+        )
+
+    return fn
+
+
+def mad_sql(table: str, cols: list[str]) -> str:
+    selects = [
+        f"SELECT '{c}' AS col_name, 'mad' AS stat, round(quantile_cont(abs({c} - "
+        f"(SELECT quantile_cont({c}, 0.5) FROM {table})), 0.5), 4) AS value"
+        f" FROM {table}"
+        for c in cols
+    ]
+    return "\nUNION ALL ".join(selects)
+
+
+# --------------------------------------------------------------------------------
+# frequencies (A1-A3, A15, K1)
+# --------------------------------------------------------------------------------
+
+
+def value_counts_query(table: str, col: str) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return FQ.value_counts(load(spark, sf_dir, table), col).select(
+            F.col("value").alias(col), F.col("count").alias("cnt")
+        )
+
+    return fn
+
+
+def value_counts_sql(table: str, col: str) -> str:
+    return (
+        f"SELECT {col}, count(*) AS cnt FROM {table}"
+        f" WHERE {col} IS NOT NULL GROUP BY {col}"
+    )
+
+
+def top_k_query(table: str, col: str, k: int) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        vc = FQ.value_counts(load(spark, sf_dir, table), col)
+        return (
+            vc.orderBy(F.desc("count"), F.asc("value"))
+            .limit(k)
+            .select(F.col("value").alias(col), F.col("count").alias("cnt"))
+        )
+
+    return fn
+
+
+def top_k_sql(table: str, col: str, k: int) -> str:
+    return (
+        f"SELECT {col}, count(*) AS cnt FROM {table} WHERE {col} IS NOT NULL"
+        f" GROUP BY {col} ORDER BY cnt DESC, {col} ASC LIMIT {k}"
+    )
+
+
+def distinct_unique_query(table: str, cols: list[str]) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load(spark, sf_dir, table)
+        return FQ.distinct_unique_counts(df, cols).select(
+            F.col("column").alias("col_name"), "n_distinct", "n_unique"
+        )
+
+    return fn
+
+
+def distinct_unique_sql(table: str, cols: list[str]) -> str:
+    selects = [
+        f"SELECT '{c}' AS col_name,"
+        f" (SELECT count(DISTINCT {c}) FROM {table}) AS n_distinct,"
+        f" (SELECT count(*) FROM (SELECT {c} FROM {table} WHERE {c} IS NOT NULL"
+        f" GROUP BY {c} HAVING count(*) = 1)) AS n_unique"
+        for c in cols
+    ]
+    return "\nUNION ALL ".join(selects)
+
+
+# --------------------------------------------------------------------------------
+# missing counts (P6 / M1)
+# --------------------------------------------------------------------------------
+
+
+def missing_counts_query(table: str, cols: list[str]) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load(spark, sf_dir, table)
+        agg = df.agg(
+            *[S.n_missing(S.col(c)).alias(f"m{i}") for i, c in enumerate(cols)]
+        )
+        return _long(agg, [(c, "n_missing", f"m{i}") for i, c in enumerate(cols)])
+
+    return fn
+
+
+def missing_counts_sql(table: str, cols: list[str]) -> str:
+    aggs = [
+        f"CAST(count(*) - count({c}) AS DOUBLE) AS m{i}" for i, c in enumerate(cols)
+    ]
+    selects = [
+        f"SELECT '{c}' AS col_name, 'n_missing' AS stat, m{i} AS value FROM agg"
+        for i, c in enumerate(cols)
+    ]
+    return (
+        f"WITH agg AS (SELECT {', '.join(aggs)} FROM {table})\n"
+        + "\nUNION ALL ".join(selects)
+    )
+
+
+# --------------------------------------------------------------------------------
+# histogram (A11) — fixed bin count, range from the data, explicit arithmetic
+# --------------------------------------------------------------------------------
+
+
+def histogram_query(table: str, col: str, bins: int) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load(spark, sf_dir, table)
+        mm = df.agg(
+            F.min(S.col(col)).cast("double").alias("lo"),
+            F.max(S.col(col)).cast("double").alias("hi"),
+        )
+        joined = df.crossJoin(F.broadcast(mm))
+        b = S.bucket_index(
+            S.col(col).cast("double"), F.col("lo"), F.col("hi"), bins
+        )
+        return (
+            joined.where(S.col(col).isNotNull())
+            .groupBy(b.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    return fn
+
+
+def histogram_sql(table: str, col: str, bins: int) -> str:
+    # same IEEE arithmetic as functions/stats.bucket_index
+    return f"""
+WITH mm AS (SELECT CAST(min({col}) AS DOUBLE) AS lo, CAST(max({col}) AS DOUBLE) AS hi FROM {table})
+SELECT CAST(least(greatest(floor((CAST({col} AS DOUBLE) - lo) / ((hi - lo) / {bins}.0)), 0), {bins - 1}) AS BIGINT) AS bucket,
+       count(*) AS cnt
+FROM {table}, mm
+WHERE {col} IS NOT NULL
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------------
+# duplicates (D1/D2)
+# --------------------------------------------------------------------------------
+
+
+def top_duplicates_query(table: str, subset: list[str], n: int) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators import duplicates as D
+
+        return D.top_duplicates(load(spark, sf_dir, table), subset, n)
+
+    return fn
+
+
+def top_duplicates_sql(table: str, subset: list[str], n: int) -> str:
+    cols = ", ".join(subset)
+    order = ", ".join(f"{c} ASC" for c in subset)
+    return (
+        f"SELECT {cols}, count(*) AS n_dup FROM {table} GROUP BY {cols}"
+        f" HAVING count(*) > 1 ORDER BY n_dup DESC, {order} LIMIT {n}"
+    )
+
+
+def duplicate_stats_query(table: str) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load(spark, sf_dir, table)
+        grouped = df.groupBy(*df.columns).agg(F.count(F.lit(1)).alias("n_dup"))
+        return grouped.agg(
+            F.coalesce(F.sum("n_dup"), F.lit(0)).alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct_rows"),
+            (F.coalesce(F.sum("n_dup"), F.lit(0)) - F.count(F.lit(1))).alias(
+                "n_duplicate_rows"
+            ),
+        )
+
+    return fn
+
+
+def duplicate_stats_sql(table: str) -> str:
+    return (
+        f"SELECT count(*) AS n_rows,"
+        f" (SELECT count(*) FROM (SELECT DISTINCT * FROM {table})) AS n_distinct_rows,"
+        f" count(*) - (SELECT count(*) FROM (SELECT DISTINCT * FROM {table}))"
+        f" AS n_duplicate_rows FROM {table}"
+    )
+
+
+# --------------------------------------------------------------------------------
+# string length stats (A13)
+# --------------------------------------------------------------------------------
+
+
+def string_lengths_query(table: str, cols: list[str]) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load(spark, sf_dir, table)
+        exprs = []
+        triples = []
+        for i, c in enumerate(cols):
+            ln = F.length(S.col(c))
+            exprs += [
+                F.min(ln).alias(f"c{i}__min_length"),
+                _r(F.avg(ln)).alias(f"c{i}__mean_length"),
+                F.max(ln).alias(f"c{i}__max_length"),
+                _r(S.quantile(ln, 0.5, exact=True)).alias(f"c{i}__median_length"),
+            ]
+            triples += [
+                (c, s, f"c{i}__{s}")
+                for s in ("min_length", "mean_length", "max_length", "median_length")
+            ]
+        return _long(df.agg(*exprs), triples)
+
+    return fn
+
+
+def string_lengths_sql(table: str, cols: list[str]) -> str:
+    aggs, selects = [], []
+    for i, c in enumerate(cols):
+        aggs += [
+            f"CAST(min(length({c})) AS DOUBLE) AS c{i}__min_length",
+            f"round(avg(length({c})), 4) AS c{i}__mean_length",
+            f"CAST(max(length({c})) AS DOUBLE) AS c{i}__max_length",
+            f"round(quantile_cont(length({c}), 0.5), 4) AS c{i}__median_length",
+        ]
+        selects += [
+            f"SELECT '{c}' AS col_name, '{s}' AS stat, c{i}__{s} AS value FROM agg"
+            for s in ("min_length", "mean_length", "max_length", "median_length")
+        ]
+    return (
+        f"WITH agg AS (SELECT {', '.join(aggs)} FROM {table})\n"
+        + "\nUNION ALL ".join(selects)
+    )
+
+
+# --------------------------------------------------------------------------------
+# datetime stats (A16)
+# --------------------------------------------------------------------------------
+
+
+def date_stats_query(table: str, cols: list[str]) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load(spark, sf_dir, table)
+        parts = []
+        for c in cols:
+            cc = S.col(c)
+            parts.append(
+                df.agg(
+                    F.lit(c).alias("col_name"),
+                    F.min(cc).cast("string").alias("min_ts"),
+                    F.max(cc).cast("string").alias("max_ts"),
+                    F.datediff(F.max(cc), F.min(cc)).cast("long").alias("range_days"),
+                    F.count(cc).alias("cnt"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
+    return fn
+
+
+def date_stats_sql(table: str, cols: list[str]) -> str:
+    selects = [
+        f"SELECT '{c}' AS col_name, CAST(min({c}) AS VARCHAR) AS min_ts,"
+        f" CAST(max({c}) AS VARCHAR) AS max_ts,"
+        f" CAST(date_diff('day', CAST(min({c}) AS DATE), CAST(max({c}) AS DATE))"
+        f" AS BIGINT) AS range_days, count({c}) AS cnt FROM {table}"
+        for c in cols
+    ]
+    return "\nUNION ALL ".join(selects)
+
+
+# --------------------------------------------------------------------------------
+# Pearson correlation matrix (C1)
+# --------------------------------------------------------------------------------
+
+
+def pearson_query(table: str, cols: list[str]) -> QueryFn:
+    pairs = list(combinations(cols, 2))
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load(spark, sf_dir, table)
+        exprs = [
+            _r(F.corr(S.col(a), S.col(b))).alias(f"p{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+        agg = df.agg(*exprs)
+        structs = [
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"p{i}").cast("double").alias("corr"),
+            )
+            for i, (a, b) in enumerate(pairs)
+        ]
+        return agg.select(F.explode(F.array(*structs)).alias("kv")).select("kv.*")
+
+    return fn
+
+
+def pearson_sql(table: str, cols: list[str]) -> str:
+    pairs = list(combinations(cols, 2))
+    aggs = [
+        f"round(corr({a}, {b}), 4) AS p{i}" for i, (a, b) in enumerate(pairs)
+    ]
+    selects = [
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, p{i} AS corr FROM agg"
+        for i, (a, b) in enumerate(pairs)
+    ]
+    return (
+        f"WITH agg AS (SELECT {', '.join(aggs)} FROM {table})\n"
+        + "\nUNION ALL ".join(selects)
+    )
+
+
+# --------------------------------------------------------------------------------
+# scalar-function probe: regexp extraction over the events JSON props (§2.11)
+# --------------------------------------------------------------------------------
+
+
+def json_props_query(table: str = "events") -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load(spark, sf_dir, table)
+        k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("long")
+        return (
+            df.select(k.alias("k"))
+            .where(F.col("k").isNotNull())
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    return fn
+
+
+def json_props_sql(table: str = "events") -> str:
+    return (
+        f"SELECT CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) AS BIGINT) AS k,"
+        f" count(*) AS cnt FROM {table}"
+        f" WHERE regexp_extract(props, '\"k\":\\s*(\\d+)', 1) <> ''"
+        f" GROUP BY 1"
+    )

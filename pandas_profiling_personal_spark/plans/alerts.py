@@ -1,0 +1,97 @@
+"""Rule-based data-quality alerts (reference: model/messages.py — 14 message types,
+R1-R7 in SURVEY.md §2.14). Pure driver logic over the computed stats dict; no Spark
+jobs. Thresholds come from ProfileConfig (reference: config_default.yaml:30-44)."""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any
+
+from pandas_profiling_personal_spark.config import ProfileConfig
+from pandas_profiling_personal_spark.types import VariableType as VT
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pandas_profiling_personal_spark.plans.profile import ProfileResult
+
+
+def _alert(kind: str, column: str | None = None, **fields) -> dict[str, Any]:
+    return {"type": kind, "column": column, **fields}
+
+
+def compute_alerts(result: "ProfileResult", cfg: ProfileConfig) -> list[dict[str, Any]]:
+    alerts: list[dict[str, Any]] = []
+
+    # table rules (reference: messages.py:102-120)
+    t = result.table
+    if (t.get("p_duplicates") or 0) > cfg.duplicates_threshold:
+        alerts.append(
+            _alert("DUPLICATES", None, n=t["n_duplicates"], p=t["p_duplicates"])
+        )
+
+    for name, v in result.variables.items():
+        vt = v.get("type")
+        n = v.get("n", 0)
+        cnt = v.get("count", 0)
+
+        # generic rules (reference: messages.py:204-257)
+        if cnt == 0:
+            alerts.append(_alert("REJECTED", name, reason="all values missing"))
+            continue
+        if v.get("p_missing", 0) > cfg.missing_threshold and v["n_missing"] > 0:
+            alerts.append(_alert("MISSING", name, p=v["p_missing"]))
+        if v.get("n_distinct") == 1:
+            alerts.append(_alert("CONSTANT", name, value=v.get("mode")))
+            alerts.append(_alert("REJECTED", name, reason="constant"))
+            continue
+        if v.get("is_unique"):
+            alerts.append(_alert("UNIQUE", name))
+
+        if vt is VT.NUMERIC:
+            # numeric rules (reference: messages.py:123-163)
+            sk = v.get("skewness")
+            if sk is not None and abs(sk) > cfg.skewness_threshold:
+                alerts.append(_alert("SKEWED", name, skewness=sk))
+            if (v.get("p_infinite") or 0) > 0.01:
+                alerts.append(_alert("INFINITE", name, p=v["p_infinite"]))
+            if (v.get("p_zeros") or 0) > 0.01:
+                alerts.append(_alert("ZEROS", name, p=v["p_zeros"]))
+            chi2_p = v.get("chi_squared_p")
+            if chi2_p is not None and chi2_p > cfg.chi_squared_threshold:
+                alerts.append(_alert("UNIFORM", name))
+        elif vt is VT.CATEGORICAL:
+            # categorical rules (reference: messages.py:166-201)
+            if (v.get("n_distinct") or 0) > cfg.cardinality_threshold:
+                alerts.append(
+                    _alert("HIGH_CARDINALITY", name, n_distinct=v["n_distinct"])
+                )
+            if (
+                cfg.length_stats
+                and v.get("min_length") is not None
+                and v["min_length"] == v.get("max_length")
+                and cnt > 1
+            ):
+                alerts.append(_alert("CONSTANT_LENGTH", name, length=v["min_length"]))
+        elif vt in (VT.ARRAY, VT.MAP, VT.STRUCT, VT.BINARY, VT.UNSUPPORTED):
+            alerts.append(_alert("UNSUPPORTED", name, dtype=str(vt)))
+
+    # correlation rules (reference: messages.py:290-306)
+    for measure, matrix in result.correlations.items():
+        seen: set[frozenset] = set()
+        for a, row in matrix.items():
+            for b, val in row.items():
+                if a == b or val is None:
+                    continue
+                key = frozenset((a, b))
+                if key in seen:
+                    continue
+                seen.add(key)
+                if abs(val) >= cfg.correlation_threshold:
+                    alerts.append(
+                        _alert(
+                            "HIGH_CORRELATION",
+                            a,
+                            other=b,
+                            measure=measure,
+                            value=val,
+                        )
+                    )
+    return alerts

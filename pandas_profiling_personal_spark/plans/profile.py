@@ -1,0 +1,287 @@
+"""The profiling pipeline — the engine's flagship "query".
+
+Mirrors the reference's describe() lifecycle (reference:
+src/pandas_profiling/model/describe.py:30-222 → description_set with keys
+analysis/table/variables/correlations/missing/sample/duplicates/messages/package)
+but with a constant number of Spark jobs:
+
+  pass 1  one wide ``df.agg``: every scalar stat for every column   (summary.py)
+  pass 2  one melt+groupBy: value counts / distinct / unique / topK (frequencies.py)
+  pass 3  one explode+groupBy: all numeric histograms               (histogram.py)
+  pass 4  one ``df.agg``: MAD for all numeric columns               (summary.py)
+  pass 5  one groupBy(all cols): duplicate stats + top groups       (duplicates.py)
+  pass 6  one ``df.agg``: Pearson pairs (+ nullity corr)            (correlations.py)
+  + bounded sample fetches (limit N)
+
+The reference runs 5-10 jobs *per column* through a ThreadPool
+(summary.py:155-188); at 1000 executors x 100 TB the job storm and its repeated
+scans are the bottleneck — the constant-pass design is the whole point of the
+rebuild (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import math
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark import StorageLevel
+
+from pandas_profiling_personal_spark.config import ProfileConfig
+from pandas_profiling_personal_spark.operators import (
+    correlations as C,
+    duplicates as D,
+    frequencies as FQ,
+    histogram as H,
+    missing as M,
+    sampling as SA,
+    summary as SU,
+)
+from pandas_profiling_personal_spark.plans.alerts import compute_alerts
+from pandas_profiling_personal_spark.types import (
+    VariableType as VT,
+    infer_variable_types,
+    variable_types,
+)
+
+
+@dataclass
+class ProfileResult:
+    """JSON-serializable profile (reference: description_set,
+    profile_report.py:345-367)."""
+
+    table: dict[str, Any]
+    variables: dict[str, dict[str, Any]]
+    correlations: dict[str, Any]
+    missing: dict[str, Any]
+    sample: dict[str, Any]
+    duplicates: list[dict[str, Any]]
+    alerts: list[dict[str, Any]] = field(default_factory=list)
+    analysis: dict[str, Any] = field(default_factory=dict)
+    package: dict[str, Any] = field(default_factory=dict)
+
+    def as_dict(self) -> dict[str, Any]:
+        return {
+            "analysis": self.analysis,
+            "table": self.table,
+            "variables": self.variables,
+            "correlations": self.correlations,
+            "missing": self.missing,
+            "sample": self.sample,
+            "duplicates": self.duplicates,
+            "alerts": self.alerts,
+            "package": self.package,
+        }
+
+    def to_json(self, **kw) -> str:
+        return json.dumps(self.as_dict(), default=_json_default, **kw)
+
+
+def profile(
+    df: DataFrame,
+    config: ProfileConfig | None = None,
+    columns: list[str] | None = None,
+) -> ProfileResult:
+    cfg = config or ProfileConfig()
+    t0 = time.time()
+    if columns:
+        from pandas_profiling_personal_spark.functions import stats as S
+
+        df = df.select(*[S.col(c) for c in columns])
+
+    persisted = False
+    if cfg.persist and df.storageLevel == StorageLevel.NONE:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted = True
+    try:
+        types = variable_types(df)
+        if cfg.infer_types:
+            types = infer_variable_types(df, types, cfg.low_categorical_threshold)
+        if cfg.column_order in ("asc", "desc"):
+            types = dict(
+                sorted(types.items(), key=lambda kv: kv[0].lower(),
+                       reverse=cfg.column_order == "desc")
+            )
+
+        # pass 1 — scalar stats
+        variables = SU.scalar_summary(df, cfg, types)
+        table = variables.pop("__table__")
+        n = table["n"]
+
+        # pass 2 — exact distinct/unique + top-K frequency tables
+        freq_cols = [c for c, vt in types.items() if vt is not VT.BINARY]
+        scalars, tops = FQ.frequency_summary(df, freq_cols, cfg.top_k)
+        for cname, s in scalars.items():
+            v = variables[cname]
+            v["n_distinct"] = s["n_distinct"]
+            v["n_unique"] = s["n_unique"]
+            cnt = v["count"]
+            v["p_distinct"] = s["n_distinct"] / cnt if cnt else None
+            v["p_unique"] = s["n_unique"] / cnt if cnt else None
+            v["is_unique"] = (s["n_unique"] == cnt) if cnt else None
+        for cname, top in tops.items():
+            variables[cname]["top_values"] = [
+                {"value": val, "count": cnt} for val, cnt in top
+            ]
+            if top:
+                variables[cname]["mode"] = top[0][0]
+                variables[cname]["mode_count"] = top[0][1]
+
+        # pass 3 — histograms for all numeric columns
+        specs: dict[str, tuple[int, float, float]] = {}
+        for cname, vt in types.items():
+            v = variables[cname]
+            if vt is VT.NUMERIC and v.get("min") is not None:
+                lo, hi = float(v["min"]), float(v["max"])
+                if not (math.isfinite(lo) and math.isfinite(hi)):
+                    continue
+                bins = cfg.histogram_bins or H.auto_bins(
+                    v["count"], v.get("iqr"), lo, hi, cfg.histogram_max_bins
+                )
+                specs[cname] = (bins, lo, hi)
+        for cname, hist in H.histogram_all(df, specs).items():
+            variables[cname]["histogram"] = hist
+
+        # pass 4 — MAD
+        medians = {
+            c: variables[c].get("median")
+            for c, vt in types.items()
+            if vt is VT.NUMERIC and variables[c].get("median") is not None
+        }
+        for cname, mad in SU.mad_summary(df, medians, cfg).items():
+            variables[cname]["mad"] = mad
+
+        # pass 5 — duplicates (supported columns only, like the reference which
+        # drops unsupported cols before grouping)
+        dup_cols = [
+            c for c, vt in types.items()
+            if vt in (VT.NUMERIC, VT.CATEGORICAL, VT.BOOLEAN, VT.DATETIME)
+        ]
+        duplicates: list[dict[str, Any]] = []
+        if cfg.duplicates and dup_cols:
+            dstats = D.duplicate_stats(df, dup_cols)
+            table.update(
+                n_duplicates=dstats["n_duplicate_rows"],
+                p_duplicates=dstats["p_duplicates"],
+            )
+            duplicates = [
+                r.asDict()
+                for r in D.top_duplicates(df, dup_cols, cfg.duplicates_head).collect()
+            ]
+        else:
+            table.update(n_duplicates=None, p_duplicates=None)
+
+        # pass 6 — correlations
+        num_cols = [c for c, vt in types.items() if vt is VT.NUMERIC]
+        correlations: dict[str, Any] = {}
+        if "pearson" in cfg.correlations and len(num_cols) >= 2:
+            correlations["pearson"] = _matrix_dict(C.pearson_matrix(df, num_cols))
+        if "spearman" in cfg.correlations and len(num_cols) >= 2:
+            correlations["spearman"] = _matrix_dict(C.spearman_matrix(df, num_cols))
+        if "kendall" in cfg.correlations and len(num_cols) >= 2:
+            correlations["kendall"] = _matrix_dict(C.kendall_matrix(df, num_cols))
+        if "cramers" in cfg.correlations:
+            cat_cols = [
+                c for c, vt in types.items()
+                if vt is VT.CATEGORICAL
+                and (variables[c].get("n_distinct") or 0)
+                <= cfg.categorical_maximum_correlation_distinct
+                and (variables[c].get("n_distinct") or 0) >= 2
+            ]
+            cv = {}
+            for i, a in enumerate(cat_cols):
+                for b in cat_cols[i + 1 :]:
+                    cv[(a, b)] = C.cramers_v(df, a, b)
+            if cv:
+                correlations["cramers"] = _matrix_dict(cv)
+
+        # missing structure
+        missing: dict[str, Any] = {
+            "counts": {c: variables[c]["n_missing"] for c in types}
+        }
+        if cfg.missing_diagrams:
+            cols_with_nulls = [c for c in types if variables[c]["n_missing"] > 0]
+            if len(cols_with_nulls) >= 2:
+                missing["nullity_correlation"] = _matrix_dict(
+                    M.nullity_correlation(df, cols_with_nulls)
+                )
+
+        # samples (bounded driver transfers)
+        sample = {
+            "head": [r.asDict() for r in SA.head(df, cfg.samples_head).collect()],
+            "random": [
+                r.asDict()
+                for r in SA.random_sample(df, cfg.samples_random, cfg.seed).collect()
+            ],
+        }
+
+        # table rollups (reference: summary.py:213-310)
+        type_counts: dict[str, int] = {}
+        for vt in types.values():
+            type_counts[vt.value] = type_counts.get(vt.value, 0) + 1
+        n_cells = n * len(types)
+        n_missing_total = sum(variables[c]["n_missing"] for c in types)
+        table.update(
+            types=type_counts,
+            n_cells_missing=n_missing_total,
+            p_cells_missing=(n_missing_total / n_cells) if n_cells else 0.0,
+            n_vars_all_missing=sum(
+                1 for c in types if variables[c]["n_missing"] == n
+            ),
+            n_vars_with_missing=sum(
+                1 for c in types if variables[c]["n_missing"] > 0
+            ),
+        )
+
+        result = ProfileResult(
+            table=table,
+            variables=variables,
+            correlations=correlations,
+            missing=missing,
+            sample=sample,
+            duplicates=duplicates,
+            analysis={
+                "duration_sec": round(time.time() - t0, 3),
+                "exact": cfg.exact,
+            },
+            package={
+                "engine": "pandas_profiling_personal_spark",
+                "version": "0.1.0",
+            },
+        )
+        result.alerts = compute_alerts(result, cfg)
+        return result
+    finally:
+        if persisted:
+            df.unpersist()
+
+
+def _matrix_dict(m: dict) -> dict[str, dict[str, float | None]]:
+    out: dict[str, dict[str, float | None]] = {}
+    for (a, b), v in m.items():
+        out.setdefault(a, {})[b] = v
+        out.setdefault(b, {})[a] = v
+    return out
+
+
+def _json_default(o):
+    if isinstance(o, (_dt.datetime, _dt.date)):
+        return o.isoformat()
+    if isinstance(o, _dt.timedelta):
+        return o.total_seconds()
+    if isinstance(o, bytes):
+        return o.hex()
+    if hasattr(o, "value") and isinstance(o, VT):
+        return o.value
+    try:
+        import numpy as np
+
+        if isinstance(o, np.generic):
+            return o.item()
+    except ImportError:  # pragma: no cover
+        pass
+    return str(o)
