@@ -69,22 +69,36 @@ def distinct_unique_counts(
     )
 
 
+def top_k_counts(vc: DataFrame, k: int, salt_buckets: int = 64) -> DataFrame:
+    """Top-K rows of a (column, value, count) frequency table per column, with a
+    deterministic tie-break (count desc, value asc).
+
+    Two-phase to avoid the single-partition sort a plain
+    ``Window.partitionBy(column)`` would do for a high-cardinality column: first
+    top-K within (column, salt) — ``salt_buckets``-way parallel — then top-K of the
+    ≤ k*salt_buckets survivors per column."""
+    salted = Window.partitionBy("column", "__salt").orderBy(
+        F.desc("count"), F.asc("value")
+    )
+    final = Window.partitionBy("column").orderBy(F.desc("count"), F.asc("value"))
+    return (
+        vc.withColumn("__salt", F.abs(F.hash("value")) % salt_buckets)
+        .withColumn("__r1", F.row_number().over(salted))
+        .where(F.col("__r1") <= k)
+        .withColumn("rank", F.row_number().over(final))
+        .where(F.col("rank") <= k)
+        .drop("__salt", "__r1")
+    )
+
+
 def top_k_all(
     df: DataFrame, k: int, columns: list[str] | None = None
 ) -> DataFrame:
-    """Top-K most frequent values per column, deterministic tie-break on value.
+    """Top-K most frequent values per column (column, value, count, rank).
 
-    (column, value, count, rank); one shuffle + one small window over the already
-    aggregated counts (reference transfers top-250 per column — K1,
-    summary_algorithms.py:462-468)."""
-    vc = value_counts_all(df, columns)
-    w = Window.partitionBy("column").orderBy(
-        F.desc("count"), F.asc("value")
-    )
-    return (
-        vc.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    One shuffle for the counts + the salted two-phase top-K (reference transfers
+    top-250 per column — K1, summary_algorithms.py:462-468)."""
+    return top_k_counts(value_counts_all(df, columns), k)
 
 
 def frequency_summary(
@@ -97,20 +111,37 @@ def frequency_summary(
 
     Returns ``({column: {n_distinct, n_unique}}, {column: [(value, count), ...]})``.
     """
+    from pyspark import StorageLevel
+
     columns = columns or df.columns
-    topk = top_k_all(df, k, columns)
-    du = distinct_unique_counts(df, columns)
-    joined = du.join(topk, "column", "left").collect()
-    scalars: dict[str, dict] = {}
-    tops: dict[str, list[tuple[str, int]]] = {c: [] for c in columns}
-    rows = sorted(
-        joined, key=lambda r: (r["column"], r["rank"] if r["rank"] is not None else 0)
-    )
-    for r in rows:
+    # ONE raw-table scan producing the per-column counts; cache the (much smaller)
+    # counts, then two cheap jobs over the cache: a combine-friendly groupBy for
+    # exact distinct/unique, and the salted two-phase top-K (no full per-column
+    # sort anywhere).
+    vc = value_counts_all(df, columns).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        du_rows = (
+            vc.groupBy("column")
+            .agg(
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.coalesce(
+                    F.sum(F.when(F.col("count") == 1, 1).otherwise(0)), F.lit(0)
+                ).alias("n_unique"),
+            )
+            .collect()
+        )
+        top_rows = top_k_counts(vc, k).collect()
+    finally:
+        vc.unpersist()
+    scalars: dict[str, dict] = {
+        c: {"n_distinct": 0, "n_unique": 0} for c in columns
+    }
+    for r in du_rows:
         scalars[r["column"]] = {
             "n_distinct": r["n_distinct"],
             "n_unique": r["n_unique"],
         }
-        if r["rank"] is not None:
-            tops[r["column"]].append((r["value"], r["count"]))
+    tops: dict[str, list[tuple[str, int]]] = {c: [] for c in columns}
+    for r in sorted(top_rows, key=lambda r: (r["column"], r["rank"])):
+        tops[r["column"]].append((r["value"], r["count"]))
     return scalars, tops

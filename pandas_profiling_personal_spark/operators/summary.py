@@ -79,12 +79,11 @@ def scalar_summary(
                     S.n_infinite(c).alias(f"{p}__n_infinite"),
                     S.n_nan(c).alias(f"{p}__n_nan"),
                 ]
-            for q in config.quantiles:
-                exprs.append(
-                    S.quantile(
-                        c, q, config.exact, config.quantile_relative_error
-                    ).alias(f"{p}__q_{_qkey(q)}")
-                )
+            qarr = S.quantile_array(
+                c, config.quantiles, config.exact, config.quantile_relative_error
+            )
+            for j, q in enumerate(config.quantiles):
+                exprs.append(qarr[j].alias(f"{p}__q_{_qkey(q)}"))
         elif vt is VT.BOOLEAN:
             exprs.append(S.n_true(c).alias(f"{p}__n_true"))
         elif vt is VT.DATETIME:

@@ -81,7 +81,8 @@ _NUM_STATS_SQL = {
 
 def _num_exprs(col: str, prefix: str) -> list:
     c = S.col(col)
-    q = lambda p: S.quantile(c, p, exact=True)  # noqa: E731
+    qarr = S.quantile_array(c, (0.05, 0.25, 0.5, 0.75, 0.95), exact=True)
+    q = lambda p: qarr[(0.05, 0.25, 0.5, 0.75, 0.95).index(p)]  # noqa: E731
     return [
         F.count(c).alias(f"{prefix}__count"),
         S.n_missing(c).alias(f"{prefix}__n_missing"),

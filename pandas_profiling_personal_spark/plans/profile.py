@@ -28,7 +28,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark import StorageLevel
 
 from pandas_profiling_personal_spark.config import ProfileConfig
@@ -163,15 +163,33 @@ def profile(
         ]
         duplicates: list[dict[str, Any]] = []
         if cfg.duplicates and dup_cols:
-            dstats = D.duplicate_stats(df, dup_cols)
-            table.update(
-                n_duplicates=dstats["n_duplicate_rows"],
-                p_duplicates=dstats["p_duplicates"],
-            )
-            duplicates = [
-                r.asDict()
-                for r in D.top_duplicates(df, dup_cols, cfg.duplicates_head).collect()
-            ]
+            # one grouped shuffle shared by the duplicate count and the top-N
+            # groups (cached; the grouped table is <= the distinct row count)
+            from pyspark import StorageLevel as _SL
+            from pandas_profiling_personal_spark.functions import stats as S
+
+            grouped = df.groupBy(*[S.col(c) for c in dup_cols]).agg(
+                F.count(F.lit(1)).alias("n_dup")
+            ).persist(_SL.MEMORY_AND_DISK)
+            try:
+                drow = grouped.agg(
+                    F.coalesce(F.sum("n_dup"), F.lit(0)).alias("n_rows"),
+                    F.count(F.lit(1)).alias("n_distinct_rows"),
+                ).collect()[0]
+                n_dup_rows = drow["n_rows"] - drow["n_distinct_rows"]
+                table.update(
+                    n_duplicates=n_dup_rows,
+                    p_duplicates=n_dup_rows / drow["n_rows"] if drow["n_rows"] else 0.0,
+                )
+                duplicates = [
+                    r.asDict()
+                    for r in grouped.where(F.col("n_dup") > 1)
+                    .orderBy(F.desc("n_dup"), *[S.col(c).asc() for c in dup_cols])
+                    .limit(cfg.duplicates_head)
+                    .collect()
+                ]
+            finally:
+                grouped.unpersist()
         else:
             table.update(n_duplicates=None, p_duplicates=None)
 
