@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from pandas_profiling_personal_spark import parity as P
+from pandas_profiling_personal_spark import parity_pipeline as PP
 
 LINEITEM_NUMERIC = [
     "l_quantity",
@@ -95,6 +96,33 @@ _SPECS: dict[str, tuple] = {
         ),
     ),
     "json_extract_events": (P.json_props_query(), P.json_props_sql()),
+    # --- training-data pipeline operators (documents / embeddings) -----------
+    "text_profile_documents": (PP.text_profile_query(), PP.text_profile_sql()),
+    "exact_dedup_documents": (
+        PP.exact_duplicates_query(),
+        PP.exact_duplicates_sql(),
+    ),
+    "minhash_signatures_documents": (
+        PP.minhash_signatures_query(16),
+        PP.minhash_signatures_sql(16),
+    ),
+    "minhash_lsh_dedup_documents": (
+        PP.minhash_dedup_query(16, 4, 0.5),
+        PP.minhash_dedup_sql(16, 4, 0.5),
+    ),
+    "ngram_jaccard_pairs_documents": (
+        PP.jaccard_pairs_query(0.1),
+        PP.jaccard_pairs_sql(0.1),
+    ),
+    "simhash_documents": (PP.simhash_query(32), PP.simhash_sql(32)),
+    "cosine_topk_embeddings": (
+        PP.cosine_topk_query(5, 5),
+        PP.cosine_topk_sql(5, 5),
+    ),
+    "embedding_near_dup_embeddings": (
+        PP.embedding_near_dup_query(0.4),
+        PP.embedding_near_dup_sql(0.4),
+    ),
 }
 
 

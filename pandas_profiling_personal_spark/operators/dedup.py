@@ -1,0 +1,330 @@
+"""Document deduplication at corpus scale: exact, MinHash+LSH, SimHash, n-gram
+Jaccard.
+
+All operators are compositions of built-in DataFrame ops (explode / groupBy /
+self-join) — no Python in the hot path. Hashing is md5-based so results are
+deterministic and reproducible by any engine (the DuckDB oracle recomputes them
+bit-for-bit), unlike Spark's Murmur3 ``F.hash``.
+
+Scale shapes:
+* exact dedup: shuffle of (fingerprint, count) — map-side combined, tiny.
+* MinHash: one explode over shingles feeding H min-aggregates — partial
+  aggregation reduces each partition to one signature row per doc before the
+  shuffle; then an equi-join on (band_index, band_hash) buckets. Hot buckets
+  (boilerplate/spam clusters) are capped via ``max_bucket_size``.
+* n-gram Jaccard: equi-join on shingle with document-frequency capping — the
+  standard stop-shingle guard against quadratic blowup.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from pandas_profiling_personal_spark.functions import stats as S
+from pandas_profiling_personal_spark.operators.text import normalize_text, tokens
+
+#: Mersenne prime 2^31-1; universal-hash modulus for MinHash
+MINHASH_PRIME = 2147483647
+
+
+def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a_i*x + b_i) mod p. a < 2^30 keeps
+    a*x within int64 for x < 2^31."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 30), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+def word_shingles(c: Column, k: int = 3) -> Column:
+    """Array of k-word shingles (joined with '_') over normalized tokens."""
+    t = tokens(c)
+    return F.when(
+        F.size(t) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - k),
+            lambda i: F.concat_ws(
+                "_", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws("_", t)))
+
+
+def portable_hash64(c: Column) -> Column:
+    """First 8 hex chars of md5 as a non-negative int64 (< 2^32). Any engine with
+    md5 reproduces it exactly — the property the oracle checks rely on."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+# --- exact -------------------------------------------------------------------------
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Groups of documents with identical normalized text:
+    (fingerprint, n_docs, doc_ids). One combine-friendly shuffle."""
+    fp = F.md5(normalize_text(S.col(text_col)))
+    return (
+        df.select(S.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# --- MinHash + LSH --------------------------------------------------------------
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(doc_id, shingle) — distinct shingles per document."""
+    return (
+        df.select(
+            S.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(word_shingles(S.col(text_col), k))).alias(
+                "shingle"
+            ),
+        )
+        .where(F.col("shingle") != "")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, m0..m{H-1}) MinHash signature — one explode + one combine-friendly
+    aggregation (H min() columns)."""
+    sh = shingle_table(df, id_col, text_col, shingle_k)
+    h = (portable_hash64(F.col("shingle")) % MINHASH_PRIME).alias("h")
+    hashed = sh.select("doc_id", h)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes, seed))
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs sharing at least one LSH band bucket.
+
+    rows_per_band = num_hashes // bands; a pair collides in a band iff that band's
+    signature slice matches exactly. ``max_bucket_size`` drops degenerate buckets
+    (boilerplate clusters) that would go quadratic."""
+    r = num_hashes // bands
+    assert r * bands == num_hashes, "bands must divide num_hashes"
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.md5(
+                F.concat_ws(",", *[F.col(f"m{j * r + i}") for i in range(r)])
+            ).alias("bucket"),
+        )
+        for j in range(bands)
+    ]
+    melted = signatures.select(
+        F.col("doc_id"), F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    if max_bucket_size:
+        w = Window.partitionBy("band", "bucket")
+        melted = melted.withColumn("__bs", F.count(F.lit(1)).over(w)).where(
+            F.col("__bs") <= max_bucket_size
+        ).drop("__bs")
+    a, b = melted.alias("a"), melted.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_similarity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.0,
+    max_shingle_df: int | None = 1000,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard for document pairs sharing >= 1 shingle:
+    (doc_a, doc_b, n_common, n_a, n_b, jaccard).
+
+    Without ``candidates`` this is all-pairs-with-overlap (shingle-blocked);
+    ``max_shingle_df`` drops shingles appearing in more than N docs (stop-shingle
+    guard). With ``candidates`` (e.g. from LSH) it verifies only those pairs."""
+    sh = shingle_table(df, id_col, text_col, shingle_k)
+    if max_shingle_df:
+        docfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = (
+            sh.join(docfreq.where(F.col("df") <= max_shingle_df), "shingle")
+            .select("doc_id", "shingle")
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+    )
+    out = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ),
+        )
+    )
+    if min_jaccard > 0:
+        out = out.where(F.col("jaccard") >= min_jaccard)
+    return out.select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Full near-dup pipeline: MinHash -> LSH buckets -> exact Jaccard verify.
+    Returns verified (doc_a, doc_b, jaccard >= min_jaccard) pairs."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands)
+    return jaccard_similarity(
+        df,
+        id_col,
+        text_col,
+        shingle_k,
+        min_jaccard,
+        max_shingle_df=None,
+        candidates=cands,
+    )
+
+
+# --- SimHash ----------------------------------------------------------------------
+
+
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """(doc_id, simhash) — ``bits``-bit SimHash over word tokens.
+
+    One explode + ``bits`` conditional sums, combine-friendly. Near-dups have
+    small Hamming distance; pair generation should block on rotated prefixes or
+    band slices of the hash (same LSH idea as MinHash bands)."""
+    tok = df.select(
+        S.col(id_col).alias("doc_id"),
+        F.explode(tokens(S.col(text_col))).alias("tok"),
+    )
+    h = portable_hash64(F.col("tok"))
+    hashed = tok.select("doc_id", h.alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*bit_sums)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(0)
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    band_bits: int = 8,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with Hamming distance <= max_hamming,
+    blocked on ``bits/band_bits`` SimHash bands so the join never goes all-pairs
+    (pigeonhole: pairs within max_hamming share >= 1 exact band when
+    bands > max_hamming)."""
+    sim = simhash_table(df, id_col, text_col, bits)
+    n_bands = bits // band_bits
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.shiftright(F.col("simhash"), j * band_bits)
+            .bitwiseAND(F.lit((1 << band_bits) - 1))
+            .alias("key"),
+        )
+        for j in range(n_bands)
+    ]
+    melted = sim.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "simhash", "bb.band", "bb.key")
+    a, b = melted.alias("a"), melted.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming_distance(F.col("a.simhash"), F.col("b.simhash")).alias(
+                "hamming"
+            ),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

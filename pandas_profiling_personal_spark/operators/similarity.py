@@ -1,0 +1,212 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-K is the exact baseline: a broadcast join of the query set
+against the corpus with the dot product evaluated as built-in higher-order
+functions (zip_with + aggregate — JVM-side, no Python). The scale path is
+random-hyperplane LSH bucketing: sign-bit signatures computed from deterministic
+(seeded) hyperplanes, candidates from bucket equality, exact cosine re-ranking on
+the survivors only.
+
+Embedding near-duplicate detection reuses the same machinery pair-wise.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from pandas_profiling_personal_spark.functions import stats as S
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i*b_i via zip_with + aggregate (left-to-right, IEEE-deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-K neighbors for each query vector:
+    (query_id, neighbor_id, cosine_sim, rank).
+
+    Queries are broadcast (small side); the corpus is scanned once; per-query
+    ranking is a window over query_id — parallel across queries. Deterministic
+    tie-break on neighbor id. Self-matches (same id) are excluded."""
+    query_id_col = query_id_col or id_col
+    q = queries.select(
+        S.col(query_id_col).alias("query_id"),
+        as_double(S.col(vec_col)).alias("__qv"),
+    )
+    c = corpus.select(
+        S.col(id_col).alias("neighbor_id"),
+        as_double(S.col(vec_col)).alias("__cv"),
+    )
+    joined = c.crossJoin(F.broadcast(q)).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sim = F.round(cosine(F.col("__cv"), F.col("__qv")), 4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        joined.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (Gaussian components, seeded)."""
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature of ``vec`` against the hyperplanes, as a long."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        sig = sig + F.when(
+            dot(vec, p) >= 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(0)
+    return sig
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-K: candidates = corpus vectors sharing an LSH bucket with
+    the query in ANY of ``n_tables`` hash tables, then exact cosine re-rank.
+
+    Probe cost ~ corpus/2^n_planes per table per query instead of the full scan;
+    recall grows with n_tables. Returns the same schema as :func:`cosine_topk`."""
+    tables = [
+        hyperplanes(dim, n_planes, seed + t * 1000) for t in range(n_tables)
+    ]
+
+    def with_sigs(df: DataFrame, idc: str, alias: str) -> DataFrame:
+        vec = as_double(S.col(vec_col))
+        sig_structs = [
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_signature(vec, planes).alias("bucket"),
+            )
+            for t, planes in enumerate(tables)
+        ]
+        return df.select(
+            S.col(idc).alias(alias),
+            vec.alias(f"__{alias}_v"),
+            F.explode(F.array(*sig_structs)).alias("sig"),
+        ).select(alias, f"__{alias}_v", "sig.table", "sig.bucket")
+
+    c = with_sigs(corpus, id_col, "neighbor_id")
+    q = with_sigs(queries, id_col, "query_id")
+    cands = (
+        c.join(F.broadcast(q), ["table", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "__neighbor_id_v", "__query_id_v")
+        .distinct()
+    )
+    sim = F.round(
+        cosine(F.col("__neighbor_id_v"), F.col("__query_id_v")), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cands.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    brute_force: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """(id_a, id_b, cosine_sim) pairs with cosine >= threshold.
+
+    LSH-blocked by default; ``brute_force=True`` does the exact all-pairs join
+    (test/oracle mode — quadratic, only for small corpora)."""
+    vec = as_double(S.col(vec_col))
+    if brute_force:
+        a = df.select(S.col(id_col).alias("id_a"), vec.alias("__va"))
+        b = df.select(S.col(id_col).alias("id_b"), vec.alias("__vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        sim = F.round(cosine(F.col("__va"), F.col("__vb")), 4)
+        return (
+            pairs.select("id_a", "id_b", sim.alias("cosine_sim"))
+            .where(F.col("cosine_sim") >= threshold)
+        )
+    tables = [
+        hyperplanes(dim, n_planes, seed + t * 1000) for t in range(n_tables)
+    ]
+    sig_structs = [
+        F.struct(F.lit(t).alias("table"), lsh_signature(vec, p).alias("bucket"))
+        for t, p in enumerate(tables)
+    ]
+    melted = df.select(
+        S.col(id_col).alias("doc_id"),
+        vec.alias("__v"),
+        F.explode(F.array(*sig_structs)).alias("sig"),
+    ).select("doc_id", "__v", "sig.table", "sig.bucket")
+    a, b = melted.alias("a"), melted.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.__v").alias("__va"),
+            F.col("b.__v").alias("__vb"),
+        )
+        .distinct()
+    )
+    sim = F.round(cosine(F.col("__va"), F.col("__vb")), 4)
+    return (
+        cands.select("id_a", "id_b", sim.alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,165 @@
+"""Text analysis for large-scale (training-data) pipelines.
+
+Beyond the reference's string stats (A13/A14), these are the document-level
+operators a 100 TB text pipeline needs: language identification, quality scoring,
+token counting, fingerprinting. All are pure Spark SQL expressions (whole-stage
+codegen, no Python in the hot path) so they run at scan speed; none shuffles until
+an aggregation is requested.
+
+Design notes:
+* language-ID is the classic stopword-hit heuristic (no external model in this
+  environment): score(lang) = |tokens ∩ stopwords(lang)| / |tokens|; argmax with a
+  deterministic tie order. Accuracy is adequate for routing/filtering; a real
+  fastText-style classifier would slot in as a Pandas UDF behind the same column
+  contract.
+* quality scoring mirrors common pretraining-corpus filters (Gopher/C4 style):
+  length, mean word length, punctuation density, stopword density.
+* fingerprint = md5 of whitespace-normalized lowercase text — the exact-dedup key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pandas_profiling_personal_spark.functions import stats as S
+
+#: small, fixed stopword inventories (top function words) per language.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "you", "that", "it", "for",
+           "was", "with", "are", "this", "have"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "pour", "que",
+           "dans", "qui", "pas", "sur", "avec"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu",
+           "den", "von", "sich", "auf", "auch", "eine"),
+    "es": ("el", "los", "de", "y", "que", "en", "un", "es", "por", "una",
+           "con", "para", "del", "las", "se"),
+}
+
+#: deterministic priority order for argmax ties
+LANG_ORDER = ("en", "fr", "de", "es")
+
+TOKEN_PATTERN = "[^a-z0-9]+"
+#: BPE-ish word/number/punctuation token pattern (GPT-2 flavor, ASCII simplified)
+BPE_TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def tokens(c: Column) -> Column:
+    """Lowercased word tokens (letters/digits runs), empties removed."""
+    return F.filter(
+        F.split(F.lower(c), TOKEN_PATTERN), lambda t: t != ""
+    )
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace-ish word token count."""
+    return F.size(tokens(c))
+
+
+def bpe_token_count(c: Column) -> Column:
+    """BPE-ish token count: words + numbers + punctuation marks each count once.
+    A cheap, deterministic proxy for tokenizer cost estimation at corpus scale."""
+    return F.regexp_count(F.lower(c), F.lit(BPE_TOKEN_PATTERN))
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def language_scores(c: Column) -> dict[str, Column]:
+    """Per-language stopword-hit ratio in [0, 1]."""
+    toks = tokens(c)
+    n = F.size(toks)
+    return {
+        lang: F.when(n > 0, stopword_hits(toks, lang) / n).otherwise(F.lit(0.0))
+        for lang in LANG_ORDER
+    }
+
+
+def language_id(c: Column, min_score: float = 0.01) -> Column:
+    """Best-scoring language code, 'und' (undetermined) when no stopword hits.
+
+    Ties break by LANG_ORDER position (deterministic)."""
+    scores = language_scores(c)
+    best = F.lit("und")
+    best_score = F.lit(float(min_score))
+    # iterate reversed so earlier languages win exact ties
+    for lang in reversed(LANG_ORDER):
+        s = scores[lang]
+        best = F.when(s >= best_score, F.lit(lang)).otherwise(best)
+        best_score = F.when(s >= best_score, s).otherwise(best_score)
+    return best
+
+
+def quality_features(c: Column) -> dict[str, Column]:
+    """Deterministic quality-filter features (C4/Gopher-style)."""
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    alpha_chars = F.length(F.regexp_replace(F.lower(c), "[^a-z]", ""))
+    punct_chars = F.length(F.regexp_replace(c, "[^.,;:!?]", ""))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "mean_token_len": F.when(n_tok > 0, alpha_chars / n_tok),
+        "punct_ratio": F.when(n_chars > 0, punct_chars / n_chars).otherwise(
+            F.lit(0.0)
+        ),
+        "stopword_ratio": F.when(
+            n_tok > 0, stopword_hits(toks, "en") / n_tok
+        ).otherwise(F.lit(0.0)),
+        "distinct_token_ratio": F.when(
+            n_tok > 0, F.size(F.array_distinct(toks)) / n_tok
+        ),
+    }
+
+
+def quality_score(c: Column) -> Column:
+    """Composite [0,1] quality heuristic: rewards sane length, word shape and
+    stopword density; punishes punctuation soup and heavy repetition."""
+    f = quality_features(c)
+    len_ok = F.when((f["n_tokens"] >= 10) & (f["n_tokens"] <= 100000), 1.0).otherwise(0.2)
+    wordlen_ok = F.when(
+        (f["mean_token_len"] >= 2) & (f["mean_token_len"] <= 12), 1.0
+    ).otherwise(0.3)
+    stop_ok = F.least(f["stopword_ratio"] * 5.0, F.lit(1.0))
+    rep_ok = F.coalesce(f["distinct_token_ratio"], F.lit(0.0))
+    punct_ok = F.when(f["punct_ratio"] <= 0.2, 1.0).otherwise(0.4)
+    return (
+        0.25 * len_ok + 0.2 * wordlen_ok + 0.25 * stop_ok + 0.15 * rep_ok
+        + 0.15 * punct_ok
+    )
+
+
+def normalize_text(c: Column) -> Column:
+    """Whitespace-collapse + lowercase + trim — the canonical form for exact dedup."""
+    return F.regexp_replace(F.lower(F.trim(c)), "\\s+", " ")
+
+
+def fingerprint(c: Column) -> Column:
+    """128-bit content fingerprint of the normalized text (hex md5)."""
+    return F.md5(normalize_text(c))
+
+
+def text_profile(
+    df: DataFrame, text_col: str, id_col: str | None = None
+) -> DataFrame:
+    """Per-document text-analysis projection: id, language, quality features,
+    token counts, fingerprint. Narrow (no shuffle) — safe to run inline at any
+    scale and feed into filters/groupBys."""
+    c = S.col(text_col)
+    cols = [S.col(id_col)] if id_col else []
+    feats = quality_features(c)
+    return df.select(
+        *cols,
+        language_id(c).alias("language"),
+        token_count(c).alias("n_tokens"),
+        bpe_token_count(c).alias("n_bpe_tokens"),
+        feats["n_chars"].alias("n_chars"),
+        F.round(feats["mean_token_len"], 4).alias("mean_token_len"),
+        F.round(feats["punct_ratio"], 4).alias("punct_ratio"),
+        F.round(feats["stopword_ratio"], 4).alias("stopword_ratio"),
+        F.round(feats["distinct_token_ratio"], 4).alias("distinct_token_ratio"),
+        F.round(quality_score(c), 4).alias("quality_score"),
+        fingerprint(c).alias("fingerprint"),
+    )

@@ -1,0 +1,318 @@
+"""Oracle-parity queries for the training-data pipeline operators (text analysis,
+dedup, similarity search) on the ``documents`` / ``embeddings`` tables.
+
+Hashing is md5-based everywhere (see operators/dedup.portable_hash64) so DuckDB
+reproduces every stage bit-for-bit — verified: md5-hash ints, tokenization, BPE
+counts and array dot products are exactly equal across engines on the testdata.
+
+DuckDB syntax notes vs Spark: 1-based list indexing (Spark arrays are 0-based via
+``[]``/1-based via element_at), ``range(a,b)`` end-exclusive, ``QUALIFY`` for
+window filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pandas_profiling_personal_spark.operators import (
+    dedup as DD,
+    similarity as SIM,
+    text as TX,
+)
+from pandas_profiling_personal_spark.parity import QueryFn, load
+
+# --------------------------------------------------------------------------------
+# shared DuckDB CTE fragments
+# --------------------------------------------------------------------------------
+
+_TOK = (
+    "tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),"
+    " '[^a-z0-9]+'), x -> x <> '') AS t FROM documents)"
+)
+
+# 3-word shingles, distinct per doc (matches dedup.word_shingles + shingle_table)
+_SHINGLES = (
+    "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3 THEN"
+    " list_transform(range(1, len(t) - 1), i -> t[i] || '_' || t[i+1] || '_' ||"
+    " t[i+2]) ELSE [array_to_string(t, '_')] END)) AS shingle FROM tok)"
+)
+
+_HASH64 = "CAST(('0x' || substring(md5({x}), 1, 8)) AS UBIGINT)"
+
+_STOP_SQL = {
+    lang: "(" + ", ".join(f"'{w}'" for w in words) + ")"
+    for lang, words in TX.STOPWORDS.items()
+}
+
+
+def _score_sql(lang: str) -> str:
+    return (
+        f"CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> x IN"
+        f" {_STOP_SQL[lang]})) * 1.0 / len(t) ELSE 0.0 END"
+    )
+
+
+# --------------------------------------------------------------------------------
+# text profile
+# --------------------------------------------------------------------------------
+
+
+def text_profile_query() -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return TX.text_profile(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+    return fn
+
+
+def text_profile_sql() -> str:
+    scores = ", ".join(
+        f"{_score_sql(lang)} AS s_{lang}" for lang in TX.LANG_ORDER
+    )
+    return f"""
+WITH {_TOK},
+feat AS (
+  SELECT d.doc_id, d.text, tok.t, {scores},
+    length(d.text) AS n_chars,
+    len(tok.t) AS n_tokens,
+    length(regexp_replace(lower(d.text), '[^a-z]', '', 'g')) AS alpha_chars,
+    length(regexp_replace(d.text, '[^.,;:!?]', '', 'g')) AS punct_chars,
+    len(list_filter(tok.t, x -> x IN {_STOP_SQL["en"]})) AS stop_hits,
+    len(list_distinct(tok.t)) AS n_distinct_tok
+  FROM documents d JOIN tok ON d.doc_id = tok.doc_id),
+q AS (
+  SELECT doc_id,
+    CASE
+      WHEN s_en >= greatest(s_fr, s_de, s_es, 0.01) THEN 'en'
+      WHEN s_fr >= greatest(s_de, s_es, 0.01) THEN 'fr'
+      WHEN s_de >= greatest(s_es, 0.01) THEN 'de'
+      WHEN s_es >= 0.01 THEN 'es'
+      ELSE 'und' END AS language,
+    n_tokens,
+    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+    n_chars,
+    CASE WHEN n_tokens > 0 THEN alpha_chars * 1.0 / n_tokens END AS mean_token_len_raw,
+    CASE WHEN n_chars > 0 THEN punct_chars * 1.0 / n_chars ELSE 0.0 END AS punct_ratio_raw,
+    CASE WHEN n_tokens > 0 THEN stop_hits * 1.0 / n_tokens ELSE 0.0 END AS stopword_ratio_raw,
+    CASE WHEN n_tokens > 0 THEN n_distinct_tok * 1.0 / n_tokens END AS distinct_token_ratio_raw,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM feat)
+SELECT doc_id, language, n_tokens, n_bpe_tokens, n_chars,
+  round(mean_token_len_raw, 4) AS mean_token_len,
+  round(punct_ratio_raw, 4) AS punct_ratio,
+  round(stopword_ratio_raw, 4) AS stopword_ratio,
+  round(distinct_token_ratio_raw, 4) AS distinct_token_ratio,
+  round(0.25 * (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.2 END)
+      + 0.2 * (CASE WHEN mean_token_len_raw BETWEEN 2 AND 12 THEN 1.0 ELSE 0.3 END)
+      + 0.25 * least(stopword_ratio_raw * 5.0, 1.0)
+      + 0.15 * coalesce(distinct_token_ratio_raw, 0.0)
+      + 0.15 * (CASE WHEN punct_ratio_raw <= 0.2 THEN 1.0 ELSE 0.4 END), 4)
+    AS quality_score,
+  fingerprint
+FROM q
+"""
+
+
+# --------------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------------
+
+
+def exact_duplicates_query() -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return DD.exact_duplicates(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+    return fn
+
+
+def exact_duplicates_sql() -> str:
+    return """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       count(*) AS n_docs, list_sort(list(doc_id)) AS doc_ids
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def minhash_signatures_query(num_hashes: int = 16) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return DD.minhash_signatures(
+            load(spark, sf_dir, "documents"), "doc_id", "text", num_hashes
+        )
+
+    return fn
+
+
+def minhash_signatures_sql(num_hashes: int = 16) -> str:
+    params = DD.minhash_params(num_hashes)
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {DD.MINHASH_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    return f"""
+WITH {_TOK}, {_SHINGLES},
+h AS (SELECT doc_id, CAST({_HASH64.format(x='shingle')} % {DD.MINHASH_PRIME} AS BIGINT) AS h
+      FROM sh WHERE shingle <> '')
+SELECT doc_id, {mins} FROM h GROUP BY doc_id
+"""
+
+
+def minhash_dedup_query(
+    num_hashes: int = 16, bands: int = 4, min_jaccard: float = 0.5
+) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return DD.minhash_dedup(
+            load(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            num_hashes=num_hashes,
+            bands=bands,
+            min_jaccard=min_jaccard,
+        )
+
+    return fn
+
+
+def minhash_dedup_sql(
+    num_hashes: int = 16, bands: int = 4, min_jaccard: float = 0.5
+) -> str:
+    params = DD.minhash_params(num_hashes)
+    r = num_hashes // bands
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {DD.MINHASH_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, md5(concat_ws(','"
+        + "".join(f", m{j * r + i}" for i in range(r))
+        + ")) AS bucket FROM sig"
+        for j in range(bands)
+    )
+    return f"""
+WITH {_TOK}, {_SHINGLES},
+h AS (SELECT doc_id, CAST({_HASH64.format(x='shingle')} % {DD.MINHASH_PRIME} AS BIGINT) AS h
+      FROM sh WHERE shingle <> ''),
+sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+bands AS (SELECT * FROM ({band_selects})
+          QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+shf AS (SELECT doc_id, shingle FROM sh WHERE shingle <> ''),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
+common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+vc AS (SELECT c.* FROM common c SEMI JOIN cand ON c.doc_a = cand.doc_a AND c.doc_b = cand.doc_b)
+SELECT vc.doc_a, vc.doc_b, vc.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       round(vc.n_common * 1.0 / (sa.n_sh + sb.n_sh - vc.n_common), 4) AS jaccard
+FROM vc JOIN sizes sa ON vc.doc_a = sa.doc_id JOIN sizes sb ON vc.doc_b = sb.doc_id
+WHERE round(vc.n_common * 1.0 / (sa.n_sh + sb.n_sh - vc.n_common), 4) >= {min_jaccard}
+"""
+
+
+def jaccard_pairs_query(min_jaccard: float = 0.1) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return DD.jaccard_similarity(
+            load(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            shingle_k=3,
+            min_jaccard=min_jaccard,
+            max_shingle_df=None,
+        )
+
+    return fn
+
+
+def jaccard_pairs_sql(min_jaccard: float = 0.1) -> str:
+    return f"""
+WITH {_TOK}, {_SHINGLES},
+shf AS (SELECT doc_id, shingle FROM sh WHERE shingle <> ''),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
+common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT c.doc_a, c.doc_b, c.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       round(c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common), 4) AS jaccard
+FROM common c JOIN sizes sa ON c.doc_a = sa.doc_id JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE round(c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common), 4) >= {min_jaccard}
+"""
+
+
+def simhash_query(bits: int = 32) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return DD.simhash_table(load(spark, sf_dir, "documents"), "doc_id", "text", bits)
+
+    return fn
+
+
+def simhash_sql(bits: int = 32) -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    recompose = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+WITH {_TOK},
+tk AS (SELECT doc_id, unnest(t) AS tok FROM tok),
+h AS (SELECT doc_id, CAST({_HASH64.format(x='tok')} AS BIGINT) AS h FROM tk),
+agg AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+SELECT doc_id, {recompose} AS simhash FROM agg
+"""
+
+
+# --------------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------------
+
+_COS = (
+    "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) *"
+    " sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+def cosine_topk_query(k: int = 5, n_queries: int = 5) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = load(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") < n_queries)
+        return SIM.cosine_topk(emb, queries, "vec_id", "embedding", k)
+
+    return fn
+
+
+def cosine_topk_sql(k: int = 5, n_queries: int = 5) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < {n_queries}),
+sims AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, round({_COS}, 4) AS cosine_sim
+  FROM e a, q b WHERE a.vec_id <> b.vec_id)
+SELECT query_id, neighbor_id, cosine_sim,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+FROM sims
+QUALIFY rank <= {k}
+"""
+
+
+def embedding_near_dup_query(threshold: float = 0.4) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return SIM.embedding_near_duplicates(
+            load(spark, sf_dir, "embeddings"),
+            "vec_id",
+            "embedding",
+            threshold=threshold,
+            brute_force=True,
+        )
+
+    return fn
+
+
+def embedding_near_dup_sql(threshold: float = 0.4) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS}, 4) AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round({_COS}, 4) >= {threshold}
+"""
