@@ -96,6 +96,18 @@ _SPECS: dict[str, tuple] = {
         ),
     ),
     "json_extract_events": (P.json_props_query(), P.json_props_sql()),
+    "cramers_v_lineitem": (
+        P.cramers_v_query("lineitem", "l_returnflag", "l_linestatus"),
+        P.cramers_v_sql("lineitem", "l_returnflag", "l_linestatus"),
+    ),
+    "spearman_lineitem": (
+        P.spearman_query("lineitem", ["l_quantity", "l_extendedprice", "l_discount"]),
+        P.spearman_sql("lineitem", ["l_quantity", "l_extendedprice", "l_discount"]),
+    ),
+    "char_counts_customer": (
+        P.char_counts_query("customer", "c_mktsegment"),
+        P.char_counts_sql("customer", "c_mktsegment"),
+    ),
     # --- training-data pipeline operators (documents / embeddings) -----------
     "text_profile_documents": (PP.text_profile_query(), PP.text_profile_sql()),
     "exact_dedup_documents": (

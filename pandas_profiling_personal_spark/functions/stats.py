@@ -170,6 +170,13 @@ def length_stats(c: Column) -> dict[str, Column]:
     }
 
 
+def epoch_seconds(c: Column) -> Column:
+    """Timestamp/date -> epoch seconds as double, ANSI-safe (a plain
+    ``cast(ts as double)`` is a DATATYPE_MISMATCH under ANSI mode, which is the
+    Spark 4 default)."""
+    return F.unix_micros(c.cast("timestamp")).cast("double") / F.lit(1e6)
+
+
 # --- histogram bucketing -------------------------------------------------------------
 
 

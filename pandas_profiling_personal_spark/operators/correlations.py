@@ -123,6 +123,46 @@ def cramers_v(
     return math.sqrt(phi2 / denom)
 
 
+def cramers_v_df(
+    df: DataFrame, col_a: str, col_b: str, bias_correction: bool = True
+) -> DataFrame:
+    """Cramér's V as ONE fully-distributed Spark plan (no driver math):
+    contingency via groupBy, chi² via the identity
+    Σ(o-e)²/e = N·Σ n²/(r_a·c_b) − N (zero cells contribute nothing to the sum),
+    marginals via windows. Returns a 1-row DataFrame (cramers_v double) — the
+    scale path and the oracle-parity form of :func:`cramers_v`."""
+    a, b = S.col(col_a), S.col(col_b)
+    ct = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("a"), b.alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    cells = ct.select(
+        "n",
+        F.sum("n").over(wa).alias("ra"),
+        F.sum("n").over(wb).alias("cb"),
+    )
+    agg = cells.agg(
+        F.sum("n").alias("N"),
+        F.sum(F.col("n") * F.col("n") / (F.col("ra") * F.col("cb"))).alias("s"),
+    ).crossJoin(
+        ct.agg(
+            F.count_distinct("a").alias("r"), F.count_distinct("b").alias("k")
+        )
+    )
+    N, s, r, k = F.col("N"), F.col("s"), F.col("r"), F.col("k")
+    chi2 = N * s - N
+    phi2 = chi2 / N
+    if bias_correction:
+        phi2 = F.greatest(phi2 - (k - 1) * (r - 1) / (N - 1), F.lit(0.0))
+        r = r - (r - 1) * (r - 1) / (N - 1)
+        k = k - (k - 1) * (k - 1) / (N - 1)
+    v = F.sqrt(phi2 / F.least(k - 1, r - 1))
+    return agg.select(F.round(v, 4).alias("cramers_v"))
+
+
 def kendall_matrix(df: DataFrame, columns: list[str]):
     """Kendall's tau via the reference's single-group pandas escape hatch
     (correlations.py:152-216): ships all selected data to ONE executor. Opt-in;

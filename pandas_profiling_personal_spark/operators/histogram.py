@@ -63,16 +63,27 @@ def histogram_all(
     specs = {c: s for c, s in specs.items() if s[2] is not None and s[1] is not None}
     if not specs:
         return {}
+    from pandas_profiling_personal_spark.types import (
+        VariableType as _VT,
+        variable_type,
+    )
+
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
     structs = []
     for name, (bins, lo, hi) in specs.items():
         c = S.col(name)
+        # datetime columns bucket on epoch seconds (ANSI-safe conversion)
+        if variable_type(dtypes[name]) is _VT.DATETIME:
+            value = S.epoch_seconds(c)
+        else:
+            value = c.cast("double")
         structs.append(
             F.struct(
                 F.lit(name).alias("column"),
                 F.when(
                     c.isNotNull(),
                     S.bucket_index(
-                        c.cast("double"), F.lit(float(lo)), F.lit(float(hi)), bins
+                        value, F.lit(float(lo)), F.lit(float(hi)), bins
                     ),
                 ).alias("bucket"),
             )

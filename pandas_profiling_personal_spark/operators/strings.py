@@ -1,0 +1,140 @@
+"""String-content analysis: characters/unicode (A14), URLs (A17), paths (A18).
+
+The reference computes character counts with exactly the explode/groupBy this
+module uses (reference: summary_helpers.py:331-354) but does unicode
+category/script/block rollups on the driver through the tangled_up_in_unicode
+package (:366-435). Here the char counts stay distributed and the rollups use
+Python's stdlib ``unicodedata`` on the (small, <= alphabet-size) driver-side
+result. URL/path decomposition exist only on the reference's pandas path
+(summary_algorithms.py:360-417); this engine makes them distributed one-pass
+aggregations via ``parse_url`` / ``regexp_extract``.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+
+from pandas_profiling_personal_spark.functions import stats as S
+
+
+def char_counts(df: DataFrame, column: str) -> DataFrame:
+    """(char, count) frequency of every character in the column — one explode +
+    combine-friendly groupBy (shuffle size bounded by the alphabet)."""
+    c = S.col(column)
+    return (
+        df.where(c.isNotNull())
+        .select(F.explode(F.split(c, "")).alias("char"))
+        .where(F.col("char") != "")
+        .groupBy("char")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def unicode_summary(df: DataFrame, column: str, top_k: int = 10) -> dict[str, Any]:
+    """Distributed char counts + driver-side unicode rollups.
+
+    Returns {n_characters, n_distinct_characters, top_chars, categories, scripts}
+    where categories/scripts map name -> char count (reference: A14 rollups)."""
+    rows = char_counts(df, column).collect()
+    total = sum(r["count"] for r in rows)
+    cats: dict[str, int] = {}
+    blocks: dict[str, int] = {}
+    for r in rows:
+        ch, n = r["char"], r["count"]
+        cat = unicodedata.category(ch)
+        cats[cat] = cats.get(cat, 0) + n
+        try:
+            name = unicodedata.name(ch)
+            block = name.split(" ")[0]
+        except ValueError:
+            block = "UNKNOWN"
+        blocks[block] = blocks.get(block, 0) + n
+    top = sorted(rows, key=lambda r: (-r["count"], r["char"]))[:top_k]
+    return {
+        "n_characters": total,
+        "n_distinct_characters": len(rows),
+        "top_chars": [(r["char"], r["count"]) for r in top],
+        "categories": dict(sorted(cats.items(), key=lambda kv: -kv[1])),
+        "blocks": dict(sorted(blocks.items(), key=lambda kv: -kv[1])),
+    }
+
+
+# --- URLs ---------------------------------------------------------------------------
+
+_URL_PARTS = ("PROTOCOL", "HOST", "PATH", "QUERY", "REF")
+
+
+def url_parts(df: DataFrame, column: str) -> DataFrame:
+    """(part, value, count) for scheme/netloc/path/query/fragment — ONE pass:
+    project the five parse_url() extractions, melt, groupBy.
+
+    reference: summary_algorithms.py:360-381 (pandas-only urlsplit + value_counts
+    per part); Spark's parse_url is codegen'd and distributed."""
+    c = S.col(column)
+    structs = [
+        F.struct(
+            F.lit(part.lower()).alias("part"),
+            F.parse_url(c, F.lit(part)).alias("value"),
+        )
+        for part in _URL_PARTS
+    ]
+    return (
+        df.where(c.isNotNull())
+        .select(F.explode(F.array(*structs)).alias("kv"))
+        .select("kv.part", "kv.value")
+        .where(F.col("value").isNotNull())
+        .groupBy("part", "value")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+# --- filesystem-style paths -----------------------------------------------------------
+
+_PATH_EXPRS = {
+    # dirname: everything before the last '/'
+    "parent": lambda c: F.when(
+        c.contains("/"), F.regexp_extract(c, r"^(.*)/[^/]*$", 1)
+    ).otherwise(F.lit("")),
+    "name": lambda c: F.element_at(F.split(c, "/"), -1),
+    "stem": lambda c: F.regexp_extract(
+        F.element_at(F.split(c, "/"), -1), r"^(.*?)(?:\.[^.]*)?$", 1
+    ),
+    "suffix": lambda c: F.regexp_extract(
+        F.element_at(F.split(c, "/"), -1), r"(\.[^.]*)$", 1
+    ),
+    "anchor": lambda c: F.when(c.startswith("/"), F.lit("/")).otherwise(F.lit("")),
+}
+
+
+def path_parts(df: DataFrame, column: str) -> DataFrame:
+    """(part, value, count) for parent/name/stem/suffix/anchor — one melted pass
+    (reference: summary_algorithms.py:400-417, pandas-only)."""
+    c = S.col(column)
+    structs = [
+        F.struct(F.lit(part).alias("part"), expr(c).alias("value"))
+        for part, expr in _PATH_EXPRS.items()
+    ]
+    return (
+        df.where(c.isNotNull())
+        .select(F.explode(F.array(*structs)).alias("kv"))
+        .select("kv.part", "kv.value")
+        .groupBy("part", "value")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def common_prefix(df: DataFrame, column: str) -> str:
+    """Longest common prefix of all non-null values: min and max of the column
+    bound it, so ONE tiny aggregate + driver compare (no distinct transfer)."""
+    c = S.col(column)
+    row = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    if lo is None or hi is None:
+        return ""
+    i = 0
+    while i < min(len(lo), len(hi)) and lo[i] == hi[i]:
+        i += 1
+    return lo[:i]

@@ -87,7 +87,14 @@ def scalar_summary(
         elif vt is VT.BOOLEAN:
             exprs.append(S.n_true(c).alias(f"{p}__n_true"))
         elif vt is VT.DATETIME:
-            exprs += [F.min(c).alias(f"{p}__min"), F.max(c).alias(f"{p}__max")]
+            exprs += [
+                F.min(c).alias(f"{p}__min"),
+                F.max(c).alias(f"{p}__max"),
+                # epoch-seconds bounds for the date histogram (A16) — avoids
+                # driver-side timezone round-trips
+                F.min(S.epoch_seconds(c)).alias(f"{p}__min_epoch"),
+                F.max(S.epoch_seconds(c)).alias(f"{p}__max_epoch"),
+            ]
         elif vt is VT.CATEGORICAL:
             exprs.append(S.n_empty(c).alias(f"{p}__n_empty"))
             if config.length_stats:

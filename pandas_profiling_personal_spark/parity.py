@@ -479,6 +479,106 @@ def pearson_sql(table: str, cols: list[str]) -> str:
 
 
 # --------------------------------------------------------------------------------
+# Cramér's V (C4) — fully distributed plan mirrored in SQL
+# --------------------------------------------------------------------------------
+
+
+def cramers_v_query(table: str, col_a: str, col_b: str) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.correlations import (
+            cramers_v_df,
+        )
+
+        return cramers_v_df(load(spark, sf_dir, table), col_a, col_b)
+
+    return fn
+
+
+def cramers_v_sql(table: str, col_a: str, col_b: str) -> str:
+    return f"""
+WITH ct AS (SELECT {col_a} AS a, {col_b} AS b, count(*) AS n FROM {table}
+            WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL GROUP BY 1, 2),
+cells AS (SELECT n, sum(n) OVER (PARTITION BY a) AS ra,
+                 sum(n) OVER (PARTITION BY b) AS cb FROM ct),
+agg AS (SELECT sum(n) AS N, sum(n * n / (ra * cb)) AS s FROM cells),
+rk AS (SELECT count(DISTINCT a) AS r, count(DISTINCT b) AS k FROM ct)
+SELECT round(sqrt(
+         greatest((N * s - N) / N - (k - 1) * (r - 1) / (N - 1), 0.0)
+         / least(k - (k - 1) * (k - 1) / (N - 1) - 1,
+                 r - (r - 1) * (r - 1) / (N - 1) - 1)), 4) AS cramers_v
+FROM agg, rk
+"""
+
+
+# --------------------------------------------------------------------------------
+# Spearman rank correlation (C2) — average ranks via windows, then Pearson
+# --------------------------------------------------------------------------------
+
+
+def spearman_query(table: str, cols: list[str]) -> QueryFn:
+    pairs = list(combinations(cols, 2))
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.correlations import (
+            spearman_matrix,
+        )
+
+        m = spearman_matrix(load(spark, sf_dir, table), cols)
+        rows = [(a, b, m[(a, b)]) for a, b in pairs]
+        raw = spark.createDataFrame(rows, "col_a string, col_b string, corr double")
+        # round in Spark (HALF_UP) to match the oracle's round(), not Python's
+        # banker's rounding
+        return raw.select("col_a", "col_b", _r(F.col("corr")).alias("corr"))
+
+    return fn
+
+
+def spearman_sql(table: str, cols: list[str]) -> str:
+    pairs = list(combinations(cols, 2))
+    ranks = ", ".join(
+        f"rank() OVER (ORDER BY {c}) + (count(*) OVER (PARTITION BY {c}) - 1) / 2.0"
+        f" AS rk_{i}"
+        for i, c in enumerate(cols)
+    )
+    corrs = ", ".join(
+        f"round(corr(rk_{cols.index(a)}, rk_{cols.index(b)}), 4) AS p{i}"
+        for i, (a, b) in enumerate(pairs)
+    )
+    selects = [
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, p{i} AS corr FROM agg"
+        for i, (a, b) in enumerate(pairs)
+    ]
+    return (
+        f"WITH rk AS (SELECT {ranks} FROM {table}),\n"
+        f"agg AS (SELECT {corrs} FROM rk)\n" + "\nUNION ALL ".join(selects)
+    )
+
+
+# --------------------------------------------------------------------------------
+# character counts (A14) — explode/groupBy both sides
+# --------------------------------------------------------------------------------
+
+
+def char_counts_query(table: str, col: str) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.strings import char_counts
+
+        return char_counts(load(spark, sf_dir, table), col).select(
+            F.col("char"), F.col("count").alias("cnt")
+        )
+
+    return fn
+
+
+def char_counts_sql(table: str, col: str) -> str:
+    return f"""
+SELECT ch AS char, count(*) AS cnt
+FROM (SELECT unnest(string_split({col}, '')) AS ch FROM {table} WHERE {col} IS NOT NULL)
+WHERE ch <> '' GROUP BY ch
+"""
+
+
+# --------------------------------------------------------------------------------
 # scalar-function probe: regexp extraction over the events JSON props (§2.11)
 # --------------------------------------------------------------------------------
 

@@ -70,6 +70,9 @@ def compute_alerts(result: "ProfileResult", cfg: ProfileConfig) -> list[dict[str
                 and cnt > 1
             ):
                 alerts.append(_alert("CONSTANT_LENGTH", name, length=v["min_length"]))
+            chi2_p = v.get("chi_squared_p")
+            if chi2_p is not None and chi2_p > cfg.chi_squared_threshold:
+                alerts.append(_alert("UNIFORM", name))
         elif vt in (VT.ARRAY, VT.MAP, VT.STRUCT, VT.BINARY, VT.UNSUPPORTED):
             alerts.append(_alert("UNSUPPORTED", name, dtype=str(vt)))
 

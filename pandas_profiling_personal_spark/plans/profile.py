@@ -41,6 +41,7 @@ from pandas_profiling_personal_spark.operators import (
     sampling as SA,
     summary as SU,
 )
+from pandas_profiling_personal_spark.functions.math_ext import chisquare_uniform
 from pandas_profiling_personal_spark.plans.alerts import compute_alerts
 from pandas_profiling_personal_spark.types import (
     VariableType as VT,
@@ -112,9 +113,14 @@ def profile(
         table = variables.pop("__table__")
         n = table["n"]
 
-        # pass 2 — exact distinct/unique + top-K frequency tables
+        # pass 2 — exact distinct/unique + top-K frequency tables. Fetch enough
+        # values to cover the categorical-uniformity test for columns under the
+        # cardinality threshold (still driver-bounded).
         freq_cols = [c for c, vt in types.items() if vt is not VT.BINARY]
-        scalars, tops = FQ.frequency_summary(df, freq_cols, cfg.top_k)
+        fetch_k = min(
+            max(cfg.top_k, cfg.cardinality_threshold + 1), cfg.driver_value_limit
+        )
+        scalars, tops = FQ.frequency_summary(df, freq_cols, fetch_k)
         for cname, s in scalars.items():
             v = variables[cname]
             v["n_distinct"] = s["n_distinct"]
@@ -125,13 +131,24 @@ def profile(
             v["is_unique"] = (s["n_unique"] == cnt) if cnt else None
         for cname, top in tops.items():
             variables[cname]["top_values"] = [
-                {"value": val, "count": cnt} for val, cnt in top
+                {"value": val, "count": cnt} for val, cnt in top[: cfg.top_k]
             ]
             if top:
                 variables[cname]["mode"] = top[0][0]
                 variables[cname]["mode_count"] = top[0][1]
+            # categorical uniformity (A12): when we hold the COMPLETE frequency
+            # table (cardinality <= fetched top-K), chi-square it driver-side
+            v = variables[cname]
+            if (
+                types[cname] is VT.CATEGORICAL
+                and 2 <= (v.get("n_distinct") or 0) <= len(top)
+            ):
+                stat, p = chisquare_uniform([cnt for _, cnt in top])
+                v["chi_squared"] = stat
+                v["chi_squared_p"] = p
 
-        # pass 3 — histograms for all numeric columns
+        # pass 3 — histograms for all numeric AND datetime columns (A11 + A16;
+        # the reference has no Spark date describer at all)
         specs: dict[str, tuple[int, float, float]] = {}
         for cname, vt in types.items():
             v = variables[cname]
@@ -143,8 +160,19 @@ def profile(
                     v["count"], v.get("iqr"), lo, hi, cfg.histogram_max_bins
                 )
                 specs[cname] = (bins, lo, hi)
+            elif vt is VT.DATETIME and v.get("min_epoch") is not None:
+                lo, hi = float(v["min_epoch"]), float(v["max_epoch"])
+                bins = cfg.histogram_bins or H.auto_bins(
+                    v["count"], None, lo, hi, cfg.histogram_max_bins
+                )
+                specs[cname] = (bins, lo, hi)
         for cname, hist in H.histogram_all(df, specs).items():
             variables[cname]["histogram"] = hist
+            # numeric uniformity (A12) over the histogram bins
+            if types[cname] is VT.NUMERIC and len(hist["counts"]) >= 2:
+                stat, p = chisquare_uniform(hist["counts"])
+                variables[cname]["chi_squared"] = stat
+                variables[cname]["chi_squared_p"] = p
 
         # pass 4 — MAD
         medians = {

@@ -1,0 +1,196 @@
+"""Semantics pinned by the reference's test suite (FIXTURES.md F2/F3/F5):
+uniqueness/distinct, value-counts edges, numeric edge families, type inference.
+These pin exactly the semantics the reference's Spark backend got WRONG
+(n_unique == n_distinct bug, duplicate-count == 0 bug)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from pandas_profiling_personal_spark import ProfileConfig, profile
+from pandas_profiling_personal_spark.operators import frequencies as FQ
+from pandas_profiling_personal_spark.types import (
+    VariableType as VT,
+    infer_variable_types,
+    variable_types,
+)
+
+
+def _num_df(spark, values):
+    schema = T.StructType([T.StructField("x", T.DoubleType())])
+    return spark.createDataFrame([(v,) for v in values], schema)
+
+
+# F2 uniqueness cases: values, n_distinct, n_unique, is_unique
+F2 = [
+    ([1.0, 2.0], 2, 2, True),
+    ([None], 0, 0, None),
+    ([1.0, 2.0, None], 2, 2, True),
+    ([1.0, 2.0, 2.0], 2, 1, False),
+    ([1.0, None, None], 1, 1, True),
+    ([1.0, 2.0, 2.0, None], 2, 1, False),
+    ([1.0, 2.0, 2.0, None, None], 2, 1, False),
+]
+
+
+@pytest.mark.parametrize("values,nd,nu,isu", F2)
+def test_uniqueness_semantics(spark, values, nd, nu, isu):
+    df = _num_df(spark, values)
+    scalars, _ = FQ.frequency_summary(df, ["x"], 10)
+    assert scalars["x"]["n_distinct"] == nd
+    assert scalars["x"]["n_unique"] == nu
+    r = profile(df, ProfileConfig(exact=True, duplicates=False, correlations=()))
+    v = r.variables["x"]
+    assert v["n_distinct"] == nd
+    assert v["n_unique"] == nu
+    assert v["is_unique"] == isu
+
+
+def test_value_counts_excludes_nulls_and_orders(spark):
+    # F3 heavy_tail: one 1 + many 2s; nulls excluded entirely
+    df = _num_df(spark, [1.0] + [2.0] * 50 + [None, None])
+    _, tops = FQ.frequency_summary(df, ["x"], 10)
+    assert tops["x"][0] == ("2.0", 50)
+    assert tops["x"][1] == ("1.0", 1)
+    assert len(tops["x"]) == 2
+
+
+def test_numeric_families(spark):
+    # F5: inf values, zero-heavy, all-null, constant
+    rows = [
+        (float("inf"), 0.0, None, 5.0),
+        (float("-inf"), 0.0, None, 5.0),
+        (1.0, 3.0, None, 5.0),
+        (2.0, 0.0, None, 5.0),
+    ]
+    schema = T.StructType([T.StructField(c, T.DoubleType()) for c in "abcd"])
+    df = spark.createDataFrame(rows, schema)
+    r = profile(df, ProfileConfig(exact=True, duplicates=False, correlations=()))
+    a, b, c, d = (r.variables[k] for k in "abcd")
+    assert a["n_infinite"] == 2 and a["p_infinite"] == 0.5
+    assert b["n_zeros"] == 3 and b["p_zeros"] == 0.75
+    assert c["n_missing"] == 4 and c["count"] == 0
+    assert d["n_distinct"] == 1
+    kinds = {x["type"] for x in r.alerts}
+    assert "INFINITE" in kinds and "ZEROS" in kinds and "CONSTANT" in kinds
+    assert any(
+        x["type"] == "REJECTED" and x["column"] == "c" for x in r.alerts
+    )
+
+
+def test_mean_matches_known_value(spark):
+    # FIXTURES F1 column x: mean 13.375, std 23.688077, skew 1.08516
+    vals = [50.0, 50.0, -10.0, 0.0, 0.0, 5.0, 15.0, -3.0, None]
+    df = _num_df(spark, vals)
+    r = profile(df, ProfileConfig(exact=True, duplicates=False, correlations=()))
+    v = r.variables["x"]
+    assert v["mean"] == pytest.approx(13.375)
+    assert v["std"] == pytest.approx(23.688077169749342)
+    assert v["variance"] == pytest.approx(561.125)
+    assert v["skewness"] == pytest.approx(1.0851622393567653)
+    assert v["kurtosis"] == pytest.approx(-0.5029285892900379)
+    assert v["n_zeros"] == 2
+    assert v["p_missing"] == pytest.approx(1 / 9)
+    assert v["median"] == pytest.approx(2.5)
+    assert v["mad"] == pytest.approx(9.0)
+    assert v["iqr"] == pytest.approx(24.5)
+
+
+def test_type_inference(spark):
+    rows = [("yes", "1.5", 1), ("no", "2", 2), ("t", "3.25", 1)]
+    schema = "b string, n string, lowcard int"
+    df = spark.createDataFrame(rows, schema)
+    base = variable_types(df)
+    assert base == {
+        "b": VT.CATEGORICAL,
+        "n": VT.CATEGORICAL,
+        "lowcard": VT.NUMERIC,
+    }
+    inferred = infer_variable_types(df, base, low_categorical_threshold=5)
+    assert inferred["b"] is VT.BOOLEAN
+    assert inferred["n"] is VT.NUMERIC
+    assert inferred["lowcard"] is VT.CATEGORICAL
+
+
+def test_boolean_and_datetime_describe(spark):
+    import datetime as dt
+
+    rows = [
+        (True, dt.datetime(2020, 1, 1)),
+        (False, dt.datetime(2021, 6, 1)),
+        (True, None),
+        (None, dt.datetime(2020, 1, 1)),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("f", T.BooleanType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    r = profile(df, ProfileConfig(exact=True, duplicates=False, correlations=()))
+    f, ts = r.variables["f"], r.variables["ts"]
+    assert f["n_true"] == 2 and f["n_false"] == 1
+    assert f["p_true"] == pytest.approx(2 / 3)
+    assert ts["min"] == dt.datetime(2020, 1, 1)
+    assert ts["max"] == dt.datetime(2021, 6, 1)
+    assert ts["histogram"]["counts"] and sum(ts["histogram"]["counts"]) == 3
+
+
+def test_duplicates_semantics(spark):
+    rows = [(1, "a"), (1, "a"), (1, "a"), (2, "b"), (3, "c")]
+    df = spark.createDataFrame(rows, "k int, s string")
+    r = profile(df, ProfileConfig(exact=True, correlations=()))
+    # pandas duplicated(keep='first'): 2 of the 3 identical rows are duplicates
+    assert r.table["n_duplicates"] == 2
+    assert r.duplicates[0]["n_dup"] == 3
+
+
+def test_chi_square_math():
+    from pandas_profiling_personal_spark.functions.math_ext import (
+        chi2_sf,
+        chisquare_uniform,
+    )
+
+    # scipy.stats.chisquare([16,18,16,14,12,12]) -> stat=2.0, p=0.84915
+    stat, p = chisquare_uniform([16, 18, 16, 14, 12, 12])
+    assert stat == pytest.approx(2.0)
+    assert p == pytest.approx(0.8491450360846096, abs=1e-9)
+    assert chi2_sf(3.841458820694124, 1) == pytest.approx(0.05, abs=1e-9)
+    stat, p = chisquare_uniform([10, 10, 10])
+    assert stat == 0.0 and p == 1.0
+
+
+def test_uniform_alert(spark):
+    df = _num_df(spark, [float(i % 10) for i in range(1000)])
+    r = profile(
+        df,
+        ProfileConfig(
+            exact=True, duplicates=False, correlations=(), histogram_bins=10
+        ),
+    )
+    assert any(a["type"] == "UNIFORM" for a in r.alerts)
+
+
+def test_monotonicity_operator(spark):
+    from pandas_profiling_personal_spark.operators.order_stats import monotonicity
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 2.0), (4, 5.0)], "o int, x double"
+    )
+    m = monotonicity(df, "x", "o")
+    assert m["increasing"] is True
+    assert m["strictly_increasing"] is False
+    assert m["decreasing"] is False
+
+
+def test_extreme_observations(spark):
+    from pandas_profiling_personal_spark.operators.order_stats import (
+        extreme_observations,
+    )
+
+    df = _num_df(spark, [5.0, 1.0, 1.0, 9.0, 3.0, None])
+    ex = extreme_observations(df, "x", 2)
+    assert ex["min"][0] == {"value": 1.0, "count": 2}
+    assert ex["max"][0] == {"value": 9.0, "count": 1}

@@ -1,0 +1,174 @@
+"""String-content (A14/A17/A18) and text/dedup/similarity operator tests on
+synthetic fixtures (testdata has no URL/path columns)."""
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+
+def _sdf(spark, values, name="s"):
+    schema = T.StructType([T.StructField(name, T.StringType())])
+    return spark.createDataFrame([(v,) for v in values], schema)
+
+
+def test_char_counts_and_unicode_summary(spark):
+    from pandas_profiling_personal_spark.operators.strings import unicode_summary
+
+    df = _sdf(spark, ["aab", "b!", None, "Я"])
+    s = unicode_summary(df, "s")
+    assert s["n_characters"] == 6
+    assert s["n_distinct_characters"] == 4
+    assert s["top_chars"][0] == ("a", 2)
+    assert s["categories"]["Ll"] == 4  # a,a,b,b
+    assert s["categories"]["Lu"] == 1  # Я
+    assert s["categories"]["Po"] == 1  # !
+    assert "CYRILLIC" in s["blocks"]
+
+
+def test_url_parts(spark):
+    from pandas_profiling_personal_spark.operators.strings import url_parts
+
+    df = _sdf(
+        spark,
+        [
+            "https://example.com/a/b?q=1#frag",
+            "http://example.com/a",
+            "https://other.org/",
+        ],
+    )
+    rows = {
+        (r["part"], r["value"]): r["count"] for r in url_parts(df, "s").collect()
+    }
+    assert rows[("host", "example.com")] == 2
+    assert rows[("protocol", "https")] == 2
+    assert rows[("query", "q=1")] == 1
+    assert rows[("ref", "frag")] == 1
+
+
+def test_path_parts_and_common_prefix(spark):
+    from pandas_profiling_personal_spark.operators.strings import (
+        common_prefix,
+        path_parts,
+    )
+
+    df = _sdf(spark, ["/usr/lib/spark.jar", "/usr/bin/python3.11", "/usr/lib/a.b.c"])
+    rows = {
+        (r["part"], r["value"]): r["count"] for r in path_parts(df, "s").collect()
+    }
+    assert rows[("parent", "/usr/lib")] == 2
+    assert rows[("name", "spark.jar")] == 1
+    assert rows[("suffix", ".jar")] == 1
+    assert rows[("suffix", ".c")] == 1
+    assert rows[("stem", "a.b")] == 1
+    assert rows[("anchor", "/")] == 3
+    assert common_prefix(df, "s") == "/usr/"
+
+
+def test_language_id_and_quality(spark):
+    from pandas_profiling_personal_spark.operators.text import text_profile
+
+    rows = [
+        (1, "the cat and the dog are in the house and it is for you"),
+        (2, "le chien et le chat sont dans la maison pour que tu es"),
+        (3, "der hund und die katze sind nicht mit der maus zu haus"),
+        (4, "xyzzy qwerty asdf"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text_profile(df, "text", "doc_id").collect()}
+    assert out[1]["language"] == "en"
+    assert out[2]["language"] == "fr"
+    assert out[3]["language"] == "de"
+    assert out[4]["language"] == "und"
+    assert out[1]["quality_score"] > out[4]["quality_score"]
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    from pandas_profiling_personal_spark.operators.dedup import (
+        exact_duplicates,
+        minhash_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again every day"
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about spark dataframes and aggregation plans"
+    rows = [(1, base), (2, near), (3, other), (4, base)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = exact_duplicates(df, "doc_id", "text").collect()
+    assert len(exact) == 1 and exact[0]["doc_ids"] == [1, 4]
+
+    pairs = minhash_dedup(
+        df, "doc_id", "text", num_hashes=16, bands=8, min_jaccard=0.5
+    ).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1, 4) in found  # identical
+    assert (1, 2) in found or (2, 4) in found  # near-dup
+    assert all(3 not in p for p in found)
+
+
+def test_simhash_hamming(spark):
+    from pandas_profiling_personal_spark.operators.dedup import (
+        hamming_distance,
+        simhash_table,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "one two three four five six seven eight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sim = simhash_table(df, "doc_id", "text", bits=32)
+    a = sim.alias("a")
+    b = sim.alias("b")
+    d = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            "a.doc_id",
+            "b.doc_id",
+            hamming_distance(F.col("a.simhash"), F.col("b.simhash")).alias("h"),
+        )
+        .collect()
+    )
+    dist = {(r[0], r[1]): r["h"] for r in d}
+    assert dist[(1, 2)] < dist[(1, 3)]
+    assert dist[(1, 2)] < dist[(2, 3)]
+
+
+def test_cosine_topk_exact(spark):
+    from pandas_profiling_personal_spark.operators.similarity import cosine_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = cosine_topk(df, df.where(F.col("vec_id") == 0), k=2).collect()
+    ranked = [(r["neighbor_id"], r["rank"]) for r in out]
+    assert ranked[0] == (1, 1)  # closest to [1,0,0] is [0.9,0.1,0]
+    assert len(ranked) == 2
+
+
+def test_read_table_csv_and_formats(spark, tmp_path):
+    import pandas as pd
+
+    from pandas_profiling_personal_spark.sources.readers import read_table
+
+    p = tmp_path / "t.csv"
+    pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_csv(p, index=False)
+    df = read_table(spark, p)
+    assert df.count() == 2 and set(df.columns) == {"a", "b"}
+
+    pkl = tmp_path / "t.pkl"
+    pd.DataFrame({"z": [1.5, 2.5]}).to_pickle(pkl)
+    assert read_table(spark, pkl).count() == 2
+
+    with pytest.raises(ValueError):
+        read_table(spark, tmp_path / "t.unknown")
