@@ -1,0 +1,73 @@
+"""Command-line entry (S7, reference: controller/console.py:86-109).
+
+    python -m pandas_profiling_personal_spark.cli INPUT [OUTPUT.html|.json] \
+        [--minimal] [--exact] [--infer-types] [--title T] [--master local[N]]
+
+Reads any supported file (parquet/csv/json/orc + pandas formats) via
+``spark.read`` and writes an HTML and/or JSON profile.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="spark-profile",
+        description="PySpark-native data profiling (pandas-profiling capabilities)",
+    )
+    p.add_argument("input", help="input table file (parquet/csv/json/orc/...)")
+    p.add_argument(
+        "output",
+        nargs="?",
+        default=None,
+        help="output report path (.html or .json); default: <input>.html",
+    )
+    p.add_argument("--minimal", action="store_true", help="cheap-stats tier")
+    p.add_argument(
+        "--exact", action="store_true", help="exact estimators (test/oracle tier)"
+    )
+    p.add_argument("--infer-types", action="store_true")
+    p.add_argument("--title", default=None)
+    p.add_argument("--master", default=None, help="spark master (default local[N])")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+    from pandas_profiling_personal_spark.config import MINIMAL
+    from pandas_profiling_personal_spark.report import html as html_report
+    from pandas_profiling_personal_spark.session import get_session
+    from pandas_profiling_personal_spark.sources.readers import read_table
+
+    cfg = MINIMAL if args.minimal else ProfileConfig()
+    if args.exact:
+        cfg = cfg.with_(exact=True)
+    if args.infer_types:
+        cfg = cfg.with_(infer_types=True)
+
+    spark = get_session(app_name="spark-profile", master=args.master)
+    try:
+        df = read_table(spark, args.input)
+        result = profile(df, cfg)
+        out = args.output or (args.input.rsplit(".", 1)[0] + ".html")
+        title = args.title or f"Profile of {args.input}"
+        if out.endswith(".json"):
+            with open(out, "w", encoding="utf-8") as fh:
+                fh.write(result.to_json(indent=2))
+        else:
+            html_report.to_file(result, out, title)
+        print(json.dumps({"output": out, "n_rows": result.table["n"],
+                          "n_vars": result.table["n_var"],
+                          "n_alerts": len(result.alerts)}))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

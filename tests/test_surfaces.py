@@ -1,0 +1,170 @@
+"""Multimodal plumbing, streaming profile, HTML/JSON/serialize/CLI surfaces."""
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        (1, b"\xff\xd8\xff" + b"jpegdata" * 10),
+        (2, b"\x89PNG\r\n" + b"pngdata" * 5),
+        (3, b"\x89PNG\r\n" + b"pngdata" * 5),  # duplicate content
+        (4, None),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_media_metadata_plumbing(spark, media_df):
+    from pandas_profiling_personal_spark.operators.multimodal import media_metadata
+
+    out = media_metadata(media_df, "content").collect()
+    by_id = {r["id"]: r["meta"] for r in out}
+    assert by_id[1]["format"] == "jpeg"
+    assert by_id[2]["format"] == "png"
+    assert by_id[4] is None
+    assert by_id[2]["content_hash"] == by_id[3]["content_hash"]
+    assert 64 <= by_id[1]["width"] < 256
+    # determinism
+    again = {r["id"]: r["meta"] for r in media_metadata(media_df, "content").collect()}
+    assert again[1] == by_id[1]
+
+
+def test_media_profile_and_real_decoder_stub(spark, media_df):
+    from pandas_profiling_personal_spark.operators.multimodal import (
+        media_metadata,
+        media_profile,
+    )
+
+    prof = media_profile(media_df, "content")
+    assert prof["n"] == 4
+    assert prof["formats"]["png"] == 2
+    assert prof["n_duplicate_contents"] == 1
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        media_metadata(media_df, "content", decoder="real").collect()
+
+
+def test_sample_frames(spark, media_df):
+    from pandas_profiling_personal_spark.operators.multimodal import sample_frames
+
+    out = sample_frames(media_df.where(F.col("content").isNotNull()),
+                        "content", n_frames=3).collect()
+    assert len(out) == 9  # 3 docs x 3 frames
+    assert {r["frame"]["frame_index"] for r in out} == {0, 1, 2}
+
+
+def test_streaming_profile_batch_equivalence(spark, tmp_path):
+    """The streaming aggregation runs as a real stream (file source -> memory
+    sink) and matches the same plan run in batch mode."""
+    from pandas_profiling_personal_spark.streaming.profile_stream import (
+        profile_stream,
+    )
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, i % 10, 0), float(i % 7), f"u{i % 3}")
+        for i in range(100)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("user", T.StringType()),
+        ]
+    )
+    src = tmp_path / "stream_src"
+    spark.createDataFrame(rows, schema).write.parquet(str(src))
+
+    batch = profile_stream(spark.read.parquet(str(src)), "ts", window="5 minutes")
+    batch_rows = {
+        (str(r["window"]), r["column"]): (r["count"], r["n_missing"], r["mean"])
+        for r in batch.collect()
+    }
+
+    stream_df = spark.readStream.schema(schema).parquet(str(src))
+    agg = profile_stream(stream_df, "ts", window="5 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_prof")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stream_rows = {
+            (str(r["window"]), r["column"]): (r["count"], r["n_missing"], r["mean"])
+            for r in spark.table("t_prof").collect()
+        }
+    finally:
+        q.stop()
+    assert stream_rows == batch_rows
+    assert len(stream_rows) == 4  # 2 windows x 2 columns
+
+
+def test_html_json_serialize_roundtrip(spark, tmp_path):
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+    from pandas_profiling_personal_spark.report import html as H
+    from pandas_profiling_personal_spark.report import serialize as SER
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "a"), (2, 3.0, "b"), (3, None, "a")], "k int, x double, s string"
+    )
+    cfg = ProfileConfig(exact=True)
+    r = profile(df, cfg)
+
+    page = H.render_html(r, title="T<est>")
+    assert "T&lt;est&gt;" in page and "Variables" in page and "class='hist'" in page
+    out = tmp_path / "report.html"
+    H.to_file(r, str(out))
+    assert out.stat().st_size > 1000
+
+    j = json.loads(r.to_json())
+    assert j["table"]["n"] == 3 and "x" in j["variables"]
+
+    fp = SER.df_fingerprint(df)
+    blob = SER.dumps(r, cfg, fp)
+    back = SER.loads(blob, fp)
+    assert back["result"]["table"]["n"] == 3
+    with pytest.raises(ValueError, match="fingerprint"):
+        SER.loads(blob, "wrong")
+
+
+def test_cli_end_to_end(tmp_path):
+    """Drive the real CLI surface in a subprocess (its session lifecycle must not
+    touch the shared test session) on a parquet file."""
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    src = tmp_path / "data.parquet"
+    pd.DataFrame({"a": range(50), "b": [f"v{i % 5}" for i in range(50)]}).to_parquet(src)
+    out = tmp_path / "report.html"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "pandas_profiling_personal_spark.cli",
+            str(src),
+            str(out),
+            "--minimal",
+            "--master",
+            "local[2]",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    status = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert status["n_rows"] == 50 and status["n_vars"] == 2
+    assert out.stat().st_size > 500
