@@ -1,0 +1,106 @@
+"""Physical-plan quality gates — the properties that make the engine scale.
+
+These assert what .explain shows, so a regression that silently de-optimizes a
+plan (extra scans, lost pushdown, Python in the hot path, lost map-side
+combine) fails CI rather than a 100 TB run."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from pandas_profiling_personal_spark.functions import stats as S
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_scalar_agg_is_one_scan_partial_final(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    agg = df.agg(
+        S.mean(F.col("l_quantity")).alias("m"),
+        S.n_zeros(F.col("l_quantity")).alias("z"),
+        S.stddev(F.col("l_extendedprice")).alias("s"),
+    )
+    p = _plan(agg)
+    # formatted explain prints each node twice (tree + details)
+    assert p.count("Scan parquet") == 2, "scalar summary must be a single scan"
+    assert "partial_avg" in p, "map-side partial aggregation must be present"
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double>" in p, (
+        "column pruning must reach the parquet scan"
+    )
+
+
+def test_numeric_summary_prunes_to_numeric_columns(spark):
+    df = E.queries()["numeric_summary_lineitem"](spark, SF_DIR)
+    p = _plan(df)
+    assert p.count("Scan parquet") == 2
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_returnflag" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_value_counts_pushes_notnull_filter(spark):
+    df = E.queries()["value_counts_returnflag"](spark, SF_DIR)
+    p = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_returnflag)]" in p
+    assert "ReadSchema: struct<l_returnflag:string>" in p
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    df = E.queries()["cosine_topk_embeddings"](spark, SF_DIR)
+    p = _plan(df)
+    assert "BroadcastNestedLoopJoin" in p
+    assert "Python" not in p, "similarity search must stay JVM-side"
+
+
+def test_no_python_in_dedup_plans(spark):
+    for name in (
+        "minhash_lsh_dedup_documents",
+        "simhash_documents",
+        "text_profile_documents",
+    ):
+        p = _plan(E.queries()[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
+            f"{name} must not drop into Python"
+        )
+
+
+def test_histogram_single_scan_all_columns(spark):
+    from pandas_profiling_personal_spark.operators.histogram import histogram_all
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    df = read_parquet(spark, f"{SF_DIR}/lineitem.parquet")
+    specs = {
+        "l_quantity": (10, 1.0, 50.0),
+        "l_extendedprice": (10, 900.0, 100000.0),
+        "l_discount": (10, 0.0, 0.1),
+    }
+    # histogram_all collects; rebuild its internal pairs plan to inspect
+    from pyspark.sql import functions as F
+
+    structs = []
+    for name, (bins, lo, hi) in specs.items():
+        c = S.col(name)
+        structs.append(
+            F.struct(
+                F.lit(name).alias("column"),
+                F.when(
+                    c.isNotNull(),
+                    S.bucket_index(c.cast("double"), F.lit(lo), F.lit(hi), bins),
+                ).alias("bucket"),
+            )
+        )
+    pairs = (
+        df.select(F.explode(F.array(*structs)).alias("kv"))
+        .select("kv.column", "kv.bucket")
+        .groupBy("column", "bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    p = _plan(pairs)
+    assert p.count("Scan parquet") == 2, "all histograms must share one scan"
+    assert "partial_count" in p, "histogram agg must map-side combine"
