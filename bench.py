@@ -35,11 +35,35 @@ def main() -> None:
     profile(df, ProfileConfig(exact=False))
     flagship = time.time() - t0
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float] = {"full_profile_lineitem": round(flagship, 3)}
     for name, fn in E.queries().items():
         t0 = time.time()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)
+
+    # pipeline headliners at bench scale (not oracle-tier params): near-dup
+    # detection over all documents and ANN over all embeddings
+    from pyspark.sql import functions as F
+
+    from pandas_profiling_personal_spark.operators import (
+        dedup as DD,
+        similarity as SIM,
+        text as TX,
+    )
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    t0 = time.time()
+    TX.text_profile(docs, "text", "doc_id").count()
+    timings["pipeline_text_profile"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    DD.minhash_dedup(docs, "doc_id", "text", num_hashes=32, bands=8).count()
+    timings["pipeline_minhash_dedup"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    SIM.ann_topk_lsh(
+        emb, emb.where(F.col("vec_id") < 50), dim=64, k=10
+    ).count()
+    timings["pipeline_ann_lsh"] = round(time.time() - t0, 3)
 
     print(
         json.dumps(

@@ -48,10 +48,17 @@ def pearson_matrix(
 
 
 def spearman_matrix(
-    df: DataFrame, columns: list[str]
+    df: DataFrame, columns: list[str], method: str = "ml"
 ) -> dict[tuple[str, str], float | None]:
-    """Spearman = Pearson over average ranks. One window-rank per column (global
-    sort each — expensive, opt-in), then a single corr pass."""
+    """Spearman = Pearson over average ranks.
+
+    ``method="ml"`` (default, the scale path) delegates to
+    ``pyspark.ml.stat.Correlation(..., 'spearman')`` which ranks distributedly
+    (sort + zipWithIndex per column). ``method="window"`` ranks via a global
+    ``Window.orderBy`` — a single-partition sort per column, only suitable for
+    test-scale data, but its tie arithmetic mirrors the SQL oracle exactly."""
+    if method == "ml":
+        return _ml_corr(df, columns, "spearman")
     ranked = df.select(*[S.col(c) for c in columns])
     for c in columns:
         # average rank for ties = (rank + (count-1)/2); computed via two windows
@@ -163,25 +170,91 @@ def cramers_v_df(
     return agg.select(F.round(v, 4).alias("cramers_v"))
 
 
+def kendall_tau_b(x, y) -> float:
+    """Kendall's tau-b with tie corrections, O(n log n) (Knight's algorithm:
+    sort by (x, y), count discordant pairs as merge-sort inversions of y).
+    Pure numpy — scipy is not available in this environment.
+
+        tau_b = (tot - n1 - n2 + n3 - 2*dis) / sqrt((tot - n1) * (tot - n2))
+    """
+    import numpy as np
+
+    x = np.asarray(x, dtype=float)
+    y = np.asarray(y, dtype=float)
+    mask = ~(np.isnan(x) | np.isnan(y))
+    x, y = x[mask], y[mask]
+    n = len(x)
+    if n < 2:
+        return float("nan")
+    order = np.lexsort((y, x))
+    x, y = x[order], y[order]
+
+    def _tie_term(sorted_vals):
+        _, counts = np.unique(sorted_vals, return_counts=True)
+        return float((counts * (counts - 1) // 2).sum())
+
+    tot = n * (n - 1) / 2.0
+    n1 = _tie_term(x)
+    n2 = _tie_term(np.sort(y))
+    # joint ties
+    joint = np.ascontiguousarray(np.stack([x, y], axis=1))
+    _, jcounts = np.unique(joint, axis=0, return_counts=True)
+    n3 = float((jcounts * (jcounts - 1) // 2).sum())
+
+    # discordant pairs = inversions of y (strict) in (x, y)-sorted order
+    def _inversions(a):
+        a = list(a)
+        if len(a) < 2:
+            return 0
+        mid = len(a) // 2
+        left, right = a[:mid], a[mid:]
+        inv = _inversions(left) + _inversions(right)
+        left = sorted(left)
+        right = sorted(right)
+        i = j = 0
+        merged = []
+        while i < len(left) and j < len(right):
+            if right[j] < left[i]:
+                inv += len(left) - i
+                merged.append(right[j])
+                j += 1
+            else:
+                merged.append(left[i])
+                i += 1
+        a[:] = merged + left[i:] + right[j:]
+        return inv
+
+    dis = _inversions(y.tolist())
+    denom = math.sqrt((tot - n1) * (tot - n2))
+    if denom == 0:
+        return float("nan")
+    return (tot - n1 - n2 + n3 - 2.0 * dis) / denom
+
+
 def kendall_matrix(df: DataFrame, columns: list[str]):
-    """Kendall's tau via the reference's single-group pandas escape hatch
-    (correlations.py:152-216): ships all selected data to ONE executor. Opt-in;
-    documented scale caveat (a true distributed tau is arXiv:1704.03767)."""
-    import pandas as pd  # noqa: F401
+    """Kendall's tau-b via the reference's single-group escape hatch
+    (correlations.py:152-216): ships the selected columns to ONE executor as an
+    Arrow batch. Opt-in; documented scale caveat (a true distributed tau is
+    arXiv:1704.03767). The tau kernel is :func:`kendall_tau_b` (scipy-free)."""
+    import pandas as pd
 
-    def _corr(pdf):
-        return pdf[columns].corr(method="kendall").reset_index(names="column")
+    pairs = list(combinations(columns, 2))
 
-    schema = "column string, " + ", ".join(f"`{c}` double" for c in columns)
+    def _corr(_, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        recs = [
+            {"col_a": a, "col_b": b, "tau": kendall_tau_b(pdf[a], pdf[b])}
+            for a, b in pairs
+        ]
+        return pd.DataFrame(recs)
+
     out = (
         df.select(*[S.col(c).cast("double").alias(c) for c in columns])
         .withColumn("__g", F.lit(1))
         .groupBy("__g")
-        .applyInPandas(lambda _, pdf: _corr(pdf), schema)
+        .applyInPandas(_corr, "col_a string, col_b string, tau double")
     )
-    pdf = out.toPandas().set_index("column")
     return {
-        (a, b): float(pdf.loc[a, b]) for a, b in combinations(columns, 2)
+        (r["col_a"], r["col_b"]): r["tau"] for r in out.collect()
     }
 
 

@@ -185,20 +185,32 @@ def jaccard_similarity(
             .select("doc_id", "shingle")
         )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
     if candidates is not None:
-        common = common.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        # candidates-first: intersect shingle sets ONLY for candidate pairs
+        # (join candidates->shingles twice on doc id + shingle equality) instead
+        # of materializing every overlapping pair — the difference between
+        # O(candidates · shingles/doc) and O(sum_over_shingles df²) at scale
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        common = (
+            candidates.join(a, "doc_a")
+            .join(b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        common = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sa = sizes.select(
         F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
     )

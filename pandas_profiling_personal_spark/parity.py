@@ -523,7 +523,7 @@ def spearman_query(table: str, cols: list[str]) -> QueryFn:
             spearman_matrix,
         )
 
-        m = spearman_matrix(load(spark, sf_dir, table), cols)
+        m = spearman_matrix(load(spark, sf_dir, table), cols, method="window")
         rows = [(a, b, m[(a, b)]) for a, b in pairs]
         raw = spark.createDataFrame(rows, "col_a string, col_b string, corr double")
         # round in Spark (HALF_UP) to match the oracle's round(), not Python's

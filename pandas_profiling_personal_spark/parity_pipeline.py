@@ -296,10 +296,15 @@ QUALIFY rank <= {k}
 """
 
 
-def embedding_near_dup_query(threshold: float = 0.4) -> QueryFn:
+def embedding_near_dup_query(threshold: float = 0.4, max_id: int = 800) -> QueryFn:
+    """Brute-force (exact) near-dup pairs, bounded to ``vec_id < max_id`` so the
+    oracle query stays quadratic-in-a-constant at any benchmark scale factor
+    (covers the whole table at sf0.01; the unbounded scale path is the
+    LSH-blocked mode of embedding_near_duplicates)."""
+
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         return SIM.embedding_near_duplicates(
-            load(spark, sf_dir, "embeddings"),
+            load(spark, sf_dir, "embeddings").where(F.col("vec_id") < max_id),
             "vec_id",
             "embedding",
             threshold=threshold,
@@ -309,9 +314,9 @@ def embedding_near_dup_query(threshold: float = 0.4) -> QueryFn:
     return fn
 
 
-def embedding_near_dup_sql(threshold: float = 0.4) -> str:
+def embedding_near_dup_sql(threshold: float = 0.4, max_id: int = 800) -> str:
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < {max_id})
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS}, 4) AS cosine_sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round({_COS}, 4) >= {threshold}
