@@ -108,6 +108,18 @@ _SPECS: dict[str, tuple] = {
         P.char_counts_query("customer", "c_mktsegment"),
         P.char_counts_sql("customer", "c_mktsegment"),
     ),
+    "monotonicity_orders": (
+        P.monotonicity_query("orders", "o_totalprice", "o_orderkey"),
+        P.monotonicity_sql("orders", "o_totalprice", "o_orderkey"),
+    ),
+    "numeric_summary_nation": (
+        P.numeric_summary_query("nation", ["n_nationkey", "n_regionkey"]),
+        P.numeric_summary_sql("nation", ["n_nationkey", "n_regionkey"]),
+    ),
+    "value_counts_event_type": (
+        P.value_counts_query("events", "event_type"),
+        P.value_counts_sql("events", "event_type"),
+    ),
     # --- training-data pipeline operators (documents / embeddings) -----------
     "text_profile_documents": (PP.text_profile_query(), PP.text_profile_sql()),
     "exact_dedup_documents": (

@@ -14,7 +14,11 @@ Public API:
 """
 
 from pandas_profiling_personal_spark.config import ProfileConfig
-from pandas_profiling_personal_spark.plans.profile import ProfileResult, profile
+from pandas_profiling_personal_spark.plans.profile import (
+    ProfileResult,
+    profile,
+    profile_column,
+)
 from pandas_profiling_personal_spark.types import VariableType, variable_types
 
 __version__ = "0.1.0"
@@ -23,6 +27,7 @@ __all__ = [
     "ProfileConfig",
     "ProfileResult",
     "profile",
+    "profile_column",
     "VariableType",
     "variable_types",
 ]

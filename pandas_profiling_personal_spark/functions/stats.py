@@ -146,6 +146,15 @@ def quantile_array(
     )
 
 
+def safe_corr(a: Column, b: Column) -> Column:
+    """Pearson correlation that returns null (not DIVIDE_BY_ZERO under ANSI
+    mode) when either side has zero variance: covar_samp / (std·std) with
+    try_divide. Identical to F.corr on non-degenerate inputs."""
+    return F.try_divide(
+        F.covar_samp(a, b), F.stddev_samp(a) * F.stddev_samp(b)
+    )
+
+
 def coef_variation(c: Column) -> Column:
     """CV = std/mean (reference: summary_algorithms.py:246-256); null when mean=0."""
     return F.try_divide(F.stddev_samp(c), F.avg(c))

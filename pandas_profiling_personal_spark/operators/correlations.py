@@ -41,7 +41,8 @@ def pearson_matrix(
     if method == "ml":  # fallback for very wide tables
         return _ml_corr(df, columns, "pearson")
     exprs = [
-        F.corr(S.col(a), S.col(b)).alias(f"p{i}") for i, (a, b) in enumerate(pairs)
+        S.safe_corr(S.col(a), S.col(b)).alias(f"p{i}")
+        for i, (a, b) in enumerate(pairs)
     ]
     row = df.agg(*exprs).collect()[0]
     return {(a, b): row[f"p{i}"] for i, (a, b) in enumerate(pairs)}

@@ -39,7 +39,7 @@ def nullity_correlation(
     if not pairs:
         return {}
     exprs = [
-        F.corr(ind[a], ind[b]).alias(f"p{i}") for i, (a, b) in enumerate(pairs)
+        S.safe_corr(ind[a], ind[b]).alias(f"p{i}") for i, (a, b) in enumerate(pairs)
     ]
     row = df.agg(*exprs).collect()[0]
     return {(a, b): row[f"p{i}"] for i, (a, b) in enumerate(pairs)}

@@ -20,15 +20,14 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pandas_profiling_personal_spark.functions import stats as S
 
 
-def monotonicity(
-    df: DataFrame, column: str, order_col: str
-) -> dict[str, bool | None]:
-    """{increasing, strictly_increasing, decreasing, strictly_decreasing} of
-    ``column`` when rows are ordered by ``order_col``."""
+def monotonicity_df(df: DataFrame, column: str, order_col: str) -> DataFrame:
+    """One-row DataFrame (increasing, strictly_increasing, decreasing,
+    strictly_decreasing booleans) of ``column`` ordered by ``order_col``.
+    ``order_col`` should be a total order (unique) for a deterministic answer."""
     c, o = S.col(column), S.col(order_col)
     w = Window.orderBy(F.col("o"))
     prev = F.lag(F.col("v")).over(w)
-    flags = (
+    return (
         df.select(c.alias("v"), o.alias("o"))
         .where(F.col("v").isNotNull())
         .select(
@@ -43,9 +42,15 @@ def monotonicity(
             F.min(F.coalesce("dec", F.lit(True))).alias("decreasing"),
             F.min(F.coalesce("sdec", F.lit(True))).alias("strictly_decreasing"),
         )
-        .collect()[0]
     )
-    return flags.asDict()
+
+
+def monotonicity(
+    df: DataFrame, column: str, order_col: str
+) -> dict[str, bool | None]:
+    """{increasing, strictly_increasing, decreasing, strictly_decreasing} of
+    ``column`` when rows are ordered by ``order_col``."""
+    return monotonicity_df(df, column, order_col).collect()[0].asDict()
 
 
 def extreme_observations(

@@ -35,10 +35,15 @@ def scalar_summary(
     df: DataFrame,
     config: ProfileConfig | None = None,
     types: dict[str, VT] | None = None,
-) -> dict[str, dict[str, Any]]:
+    extra_exprs: "dict[str, Any] | None" = None,
+) -> dict[str, dict[str, Any]] | tuple[dict[str, dict[str, Any]], dict[str, Any]]:
     """All scalar per-column stats in one aggregation pass (+1 for MAD).
 
-    Returns ``{column: {stat: value, ...}, ..., "__table__": {...}}``.
+    Returns ``{column: {stat: value, ...}, ..., "__table__": {...}}`` — and,
+    when ``extra_exprs`` (alias -> aggregate Column) is given, a second dict of
+    those results: the caller can fold e.g. the whole Pearson pair list and
+    nullity-correlation indicators into the SAME pass, keeping the profile at
+    one scan for all scalar statistics.
     """
     config = config or ProfileConfig()
     types = types or variable_types(df)
@@ -101,8 +106,11 @@ def scalar_summary(
                 for sname, e in S.length_stats(c).items():
                     exprs.append(e.alias(f"{p}__{sname}"))
 
-    row = df.agg(*exprs).collect()[0].asDict()
+    extra = dict(extra_exprs or {})
+    extra_aliased = [e.alias(f"__x_{k}") for k, e in extra.items()]
+    row = df.agg(*(exprs + extra_aliased)).collect()[0].asDict()
     n = row.pop("__n")
+    extras = {k: row.pop(f"__x_{k}") for k in extra}
 
     out: dict[str, dict[str, Any]] = {"__table__": {"n": n, "n_var": len(types)}}
     for i, (name, vt) in enumerate(types.items()):
@@ -116,6 +124,8 @@ def scalar_summary(
         stats["p_missing"] = stats["n_missing"] / n if n else 0.0
         _derive(stats, vt, n)
         out[name] = stats
+    if extra_exprs is not None:
+        return out, extras
     return out
 
 
@@ -123,12 +133,17 @@ def mad_summary(
     df: DataFrame,
     medians: dict[str, float],
     config: ProfileConfig | None = None,
-) -> dict[str, float | None]:
+    extra_exprs: "dict[str, Any] | None" = None,
+) -> dict[str, float | None] | tuple[dict[str, float | None], dict[str, Any]]:
     """Median absolute deviation for numeric columns, one aggregation pass.
 
     Needs the per-column median from :func:`scalar_summary`. The reference computes
     approxQuantile(0.5) of ``abs(col - median)`` but first casts the column to int —
-    a bug we do not reproduce (reference: summary_algorithms.py:584-591)."""
+    a bug we do not reproduce (reference: summary_algorithms.py:584-591).
+
+    ``extra_exprs`` (alias -> aggregate Column) piggybacks additional aggregates
+    (e.g. nullity correlations for the columns pass 1 found nulls in) on the same
+    scan; their values come back in a second dict."""
     config = config or ProfileConfig()
     exprs = []
     names = []
@@ -142,10 +157,15 @@ def mad_summary(
             )
         )
         names.append((f"c{i}__mad", name))
-    if not exprs:
-        return {}
-    row = df.agg(*exprs).collect()[0].asDict()
-    return {name: row[alias] for alias, name in names}
+    extra = dict(extra_exprs or {})
+    extra_aliased = [e.alias(f"__x_{k}") for k, e in extra.items()]
+    if not exprs and not extra_aliased:
+        return ({}, {}) if extra_exprs is not None else {}
+    row = df.agg(*(exprs + extra_aliased)).collect()[0].asDict()
+    mads = {name: row[alias] for alias, name in names}
+    if extra_exprs is not None:
+        return mads, {k: row[f"__x_{k}"] for k in extra}
+    return mads
 
 
 def _qkey(q: float) -> str:

@@ -579,6 +579,34 @@ WHERE ch <> '' GROUP BY ch
 
 
 # --------------------------------------------------------------------------------
+# monotonicity (A10) relative to an explicit order column
+# --------------------------------------------------------------------------------
+
+
+def monotonicity_query(table: str, col: str, order_col: str) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.order_stats import (
+            monotonicity_df,
+        )
+
+        return monotonicity_df(load(spark, sf_dir, table), col, order_col)
+
+    return fn
+
+
+def monotonicity_sql(table: str, col: str, order_col: str) -> str:
+    return f"""
+WITH s AS (SELECT {col} AS v, lag({col}) OVER (ORDER BY {order_col}) AS p
+           FROM {table} WHERE {col} IS NOT NULL)
+SELECT bool_and(coalesce(v >= p, true)) AS increasing,
+       bool_and(coalesce(v > p, true)) AS strictly_increasing,
+       bool_and(coalesce(v <= p, true)) AS decreasing,
+       bool_and(coalesce(v < p, true)) AS strictly_decreasing
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------------
 # scalar-function probe: regexp extraction over the events JSON props (§2.11)
 # --------------------------------------------------------------------------------
 

@@ -5,12 +5,13 @@ src/pandas_profiling/model/describe.py:30-222 → description_set with keys
 analysis/table/variables/correlations/missing/sample/duplicates/messages/package)
 but with a constant number of Spark jobs:
 
-  pass 1  one wide ``df.agg``: every scalar stat for every column   (summary.py)
+  pass 1  one wide ``df.agg``: every scalar stat for every column,
+          with the full Pearson pair list folded in                 (summary.py)
   pass 2  one melt+groupBy: value counts / distinct / unique / topK (frequencies.py)
-  pass 3  one explode+groupBy: all numeric histograms               (histogram.py)
-  pass 4  one ``df.agg``: MAD for all numeric columns               (summary.py)
+  pass 3  one explode+groupBy: all numeric+datetime histograms      (histogram.py)
+  pass 4  one ``df.agg``: MAD for all numeric columns, with nullity
+          correlations piggybacked for the null-bearing columns     (summary.py)
   pass 5  one groupBy(all cols): duplicate stats + top groups       (duplicates.py)
-  pass 6  one ``df.agg``: Pearson pairs (+ nullity corr)            (correlations.py)
   + bounded sample fetches (limit N)
 
 The reference runs 5-10 jobs *per column* through a ThreadPool
@@ -108,8 +109,26 @@ def profile(
                        reverse=cfg.column_order == "desc")
             )
 
-        # pass 1 — scalar stats
-        variables = SU.scalar_summary(df, cfg, types)
+        # pass 1 — scalar stats, with the Pearson pair list and the nullity
+        # correlations folded into the SAME aggregation (one scan buys every
+        # scalar statistic of the profile)
+        from itertools import combinations as _comb
+
+        num_cols = [c for c, vt in types.items() if vt is VT.NUMERIC]
+        extra: dict[str, Any] = {}
+        pearson_pairs: list[tuple[str, str]] = []
+        # pairwise folds are quadratic in column count; beyond the caps fall
+        # back to ml.stat (pearson) / a gated second pass (nullity)
+        if (
+            "pearson" in cfg.correlations
+            and 2 <= len(num_cols) <= 60
+        ):
+            from pandas_profiling_personal_spark.functions import stats as S
+
+            pearson_pairs = list(_comb(num_cols, 2))
+            for i, (a, b) in enumerate(pearson_pairs):
+                extra[f"corr_{i}"] = S.safe_corr(S.col(a), S.col(b))
+        variables, extras = SU.scalar_summary(df, cfg, types, extra_exprs=extra)
         table = variables.pop("__table__")
         n = table["n"]
 
@@ -174,13 +193,32 @@ def profile(
                 variables[cname]["chi_squared"] = stat
                 variables[cname]["chi_squared_p"] = p
 
-        # pass 4 — MAD
+        # pass 4 — MAD, with nullity correlations piggybacked for the columns
+        # pass 1 found nulls in (quadratic only over null-bearing columns, and
+        # no extra scan when MAD runs anyway)
         medians = {
             c: variables[c].get("median")
             for c, vt in types.items()
             if vt is VT.NUMERIC and variables[c].get("median") is not None
         }
-        for cname, mad in SU.mad_summary(df, medians, cfg).items():
+        nullity_pairs: list[tuple[str, str]] = []
+        null_extra: dict[str, Any] = {}
+        cols_with_nulls = sorted(
+            c for c in types if variables[c]["n_missing"] > 0
+        )
+        if cfg.missing_diagrams and 2 <= len(cols_with_nulls) <= 32:
+            from pandas_profiling_personal_spark.functions import stats as S
+
+            nullity_pairs = list(_comb(cols_with_nulls, 2))
+            for i, (a, b) in enumerate(nullity_pairs):
+                null_extra[f"nullcorr_{i}"] = S.safe_corr(
+                    S.col(a).isNull().cast("double"),
+                    S.col(b).isNull().cast("double"),
+                )
+        mads, null_extras = SU.mad_summary(
+            df, medians, cfg, extra_exprs=null_extra
+        )
+        for cname, mad in mads.items():
             variables[cname]["mad"] = mad
 
         # pass 5 — duplicates (supported columns only, like the reference which
@@ -221,11 +259,19 @@ def profile(
         else:
             table.update(n_duplicates=None, p_duplicates=None)
 
-        # pass 6 — correlations
-        num_cols = [c for c, vt in types.items() if vt is VT.NUMERIC]
+        # correlations (pearson came back with pass 1; others are extra jobs)
         correlations: dict[str, Any] = {}
-        if "pearson" in cfg.correlations and len(num_cols) >= 2:
-            correlations["pearson"] = _matrix_dict(C.pearson_matrix(df, num_cols))
+        if pearson_pairs:
+            correlations["pearson"] = _matrix_dict(
+                {
+                    (a, b): extras[f"corr_{i}"]
+                    for i, (a, b) in enumerate(pearson_pairs)
+                }
+            )
+        elif "pearson" in cfg.correlations and len(num_cols) >= 2:
+            correlations["pearson"] = _matrix_dict(
+                C.pearson_matrix(df, num_cols, method="ml")
+            )
         if "spearman" in cfg.correlations and len(num_cols) >= 2:
             correlations["spearman"] = _matrix_dict(C.spearman_matrix(df, num_cols))
         if "kendall" in cfg.correlations and len(num_cols) >= 2:
@@ -249,12 +295,17 @@ def profile(
         missing: dict[str, Any] = {
             "counts": {c: variables[c]["n_missing"] for c in types}
         }
-        if cfg.missing_diagrams:
-            cols_with_nulls = [c for c in types if variables[c]["n_missing"] > 0]
-            if len(cols_with_nulls) >= 2:
-                missing["nullity_correlation"] = _matrix_dict(
-                    M.nullity_correlation(df, cols_with_nulls)
-                )
+        if nullity_pairs:
+            missing["nullity_correlation"] = _matrix_dict(
+                {
+                    (a, b): null_extras[f"nullcorr_{i}"]
+                    for i, (a, b) in enumerate(nullity_pairs)
+                }
+            )
+        elif cfg.missing_diagrams and len(cols_with_nulls) > 32:
+            missing["nullity_correlation"] = _matrix_dict(
+                M.nullity_correlation(df, cols_with_nulls)
+            )
 
         # samples (bounded driver transfers)
         sample = {
@@ -304,6 +355,16 @@ def profile(
     finally:
         if persisted:
             df.unpersist()
+
+
+def profile_column(
+    df: DataFrame, column: str, config: ProfileConfig | None = None
+) -> dict[str, Any]:
+    """Single-column describe — the modular seam the reference exposes as
+    ``describe_1d`` (reference: summary.py:47-121, SURVEY.md §3.2). Runs the
+    constant-pass pipeline restricted to one column and returns its stats dict."""
+    result = profile(df, config, columns=[column])
+    return result.variables[column]
 
 
 def _matrix_dict(m: dict) -> dict[str, dict[str, float | None]]:
