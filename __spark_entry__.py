@@ -120,6 +120,10 @@ _SPECS: dict[str, tuple] = {
         P.value_counts_query("events", "event_type"),
         P.value_counts_sql("events", "event_type"),
     ),
+    "scatter_lineitem": (
+        P.scatter_query("lineitem", "l_quantity", "l_extendedprice", 16),
+        P.scatter_sql("lineitem", "l_quantity", "l_extendedprice", 16),
+    ),
     # --- training-data pipeline operators (documents / embeddings) -----------
     "text_profile_documents": (PP.text_profile_query(), PP.text_profile_sql()),
     "exact_dedup_documents": (

@@ -28,6 +28,16 @@ def main() -> None:
     from pandas_profiling_personal_spark import ProfileConfig, profile
     from pandas_profiling_personal_spark.sources.readers import read_parquet
 
+    # warm up the JVM / whole-stage codegen on a tiny slice so the timings below
+    # measure steady-state throughput, not first-call compilation
+    warm_dir = "/root/testdata/sf0.001"
+    try:
+        profile(read_parquet(spark, f"{warm_dir}/lineitem.parquet"))
+        for fn in E.queries().values():
+            fn(spark, warm_dir).collect()
+    except Exception:
+        pass
+
     # flagship: full default-tier profile of lineitem (approx estimators — the
     # configuration that scales; exact tier is for the oracle gate)
     df = read_parquet(spark, f"{sf_dir}/lineitem.parquet")

@@ -259,6 +259,83 @@ def minhash_dedup(
     )
 
 
+# --- clustering / keep-list ---------------------------------------------------------
+
+
+def cluster_pairs(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, cluster_id).
+
+    Iterative min-label propagation (the simple alternating halves of
+    large-star/small-star): each doc's label becomes the min label in its
+    neighborhood; converges in O(diameter) rounds — near-dup clusters are
+    almost always tiny, so a handful of joins. ``cluster_id`` is the minimum
+    doc_id of the component. Only documents appearing in a pair are returned."""
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select("doc_a", "doc_b")
+        .union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                edges.join(
+                    labels.withColumnRenamed("doc_id", "doc_b"), "doc_b"
+                )
+                .groupBy(F.col("doc_a").alias("doc_id"))
+                .agg(F.min("cluster_id").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+                    ).alias("cluster_id"),
+                )
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist()
+
+
+def dedup_keep_list(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """The end product of a dedup pipeline: the input with a ``keep`` flag —
+    one representative (minimum id) per near-dup cluster, everything not in any
+    cluster kept. Filter ``keep`` to materialize the deduplicated corpus."""
+    clusters = cluster_pairs(pairs)
+    out = df.join(
+        clusters.withColumnRenamed("doc_id", "__cid"),
+        S.col(id_col) == F.col("__cid"),
+        "left",
+    )
+    return out.withColumn(
+        "keep",
+        F.col("cluster_id").isNull() | (S.col(id_col) == F.col("cluster_id")),
+    ).drop("__cid", "cluster_id")
+
+
 # --- SimHash ----------------------------------------------------------------------
 
 

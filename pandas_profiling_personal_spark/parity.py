@@ -579,6 +579,46 @@ WHERE ch <> '' GROUP BY ch
 
 
 # --------------------------------------------------------------------------------
+# scatter / interaction grid (C7) — bucketed 2-D density
+# --------------------------------------------------------------------------------
+
+
+def scatter_query(table: str, x: str, y: str, bins: int) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.interactions import (
+            scatter_counts,
+        )
+
+        df = load(spark, sf_dir, table)
+        mm = df.agg(
+            F.min(S.col(x)).cast("double").alias("xlo"),
+            F.max(S.col(x)).cast("double").alias("xhi"),
+            F.min(S.col(y)).cast("double").alias("ylo"),
+            F.max(S.col(y)).cast("double").alias("yhi"),
+        ).collect()[0]
+        return scatter_counts(
+            df, x, y, (mm["xlo"], mm["xhi"]), (mm["ylo"], mm["yhi"]), bins
+        )
+
+    return fn
+
+
+def scatter_sql(table: str, x: str, y: str, bins: int) -> str:
+    b = f"{bins}.0"
+    return f"""
+WITH mm AS (SELECT CAST(min({x}) AS DOUBLE) AS xlo, CAST(max({x}) AS DOUBLE) AS xhi,
+                   CAST(min({y}) AS DOUBLE) AS ylo, CAST(max({y}) AS DOUBLE) AS yhi
+            FROM {table})
+SELECT CAST(least(greatest(floor((CAST({x} AS DOUBLE) - xlo) / ((xhi - xlo) / {b})), 0), {bins - 1}) AS BIGINT) AS x_bucket,
+       CAST(least(greatest(floor((CAST({y} AS DOUBLE) - ylo) / ((yhi - ylo) / {b})), 0), {bins - 1}) AS BIGINT) AS y_bucket,
+       count(*) AS cnt
+FROM {table}, mm
+WHERE {x} IS NOT NULL AND {y} IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------------
 # monotonicity (A10) relative to an explicit order column
 # --------------------------------------------------------------------------------
 

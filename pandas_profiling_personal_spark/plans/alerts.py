@@ -73,6 +73,8 @@ def compute_alerts(result: "ProfileResult", cfg: ProfileConfig) -> list[dict[str
             chi2_p = v.get("chi_squared_p")
             if chi2_p is not None and chi2_p > cfg.chi_squared_threshold:
                 alerts.append(_alert("UNIFORM", name))
+            if v.get("date_like"):
+                alerts.append(_alert("TYPE_DATE", name))
         elif vt in (VT.ARRAY, VT.MAP, VT.STRUCT, VT.BINARY, VT.UNSUPPORTED):
             alerts.append(_alert("UNSUPPORTED", name, dtype=str(vt)))
 

@@ -128,9 +128,22 @@ def profile(
             pearson_pairs = list(_comb(num_cols, 2))
             for i, (a, b) in enumerate(pearson_pairs):
                 extra[f"corr_{i}"] = S.safe_corr(S.col(a), S.col(b))
+        # TYPE_DATE detection (R4): string columns fully castable to dates —
+        # one boolean aggregate per string column, folded into pass 1
+        from pandas_profiling_personal_spark.functions import stats as S
+
+        cat_cols = [c for c, vt in types.items() if vt is VT.CATEGORICAL]
+        for i, c in enumerate(cat_cols):
+            cc = S.col(c)
+            extra[f"datelike_{i}"] = (F.count(cc) > 0) & (
+                F.count(cc.try_cast("date")) == F.count(cc)
+            )
+
         variables, extras = SU.scalar_summary(df, cfg, types, extra_exprs=extra)
         table = variables.pop("__table__")
         n = table["n"]
+        for i, c in enumerate(cat_cols):
+            variables[c]["date_like"] = bool(extras.get(f"datelike_{i}"))
 
         # pass 2 — exact distinct/unique + top-K frequency tables. Fetch enough
         # values to cover the categorical-uniformity test for columns under the

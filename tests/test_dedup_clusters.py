@@ -1,0 +1,79 @@
+"""Near-dup clustering and keep-list (the end product of the dedup pipeline)."""
+
+from pyspark.sql import functions as F
+
+
+def test_cluster_pairs_and_keep_list(spark):
+    from pandas_profiling_personal_spark.operators.dedup import (
+        cluster_pairs,
+        dedup_keep_list,
+    )
+
+    # components: {1,2,3} (chain), {10,11}, singletons 20, 21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    labels = {r["doc_id"]: r["cluster_id"] for r in cluster_pairs(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 10, 11, 20, 21)], "doc_id long, text string"
+    )
+    keep = {
+        r["doc_id"]: r["keep"] for r in dedup_keep_list(docs, pairs, "doc_id").collect()
+    }
+    assert keep == {1: True, 2: False, 3: False, 10: True, 11: False, 20: True, 21: True}
+
+
+def test_end_to_end_minhash_to_keep_list(spark):
+    from pandas_profiling_personal_spark.operators.dedup import (
+        dedup_keep_list,
+        minhash_dedup,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows = [
+        (1, base),
+        (2, base.replace("kappa", "sigma")),
+        (3, base),
+        (4, "unrelated words about completely different topics entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_dedup(df, "doc_id", "text", num_hashes=16, bands=8, min_jaccard=0.5)
+    kept = dedup_keep_list(df, pairs, "doc_id").where(F.col("keep"))
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 4 in ids  # unrelated doc survives
+    assert 1 in ids  # representative of the near-dup cluster
+    assert len(ids) == 2  # 2 and 3 dropped
+
+
+def test_type_date_alert(spark):
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+
+    df = spark.createDataFrame(
+        [("2021-01-0%d" % (i % 8 + 1), f"w{i}") for i in range(20)],
+        "d string, w string",
+    )
+    r = profile(df, ProfileConfig(correlations=(), duplicates=False))
+    assert any(
+        a["type"] == "TYPE_DATE" and a["column"] == "d" for a in r.alerts
+    )
+    assert not any(
+        a["type"] == "TYPE_DATE" and a["column"] == "w" for a in r.alerts
+    )
+
+
+def test_scatter_counts(spark):
+    from pandas_profiling_personal_spark.operators.interactions import (
+        pair_counts,
+        scatter_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i % 4), float(i % 3)) for i in range(60)], "x double, y double"
+    )
+    grid = scatter_counts(df, "x", "y", (0.0, 3.0), (0.0, 2.0), bins=3).collect()
+    assert sum(r["cnt"] for r in grid) == 60
+    pc = pair_counts(df, "x", "y").collect()
+    assert sum(r["cnt"] for r in pc) == 60
+    assert len(pc) == 12
