@@ -120,6 +120,14 @@ _SPECS: dict[str, tuple] = {
         P.value_counts_query("events", "event_type"),
         P.value_counts_sql("events", "event_type"),
     ),
+    "hourly_rollup_events": (
+        P.time_rollup_query("events", "ts", "event_type", "value"),
+        P.time_rollup_sql("events", "ts", "event_type", "value"),
+    ),
+    "session_stats_events": (
+        P.session_stats_query("events", "user_id", "ts", 30),
+        P.session_stats_sql("events", "user_id", "ts", 30),
+    ),
     "scatter_lineitem": (
         P.scatter_query("lineitem", "l_quantity", "l_extendedprice", 16),
         P.scatter_sql("lineitem", "l_quantity", "l_extendedprice", 16),

@@ -647,6 +647,64 @@ FROM s
 
 
 # --------------------------------------------------------------------------------
+# event-stream batch ops: hourly rollup + sessionization (window functions)
+# --------------------------------------------------------------------------------
+
+
+def time_rollup_query(table: str, ts_col: str, group_col: str, value_col: str) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.sessions import time_rollup
+
+        out = time_rollup(
+            load(spark, sf_dir, table), ts_col, "hour", [group_col], value_col
+        )
+        return out.select(
+            F.col("bucket").cast("string").alias("bucket"),
+            F.col(group_col),
+            "n",
+            "value_sum",
+        )
+
+    return fn
+
+
+def time_rollup_sql(table: str, ts_col: str, group_col: str, value_col: str) -> str:
+    return f"""
+SELECT CAST(date_trunc('hour', {ts_col}) AS VARCHAR) AS bucket, {group_col},
+       count(*) AS n,
+       CAST(sum(CAST({value_col} AS DECIMAL(30,4))) AS DOUBLE) AS value_sum
+FROM {table} GROUP BY 1, 2
+"""
+
+
+def session_stats_query(
+    table: str, user_col: str, ts_col: str, gap_minutes: int
+) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.sessions import session_stats
+
+        return session_stats(load(spark, sf_dir, table), user_col, ts_col, gap_minutes)
+
+    return fn
+
+
+def session_stats_sql(
+    table: str, user_col: str, ts_col: str, gap_minutes: int
+) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH t AS (SELECT {user_col} AS u, epoch_us({ts_col}) AS e,
+                  lag(epoch_us({ts_col})) OVER (PARTITION BY {user_col} ORDER BY {ts_col}) AS p
+           FROM {table})
+SELECT u AS user_key,
+       CAST(sum(CASE WHEN p IS NULL OR e - p > {gap_us} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sessions,
+       count(*) AS n_events
+FROM t GROUP BY u
+"""
+
+
+# --------------------------------------------------------------------------------
 # scalar-function probe: regexp extraction over the events JSON props (§2.11)
 # --------------------------------------------------------------------------------
 

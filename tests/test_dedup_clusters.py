@@ -77,3 +77,26 @@ def test_scatter_counts(spark):
     pc = pair_counts(df, "x", "y").collect()
     assert sum(r["cnt"] for r in pc) == 60
     assert len(pc) == 12
+
+
+def test_sessionize(spark):
+    import datetime as dt
+
+    from pandas_profiling_personal_spark.operators.sessions import (
+        session_stats,
+        sessionize,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=10)),   # same session
+        (1, t0 + dt.timedelta(minutes=70)),   # new session (gap 60 > 30)
+        (2, t0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    s = {(r["user_id"], r["ts"]): r["session_id"] for r in sessionize(df, "user_id", "ts", 30).collect()}
+    assert s[(1, t0)] == s[(1, t0 + dt.timedelta(minutes=10))]
+    assert s[(1, t0 + dt.timedelta(minutes=70))] == s[(1, t0)] + 1
+    st = {r["user_key"]: (r["n_sessions"], r["n_events"]) for r in session_stats(df, "user_id", "ts", 30).collect()}
+    assert st == {1: (2, 3), 2: (1, 1)}
