@@ -45,6 +45,48 @@ def nullity_correlation(
     return {(a, b): row[f"p{i}"] for i, (a, b) in enumerate(pairs)}
 
 
+def nullity_dendrogram(
+    correlation: dict[tuple[str, str], float | None],
+) -> list[tuple[int, int, float]]:
+    """M4: hierarchical (single-linkage) clustering of columns by nullity
+    similarity — driver-side over the small M3 matrix, scipy-free.
+
+    Distance = 1 - |corr| (unknown correlations treated as distance 1). Returns
+    scipy-linkage-style merge steps: (cluster_i, cluster_j, distance) where
+    original columns are clusters 0..p-1 (in sorted name order) and each merge
+    creates cluster p+step. The reference only offers this on pandas via
+    missingno/scipy (reference: missing.py:218-238)."""
+    names = sorted({c for pair in correlation for c in pair})
+    idx = {c: i for i, c in enumerate(names)}
+    p = len(names)
+    if p < 2:
+        return []
+    dist = [[1.0] * p for _ in range(p)]
+    for (a, b), v in correlation.items():
+        d = 1.0 if v is None else max(0.0, 1.0 - abs(v))
+        dist[idx[a]][idx[b]] = dist[idx[b]][idx[a]] = d
+    # single linkage over active clusters (p is small: columns, not rows)
+    active = {i: {i} for i in range(p)}
+    merges: list[tuple[int, int, float]] = []
+    next_id = p
+    while len(active) > 1:
+        best = None
+        for ci in active:
+            for cj in active:
+                if ci >= cj:
+                    continue
+                d = min(
+                    dist[a][b] for a in active[ci] for b in active[cj]
+                )
+                if best is None or d < best[0]:
+                    best = (d, ci, cj)
+        d, ci, cj = best
+        merges.append((ci, cj, d))
+        active[next_id] = active.pop(ci) | active.pop(cj)
+        next_id += 1
+    return merges
+
+
 def nullity_sample(df: DataFrame, n: int = 500) -> "list[dict]":
     """Bounded boolean isnull raster for the nullity-matrix plot (M2)."""
     proj = df.select(

@@ -309,12 +309,15 @@ def profile(
             "counts": {c: variables[c]["n_missing"] for c in types}
         }
         if nullity_pairs:
-            missing["nullity_correlation"] = _matrix_dict(
-                {
-                    (a, b): null_extras[f"nullcorr_{i}"]
-                    for i, (a, b) in enumerate(nullity_pairs)
-                }
-            )
+            nc_pairs = {
+                (a, b): null_extras[f"nullcorr_{i}"]
+                for i, (a, b) in enumerate(nullity_pairs)
+            }
+            missing["nullity_correlation"] = _matrix_dict(nc_pairs)
+            missing["dendrogram"] = {
+                "columns": sorted(cols_with_nulls),
+                "merges": M.nullity_dendrogram(nc_pairs),
+            }
         elif cfg.missing_diagrams and len(cols_with_nulls) > 32:
             missing["nullity_correlation"] = _matrix_dict(
                 M.nullity_correlation(df, cols_with_nulls)

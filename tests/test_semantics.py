@@ -194,3 +194,43 @@ def test_extreme_observations(spark):
     ex = extreme_observations(df, "x", 2)
     assert ex["min"][0] == {"value": 1.0, "count": 2}
     assert ex["max"][0] == {"value": 9.0, "count": 1}
+
+
+def test_nullity_structure_with_dendrogram(spark):
+    from pyspark.sql import types as T
+
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+
+    # x and y missing together (perfectly correlated nullity); z independent
+    rows = [
+        (1.0, 10.0, None),
+        (None, None, 3.0),
+        (2.0, 20.0, None),
+        (None, None, 4.0),
+        (5.0, 50.0, 5.0),
+    ]
+    schema = T.StructType([T.StructField(c, T.DoubleType()) for c in "xyz"])
+    df = spark.createDataFrame(rows, schema)
+    r = profile(df, ProfileConfig(correlations=(), duplicates=False))
+    nc = r.missing["nullity_correlation"]
+    assert nc["x"]["y"] == pytest.approx(1.0)
+    d = r.missing["dendrogram"]
+    assert d["columns"] == ["x", "y", "z"]
+    # first merge must join x (0) and y (1) at distance ~0
+    ci, cj, dist = d["merges"][0]
+    assert {ci, cj} == {0, 1} and dist == pytest.approx(0.0, abs=1e-9)
+
+
+def test_minimal_tier(spark):
+    from pandas_profiling_personal_spark import profile
+    from pandas_profiling_personal_spark.config import MINIMAL
+
+    df = spark.createDataFrame(
+        [(i, float(i % 5), f"s{i % 3}") for i in range(100)],
+        "k long, x double, s string",
+    )
+    r = profile(df, MINIMAL)
+    assert r.correlations == {}
+    assert r.table["n_duplicates"] is None
+    assert r.variables["x"]["mean"] is not None
+    assert len(r.variables["x"]["histogram"]["counts"]) == 10
