@@ -52,6 +52,11 @@ def scalar_summary(
     }
 
     exprs = [S.n_rows().alias("__n")]
+    # percentile/percentile_approx are TypedImperativeAggregates: mixing them
+    # with declarative aggregates forces the whole ObjectHashAggregate to
+    # interpreted evaluation (~2x wall-clock). They run as a second aggregation
+    # over the (persisted) input instead.
+    pct_exprs: list = []
     for i, (name, vt) in enumerate(types.items()):
         c = S.col(name)
         p = f"c{i}"
@@ -74,8 +79,11 @@ def scalar_summary(
                 F.min(c).alias(f"{p}__min"),
                 F.max(c).alias(f"{p}__max"),
                 F.sum(c).alias(f"{p}__sum"),
-                S.skewness_sample(c).alias(f"{p}__skewness"),
-                S.kurtosis_sample(c).alias(f"{p}__kurtosis"),
+                # raw population moments; bias-corrected on the driver in
+                # _derive (composing the correction into the agg duplicates
+                # count() nodes and slows Catalyst analysis of the wide plan)
+                F.skewness(c).alias(f"{p}__g1"),
+                F.kurtosis(c).alias(f"{p}__g2"),
                 S.n_zeros(c).alias(f"{p}__n_zeros"),
                 S.n_negative(c).alias(f"{p}__n_negative"),
             ]
@@ -88,7 +96,7 @@ def scalar_summary(
                 c, config.quantiles, config.exact, config.quantile_relative_error
             )
             for j, q in enumerate(config.quantiles):
-                exprs.append(qarr[j].alias(f"{p}__q_{_qkey(q)}"))
+                pct_exprs.append(qarr[j].alias(f"{p}__q_{_qkey(q)}"))
         elif vt is VT.BOOLEAN:
             exprs.append(S.n_true(c).alias(f"{p}__n_true"))
         elif vt is VT.DATETIME:
@@ -109,6 +117,8 @@ def scalar_summary(
     extra = dict(extra_exprs or {})
     extra_aliased = [e.alias(f"__x_{k}") for k, e in extra.items()]
     row = df.agg(*(exprs + extra_aliased)).collect()[0].asDict()
+    if pct_exprs:
+        row.update(df.agg(*pct_exprs).collect()[0].asDict())
     n = row.pop("__n")
     extras = {k: row.pop(f"__x_{k}") for k in extra}
 
@@ -161,7 +171,13 @@ def mad_summary(
     extra_aliased = [e.alias(f"__x_{k}") for k, e in extra.items()]
     if not exprs and not extra_aliased:
         return ({}, {}) if extra_exprs is not None else {}
-    row = df.agg(*(exprs + extra_aliased)).collect()[0].asDict()
+    # run percentile (typed-imperative) and declarative extras as separate
+    # aggregations — mixing them de-optimizes the whole aggregate (see pass 1)
+    row: dict = {}
+    if exprs:
+        row.update(df.agg(*exprs).collect()[0].asDict())
+    if extra_aliased:
+        row.update(df.agg(*extra_aliased).collect()[0].asDict())
     mads = {name: row[alias] for alias, name in names}
     if extra_exprs is not None:
         return mads, {k: row[f"__x_{k}"] for k in extra}
@@ -176,6 +192,20 @@ def _derive(stats: dict[str, Any], vt: VT, n: int) -> None:
     """Driver-side derived scalars (reference: summary_algorithms.py:246-256)."""
     cnt = stats["count"]
     if vt is VT.NUMERIC:
+        # bias-corrected (sample) skew/kurt from the population estimators,
+        # same arithmetic as functions/stats.skewness_sample/kurtosis_sample
+        g1, g2 = stats.pop("g1", None), stats.pop("g2", None)
+        nn = float(cnt)
+        stats["skewness"] = (
+            g1 * math.sqrt(nn * (nn - 1)) / (nn - 2)
+            if g1 is not None and cnt > 2
+            else None
+        )
+        stats["kurtosis"] = (
+            (nn - 1) / ((nn - 2) * (nn - 3)) * ((nn + 1) * g2 + 6)
+            if g2 is not None and cnt > 3
+            else None
+        )
         mn, mx = stats.get("min"), stats.get("max")
         if mn is not None and mx is not None:
             stats["range"] = mx - mn

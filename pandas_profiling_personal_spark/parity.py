@@ -79,43 +79,88 @@ _NUM_STATS_SQL = {
 }
 
 
-def _num_exprs(col: str, prefix: str) -> list:
+def _num_raw_exprs(col: str, p: str) -> tuple[list, list]:
+    """RAW aggregates split into (declarative, percentile) groups.
+
+    Mixing TypedImperativeAggregate (percentile) with declarative aggregates
+    forces ObjectHashAggregateExec to evaluate EVERYTHING interpreted — measured
+    2x wall-clock at sf0.1 vs running the two groups as separate aggregations.
+    The query joins the two 1-row branches (each compiled optimally) instead.
+    Derived statistics (bias corrections, rounding, iqr/range/cv, percentile
+    indexing) happen in a projection over the joined 1-row result."""
     c = S.col(col)
-    qarr = S.quantile_array(c, (0.05, 0.25, 0.5, 0.75, 0.95), exact=True)
-    q = lambda p: qarr[(0.05, 0.25, 0.5, 0.75, 0.95).index(p)]  # noqa: E731
-    return [
-        F.count(c).alias(f"{prefix}__count"),
-        S.n_missing(c).alias(f"{prefix}__n_missing"),
-        _r(S.mean(c)).alias(f"{prefix}__mean"),
-        _r(S.stddev(c)).alias(f"{prefix}__std"),
-        F.min(c).alias(f"{prefix}__min"),
-        F.max(c).alias(f"{prefix}__max"),
-        S.stable_sum(c).alias(f"{prefix}__sum"),
-        _r(S.skewness_sample(c)).alias(f"{prefix}__skewness"),
-        _r(S.kurtosis_sample(c)).alias(f"{prefix}__kurtosis"),
-        S.n_zeros(c).alias(f"{prefix}__n_zeros"),
-        _r(q(0.05)).alias(f"{prefix}__q05"),
-        _r(q(0.25)).alias(f"{prefix}__q25"),
-        _r(q(0.5)).alias(f"{prefix}__median"),
-        _r(q(0.75)).alias(f"{prefix}__q75"),
-        _r(q(0.95)).alias(f"{prefix}__q95"),
-        _r(q(0.75) - q(0.25)).alias(f"{prefix}__iqr"),
-        (F.max(c) - F.min(c)).alias(f"{prefix}__range"),
-        _r(S.coef_variation(c)).alias(f"{prefix}__cv"),
+    decl = [
+        F.count(c).alias(f"{p}__cnt"),
+        S.n_missing(c).alias(f"{p}__n_missing_raw"),
+        S.mean(c).alias(f"{p}__mean_raw"),
+        S.stddev(c).alias(f"{p}__std_raw"),
+        F.min(c).cast("double").alias(f"{p}__min_raw"),
+        F.max(c).cast("double").alias(f"{p}__max_raw"),
+        S.stable_sum(c).alias(f"{p}__sum_raw"),
+        F.skewness(c).alias(f"{p}__g1"),
+        F.kurtosis(c).alias(f"{p}__g2"),
+        S.n_zeros(c).alias(f"{p}__zeros_raw"),
     ]
+    pct = [
+        S.quantile_array(c, (0.05, 0.25, 0.5, 0.75, 0.95), exact=True).alias(
+            f"{p}__qarr"
+        )
+    ]
+    return decl, pct
+
+
+def _num_post_exprs(p: str) -> dict[str, "F.Column"]:
+    """Projection over the raw 1-row aggregate: corrections + rounding."""
+    n = F.col(f"{p}__cnt").cast("double")
+    g1, g2 = F.col(f"{p}__g1"), F.col(f"{p}__g2")
+    q = lambda j: F.col(f"{p}__qarr")[j]  # noqa: E731
+    return {
+        "count": F.col(f"{p}__cnt").cast("double"),
+        "n_missing": F.col(f"{p}__n_missing_raw").cast("double"),
+        "mean": _r(F.col(f"{p}__mean_raw")),
+        "std": _r(F.col(f"{p}__std_raw")),
+        "min": F.col(f"{p}__min_raw"),
+        "max": F.col(f"{p}__max_raw"),
+        "sum": F.col(f"{p}__sum_raw"),
+        "skewness": _r(
+            F.when(n > 2, g1 * F.sqrt(n * (n - 1)) / (n - 2))
+        ),
+        "kurtosis": _r(
+            F.when(n > 3, (n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * g2 + 6))
+        ),
+        "n_zeros": F.col(f"{p}__zeros_raw").cast("double"),
+        "q05": _r(q(0)),
+        "q25": _r(q(1)),
+        "median": _r(q(2)),
+        "q75": _r(q(3)),
+        "q95": _r(q(4)),
+        "iqr": _r(q(3) - q(1)),
+        "range": F.col(f"{p}__max_raw") - F.col(f"{p}__min_raw"),
+        "cv": _r(F.try_divide(F.col(f"{p}__std_raw"), F.col(f"{p}__mean_raw"))),
+    }
 
 
 def numeric_summary_query(table: str, cols: list[str]) -> QueryFn:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = load(spark, sf_dir, table)
-        exprs = []
-        triples = []
+        decl, pct = [], []
         for i, col in enumerate(cols):
-            exprs += _num_exprs(col, f"c{i}")
-            triples += [
-                (col, stat, f"c{i}__{stat}") for stat in _NUM_STATS_SQL
-            ]
-        return _long(df.agg(*exprs), triples)
+            d, p = _num_raw_exprs(col, f"c{i}")
+            decl += d
+            pct += p
+        agg = df.agg(*decl).crossJoin(df.agg(*pct))
+        structs = []
+        for i, col in enumerate(cols):
+            post = _num_post_exprs(f"c{i}")
+            for stat in _NUM_STATS_SQL:
+                structs.append(
+                    F.struct(
+                        F.lit(col).alias("col_name"),
+                        F.lit(stat).alias("stat"),
+                        post[stat].cast("double").alias("value"),
+                    )
+                )
+        return agg.select(F.explode(F.array(*structs)).alias("kv")).select("kv.*")
 
     return fn
 

@@ -39,9 +39,12 @@ def test_scalar_agg_is_one_scan_partial_final(spark):
 def test_numeric_summary_prunes_to_numeric_columns(spark):
     df = E.queries()["numeric_summary_lineitem"](spark, SF_DIR)
     p = _plan(df)
-    assert p.count("Scan parquet") == 2
-    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
-    assert "l_returnflag" not in read_schema and "l_shipdate" not in read_schema
+    # two scan branches by design: declarative aggregates and typed-imperative
+    # percentiles run as separate (optimally compiled) aggregations joined on
+    # their 1-row results
+    assert p.count("Scan parquet") == 4
+    for line in (l for l in p.splitlines() if "ReadSchema" in l):
+        assert "l_returnflag" not in line and "l_shipdate" not in line
 
 
 def test_value_counts_pushes_notnull_filter(spark):
