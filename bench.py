@@ -67,7 +67,7 @@ def main() -> None:
     TX.text_profile(docs, "text", "doc_id").count()
     timings["pipeline_text_profile"] = round(time.time() - t0, 3)
     t0 = time.time()
-    DD.minhash_dedup(docs, "doc_id", "text", num_hashes=32, bands=8).count()
+    DD.minhash_dedup(docs, "doc_id", "text", num_hashes=32, bands=8, hash_fn="xxhash64").count()
     timings["pipeline_minhash_dedup"] = round(time.time() - t0, 3)
     t0 = time.time()
     SIM.ann_topk_lsh(

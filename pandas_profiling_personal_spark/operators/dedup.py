@@ -59,6 +59,17 @@ def portable_hash64(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
+def fast_hash64(c: Column) -> Column:
+    """Non-negative int64 (< 2^32) via xxhash64 — JVM-native, ~an order of
+    magnitude cheaper than the md5/hex path, but Spark-specific (not
+    reproducible by an external oracle). The scale-tier default; pass
+    ``hash_fn="md5"`` for cross-engine-reproducible results."""
+    return F.pmod(F.xxhash64(c), F.lit(1 << 32)).cast("long")
+
+
+_HASH_FNS = {"md5": portable_hash64, "xxhash64": fast_hash64}
+
+
 # --- exact -------------------------------------------------------------------------
 
 
@@ -104,11 +115,13 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_k: int = 3,
     seed: int = 42,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(doc_id, m0..m{H-1}) MinHash signature — one explode + one combine-friendly
-    aggregation (H min() columns)."""
+    aggregation (H min() columns). ``hash_fn``: "md5" (oracle-reproducible) or
+    "xxhash64" (fast scale tier)."""
     sh = shingle_table(df, id_col, text_col, shingle_k)
-    h = (portable_hash64(F.col("shingle")) % MINHASH_PRIME).alias("h")
+    h = (_HASH_FNS[hash_fn](F.col("shingle")) % MINHASH_PRIME).alias("h")
     hashed = sh.select("doc_id", h)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
@@ -243,10 +256,13 @@ def minhash_dedup(
     shingle_k: int = 3,
     min_jaccard: float = 0.8,
     seed: int = 42,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash -> LSH buckets -> exact Jaccard verify.
     Returns verified (doc_a, doc_b, jaccard >= min_jaccard) pairs."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed)
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_k, seed, hash_fn
+    )
     cands = lsh_candidate_pairs(sigs, num_hashes, bands)
     return jaccard_similarity(
         df,
@@ -340,7 +356,8 @@ def dedup_keep_list(
 
 
 def simhash_table(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(doc_id, simhash) — ``bits``-bit SimHash over word tokens.
 
@@ -351,7 +368,7 @@ def simhash_table(
         S.col(id_col).alias("doc_id"),
         F.explode(tokens(S.col(text_col))).alias("tok"),
     )
-    h = portable_hash64(F.col("tok"))
+    h = _HASH_FNS[hash_fn](F.col("tok"))
     hashed = tok.select("doc_id", h.alias("h"))
     bit_sums = [
         F.sum(
