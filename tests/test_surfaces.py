@@ -168,3 +168,21 @@ def test_cli_end_to_end(tmp_path):
     status = json.loads(proc.stdout.strip().splitlines()[-1])
     assert status["n_rows"] == 50 and status["n_vars"] == 2
     assert out.stat().st_size > 500
+
+
+def test_read_binary_files(spark, tmp_path):
+    from pandas_profiling_personal_spark.operators.multimodal import (
+        media_metadata,
+        read_binary_files,
+    )
+
+    (tmp_path / "a.jpg").write_bytes(b"\xff\xd8\xff" + b"x" * 50)
+    (tmp_path / "b.png").write_bytes(b"\x89PNG\r\n" + b"y" * 30)
+    (tmp_path / "c.txt").write_text("not media")
+    df = read_binary_files(spark, str(tmp_path), glob="*.{jpg,png}")
+    rows = df.collect()
+    assert len(rows) == 2
+    assert {r["length"] for r in rows} == {53, 36}
+    meta = media_metadata(df, "content").select("path", "meta.format").collect()
+    formats = {r["path"].rsplit("/", 1)[-1]: r["format"] for r in meta}
+    assert formats == {"a.jpg": "jpeg", "b.png": "png"}
