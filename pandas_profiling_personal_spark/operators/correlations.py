@@ -171,6 +171,114 @@ def cramers_v_df(
     return agg.select(F.round(v, 4).alias("cramers_v"))
 
 
+def phik(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    bins: int = 10,
+    a_numeric: bool = True,
+    b_numeric: bool = True,
+) -> float | None:
+    """φk correlation (C5) — scipy/phik-free reimplementation of the core idea
+    of the phik measure (Baak et al., arXiv:1811.11440): bin both variables,
+    compute the Pearson χ² of the contingency table, and invert the χ²(ρ)
+    relation of a discretized bivariate normal with the same marginals to get
+    an effective correlation in [0, 1].
+
+    The binning + contingency are fully distributed (quantile edges + one
+    groupBy); the inversion is driver-side bisection over
+    :mod:`...functions.bvn`. This simplified variant omits phik's sample-noise
+    pedestal correction, so small samples read slightly high. The reference
+    ships the whole table to one executor and calls the phik package
+    (reference: correlations.py:456-521) — not reproducible in this
+    environment, and not distributed either."""
+    from pandas_profiling_personal_spark.functions.bvn import (
+        bvn_rect_prob,
+        norm_ppf,
+    )
+
+    a, b = S.col(col_a), S.col(col_b)
+    d = df.where(a.isNotNull() & b.isNotNull())
+
+    def bucketed(c, numeric: bool, alias: str):
+        if not numeric:
+            return c.cast("string").alias(alias)
+        qs = [i / bins for i in range(1, bins)]
+        edges = d.agg(
+            F.percentile_approx(c, F.lit(qs), F.lit(1000)).alias("e")
+        ).collect()[0]["e"]
+        edges = sorted(set(e for e in (edges or []) if e is not None))
+        if not edges:
+            return F.lit(0).alias(alias)
+        expr = F.lit(len(edges))
+        for i in range(len(edges) - 1, -1, -1):
+            expr = F.when(c <= F.lit(float(edges[i])), i).otherwise(expr)
+        return expr.alias(alias)
+
+    ct = (
+        d.groupBy(bucketed(a, a_numeric, "ba"), bucketed(b, b_numeric, "bb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if not ct:
+        return None
+    a_vals = sorted({r["ba"] for r in ct}, key=str)
+    b_vals = sorted({r["bb"] for r in ct}, key=str)
+    ra, kb = len(a_vals), len(b_vals)
+    if ra < 2 or kb < 2:
+        return None
+    ai = {v: i for i, v in enumerate(a_vals)}
+    bi = {v: i for i, v in enumerate(b_vals)}
+    obs = [[0.0] * kb for _ in range(ra)]
+    for r in ct:
+        obs[ai[r["ba"]]][bi[r["bb"]]] = float(r["n"])
+    n = sum(map(sum, obs))
+    row_p = [sum(row) / n for row in obs]
+    col_p = [sum(obs[i][j] for i in range(ra)) / n for j in range(kb)]
+    chi2_obs = 0.0
+    for i in range(ra):
+        for j in range(kb):
+            e = row_p[i] * col_p[j] * n
+            if e > 0:
+                chi2_obs += (obs[i][j] - e) ** 2 / e
+
+    # normal-score bin edges from the marginals
+    def edges_from(p):
+        cum, out = 0.0, [-float("inf")]
+        for q in p[:-1]:
+            cum += q
+            out.append(norm_ppf(min(max(cum, 1e-12), 1 - 1e-12)))
+        out.append(float("inf"))
+        return out
+
+    ea, eb = edges_from(row_p), edges_from(col_p)
+
+    def chi2_of_rho(rho: float) -> float:
+        c2 = 0.0
+        for i in range(ra):
+            for j in range(kb):
+                e = row_p[i] * col_p[j]
+                if e <= 0:
+                    continue
+                pij = bvn_rect_prob(ea[i], ea[i + 1], eb[j], eb[j + 1], rho)
+                c2 += n * (pij - e) ** 2 / e
+        return c2
+
+    chi2_max = chi2_of_rho(0.9999)
+    if chi2_obs <= 0:
+        return 0.0
+    if chi2_obs >= chi2_max:
+        return 1.0
+    lo, hi = 0.0, 0.9999
+    for _ in range(60):
+        mid = (lo + hi) / 2.0
+        if chi2_of_rho(mid) < chi2_obs:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
+
+
 def kendall_tau_b(x, y) -> float:
     """Kendall's tau-b with tie corrections, O(n log n) (Knight's algorithm:
     sort by (x, y), count discordant pairs as merge-sort inversions of y).

@@ -289,6 +289,13 @@ def profile(
             correlations["spearman"] = _matrix_dict(C.spearman_matrix(df, num_cols))
         if "kendall" in cfg.correlations and len(num_cols) >= 2:
             correlations["kendall"] = _matrix_dict(C.kendall_matrix(df, num_cols))
+        if "phik" in cfg.correlations and len(num_cols) >= 2:
+            ph = {}
+            for i, a in enumerate(num_cols):
+                for b in num_cols[i + 1 :]:
+                    ph[(a, b)] = C.phik(df, a, b)
+            if ph:
+                correlations["phik"] = _matrix_dict(ph)
         if "cramers" in cfg.correlations:
             cat_cols = [
                 c for c, vt in types.items()

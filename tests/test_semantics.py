@@ -234,3 +234,42 @@ def test_minimal_tier(spark):
     assert r.table["n_duplicates"] is None
     assert r.variables["x"]["mean"] is not None
     assert len(r.variables["x"]["histogram"]["counts"]) == 10
+
+
+def test_phik_bivariate_normal_recovery(spark):
+    """phik on genuinely bivariate-normal data must recover |rho| (the defining
+    property of the measure); validated without the phik package."""
+    import math
+    import random
+
+    from pandas_profiling_personal_spark.operators.correlations import phik
+
+    rng = random.Random(7)
+    rho = 0.7
+    rows = []
+    for _ in range(8000):
+        z1, z2 = rng.gauss(0, 1), rng.gauss(0, 1)
+        rows.append((z1, rho * z1 + math.sqrt(1 - rho**2) * z2))
+    df = spark.createDataFrame(rows, "x double, y double")
+    v = phik(df, "x", "y")
+    assert abs(v - rho) < 0.08
+
+
+def test_phik_categorical_association(spark):
+    from pandas_profiling_personal_spark.operators.correlations import phik
+
+    # F4 recoding fixture: perfectly associated categoricals -> phik ~ 1
+    rows = [("chien", "dog")] * 4 + [("chat", "cat")] * 2 + [("chameaux", "camel")] * 2
+    df = spark.createDataFrame(rows * 10, "x string, y string")
+    v = phik(df, "x", "y", a_numeric=False, b_numeric=False)
+    assert v > 0.99
+
+
+def test_cramers_v_perfect_association(spark):
+    from pandas_profiling_personal_spark.operators.correlations import cramers_v
+
+    rows = [("chien", "dog")] * 4 + [("chat", "cat")] * 2 + [("chameaux", "camel")] * 2
+    df = spark.createDataFrame(rows, "x string, y string")
+    # F4: Cramer's V = 1.0 for perfect association (bias-corrected slightly less)
+    v = cramers_v(df, "x", "y", bias_correction=False)
+    assert v == pytest.approx(1.0)
