@@ -15,9 +15,14 @@ def get_session(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
+    # local mode = single JVM: driver memory IS executor memory. The 1g default
+    # OOMs on wide aggregations; size generously (only applies if this call
+    # actually creates the JVM).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
     return (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
