@@ -159,6 +159,18 @@ _SPECS: dict[str, tuple] = {
         PP.embedding_near_dup_query(0.4),
         PP.embedding_near_dup_sql(0.4),
     ),
+    "kendall_customer": (
+        P.kendall_query("customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
+        P.kendall_sql("customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
+    ),
+    "dedup_clusters_documents": (
+        PP.dedup_clusters_query(0.1),
+        PP.dedup_clusters_sql(0.1),
+    ),
+    "dedup_keep_list_documents": (
+        PP.dedup_keep_list_query(0.1),
+        PP.dedup_keep_list_sql(0.1),
+    ),
 }
 
 

@@ -340,11 +340,12 @@ def kendall_tau_b(x, y) -> float:
     return (tot - n1 - n2 + n3 - 2.0 * dis) / denom
 
 
-def kendall_matrix(df: DataFrame, columns: list[str]):
-    """Kendall's tau-b via the reference's single-group escape hatch
-    (correlations.py:152-216): ships the selected columns to ONE executor as an
-    Arrow batch. Opt-in; documented scale caveat (a true distributed tau is
-    arXiv:1704.03767). The tau kernel is :func:`kendall_tau_b` (scipy-free)."""
+def kendall_matrix_df(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Kendall's tau-b as a DataFrame ``(col_a, col_b, tau)`` via the
+    reference's single-group escape hatch (correlations.py:152-216): ships the
+    selected columns to ONE executor as an Arrow batch. Opt-in; documented
+    scale caveat (a true distributed tau is arXiv:1704.03767). The tau kernel
+    is :func:`kendall_tau_b` (scipy-free); NaN (all-tied input) maps to null."""
     import pandas as pd
 
     pairs = list(combinations(columns, 2))
@@ -356,14 +357,19 @@ def kendall_matrix(df: DataFrame, columns: list[str]):
         ]
         return pd.DataFrame(recs)
 
-    out = (
+    return (
         df.select(*[S.col(c).cast("double").alias(c) for c in columns])
         .withColumn("__g", F.lit(1))
         .groupBy("__g")
         .applyInPandas(_corr, "col_a string, col_b string, tau double")
     )
+
+
+def kendall_matrix(df: DataFrame, columns: list[str]):
+    """Dict form of :func:`kendall_matrix_df` (profile-pipeline consumer)."""
     return {
-        (r["col_a"], r["col_b"]): r["tau"] for r in out.collect()
+        (r["col_a"], r["col_b"]): r["tau"]
+        for r in kendall_matrix_df(df, columns).collect()
     }
 
 

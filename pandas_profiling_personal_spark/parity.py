@@ -524,6 +524,52 @@ def pearson_sql(table: str, cols: list[str]) -> str:
 
 
 # --------------------------------------------------------------------------------
+# Kendall tau-b (C3) — Knight-algorithm kernel vs a literal O(n²) pair-count SQL
+# --------------------------------------------------------------------------------
+
+
+def kendall_query(table: str, cols: list[str]) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.correlations import (
+            kendall_matrix_df,
+        )
+
+        out = kendall_matrix_df(load(spark, sf_dir, table), cols)
+        return out.select("col_a", "col_b", _r(F.col("tau")).alias("tau"))
+
+    return fn
+
+
+def kendall_sql(table: str, cols: list[str]) -> str:
+    """tau_b = (C - D) / sqrt((n0 - tx)(n0 - ty)) from a literal i<j self-join —
+    only viable at oracle scale (n² pairs), which is exactly what makes it an
+    independent check of the O(n log n) merge-sort kernel."""
+    pairs = list(combinations(cols, 2))
+    ctes, selects = [], []
+    for i, (a, b) in enumerate(pairs):
+        ctes.append(
+            f"pts_{i} AS (SELECT {a} AS x, {b} AS y, row_number() OVER () AS i"
+            f" FROM {table} WHERE {a} IS NOT NULL AND {b} IS NOT NULL)"
+        )
+        ctes.append(
+            f"""agg_{i} AS (
+  SELECT count(*) AS n0,
+         sum(CASE WHEN (p.x1 < p.x2 AND p.y1 < p.y2) OR (p.x1 > p.x2 AND p.y1 > p.y2) THEN 1 ELSE 0 END) AS c,
+         sum(CASE WHEN (p.x1 < p.x2 AND p.y1 > p.y2) OR (p.x1 > p.x2 AND p.y1 < p.y2) THEN 1 ELSE 0 END) AS d,
+         sum(CASE WHEN p.x1 = p.x2 THEN 1 ELSE 0 END) AS tx,
+         sum(CASE WHEN p.y1 = p.y2 THEN 1 ELSE 0 END) AS ty
+  FROM (SELECT l.x AS x1, l.y AS y1, r.x AS x2, r.y AS y2
+        FROM pts_{i} l JOIN pts_{i} r ON l.i < r.i) p)"""
+        )
+        selects.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b,\n"
+            f"       round((c - d) / sqrt((n0 - tx) * 1.0 * (n0 - ty)), 4) AS tau"
+            f" FROM agg_{i}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+# --------------------------------------------------------------------------------
 # Cramér's V (C4) — fully distributed plan mirrored in SQL
 # --------------------------------------------------------------------------------
 

@@ -321,3 +321,77 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS}, 4) AS cosine_sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round({_COS}, 4) >= {threshold}
 """
+
+
+# --------------------------------------------------------------------------------
+# near-dup clustering (connected components) + keep-list — the dedup end product
+# --------------------------------------------------------------------------------
+
+_PAIR_CTES = (
+    "shf AS (SELECT doc_id, shingle FROM sh WHERE shingle <> ''),\n"
+    "sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),\n"
+    "common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common\n"
+    "           FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id\n"
+    "           GROUP BY 1, 2),\n"
+    "pj AS (SELECT c.doc_a, c.doc_b FROM common c\n"
+    "       JOIN sizes sa ON c.doc_a = sa.doc_id JOIN sizes sb ON c.doc_b = sb.doc_id\n"
+    "       WHERE round(c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common), 4) >= {thr}),\n"
+    "edges AS (SELECT doc_a AS a, doc_b AS b FROM pj\n"
+    "          UNION SELECT doc_b, doc_a FROM pj),\n"
+    "reach AS (SELECT a AS node, b AS r FROM edges\n"
+    "          UNION\n"
+    "          SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r),\n"
+    "clusters AS (SELECT node AS doc_id, least(node, min(r)) AS cluster_id\n"
+    "             FROM reach GROUP BY node)"
+)
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str, min_jaccard: float) -> DataFrame:
+    return DD.jaccard_similarity(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        shingle_k=3,
+        min_jaccard=min_jaccard,
+        max_shingle_df=None,
+    )
+
+
+def dedup_clusters_query(min_jaccard: float = 0.1) -> QueryFn:
+    """Connected components over n-gram-Jaccard near-dup pairs (iterative
+    min-label propagation, dedup.cluster_pairs) — oracled against a DuckDB
+    recursive-CTE transitive closure of the identical edge set."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return DD.cluster_pairs(_jaccard_pairs(spark, sf_dir, min_jaccard))
+
+    return fn
+
+
+def dedup_clusters_sql(min_jaccard: float = 0.1) -> str:
+    return (
+        f"WITH RECURSIVE {_TOK}, {_SHINGLES},\n"
+        + _PAIR_CTES.format(thr=min_jaccard)
+        + "\nSELECT doc_id, cluster_id FROM clusters"
+    )
+
+
+def dedup_keep_list_query(min_jaccard: float = 0.1) -> QueryFn:
+    """One representative (min doc_id) per near-dup cluster, everything
+    unclustered kept — the materializable deduplicated-corpus flag."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        pairs = _jaccard_pairs(spark, sf_dir, min_jaccard)
+        return DD.dedup_keep_list(docs, pairs, "doc_id").select("doc_id", "keep")
+
+    return fn
+
+
+def dedup_keep_list_sql(min_jaccard: float = 0.1) -> str:
+    return (
+        f"WITH RECURSIVE {_TOK}, {_SHINGLES},\n"
+        + _PAIR_CTES.format(thr=min_jaccard)
+        + "\nSELECT d.doc_id, (c.cluster_id IS NULL OR d.doc_id = c.cluster_id) AS keep\n"
+        + "FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id"
+    )
