@@ -23,6 +23,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from pandas_profiling_personal_spark.functions import stats as S
+from pandas_profiling_personal_spark.functions.partitioning import parallelize_narrow
 from pandas_profiling_personal_spark.operators.text import normalize_text, tokens
 
 #: Mersenne prime 2^31-1; universal-hash modulus for MinHash
@@ -96,7 +97,12 @@ def exact_duplicates(
 def shingle_table(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:
-    """(doc_id, shingle) — distinct shingles per document."""
+    """(doc_id, shingle) — distinct shingles per document.
+
+    Input is widened to full parallelism first: shingle generation is the
+    interpreted-HOF CPU hot spot, and byte-sized file splits starve it (one
+    600 KB split = one core doing all the work)."""
+    df = parallelize_narrow(df)
     return (
         df.select(
             S.col(id_col).alias("doc_id"),
@@ -197,6 +203,15 @@ def jaccard_similarity(
             sh.join(docfreq.where(F.col("df") <= max_shingle_df), "shingle")
             .select("doc_id", "shingle")
         )
+    # Materialize shingle generation through ONE exchange: every consumer below
+    # (both self-join sides, the per-doc size aggregate) re-derives this subtree,
+    # and without a common exchange Catalyst re-runs the expensive interpreted
+    # HOF shingling once per consumer (4 scans in the physical plan). Hash
+    # partitioning by the join key turns the subtree into a single shuffle whose
+    # output ReuseExchange shares — shingles are computed exactly once, and the
+    # shingle-equality join needs no further exchange. AQE still coalesces the
+    # partition count.
+    sh = sh.repartition("shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if candidates is not None:
         # candidates-first: intersect shingle sets ONLY for candidate pairs
@@ -299,6 +314,12 @@ def cluster_pairs(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
     )
+    # Persist each iteration's labels so iteration k reads materialized
+    # iteration k-1, not a k-deep join lineage (which would recompute every
+    # prior round per step — O(iterations²) joins). The convergence check rides
+    # the same materialization: keep the old label alongside the new one and
+    # probe the persisted frame, so each round is exactly one shuffle job.
+    persisted: list = []
     try:
         for _ in range(max_iterations):
             neighbor_min = (
@@ -308,28 +329,33 @@ def cluster_pairs(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
                 .groupBy(F.col("doc_a").alias("doc_id"))
                 .agg(F.min("cluster_id").alias("nbr_min"))
             )
-            new_labels = (
+            stepped = (
                 labels.join(neighbor_min, "doc_id", "left")
                 .select(
                     "doc_id",
+                    F.col("cluster_id").alias("__old"),
                     F.least(
                         F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
                     ).alias("cluster_id"),
                 )
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
+            persisted.append(stepped)
             changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                stepped.where(F.col("cluster_id") != F.col("__old"))
                 .limit(1)
                 .count()
             )
-            labels = new_labels
+            labels = stepped.select("doc_id", "cluster_id")
             if changed == 0:
                 break
         return labels
     finally:
         edges.unpersist()
+        # all but the final iteration's cache can go immediately; the last one
+        # backs the returned DataFrame and is dropped with the session/GC
+        for p in persisted[:-1]:
+            p.unpersist()
 
 
 def dedup_keep_list(
@@ -364,6 +390,7 @@ def simhash_table(
     One explode + ``bits`` conditional sums, combine-friendly. Near-dups have
     small Hamming distance; pair generation should block on rotated prefixes or
     band slices of the hash (same LSH idea as MinHash bands)."""
+    df = parallelize_narrow(df)
     tok = df.select(
         S.col(id_col).alias("doc_id"),
         F.explode(tokens(S.col(text_col))).alias("tok"),

@@ -17,6 +17,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from pandas_profiling_personal_spark.functions import stats as S
+from pandas_profiling_personal_spark.functions.partitioning import parallelize_narrow
 
 
 def as_double(vec: Column) -> Column:
@@ -59,7 +60,7 @@ def cosine_topk(
         S.col(query_id_col).alias("query_id"),
         as_double(S.col(vec_col)).alias("__qv"),
     )
-    c = corpus.select(
+    c = parallelize_narrow(corpus).select(
         S.col(id_col).alias("neighbor_id"),
         as_double(S.col(vec_col)).alias("__cv"),
     )
@@ -131,7 +132,7 @@ def ann_topk_lsh(
             F.explode(F.array(*sig_structs)).alias("sig"),
         ).select(alias, f"__{alias}_v", "sig.table", "sig.bucket")
 
-    c = with_sigs(corpus, id_col, "neighbor_id")
+    c = with_sigs(parallelize_narrow(corpus), id_col, "neighbor_id")
     q = with_sigs(queries, id_col, "query_id")
     cands = (
         c.join(F.broadcast(q), ["table", "bucket"])
@@ -167,6 +168,7 @@ def embedding_near_duplicates(
 
     LSH-blocked by default; ``brute_force=True`` does the exact all-pairs join
     (test/oracle mode — quadratic, only for small corpora)."""
+    df = parallelize_narrow(df)
     vec = as_double(S.col(vec_col))
     if brute_force:
         a = df.select(S.col(id_col).alias("id_a"), vec.alias("__va"))
