@@ -31,9 +31,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    from pandas_profiling_personal_spark.functions.partitioning import (
+        parallelize_narrow,
+    )
     from pandas_profiling_personal_spark.sources.readers import read_parquet
 
-    return read_parquet(spark, f"{sf_dir}/{table}.parquet")
+    # testdata files are single small parquet files — widen so compute-dense
+    # aggregates (exact percentile, rank windows) use every core, not one
+    return parallelize_narrow(read_parquet(spark, f"{sf_dir}/{table}.parquet"))
 
 
 def _r(c, nd: int = ROUND):

@@ -97,7 +97,15 @@ def profile(
 
     persisted = False
     if cfg.persist and df.storageLevel == StorageLevel.NONE:
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        # Widen under-split inputs BEFORE persisting: a byte-sized scan of a
+        # small file yields one partition, serializing the map side of all five
+        # passes on one core (functions/partitioning.py). The cached copy then
+        # carries the good layout through every pass.
+        from pandas_profiling_personal_spark.functions.partitioning import (
+            parallelize_narrow,
+        )
+
+        df = parallelize_narrow(df).persist(StorageLevel.MEMORY_AND_DISK)
         persisted = True
     try:
         types = variable_types(df)
