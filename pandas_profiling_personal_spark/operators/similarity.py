@@ -212,3 +212,93 @@ def embedding_near_duplicates(
         cands.select("id_a", "id_b", sim.alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+) -> DataFrame:
+    """(cell_id, __cellv) — deterministic coarse-quantizer centroids: the
+    ``n_cells`` corpus vectors with the smallest md5-derived key of their id.
+
+    Engine-reproducible (so the DuckDB oracle rebuilds the identical index) and
+    computed as a distributed top-N (TakeOrderedAndProject — per-partition heads
+    then one driver merge, never a global sort). A seeded k-means refinement of
+    these seeds is the recall upgrade; the probe machinery is unchanged."""
+    from pandas_profiling_personal_spark.operators.dedup import portable_hash64
+
+    c = corpus.select(
+        S.col(id_col).alias("cell_id"),
+        as_double(S.col(vec_col)).alias("__cellv"),
+        portable_hash64(S.col(id_col).cast("string")).alias("__key"),
+    )
+    return c.orderBy("__key", "cell_id").limit(n_cells).drop("__key")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """IVF-flat approximate top-K: partition the corpus into ``n_cells``
+    Voronoi cells around broadcast centroids, probe the ``n_probe`` cells
+    nearest each query, exact-cosine re-rank only the vectors in probed cells.
+
+    Scale shape: assignment is a broadcast crossJoin (corpus x n_cells) folded
+    by a map-side-combinable ``max_by`` aggregate — no N·K shuffle; the
+    candidate join is an equi-join on cell_id. Probe cost ~ corpus·n_probe/
+    n_cells per query vs the full scan of :func:`cosine_topk`. Same output
+    schema as :func:`cosine_topk`. Assignment/probe similarities are rounded
+    to 4 decimals with an id tie-break so the cell structure is reproducible
+    across engines (the oracle rebuilds it bit-for-bit)."""
+    query_id_col = query_id_col or id_col
+    cents = F.broadcast(ivf_centroids(corpus, id_col, vec_col, n_cells))
+    c = parallelize_narrow(corpus).select(
+        S.col(id_col).alias("neighbor_id"),
+        as_double(S.col(vec_col)).alias("__cv"),
+    )
+    csim = F.round(cosine(F.col("__cv"), F.col("__cellv")), 4)
+    assign = (
+        c.crossJoin(cents)
+        .select("neighbor_id", "__cv", "cell_id", csim.alias("__csim"))
+        .groupBy("neighbor_id")
+        .agg(
+            F.max_by(
+                F.col("cell_id"), F.struct(F.col("__csim"), -F.col("cell_id"))
+            ).alias("cell_id"),
+            F.first("__cv").alias("__cv"),
+        )
+    )
+    q = queries.select(
+        S.col(query_id_col).alias("query_id"),
+        as_double(S.col(vec_col)).alias("__qv"),
+    )
+    psim = F.round(cosine(F.col("__qv"), F.col("__cellv")), 4)
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("__psim"), F.asc("cell_id")
+    )
+    probes = (
+        q.crossJoin(cents)
+        .select("query_id", "__qv", "cell_id", psim.alias("__psim"))
+        .withColumn("__r", F.row_number().over(wp))
+        .where(F.col("__r") <= n_probe)
+        .select("query_id", "__qv", "cell_id")
+    )
+    sim = F.round(cosine(F.col("__cv"), F.col("__qv")), 4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        assign.join(F.broadcast(probes), "cell_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

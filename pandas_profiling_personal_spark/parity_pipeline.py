@@ -395,3 +395,66 @@ def dedup_keep_list_sql(min_jaccard: float = 0.1) -> str:
         + "\nSELECT d.doc_id, (c.cluster_id IS NULL OR d.doc_id = c.cluster_id) AS keep\n"
         + "FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id"
     )
+
+
+# --------------------------------------------------------------------------------
+# IVF-flat ANN — deterministic seed-vector centroids, so DuckDB rebuilds the
+# identical index (cells, probes, candidates) and checks the full pipeline
+# --------------------------------------------------------------------------------
+
+
+def _cos_sql(x: str, y: str) -> str:
+    return (
+        f"list_dot_product({x}, {y}) / (sqrt(list_dot_product({x}, {x})) *"
+        f" sqrt(list_dot_product({y}, {y})))"
+    )
+
+
+def ivf_topk_query(
+    k: int = 5, n_queries: int = 5, n_cells: int = 16, n_probe: int = 4
+) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = load(spark, sf_dir, "embeddings")
+        return SIM.ivf_topk(
+            emb,
+            emb.where(F.col("vec_id") < n_queries),
+            "vec_id",
+            "embedding",
+            k=k,
+            n_cells=n_cells,
+            n_probe=n_probe,
+        )
+
+    return fn
+
+
+def ivf_topk_sql(
+    k: int = 5, n_queries: int = 5, n_cells: int = 16, n_probe: int = 4
+) -> str:
+    key = "CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS UBIGINT)"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS cell_id, v AS cv FROM e
+  ORDER BY {key} ASC, vec_id ASC LIMIT {n_cells}),
+asg AS (
+  SELECT neighbor_id, v, cell_id FROM (
+    SELECT e.vec_id AS neighbor_id, e.v, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round({_cos_sql("e.v", "c.cv")}, 4) DESC, c.cell_id ASC) AS r
+    FROM e, cents c) WHERE r = 1),
+probes AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, c.cell_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round({_cos_sql("q.v", "c.cv")}, 4) DESC, c.cell_id ASC) AS r
+    FROM (SELECT * FROM e WHERE vec_id < {n_queries}) q, cents c) WHERE r <= {n_probe}),
+sims AS (
+  SELECT p.query_id, a.neighbor_id, round({_cos_sql("a.v", "p.qv")}, 4) AS cosine_sim
+  FROM asg a JOIN probes p ON a.cell_id = p.cell_id
+  WHERE a.neighbor_id <> p.query_id)
+SELECT query_id, neighbor_id, cosine_sim,
+       row_number() OVER (PARTITION BY query_id
+         ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+FROM sims QUALIFY rank <= {k}
+"""

@@ -156,6 +156,31 @@ def test_cosine_topk_exact(spark):
     assert len(ranked) == 2
 
 
+def test_ivf_topk_probes_and_recall(spark):
+    """IVF with all cells probed must equal the exact scan; fewer probes is a
+    subset of the corpus but keeps the exact ranking within probed cells."""
+    from pandas_profiling_personal_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    full = ivf_topk(emb, q, k=5, n_cells=8, n_probe=8)
+    assert {
+        (r["query_id"], r["neighbor_id"]) for r in full.collect()
+    } == exact
+    approx = ivf_topk(emb, q, k=5, n_cells=8, n_probe=2).collect()
+    assert approx  # probing 2/8 cells still yields neighbors
+    hits = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert hits & exact  # non-zero recall vs the exact scan
+
+
 def test_read_table_csv_and_formats(spark, tmp_path):
     import pandas as pd
 
