@@ -186,3 +186,54 @@ def test_read_binary_files(spark, tmp_path):
     meta = media_metadata(df, "content").select("path", "meta.format").collect()
     formats = {r["path"].rsplit("/", 1)[-1]: r["format"] for r in meta}
     assert formats == {"a.jpg": "jpeg", "b.png": "png"}
+
+
+def test_write_table_and_deduplicated(spark, tmp_path):
+    """Sink round-trip: partitioned layout on disk, maxRecordsPerFile honored,
+    and the deduplicated-corpus materialization keeps exactly the keep-list."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pandas_profiling_personal_spark.operators import dedup as DD
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+    from pandas_profiling_personal_spark.sources import writers as W
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+
+    out = str(tmp_path / "by_lang")
+    flagged = docs.withColumn("bucket", (F.col("doc_id") % 3).cast("int"))
+    W.write_table(
+        flagged,
+        out,
+        partition_by=["bucket"],
+        sort_within_partitions=["doc_id"],
+        target_file_rows=50,
+    )
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("bucket=")
+    ) == ["bucket=0", "bucket=1", "bucket=2"]
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    # maxRecordsPerFile: no parquet file holds more than 50 rows
+    per_file = back.groupBy(F.input_file_name()).count().agg(F.max("count")).first()[0]
+    assert per_file <= 50
+
+    pairs = DD.jaccard_similarity(
+        docs, "doc_id", "text", 3, min_jaccard=0.1, max_shingle_df=None
+    )
+    keep = DD.dedup_keep_list(docs, pairs, "doc_id")
+    dedup_out = str(tmp_path / "deduped")
+    W.write_deduplicated(docs, keep, "doc_id", dedup_out)
+    kept_ids = {
+        r["doc_id"] for r in spark.read.parquet(dedup_out).select("doc_id").collect()
+    }
+    expected = {r["doc_id"] for r in keep.where(F.col("keep")).collect()}
+    assert kept_ids == expected and len(kept_ids) < n
+
+    try:
+        W.write_table(docs, str(tmp_path / "x"), fmt="avro")
+        raise AssertionError("expected ValueError for unsupported format")
+    except ValueError:
+        pass
