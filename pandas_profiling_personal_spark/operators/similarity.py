@@ -246,6 +246,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     query_id_col: str | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-K: partition the corpus into ``n_cells``
     Voronoi cells around broadcast centroids, probe the ``n_probe`` cells
@@ -259,7 +260,9 @@ def ivf_topk(
     to 4 decimals with an id tie-break so the cell structure is reproducible
     across engines (the oracle rebuilds it bit-for-bit)."""
     query_id_col = query_id_col or id_col
-    cents = F.broadcast(ivf_centroids(corpus, id_col, vec_col, n_cells))
+    if centroids is None:
+        centroids = ivf_centroids(corpus, id_col, vec_col, n_cells)
+    cents = F.broadcast(centroids.select("cell_id", "__cellv"))
     c = parallelize_narrow(corpus).select(
         S.col(id_col).alias("neighbor_id"),
         as_double(S.col(vec_col)).alias("__cv"),
@@ -301,4 +304,31 @@ def ivf_topk(
         .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+    )
+
+
+def ivf_centroids_kmeans(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """(cell_id, __cellv) — k-means coarse-quantizer centroids via MLlib
+    (seeded, deterministic). Better-balanced Voronoi cells than the md5-seed
+    pick (:func:`ivf_centroids`) ⇒ higher recall at the same n_probe; the
+    trade is a training pass over the corpus (distributed Lloyd iterations)
+    and no cross-engine oracle (centroid arithmetic is not SQL-reproducible).
+    Drop-in for the ``centroids`` argument of :func:`ivf_topk`."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.select(
+        array_to_vector(as_double(S.col(vec_col))).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feat)
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return corpus.sparkSession.createDataFrame(
+        centers, "cell_id bigint, __cellv array<double>"
     )

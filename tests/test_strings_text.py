@@ -197,3 +197,21 @@ def test_read_table_csv_and_formats(spark, tmp_path):
 
     with pytest.raises(ValueError):
         read_table(spark, tmp_path / "t.unknown")
+
+
+def test_ivf_kmeans_centroids(spark):
+    """MLlib k-means centroids drop into the same probe machinery and return
+    well-formed ranked neighbors (deterministic under a fixed seed)."""
+    from pandas_profiling_personal_spark.operators.similarity import (
+        ivf_centroids_kmeans,
+        ivf_topk,
+    )
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids_kmeans(emb, n_cells=4, seed=42)
+    assert cents.count() == 4
+    q = emb.where(F.col("vec_id") < 2)
+    out = ivf_topk(emb, q, k=3, n_probe=2, centroids=cents).collect()
+    assert out and all(1 <= r["rank"] <= 3 for r in out)
+    assert {r["query_id"] for r in out} == {0, 1}
