@@ -122,11 +122,17 @@ def minhash_signatures(
     shingle_k: int = 3,
     seed: int = 42,
     hash_fn: str = "md5",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, m0..m{H-1}) MinHash signature — one explode + one combine-friendly
     aggregation (H min() columns). ``hash_fn``: "md5" (oracle-reproducible) or
-    "xxhash64" (fast scale tier)."""
-    sh = shingle_table(df, id_col, text_col, shingle_k)
+    "xxhash64" (fast scale tier). ``shingles`` lets a pipeline pass a shared
+    (doc_id, shingle) table so the shingling subtree is computed once."""
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_table(df, id_col, text_col, shingle_k)
+    )
     h = (_HASH_FNS[hash_fn](F.col("shingle")) % MINHASH_PRIME).alias("h")
     hashed = sh.select("doc_id", h)
     aggs = [
@@ -189,14 +195,20 @@ def jaccard_similarity(
     min_jaccard: float = 0.0,
     max_shingle_df: int | None = 1000,
     candidates: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for document pairs sharing >= 1 shingle:
     (doc_a, doc_b, n_common, n_a, n_b, jaccard).
 
     Without ``candidates`` this is all-pairs-with-overlap (shingle-blocked);
     ``max_shingle_df`` drops shingles appearing in more than N docs (stop-shingle
-    guard). With ``candidates`` (e.g. from LSH) it verifies only those pairs."""
-    sh = shingle_table(df, id_col, text_col, shingle_k)
+    guard). With ``candidates`` (e.g. from LSH) it verifies only those pairs.
+    ``shingles`` lets a pipeline share a pre-built (doc_id, shingle) table."""
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_table(df, id_col, text_col, shingle_k)
+    )
     if max_shingle_df:
         docfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = (
@@ -210,8 +222,11 @@ def jaccard_similarity(
     # partitioning by the join key turns the subtree into a single shuffle whose
     # output ReuseExchange shares — shingles are computed exactly once, and the
     # shingle-equality join needs no further exchange. AQE still coalesces the
-    # partition count.
-    sh = sh.repartition("shingle")
+    # partition count. A caller-supplied ``shingles`` table is trusted to carry
+    # its own exchange (see minhash_dedup) — re-repartitioning it here would
+    # fork the subtree and defeat ReuseExchange across the pipeline.
+    if shingles is None or max_shingle_df:
+        sh = sh.repartition("shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if candidates is not None:
         # candidates-first: intersect shingle sets ONLY for candidate pairs
@@ -274,9 +289,15 @@ def minhash_dedup(
     hash_fn: str = "md5",
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash -> LSH buckets -> exact Jaccard verify.
-    Returns verified (doc_a, doc_b, jaccard >= min_jaccard) pairs."""
+    Returns verified (doc_a, doc_b, jaccard >= min_jaccard) pairs.
+
+    The (doc_id, shingle) table — the interpreted-HOF CPU hot spot — is built
+    ONCE behind a single hash exchange and shared by the signature branch and
+    the Jaccard-verify branch via ReuseExchange; without this the shingling
+    subtree is evaluated twice (once per branch)."""
+    sh = shingle_table(df, id_col, text_col, shingle_k).repartition("shingle")
     sigs = minhash_signatures(
-        df, id_col, text_col, num_hashes, shingle_k, seed, hash_fn
+        df, id_col, text_col, num_hashes, shingle_k, seed, hash_fn, shingles=sh
     )
     cands = lsh_candidate_pairs(sigs, num_hashes, bands)
     return jaccard_similarity(
@@ -287,6 +308,7 @@ def minhash_dedup(
         min_jaccard,
         max_shingle_df=None,
         candidates=cands,
+        shingles=sh,
     )
 
 
