@@ -315,14 +315,19 @@ def minhash_dedup(
 # --- clustering / keep-list ---------------------------------------------------------
 
 
-def cluster_pairs(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
+def cluster_pairs(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
     """Connected components over near-dup pairs -> (doc_id, cluster_id).
 
     Iterative min-label propagation (the simple alternating halves of
     large-star/small-star): each doc's label becomes the min label in its
     neighborhood; converges in O(diameter) rounds — near-dup clusters are
     almost always tiny, so a handful of joins. ``cluster_id`` is the minimum
-    doc_id of the component. Only documents appearing in a pair are returned."""
+    doc_id of the component. Only documents appearing in a pair are returned.
+
+    Raises ``RuntimeError`` if the label propagation has not converged after
+    ``max_iterations`` rounds: an unconverged result silently violates the
+    keep-list contract (cluster_id = component minimum), so a pathological
+    diameter-> ``max_iterations`` chain must fail loudly, not quietly."""
     from pyspark import StorageLevel
 
     edges = (
@@ -336,12 +341,15 @@ def cluster_pairs(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
     )
-    # Persist each iteration's labels so iteration k reads materialized
-    # iteration k-1, not a k-deep join lineage (which would recompute every
-    # prior round per step — O(iterations²) joins). The convergence check rides
-    # the same materialization: keep the old label alongside the new one and
-    # probe the persisted frame, so each round is exactly one shuffle job.
-    persisted: list = []
+    # Each round references ``labels`` TWICE (neighbor-min join + the outer
+    # join), so without lineage truncation the logical plan doubles per
+    # iteration — exponential plan growth that OOMs the driver around ~14
+    # rounds regardless of data size. ``localCheckpoint`` materializes the
+    # round's result AND cuts the plan, so every round is one bounded shuffle
+    # job over a flat lineage. (On a multi-executor cluster, reliable
+    # ``checkpoint`` to the checkpoint dir is the executor-loss-safe variant;
+    # local checkpointing is the right default for an iterative dedup step.)
+    converged = False
     try:
         for _ in range(max_iterations):
             neighbor_min = (
@@ -360,9 +368,8 @@ def cluster_pairs(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
                         F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
                     ).alias("cluster_id"),
                 )
-                .persist(StorageLevel.MEMORY_AND_DISK)
+                .localCheckpoint(eager=True)
             )
-            persisted.append(stepped)
             changed = (
                 stepped.where(F.col("cluster_id") != F.col("__old"))
                 .limit(1)
@@ -370,14 +377,17 @@ def cluster_pairs(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
             )
             labels = stepped.select("doc_id", "cluster_id")
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            raise RuntimeError(
+                f"cluster_pairs: min-label propagation did not converge in "
+                f"{max_iterations} rounds (component diameter exceeds the cap); "
+                f"raise max_iterations"
+            )
         return labels
     finally:
         edges.unpersist()
-        # all but the final iteration's cache can go immediately; the last one
-        # backs the returned DataFrame and is dropped with the session/GC
-        for p in persisted[:-1]:
-            p.unpersist()
 
 
 def dedup_keep_list(

@@ -118,6 +118,9 @@ def ann_topk_lsh(
     ]
 
     def with_sigs(df: DataFrame, idc: str, alias: str) -> DataFrame:
+        # signatures only — the candidate dedup must not shuffle vector
+        # payloads (n_tables copies of every embedding through the exchange);
+        # vectors are re-joined after the id-level distinct
         vec = as_double(S.col(vec_col))
         sig_structs = [
             F.struct(
@@ -128,21 +131,28 @@ def ann_topk_lsh(
         ]
         return df.select(
             S.col(idc).alias(alias),
-            vec.alias(f"__{alias}_v"),
             F.explode(F.array(*sig_structs)).alias("sig"),
-        ).select(alias, f"__{alias}_v", "sig.table", "sig.bucket")
+        ).select(alias, "sig.table", "sig.bucket")
 
-    c = with_sigs(parallelize_narrow(corpus), id_col, "neighbor_id")
+    corpus = parallelize_narrow(corpus)
+    c = with_sigs(corpus, id_col, "neighbor_id")
     q = with_sigs(queries, id_col, "query_id")
-    cands = (
+    cand_ids = (
         c.join(F.broadcast(q), ["table", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "__neighbor_id_v", "__query_id_v")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    sim = F.round(
-        cosine(F.col("__neighbor_id_v"), F.col("__query_id_v")), 4
+    cvec = corpus.select(
+        S.col(id_col).alias("neighbor_id"),
+        as_double(S.col(vec_col)).alias("__cv"),
     )
+    qvec = queries.select(
+        S.col(id_col).alias("query_id"),
+        as_double(S.col(vec_col)).alias("__qv"),
+    )
+    cands = cand_ids.join(cvec, "neighbor_id").join(F.broadcast(qvec), "query_id")
+    sim = F.round(cosine(F.col("__cv"), F.col("__qv")), 4)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
@@ -186,13 +196,15 @@ def embedding_near_duplicates(
         F.struct(F.lit(t).alias("table"), lsh_signature(vec, p).alias("bucket"))
         for t, p in enumerate(tables)
     ]
+    # ids+buckets only through the self-join and distinct — shuffling the
+    # vector payload would push n_tables copies of every embedding through
+    # the exchange; vectors are re-joined for the exact re-rank afterwards
     melted = df.select(
         S.col(id_col).alias("doc_id"),
-        vec.alias("__v"),
         F.explode(F.array(*sig_structs)).alias("sig"),
-    ).select("doc_id", "__v", "sig.table", "sig.bucket")
+    ).select("doc_id", "sig.table", "sig.bucket")
     a, b = melted.alias("a"), melted.alias("b")
-    cands = (
+    cand_ids = (
         a.join(
             b,
             (F.col("a.table") == F.col("b.table"))
@@ -202,10 +214,15 @@ def embedding_near_duplicates(
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.__v").alias("__va"),
-            F.col("b.__v").alias("__vb"),
         )
         .distinct()
+    )
+    vecs = df.select(S.col(id_col).alias("__vid"), vec.alias("__v"))
+    cands = (
+        cand_ids.join(vecs.withColumnRenamed("__vid", "id_a")
+                      .withColumnRenamed("__v", "__va"), "id_a")
+        .join(vecs.withColumnRenamed("__vid", "id_b")
+              .withColumnRenamed("__v", "__vb"), "id_b")
     )
     sim = F.round(cosine(F.col("__va"), F.col("__vb")), 4)
     return (
@@ -273,8 +290,11 @@ def ivf_topk(
         .select("neighbor_id", "__cv", "cell_id", csim.alias("__csim"))
         .groupBy("neighbor_id")
         .agg(
-            F.max_by(
-                F.col("cell_id"), F.struct(F.col("__csim"), -F.col("cell_id"))
+            # min_by over (-sim, cell_id): highest similarity, ties broken by
+            # the SMALLEST cell id — without negating cell_id, which breaks
+            # under ANSI (and misorders) for non-numeric id columns
+            F.min_by(
+                F.col("cell_id"), F.struct(-F.col("__csim"), F.col("cell_id"))
             ).alias("cell_id"),
             F.first("__cv").alias("__cv"),
         )

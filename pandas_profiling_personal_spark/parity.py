@@ -342,10 +342,11 @@ def histogram_query(table: str, col: str, bins: int) -> QueryFn:
 
 
 def histogram_sql(table: str, col: str, bins: int) -> str:
-    # same IEEE arithmetic as functions/stats.bucket_index
+    # same IEEE arithmetic as functions/stats.bucket_index, including its
+    # hi==lo guard: a constant column must land in bucket 0, not floor(x/0)
     return f"""
 WITH mm AS (SELECT CAST(min({col}) AS DOUBLE) AS lo, CAST(max({col}) AS DOUBLE) AS hi FROM {table})
-SELECT CAST(least(greatest(floor((CAST({col} AS DOUBLE) - lo) / ((hi - lo) / {bins}.0)), 0), {bins - 1}) AS BIGINT) AS bucket,
+SELECT CASE WHEN hi = lo THEN 0 ELSE CAST(least(greatest(floor((CAST({col} AS DOUBLE) - lo) / ((hi - lo) / {bins}.0)), 0), {bins - 1}) AS BIGINT) END AS bucket,
        count(*) AS cnt
 FROM {table}, mm
 WHERE {col} IS NOT NULL
@@ -631,9 +632,14 @@ def spearman_query(table: str, cols: list[str]) -> QueryFn:
 
 def spearman_sql(table: str, cols: list[str]) -> str:
     pairs = list(combinations(cols, 2))
+    # null values must yield a NULL rank (as the Spark window path does) so
+    # corr() drops the same rows on both sides — otherwise DuckDB ranks the
+    # NULLs last and corr() keeps them, silently diverging on null-bearing
+    # columns
     ranks = ", ".join(
-        f"rank() OVER (ORDER BY {c}) + (count(*) OVER (PARTITION BY {c}) - 1) / 2.0"
-        f" AS rk_{i}"
+        f"CASE WHEN {c} IS NULL THEN NULL ELSE"
+        f" rank() OVER (ORDER BY {c}) + (count(*) OVER (PARTITION BY {c}) - 1) / 2.0"
+        f" END AS rk_{i}"
         for i, c in enumerate(cols)
     )
     corrs = ", ".join(

@@ -46,6 +46,7 @@ from pandas_profiling_personal_spark.functions.math_ext import chisquare_uniform
 from pandas_profiling_personal_spark.plans.alerts import compute_alerts
 from pandas_profiling_personal_spark.types import (
     VariableType as VT,
+    apply_inferred_types,
     infer_variable_types,
     variable_types,
 )
@@ -110,7 +111,14 @@ def profile(
     try:
         types = variable_types(df)
         if cfg.infer_types:
-            types = infer_variable_types(df, types, cfg.low_categorical_threshold)
+            inferred = infer_variable_types(
+                df, types, cfg.low_categorical_threshold
+            )
+            # materialize the reclassifications as typed columns — every later
+            # pass aggregates by variable type, and a raw string column posing
+            # as BOOLEAN/NUMERIC breaks those aggregates under ANSI mode
+            df = apply_inferred_types(df, types, inferred)
+            types = inferred
         if cfg.column_order in ("asc", "desc"):
             types = dict(
                 sorted(types.items(), key=lambda kv: kv[0].lower(),

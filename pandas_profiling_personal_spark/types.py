@@ -86,6 +86,7 @@ def is_float_type(dtype: T.DataType) -> bool:
 # --- optional content inference (one extra aggregation pass) ----------------------
 
 _BOOL_TOKENS = {"true", "false", "t", "f", "yes", "no", "y", "n", "1", "0"}
+_TRUE_TOKENS = {"true", "t", "yes", "y", "1"}
 
 
 def infer_variable_types(
@@ -143,3 +144,49 @@ def infer_variable_types(
         else:
             out[name] = vt
     return out
+
+
+def apply_inferred_types(
+    df: DataFrame,
+    base: dict[str, VariableType],
+    inferred: dict[str, VariableType],
+) -> DataFrame:
+    """Materialize content-inferred types as typed columns.
+
+    Downstream aggregates assume the column's Spark type matches its variable
+    type (``n_true`` casts to int, ``n_empty`` compares to ``''``): feeding a
+    raw string column reclassified as BOOLEAN/NUMERIC into them throws
+    CAST_INVALID_INPUT under ANSI mode (the Spark 4 default) or silently
+    miscounts with ANSI off. This projection rewrites exactly the reclassified
+    columns — the analogue of the reference pandas path, where visions
+    relations physically cast the series on inference
+    (reference: typeset_relations.py:39-101):
+
+      * string -> BOOLEAN: token map (null-preserving; inference already
+        proved every non-null value is a bool token)
+      * string -> NUMERIC: ``try_cast('double')`` (never raises, null on the
+        impossible-by-construction stragglers)
+      * numeric -> CATEGORICAL: ``cast('string')`` so empty/length/frequency
+        semantics apply cleanly
+    """
+    replaced = []
+    changed = False
+    for f in df.schema.fields:
+        name = f.name
+        c = F.col(f"`{name}`")
+        b, v = base.get(name), inferred.get(name)
+        if b is VariableType.CATEGORICAL and v is VariableType.BOOLEAN:
+            c = F.when(
+                c.isNotNull(), F.lower(F.trim(c)).isin(*sorted(_TRUE_TOKENS))
+            ).alias(name)
+            changed = True
+        elif b is VariableType.CATEGORICAL and v is VariableType.NUMERIC:
+            c = c.try_cast("double").alias(name)
+            changed = True
+        elif b is VariableType.NUMERIC and v is VariableType.CATEGORICAL:
+            c = c.cast("string").alias(name)
+            changed = True
+        else:
+            c = c.alias(name)
+        replaced.append(c)
+    return df.select(*replaced) if changed else df

@@ -25,6 +25,23 @@ def test_cluster_pairs_and_keep_list(spark):
     assert keep == {1: True, 2: False, 3: False, 10: True, 11: False, 20: True, 21: True}
 
 
+def test_cluster_pairs_long_chain_and_nonconvergence(spark):
+    import pytest as _pt
+
+    from pandas_profiling_personal_spark.operators.dedup import cluster_pairs
+
+    # diameter-15 chain: converges under the default cap (the old cap of 10
+    # silently returned non-minimum labels here)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "doc_a long, doc_b long"
+    )
+    labels = {r["doc_id"]: r["cluster_id"] for r in cluster_pairs(chain).collect()}
+    assert set(labels.values()) == {0}
+    # an insufficient cap must fail loudly, not return wrong labels
+    with _pt.raises(RuntimeError, match="did not converge"):
+        cluster_pairs(chain, max_iterations=3)
+
+
 def test_end_to_end_minhash_to_keep_list(spark):
     from pandas_profiling_personal_spark.operators.dedup import (
         dedup_keep_list,

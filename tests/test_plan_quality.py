@@ -73,6 +73,32 @@ def test_no_python_in_dedup_plans(spark):
         )
 
 
+def test_lsh_candidate_dedup_shuffles_ids_only(spark):
+    """The candidate .distinct() in the LSH ANN / embedding near-dup paths must
+    not carry vector payloads through the exchange (n_tables copies of every
+    embedding, ~6 KB/row at 768-d) — distinct on id pairs, re-join vectors."""
+    from pandas_profiling_personal_spark.operators.similarity import (
+        ann_topk_lsh,
+        embedding_near_duplicates,
+    )
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    emb = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.where(F.col("vec_id") < 2)
+    for df in (
+        ann_topk_lsh(emb, q, dim=dim, k=3),
+        embedding_near_duplicates(emb, dim=dim, threshold=0.9),
+    ):
+        p = _plan(df)
+        # distinct compiles to HashAggregate grouping keys == distinct columns;
+        # vector columns in the Keys list mean the payload rode the shuffle
+        for line in (l for l in p.splitlines() if "Keys" in l):
+            assert "__v" not in line and "__cv" not in line and "__qv" not in line, (
+                f"vector payload in distinct keys: {line}"
+            )
+
+
 def test_histogram_single_scan_all_columns(spark):
     from pandas_profiling_personal_spark.operators.histogram import histogram_all
     from pandas_profiling_personal_spark.sources.readers import read_parquet

@@ -113,6 +113,36 @@ def test_type_inference(spark):
     assert inferred["lowcard"] is VT.CATEGORICAL
 
 
+def test_profile_with_inference_ansi_safe(spark):
+    # ADVICE r1 (medium): inferred BOOLEAN/NUMERIC string columns must be cast
+    # before aggregation — n_true on raw 'yes' strings throws under ANSI (the
+    # Spark 4 default this session runs with) and miscounts with ANSI off.
+    rows = [
+        ("yes", "1.5", 1),
+        ("no", "2", 2),
+        ("t", "3.25", 1),
+        (None, None, 2),
+    ]
+    df = spark.createDataFrame(rows, "b string, n string, lowcard int")
+    r = profile(
+        df,
+        ProfileConfig(
+            exact=True, duplicates=False, correlations=(), infer_types=True
+        ),
+    )
+    b, n_, lc = r.variables["b"], r.variables["n"], r.variables["lowcard"]
+    assert b["type"] is VT.BOOLEAN
+    assert b["n_true"] == 2 and b["n_false"] == 1
+    assert b["n_missing"] == 1
+    assert n_["type"] is VT.NUMERIC
+    assert n_["mean"] == pytest.approx((1.5 + 2 + 3.25) / 3)
+    assert n_["min"] == pytest.approx(1.5) and n_["max"] == pytest.approx(3.25)
+    assert lc["type"] is VT.CATEGORICAL
+    assert lc["n_distinct"] == 2
+    # frequency pass sees the cast values too
+    assert {t["value"] for t in lc["top_values"]} == {"1", "2"}
+
+
 def test_boolean_and_datetime_describe(spark):
     import datetime as dt
 

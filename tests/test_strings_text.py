@@ -181,6 +181,22 @@ def test_ivf_topk_probes_and_recall(spark):
     assert hits & exact  # non-zero recall vs the exact scan
 
 
+def test_ivf_topk_string_ids(spark):
+    """Tie-break must not negate the id column — string ids are legal and the
+    unary minus on them throws under ANSI (ADVICE r1)."""
+    from pandas_profiling_personal_spark.operators.similarity import ivf_topk
+
+    rows = [
+        (f"doc-{i}", [float((i * 7 + j * 3) % 11) for j in range(8)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    q = df.where(F.col("vec_id").isin("doc-0", "doc-1"))
+    out = ivf_topk(df, q, k=3, n_cells=4, n_probe=4).collect()
+    assert out and all(1 <= r["rank"] <= 3 for r in out)
+    assert {r["query_id"] for r in out} == {"doc-0", "doc-1"}
+
+
 def test_read_table_csv_and_formats(spark, tmp_path):
     import pandas as pd
 
