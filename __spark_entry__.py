@@ -132,6 +132,23 @@ _SPECS: dict[str, tuple] = {
         P.scatter_query("lineitem", "l_quantity", "l_extendedprice", 16),
         P.scatter_sql("lineitem", "l_quantity", "l_extendedprice", 16),
     ),
+    "phik_contingency_lineitem": (
+        P.phik_contingency_query("lineitem", "l_quantity", "l_returnflag"),
+        P.phik_contingency_sql("lineitem", "l_quantity", "l_returnflag"),
+    ),
+    # φk value itself is a driver-side bisection over a bivariate-normal
+    # integral — not SQL-expressible; rows-only check (contingency is the
+    # oracle-checked distributed core above)
+    "phik_mixed_lineitem": (
+        P.phik_mixed_query(
+            "lineitem",
+            ["l_quantity", "l_extendedprice"],
+            ["l_returnflag", "l_linestatus"],
+        ),
+        None,
+    ),
+    "url_parts_events": (P.url_parts_query(), P.url_parts_sql()),
+    "path_parts_events": (P.path_parts_query(), P.path_parts_sql()),
     # --- training-data pipeline operators (documents / embeddings) -----------
     "text_profile_documents": (PP.text_profile_query(), PP.text_profile_sql()),
     "exact_dedup_documents": (
@@ -159,6 +176,9 @@ _SPECS: dict[str, tuple] = {
         PP.embedding_near_dup_query(0.4),
         PP.embedding_near_dup_sql(0.4),
     ),
+    # rows-only: LSH bucket membership depends on FP dot-product signs an
+    # independent engine can't reproduce bit-for-bit; recall is unit-tested
+    "ann_lsh_topk_embeddings": (PP.ann_lsh_topk_query(5, 5), None),
     "kendall_customer": (
         P.kendall_query("customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
         P.kendall_sql("customer", ["c_custkey", "c_nationkey", "c_acctbal"]),

@@ -84,30 +84,32 @@ def spearman_matrix(
     }
 
 
-def cramers_v(
-    df: DataFrame, col_a: str, col_b: str, bias_correction: bool = True
-) -> float | None:
-    """Cramér's V from a distributed contingency table + driver chi².
-
-    Gate on cardinality before calling (reference gates at
-    categorical_maximum_correlation_distinct=100)."""
-    ct = (
-        df.where(S.col(col_a).isNotNull() & S.col(col_b).isNotNull())
-        .groupBy(S.col(col_a).alias("a"), S.col(col_b).alias("b"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    if not ct:
+def _obs_matrix(
+    cells: "list[tuple]",
+) -> "tuple[list[list[float]], float] | None":
+    """(value_a, value_b, count) cells -> dense observation matrix + total n."""
+    if not cells:
         return None
-    a_vals = sorted({r["a"] for r in ct}, key=str)
-    b_vals = sorted({r["b"] for r in ct}, key=str)
-    r_idx = {v: i for i, v in enumerate(a_vals)}
-    c_idx = {v: i for i, v in enumerate(b_vals)}
-    rows, cols = len(a_vals), len(b_vals)
-    table = [[0.0] * cols for _ in range(rows)]
-    for rec in ct:
-        table[r_idx[rec["a"]]][c_idx[rec["b"]]] = float(rec["n"])
-    n = sum(map(sum, table))
+    a_vals = sorted({c[0] for c in cells}, key=str)
+    b_vals = sorted({c[1] for c in cells}, key=str)
+    ai = {v: i for i, v in enumerate(a_vals)}
+    bi = {v: i for i, v in enumerate(b_vals)}
+    obs = [[0.0] * len(b_vals) for _ in range(len(a_vals))]
+    for va, vb, n in cells:
+        obs[ai[va]][bi[vb]] = float(n)
+    return obs, sum(map(sum, obs))
+
+
+def _cramers_from_cells(
+    cells: "list[tuple]", bias_correction: bool = True
+) -> float | None:
+    """Driver-side Cramér's V from contingency cells
+    (reference chi² + Bergsma-Wicher correction: correlations.py:219-264)."""
+    m = _obs_matrix(cells)
+    if m is None:
+        return None
+    table, n = m
+    rows, cols = len(table), len(table[0])
     if n == 0 or rows < 2 or cols < 2:
         return None
     row_sum = [sum(t) for t in table]
@@ -121,7 +123,6 @@ def cramers_v(
     phi2 = chi2 / n
     r, k = rows, cols
     if bias_correction:
-        # reference: correlations.py:219-264 (Bergsma-Wicher correction)
         phi2 = max(0.0, phi2 - (k - 1) * (r - 1) / (n - 1))
         r = r - (r - 1) ** 2 / (n - 1)
         k = k - (k - 1) ** 2 / (n - 1)
@@ -129,6 +130,77 @@ def cramers_v(
     if denom <= 0:
         return None
     return math.sqrt(phi2 / denom)
+
+
+def cramers_v(
+    df: DataFrame, col_a: str, col_b: str, bias_correction: bool = True
+) -> float | None:
+    """Cramér's V from a distributed contingency table + driver chi².
+
+    Gate on cardinality before calling (reference gates at
+    categorical_maximum_correlation_distinct=100). For many pairs use
+    :func:`cramers_v_matrix` — one shuffle for the whole matrix."""
+    ct = (
+        df.where(S.col(col_a).isNotNull() & S.col(col_b).isNotNull())
+        .groupBy(S.col(col_a).alias("a"), S.col(col_b).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return _cramers_from_cells(
+        [(r["a"], r["b"], r["n"]) for r in ct], bias_correction
+    )
+
+
+def contingency_all_pairs(
+    df: DataFrame,
+    exprs: "dict[str, F.Column]",
+    pairs: "list[tuple[str, str]]",
+) -> "dict[tuple[str, str], list[tuple]]":
+    """Contingency cells for EVERY column pair in ONE shuffle.
+
+    ``exprs`` maps column name -> the (binned / stringified) cell expression.
+    Each input row explodes into one (pair_id, value_a, value_b) struct per
+    pair; ``groupBy(pair, va, vb).count()`` map-side-combines before the single
+    exchange — the same melt shape as the all-column value_counts pass (A1).
+    Driver transfer is Σ_pairs |cells(pair)|, bounded by the caller's
+    cardinality/bin gates, NOT by table size. Replaces the per-pair job loop
+    (one Spark job per pair — the reference's job-storm disease,
+    reference: correlations.py:219-264 driven per-pair from describe())."""
+    structs = [
+        F.struct(
+            F.lit(i).alias("pid"),
+            exprs[a].cast("string").alias("va"),
+            exprs[b].cast("string").alias("vb"),
+        )
+        for i, (a, b) in enumerate(pairs)
+    ]
+    cells = (
+        df.select(F.explode(F.array(*structs)).alias("kv"))
+        .select("kv.pid", "kv.va", "kv.vb")
+        .where(F.col("va").isNotNull() & F.col("vb").isNotNull())
+        .groupBy("pid", "va", "vb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    out: "dict[tuple[str, str], list[tuple]]" = {p: [] for p in pairs}
+    for r in cells:
+        out[pairs[r["pid"]]].append((r["va"], r["vb"], r["n"]))
+    return out
+
+
+def cramers_v_matrix(
+    df: DataFrame, columns: list[str], bias_correction: bool = True
+) -> "dict[tuple[str, str], float | None]":
+    """Cramér's V for every pair of ``columns`` in ONE contingency shuffle
+    (vs. one Spark job per pair). Gate the column list on cardinality first."""
+    pairs = list(combinations(columns, 2))
+    if not pairs:
+        return {}
+    exprs = {c: S.col(c).cast("string") for c in columns}
+    tables = contingency_all_pairs(df, exprs, pairs)
+    return {
+        p: _cramers_from_cells(tables[p], bias_correction) for p in pairs
+    }
 
 
 def cramers_v_df(
@@ -191,12 +263,8 @@ def phik(
     pedestal correction, so small samples read slightly high. The reference
     ships the whole table to one executor and calls the phik package
     (reference: correlations.py:456-521) — not reproducible in this
-    environment, and not distributed either."""
-    from pandas_profiling_personal_spark.functions.bvn import (
-        bvn_rect_prob,
-        norm_ppf,
-    )
-
+    environment, and not distributed either. For many pairs (and mixed-type
+    matrices) use :func:`phik_matrix` — constant job count."""
     a, b = S.col(col_a), S.col(col_b)
     d = df.where(a.isNotNull() & b.isNotNull())
 
@@ -220,19 +288,25 @@ def phik(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
-    if not ct:
+    return _phik_from_cells([(r["ba"], r["bb"], r["n"]) for r in ct])
+
+
+def _phik_from_cells(cells: "list[tuple]") -> float | None:
+    """Driver-side φk from contingency cells: Pearson χ² of the table, then
+    bisection-invert the χ²(ρ) curve of a discretized bivariate normal with
+    the same marginals (:mod:`...functions.bvn`)."""
+    from pandas_profiling_personal_spark.functions.bvn import (
+        bvn_rect_prob,
+        norm_ppf,
+    )
+
+    m = _obs_matrix(cells)
+    if m is None:
         return None
-    a_vals = sorted({r["ba"] for r in ct}, key=str)
-    b_vals = sorted({r["bb"] for r in ct}, key=str)
-    ra, kb = len(a_vals), len(b_vals)
-    if ra < 2 or kb < 2:
+    obs, n = m
+    ra, kb = len(obs), len(obs[0])
+    if ra < 2 or kb < 2 or n <= 0:
         return None
-    ai = {v: i for i, v in enumerate(a_vals)}
-    bi = {v: i for i, v in enumerate(b_vals)}
-    obs = [[0.0] * kb for _ in range(ra)]
-    for r in ct:
-        obs[ai[r["ba"]]][bi[r["bb"]]] = float(r["n"])
-    n = sum(map(sum, obs))
     row_p = [sum(row) / n for row in obs]
     col_p = [sum(obs[i][j] for i in range(ra)) / n for j in range(kb)]
     chi2_obs = 0.0
@@ -277,6 +351,74 @@ def phik(
         else:
             hi = mid
     return (lo + hi) / 2.0
+
+
+def quantile_bin_exprs(
+    df: DataFrame,
+    numeric_cols: list[str],
+    bins: int = 10,
+    relative_error: float = 0.001,
+    exact: bool = False,
+) -> "dict[str, F.Column]":
+    """Null-preserving quantile-bucket expressions for ALL numeric columns,
+    with the edges computed in ONE aggregation pass (vs. one collect per
+    column). The reference bins interval variables into 10 quantile bins
+    before φk (reference: correlations.py:423-470). ``exact=True`` uses the
+    exact interpolating ``percentile`` (oracle tier — same definition as
+    DuckDB ``quantile_cont``); default is GK ``percentile_approx``."""
+    if not numeric_cols:
+        return {}
+    qs = [i / bins for i in range(1, bins)]
+    if exact:
+        edge_exprs = [
+            F.percentile(S.col(c), F.lit(qs)).alias(f"e{i}")
+            for i, c in enumerate(numeric_cols)
+        ]
+    else:
+        edge_exprs = [
+            F.percentile_approx(
+                S.col(c), F.lit(qs), F.lit(int(1.0 / relative_error))
+            ).alias(f"e{i}")
+            for i, c in enumerate(numeric_cols)
+        ]
+    agg = df.agg(*edge_exprs).collect()[0]
+    out: "dict[str, F.Column]" = {}
+    for i, cname in enumerate(numeric_cols):
+        c = S.col(cname)
+        edges = sorted(set(e for e in (agg[f"e{i}"] or []) if e is not None))
+        if not edges:
+            out[cname] = F.when(c.isNotNull(), F.lit(0))
+            continue
+        expr = F.lit(len(edges))
+        for j in range(len(edges) - 1, -1, -1):
+            expr = F.when(c <= F.lit(float(edges[j])), j).otherwise(expr)
+        # null input must stay null (the when-chain would otherwise fall
+        # through to the last bucket), so each pair's null filter still works
+        out[cname] = F.when(c.isNotNull(), expr)
+    return out
+
+
+def phik_matrix(
+    df: DataFrame,
+    numeric_cols: list[str],
+    categorical_cols: list[str] | None = None,
+    bins: int = 10,
+) -> "dict[tuple[str, str], float | None]":
+    """φk for every pair across numeric AND categorical columns — the
+    reference's mixed-type semantics (interval variables quantile-binned,
+    categoricals as-is; reference: correlations.py:423-521) in TWO Spark jobs
+    total: one edges pass + one all-pairs contingency shuffle, however many
+    columns there are. Gate categorical columns on cardinality first."""
+    categorical_cols = categorical_cols or []
+    exprs = quantile_bin_exprs(df, numeric_cols, bins)
+    for c in categorical_cols:
+        exprs[c] = S.col(c).cast("string")
+    cols = [c for c in (*numeric_cols, *categorical_cols)]
+    pairs = list(combinations(cols, 2))
+    if not pairs:
+        return {}
+    tables = contingency_all_pairs(df, exprs, pairs)
+    return {p: _phik_from_cells(tables[p]) for p in pairs}
 
 
 def kendall_tau_b(x, y) -> float:

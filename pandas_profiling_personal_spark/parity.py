@@ -607,6 +607,82 @@ FROM agg, rk
 """
 
 
+def phik_contingency_query(
+    table: str, num_col: str, cat_col: str, bins: int = 10
+) -> QueryFn:
+    """The distributed core of mixed-type φk (C5): quantile-bin the interval
+    column (exact deciles) and produce the (bucket, category, n) contingency
+    the driver-side χ²/inversion consumes. The φk VALUE itself is a bisection
+    over a bivariate-normal integral — not SQL-expressible — so the oracle
+    checks the contingency, which is where all the distributed work happens
+    (reference mixed-type semantics: correlations.py:423-521)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.correlations import (
+            quantile_bin_exprs,
+        )
+
+        df = load(spark, sf_dir, table)
+        nc, cc = S.col(num_col), S.col(cat_col)
+        bucket = quantile_bin_exprs(df, [num_col], bins, exact=True)[num_col]
+        return (
+            df.where(nc.isNotNull() & cc.isNotNull())
+            .groupBy(
+                bucket.cast("bigint").alias("bucket"),
+                cc.alias("category"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    return fn
+
+
+def phik_contingency_sql(
+    table: str, num_col: str, cat_col: str, bins: int = 10
+) -> str:
+    # bucket j = number of DISTINCT edges strictly below the value — identical
+    # to the Spark when-chain (first edge with value <= edge). quantile_cont
+    # and Spark's exact `percentile` share the same interpolation definition.
+    qs = ", ".join(str(i / bins) for i in range(1, bins))
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT unnest(quantile_cont({num_col}, [{qs}])) AS e FROM {table}
+  WHERE {num_col} IS NOT NULL
+),
+b AS (
+  SELECT {cat_col} AS category,
+         (SELECT count(*) FROM edges WHERE e < t.{num_col}) AS bucket
+  FROM {table} t
+  WHERE {num_col} IS NOT NULL AND {cat_col} IS NOT NULL
+)
+SELECT bucket, category, count(*) AS n FROM b GROUP BY 1, 2
+"""
+
+
+def phik_mixed_query(
+    table: str, num_cols: list[str], cat_cols: list[str], bins: int = 10
+) -> QueryFn:
+    """Full mixed-type φk matrix as (col_a, col_b, phik) rows — batched
+    contingency + driver inversion; rows-only check (value is iterative)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.correlations import (
+            phik_matrix,
+        )
+
+        m = phik_matrix(load(spark, sf_dir, table), num_cols, cat_cols, bins)
+        rows = [
+            (a, b, float(v) if v is not None else None)
+            for (a, b), v in sorted(m.items())
+        ]
+        raw = spark.createDataFrame(
+            rows, "col_a string, col_b string, phik double"
+        )
+        return raw.select("col_a", "col_b", _r(F.col("phik")).alias("phik"))
+
+    return fn
+
+
 # --------------------------------------------------------------------------------
 # Spearman rank correlation (C2) — average ranks via windows, then Pearson
 # --------------------------------------------------------------------------------
@@ -654,6 +730,98 @@ def spearman_sql(table: str, cols: list[str]) -> str:
         f"WITH rk AS (SELECT {ranks} FROM {table}),\n"
         f"agg AS (SELECT {corrs} FROM rk)\n" + "\nUNION ALL ".join(selects)
     )
+
+
+# --------------------------------------------------------------------------------
+# URL / path decomposition (A17 / A18) — synthesized deterministic columns
+# (testdata has no URL column; both sides build the same string from events)
+# --------------------------------------------------------------------------------
+
+_URL_SPARK = (
+    "concat('https://', coalesce(event_type, 'none'), '.example.com/u/', "
+    "cast(coalesce(user_id, -1) as string), '/e?id=', "
+    "cast(coalesce(event_id, -9) as string), '#s', "
+    "cast(coalesce(event_id, -9) % 7 as string))"
+)
+_URL_DUCK = (
+    "'https://' || coalesce(event_type, 'none') || '.example.com/u/' || "
+    "CAST(coalesce(user_id, -1) AS VARCHAR) || '/e?id=' || "
+    "CAST(coalesce(event_id, -9) AS VARCHAR) || '#s' || "
+    "CAST(coalesce(event_id, -9) % 7 AS VARCHAR)"
+)
+
+
+def url_parts_query(table: str = "events") -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.strings import url_parts
+
+        df = load(spark, sf_dir, table).withColumn("url", F.expr(_URL_SPARK))
+        return url_parts(df, "url").select(
+            "part", "value", F.col("count").alias("cnt")
+        )
+
+    return fn
+
+
+def url_parts_sql(table: str = "events") -> str:
+    return f"""
+WITH u AS (SELECT {_URL_DUCK} AS url FROM {table}),
+parts AS (
+  SELECT 'protocol' AS part, regexp_extract(url, '^([a-z]+)://', 1) AS value FROM u
+  UNION ALL
+  SELECT 'host', regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) FROM u
+  UNION ALL
+  SELECT 'path', regexp_extract(url, '^[a-z]+://[^/?#]*(/[^?#]*)', 1) FROM u
+  UNION ALL
+  SELECT 'query', regexp_extract(url, '\\?([^#]*)', 1) FROM u
+  UNION ALL
+  SELECT 'ref', regexp_extract(url, '#(.*)$', 1) FROM u
+)
+SELECT part, value, count(*) AS cnt FROM parts GROUP BY 1, 2
+"""
+
+
+_PATH_SPARK = (
+    "concat('/data/', coalesce(event_type, 'none'), '/', "
+    "cast(coalesce(user_id, -1) as string), '/', "
+    "cast(coalesce(event_id, -9) as string), '.json')"
+)
+_PATH_DUCK = (
+    "'/data/' || coalesce(event_type, 'none') || '/' || "
+    "CAST(coalesce(user_id, -1) AS VARCHAR) || '/' || "
+    "CAST(coalesce(event_id, -9) AS VARCHAR) || '.json'"
+)
+
+
+def path_parts_query(table: str = "events") -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.strings import path_parts
+
+        df = load(spark, sf_dir, table).withColumn("path", F.expr(_PATH_SPARK))
+        return path_parts(df, "path").select(
+            "part", "value", F.col("count").alias("cnt")
+        )
+
+    return fn
+
+
+def path_parts_sql(table: str = "events") -> str:
+    return f"""
+WITH p AS (SELECT {_PATH_DUCK} AS path FROM {table}),
+named AS (SELECT path, regexp_extract(path, '([^/]*)$', 1) AS name FROM p),
+parts AS (
+  SELECT 'parent' AS part, regexp_extract(path, '^(.*)/[^/]*$', 1) AS value FROM named
+  UNION ALL
+  SELECT 'name', name FROM named
+  UNION ALL
+  SELECT 'stem', regexp_extract(name, '^(.*?)(?:\\.[^.]*)?$', 1) FROM named
+  UNION ALL
+  SELECT 'suffix', regexp_extract(name, '(\\.[^.]*)$', 1) FROM named
+  UNION ALL
+  SELECT 'anchor', CASE WHEN path LIKE '/%' THEN '/' ELSE '' END FROM named
+)
+SELECT part, value, count(*) AS cnt FROM parts GROUP BY 1, 2
+"""
 
 
 # --------------------------------------------------------------------------------

@@ -296,6 +296,23 @@ QUALIFY rank <= {k}
 """
 
 
+def ann_lsh_topk_query(k: int = 5, n_queries: int = 5) -> QueryFn:
+    """Hyperplane-LSH ANN (rows-only check: the sign-bit signatures hinge on
+    FP dot-product signs at the bucket boundary, which an independent engine
+    cannot be guaranteed to reproduce bit-for-bit; recall vs the exact scan is
+    unit-tested instead — tests/test_strings_text.py)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = load(spark, sf_dir, "embeddings")
+        dim = len(emb.select("embedding").first()[0])
+        queries = emb.where(F.col("vec_id") < n_queries)
+        return SIM.ann_topk_lsh(
+            emb, queries, dim, "vec_id", "embedding", k, n_planes=10, n_tables=4
+        )
+
+    return fn
+
+
 def embedding_near_dup_query(threshold: float = 0.4, max_id: int = 800) -> QueryFn:
     """Brute-force (exact) near-dup pairs, bounded to ``vec_id < max_id`` so the
     oracle query stays quadratic-in-a-constant at any benchmark scale factor

@@ -305,25 +305,22 @@ def profile(
             correlations["spearman"] = _matrix_dict(C.spearman_matrix(df, num_cols))
         if "kendall" in cfg.correlations and len(num_cols) >= 2:
             correlations["kendall"] = _matrix_dict(C.kendall_matrix(df, num_cols))
-        if "phik" in cfg.correlations and len(num_cols) >= 2:
-            ph = {}
-            for i, a in enumerate(num_cols):
-                for b in num_cols[i + 1 :]:
-                    ph[(a, b)] = C.phik(df, a, b)
+        # bounded-cardinality categorical columns, usable by cramers AND phik
+        gated_cat_cols = [
+            c for c, vt in types.items()
+            if vt is VT.CATEGORICAL
+            and 2 <= (variables[c].get("n_distinct") or 0)
+            <= cfg.categorical_maximum_correlation_distinct
+        ]
+        if "phik" in cfg.correlations and len(num_cols) + len(gated_cat_cols) >= 2:
+            # mixed-type φk (reference: correlations.py:423-521), batched:
+            # one quantile-edges pass + ONE contingency shuffle for all pairs
+            ph = C.phik_matrix(df, num_cols, gated_cat_cols)
             if ph:
                 correlations["phik"] = _matrix_dict(ph)
-        if "cramers" in cfg.correlations:
-            cat_cols = [
-                c for c, vt in types.items()
-                if vt is VT.CATEGORICAL
-                and (variables[c].get("n_distinct") or 0)
-                <= cfg.categorical_maximum_correlation_distinct
-                and (variables[c].get("n_distinct") or 0) >= 2
-            ]
-            cv = {}
-            for i, a in enumerate(cat_cols):
-                for b in cat_cols[i + 1 :]:
-                    cv[(a, b)] = C.cramers_v(df, a, b)
+        if "cramers" in cfg.correlations and len(gated_cat_cols) >= 2:
+            # one contingency shuffle for the whole matrix, not one job/pair
+            cv = C.cramers_v_matrix(df, gated_cat_cols)
             if cv:
                 correlations["cramers"] = _matrix_dict(cv)
 

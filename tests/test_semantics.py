@@ -303,3 +303,83 @@ def test_cramers_v_perfect_association(spark):
     # F4: Cramer's V = 1.0 for perfect association (bias-corrected slightly less)
     v = cramers_v(df, "x", "y", bias_correction=False)
     assert v == pytest.approx(1.0)
+
+
+def test_cramers_matrix_matches_per_pair(spark):
+    """The batched one-shuffle matrix must agree with the per-pair path."""
+    from pandas_profiling_personal_spark.operators.correlations import (
+        cramers_v,
+        cramers_v_matrix,
+    )
+
+    rows = [
+        ("a", "x", "p", None),
+        ("a", "y", "q", "m"),
+        ("b", "x", "p", "m"),
+        ("b", "y", "q", "n"),
+        ("a", "x", "q", "n"),
+        ("b", "y", "p", "m"),
+    ] * 5
+    df = spark.createDataFrame(rows, "c1 string, c2 string, c3 string, c4 string")
+    cols = ["c1", "c2", "c3", "c4"]
+    m = cramers_v_matrix(df, cols)
+    from itertools import combinations as _cb
+
+    for a, b in _cb(cols, 2):
+        assert m[(a, b)] == pytest.approx(cramers_v(df, a, b), abs=1e-12)
+
+
+def test_phik_mixed_types(spark):
+    """Mixed interval x categorical φk — the reference's semantics: strong
+    association must read high, independence low, in one batched pass."""
+    import random
+
+    from pandas_profiling_personal_spark.operators.correlations import phik_matrix
+
+    rng = random.Random(11)
+    rows = []
+    for _ in range(4000):
+        x = rng.gauss(0, 1)
+        dep = "lo" if x < -0.4 else ("mid" if x < 0.4 else "hi")
+        indep = rng.choice(["r", "s", "t"])
+        rows.append((x, dep, indep))
+    df = spark.createDataFrame(rows, "x double, dep string, ind string")
+    m = phik_matrix(df, ["x"], ["dep", "ind"])
+    assert m[("x", "dep")] > 0.85
+    assert m[("x", "ind")] < 0.25
+    assert m[("dep", "ind")] < 0.25
+
+
+def test_profile_correlations_constant_job_count(spark):
+    """VERDICT r1 #2: cramers+phik over many categorical columns must run a
+    CONSTANT number of Spark jobs (batched contingency), not one per pair."""
+    import random
+
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+
+    rng = random.Random(3)
+    n_cols = 12  # 66 pairs — the old per-pair path would run >130 jobs
+    rows = [
+        tuple(rng.choice("abc") for _ in range(n_cols)) for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, ", ".join(f"c{i} string" for i in range(n_cols))
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("corr-job-count", "profile with batched correlations")
+    try:
+        r = profile(
+            df,
+            ProfileConfig(
+                exact=True, duplicates=False, correlations=("cramers", "phik")
+            ),
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("corr-job-count")
+    assert len(r.correlations["cramers"]) == n_cols
+    assert len(r.correlations["phik"]) == n_cols
+    # whole profile: 5 passes + inference-free extras + 1 cramers contingency
+    # + 1 phik contingency (no numeric cols -> no edges pass). Generous bound,
+    # but far under the ~132 the per-pair loops would issue.
+    assert len(jobs) <= 20, f"expected O(1) jobs, got {len(jobs)}"
