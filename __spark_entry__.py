@@ -168,6 +168,10 @@ _SPECS: dict[str, tuple] = {
         PP.jaccard_pairs_sql(0.1),
     ),
     "simhash_documents": (PP.simhash_query(32), PP.simhash_sql(32)),
+    "media_metadata_documents": (
+        PP.media_metadata_query(),
+        PP.media_metadata_sql(),
+    ),
     "cosine_topk_embeddings": (
         PP.cosine_topk_query(5, 5),
         PP.cosine_topk_sql(5, 5),

@@ -64,6 +64,38 @@ def _fake_decode(data: bytes) -> tuple[int, int, bool]:
     return width, height, truncated
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _real_decode(data: bytes) -> tuple[str | None, int | None, int | None, bool]:
+    """PIL decode: (format, width, height, truncated) — the reference's image
+    dimensions/truncation analysis (reference: summary_helpers_image.py:1-114)
+    as a per-object kernel. Caller guarantees PIL is importable."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    try:
+        img = Image.open(BytesIO(data))
+        fmt = (img.format or "unknown").lower()
+        width, height = img.size
+        truncated = False
+        try:
+            img.load()
+        except Exception:
+            truncated = True
+        return fmt, width, height, truncated
+    except Exception:
+        # not an image PIL recognizes — keep the magic-bytes sniff for format
+        return None, None, None, False
+
+
 def media_metadata(
     df: DataFrame,
     binary_col: str,
@@ -73,7 +105,24 @@ def media_metadata(
     """Append a ``meta`` struct column decoded from ``binary_col``.
 
     Arrow-batched ``mapInPandas``: bytes never round-trip through Python row by
-    row. ``decoder="real"`` marks where PIL/libav belongs."""
+    row. Decoders:
+
+    * ``"fake"`` — deterministic pseudo-metadata (test tier; n_bytes, format
+      sniff and content_hash are REAL, width/height/truncated are derived)
+    * ``"real"`` — PIL dimensions/format/truncation
+      (reference: summary_helpers_image.py:1-114); raises ``ImportError``
+      up-front if PIL is absent
+    * ``"auto"`` — ``"real"`` when PIL imports, else ``"fake"`` (the
+      dependency-optional tier; resolved once on the driver so every executor
+      runs the same kernel)
+    """
+    if decoder == "auto":
+        decoder = "real" if _pil_available() else "fake"
+    if decoder == "real" and not _pil_available():
+        raise ImportError(
+            "media_metadata(decoder='real') needs Pillow; install it or use "
+            "decoder='auto' to fall back to the deterministic fake tier"
+        )
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField("meta", MEDIA_META_SCHEMA)]
     )
@@ -87,15 +136,15 @@ def media_metadata(
                     continue
                 data = bytes(data)
                 if decoder == "real":
-                    raise NotImplementedError(
-                        "image/audio decode libraries are not available in this "
-                        "environment; plug PIL/libav here"
-                    )
-                width, height, truncated = _fake_decode(data)
+                    fmt, width, height, truncated = _real_decode(data)
+                    fmt = fmt or _sniff_format(data)
+                else:
+                    width, height, truncated = _fake_decode(data)
+                    fmt = _sniff_format(data)
                 metas.append(
                     {
                         "n_bytes": len(data),
-                        "format": _sniff_format(data),
+                        "format": fmt,
                         "width": width,
                         "height": height,
                         "truncated": truncated,

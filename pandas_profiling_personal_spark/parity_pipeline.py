@@ -296,6 +296,48 @@ QUALIFY rank <= {k}
 """
 
 
+def media_metadata_query() -> QueryFn:
+    """A20 plumbing, oracle-checked on its engine-independent columns: the
+    documents' text bytes as an opaque binary column through the Arrow-batched
+    mapInPandas decode pass; n_bytes / format-sniff / content_hash are exact
+    byte facts DuckDB reproduces (width/height/truncated are decoder-tier
+    outputs, excluded — see operators/multimodal.py)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.multimodal import (
+            media_metadata,
+        )
+
+        df = (
+            load(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull())
+            .select("doc_id", F.col("text").cast("binary").alias("blob"))
+        )
+        meta = media_metadata(df, "blob", decoder="fake")
+        return meta.select(
+            "doc_id",
+            F.col("meta.n_bytes").alias("n_bytes"),
+            F.col("meta.format").alias("format"),
+            F.col("meta.content_hash").alias("content_hash"),
+        )
+
+    return fn
+
+
+def media_metadata_sql() -> str:
+    # magic-byte sniff limited to prefixes expressible in valid UTF-8 text
+    # (jpeg/png/mp4 magics cannot begin a UTF-8 string)
+    return """
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       CASE WHEN text LIKE 'GIF8%' THEN 'gif'
+            WHEN text LIKE 'RIFF%' THEN 'riff'
+            ELSE 'unknown' END AS format,
+       md5(text) AS content_hash
+FROM documents WHERE text IS NOT NULL
+"""
+
+
 def ann_lsh_topk_query(k: int = 5, n_queries: int = 5) -> QueryFn:
     """Hyperplane-LSH ANN (rows-only check: the sign-bit signatures hinge on
     FP dot-product signs at the bucket boundary, which an independent engine

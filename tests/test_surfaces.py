@@ -39,8 +39,9 @@ def test_media_metadata_plumbing(spark, media_df):
     assert again[1] == by_id[1]
 
 
-def test_media_profile_and_real_decoder_stub(spark, media_df):
+def test_media_profile_and_real_decoder_gate(spark, media_df):
     from pandas_profiling_personal_spark.operators.multimodal import (
+        _pil_available,
         media_metadata,
         media_profile,
     )
@@ -49,8 +50,49 @@ def test_media_profile_and_real_decoder_stub(spark, media_df):
     assert prof["n"] == 4
     assert prof["formats"]["png"] == 2
     assert prof["n_duplicate_contents"] == 1
-    with pytest.raises(Exception, match="NotImplementedError|decode"):
-        media_metadata(media_df, "content", decoder="real").collect()
+    if not _pil_available():
+        # real tier must fail up-front (driver-side), not mid-job
+        with pytest.raises(ImportError, match="Pillow"):
+            media_metadata(media_df, "content", decoder="real")
+        # auto tier must fall back to the deterministic fake decoder
+        out = {
+            r["id"]: r["meta"]
+            for r in media_metadata(media_df, "content", decoder="auto").collect()
+        }
+        assert out[1]["format"] == "jpeg" and out[1]["width"] is not None
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "pandas_profiling_personal_spark.operators.multimodal",
+        fromlist=["_pil_available"],
+    )._pil_available(),
+    reason="Pillow not installed in this environment",
+)
+def test_media_metadata_real_decoder_pil(spark):
+    """Real-tier decode: a valid 1x1 PNG produced by PIL itself must come back
+    with exact dimensions and truncated=False."""
+    import io
+
+    from PIL import Image
+
+    from pandas_profiling_personal_spark.operators.multimodal import media_metadata
+
+    buf = io.BytesIO()
+    Image.new("RGB", (3, 2)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, buf.getvalue())],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    meta = media_metadata(df, "content", decoder="real").collect()[0]["meta"]
+    assert meta["format"] == "png"
+    assert (meta["width"], meta["height"]) == (3, 2)
+    assert meta["truncated"] is False
 
 
 def test_sample_frames(spark, media_df):
