@@ -31,6 +31,17 @@ class ProfileConfig:
     top_k: int = 10
     #: extreme observations kept per end (reference: n_extreme_obs=10)
     n_extreme_obs: int = 10
+    #: compute bottom/top-N extreme observations for numeric+datetime columns
+    #: (rides the pass-2 value-counts cache — no extra table scan)
+    extreme_obs: bool = True
+    #: bucketed 2-D interaction densities for numeric column pairs
+    #: (reference renders scatter/hexbin for all continuous pairs,
+    #: report/structure/report.py:187-226). One batched shuffle for ALL pairs;
+    #: row expansion is quadratic in column count, so capped by
+    #: ``interactions_max_cols`` and off in the default tier.
+    interactions: bool = False
+    interactions_max_cols: int = 10
+    interactions_bins: int = 24
 
     # --- histograms ---------------------------------------------------------------
     #: 0 = auto bins via Freedman-Diaconis/Sturges on the driver

@@ -101,23 +101,70 @@ def top_k_all(
     return top_k_counts(value_counts_all(df, columns), k)
 
 
+def extreme_counts(
+    vc: DataFrame, n: int, numeric_columns: list[str], salt_buckets: int = 64
+) -> DataFrame:
+    """Bottom-N / top-N values *by value* per column from a (column, value, count)
+    frequency table (K5 — reference: frequency_table_utils.py:82-117 slices the
+    sorted value_counts index).
+
+    ``numeric_columns`` are ranked on ``cast(value as double)``; everything else
+    ranks lexically (ISO dates/timestamps sort chronologically as strings). Same
+    salted two-phase shape as :func:`top_k_counts` so no column ever funnels its
+    whole frequency table through one partition. Output: (column, value, count,
+    end ∈ {'min','max'}, rank)."""
+    num_set = set(numeric_columns)
+    sort_key = F.when(
+        F.col("column").isin(*num_set) if num_set else F.lit(False),
+        F.col("value").cast("double"),
+    )
+    ranked = vc.withColumn("__num", sort_key).withColumn(
+        "__salt", F.abs(F.hash("value")) % salt_buckets
+    )
+    out = []
+    for end, order in (
+        ("min", lambda: [F.asc("__num"), F.asc("value")]),
+        ("max", lambda: [F.desc("__num"), F.desc("value")]),
+    ):
+        salted = Window.partitionBy("column", "__salt").orderBy(*order())
+        final = Window.partitionBy("column").orderBy(*order())
+        out.append(
+            ranked.withColumn("__r1", F.row_number().over(salted))
+            .where(F.col("__r1") <= n)
+            .withColumn("rank", F.row_number().over(final))
+            .where(F.col("rank") <= n)
+            .select("column", "value", "count", F.lit(end).alias("end"), "rank")
+        )
+    return out[0].unionByName(out[1])
+
+
 def frequency_summary(
     df: DataFrame,
     columns: list[str] | None = None,
     k: int = 10,
-) -> tuple[dict[str, dict], dict[str, list[tuple[str, int]]]]:
+    n_extreme: int = 0,
+    extreme_numeric: list[str] | None = None,
+    extreme_cols: list[str] | None = None,
+) -> tuple[
+    dict[str, dict],
+    dict[str, list[tuple[str, int]]],
+    dict[str, dict[str, list[tuple[str, int]]]],
+]:
     """Driver-side convenience: one job computing, per column, exact
-    ``n_distinct``/``n_unique`` and the top-K value list.
+    ``n_distinct``/``n_unique``, the top-K value list, and (when ``n_extreme`` > 0)
+    the bottom/top-``n_extreme`` values by magnitude — all off ONE raw-table scan.
 
-    Returns ``({column: {n_distinct, n_unique}}, {column: [(value, count), ...]})``.
+    Returns ``({column: {n_distinct, n_unique}},
+    {column: [(value, count), ...]},
+    {column: {'min': [(value, count), ...], 'max': [...]}})``.
     """
     from pyspark import StorageLevel
 
     columns = columns or df.columns
     # ONE raw-table scan producing the per-column counts; cache the (much smaller)
-    # counts, then two cheap jobs over the cache: a combine-friendly groupBy for
-    # exact distinct/unique, and the salted two-phase top-K (no full per-column
-    # sort anywhere).
+    # counts, then cheap jobs over the cache: a combine-friendly groupBy for
+    # exact distinct/unique, the salted two-phase top-K, and (optionally) the
+    # extreme-observation ranks (no full per-column sort anywhere).
     vc = value_counts_all(df, columns).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         du_rows = (
@@ -131,6 +178,17 @@ def frequency_summary(
             .collect()
         )
         top_rows = top_k_counts(vc, k).collect()
+        if n_extreme > 0:
+            evc = (
+                vc.where(F.col("column").isin(*extreme_cols))
+                if extreme_cols
+                else vc
+            )
+            ext_rows = extreme_counts(
+                evc, n_extreme, extreme_numeric or []
+            ).collect()
+        else:
+            ext_rows = []
     finally:
         vc.unpersist()
     scalars: dict[str, dict] = {
@@ -144,4 +202,9 @@ def frequency_summary(
     tops: dict[str, list[tuple[str, int]]] = {c: [] for c in columns}
     for r in sorted(top_rows, key=lambda r: (r["column"], r["rank"])):
         tops[r["column"]].append((r["value"], r["count"]))
-    return scalars, tops
+    extremes: dict[str, dict[str, list[tuple[str, int]]]] = {}
+    for r in sorted(ext_rows, key=lambda r: (r["column"], r["end"], r["rank"])):
+        extremes.setdefault(r["column"], {"min": [], "max": []})[r["end"]].append(
+            (r["value"], r["count"])
+        )
+    return scalars, tops, extremes

@@ -38,6 +38,66 @@ def scatter_counts(
     )
 
 
+def scatter_all(
+    df: DataFrame,
+    ranges: dict[str, tuple[float, float]],
+    bins: int = 24,
+) -> dict[tuple[str, str], list[dict]]:
+    """Bucketed 2-D densities for EVERY pair of the given columns in ONE shuffle.
+
+    The reference computes one scatter per pair sequentially (one Spark job per
+    plot — reference: summary.py:463-509); here all pairs ride a single
+    explode + groupBy: bucket indexes are computed once per column in a narrow
+    projection, pairs are melted to (x_col, y_col, xb, yb) structs, and map-side
+    partial aggregation compresses each partition to ≤ pairs·bins² rows before
+    the exchange. Row expansion is quadratic in column count — callers cap the
+    column list (config.interactions_max_cols).
+
+    Returns {(x, y): [{x_bucket, y_bucket, cnt}, ...]} for x < y; driver
+    transfer ≤ pairs·bins²."""
+    from itertools import combinations
+
+    cols = list(ranges)
+    if len(cols) < 2:
+        return {}
+    proj = df.select(
+        *[
+            S.bucket_index(
+                S.col(c).cast("double"),
+                F.lit(float(ranges[c][0])),
+                F.lit(float(ranges[c][1])),
+                bins,
+            ).alias(f"__b_{i}")
+            for i, c in enumerate(cols)
+        ]
+    )
+    structs = [
+        F.struct(
+            F.lit(a).alias("x_col"),
+            F.lit(b).alias("y_col"),
+            F.col(f"__b_{i}").alias("xb"),
+            F.col(f"__b_{j}").alias("yb"),
+        )
+        for (i, a), (j, b) in combinations(enumerate(cols), 2)
+    ]
+    grid = (
+        proj.select(F.explode(F.array(*structs)).alias("kv"))
+        .select("kv.*")
+        .where(F.col("xb").isNotNull() & F.col("yb").isNotNull())
+        .groupBy("x_col", "y_col", "xb", "yb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    out: dict[tuple[str, str], list[dict]] = {}
+    for r in grid:
+        out.setdefault((r["x_col"], r["y_col"]), []).append(
+            {"x_bucket": r["xb"], "y_bucket": r["yb"], "cnt": r["cnt"]}
+        )
+    for v in out.values():
+        v.sort(key=lambda d: (d["x_bucket"], d["y_bucket"]))
+    return out
+
+
 def pair_counts(df: DataFrame, x: str, y: str) -> DataFrame:
     """Raw (x, y, cnt) — the reference's exact shape, for low-cardinality
     pairs (reference: summary.py:496-509)."""

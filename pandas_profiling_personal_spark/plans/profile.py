@@ -63,6 +63,7 @@ class ProfileResult:
     missing: dict[str, Any]
     sample: dict[str, Any]
     duplicates: list[dict[str, Any]]
+    scatter: dict[str, Any] = field(default_factory=dict)
     alerts: list[dict[str, Any]] = field(default_factory=list)
     analysis: dict[str, Any] = field(default_factory=dict)
     package: dict[str, Any] = field(default_factory=dict)
@@ -76,6 +77,7 @@ class ProfileResult:
             "missing": self.missing,
             "sample": self.sample,
             "duplicates": self.duplicates,
+            "scatter": self.scatter,
             "alerts": self.alerts,
             "package": self.package,
         }
@@ -168,7 +170,25 @@ def profile(
         fetch_k = min(
             max(cfg.top_k, cfg.cardinality_threshold + 1), cfg.driver_value_limit
         )
-        scalars, tops = FQ.frequency_summary(df, freq_cols, fetch_k)
+        # extreme observations (K5) ride the same cached value-counts exchange:
+        # numeric columns rank on the cast value, datetimes lexically (ISO order)
+        ext_cols = [
+            c for c, vt in types.items() if vt in (VT.NUMERIC, VT.DATETIME)
+        ]
+        scalars, tops, extremes = FQ.frequency_summary(
+            df,
+            freq_cols,
+            fetch_k,
+            n_extreme=cfg.n_extreme_obs if cfg.extreme_obs else 0,
+            extreme_numeric=[c for c in ext_cols if types[c] is VT.NUMERIC],
+            extreme_cols=ext_cols,
+        )
+        for cname, ext in extremes.items():
+            if cname in ext_cols:
+                variables[cname]["extreme_obs"] = {
+                    end: [{"value": v, "count": cnt} for v, cnt in vals]
+                    for end, vals in ext.items()
+                }
         for cname, s in scalars.items():
             v = variables[cname]
             v["n_distinct"] = s["n_distinct"]
@@ -324,6 +344,32 @@ def profile(
             if cv:
                 correlations["cramers"] = _matrix_dict(cv)
 
+        # interactions (C7) — bucketed 2-D densities for every numeric pair in
+        # ONE batched shuffle (operators/interactions.scatter_all); gated off by
+        # default because row expansion is quadratic in column count
+        scatter: dict[str, Any] = {}
+        if cfg.interactions and len(num_cols) >= 2:
+            from pandas_profiling_personal_spark.operators import (
+                interactions as IX,
+            )
+
+            ranges = {}
+            for c in num_cols[: cfg.interactions_max_cols]:
+                v = variables[c]
+                if v.get("min") is not None and v.get("max") is not None:
+                    lo, hi = float(v["min"]), float(v["max"])
+                    if math.isfinite(lo) and math.isfinite(hi):
+                        ranges[c] = (lo, hi)
+            for (a, b), grid in IX.scatter_all(
+                df, ranges, cfg.interactions_bins
+            ).items():
+                scatter.setdefault(a, {})[b] = {
+                    "x_range": list(ranges[a]),
+                    "y_range": list(ranges[b]),
+                    "bins": cfg.interactions_bins,
+                    "grid": grid,
+                }
+
         # missing structure
         missing: dict[str, Any] = {
             "counts": {c: variables[c]["n_missing"] for c in types}
@@ -377,6 +423,7 @@ def profile(
             missing=missing,
             sample=sample,
             duplicates=duplicates,
+            scatter=scatter,
             analysis={
                 "duration_sec": round(time.time() - t0, 3),
                 "exact": cfg.exact,

@@ -37,7 +37,7 @@ F2 = [
 @pytest.mark.parametrize("values,nd,nu,isu", F2)
 def test_uniqueness_semantics(spark, values, nd, nu, isu):
     df = _num_df(spark, values)
-    scalars, _ = FQ.frequency_summary(df, ["x"], 10)
+    scalars, _, _ = FQ.frequency_summary(df, ["x"], 10)
     assert scalars["x"]["n_distinct"] == nd
     assert scalars["x"]["n_unique"] == nu
     r = profile(df, ProfileConfig(exact=True, duplicates=False, correlations=()))
@@ -50,7 +50,7 @@ def test_uniqueness_semantics(spark, values, nd, nu, isu):
 def test_value_counts_excludes_nulls_and_orders(spark):
     # F3 heavy_tail: one 1 + many 2s; nulls excluded entirely
     df = _num_df(spark, [1.0] + [2.0] * 50 + [None, None])
-    _, tops = FQ.frequency_summary(df, ["x"], 10)
+    _, tops, _ = FQ.frequency_summary(df, ["x"], 10)
     assert tops["x"][0] == ("2.0", 50)
     assert tops["x"][1] == ("1.0", 1)
     assert len(tops["x"]) == 2
