@@ -101,6 +101,47 @@ def top_k_all(
     return top_k_counts(value_counts_all(df, columns), k)
 
 
+def top_k_with_totals(vc: DataFrame, k: int, salt_buckets: int = 64) -> DataFrame:
+    """:func:`top_k_counts` plus exact per-column ``n_distinct``/``n_unique``
+    riding the SAME two shuffles — no separate groupBy job.
+
+    Phase 1 computes, per (column, salt) group, partial distinct/unique totals
+    as unbounded window aggregates over the same partitioning the ranking
+    window already shuffled by; phase 2 sums the partials of each group's
+    rank-1 survivor (every non-empty salt group keeps its rank-1 row for any
+    k ≥ 1, so the sum over survivors is the exact column total)."""
+    salted = Window.partitionBy("column", "__salt").orderBy(
+        F.desc("count"), F.asc("value")
+    )
+    salted_all = Window.partitionBy("column", "__salt")
+    final = Window.partitionBy("column").orderBy(F.desc("count"), F.asc("value"))
+    final_all = Window.partitionBy("column")
+    return (
+        vc.withColumn("__salt", F.abs(F.hash("value")) % salt_buckets)
+        .withColumn("__r1", F.row_number().over(salted))
+        .withColumn("__pd", F.count(F.lit(1)).over(salted_all))
+        .withColumn(
+            "__pu",
+            F.sum(F.when(F.col("count") == 1, 1).otherwise(0)).over(salted_all),
+        )
+        .where(F.col("__r1") <= k)
+        .withColumn("rank", F.row_number().over(final))
+        .withColumn(
+            "n_distinct",
+            F.sum(F.when(F.col("__r1") == 1, F.col("__pd"))).over(final_all),
+        )
+        .withColumn(
+            "n_unique",
+            F.coalesce(
+                F.sum(F.when(F.col("__r1") == 1, F.col("__pu"))).over(final_all),
+                F.lit(0),
+            ),
+        )
+        .where(F.col("rank") <= k)
+        .drop("__salt", "__r1", "__pd", "__pu")
+    )
+
+
 def extreme_counts(
     vc: DataFrame, n: int, numeric_columns: list[str], salt_buckets: int = 64
 ) -> DataFrame:
@@ -109,11 +150,25 @@ def extreme_counts(
     sorted value_counts index).
 
     ``numeric_columns`` are ranked on ``cast(value as double)``; everything else
-    ranks lexically (ISO dates/timestamps sort chronologically as strings). Same
-    salted two-phase shape as :func:`top_k_counts` so no column ever funnels its
-    whole frequency table through one partition. Output: (column, value, count,
-    end ∈ {'min','max'}, rank)."""
+    ranks lexically (ISO dates/timestamps sort chronologically as strings). NaN
+    is excluded from numeric ranking — Spark sorts NaN above every finite, so it
+    would otherwise surface as the rank-1 "max"; the reference computes extremes
+    from value_counts_without_nan. Same salted two-phase shape as
+    :func:`top_k_counts` so no column ever funnels its whole frequency table
+    through one partition. Output: (column, value, count, end ∈ {'min','max'},
+    rank)."""
     num_set = set(numeric_columns)
+    if num_set:
+        # values are strings post-melt; try_cast is NaN for 'NaN' and null for
+        # non-numeric strings (isnan(null) -> false, so other columns pass)
+        vc = vc.where(
+            ~(
+                F.col("column").isin(*num_set)
+                & F.coalesce(
+                    F.isnan(F.col("value").try_cast("double")), F.lit(False)
+                )
+            )
+        )
     sort_key = F.when(
         F.col("column").isin(*num_set) if num_set else F.lit(False),
         F.col("value").cast("double"),
@@ -150,9 +205,14 @@ def frequency_summary(
     dict[str, list[tuple[str, int]]],
     dict[str, dict[str, list[tuple[str, int]]]],
 ]:
-    """Driver-side convenience: one job computing, per column, exact
-    ``n_distinct``/``n_unique``, the top-K value list, and (when ``n_extreme`` > 0)
-    the bottom/top-``n_extreme`` values by magnitude — all off ONE raw-table scan.
+    """Driver-side convenience: per column, exact ``n_distinct``/``n_unique``,
+    the top-K value list, and (when ``n_extreme`` > 0) the bottom/top-``n_extreme``
+    values by magnitude — all off ONE raw-table scan, in at most TWO actions.
+
+    ``extreme_cols`` semantics: ``None`` means rank every column; an empty list
+    means the caller has no rankable (numeric/datetime) columns, so the extremes
+    job is skipped entirely rather than ranking every categorical column and
+    discarding the result.
 
     Returns ``({column: {n_distinct, n_unique}},
     {column: [(value, count), ...]},
@@ -162,23 +222,15 @@ def frequency_summary(
 
     columns = columns or df.columns
     # ONE raw-table scan producing the per-column counts; cache the (much smaller)
-    # counts, then cheap jobs over the cache: a combine-friendly groupBy for
-    # exact distinct/unique, the salted two-phase top-K, and (optionally) the
-    # extreme-observation ranks (no full per-column sort anywhere).
+    # counts. Action 1 computes the salted two-phase top-K with the exact
+    # distinct/unique totals riding the same two window shuffles
+    # (top_k_with_totals — no separate groupBy job); action 2, only when a
+    # rankable column exists, the extreme-observation ranks.
     vc = value_counts_all(df, columns).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        du_rows = (
-            vc.groupBy("column")
-            .agg(
-                F.count(F.lit(1)).alias("n_distinct"),
-                F.coalesce(
-                    F.sum(F.when(F.col("count") == 1, 1).otherwise(0)), F.lit(0)
-                ).alias("n_unique"),
-            )
-            .collect()
-        )
-        top_rows = top_k_counts(vc, k).collect()
-        if n_extreme > 0:
+        top_rows = top_k_with_totals(vc, k).collect()
+        skip_extremes = extreme_cols is not None and len(extreme_cols) == 0
+        if n_extreme > 0 and not skip_extremes:
             evc = (
                 vc.where(F.col("column").isin(*extreme_cols))
                 if extreme_cols
@@ -194,14 +246,13 @@ def frequency_summary(
     scalars: dict[str, dict] = {
         c: {"n_distinct": 0, "n_unique": 0} for c in columns
     }
-    for r in du_rows:
+    tops: dict[str, list[tuple[str, int]]] = {c: [] for c in columns}
+    for r in sorted(top_rows, key=lambda r: (r["column"], r["rank"])):
+        tops[r["column"]].append((r["value"], r["count"]))
         scalars[r["column"]] = {
             "n_distinct": r["n_distinct"],
             "n_unique": r["n_unique"],
         }
-    tops: dict[str, list[tuple[str, int]]] = {c: [] for c in columns}
-    for r in sorted(top_rows, key=lambda r: (r["column"], r["rank"])):
-        tops[r["column"]].append((r["value"], r["count"]))
     extremes: dict[str, dict[str, list[tuple[str, int]]]] = {}
     for r in sorted(ext_rows, key=lambda r: (r["column"], r["end"], r["rank"])):
         extremes.setdefault(r["column"], {"min": [], "max": []})[r["end"]].append(

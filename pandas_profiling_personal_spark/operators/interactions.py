@@ -24,15 +24,17 @@ def scatter_counts(
     """(x_bucket, y_bucket, cnt) grid for a weighted density plot — ONE
     combine-friendly shuffle, driver transfer bounded by bins². Ranges come from
     the pass-1 min/max (or any chosen window)."""
-    cx, cy = S.col(x), S.col(y)
+    cx, cy = S.col(x).cast("double"), S.col(y).cast("double")
     bx = S.bucket_index(
-        cx.cast("double"), F.lit(float(x_range[0])), F.lit(float(x_range[1])), bins
+        cx, F.lit(float(x_range[0])), F.lit(float(x_range[1])), bins
     )
     by = S.bucket_index(
-        cy.cast("double"), F.lit(float(y_range[0])), F.lit(float(y_range[1])), bins
+        cy, F.lit(float(y_range[0])), F.lit(float(y_range[1])), bins
     )
     return (
-        df.where(cx.isNotNull() & cy.isNotNull())
+        df.where(
+            cx.isNotNull() & cy.isNotNull() & ~F.isnan(cx) & ~F.isnan(cy)
+        )
         .groupBy(bx.alias("x_bucket"), by.alias("y_bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -60,17 +62,23 @@ def scatter_all(
     cols = list(ranges)
     if len(cols) < 2:
         return {}
-    proj = df.select(
-        *[
+    # bucket_index collapses a degenerate lo==hi range to bucket 0
+    # unconditionally and floors NaN into bucket 0, so missing/NaN rows must be
+    # masked to NULL *here* — the post-explode filter drops NULL buckets, and
+    # without the mask a constant column would count its null rows in bucket 0.
+    def _bucket(c: str, i: int):
+        v = S.col(c).cast("double")
+        return F.when(
+            v.isNotNull() & ~F.isnan(v),
             S.bucket_index(
-                S.col(c).cast("double"),
+                v,
                 F.lit(float(ranges[c][0])),
                 F.lit(float(ranges[c][1])),
                 bins,
-            ).alias(f"__b_{i}")
-            for i, c in enumerate(cols)
-        ]
-    )
+            ),
+        ).alias(f"__b_{i}")
+
+    proj = df.select(*[_bucket(c, i) for i, c in enumerate(cols)])
     structs = [
         F.struct(
             F.lit(a).alias("x_col"),

@@ -20,10 +20,15 @@ def head(df: DataFrame, n: int, order_by: list[str] | None = None) -> DataFrame:
     return out.limit(n)
 
 
-def random_sample(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
+def random_sample(
+    df: DataFrame, n: int, seed: int = 42, total: int | None = None
+) -> DataFrame:
     """Seeded random sample of ~n rows (fraction-free: sample a generous fraction
-    then limit; exact-n semantics are not needed for a report preview)."""
-    total = df.count()
+    then limit; exact-n semantics are not needed for a report preview).
+    Pass ``total`` when the row count is already known (the profile pipeline
+    knows it from pass 1) to skip the count job."""
+    if total is None:
+        total = df.count()
     if total <= n:
         return df
     fraction = min(1.0, (n * 2.0) / total)

@@ -394,7 +394,9 @@ def profile(
             "head": [r.asDict() for r in SA.head(df, cfg.samples_head).collect()],
             "random": [
                 r.asDict()
-                for r in SA.random_sample(df, cfg.samples_random, cfg.seed).collect()
+                for r in SA.random_sample(
+                    df, cfg.samples_random, cfg.seed, total=n
+                ).collect()
             ],
         }
 

@@ -226,6 +226,143 @@ def test_extreme_observations(spark):
     assert ex["max"][0] == {"value": 9.0, "count": 1}
 
 
+def test_extreme_counts_numeric_nan_and_ties(spark):
+    """ADVICE r2: NaN must not rank as a numeric column's max extreme (the
+    reference ranks extremes over value_counts_without_nan); ties break on
+    value so ranks are deterministic."""
+    from pandas_profiling_personal_spark.operators.frequencies import (
+        extreme_counts,
+        value_counts_all,
+    )
+
+    df = spark.createDataFrame(
+        [(float("nan"),), (9.0,), (1.0,), (1.0,), (3.0,), (None,)],
+        "x double",
+    )
+    vc = value_counts_all(df, ["x"])
+    rows = extreme_counts(vc, 2, ["x"]).collect()
+    by_end = {}
+    for r in sorted(rows, key=lambda r: (r["end"], r["rank"])):
+        by_end.setdefault(r["end"], []).append((r["value"], r["count"]))
+    assert by_end["min"] == [("1.0", 2), ("3.0", 1)]
+    # NaN would sort above every finite — must be excluded, 9 is the true max
+    assert by_end["max"] == [("9.0", 1), ("3.0", 1)]
+
+
+def test_extreme_counts_datetime_lexical(spark):
+    """Datetime columns rank lexically (ISO order == chronological order)."""
+    from pandas_profiling_personal_spark.operators.frequencies import (
+        extreme_counts,
+        value_counts_all,
+    )
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            (dt.date(2021, 5, 1),),
+            (dt.date(2019, 1, 9),),
+            (dt.date(2023, 12, 31),),
+        ],
+        "d date",
+    )
+    vc = value_counts_all(df, ["d"])
+    rows = extreme_counts(vc, 1, []).collect()
+    ends = {r["end"]: r["value"] for r in rows}
+    assert ends["min"] == "2019-01-09"
+    assert ends["max"] == "2023-12-31"
+
+
+def test_frequency_summary_skips_extremes_without_rankable_columns(spark):
+    """ADVICE r2: extreme_cols=[] (no numeric/datetime columns) must skip the
+    extremes job instead of ranking every categorical column and discarding."""
+    from pandas_profiling_personal_spark.operators.frequencies import (
+        frequency_summary,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",), ("a",)], "c string")
+    scalars, tops, extremes = frequency_summary(
+        df, ["c"], 5, n_extreme=3, extreme_numeric=[], extreme_cols=[]
+    )
+    assert extremes == {}
+    assert scalars["c"] == {"n_distinct": 2, "n_unique": 1}
+    assert tops["c"] == [("a", 2), ("b", 1)]
+
+
+def test_top_k_with_totals_matches_separate_aggregate(spark):
+    """The window-partial distinct/unique totals must equal the plain groupBy
+    aggregate for every column, at several salt counts (incl. salt > values)."""
+    import random
+
+    from pandas_profiling_personal_spark.operators.frequencies import (
+        distinct_unique_counts,
+        top_k_with_totals,
+        value_counts_all,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (rng.choice("abcdefgh"), rng.randint(0, 30), rng.choice("xy"))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "s string, n int, t string")
+    vc = value_counts_all(df).persist()
+    try:
+        expected = {
+            r["column"]: (r["n_distinct"], r["n_unique"])
+            for r in distinct_unique_counts(df).collect()
+        }
+        for salt in (1, 4, 64):
+            got = {}
+            for r in top_k_with_totals(vc, 3, salt_buckets=salt).collect():
+                got[r["column"]] = (r["n_distinct"], r["n_unique"])
+            assert got == expected, f"salt={salt}"
+    finally:
+        vc.unpersist()
+
+
+def test_scatter_all_matches_scatter_counts_and_masks_missing(spark):
+    """ADVICE r2: scatter_all must (a) reproduce scatter_counts grids on a known
+    frame, (b) NOT count NULL/NaN rows in bucket 0 for a constant (min==max)
+    column."""
+    from pandas_profiling_personal_spark.operators.interactions import (
+        scatter_all,
+        scatter_counts,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1.0, 10.0, 5.0),
+            (2.0, 20.0, 5.0),
+            (None, 30.0, 5.0),
+            (4.0, None, None),
+            (float("nan"), 40.0, 5.0),
+        ],
+        "x double, y double, k double",
+    )
+    ranges = {"x": (1.0, 4.0), "y": (10.0, 40.0), "k": (5.0, 5.0)}
+    grids = scatter_all(df, ranges, bins=4)
+
+    # (a) parity with the per-pair operator
+    for (a, b), grid in grids.items():
+        single = sorted(
+            (
+                (r["x_bucket"], r["y_bucket"], r["cnt"])
+                for r in scatter_counts(
+                    df, a, b, ranges[a], ranges[b], bins=4
+                ).collect()
+            )
+        )
+        assert [
+            (g["x_bucket"], g["y_bucket"], g["cnt"]) for g in grid
+        ] == single, (a, b)
+
+    # (b) constant column k: only rows where BOTH sides are present count.
+    # x-vs-k has x null once and NaN once, k null once -> 2 surviving rows.
+    xk = grids[("x", "k")]
+    assert sum(g["cnt"] for g in xk) == 2
+    assert all(g["y_bucket"] == 0 for g in xk)
+
+
 def test_nullity_structure_with_dendrogram(spark):
     from pyspark.sql import types as T
 
@@ -379,7 +516,15 @@ def test_profile_correlations_constant_job_count(spark):
     jobs = sc.statusTracker().getJobIdsForGroup("corr-job-count")
     assert len(r.correlations["cramers"]) == n_cols
     assert len(r.correlations["phik"]) == n_cols
-    # whole profile: 5 passes + inference-free extras + 1 cramers contingency
-    # + 1 phik contingency (no numeric cols -> no edges pass). Generous bound,
-    # but far under the ~132 the per-pair loops would issue.
+    # Derived budget (measured per-action with AQE job splits, r3):
+    #   pass 1 wide agg (+ persist materialization)            ~4 jobs
+    #   pass 2 value-counts + top-K-with-totals (one action;
+    #          AQE materializes each window exchange)          ~5 jobs
+    #   extremes: SKIPPED (no numeric/datetime columns)         0 jobs
+    #   phik contingency (one batched action)                  ~2 jobs
+    #   cramers contingency (one batched action)               ~2 jobs
+    #   samples: head 1 + seeded random 2 (count job elided —
+    #            pass 1's n is reused)                          3 jobs
+    # = 16 observed; bound at 20 to absorb AQE variance. Far under the ~132
+    # the per-pair correlation loops would issue.
     assert len(jobs) <= 20, f"expected O(1) jobs, got {len(jobs)}"
