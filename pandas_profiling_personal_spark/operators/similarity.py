@@ -87,14 +87,24 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit signature of ``vec`` against the hyperplanes, as a long."""
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        sig = sig + F.when(
-            dot(vec, p) >= 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(0)
-    return sig
+    """Sign-bit signature of ``vec`` against the hyperplanes, as a long
+    (bit i set iff dot(vec, planes[i]) >= 0).
+
+    The plane matrix is shipped as ONE nested-array ``Literal`` node and folded
+    with ``aggregate`` — the plan stays O(1) in dim x n_planes. The earlier
+    form (``F.array`` of per-component ``F.lit`` inside a when-chain) built
+    dim x n_planes expression nodes, which at a realistic 768-d x 12 planes x
+    4 tables is ~37k literals: driver plan-build/codegen blowup before a
+    single task runs (VERDICT r2 #3). Planes are folded in REVERSED order
+    with ``acc*2 + bit`` so the result equals the original LSB-first
+    Σ bit_i·2^i with pure integer arithmetic."""
+    planes_rev = F.lit([[float(x) for x in p] for p in reversed(planes)])
+    one, zero = F.lit(1).cast("long"), F.lit(0).cast("long")
+    return F.aggregate(
+        planes_rev,
+        zero,
+        lambda acc, p: acc * 2 + F.when(dot(vec, p) >= 0, one).otherwise(zero),
+    )
 
 
 def ann_topk_lsh(

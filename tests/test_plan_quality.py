@@ -133,3 +133,29 @@ def test_histogram_single_scan_all_columns(spark):
     p = _plan(pairs)
     assert p.count("Scan parquet") == 2, "all histograms must share one scan"
     assert "partial_count" in p, "histogram agg must map-side combine"
+
+
+def test_lsh_plan_constant_in_dim(spark):
+    """VERDICT r2 #3: the hyperplane matrix must ship as one nested-array
+    Literal, not dim x planes x tables literal nodes. At 768-d x 12 planes x
+    4 tables the literal form is ~37k expression nodes and plan build alone
+    takes minutes; the folded form must build AND execute in seconds."""
+    import time
+
+    from pandas_profiling_personal_spark.operators.similarity import ann_topk_lsh
+
+    dim = 768
+    rows = [
+        (i, [float(((i * 31 + j * 17) % 19) - 9) for j in range(dim)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = emb.where(F.col("vec_id") < 2)
+    t0 = time.time()
+    out = ann_topk_lsh(emb, q, dim=dim, k=3, n_planes=12, n_tables=4)
+    plan = _plan(out)
+    out.collect()
+    elapsed = time.time() - t0
+    assert elapsed < 60, f"768-d LSH plan+run took {elapsed:.1f}s"
+    # one aggregate fold per table, not one when-branch per plane component
+    assert plan.count("aggregate(") <= 64

@@ -197,6 +197,68 @@ def test_ivf_topk_string_ids(spark):
     assert {r["query_id"] for r in out} == {"doc-0", "doc-1"}
 
 
+def test_ann_lsh_recall_vs_exact(spark):
+    """Hyperplane-LSH ANN must recover a healthy fraction of the exact top-K
+    (the sign-bit buckets are FP-dependent, so recall — not bucket values — is
+    the contract)."""
+    import random
+
+    from pandas_profiling_personal_spark.operators.similarity import (
+        ann_topk_lsh,
+        cosine_topk,
+    )
+
+    # clustered corpus: LSH recall is only meaningful when true neighbors are
+    # actually close (cos ≈ 0.99 within a cluster; sign-bit agreement ~0.97
+    # per plane) — on near-random vectors every method degenerates
+    rng = random.Random(5)
+    dim, rows = 32, []
+    centers = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(3)
+    ]
+    for i in range(120):
+        c = centers[i % 3]
+        rows.append((i, [x + rng.gauss(0.0, 0.05) for x in c]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = emb.where(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_lsh(
+            emb, q, dim=dim, k=5, n_planes=8, n_tables=6
+        ).collect()
+    }
+    assert len(approx & exact) >= len(exact) * 3 // 4, (approx, exact)
+
+
+def test_lsh_signature_matches_per_plane_bits(spark):
+    """The aggregate-folded signature must equal the per-plane LSB-first
+    Σ bit_i·2^i definition."""
+    from pandas_profiling_personal_spark.operators.similarity import (
+        dot,
+        hyperplanes,
+        lsh_signature,
+    )
+
+    planes = hyperplanes(6, 10, seed=7)
+    rows = [([float((i * 13 + j * 5) % 9 - 4) for j in range(6)],) for i in range(16)]
+    df = spark.createDataFrame(rows, "v array<double>")
+    got = [r[0] for r in df.select(lsh_signature(F.col("v"), planes)).collect()]
+    import builtins
+
+    expected = []
+    for (vec,) in rows:
+        sig = 0
+        for i, p in enumerate(planes):
+            if builtins.sum(x * y for x, y in zip(vec, p)) >= 0:
+                sig |= 1 << i
+        expected.append(sig)
+    assert got == expected
+
+
 def test_read_table_csv_and_formats(spark, tmp_path):
     import pandas as pd
 
