@@ -13,8 +13,12 @@ window over each column (distributed sort), then reuse the Pearson pass on ranks
 Reference leaves Spearman/Kendall/PhiK off by default on Spark
 (config_default.yaml:76-92); they are opt-in here too.
 
-Kendall/PhiK: single-group ``applyInPandas`` escape hatch like the reference
-(correlations.py:152-216, :456-521) — documented all-data-on-one-executor caveat.
+Kendall: exact DISTRIBUTED tau-b (:func:`kendall_matrix_distributed`) — the
+reference ships all data to one executor through a single-group pandas_udf
+(correlations.py:152-216) and cites arXiv:1704.03767 for the real algorithm;
+here the discordance count decomposes over quantile buckets so every shuffle is
+keyed by (pair, bucket). PhiK keeps a bounded driver step (bin edges), with the
+contingency fully distributed.
 
 Cramér's V: pure DataFrame contingency ``groupBy(c1,c2).count()`` + driver-side
 chi² with the bias correction (reference: correlations.py:219-264) — no
@@ -482,37 +486,241 @@ def kendall_tau_b(x, y) -> float:
     return (tot - n1 - n2 + n3 - 2.0 * dis) / denom
 
 
-def kendall_matrix_df(df: DataFrame, columns: list[str]) -> DataFrame:
-    """Kendall's tau-b as a DataFrame ``(col_a, col_b, tau)`` via the
-    reference's single-group escape hatch (correlations.py:152-216): ships the
-    selected columns to ONE executor as an Arrow batch. Opt-in; documented
-    scale caveat (a true distributed tau is arXiv:1704.03767). The tau kernel
-    is :func:`kendall_tau_b` (scipy-free); NaN (all-tied input) maps to null."""
+def _inversions_sorted_np(y):
+    """# pairs (i < j) with y_i > y_j, for ``y`` already in primary-key order —
+    recursive numpy merge count, O(n log² n) with vectorized cross counts."""
+    import numpy as np
+
+    def rec(a):
+        n = len(a)
+        if n < 2:
+            return 0, np.sort(a)
+        mid = n // 2
+        il, left = rec(a[:mid])
+        ir, right = rec(a[mid:])
+        # pairs (l in left-half positions, r in right-half) with l > r
+        cross = int(
+            (len(left) - np.searchsorted(left, right, side="right")).sum()
+        )
+        return il + ir + cross, np.sort(np.concatenate([left, right]))
+
+    return rec(np.asarray(y, dtype=float))[0]
+
+
+def _group_discordance(xvals, yvals) -> int:
+    """Strictly-discordant pair count within one group: pairs with x strictly
+    ordered and y strictly inverted. Sort by (x, y) and count y-inversions —
+    x-tied runs are y-ascending so they contribute none; equal y is not a
+    strict inversion."""
+    import numpy as np
+
+    x = np.asarray(xvals, dtype=float)
+    y = np.asarray(yvals, dtype=float)
+    order = np.lexsort((y, x))
+    return _inversions_sorted_np(y[order])
+
+
+def kendall_matrix_distributed(
+    df: DataFrame, columns: list[str], n_buckets: int = 32
+) -> dict[tuple[str, str], float | None]:
+    """Exact distributed Kendall's tau-b for every pair — NO single-group
+    escape hatch (the reference ships all data to one executor,
+    correlations.py:152-216, citing arXiv:1704.03767 for the distributed
+    algorithm; this is that idea expressed Spark-first).
+
+    Decomposition: quantile-bucket each column (per-column edges from ONE
+    ``percentile_approx`` pass; bucket choice affects load balance only, never
+    the result). For a pair with x-buckets bx and y-buckets by, the exact
+    discordant count splits into
+      1. cross-bucket pairs (bx_i < bx_j, by_i > by_j): all strictly
+         discordant — counted from the small (pid, bx, by) contingency with
+         driver-side 2-D prefix sums;
+      2. same-bx pairs: y-inversions within each (pid, bx) group;
+      3. same-by, different-bx pairs: y-inversions of (bx, y) within each
+         (pid, by) group (bx-tied pairs sort y-ascending, contributing none —
+         and bx_i < bx_j implies x_i < x_j because value-range buckets never
+         split a tied value).
+    2-3 run as ``applyInPandas`` over pairs × n_buckets groups — each group is
+    ~n/n_buckets rows, distributed across the cluster. Tie terms (tx, ty, txy)
+    come from combine-friendly grouped aggregations. Five constant actions for
+    the WHOLE matrix; every shuffle is keyed by (pair, bucket)."""
+    import numpy as np
     import pandas as pd
+    from pyspark import StorageLevel
 
     pairs = list(combinations(columns, 2))
+    if not pairs:
+        return {}
+    spark_cols = {c: S.col(c).cast("double") for c in columns}
 
-    def _corr(_, pdf: "pd.DataFrame") -> "pd.DataFrame":
-        recs = [
-            {"col_a": a, "col_b": b, "tau": kendall_tau_b(pdf[a], pdf[b])}
-            for a, b in pairs
+    # per-column bucket edges, one agg pass (NaN masked so it can't poison the
+    # sketch); edges are deduped driver-side — a heavy tied value collapses to
+    # a near-singleton bucket whose internal pairs are x-ties (cost ~0)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edge_row = df.agg(
+        *[
+            F.percentile_approx(
+                F.when(~F.isnan(spark_cols[c]), spark_cols[c]), qs, 1000
+            ).alias(c)
+            for c in columns
         ]
-        return pd.DataFrame(recs)
+    ).collect()[0]
+    edges: dict[str, list[float]] = {}
+    for c in columns:
+        es = sorted(set(e for e in (edge_row[c] or []) if e is not None))
+        edges[c] = es
 
-    return (
-        df.select(*[S.col(c).cast("double").alias(c) for c in columns])
-        .withColumn("__g", F.lit(1))
-        .groupBy("__g")
-        .applyInPandas(_corr, "col_a string, col_b string, tau double")
+    # bucket index per COLUMN once (shared by every pair using the column);
+    # one nested-array literal per column keeps the plan O(columns)
+    def bucket_of(c: str):
+        if not edges[c]:
+            return F.lit(0)
+        return F.size(
+            F.filter(F.lit(edges[c]), lambda e: e <= spark_cols[c])
+        )
+
+    proj = df.select(
+        *[spark_cols[c].alias(f"__v_{i}") for i, c in enumerate(columns)],
+        *[bucket_of(c).alias(f"__bk_{i}") for i, c in enumerate(columns)],
+    )
+    idx = {c: i for i, c in enumerate(columns)}
+    structs = [
+        F.struct(
+            F.lit(str(pi)).alias("pid"),
+            F.col(f"__v_{idx[a]}").alias("x"),
+            F.col(f"__v_{idx[b]}").alias("y"),
+            F.col(f"__bk_{idx[a]}").alias("bx"),
+            F.col(f"__bk_{idx[b]}").alias("by"),
+        )
+        for pi, (a, b) in enumerate(pairs)
+    ]
+    base = (
+        proj.select(F.explode(F.array(*structs)).alias("kv"))
+        .select("kv.*")
+        .where(
+            F.col("x").isNotNull()
+            & F.col("y").isNotNull()
+            & ~F.isnan("x")
+            & ~F.isnan("y")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        # action 1 — (pid, bx, by) contingency: bounded by pairs * n_buckets²
+        cont = base.groupBy("pid", "bx", "by").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+
+        # action 2 — tie terms off one (pid, x, y) shuffle, re-aggregated
+        # combine-friendly and joined pid-wise (tiny) into a single collect
+        xy = base.groupBy("pid", "x", "y").agg(
+            F.count(F.lit(1)).alias("c")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        pair_tie = F.sum(F.col("c") * (F.col("c") - 1) / 2)
+        stats = xy.groupBy("pid").agg(
+            F.sum("c").alias("n"), pair_tie.alias("txy")
+        )
+        tx = (
+            xy.groupBy("pid", "x").agg(F.sum("c").alias("c"))
+            .groupBy("pid").agg(pair_tie.alias("tx"))
+        )
+        ty = (
+            xy.groupBy("pid", "y").agg(F.sum("c").alias("c"))
+            .groupBy("pid").agg(pair_tie.alias("ty"))
+        )
+        tie_rows = stats.join(tx, "pid").join(ty, "pid").collect()
+        xy.unpersist()
+
+        # actions 3-4 — distributed strict-discordance kernels
+        def kernel(key_col):
+            def fn(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+                return pd.DataFrame(
+                    {
+                        "pid": [key[0]],
+                        "inv": [_group_discordance(pdf[key_col], pdf["y"])],
+                    }
+                )
+
+            return fn
+
+        inv_schema = "pid string, inv long"
+        inv_rows = (
+            base.groupBy("pid", "bx")
+            .applyInPandas(kernel("x"), inv_schema)
+            .unionByName(
+                base.groupBy("pid", "by").applyInPandas(kernel("bx"), inv_schema)
+            )
+            .groupBy("pid").agg(F.sum("inv").alias("inv")).collect()
+        )
+    finally:
+        base.unpersist()
+
+    # driver-side: cross-bucket dominance from the contingency via prefix sums
+    cross: dict[str, int] = {}
+    by_pid: dict[str, list] = {}
+    for r in cont:
+        by_pid.setdefault(r["pid"], []).append((r["bx"], r["by"], r["n"]))
+    for pid, cells in by_pid.items():
+        if not cells:
+            cross[pid] = 0
+            continue
+        maxb = max(c[0] for c in cells) + 1
+        maxq = max(c[1] for c in cells) + 1
+        M = np.zeros((maxb, maxq), dtype=np.int64)
+        for b, q, nn in cells:
+            M[b, q] = nn
+        # strictly-greater-q suffix per row
+        suff = np.zeros_like(M)
+        if maxq > 1:
+            suff[:, :-1] = np.cumsum(M[:, ::-1], axis=1)[:, ::-1][:, 1:]
+        suff_cum = np.cumsum(suff, axis=0)  # inclusive over bx
+        total = 0
+        for b in range(1, maxb):
+            total += int((M[b] * suff_cum[b - 1]).sum())
+        cross[pid] = total
+
+    inv_map: dict[str, int] = {
+        r["pid"]: int(r["inv"] or 0) for r in inv_rows
+    }
+
+    out: dict[tuple[str, str], float | None] = {}
+    ties = {r["pid"]: r for r in tie_rows}
+    for pi, (a, b) in enumerate(pairs):
+        pid = str(pi)
+        t = ties.get(pid)
+        if t is None or t["n"] < 2:
+            out[(a, b)] = None
+            continue
+        n = t["n"]
+        tot = n * (n - 1) / 2.0
+        tx_v, ty_v, txy_v = float(t["tx"]), float(t["ty"]), float(t["txy"])
+        d = cross.get(pid, 0) + inv_map.get(pid, 0)
+        denom = math.sqrt((tot - tx_v) * (tot - ty_v))
+        if denom == 0:
+            out[(a, b)] = None
+            continue
+        out[(a, b)] = (tot - tx_v - ty_v + txy_v - 2.0 * d) / denom
+    return out
+
+
+def kendall_matrix_df(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Kendall's tau-b as a DataFrame ``(col_a, col_b, tau)`` — computed by
+    :func:`kendall_matrix_distributed` (the single-group escape hatch the
+    reference uses, correlations.py:152-216, is retired; :func:`kendall_tau_b`
+    remains as the oracle-independent kernel for tests)."""
+    m = kendall_matrix_distributed(df, columns)
+    rows = [
+        (a, b, None if v is None or math.isnan(v) else float(v))
+        for (a, b), v in m.items()
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "col_a string, col_b string, tau double"
     )
 
 
 def kendall_matrix(df: DataFrame, columns: list[str]):
-    """Dict form of :func:`kendall_matrix_df` (profile-pipeline consumer)."""
-    return {
-        (r["col_a"], r["col_b"]): r["tau"]
-        for r in kendall_matrix_df(df, columns).collect()
-    }
+    """Dict form (profile-pipeline consumer)."""
+    return kendall_matrix_distributed(df, columns)
 
 
 def high_correlations(
