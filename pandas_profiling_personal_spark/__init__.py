@@ -19,6 +19,8 @@ from pandas_profiling_personal_spark.plans.profile import (
     profile,
     profile_column,
 )
+from pandas_profiling_personal_spark.report.html import render_html, to_file
+from pandas_profiling_personal_spark.report.notebook import to_notebook_iframe
 from pandas_profiling_personal_spark.types import VariableType, variable_types
 
 __version__ = "0.1.0"
@@ -30,4 +32,7 @@ __all__ = [
     "profile_column",
     "VariableType",
     "variable_types",
+    "render_html",
+    "to_file",
+    "to_notebook_iframe",
 ]

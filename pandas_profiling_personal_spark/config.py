@@ -64,6 +64,10 @@ class ProfileConfig:
     duplicates_head: int = 10
     samples_head: int = 10
     samples_random: int = 10
+    #: tail sample size (K3). 0 disables (the default — the reference skips
+    #: tail on Spark entirely, dataframe_wrappers.py:331-342; df.tail() is a
+    #: driver-heavy full-scan action, so it is opt-in and driver-bounded)
+    samples_tail: int = 0
     missing_diagrams: bool = True
     #: content-based type inference (string->bool/numeric, low-cardinality numeric
     #: ->categorical), mirroring the reference *pandas* path which its Spark path

@@ -20,6 +20,19 @@ def head(df: DataFrame, n: int, order_by: list[str] | None = None) -> DataFrame:
     return out.limit(n)
 
 
+def tail(df: DataFrame, n: int, order_by: list[str] | None = None) -> list:
+    """Last ``n`` rows (K3 — the reference has no Spark tail,
+    dataframe_wrappers.py:331-342; Spark >= 3.0 provides ``df.tail``). A
+    driver-heavy action: the scan runs to the end and ``n`` rows return to the
+    driver, so callers must keep ``n`` report-sized. With ``order_by`` the
+    frame is sorted first so "last" is well-defined across engines (an
+    unordered Spark frame has no stable row order)."""
+    out = df
+    if order_by:
+        out = out.orderBy(*[S.col(c) for c in order_by])
+    return out.tail(n)
+
+
 def random_sample(
     df: DataFrame, n: int, seed: int = 42, total: int | None = None
 ) -> DataFrame:

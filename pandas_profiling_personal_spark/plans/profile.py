@@ -399,6 +399,10 @@ def profile(
                 ).collect()
             ],
         }
+        if cfg.samples_tail > 0:
+            sample["tail"] = [
+                r.asDict() for r in SA.tail(df, cfg.samples_tail)
+            ]
 
         # table rollups (reference: summary.py:213-310)
         type_counts: dict[str, int] = {}

@@ -1,42 +1,70 @@
-"""Self-contained HTML report renderer (S4).
+"""Self-contained HTML report renderer (S4) — the profiler's product surface.
 
-The reference renders a jinja2 widget tree with bundled JS/CSS assets
-(reference: report/structure/report.py:229-314, profile_report.py:257-330).
-This renderer is dependency-free: the stats dict -> a single inline-styled HTML
-document (overview, per-variable cards with frequency bars and histogram
-sparklines, correlation matrices, alerts, samples). Pure driver-side string
-building over the already-aggregated (bounded) profile result.
+Mirrors the reference's report structure (reference:
+report/structure/report.py:229-314 builds Overview / Alerts / Variables /
+Interactions / Correlations / Missing values / Sample / Duplicate rows;
+per-variable toggleable detail tabs come from the per-type renderers under
+report/structure/variables/). The reference renders a jinja2 widget tree with
+bundled JS/CSS; this renderer is dependency-free — the stats dict becomes one
+inline-styled HTML document with CSS-only tabs (radio inputs) and real SVG
+charts. Pure driver-side string building over the already-aggregated
+(bounded) profile result: nothing here touches Spark.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import html
 from typing import Any
 
 _CSS = """
 body{font-family:system-ui,sans-serif;margin:0;background:#f6f7f9;color:#1c2330}
-.wrap{max-width:1100px;margin:0 auto;padding:24px}
-h1{font-size:22px}h2{font-size:17px;margin:28px 0 10px}h3{font-size:14px;margin:0 0 6px}
+.wrap{max-width:1150px;margin:0 auto;padding:24px}
+h1{font-size:22px}h2{font-size:17px;margin:30px 0 10px;border-bottom:2px solid #e3e6eb;padding-bottom:4px}
+h3{font-size:14px;margin:0 0 6px}
+nav{position:sticky;top:0;background:#fff;border-bottom:1px solid #e3e6eb;padding:8px 24px;z-index:5}
+nav a{margin-right:14px;font-size:13px;color:#1c4e9b;text-decoration:none}
 .cards{display:grid;grid-template-columns:repeat(auto-fill,minmax(330px,1fr));gap:14px}
 .card{background:#fff;border:1px solid #e3e6eb;border-radius:8px;padding:14px}
+.varsec{background:#fff;border:1px solid #e3e6eb;border-radius:8px;padding:14px;margin-bottom:14px}
+.vargrid{display:grid;grid-template-columns:minmax(240px,1fr) 2fr;gap:16px}
 table.kv{border-collapse:collapse;width:100%;font-size:12.5px}
-table.kv td{padding:2px 6px;border-bottom:1px solid #f0f1f4}
+table.kv td,table.kv th{padding:2px 6px;border-bottom:1px solid #f0f1f4;text-align:left}
 table.kv td:last-child{text-align:right;font-variant-numeric:tabular-nums}
 .bar{background:#dbe4f0;height:12px;display:inline-block;vertical-align:middle}
-.hist{display:flex;align-items:flex-end;gap:1px;height:48px;margin-top:6px}
-.hist div{background:#5b8def;flex:1 1 0}
 .alert{display:inline-block;background:#fde8e8;color:#9b1c1c;border-radius:4px;
 padding:2px 8px;margin:2px;font-size:12px}
 .alert.info{background:#e8f0fd;color:#1c4e9b}
 .type{color:#667085;font-size:12px}
+.badge{display:inline-block;background:#eef1f5;color:#41516b;border-radius:4px;
+padding:1px 7px;font-size:11px;margin-left:6px}
 .matrix td{font-size:11px;padding:2px 5px;text-align:right}
 .matrix th{font-size:11px;padding:2px 5px}
+.tabs{margin-top:10px}
+.tabs>input{display:none}
+.tabs>label{display:inline-block;padding:5px 12px;font-size:12.5px;cursor:pointer;
+border:1px solid #e3e6eb;border-bottom:none;border-radius:6px 6px 0 0;background:#f0f2f5;
+color:#41516b;margin-right:2px}
+.tabs>input:checked+label{background:#fff;font-weight:600;color:#1c2330}
+.tabs .pane{display:none;border:1px solid #e3e6eb;border-radius:0 6px 6px 6px;
+padding:12px;background:#fff}
+svg.chart{background:#fbfcfe;border:1px solid #eef1f5;border-radius:4px}
 """
+
+# each tab group needs its panes toggled by its own radio set; generated rules
+_TAB_RULE = (
+    ".tabs>input:nth-of-type({i}):checked~.pane:nth-of-type({i})"
+    "{{display:block}}"
+)
+_MAX_TABS = 8
+_CSS += "".join(_TAB_RULE.format(i=i) for i in range(1, _MAX_TABS + 1))
 
 
 def _fmt(v: Any) -> str:
     if v is None:
         return "—"
+    if isinstance(v, bool):
+        return str(v)
     if isinstance(v, float):
         return f"{v:,.4g}"
     if isinstance(v, int):
@@ -46,129 +74,484 @@ def _fmt(v: Any) -> str:
 
 def _kv_table(pairs: list[tuple[str, Any]]) -> str:
     rows = "".join(
-        f"<tr><td>{html.escape(k)}</td><td>{_fmt(v)}</td></tr>" for k, v in pairs
+        f"<tr><td>{html.escape(str(k))}</td><td>{_fmt(v)}</td></tr>"
+        for k, v in pairs
     )
     return f"<table class='kv'>{rows}</table>"
 
 
-def _histogram(hist: dict) -> str:
+_tab_counter = [0]
+
+
+def _tabs(entries: list[tuple[str, str]]) -> str:
+    """CSS-only tab group (radio inputs; no JS). ``entries`` = [(label, html)]."""
+    entries = [e for e in entries if e[1]][:_MAX_TABS]
+    if not entries:
+        return ""
+    _tab_counter[0] += 1
+    g = f"tg{_tab_counter[0]}"
+    inputs, panes = [], []
+    for i, (label, content) in enumerate(entries):
+        tid = f"{g}_{i}"
+        checked = " checked" if i == 0 else ""
+        inputs.append(
+            f"<input type='radio' name='{g}' id='{tid}'{checked}>"
+            f"<label for='{tid}'>{html.escape(label)}</label>"
+        )
+        panes.append(f"<div class='pane'>{content}</div>")
+    return f"<div class='tabs'>{''.join(inputs)}{''.join(panes)}</div>"
+
+
+# --------------------------------------------------------------------------------
+# SVG charts (reference renders matplotlib images; these are equivalent vector
+# marks built from the same bounded aggregates)
+# --------------------------------------------------------------------------------
+
+
+def _svg_histogram(hist: dict, width: int = 420, height: int = 110,
+                   datetime_axis: bool = False) -> str:
     counts = hist.get("counts") or []
+    edges = hist.get("bin_edges") or []
     if not counts:
         return ""
     peak = max(counts) or 1
-    bars = "".join(
-        f"<div style='height:{max(2, int(46 * c / peak))}px' title='{c}'></div>"
-        for c in counts
+    n = len(counts)
+    pad, axis_h = 4, 14
+    bw = (width - 2 * pad) / n
+    bars = []
+    for i, c in enumerate(counts):
+        bh = max(1.0, (height - axis_h - 2 * pad) * c / peak)
+        x = pad + i * bw
+        y = height - axis_h - pad - bh
+        bars.append(
+            f"<rect x='{x:.1f}' y='{y:.1f}' width='{max(bw - 1, 0.5):.1f}'"
+            f" height='{bh:.1f}' fill='#5b8def'><title>{c:,}</title></rect>"
+        )
+
+    def _edge(v: Any) -> str:
+        if datetime_axis:
+            try:
+                return _dt.datetime.utcfromtimestamp(float(v)).strftime(
+                    "%Y-%m-%d"
+                )
+            except (OverflowError, OSError, ValueError):
+                return _fmt(v)
+        return _fmt(float(v)) if isinstance(v, (int, float)) else _fmt(v)
+
+    labels = ""
+    if len(edges) >= 2:
+        labels = (
+            f"<text x='{pad}' y='{height - 2}' font-size='9'"
+            f" fill='#667085'>{_edge(edges[0])}</text>"
+            f"<text x='{width - pad}' y='{height - 2}' font-size='9'"
+            f" fill='#667085' text-anchor='end'>{_edge(edges[-1])}</text>"
+        )
+    return (
+        f"<svg class='chart' data-chart='histogram' width='{width}'"
+        f" height='{height}' viewBox='0 0 {width} {height}'"
+        f" xmlns='http://www.w3.org/2000/svg'>{''.join(bars)}{labels}</svg>"
     )
-    return f"<div class='hist'>{bars}</div>"
 
 
-def _freq_bars(top_values: list[dict], count: int) -> str:
-    if not top_values:
+def _svg_missing_bar(counts: dict[str, int], n_rows: int,
+                     width: int = 640) -> str:
+    if not counts:
         return ""
+    row_h, gap, label_w = 16, 3, 170
+    height = (row_h + gap) * len(counts) + 6
+    bars = []
+    for i, (col, miss) in enumerate(counts.items()):
+        present = (n_rows - miss) / n_rows if n_rows else 0
+        y = 3 + i * (row_h + gap)
+        bw = (width - label_w - 60) * present
+        bars.append(
+            f"<text x='{label_w - 6}' y='{y + 12}' font-size='11'"
+            f" text-anchor='end' fill='#41516b'>"
+            f"{html.escape(str(col)[:24])}</text>"
+            f"<rect x='{label_w}' y='{y}' width='{bw:.1f}' height='{row_h}'"
+            f" fill='#5b8def'/>"
+            f"<text x='{label_w + bw + 4:.1f}' y='{y + 12}' font-size='10'"
+            f" fill='#667085'>{n_rows - miss:,}</text>"
+        )
+    return (
+        f"<svg class='chart' data-chart='missing-bar' width='{width}'"
+        f" height='{height}' viewBox='0 0 {width} {height}'"
+        f" xmlns='http://www.w3.org/2000/svg'>{''.join(bars)}</svg>"
+    )
+
+
+def _svg_scatter(grid: list[dict], bins: int, size: int = 170) -> str:
+    if not grid:
+        return ""
+    peak = max(g["cnt"] for g in grid) or 1
+    cell = size / bins
+    rects = []
+    for g in grid:
+        # y axis flipped so larger y is up
+        x = g["x_bucket"] * cell
+        y = (bins - 1 - g["y_bucket"]) * cell
+        alpha = 0.15 + 0.85 * (g["cnt"] / peak)
+        rects.append(
+            f"<rect x='{x:.1f}' y='{y:.1f}' width='{cell:.1f}'"
+            f" height='{cell:.1f}' fill='#5b8def' fill-opacity='{alpha:.2f}'>"
+            f"<title>{g['cnt']:,}</title></rect>"
+        )
+    return (
+        f"<svg class='chart' data-chart='scatter' width='{size}'"
+        f" height='{size}' viewBox='0 0 {size} {size}'"
+        f" xmlns='http://www.w3.org/2000/svg'>{''.join(rects)}</svg>"
+    )
+
+
+# --------------------------------------------------------------------------------
+# frequency / extreme tables (reference: frequency_table_utils.py:4-117)
+# --------------------------------------------------------------------------------
+
+
+def _freq_table(v: dict, max_rows: int = 10) -> str:
+    top = v.get("top_values") or []
+    count = v.get("count") or 0
+    if not top:
+        return ""
+    shown = top[:max_rows]
+    shown_total = sum(t["count"] for t in shown)
     rows = []
-    for tv in top_values[:6]:
+    for tv in shown:
         frac = tv["count"] / count if count else 0
         rows.append(
-            f"<tr><td style='max-width:160px;overflow:hidden;text-overflow:ellipsis'>"
-            f"{html.escape(str(tv['value']))[:40]}</td>"
-            f"<td><span class='bar' style='width:{int(100 * frac)}px'></span>"
-            f" {tv['count']:,}</td></tr>"
+            f"<tr><td style='max-width:220px;overflow:hidden;"
+            f"text-overflow:ellipsis'>{html.escape(str(tv['value']))[:60]}</td>"
+            f"<td>{tv['count']:,}</td><td>{100 * frac:.1f}%</td>"
+            f"<td><span class='bar' style='width:{int(120 * frac)}px'></span>"
+            f"</td></tr>"
         )
-    return "<table class='kv'>" + "".join(rows) + "</table>"
+    n_distinct = v.get("n_distinct") or 0
+    other = count - shown_total
+    if n_distinct > len(shown) and other > 0:
+        rows.append(
+            f"<tr><td>Other values ({n_distinct - len(shown):,})</td>"
+            f"<td>{other:,}</td>"
+            f"<td>{100 * other / count if count else 0:.1f}%</td><td></td></tr>"
+        )
+    n_missing = v.get("n_missing") or 0
+    if n_missing:
+        n = v.get("n") or (count + n_missing)
+        rows.append(
+            f"<tr><td>(Missing)</td><td>{n_missing:,}</td>"
+            f"<td>{100 * n_missing / n if n else 0:.1f}%</td><td></td></tr>"
+        )
+    return (
+        "<table class='kv' data-table='frequency'>"
+        "<tr><th>Value</th><th>Count</th><th>Freq</th><th></th></tr>"
+        + "".join(rows) + "</table>"
+    )
 
 
-_VAR_STATS = [
-    "n_distinct", "n_unique", "n_missing", "p_missing", "mean", "std", "min",
-    "max", "median", "mad", "iqr", "skewness", "kurtosis", "sum", "n_zeros",
-    "n_infinite", "range", "cv", "min_length", "mean_length", "max_length",
-    "n_true", "n_false",
-]
+def _extreme_table(rows: list[dict]) -> str:
+    if not rows:
+        return ""
+    body = "".join(
+        f"<tr><td>{html.escape(str(r['value']))[:60]}</td>"
+        f"<td>{r['count']:,}</td></tr>"
+        for r in rows
+    )
+    return (
+        "<table class='kv' data-table='extreme'>"
+        f"<tr><th>Value</th><th>Count</th></tr>{body}</table>"
+    )
+
+
+# --------------------------------------------------------------------------------
+# per-variable sections (reference: report/structure/variables/render_*.py)
+# --------------------------------------------------------------------------------
+
+_COMMON = ["n_distinct", "p_distinct", "n_missing", "p_missing", "n_unique",
+           "is_unique", "mode", "mode_count"]
+_NUMERIC_Q = [("Minimum", "min"), ("5th percentile", "q_0_05"),
+              ("Q1", "q_0_25"), ("Median", "q_0_5"), ("Q3", "q_0_75"),
+              ("95th percentile", "q_0_95"), ("Maximum", "max"),
+              ("Range", "range"), ("IQR", "iqr")]
+_NUMERIC_D = [("Mean", "mean"), ("Standard deviation", "std"),
+              ("Variance", "variance"), ("CV", "cv"), ("MAD", "mad"),
+              ("Skewness", "skewness"), ("Kurtosis", "kurtosis"),
+              ("Sum", "sum"), ("Zeros", "n_zeros"), ("Zeros %", "p_zeros"),
+              ("Negative", "n_negative"), ("Infinite", "n_infinite"),
+              ("NaN", "n_nan"), ("Monotonic", "monotonic"),
+              ("χ² (uniformity)", "chi_squared")]
+_CAT_STATS = [("Max length", "max_length"), ("Mean length", "mean_length"),
+              ("Min length", "min_length"), ("Empty strings", "n_empty"),
+              ("Date-like", "date_like"), ("χ² (uniformity)", "chi_squared")]
+
+
+def _var_section(name: str, v: dict, alerts: list[dict]) -> str:
+    vtype = str(v.get("type"))
+    own_alerts = "".join(
+        f"<span class='alert{' info' if a['type'] in ('UNIQUE', 'UNIFORM') else ''}'>"
+        f"{a['type']}</span>"
+        for a in alerts
+        if a.get("column") == name
+    )
+    overview = _kv_table(
+        [("Distinct", v.get("n_distinct")),
+         ("Distinct %", v.get("p_distinct")),
+         ("Missing", v.get("n_missing")),
+         ("Missing %", v.get("p_missing")),
+         ("Unique (occur once)", v.get("n_unique")),
+         ("Mode", v.get("mode")),
+         ("Count", v.get("count"))]
+    )
+
+    tabs: list[tuple[str, str]] = []
+    if vtype == "Numeric":
+        tabs.append((
+            "Statistics",
+            "<div class='vargrid'>"
+            + _kv_table([(lbl, v.get(k)) for lbl, k in _NUMERIC_Q
+                         if v.get(k) is not None])
+            + _kv_table([(lbl, v.get(k)) for lbl, k in _NUMERIC_D
+                         if v.get(k) is not None])
+            + "</div>",
+        ))
+        if v.get("histogram"):
+            tabs.append(("Histogram", _svg_histogram(v["histogram"])))
+        tabs.append(("Common values", _freq_table(v)))
+        ext = v.get("extreme_obs") or {}
+        if ext.get("min"):
+            tabs.append(("Minimum values", _extreme_table(ext["min"])))
+        if ext.get("max"):
+            tabs.append(("Maximum values", _extreme_table(ext["max"])))
+    elif vtype == "Categorical":
+        tabs.append(("Common values", _freq_table(v)))
+        tabs.append((
+            "Length & content",
+            _kv_table([(lbl, v.get(k)) for lbl, k in _CAT_STATS
+                       if v.get(k) is not None]),
+        ))
+    elif vtype == "Boolean":
+        tabs.append((
+            "Values",
+            _kv_table([("True", v.get("n_true")), ("False", v.get("n_false"))])
+            + _freq_table(v),
+        ))
+    elif vtype == "DateTime":
+        tabs.append((
+            "Statistics",
+            _kv_table([("Minimum", v.get("min")), ("Maximum", v.get("max")),
+                       ("Range", v.get("range"))]),
+        ))
+        if v.get("histogram"):
+            tabs.append(
+                ("Histogram", _svg_histogram(v["histogram"],
+                                             datetime_axis=True))
+            )
+        ext = v.get("extreme_obs") or {}
+        if ext.get("min"):
+            tabs.append(("Minimum values", _extreme_table(ext["min"])))
+        if ext.get("max"):
+            tabs.append(("Maximum values", _extreme_table(ext["max"])))
+    else:
+        tabs.append(("Common values", _freq_table(v)))
+
+    return (
+        f"<div class='varsec' data-section='variable'"
+        f" data-var-type='{html.escape(vtype)}' id='var-{html.escape(name)}'>"
+        f"<h3>{html.escape(name)}<span class='badge'>{html.escape(vtype)}"
+        f"</span></h3><div class='type'>n={_fmt(v.get('n'))}"
+        f" · missing={_fmt(v.get('n_missing'))}</div>{own_alerts}"
+        f"<div class='vargrid'><div>{overview}</div><div>{_tabs(tabs)}</div>"
+        f"</div></div>"
+    )
+
+
+# --------------------------------------------------------------------------------
+# page assembly
+# --------------------------------------------------------------------------------
+
+
+def _matrix_table(matrix: dict[str, dict[str, Any]]) -> str:
+    cols = sorted(matrix.keys())
+    head = "".join(f"<th>{html.escape(c)}</th>" for c in cols)
+    rows = []
+    for a in cols:
+        cells = []
+        for b in cols:
+            val = 1.0 if a == b else matrix.get(a, {}).get(b)
+            if val is None:
+                cells.append("<td>—</td>")
+            else:
+                shade = int(255 - min(abs(val), 1.0) * 120)
+                cells.append(
+                    f"<td style='background:rgb({shade},{shade},255)'>"
+                    f"{val:.2f}</td>"
+                )
+        rows.append(f"<tr><th>{html.escape(a)}</th>{''.join(cells)}</tr>")
+    return (
+        "<div class='card' style='overflow-x:auto'><table class='matrix'>"
+        f"<tr><th></th>{head}</tr>{''.join(rows)}</table></div>"
+    )
+
+
+def _sample_table(rows: list[dict]) -> str:
+    if not rows:
+        return ""
+    cols = list(rows[0].keys())
+    head = "".join(f"<th>{html.escape(c)}</th>" for c in cols)
+    body = "".join(
+        "<tr>" + "".join(f"<td>{_fmt(r.get(c))}</td>" for c in cols) + "</tr>"
+        for r in rows
+    )
+    return (
+        "<div style='overflow-x:auto'>"
+        f"<table class='kv'><tr>{head}</tr>{body}</table></div>"
+    )
 
 
 def render_html(result: "Any", title: str = "Data profile") -> str:
     """ProfileResult (or its as_dict()) -> standalone HTML string."""
     d = result.as_dict() if hasattr(result, "as_dict") else result
     table = d["table"]
+    variables = d["variables"]
+    alerts = d.get("alerts") or []
+    missing = d.get("missing") or {}
+    scatter = d.get("scatter") or {}
+    duplicates = d.get("duplicates") or []
+
+    nav_items = [("overview", "Overview"), ("alerts", "Alerts"),
+                 ("variables", "Variables")]
+    if scatter:
+        nav_items.append(("interactions", "Interactions"))
+    if d.get("correlations"):
+        nav_items.append(("correlations", "Correlations"))
+    nav_items += [("missing", "Missing values"), ("sample", "Sample")]
+    if duplicates:
+        nav_items.append(("duplicates", "Duplicate rows"))
+    nav = "<nav data-section='nav'>" + "".join(
+        f"<a href='#{anchor}'>{label}</a>" for anchor, label in nav_items
+    ) + "</nav>"
+
     parts = [
         "<!doctype html><html><head><meta charset='utf-8'>",
         f"<title>{html.escape(title)}</title><style>{_CSS}</style></head>",
-        "<body><div class='wrap'>",
+        f"<body>{nav}<div class='wrap'>",
         f"<h1>{html.escape(title)}</h1>",
-        "<h2>Overview</h2><div class='cards'><div class='card'>",
+        # overview (reference: get_dataset_overview, report.py:40-90)
+        "<h2 id='overview' data-section='overview'>Overview</h2>"
+        "<div class='cards'><div class='card'><h3>Dataset statistics</h3>",
         _kv_table(
-            [
-                ("Rows", table.get("n")),
-                ("Variables", table.get("n_var")),
-                ("Missing cells", table.get("n_cells_missing")),
-                ("Missing cells %", table.get("p_cells_missing")),
-                ("Duplicate rows", table.get("n_duplicates")),
-                ("Duplicate rows %", table.get("p_duplicates")),
-            ]
+            [("Number of rows", table.get("n")),
+             ("Number of variables", table.get("n_var")),
+             ("Missing cells", table.get("n_cells_missing")),
+             ("Missing cells (%)", table.get("p_cells_missing")),
+             ("Duplicate rows", table.get("n_duplicates")),
+             ("Duplicate rows (%)", table.get("p_duplicates")),
+             ("Variables with missing", table.get("n_vars_with_missing"))]
         ),
         "</div><div class='card'><h3>Variable types</h3>",
         _kv_table(sorted((table.get("types") or {}).items())),
+        "</div><div class='card'><h3>Reproduction</h3>",
+        _kv_table(
+            [("Engine", (d.get("package") or {}).get("engine")),
+             ("Version", (d.get("package") or {}).get("version")),
+             ("Duration (s)", (d.get("analysis") or {}).get("duration_sec")),
+             ("Exact tier", (d.get("analysis") or {}).get("exact"))]
+        ),
         "</div></div>",
     ]
 
-    alerts = d.get("alerts") or []
+    # alerts (reference: get_dataset_warnings)
+    parts.append("<h2 id='alerts' data-section='alerts'>Alerts"
+                 f" <span class='badge'>{len(alerts)}</span></h2>"
+                 "<div class='card'>")
     if alerts:
-        parts.append("<h2>Alerts</h2><div class='card'>")
         for a in alerts:
             col = f" · {a['column']}" if a.get("column") else ""
             cls = "alert info" if a["type"] in ("UNIQUE", "UNIFORM") else "alert"
-            parts.append(f"<span class='{cls}'>{a['type']}{html.escape(col)}</span>")
-        parts.append("</div>")
-
-    parts.append("<h2>Variables</h2><div class='cards'>")
-    for name, v in d["variables"].items():
-        pairs = [(k, v[k]) for k in _VAR_STATS if v.get(k) is not None]
-        parts.append(
-            f"<div class='card'><h3>{html.escape(name)}</h3>"
-            f"<div class='type'>{html.escape(str(v.get('type')))}"
-            f" · n={_fmt(v.get('count'))}</div>"
-            + _kv_table(pairs[:12])
-            + (_histogram(v["histogram"]) if v.get("histogram") else "")
-            + _freq_bars(v.get("top_values") or [], v.get("count") or 0)
-            + "</div>"
-        )
+            parts.append(
+                f"<span class='{cls}'>{a['type']}{html.escape(col)}</span>"
+            )
+    else:
+        parts.append("<span class='type'>No alerts.</span>")
     parts.append("</div>")
 
-    for measure, matrix in (d.get("correlations") or {}).items():
-        cols = sorted(matrix.keys())
-        parts.append(f"<h2>Correlation — {html.escape(measure)}</h2>")
-        head = "".join(f"<th>{html.escape(c)}</th>" for c in cols)
-        rows = []
-        for a in cols:
-            cells = []
-            for b in cols:
-                val = 1.0 if a == b else matrix.get(a, {}).get(b)
-                if val is None:
-                    cells.append("<td>—</td>")
-                else:
-                    shade = int(255 - min(abs(val), 1.0) * 120)
-                    cells.append(
-                        f"<td style='background:rgb({shade},{shade},255)'>"
-                        f"{val:.2f}</td>"
-                    )
-            rows.append(f"<tr><th>{html.escape(a)}</th>{''.join(cells)}</tr>")
-        parts.append(
-            "<div class='card' style='overflow-x:auto'><table class='matrix'>"
-            f"<tr><th></th>{head}</tr>{''.join(rows)}</table></div>"
-        )
+    # variables — one full section per column with per-type detail tabs
+    parts.append("<h2 id='variables' data-section='variables'>Variables</h2>")
+    for name, v in variables.items():
+        parts.append(_var_section(name, v, alerts))
 
-    sample = (d.get("sample") or {}).get("head") or []
-    if sample:
-        cols = list(sample[0].keys())
-        head = "".join(f"<th>{html.escape(c)}</th>" for c in cols)
-        rows = "".join(
-            "<tr>" + "".join(f"<td>{_fmt(r.get(c))}</td>" for c in cols) + "</tr>"
-            for r in sample
+    # interactions (reference: get_interactions; aggregate-then-plot)
+    if scatter:
+        parts.append("<h2 id='interactions' data-section='interactions'>"
+                     "Interactions</h2><div class='cards'>")
+        for a, inner in scatter.items():
+            for b, spec in inner.items():
+                parts.append(
+                    f"<div class='card'><h3>{html.escape(a)} ×"
+                    f" {html.escape(b)}</h3>"
+                    + _svg_scatter(spec.get("grid") or [],
+                                   spec.get("bins") or 24)
+                    + "</div>"
+                )
+        parts.append("</div>")
+
+    # correlations — one tab per measure (reference: get_correlation_items)
+    correlations = d.get("correlations") or {}
+    if correlations:
+        parts.append("<h2 id='correlations' data-section='correlations'>"
+                     "Correlations</h2>")
+        parts.append(_tabs([
+            (measure, _matrix_table(matrix))
+            for measure, matrix in correlations.items()
+        ]))
+
+    # missing values (reference: get_missing_items — bar/matrix/heatmap/dendro)
+    parts.append("<h2 id='missing' data-section='missing'>Missing values</h2>")
+    miss_tabs: list[tuple[str, str]] = []
+    if missing.get("counts"):
+        miss_tabs.append(
+            ("Count", _svg_missing_bar(missing["counts"], table.get("n") or 0))
         )
-        parts.append(
-            "<h2>Sample</h2><div class='card' style='overflow-x:auto'>"
-            f"<table class='kv'><tr>{head}</tr>{rows}</table></div>"
+    if missing.get("nullity_correlation"):
+        miss_tabs.append(
+            ("Heatmap", _matrix_table(missing["nullity_correlation"]))
         )
+    dendro = missing.get("dendrogram") or {}
+    if dendro.get("merges"):
+        cols = dendro.get("columns") or []
+        labels = {i: str(c) for i, c in enumerate(cols)}
+        rows = []
+        for step, m in enumerate(dendro["merges"]):
+            a, b, dist = m[0], m[1], m[2]
+            merged = f"{labels.get(a, f'cluster {a}')} + {labels.get(b, f'cluster {b}')}"
+            labels[len(cols) + step] = f"({merged})"
+            rows.append((merged, round(float(dist), 4)))
+        miss_tabs.append((
+            "Dendrogram",
+            "<table class='kv' data-table='dendrogram'>"
+            "<tr><th>Merge</th><th>Distance</th></tr>"
+            + "".join(
+                f"<tr><td>{html.escape(m)}</td><td>{d_}</td></tr>"
+                for m, d_ in rows
+            )
+            + "</table>",
+        ))
+    parts.append(_tabs(miss_tabs) or "<div class='card'>"
+                 "<span class='type'>No missing-value data.</span></div>")
+
+    # samples (reference: get_sample_items — head/tail/random tabs)
+    sample = d.get("sample") or {}
+    parts.append("<h2 id='sample' data-section='sample'>Sample</h2>")
+    parts.append(_tabs([
+        ("First rows", _sample_table(sample.get("head") or [])),
+        ("Random sample", _sample_table(sample.get("random") or [])),
+        ("Last rows", _sample_table(sample.get("tail") or [])),
+    ]) or "<div class='card'><span class='type'>No sample.</span></div>")
+
+    # duplicates (reference: get_duplicates_items)
+    if duplicates:
+        parts.append("<h2 id='duplicates' data-section='duplicates'>"
+                     "Duplicate rows</h2><div class='card'>")
+        parts.append(_sample_table(duplicates))
+        parts.append("</div>")
 
     parts.append("</div></body></html>")
     return "".join(parts)

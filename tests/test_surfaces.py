@@ -163,7 +163,8 @@ def test_html_json_serialize_roundtrip(spark, tmp_path):
     r = profile(df, cfg)
 
     page = H.render_html(r, title="T<est>")
-    assert "T&lt;est&gt;" in page and "Variables" in page and "class='hist'" in page
+    assert "T&lt;est&gt;" in page and "Variables" in page
+    assert "data-chart='histogram'" in page
     out = tmp_path / "report.html"
     H.to_file(r, str(out))
     assert out.stat().st_size > 1000
@@ -177,6 +178,125 @@ def test_html_json_serialize_roundtrip(spark, tmp_path):
     assert back["result"]["table"]["n"] == 3
     with pytest.raises(ValueError, match="fingerprint"):
         SER.loads(blob, "wrong")
+
+
+def test_report_sections_every_variable_type(spark):
+    """VERDICT r2 #2: the report must carry the reference's full section
+    structure (report/structure/report.py:229-314) — nav, overview, alerts,
+    one marked section per variable with per-type detail tabs (histogram SVG,
+    frequency table with Other/Missing rows, extreme-value tables), missing
+    diagrams (bar SVG, heatmap, dendrogram), correlations, interactions,
+    samples, duplicates."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+    from pandas_profiling_personal_spark.report import html as H
+
+    schema = T.StructType(
+        [
+            T.StructField("num", T.DoubleType()),
+            T.StructField("num2", T.DoubleType()),
+            T.StructField("cat", T.StringType()),
+            T.StructField("flag", T.BooleanType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("gappy", T.DoubleType()),
+            T.StructField("gappy2", T.DoubleType()),
+        ]
+    )
+    rows = []
+    for i in range(40):
+        rows.append(
+            (
+                float(i % 13),
+                float((i * 7) % 11),
+                f"v{i % 4}",
+                i % 2 == 0,
+                dt.datetime(2024, 1, 1) + dt.timedelta(hours=i),
+                None if i % 3 == 0 else float(i),
+                None if i % 4 == 0 else float(i * 2),
+            )
+        )
+    rows.append(rows[0])  # a duplicate row for the duplicates section
+    df = spark.createDataFrame(rows, schema)
+    r = profile(
+        df,
+        ProfileConfig(
+            exact=True,
+            interactions=True,
+            correlations=("pearson", "spearman"),
+            samples_tail=5,
+        ),
+    )
+    page = H.render_html(r, title="full surface")
+
+    # nav + top-level sections
+    for marker in (
+        "data-section='nav'",
+        "data-section='overview'",
+        "data-section='alerts'",
+        "data-section='variables'",
+        "data-section='interactions'",
+        "data-section='correlations'",
+        "data-section='missing'",
+        "data-section='sample'",
+        "data-section='duplicates'",
+    ):
+        assert marker in page, marker
+    # one marked section per variable, typed
+    for name in ("num", "num2", "cat", "flag", "ts", "gappy", "gappy2"):
+        assert f"id='var-{name}'" in page, name
+    for vtype in ("Numeric", "Categorical", "Boolean", "DateTime"):
+        assert f"data-var-type='{vtype}'" in page, vtype
+    # per-type detail content
+    assert "data-chart='histogram'" in page  # numeric + datetime histograms
+    assert "data-table='frequency'" in page
+    assert "data-table='extreme'" in page
+    assert ">Minimum values<" in page and ">Maximum values<" in page
+    assert "Other values" in page or "(Missing)" in page
+    # missing diagrams
+    assert "data-chart='missing-bar'" in page
+    assert "data-table='dendrogram'" in page or "Heatmap" in page
+    # interactions raster + correlation tabs
+    assert "data-chart='scatter'" in page
+    assert ">pearson<" in page and ">spearman<" in page
+    # samples incl. the opt-in tail (K3)
+    assert ">First rows<" in page and ">Random sample<" in page
+    assert ">Last rows<" in page
+    assert "tail" in r.sample and len(r.sample["tail"]) == 5
+
+
+def test_notebook_iframe_embed(spark):
+    """reference: profile_report.py:332-343 — the report embeds as an iframe
+    whose srcdoc is the full escaped page (no CSS leakage)."""
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+    from pandas_profiling_personal_spark.report.notebook import (
+        iframe_html,
+        to_notebook_iframe,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
+    r = profile(df, ProfileConfig(exact=True))
+    frame = iframe_html(r, title="embed me", height="640px")
+    assert frame.startswith("<iframe")
+    assert "srcdoc=" in frame and "data-report='profile'" in frame
+    assert "height='640px'" in frame
+    # the page is escaped INTO the attribute — raw tags must not appear
+    assert "<body>" not in frame and "&lt;body&gt;" in frame
+    obj = to_notebook_iframe(r, title="embed me")
+    # IPython may or may not be importable; both contracts hold the iframe
+    payload = obj if isinstance(obj, str) else obj.data
+    assert "srcdoc=" in payload
+
+
+def test_tail_sample_order_semantics(spark):
+    """K3: tail returns the LAST n rows of the sorted frame."""
+    from pandas_profiling_personal_spark.operators.sampling import tail
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "k int")
+    rows = tail(df, 3, order_by=["k"])
+    assert [r["k"] for r in rows] == [97, 98, 99]
 
 
 def test_cli_end_to_end(tmp_path):
