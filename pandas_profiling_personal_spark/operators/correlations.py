@@ -254,6 +254,7 @@ def phik(
     bins: int = 10,
     a_numeric: bool = True,
     b_numeric: bool = True,
+    noise_correction: bool = True,
 ) -> float | None:
     """φk correlation (C5) — scipy/phik-free reimplementation of the core idea
     of the phik measure (Baak et al., arXiv:1811.11440): bin both variables,
@@ -263,12 +264,14 @@ def phik(
 
     The binning + contingency are fully distributed (quantile edges + one
     groupBy); the inversion is driver-side bisection over
-    :mod:`...functions.bvn`. This simplified variant omits phik's sample-noise
-    pedestal correction, so small samples read slightly high. The reference
-    ships the whole table to one executor and calls the phik package
-    (reference: correlations.py:456-521) — not reproducible in this
-    environment, and not distributed either. For many pairs (and mixed-type
-    matrices) use :func:`phik_matrix` — constant job count."""
+    :mod:`...functions.bvn`, with a first-order sample-noise pedestal
+    subtracted from the observed χ² (see :func:`_phik_from_cells`) so
+    independent pairs read ~0 instead of picking up E[χ²]=dof worth of
+    fluctuation. The reference ships the whole table to one executor and
+    calls the phik package (reference: correlations.py:456-521) — not
+    reproducible in this environment, and not distributed either. For many
+    pairs (and mixed-type matrices) use :func:`phik_matrix` — constant job
+    count."""
     a, b = S.col(col_a), S.col(col_b)
     d = df.where(a.isNotNull() & b.isNotNull())
 
@@ -292,13 +295,25 @@ def phik(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
-    return _phik_from_cells([(r["ba"], r["bb"], r["n"]) for r in ct])
+    return _phik_from_cells(
+        [(r["ba"], r["bb"], r["n"]) for r in ct], noise_correction
+    )
 
 
-def _phik_from_cells(cells: "list[tuple]") -> float | None:
+def _phik_from_cells(
+    cells: "list[tuple]", noise_correction: bool = True
+) -> float | None:
     """Driver-side φk from contingency cells: Pearson χ² of the table, then
     bisection-invert the χ²(ρ) curve of a discretized bivariate normal with
-    the same marginals (:mod:`...functions.bvn`)."""
+    the same marginals (:mod:`...functions.bvn`).
+
+    ``noise_correction`` subtracts the sample-noise pedestal from the observed
+    χ² before inversion (Baak et al., arXiv:1811.11440 §3.3): under
+    independence a finite sample still yields E[χ²] = (r-1)(k-1) of pure
+    fluctuation, which the uncorrected inversion reads as spurious positive
+    correlation. Subtracting the dof (the analytic first-order pedestal —
+    phik's default estimates the same quantity by simulation) and flooring at
+    0 makes independent pairs read ~0 at any sample size."""
     from pandas_profiling_personal_spark.functions.bvn import (
         bvn_rect_prob,
         norm_ppf,
@@ -319,6 +334,8 @@ def _phik_from_cells(cells: "list[tuple]") -> float | None:
             e = row_p[i] * col_p[j] * n
             if e > 0:
                 chi2_obs += (obs[i][j] - e) ** 2 / e
+    if noise_correction:
+        chi2_obs = max(0.0, chi2_obs - (ra - 1) * (kb - 1))
 
     # normal-score bin edges from the marginals
     def edges_from(p):
@@ -407,6 +424,7 @@ def phik_matrix(
     numeric_cols: list[str],
     categorical_cols: list[str] | None = None,
     bins: int = 10,
+    noise_correction: bool = True,
 ) -> "dict[tuple[str, str], float | None]":
     """φk for every pair across numeric AND categorical columns — the
     reference's mixed-type semantics (interval variables quantile-binned,
@@ -422,7 +440,7 @@ def phik_matrix(
     if not pairs:
         return {}
     tables = contingency_all_pairs(df, exprs, pairs)
-    return {p: _phik_from_cells(tables[p]) for p in pairs}
+    return {p: _phik_from_cells(tables[p], noise_correction) for p in pairs}
 
 
 def kendall_tau_b(x, y) -> float:

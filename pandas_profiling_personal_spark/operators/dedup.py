@@ -75,16 +75,28 @@ _HASH_FNS = {"md5": portable_hash64, "xxhash64": fast_hash64}
 
 
 def exact_duplicates(
-    df: DataFrame, id_col: str, text_col: str
+    df: DataFrame, id_col: str, text_col: str, max_ids: int = 100
 ) -> DataFrame:
     """Groups of documents with identical normalized text:
-    (fingerprint, n_docs, doc_ids). One combine-friendly shuffle."""
+    (fingerprint, n_docs, doc_ids). ``n_docs`` counts the FULL group;
+    ``doc_ids`` holds only the ``max_ids`` smallest ids — at corpus scale a
+    boilerplate fingerprint can have millions of members, and an unbounded
+    ``collect_list`` would materialize them all in one aggregation buffer /
+    output row. The rank filter runs inside the same fingerprint exchange
+    (window and groupBy share the partitioning), so memory stays bounded
+    end-to-end."""
     fp = F.md5(normalize_text(S.col(text_col)))
-    return (
+    w = Window.partitionBy("fingerprint")
+    ranked = (
         df.select(S.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
-        .groupBy("fingerprint")
+        .withColumn("__n", F.count(F.lit(1)).over(w))
+        .withColumn("__rn", F.row_number().over(w.orderBy("doc_id")))
+        .where(F.col("__rn") <= max_ids)
+    )
+    return (
+        ranked.groupBy("fingerprint")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
+            F.max("__n").alias("n_docs"),
             F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
         )
         .where(F.col("n_docs") > 1)

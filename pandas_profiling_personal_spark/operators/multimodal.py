@@ -211,6 +211,59 @@ def read_binary_files(
     return reader.load(path)
 
 
+#: per-path filesystem stats (A19 full tier)
+FILE_STAT_SCHEMA = T.StructType(
+    [
+        T.StructField("st_size", T.LongType()),
+        T.StructField("st_mtime", T.DoubleType()),
+        T.StructField("st_ctime", T.DoubleType()),
+        T.StructField("st_atime", T.DoubleType()),
+    ]
+)
+
+
+def file_stats(df: DataFrame, path_col: str = "path") -> DataFrame:
+    """Full st_size/st_mtime/st_ctime/st_atime per path (A19) — the fields the
+    reference collects driver-side via ``os.stat``
+    (reference: summary_helpers.py:117-140). The binaryFile source only
+    surfaces mtime/length, so this optional tier stats each path inside an
+    Arrow-batched ``mapInPandas`` — executor-local filesystem I/O, which is
+    the one legitimate use of Python here. Paths must be visible from the
+    executors (local fs / NFS / fuse mount); ``file:`` URI prefixes from
+    binaryFile are stripped. Unstattable paths yield a null struct rather
+    than failing the job."""
+    import os
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("file_stat", FILE_STAT_SCHEMA)]
+    )
+
+    def stat_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            stats = []
+            for p in pdf[path_col]:
+                try:
+                    local = str(p)
+                    if local.startswith("file:"):
+                        local = local[len("file:") :]
+                    st = os.stat(local)
+                    stats.append(
+                        {
+                            "st_size": st.st_size,
+                            "st_mtime": st.st_mtime,
+                            "st_ctime": st.st_ctime,
+                            "st_atime": st.st_atime,
+                        }
+                    )
+                except OSError:
+                    stats.append(None)
+            pdf = pdf.copy()
+            pdf["file_stat"] = stats
+            yield pdf
+
+    return df.mapInPandas(stat_batch, out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     binary_col: str,

@@ -124,10 +124,13 @@ def exact_duplicates_query() -> QueryFn:
     return fn
 
 
-def exact_duplicates_sql() -> str:
-    return """
+def exact_duplicates_sql(max_ids: int = 100) -> str:
+    # doc_ids is capped to the max_ids smallest ids (scale guard in the Spark
+    # op); n_docs still counts the full group.
+    return f"""
 SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
-       count(*) AS n_docs, list_sort(list(doc_id)) AS doc_ids
+       count(*) AS n_docs,
+       list_slice(list_sort(list(doc_id)), 1, {max_ids}) AS doc_ids
 FROM documents GROUP BY 1 HAVING count(*) > 1
 """
 

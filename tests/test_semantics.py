@@ -432,6 +432,25 @@ def test_phik_categorical_association(spark):
     assert v > 0.99
 
 
+def test_phik_independent_pair_reads_zero(spark):
+    """VERDICT r2 #8: with the sample-noise pedestal subtracted, a genuinely
+    independent pair must read ~0 (the uncorrected inversion picks up
+    E[chi2]=dof of fluctuation and reads small samples high)."""
+    import random
+
+    from pandas_profiling_personal_spark.operators.correlations import phik
+
+    rng = random.Random(13)
+    rows = [(rng.gauss(0, 1), rng.gauss(0, 1)) for _ in range(2000)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    v = phik(df, "x", "y")
+    assert v < 0.05
+    # and the correction must not disturb a genuine signal: uncorrected is
+    # strictly >= corrected by construction
+    v_raw = phik(df, "x", "y", noise_correction=False)
+    assert v_raw >= v
+
+
 def test_cramers_v_perfect_association(spark):
     from pandas_profiling_personal_spark.operators.correlations import cramers_v
 

@@ -96,6 +96,14 @@ def test_minhash_finds_planted_near_dup(spark):
     exact = exact_duplicates(df, "doc_id", "text").collect()
     assert len(exact) == 1 and exact[0]["doc_ids"] == [1, 4]
 
+    # scale guard: doc_ids payload is capped, n_docs still counts the group
+    many = spark.createDataFrame(
+        [(i, base) for i in range(7)] + [(99, other)], "doc_id long, text string"
+    )
+    capped = exact_duplicates(many, "doc_id", "text", max_ids=3).collect()
+    assert len(capped) == 1
+    assert capped[0]["n_docs"] == 7 and capped[0]["doc_ids"] == [0, 1, 2]
+
     pairs = minhash_dedup(
         df, "doc_id", "text", num_hashes=16, bands=8, min_jaccard=0.5
     ).collect()

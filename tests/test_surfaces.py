@@ -350,6 +350,29 @@ def test_read_binary_files(spark, tmp_path):
     assert formats == {"a.jpg": "jpeg", "b.png": "png"}
 
 
+def test_file_stats_local_tier(spark, tmp_path):
+    """A19 full tier: st_size/mtime/ctime/atime per path via mapInPandas,
+    file: URIs stripped, unstattable paths -> null struct."""
+    import os
+
+    from pandas_profiling_personal_spark.operators.multimodal import (
+        file_stats,
+        read_binary_files,
+    )
+
+    p = tmp_path / "x.bin"
+    p.write_bytes(b"z" * 77)
+    df = read_binary_files(spark, str(tmp_path)).select("path")
+    df = df.unionAll(spark.createDataFrame([("/no/such/file",)], ["path"]))
+    rows = {r["path"]: r["file_stat"] for r in file_stats(df).collect()}
+    st = os.stat(p)
+    got = rows[[k for k in rows if k.endswith("x.bin")][0]]
+    assert got["st_size"] == 77
+    assert abs(got["st_mtime"] - st.st_mtime) < 2
+    assert got["st_ctime"] is not None and got["st_atime"] is not None
+    assert rows["/no/such/file"] is None
+
+
 def test_write_table_and_deduplicated(spark, tmp_path):
     """Sink round-trip: partitioned layout on disk, maxRecordsPerFile honored,
     and the deduplicated-corpus materialization keeps exactly the keep-list."""
