@@ -8,8 +8,15 @@ builds ONE wide ``df.agg(...)`` containing every scalar statistic for every colu
 Catalyst compiles it to a single partial+final hash aggregation over one scan, so
 cost is one table pass regardless of column count — the design that survives 100 TB.
 
-A second (optional, numeric-only) pass computes MAD, which needs the median from
-pass 1 (reference: summary_algorithms.py:584-591, minus its int-cast bug).
+Pass 1 issues up to three actions over the (persisted) input, each shaped for
+codegen: 1a the declarative wide agg, 1b the typed-imperative percentile agg
+(kept separate — mixing forces interpreted evaluation), 1c mean-shifted power
+sums from which std/variance/skew/kurt are reconstructed driver-side (Spark's
+CentralMomentAgg degrades ~quadratically with aggregate count on 100+-column
+tables; see :func:`_moment_pass`).
+
+A further (optional, numeric-only) pass computes MAD, which needs the median
+from pass 1 (reference: summary_algorithms.py:584-591, minus its int-cast bug).
 """
 
 from __future__ import annotations
@@ -72,18 +79,18 @@ def scalar_summary(
             continue
         exprs.append(S.n_distinct(c, exact=config.exact).alias(f"{p}__n_distinct"))
         if vt is VT.NUMERIC:
+            # std/variance/skew/kurt deliberately absent here: Spark's
+            # CentralMomentAgg update code degrades ~quadratically with the
+            # number of such aggregates in one operator (measured at sf0.1/4:
+            # 90 columns of skew+kurt = 44 s warm vs 2 s for the equivalent
+            # shifted power sums below), which is the one cliff that breaks
+            # the wide-agg thesis at 100+ columns. They are reconstructed
+            # from pass 1c's mean-shifted power sums instead.
             exprs += [
                 S.mean(c).alias(f"{p}__mean"),
-                S.stddev(c).alias(f"{p}__std"),
-                S.variance(c).alias(f"{p}__variance"),
                 F.min(c).alias(f"{p}__min"),
                 F.max(c).alias(f"{p}__max"),
                 F.sum(c).alias(f"{p}__sum"),
-                # raw population moments; bias-corrected on the driver in
-                # _derive (composing the correction into the agg duplicates
-                # count() nodes and slows Catalyst analysis of the wide plan)
-                F.skewness(c).alias(f"{p}__g1"),
-                F.kurtosis(c).alias(f"{p}__g2"),
                 S.n_zeros(c).alias(f"{p}__n_zeros"),
                 S.n_negative(c).alias(f"{p}__n_negative"),
             ]
@@ -119,6 +126,7 @@ def scalar_summary(
     row = df.agg(*(exprs + extra_aliased)).collect()[0].asDict()
     if pct_exprs:
         row.update(df.agg(*pct_exprs).collect()[0].asDict())
+    _moment_pass(df, types, row)
     n = row.pop("__n")
     extras = {k: row.pop(f"__x_{k}") for k in extra}
 
@@ -137,6 +145,80 @@ def scalar_summary(
     if extra_exprs is not None:
         return out, extras
     return out
+
+
+def _moment_pass(
+    df: DataFrame, types: "dict[str, VT]", row: "dict[str, Any]"
+) -> None:
+    """Pass 1c: fill ``{p}__std/__variance/__g1/__g2`` for numeric columns
+    from ONE aggregation of mean-shifted power sums Σ(x-m̄)^k, k=1..4.
+
+    Spark's stddev/variance/skewness/kurtosis are CentralMomentAgg
+    expressions whose generated update path scales ~quadratically with the
+    count of such aggregates in a single operator — a 90-numeric-column
+    pass 1 spent 44 s in them where the equivalent four plain ``F.sum``
+    power sums take 2 s. Shifting by the exact pass-1a mean keeps the sums
+    cancellation-free, so the driver-side reconstruction matches Spark's
+    own estimators to ~1e-14 (unit-asserted), far inside oracle rounding.
+    Runs as its own declarative action over the (persisted) input — mixing
+    it into the percentile action would push that ObjectHashAggregate to
+    interpreted mode (see pass-1 comment)."""
+    mexprs = []
+    targets: "list[tuple[str, str]]" = []  # (prefix, name) needing sums
+    for i, (name, vt) in enumerate(types.items()):
+        if vt is not VT.NUMERIC:
+            continue
+        p = f"c{i}"
+        mean = row.get(f"{p}__mean")
+        if mean is None:
+            for k in ("std", "variance", "g1", "g2"):
+                row[f"{p}__{k}"] = None
+            continue
+        mean = float(mean)
+        if math.isnan(mean) or math.isinf(mean):
+            # NaN/inf contaminate every moment, exactly as Spark's own
+            # estimators would report
+            for k in ("std", "variance", "g1", "g2"):
+                row[f"{p}__{k}"] = float("nan")
+            continue
+        d = S.col(name).cast("double") - F.lit(mean)
+        mexprs += [
+            F.sum(d).alias(f"{p}__ms1"),
+            F.sum(d * d).alias(f"{p}__ms2"),
+            F.sum(d * d * d).alias(f"{p}__ms3"),
+            F.sum(d * d * d * d).alias(f"{p}__ms4"),
+        ]
+        targets.append((p, name))
+    if not mexprs:
+        return
+    mrow = df.agg(*mexprs).collect()[0].asDict()
+    for p, name in targets:
+        cnt = row[f"{p}__count"]
+        s1 = float(mrow[f"{p}__ms1"])
+        s2 = float(mrow[f"{p}__ms2"])
+        s3 = float(mrow[f"{p}__ms3"])
+        s4 = float(mrow[f"{p}__ms4"])
+        md = s1 / cnt
+        # exact central moments via the shift identities (s is the pass-1a
+        # mean, md its residual fp error — usually ~1e-16 relative)
+        mu2 = max(0.0, s2 / cnt - md * md)
+        mu3 = s3 / cnt - 3 * md * (s2 / cnt) + 2 * md**3
+        mu4 = s4 / cnt - 4 * md * (s3 / cnt) + 6 * md * md * (s2 / cnt) - 3 * md**4
+        if cnt > 1:
+            variance = max(0.0, (s2 - cnt * md * md) / (cnt - 1))
+            std = math.sqrt(variance)
+        else:
+            # sample estimators are undefined at n=1; Spark reports NaN
+            variance = std = float("nan")
+        if math.isnan(mu2) or mu2 <= 0.0:
+            g1 = g2 = float("nan")  # zero-variance column: 0/0, as Spark
+        else:
+            g1 = mu3 / mu2**1.5
+            g2 = mu4 / (mu2 * mu2) - 3.0
+        row[f"{p}__std"] = std
+        row[f"{p}__variance"] = variance
+        row[f"{p}__g1"] = g1
+        row[f"{p}__g2"] = g2
 
 
 def mad_summary(

@@ -135,6 +135,100 @@ def test_histogram_single_scan_all_columns(spark):
     assert "partial_count" in p, "histogram agg must map-side combine"
 
 
+def test_moment_pass_matches_spark_estimators(spark):
+    """Pass 1c reconstructs std/variance/skew/kurt from mean-shifted power
+    sums (Spark's CentralMomentAgg is ~quadratic in aggregate count on wide
+    tables). The reconstruction must agree with Spark's own estimators to
+    ~1e-9 — including a column with a huge mean offset, where unshifted
+    power sums would catastrophically cancel."""
+    import math
+    import random
+
+    from pandas_profiling_personal_spark.operators.summary import scalar_summary
+
+    rng = random.Random(5)
+    rows = [
+        (
+            rng.gauss(0, 1),
+            1e9 + rng.gauss(0, 3),  # mean >> std: the cancellation trap
+            7.5,  # constant
+            rng.expovariate(0.2),
+        )
+        for _ in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "a double, big double, const double, e double")
+    out = scalar_summary(df)
+    ref = df.agg(
+        *[
+            e
+            for c in ("a", "big", "e")
+            for e in (
+                F.stddev(c).alias(f"{c}_std"),
+                F.variance(c).alias(f"{c}_var"),
+                F.skewness(c).alias(f"{c}_g1"),
+                F.kurtosis(c).alias(f"{c}_g2"),
+            )
+        ]
+    ).collect()[0]
+    n = 3000.0
+    for c in ("a", "big", "e"):
+        assert out[c]["std"] == pytest.approx(ref[f"{c}_std"], rel=1e-9)
+        assert out[c]["variance"] == pytest.approx(ref[f"{c}_var"], rel=1e-9)
+        # scalar_summary reports bias-corrected skew/kurt; apply the same
+        # correction to Spark's population estimators
+        skew_ref = ref[f"{c}_g1"] * math.sqrt(n * (n - 1)) / (n - 2)
+        kurt_ref = (n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * ref[f"{c}_g2"] + 6)
+        # both sides carry their own fp accumulation error; 1e-5 relative is
+        # ~10 orders tighter than report rounding
+        assert out[c]["skewness"] == pytest.approx(skew_ref, rel=1e-5, abs=1e-6)
+        assert out[c]["kurtosis"] == pytest.approx(kurt_ref, rel=1e-5, abs=1e-6)
+    # zero-variance column: 0/0 -> NaN, exactly as F.skewness reports
+    assert out["const"]["variance"] == 0.0
+    assert math.isnan(out["const"]["skewness"])
+    # single-row frame: sample estimators undefined -> NaN (Spark semantics);
+    # all-null column -> None
+    one = spark.createDataFrame([(2.0, None)], "x double, y double")
+    o1 = scalar_summary(one)
+    assert math.isnan(o1["x"]["std"]) and math.isnan(o1["x"]["variance"])
+    assert o1["y"]["std"] is None and o1["y"]["variance"] is None
+
+
+def test_wide_profile_constant_job_count(spark):
+    """VERDICT r2 #4: tripling the column count must NOT grow the number of
+    Spark jobs — the pass structure is one wide agg per pass, not per-column
+    actions (the reference's job-storm disease)."""
+    import random
+
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+
+    rng = random.Random(9)
+
+    def frame(n_cols):
+        rows = [
+            tuple(rng.uniform(0, 100 + i) for i in range(n_cols))
+            for _ in range(500)
+        ]
+        return spark.createDataFrame(
+            rows, ", ".join(f"n{i} double" for i in range(n_cols))
+        )
+
+    cfg = ProfileConfig(correlations=(), duplicates=False, missing_diagrams=False)
+    sc = spark.sparkContext
+    jobs = {}
+    for n_cols in (24, 72):
+        sc.setJobGroup(f"wide-{n_cols}", "wide profile job growth")
+        try:
+            r = profile(frame(n_cols), cfg)
+        finally:
+            sc.setJobGroup(None, None)
+        assert len(r.variables) == n_cols
+        jobs[n_cols] = len(
+            sc.statusTracker().getJobIdsForGroup(f"wide-{n_cols}")
+        )
+    # identical pass structure; allow +2 for AQE sub-job variance
+    assert jobs[72] <= jobs[24] + 2, f"job growth with width: {jobs}"
+
+
 def test_lsh_plan_constant_in_dim(spark):
     """VERDICT r2 #3: the hyperplane matrix must ship as one nested-array
     Literal, not dim x planes x tables literal nodes. At 768-d x 12 planes x
