@@ -151,6 +151,82 @@ def test_streaming_profile_batch_equivalence(spark, tmp_path):
     assert len(stream_rows) == 4  # 2 windows x 2 columns
 
 
+def test_streaming_minhash_matches_batch(spark):
+    """The stateless per-row HOF signature must be bit-identical to the batch
+    explode+groupBy MinHash (so stream and backfill dedup agree)."""
+    from pandas_profiling_personal_spark.operators.dedup import minhash_signatures
+    from pandas_profiling_personal_spark.streaming.dedup_stream import (
+        signature_stream,
+    )
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet").limit(
+        50
+    )
+    batch = {
+        r["doc_id"]: [r[f"m{i}"] for i in range(8)]
+        for r in minhash_signatures(docs, "doc_id", "text", num_hashes=8).collect()
+    }
+    stream_form = {
+        r["doc_id"]: list(r["minhash"])
+        for r in signature_stream(docs, "doc_id", "text", num_hashes=8).collect()
+    }
+    assert batch == stream_form and len(batch) == 50
+
+
+def test_streaming_exact_dedup_first_seen_wins(spark, tmp_path):
+    """exact_dedup_stream on a real file stream: duplicates (by normalized
+    text) collapse to one kept row across micro-batches."""
+    from pandas_profiling_personal_spark.streaming.dedup_stream import (
+        exact_dedup_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    batch1 = [
+        (t0, 1, "alpha beta gamma"),
+        (t0, 2, "  ALPHA   beta GAMMA "),  # dup of 1 after normalization
+        (t0, 3, "something else entirely"),
+    ]
+    batch2 = [
+        (t0 + dt.timedelta(minutes=1), 4, "alpha beta gamma"),  # dup of 1
+        (t0 + dt.timedelta(minutes=1), 5, "fresh content here"),
+    ]
+    src = tmp_path / "dedup_src"
+    spark.createDataFrame(batch1, schema).write.parquet(str(src))
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src))
+    out = exact_dedup_stream(stream, "text", ts_col="ts", watermark="1 hour")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        kept = {r["doc_id"] for r in spark.table("t_dedup").collect()}
+    finally:
+        q.stop()
+    # one representative for the alpha-beta-gamma group, plus the two uniques
+    assert len(kept) == 3
+    assert 3 in kept and 5 in kept and len(kept & {1, 2, 4}) == 1
+
+    # batch fallback path: same semantics without a stream/state store
+    allrows = spark.createDataFrame(batch1 + batch2, schema)
+    b = exact_dedup_stream(allrows, "text")
+    assert b.count() == 3
+
+
 def test_html_json_serialize_roundtrip(spark, tmp_path):
     from pandas_profiling_personal_spark import ProfileConfig, profile
     from pandas_profiling_personal_spark.report import html as H
