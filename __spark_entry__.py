@@ -148,6 +148,14 @@ _SPECS: dict[str, tuple] = {
         None,
     ),
     "url_parts_events": (P.url_parts_query(), P.url_parts_sql()),
+    "tail_sample_orders": (
+        P.tail_sample_query(
+            "orders", ["o_orderkey", "o_custkey", "o_totalprice"], "o_orderkey", 7
+        ),
+        P.tail_sample_sql(
+            "orders", ["o_orderkey", "o_custkey", "o_totalprice"], "o_orderkey", 7
+        ),
+    ),
     "path_parts_events": (P.path_parts_query(), P.path_parts_sql()),
     # --- training-data pipeline operators (documents / embeddings) -----------
     "text_profile_documents": (PP.text_profile_query(), PP.text_profile_sql()),

@@ -34,6 +34,14 @@ class ProfileConfig:
     #: compute bottom/top-N extreme observations for numeric+datetime columns
     #: (rides the pass-2 value-counts cache — no extra table scan)
     extreme_obs: bool = True
+    #: 100 TB lever (opt-in): skip the exact pass-2 frequency work (top-K,
+    #: exact distinct/unique, extremes) for columns whose pass-1 distinct
+    #: estimate is >= this fraction of their non-null count. A near-unique
+    #: continuous column's frequency table is all count-1 rows — at corpus
+    #: scale that is a full-cardinality shuffle for no diagnostic value.
+    #: Gated columns keep the pass-1 (approx-tier) n_distinct and report
+    #: n_unique/top_values as unavailable. None (default) = never skip.
+    freq_near_unique_ratio: float | None = None
     #: bucketed 2-D interaction densities for numeric column pairs
     #: (reference renders scatter/hexbin for all continuous pairs,
     #: report/structure/report.py:187-226). One batched shuffle for ALL pairs;

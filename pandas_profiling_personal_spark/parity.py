@@ -1000,3 +1000,31 @@ def json_props_sql(table: str = "events") -> str:
         f" WHERE regexp_extract(props, '\"k\":\\s*(\\d+)', 1) <> ''"
         f" GROUP BY 1"
     )
+
+
+# --------------------------------------------------------------------------------
+# tail sample (K3) — last n rows of an explicitly-ordered frame
+# --------------------------------------------------------------------------------
+
+
+def tail_sample_query(table: str, cols: list[str], order_col: str, n: int) -> QueryFn:
+    """K3: ``df.tail(n)`` over an ordered frame (the reference has no Spark
+    tail — dataframe_wrappers.py:331-342). Driver-bounded: exactly ``n`` rows
+    return; the oracle is the same rows selected as ORDER BY DESC LIMIT n."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.sampling import tail
+
+        df = load(spark, sf_dir, table).select(*[S.col(c) for c in cols])
+        rows = tail(df, n, order_by=[order_col])
+        return spark.createDataFrame(rows, df.schema)
+
+    return fn
+
+
+def tail_sample_sql(table: str, cols: list[str], order_col: str, n: int) -> str:
+    collist = ", ".join(cols)
+    return (
+        f"SELECT {collist} FROM "
+        f"(SELECT {collist} FROM {table} ORDER BY {order_col} DESC LIMIT {n})"
+    )

@@ -167,22 +167,44 @@ def profile(
         # values to cover the categorical-uniformity test for columns under the
         # cardinality threshold (still driver-bounded).
         freq_cols = [c for c, vt in types.items() if vt is not VT.BINARY]
+        # opt-in near-unique gate (freq_near_unique_ratio): drop columns whose
+        # pass-1 distinct estimate says the frequency table would be ~all
+        # count-1 rows — at scale that melt branch is a full-cardinality
+        # shuffle with no diagnostic value. Gated columns keep pass-1 stats.
+        if cfg.freq_near_unique_ratio is not None:
+            gated = {
+                c
+                for c in freq_cols
+                if (variables[c].get("count") or 0) > 0
+                and (variables[c].get("n_distinct") or 0)
+                >= cfg.freq_near_unique_ratio * variables[c]["count"]
+            }
+            freq_cols = [c for c in freq_cols if c not in gated]
+            for c in gated:
+                variables[c]["freq_skipped_near_unique"] = True
+        else:
+            gated = set()
         fetch_k = min(
             max(cfg.top_k, cfg.cardinality_threshold + 1), cfg.driver_value_limit
         )
         # extreme observations (K5) ride the same cached value-counts exchange:
         # numeric columns rank on the cast value, datetimes lexically (ISO order)
         ext_cols = [
-            c for c, vt in types.items() if vt in (VT.NUMERIC, VT.DATETIME)
+            c
+            for c, vt in types.items()
+            if vt in (VT.NUMERIC, VT.DATETIME) and c not in gated
         ]
-        scalars, tops, extremes = FQ.frequency_summary(
-            df,
-            freq_cols,
-            fetch_k,
-            n_extreme=cfg.n_extreme_obs if cfg.extreme_obs else 0,
-            extreme_numeric=[c for c in ext_cols if types[c] is VT.NUMERIC],
-            extreme_cols=ext_cols,
-        )
+        if freq_cols:
+            scalars, tops, extremes = FQ.frequency_summary(
+                df,
+                freq_cols,
+                fetch_k,
+                n_extreme=cfg.n_extreme_obs if cfg.extreme_obs else 0,
+                extreme_numeric=[c for c in ext_cols if types[c] is VT.NUMERIC],
+                extreme_cols=ext_cols,
+            )
+        else:  # every column gated — nothing left for the melt pass
+            scalars, tops, extremes = {}, {}, {}
         for cname, ext in extremes.items():
             if cname in ext_cols:
                 variables[cname]["extreme_obs"] = {

@@ -229,6 +229,43 @@ def test_wide_profile_constant_job_count(spark):
     assert jobs[72] <= jobs[24] + 2, f"job growth with width: {jobs}"
 
 
+def test_freq_near_unique_gate(spark):
+    """Opt-in 100 TB lever: near-unique columns skip the exact pass-2
+    frequency work (their table would be all count-1 rows); low-cardinality
+    columns keep exact stats; default config is unchanged."""
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+
+    rows = [(float(i), "c%d" % (i % 3)) for i in range(500)]
+    df = spark.createDataFrame(rows, "uid double, cat string")
+
+    r = profile(
+        df,
+        ProfileConfig(
+            freq_near_unique_ratio=0.9, correlations=(), duplicates=False
+        ),
+    )
+    uid, cat = r.variables["uid"], r.variables["cat"]
+    assert uid.get("freq_skipped_near_unique") is True
+    assert uid["n_distinct"] >= 450  # pass-1 estimate retained
+    assert "top_values" not in uid and "extreme_obs" not in uid
+    assert cat["n_distinct"] == 3 and cat["n_unique"] == 0  # exact, ungated
+    assert len(cat["top_values"]) == 3
+
+    # default: no gating — uid keeps exact frequency stats
+    r2 = profile(df, ProfileConfig(correlations=(), duplicates=False))
+    assert r2.variables["uid"]["n_unique"] == 500
+    assert "freq_skipped_near_unique" not in r2.variables["uid"]
+
+    # all columns gated: profile still completes
+    r3 = profile(
+        df.select("uid"),
+        ProfileConfig(
+            freq_near_unique_ratio=0.0, correlations=(), duplicates=False
+        ),
+    )
+    assert r3.variables["uid"].get("freq_skipped_near_unique") is True
+
+
 def test_lsh_plan_constant_in_dim(spark):
     """VERDICT r2 #3: the hyperplane matrix must ship as one nested-array
     Literal, not dim x planes x tables literal nodes. At 768-d x 12 planes x
