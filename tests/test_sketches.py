@@ -1,0 +1,98 @@
+"""Sketch-tier operators (operators/sketches.py): accuracy vs the exact
+computations on real testdata. Sketches are approximate by design — the
+assertions encode their published error bounds, not exact equality."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    return read_parquet(spark, f"{SF_DIR}/lineitem.parquet")
+
+
+def test_hll_distinct_within_error(spark, lineitem):
+    from pandas_profiling_personal_spark.operators.sketches import (
+        hll_distinct_counts,
+    )
+
+    cols = ["l_returnflag", "l_orderkey", "l_quantity"]
+    est = hll_distinct_counts(lineitem, cols)
+    exact = lineitem.agg(
+        *[F.countDistinct(c).alias(c) for c in cols]
+    ).collect()[0]
+    for c in cols:
+        assert est[c] == pytest.approx(exact[c], rel=0.05), c
+
+
+def test_kll_quantiles_within_rank_error(spark, lineitem):
+    from pandas_profiling_personal_spark.operators.sketches import kll_quantiles
+
+    qs = (0.05, 0.25, 0.5, 0.75, 0.95)
+    est = kll_quantiles(lineitem, ["l_extendedprice"], qs)["l_extendedprice"]
+    n = lineitem.count()
+    vals = [r[0] for r in lineitem.select("l_extendedprice").collect()]
+    vals.sort()
+    # KLL k=400 -> ~0.7% rank error; assert each estimate's true rank is
+    # within 2% of the requested rank (slack for ties/interpolation)
+    import bisect
+
+    for q, v in zip(qs, est):
+        rank = bisect.bisect_right(vals, v) / n
+        assert abs(rank - q) < 0.02, (q, v, rank)
+
+
+def test_cms_top_k_matches_exact_heavy_hitters(spark, lineitem):
+    from pandas_profiling_personal_spark.operators.sketches import cms_top_k
+
+    got = cms_top_k(lineitem, ["l_returnflag", "l_linestatus"], k=3)
+    for col in ("l_returnflag", "l_linestatus"):
+        exact = {
+            r[col]: r["cnt"]
+            for r in lineitem.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        est = dict(got[col])
+        # same value set (these columns have <= 3 heavy values)
+        assert set(est) == set(exact), col
+        for v, c in est.items():
+            # CMS overestimates only, by at most eps*n (tiny here)
+            assert exact[v] <= c <= exact[v] * 1.01, (col, v)
+        # ranking preserved
+        assert [v for v, _ in got[col]] == sorted(
+            exact, key=lambda v: (-exact[v], v)
+        )
+
+
+def test_cms_top_k_zipf_synthetic(spark):
+    """Skewed synthetic column: sketch top-5 must equal the exact top-5 (the
+    designed use — heavy hitters stand far above the sample/CMS noise)."""
+    import random
+
+    from pandas_profiling_personal_spark.operators.sketches import cms_top_k
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(20000):
+        z = rng.random()
+        if z < 0.5:
+            v = f"head_{int(z * 10)}"  # 5 hot values, ~10% each
+        else:
+            v = f"tail_{rng.randrange(5000)}"
+        rows.append((v,))
+    df = spark.createDataFrame(rows, "v string")
+    got = cms_top_k(df, ["v"], k=5, sample_mod=50)
+    exact = [
+        r["v"]
+        for r in df.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "v")
+        .limit(5)
+        .collect()
+    ]
+    assert [v for v, _ in got["v"]] == exact
