@@ -1,0 +1,81 @@
+"""Property-based robustness: profile() must never crash and must satisfy
+counting invariants on arbitrary (small) frames — including NaN/±inf doubles,
+empty strings, all-null columns, and single-row frames. The reference's test
+suite has no property-based layer (SURVEY.md §5); this is the engine's."""
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import types as T
+
+# module-scoped frames are rebuilt per example; keep the search small — each
+# profile run is a real multi-pass Spark pipeline
+N_EXAMPLES = 6
+
+finite_doubles = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e12, max_value=1e12
+)
+weird_doubles = st.one_of(
+    finite_doubles,
+    st.just(float("nan")),
+    st.just(float("inf")),
+    st.just(-float("inf")),
+    st.none(),
+)
+small_strings = st.one_of(
+    st.text(alphabet="abπ☃ ", min_size=0, max_size=6), st.none()
+)
+bools = st.one_of(st.booleans(), st.none())
+
+rows_strategy = st.lists(
+    st.tuples(weird_doubles, small_strings, bools, st.integers(-5, 5)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=N_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=rows_strategy)
+def test_profile_invariants_random_frames(spark, rows):
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+
+    schema = T.StructType(
+        [
+            T.StructField("d", T.DoubleType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("b", T.BooleanType()),
+            T.StructField("i", T.LongType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    r = profile(df, ProfileConfig(exact=True, correlations=()))
+    n = r.table["n"]
+    assert n == len(rows)
+    for name, v in r.variables.items():
+        assert v["count"] + v["n_missing"] == n, name
+        assert 0.0 <= v["p_missing"] <= 1.0, name
+        if v.get("n_distinct") is not None and v["count"]:
+            assert 1 <= v["n_distinct"] <= v["count"], name
+        if v.get("n_unique") is not None:
+            assert 0 <= v["n_unique"] <= (v.get("n_distinct") or 0), name
+        if v.get("top_values"):
+            assert sum(t["count"] for t in v["top_values"]) <= v["count"], name
+        mean = v.get("mean")
+        mn, mx = v.get("min"), v.get("max")
+        if (
+            name == "d"
+            and mean is not None
+            and not (isinstance(mean, float) and math.isnan(mean))
+            and mn is not None
+            and mx is not None
+            and not any(math.isinf(x) for x in (mn, mx))
+        ):
+            assert mn - 1e-6 <= mean <= mx + 1e-6
+    # the result must serialize
+    assert len(r.to_json()) > 2
