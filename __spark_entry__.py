@@ -203,6 +203,10 @@ _SPECS: dict[str, tuple] = {
         PP.dedup_keep_list_query(0.1),
         PP.dedup_keep_list_sql(0.1),
     ),
+    "token_overlap_documents": (
+        PP.corpus_overlap_query("token"),
+        PP.corpus_overlap_sql("token"),
+    ),
     "ivf_topk_embeddings": (
         PP.ivf_topk_query(5, 5, 16, 4),
         PP.ivf_topk_sql(5, 5, 16, 4),

@@ -520,3 +520,38 @@ SELECT query_id, neighbor_id, cosine_sim,
          ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
 FROM sims QUALIFY rank <= {k}
 """
+
+
+def corpus_overlap_query(unit: str = "token") -> QueryFn:
+    """Contamination check between the even- and odd-doc_id halves of the
+    documents corpus (exact tier — the HLL tier is accuracy-tested in
+    tests/test_sketches.py)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        a = docs.where(F.col("doc_id") % 2 == 0)
+        b = docs.where(F.col("doc_id") % 2 == 1)
+        return DD.corpus_overlap(a, b, "text", unit=unit, exact=True)
+
+    return fn
+
+
+def corpus_overlap_sql(unit: str = "token") -> str:
+    assert unit == "token"
+    return f"""
+WITH tokall AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS u
+  FROM documents
+),
+a AS (SELECT DISTINCT u FROM tokall WHERE doc_id % 2 = 0),
+b AS (SELECT DISTINCT u FROM tokall WHERE doc_id % 2 = 1),
+c AS (SELECT (SELECT count(*) FROM a) AS na,
+             (SELECT count(*) FROM b) AS nb,
+             (SELECT count(*) FROM a JOIN b USING (u)) AS nov)
+SELECT na AS n_a, nb AS n_b, nov AS n_overlap,
+       round(nov / (na + nb - nov), 4) AS jaccard,
+       round(nov / na, 4) AS containment_a_in_b
+FROM c
+"""

@@ -69,6 +69,23 @@ def test_cms_top_k_matches_exact_heavy_hitters(spark, lineitem):
         )
 
 
+def test_corpus_overlap_hll_matches_exact(spark):
+    """The join-free HLL inclusion-exclusion tier must track the exact
+    distinct-intersect within sketch error (train/test contamination check)."""
+    from pandas_profiling_personal_spark.operators.dedup import corpus_overlap
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    ex = corpus_overlap(a, b, "text", unit="token", exact=True).collect()[0]
+    est = corpus_overlap(a, b, "text", unit="token", exact=False).collect()[0]
+    assert ex["n_overlap"] > 0  # corpora share vocabulary by construction
+    for f in ("n_a", "n_b", "n_overlap"):
+        assert est[f] == pytest.approx(ex[f], rel=0.05), f
+    assert est["jaccard"] == pytest.approx(ex["jaccard"], abs=0.05)
+
+
 def test_cms_top_k_zipf_synthetic(spark):
     """Skewed synthetic column: sketch top-5 must equal the exact top-5 (the
     designed use — heavy hitters stand far above the sample/CMS noise)."""
