@@ -81,6 +81,13 @@ def main() -> None:
     profile(wide, ProfileConfig(exact=False))
     timings["full_profile_wide100"] = round(time.time() - t0, 3)
 
+    # breadth: the events table (nano-timestamp ingestion, datetime describer,
+    # JSON/string columns) through the same default-tier pipeline
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    t0 = time.time()
+    profile(ev, ProfileConfig(exact=False))
+    timings["full_profile_events"] = round(time.time() - t0, 3)
+
     def timed(run) -> float:
         t0 = time.time()
         run()

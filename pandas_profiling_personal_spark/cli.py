@@ -31,6 +31,21 @@ def build_parser() -> argparse.ArgumentParser:
         "--exact", action="store_true", help="exact estimators (test/oracle tier)"
     )
     p.add_argument("--infer-types", action="store_true")
+    p.add_argument(
+        "--tail",
+        type=int,
+        default=0,
+        metavar="N",
+        help="include the last N rows as a sample (K3; driver-bounded full scan)",
+    )
+    p.add_argument(
+        "--near-unique-ratio",
+        type=float,
+        default=None,
+        metavar="R",
+        help="skip exact frequency stats for columns with distinct/count >= R "
+        "(100 TB lever; see ProfileConfig.freq_near_unique_ratio)",
+    )
     p.add_argument("--title", default=None)
     p.add_argument("--master", default=None, help="spark master (default local[N])")
     return p
@@ -49,6 +64,10 @@ def main(argv: list[str] | None = None) -> int:
         cfg = cfg.with_(exact=True)
     if args.infer_types:
         cfg = cfg.with_(infer_types=True)
+    if args.tail:
+        cfg = cfg.with_(samples_tail=args.tail)
+    if args.near_unique_ratio is not None:
+        cfg = cfg.with_(freq_near_unique_ratio=args.near_unique_ratio)
 
     spark = get_session(app_name="spark-profile", master=args.master)
     try:
