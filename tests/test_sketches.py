@@ -86,6 +86,29 @@ def test_corpus_overlap_hll_matches_exact(spark):
     assert est["jaccard"] == pytest.approx(ex["jaccard"], abs=0.05)
 
 
+def test_corpus_overlap_units(spark):
+    """shingle and fingerprint units: duplicate docs across the two sides must
+    register as fingerprint overlap; shingle overlap >= 0 and bounded by the
+    smaller side's distinct count."""
+    from pandas_profiling_personal_spark.operators.dedup import corpus_overlap
+
+    a = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high"), (2, "completely unrelated words")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(3, "THE  quick brown fox jumps high"), (4, "other corpus text body")],
+        "doc_id long, text string",
+    )
+    fp = corpus_overlap(a, b, "text", unit="fingerprint").collect()[0]
+    assert (fp["n_a"], fp["n_b"], fp["n_overlap"]) == (2, 2, 1)
+    assert fp["containment_a_in_b"] == 0.5
+    sh = corpus_overlap(a, b, "text", unit="shingle").collect()[0]
+    assert 0 < sh["n_overlap"] <= min(sh["n_a"], sh["n_b"])
+    with pytest.raises(ValueError):
+        corpus_overlap(a, b, "text", unit="bogus").collect()
+
+
 def test_cms_top_k_zipf_synthetic(spark):
     """Skewed synthetic column: sketch top-5 must equal the exact top-5 (the
     designed use — heavy hitters stand far above the sample/CMS noise)."""
