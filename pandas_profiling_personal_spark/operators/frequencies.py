@@ -176,21 +176,36 @@ def extreme_counts(
     ranked = vc.withColumn("__num", sort_key).withColumn(
         "__salt", F.abs(F.hash("value")) % salt_buckets
     )
-    out = []
-    for end, order in (
-        ("min", lambda: [F.asc("__num"), F.asc("value")]),
-        ("max", lambda: [F.desc("__num"), F.desc("value")]),
-    ):
-        salted = Window.partitionBy("column", "__salt").orderBy(*order())
-        final = Window.partitionBy("column").orderBy(*order())
-        out.append(
-            ranked.withColumn("__r1", F.row_number().over(salted))
-            .where(F.col("__r1") <= n)
-            .withColumn("rank", F.row_number().over(final))
-            .where(F.col("rank") <= n)
-            .select("column", "value", "count", F.lit(end).alias("end"), "rank")
-        )
-    return out[0].unionByName(out[1])
+    # BOTH ends from ONE ascending pass per phase: over a total order the
+    # descending rank is cnt - rn + 1, so the min-end (rn <= n) and max-end
+    # (rn > cnt - n) survivors come out of a single window shuffle — this
+    # halves the salted window passes over the (potentially huge) frequency
+    # table. Null-ordering note: within one column partition __num is either
+    # uniformly null (lexical ranking) or uniformly non-null (numeric), so
+    # asc-nulls-first vs desc-nulls-last never reorders across the null
+    # boundary and the reversal identity is exact.
+    order = [F.asc("__num"), F.asc("value")]
+    salted_w = Window.partitionBy("column", "__salt").orderBy(*order)
+    salted_all = Window.partitionBy("column", "__salt")
+    phase1 = (
+        ranked.withColumn("__r1", F.row_number().over(salted_w))
+        .withColumn("__c1", F.count(F.lit(1)).over(salted_all))
+        .where((F.col("__r1") <= n) | (F.col("__r1") > F.col("__c1") - n))
+    )
+    final_w = Window.partitionBy("column").orderBy(*order)
+    final_all = Window.partitionBy("column")
+    both = phase1.withColumn("__r2", F.row_number().over(final_w)).withColumn(
+        "__c2", F.count(F.lit(1)).over(final_all)
+    )
+    mins = both.where(F.col("__r2") <= n).select(
+        "column", "value", "count", F.lit("min").alias("end"),
+        F.col("__r2").alias("rank"),
+    )
+    maxs = both.where(F.col("__r2") > F.col("__c2") - n).select(
+        "column", "value", "count", F.lit("max").alias("end"),
+        (F.col("__c2") - F.col("__r2") + 1).alias("rank"),
+    )
+    return mins.unionByName(maxs)
 
 
 def frequency_summary(
