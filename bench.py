@@ -48,9 +48,11 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     df = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
-    t0 = time.time()
-    profile(df, ProfileConfig(exact=False))
-    flagship = time.time() - t0
+    flagship = float("inf")
+    for _ in range(2):  # min-of-2 (same pause rationale as timed() below)
+        t0 = time.time()
+        profile(df, ProfileConfig(exact=False))
+        flagship = min(flagship, time.time() - t0)
 
     timings: dict[str, float] = {"full_profile_lineitem": round(flagship, 3)}
 
@@ -89,14 +91,19 @@ def main() -> None:
     timings["full_profile_events"] = round(time.time() - t0, 3)
 
     def timed(run) -> float:
-        t0 = time.time()
-        run()
-        elapsed = time.time() - t0
-        # this container shows rare 10-40 s stop-the-world pauses (GC/codegen)
-        # and the JIT needs up to TWO full-scale executions to compile cold
-        # interpreted-HOF paths (see warmup note above), so a single re-measure
-        # can itself still be cold: re-measure outliers up to twice and take
-        # the fastest run so a pause doesn't read as an operator regression
+        # min-of-2 ALWAYS: this container shows 2-8 s stop-the-world pauses
+        # (GC/codegen) on queries whose steady state is sub-second, so a
+        # single sweep routinely reads 2-4x slow — r3's four "regressions"
+        # (simhash/cosine_topk/embedding_near_dup/media_metadata) were all
+        # exactly this artifact (interleaved A/B re-measurement, 7 runs each,
+        # put every median at or below the r2 level; see PERFORMANCE.md).
+        elapsed = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            run()
+            elapsed = min(elapsed, time.time() - t0)
+        # rare longer pauses (10-40 s) and cold interpreted-HOF paths that
+        # need TWO full-scale runs to JIT: keep re-measuring >5 s outliers
         for _ in range(2):
             if elapsed <= 5.0:
                 break

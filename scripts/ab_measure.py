@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Interleaved re-measurement of the four r2->r3 bench regressions (VERDICT r3 #1).
+
+Runs the four suspect oracle queries (plus two stable control queries) at sf0.1
+repeatedly in a rotated order, after the standard sf0.01 warmup, and prints one
+JSON line per run so the steady-state distribution can be compared against the
+single-shot numbers recorded in BENCH_r02/BENCH_r03.
+
+Hypothesis under test (VERDICT + PERFORMANCE.md): interpreted-HOF / Arrow paths
+need up to two full-scale executions to JIT, so a single cold measurement in
+bench.py's sequential sweep can read 2-4x slow.  If the medians here sit at the
+r2 level, the regressions were measurement artifacts; if they sit at the r3
+level, something real changed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SUSPECTS = [
+    "simhash_documents",
+    "cosine_topk_embeddings",
+    "embedding_near_dup_embeddings",
+    "media_metadata_documents",
+]
+CONTROLS = ["url_parts_events", "mad_lineitem"]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    rounds = int(os.environ.get("AB_ROUNDS", "7"))
+
+    sys.path.insert(0, "/root/repo")
+    from pandas_profiling_personal_spark.session import get_session
+
+    spark = get_session(app_name="ab_measure")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    names = SUSPECTS + CONTROLS
+
+    # same warmup as bench.py: sf0.01 pass over every query
+    warm_dir = "/root/testdata/sf0.01"
+    for n in names:
+        try:
+            qs[n](spark, warm_dir).collect()
+        except Exception as exc:  # pragma: no cover
+            print(json.dumps({"warmup_error": n, "err": str(exc)}), flush=True)
+
+    results: dict[str, list[float]] = {n: [] for n in names}
+    for r in range(rounds):
+        # rotate the order each round so position effects average out
+        order = names[r % len(names):] + names[: r % len(names)]
+        for n in order:
+            t0 = time.time()
+            qs[n](spark, sf_dir).collect()
+            dt = round(time.time() - t0, 3)
+            results[n].append(dt)
+            print(json.dumps({"round": r, "query": n, "sec": dt}), flush=True)
+
+    summary = {
+        n: {
+            "runs": v,
+            "min": min(v),
+            "median": sorted(v)[len(v) // 2],
+            "max": max(v),
+        }
+        for n, v in results.items()
+    }
+    print(json.dumps({"summary": summary}), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
