@@ -24,8 +24,16 @@ from pandas_profiling_personal_spark.functions import stats as S
 def melt(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Long form ``(column, value)`` with values cast to string, nulls dropped.
 
-    One narrow projection + explode; no shuffle by itself."""
-    columns = columns or df.columns
+    One narrow projection + explode; no shuffle by itself.
+
+    ``columns=None`` melts every column; an explicit ``[]`` yields an EMPTY
+    result (never a silent all-columns fallback — the near-unique gate made
+    "gate everything -> [] -> full-table melt" a reachable bug)."""
+    columns = df.columns if columns is None else columns
+    if not columns:
+        return df.sparkSession.createDataFrame(
+            [], "column string, value string"
+        )
     structs = [
         F.struct(
             F.lit(c).alias("column"), S.col(c).cast("string").alias("value")
@@ -235,7 +243,7 @@ def frequency_summary(
     """
     from pyspark import StorageLevel
 
-    columns = columns or df.columns
+    columns = df.columns if columns is None else columns
     # ONE raw-table scan producing the per-column counts; cache the (much smaller)
     # counts. Action 1 computes the salted two-phase top-K with the exact
     # distinct/unique totals riding the same two window shuffles

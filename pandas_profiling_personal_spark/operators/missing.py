@@ -19,7 +19,9 @@ from pandas_profiling_personal_spark.functions import stats as S
 
 def null_counts(df: DataFrame, columns: list[str] | None = None) -> dict[str, int]:
     """Per-column null counts, one pass (P6)."""
-    columns = columns or df.columns
+    columns = df.columns if columns is None else columns
+    if not columns:
+        return {}
     row = df.agg(
         *[S.n_missing(S.col(c)).alias(f"c{i}") for i, c in enumerate(columns)]
     ).collect()[0]
@@ -33,7 +35,7 @@ def nullity_correlation(
 
     One agg pass with p*(p-1)/2 ``F.corr`` expressions. Columns with no nulls have
     zero-variance indicators -> null correlation (excluded by caller if desired)."""
-    columns = columns or df.columns
+    columns = df.columns if columns is None else columns
     ind = {c: S.col(c).isNull().cast("double") for c in columns}
     pairs = list(combinations(columns, 2))
     if not pairs:

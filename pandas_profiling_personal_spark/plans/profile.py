@@ -93,7 +93,10 @@ def profile(
 ) -> ProfileResult:
     cfg = config or ProfileConfig()
     t0 = time.time()
-    if columns:
+    # ``None`` means "all columns"; an explicit empty list means "no columns"
+    # (empty result), never a silent fall-through to the full table — the
+    # near-unique gate made gate-everything -> [] -> full-table-melt reachable.
+    if columns is not None:
         from pandas_profiling_personal_spark.functions import stats as S
 
         df = df.select(*[S.col(c) for c in columns])
@@ -167,17 +170,29 @@ def profile(
         # values to cover the categorical-uniformity test for columns under the
         # cardinality threshold (still driver-bounded).
         freq_cols = [c for c, vt in types.items() if vt is not VT.BINARY]
-        # opt-in near-unique gate (freq_near_unique_ratio): drop columns whose
+        # near-unique gate (freq_near_unique_ratio): drop columns whose
         # pass-1 distinct estimate says the frequency table would be ~all
         # count-1 rows — at scale that melt branch is a full-cardinality
         # shuffle with no diagnostic value. Gated columns keep pass-1 stats.
-        if cfg.freq_near_unique_ratio is not None:
+        # DEFAULT-ON in the approx tier (r4): "auto" resolves to 0.9 when
+        # exact=False, and to disabled in exact/oracle mode so hash-matched
+        # results and small-data test semantics never change. The min-count
+        # guard keeps small interactive tables fully profiled.
+        gate_ratio = cfg.freq_near_unique_ratio
+        if gate_ratio == "auto":
+            gate_ratio = None if cfg.exact else 0.9
+        if gate_ratio is not None:
+            min_count = (
+                cfg.freq_gate_min_count
+                if cfg.freq_near_unique_ratio == "auto"
+                else 1
+            )
             gated = {
                 c
                 for c in freq_cols
-                if (variables[c].get("count") or 0) > 0
+                if (variables[c].get("count") or 0) >= min_count
                 and (variables[c].get("n_distinct") or 0)
-                >= cfg.freq_near_unique_ratio * variables[c]["count"]
+                >= gate_ratio * variables[c]["count"]
             }
             freq_cols = [c for c in freq_cols if c not in gated]
             for c in gated:
