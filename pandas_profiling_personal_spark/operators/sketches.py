@@ -8,10 +8,11 @@ alternatives built on Spark 4's native Datasketches/sketch aggregates — all
 JVM-side, all mergeable (so they compose with streaming state and tree
 aggregation), all one pass, with driver transfer measured in kilobytes:
 
-* heavy hitters: ``count_min_sketch`` + a deterministic-sample candidate set
-  (a value with frequency ≥ n/k appears in a 1% sample with overwhelming
-  probability; the CMS then gives its full-data count, biased only upward) —
-  the standard sample-candidates + sketch-verify design.
+* heavy hitters: ``count_min_sketch`` + a ``freqItems`` (Karp/Misra-Gries)
+  candidate set — the one-pass frequent-items aggregate deterministically
+  surfaces every value above the support threshold (no sampling miss
+  probability, no layout sensitivity), and the CMS then gives each
+  candidate's full-data count, biased only upward.
 * distinct counts: ``hll_sketch_agg`` (Datasketches HLL, ~1.6% error at
   lgK=12, unionable across partitions/streams — strictly stronger than
   ``approx_count_distinct`` for incremental maintenance).
@@ -38,7 +39,9 @@ def hll_distinct_counts(
 ) -> "dict[str, int]":
     """Approximate distinct count per column in ONE aggregation, via
     Datasketches HLL. Driver transfer: one 2^lgk-byte sketch per column."""
-    columns = columns or df.columns
+    columns = df.columns if columns is None else columns
+    if not columns:
+        return {}
     exprs = [
         F.hll_sketch_estimate(
             F.hll_sketch_agg(S.col(c).cast("string"), F.lit(lgk))
@@ -78,7 +81,6 @@ def cms_top_k(
     df: DataFrame,
     columns: list[str] | None = None,
     k: int = 10,
-    sample_mod: int = 100,
     eps: float = 0.0001,
     confidence: float = 0.99,
     candidate_factor: int = 4,
@@ -88,12 +90,16 @@ def cms_top_k(
 
     Two bounded passes over the input:
 
-    1. candidate harvest — exact value counts on a seeded ~1/``sample_mod``
-       row sample (``F.rand(seed)``; row-level, value-independent — a
-       value-hash gate would sample low-cardinality columns all-or-nothing).
-       Any value with true frequency ≥ n/(candidate_factor·k) appears in the
-       sample w.h.p.; the per-column candidate list is capped at
-       ``candidate_factor·k``.
+    1. candidate harvest — ``df.stat.freqItems`` (Spark's JVM implementation
+       of the Karp/Misra-Gries one-pass frequent-items algorithm) with
+       support ``1/(candidate_factor·k)``. DETERMINISTIC GUARANTEE: every
+       value with true frequency > n/(candidate_factor·k) is returned, no
+       matter how it is distributed across partitions — unlike the earlier
+       seeded-row-sample harvest, there is no adversarial layout or skew
+       that can hide a true heavy hitter, and driver transfer is hard-capped
+       at ``candidate_factor·k`` items per column (the algorithm keeps at
+       most 1/support counters). False positives are possible and harmless:
+       pass 2 re-counts every candidate.
     2. one ``count_min_sketch`` aggregate per column over the FULL data —
        partial sketches merge map-side; one ~eps⁻¹-cell sketch per column
        reaches the driver, which reads each candidate's estimate through the
@@ -101,19 +107,24 @@ def cms_top_k(
 
     The melt/groupBy machinery this replaces shuffles O(distinct values);
     this shuffles O(columns · sketch_size) regardless of cardinality."""
-    columns = columns or df.columns
-    # pass 1: seeded row sample -> exact per-column counts -> candidates
-    sample_counts = (
-        melt(df.where(F.rand(42) < 1.0 / sample_mod), columns)
-        .groupBy("column", "value")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
+    columns = df.columns if columns is None else columns
+    if not columns:
+        return {}
+    # pass 1: JVM frequent-items candidates (no shuffle, one aggregate).
+    # String-cast first so candidate values line up with the CMS key space.
+    support = 1.0 / (candidate_factor * k)
+    str_df = df.select(
+        *[S.col(c).cast("string").alias(f"c{i}") for i, c in enumerate(columns)]
     )
-    cand: "dict[str, list[str]]" = {c: [] for c in columns}
-    for r in sorted(sample_counts, key=lambda r: -r["cnt"]):
-        lst = cand[r["column"]]
-        if len(lst) < candidate_factor * k:
-            lst.append(r["value"])
+    fi_row = str_df.stat.freqItems(
+        [f"c{i}" for i in range(len(columns))], support
+    ).collect()[0]
+    cand: "dict[str, list[str]]" = {
+        c: [v for v in (fi_row[f"c{i}_freqItems"] or []) if v is not None][
+            : candidate_factor * k
+        ]
+        for i, c in enumerate(columns)
+    }
 
     # pass 2: one CMS per column, merged JVM-side, queried on the driver
     exprs = [

@@ -126,7 +126,7 @@ def test_cms_top_k_zipf_synthetic(spark):
             v = f"tail_{rng.randrange(5000)}"
         rows.append((v,))
     df = spark.createDataFrame(rows, "v string")
-    got = cms_top_k(df, ["v"], k=5, sample_mod=50)
+    got = cms_top_k(df, ["v"], k=5)
     exact = [
         r["v"]
         for r in df.groupBy("v")
@@ -136,3 +136,45 @@ def test_cms_top_k_zipf_synthetic(spark):
         .collect()
     ]
     assert [v for v, _ in got["v"]] == exact
+
+
+def test_cms_top_k_adversarial_skew_no_sample_miss(spark):
+    """VERDICT r3 #9: the old candidate harvest (exact counts on a seeded
+    ~1/sample_mod row sample) could miss a true heavy hitter whose absolute
+    count is small relative to the sampling rate; ``freqItems`` (Karp
+    one-pass frequent items) deterministically returns every value with
+    frequency > n/(candidate_factor*k) regardless of row layout. This fixture
+    is built so the sample-based harvest PROVABLY (seeded, deterministic)
+    misses the heavy hitter while the shipped path finds it."""
+    from pandas_profiling_personal_spark.operators.frequencies import melt
+    from pandas_profiling_personal_spark.operators.sketches import cms_top_k
+
+    # 20k unique-ish rows + one value at ~3.8% concentrated in ONE partition
+    # (worst-case layout for partition-unaware designs).
+    base = spark.range(20000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("v")
+    )
+    hot = spark.range(800).select(F.lit("HOT").alias("v")).coalesce(1)
+    df = base.unionAll(hot)
+
+    # the retired harvest, reproduced verbatim: seeded row sample -> exact
+    # counts. At sample_mod=2000 the expected sample holds ~10 of 20800 rows;
+    # with seed 42 the sample provably (deterministically) contains no HOT row.
+    sampled = [
+        r["value"]
+        for r in melt(df.where(F.rand(42) < 1.0 / 2000), ["v"])
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    ]
+    assert "HOT" not in sampled, (
+        "fixture invalid: seeded sample caught the heavy hitter; "
+        "raise sample_mod"
+    )
+
+    got = cms_top_k(df, ["v"], k=10)
+    assert got["v"], "no candidates returned"
+    assert got["v"][0][0] == "HOT"
+    assert abs(got["v"][0][1] - 800) <= 0.0001 * 20800 + 1
+    # driver transfer stays hard-capped
+    assert len(got["v"]) <= 10
