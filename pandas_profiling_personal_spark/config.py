@@ -34,14 +34,22 @@ class ProfileConfig:
     #: compute bottom/top-N extreme observations for numeric+datetime columns
     #: (rides the pass-2 value-counts cache — no extra table scan)
     extreme_obs: bool = True
-    #: 100 TB lever (opt-in): skip the exact pass-2 frequency work (top-K,
-    #: exact distinct/unique, extremes) for columns whose pass-1 distinct
-    #: estimate is >= this fraction of their non-null count. A near-unique
-    #: continuous column's frequency table is all count-1 rows — at corpus
-    #: scale that is a full-cardinality shuffle for no diagnostic value.
-    #: Gated columns keep the pass-1 (approx-tier) n_distinct and report
-    #: n_unique/top_values as unavailable. None (default) = never skip.
-    freq_near_unique_ratio: float | None = None
+    #: 100 TB lever (DEFAULT-ON in the approx tier, r4): skip the exact
+    #: pass-2 frequency work (top-K, exact distinct/unique, extremes) for
+    #: columns whose pass-1 distinct estimate is >= this fraction of their
+    #: non-null count. A near-unique continuous column's frequency table is
+    #: all count-1 rows — at corpus scale that is a full-cardinality shuffle
+    #: with no diagnostic value. Gated columns keep the pass-1 n_distinct
+    #: and report n_unique/top_values as unavailable
+    #: (``freq_skipped_near_unique=True``).
+    #: "auto" (default) = 0.9 when ``exact=False`` (the scale tier), never
+    #: in exact/oracle mode; a float forces the gate in BOTH tiers; None
+    #: disables it everywhere.
+    freq_near_unique_ratio: float | None | str = "auto"
+    #: the auto gate only fires for columns with at least this many non-null
+    #: rows — on small interactive tables the melt branch is cheap and users
+    #: expect complete frequency tables; at scale every column clears it
+    freq_gate_min_count: int = 10_000
     #: bucketed 2-D interaction densities for numeric column pairs
     #: (reference renders scatter/hexbin for all continuous pairs,
     #: report/structure/report.py:187-226). One batched shuffle for ALL pairs;

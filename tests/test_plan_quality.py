@@ -230,9 +230,10 @@ def test_wide_profile_constant_job_count(spark):
 
 
 def test_freq_near_unique_gate(spark):
-    """Opt-in 100 TB lever: near-unique columns skip the exact pass-2
+    """Explicit-ratio 100 TB lever: near-unique columns skip the exact pass-2
     frequency work (their table would be all count-1 rows); low-cardinality
-    columns keep exact stats; default config is unchanged."""
+    columns keep exact stats; the auto default leaves sub-min-count tables
+    fully profiled (see test_freq_near_unique_gate_auto_default)."""
     from pandas_profiling_personal_spark import ProfileConfig, profile
 
     rows = [(float(i), "c%d" % (i % 3)) for i in range(500)]
@@ -264,6 +265,42 @@ def test_freq_near_unique_gate(spark):
         ),
     )
     assert r3.variables["uid"].get("freq_skipped_near_unique") is True
+
+
+def test_freq_near_unique_gate_auto_default(spark):
+    """VERDICT r3 #2: the gate is DEFAULT-ON ("auto") in the approx tier for
+    columns clearing freq_gate_min_count; exact/oracle mode and small tables
+    are never gated by default."""
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+
+    n = 12_000  # > freq_gate_min_count
+    df = spark.range(n).selectExpr(
+        "cast(id as double) as uid", "concat('c', id % 3) as cat"
+    )
+
+    # default config (exact=False, ratio="auto"): near-unique uid gated,
+    # low-cardinality cat keeps exact stats
+    r = profile(df, ProfileConfig(correlations=(), duplicates=False))
+    assert r.variables["uid"].get("freq_skipped_near_unique") is True
+    assert "top_values" not in r.variables["uid"]
+    assert r.variables["cat"]["n_distinct"] == 3
+    assert len(r.variables["cat"]["top_values"]) == 3
+
+    # exact/oracle mode: auto never gates — hash-matched results unchanged
+    r2 = profile(
+        df, ProfileConfig(exact=True, correlations=(), duplicates=False)
+    )
+    assert "freq_skipped_near_unique" not in r2.variables["uid"]
+    assert r2.variables["uid"]["n_unique"] == n
+
+    # explicit None disables everywhere
+    r3 = profile(
+        df,
+        ProfileConfig(
+            freq_near_unique_ratio=None, correlations=(), duplicates=False
+        ),
+    )
+    assert "freq_skipped_near_unique" not in r3.variables["uid"]
 
 
 def test_lsh_plan_constant_in_dim(spark):
