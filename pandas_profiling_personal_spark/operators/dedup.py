@@ -575,16 +575,18 @@ def corpus_overlap(
                 ).cast("long"),
             ).alias("n_overlap"),
         )
+    # nullif-guarded denominators: empty corpora yield an explicit NULL
+    # jaccard/containment under BOTH ansi settings (unguarded, ansi=true
+    # would throw DIVIDE_BY_ZERO and ansi=false would silently null)
+    union_size = F.nullif(
+        F.col("n_a") + F.col("n_b") - F.col("n_overlap"), F.lit(0)
+    )
     return counts.select(
         "n_a",
         "n_b",
         "n_overlap",
+        F.round(F.col("n_overlap") / union_size, 4).alias("jaccard"),
         F.round(
-            F.col("n_overlap")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_overlap")),
-            4,
-        ).alias("jaccard"),
-        F.round(F.col("n_overlap") / F.col("n_a"), 4).alias(
-            "containment_a_in_b"
-        ),
+            F.col("n_overlap") / F.nullif(F.col("n_a"), F.lit(0)), 4
+        ).alias("containment_a_in_b"),
     )

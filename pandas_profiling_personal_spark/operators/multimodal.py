@@ -229,10 +229,15 @@ def file_stats(df: DataFrame, path_col: str = "path") -> DataFrame:
     surfaces mtime/length, so this optional tier stats each path inside an
     Arrow-batched ``mapInPandas`` — executor-local filesystem I/O, which is
     the one legitimate use of Python here. Paths must be visible from the
-    executors (local fs / NFS / fuse mount); ``file:`` URI prefixes from
-    binaryFile are stripped. Unstattable paths yield a null struct rather
-    than failing the job."""
+    executors (local fs / NFS / fuse mount). ``file:`` URI prefixes from
+    binaryFile are stripped; Spark 4.1's binaryFile emits special characters
+    RAW (``file:/d/has space #1.bin`` — measured, not percent-encoded, and a
+    fragment-aware urlparse would truncate at ``#``), but Hadoop versions
+    differ, so if the raw path doesn't stat and contains ``%`` the
+    percent-decoded form is tried as a fallback. Unstattable paths yield a
+    null struct rather than failing the job."""
     import os
+    from urllib.parse import unquote
 
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField("file_stat", FILE_STAT_SCHEMA)]
@@ -246,7 +251,15 @@ def file_stats(df: DataFrame, path_col: str = "path") -> DataFrame:
                     local = str(p)
                     if local.startswith("file:"):
                         local = local[len("file:") :]
-                    st = os.stat(local)
+                        # normalize file:///x and file://host/x forms
+                        while local.startswith("//"):
+                            local = local[1:]
+                    try:
+                        st = os.stat(local)
+                    except OSError:
+                        if "%" not in local:
+                            raise
+                        st = os.stat(unquote(local))
                     stats.append(
                         {
                             "st_size": st.st_size,

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import datetime as _dt
 import html
+import itertools as _itertools
+import warnings as _warnings
 from typing import Any
 
 _CSS = """
@@ -80,16 +82,24 @@ def _kv_table(pairs: list[tuple[str, Any]]) -> str:
     return f"<table class='kv'>{rows}</table>"
 
 
-_tab_counter = [0]
+# radio-group names must be unique document-wide; itertools.count is a
+# GIL-atomic id source (the old mutable-list counter raced under threads)
+_tab_counter = _itertools.count(1)
 
 
 def _tabs(entries: list[tuple[str, str]]) -> str:
     """CSS-only tab group (radio inputs; no JS). ``entries`` = [(label, html)]."""
-    entries = [e for e in entries if e[1]][:_MAX_TABS]
+    nonempty = [e for e in entries if e[1]]
+    if len(nonempty) > _MAX_TABS:
+        _warnings.warn(
+            f"_tabs: {len(nonempty)} entries, rendering only the first "
+            f"{_MAX_TABS} ({[e[0] for e in nonempty[_MAX_TABS:]]} dropped)",
+            stacklevel=2,
+        )
+    entries = nonempty[:_MAX_TABS]
     if not entries:
         return ""
-    _tab_counter[0] += 1
-    g = f"tg{_tab_counter[0]}"
+    g = f"tg{next(_tab_counter)}"
     inputs, panes = [], []
     for i, (label, content) in enumerate(entries):
         tid = f"{g}_{i}"

@@ -449,6 +449,46 @@ def test_file_stats_local_tier(spark, tmp_path):
     assert rows["/no/such/file"] is None
 
 
+def test_file_stats_uri_encoded_path(spark, tmp_path):
+    """ADVICE r3: a filename with spaces/# must still stat whether the
+    binaryFile source emits it raw (Spark 4.1 behavior, measured) or
+    percent-encoded (other Hadoop versions)."""
+    from pandas_profiling_personal_spark.operators.multimodal import (
+        file_stats,
+        read_binary_files,
+    )
+
+    p = tmp_path / "has space #1.bin"
+    p.write_bytes(b"q" * 11)
+    df = read_binary_files(spark, str(tmp_path)).select("path")
+    (row,) = file_stats(df).collect()
+    assert "%20" in row["path"] or " " in row["path"]
+    assert row["file_stat"] is not None
+    assert row["file_stat"]["st_size"] == 11
+
+    # percent-encoded form (what other Hadoop versions emit) also resolves
+    from urllib.parse import quote
+
+    enc = spark.createDataFrame([("file:" + quote(str(p)),)], ["path"])
+    (row2,) = file_stats(enc).collect()
+    assert row2["file_stat"] is not None
+    assert row2["file_stat"]["st_size"] == 11
+
+
+def test_corpus_overlap_empty_side_null_contract(spark):
+    """ADVICE r3: empty corpora must yield explicit NULL ratios, not an ANSI
+    divide-by-zero throw."""
+    from pandas_profiling_personal_spark.operators.dedup import corpus_overlap
+
+    a = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    row = corpus_overlap(empty, a, "text", unit="token").collect()[0]
+    assert row["n_a"] == 0 and row["n_overlap"] == 0
+    assert row["containment_a_in_b"] is None
+    row2 = corpus_overlap(empty, empty, "text", unit="token").collect()[0]
+    assert row2["jaccard"] is None and row2["containment_a_in_b"] is None
+
+
 def test_write_table_and_deduplicated(spark, tmp_path):
     """Sink round-trip: partitioned layout on disk, maxRecordsPerFile honored,
     and the deduplicated-corpus materialization keeps exactly the keep-list."""
