@@ -96,11 +96,162 @@ def _real_decode(data: bytes) -> tuple[str | None, int | None, int | None, bool]
         return None, None, None, False
 
 
+# ----------------------------------------------------------------------------
+# EXIF (A20 full tier — reference: summary_helpers_image.py:84-107 extracts
+# the tag dict per image; summary_helpers.py:208-237 aggregates key counts).
+# Two tiers: PIL's ExifTags mapping when Pillow is importable, else a pure-
+# Python JPEG APP1/TIFF IFD parser (the EXIF container format is public:
+# JPEG markers -> APP1 "Exif\0\0" -> TIFF header -> IFD entries), so the
+# dependency-free environment still produces REAL exif from real bytes.
+# ----------------------------------------------------------------------------
+
+#: TIFF/EXIF tag ids -> names (subset PIL's ExifTags.TAGS also surfaces)
+_EXIF_TAGS = {
+    0x010E: "ImageDescription",
+    0x010F: "Make",
+    0x0110: "Model",
+    0x0112: "Orientation",
+    0x011A: "XResolution",
+    0x011B: "YResolution",
+    0x0128: "ResolutionUnit",
+    0x0131: "Software",
+    0x0132: "DateTime",
+    0x013B: "Artist",
+    0x8298: "Copyright",
+    0x829A: "ExposureTime",
+    0x829D: "FNumber",
+    0x8827: "ISOSpeedRatings",
+    0x9003: "DateTimeOriginal",
+    0x9004: "DateTimeDigitized",
+    0x920A: "FocalLength",
+    0xA002: "ExifImageWidth",
+    0xA003: "ExifImageHeight",
+}
+_EXIF_SUBIFD = 0x8769  # pointer to the Exif sub-IFD, followed not emitted
+_TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+
+
+def _parse_tiff_exif(buf: bytes) -> dict[str, str]:
+    """Parse IFD0 (+ Exif sub-IFD) of a TIFF block into {tag_name: str}."""
+    try:
+        if buf[:2] == b"II":
+            endian = "little"
+        elif buf[:2] == b"MM":
+            endian = "big"
+        else:
+            return {}
+
+        def rd(off: int, n: int) -> int:
+            return int.from_bytes(buf[off : off + n], endian)
+
+        if rd(2, 2) != 42:
+            return {}
+        out: dict[str, str] = {}
+
+        def parse_ifd(off: int, depth: int) -> None:
+            if depth > 2 or off + 2 > len(buf):
+                return
+            for j in range(rd(off, 2)):
+                e = off + 2 + 12 * j
+                if e + 12 > len(buf):
+                    return
+                tag, typ, cnt = rd(e, 2), rd(e + 2, 2), rd(e + 4, 4)
+                tsize = _TIFF_TYPE_SIZES.get(typ)
+                if tsize is None or cnt > 1 << 20:
+                    continue
+                total = tsize * cnt
+                voff = e + 8 if total <= 4 else rd(e + 8, 4)
+                if voff + total > len(buf):
+                    continue
+                if tag == _EXIF_SUBIFD:
+                    parse_ifd(rd(e + 8, 4), depth + 1)
+                    continue
+                name = _EXIF_TAGS.get(tag)
+                if name is None:
+                    continue
+                if typ == 2:  # ASCII, NUL-terminated
+                    out[name] = (
+                        buf[voff : voff + cnt]
+                        .split(b"\x00")[0]
+                        .decode("ascii", "replace")
+                    )
+                elif typ in (1, 3, 4):  # BYTE/SHORT/LONG
+                    vals = [rd(voff + i * tsize, tsize) for i in range(cnt)]
+                    out[name] = str(vals[0]) if cnt == 1 else str(vals)
+                elif typ in (5, 10):  # (S)RATIONAL — render as "num/den"
+                    num, den = rd(voff, 4), rd(voff + 4, 4)
+                    if typ == 10:
+                        num = num - (1 << 32) if num >= 1 << 31 else num
+                        den = den - (1 << 32) if den >= 1 << 31 else den
+                    out[name] = f"{num}/{den}"
+                else:  # UNDEFINED etc.
+                    out[name] = buf[voff : voff + min(total, 64)].hex()
+
+        parse_ifd(rd(4, 4), 0)
+        return out
+    except Exception:
+        return {}
+
+
+def _parse_jpeg_exif(data: bytes) -> dict[str, str]:
+    """Walk JPEG markers to the APP1 "Exif" segment; {} for non-JPEG."""
+    if data[:3] != b"\xff\xd8\xff":
+        return {}
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            break
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
+            i += 2
+            continue
+        if marker == 0xDA:  # start-of-scan: no EXIF past here
+            break
+        seglen = int.from_bytes(data[i + 2 : i + 4], "big")
+        if seglen < 2:
+            break
+        if marker == 0xE1 and data[i + 4 : i + 10] == b"Exif\x00\x00":
+            return _parse_tiff_exif(data[i + 10 : i + 2 + seglen])
+        i += 2 + seglen
+    return {}
+
+
+def _pil_exif(data: bytes) -> dict[str, str]:
+    """Reference extract_exif (summary_helpers_image.py:84-107): PIL tag dict
+    with byte values decoded. Caller guarantees PIL imports."""
+    from io import BytesIO
+
+    from PIL import ExifTags, Image
+
+    try:
+        raw = Image.open(BytesIO(data))._getexif()
+    except Exception:
+        return {}
+    if not raw:
+        return {}
+    out = {}
+    for k, v in raw.items():
+        if k not in ExifTags.TAGS:
+            continue
+        if isinstance(v, bytes):
+            v = v.decode(errors="replace")
+        out[ExifTags.TAGS[k]] = str(v)
+    return out
+
+
+def extract_exif(data: bytes) -> dict[str, str]:
+    """Per-object EXIF dict — PIL tier when available, else the pure parser."""
+    if _pil_available():
+        return _pil_exif(data)
+    return _parse_jpeg_exif(data)
+
+
 def media_metadata(
     df: DataFrame,
     binary_col: str,
     decoder: str = "fake",
     batch_size_hint: int = 256,
+    exif: bool = False,
 ) -> DataFrame:
     """Append a ``meta`` struct column decoded from ``binary_col``.
 
@@ -115,6 +266,12 @@ def media_metadata(
     * ``"auto"`` — ``"real"`` when PIL imports, else ``"fake"`` (the
       dependency-optional tier; resolved once on the driver so every executor
       runs the same kernel)
+
+    ``exif=True`` additionally appends an ``exif`` map<string,string> column
+    (A20 full tier): PIL's tag mapping when Pillow is importable, else the
+    pure-Python JPEG APP1 parser — real tags from real bytes either way.
+    The ``meta`` struct schema is unchanged so oracle-checked selections of
+    its fields are unaffected.
     """
     if decoder == "auto":
         decoder = "real" if _pil_available() else "fake"
@@ -123,16 +280,22 @@ def media_metadata(
             "media_metadata(decoder='real') needs Pillow; install it or use "
             "decoder='auto' to fall back to the deterministic fake tier"
         )
-    out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField("meta", MEDIA_META_SCHEMA)]
-    )
+    use_pil_exif = exif and _pil_available()  # resolve ONCE, on the driver
+    fields = list(df.schema.fields) + [T.StructField("meta", MEDIA_META_SCHEMA)]
+    if exif:
+        fields.append(
+            T.StructField("exif", T.MapType(T.StringType(), T.StringType()))
+        )
+    out_schema = T.StructType(fields)
 
     def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             metas = []
+            exifs = []
             for data in pdf[binary_col]:
                 if data is None:
                     metas.append(None)
+                    exifs.append(None)
                     continue
                 data = bytes(data)
                 if decoder == "real":
@@ -151,22 +314,38 @@ def media_metadata(
                         "content_hash": hashlib.md5(data).hexdigest(),
                     }
                 )
-            yield pdf.assign(meta=metas)
+                if exif:
+                    exifs.append(
+                        _pil_exif(data)
+                        if use_pil_exif
+                        else _parse_jpeg_exif(data)
+                    )
+            out = pdf.assign(meta=metas)
+            if exif:
+                out = out.assign(exif=exifs)
+            yield out
 
     return df.mapInPandas(decode_batches, out_schema)
 
 
 def media_profile(
-    df: DataFrame, binary_col: str, decoder: str = "fake"
+    df: DataFrame, binary_col: str, decoder: str = "fake", exif: bool = False
 ) -> dict:
     """Aggregate media statistics: byte-size stats, format histogram, dimension
     stats, duplicate-content groups — one decode pass + ordinary aggregations
-    (the decode output is cached to avoid re-decoding per aggregate)."""
+    (the decode output is cached to avoid re-decoding per aggregate).
+
+    ``exif=True`` adds the reference's EXIF aggregation
+    (reference: summary_helpers.py:208-237 builds key counts + per-key value
+    series driver-side over pandas) done distributed: explode the exif map
+    once, then one grouped count for keys and a driver-capped top-values
+    count per key."""
     from pyspark import StorageLevel
 
-    meta = media_metadata(df, binary_col, decoder).select("meta.*").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    decoded = media_metadata(df, binary_col, decoder, exif=exif)
+    meta = decoded.select(
+        "meta.*", *(["exif"] if exif else [])
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         scalars = meta.agg(
             F.count(F.lit(1)).alias("n"),
@@ -190,11 +369,39 @@ def media_profile(
             .where(F.col("cnt") > 1)
             .count()
         )
-        return {
+        out = {
             **scalars.asDict(),
             "formats": formats,
             "n_duplicate_contents": dupes,
         }
+        if exif:
+            # one explode of the map -> (key, value) pairs; keys counted in
+            # one grouped agg, per-key top values in a second bounded one
+            kv = meta.select(
+                F.explode_outer("exif").alias("k", "v")
+            ).where(F.col("k").isNotNull())
+            kv = kv.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                out["exif_keys"] = {
+                    r["k"]: r["cnt"]
+                    for r in kv.groupBy("k")
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .collect()
+                }
+                from pandas_profiling_personal_spark.operators.frequencies import (
+                    top_k_counts,
+                )
+
+                vals: dict[str, dict[str, int]] = {}
+                vc = kv.groupBy(
+                    F.col("k").alias("column"), F.col("v").alias("value")
+                ).agg(F.count(F.lit(1)).alias("count"))
+                for r in top_k_counts(vc, 10).collect():
+                    vals.setdefault(r["column"], {})[r["value"]] = r["count"]
+                out["exif_values"] = vals
+            finally:
+                kv.unpersist()
+        return out
     finally:
         meta.unpersist()
 

@@ -489,6 +489,73 @@ def test_corpus_overlap_empty_side_null_contract(spark):
     assert row2["jaccard"] is None and row2["containment_a_in_b"] is None
 
 
+def _exif_jpeg_fixture() -> bytes:
+    """Minimal-but-valid JPEG byte stream carrying an APP1 EXIF segment
+    (IFD0: Make/Model/Orientation ASCII+SHORT entries, little-endian TIFF),
+    built by hand from the public JPEG/TIFF container layout — no Pillow."""
+    import struct
+
+    def entry(tag, typ, cnt, value_bytes):
+        return struct.pack("<HHI", tag, typ, cnt) + value_bytes.ljust(4, b"\0")
+
+    make = b"TestCam\0"  # 8 bytes -> stored out-of-line
+    model = b"X1\0"  # 3 bytes -> inline
+    # TIFF block: header(8) + count(2) + 3*12 entries + next-IFD(4) = 50,
+    # out-of-line Make data starts at offset 50
+    tiff = (
+        b"II*\x00" + struct.pack("<I", 8)  # little-endian, IFD0 at 8
+        + struct.pack("<H", 3)
+        + entry(0x010F, 2, len(make), struct.pack("<I", 50))  # Make, offset
+        + entry(0x0110, 2, len(model), model)  # Model, inline
+        + entry(0x0112, 3, 1, struct.pack("<H", 6))  # Orientation SHORT
+        + struct.pack("<I", 0)  # no next IFD
+        + make
+    )
+    app1_payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(app1_payload) + 2) + app1_payload
+    # SOI + APP1 + minimal scan + EOI (decoders need not accept the scan;
+    # the EXIF walk stops at SOS anyway)
+    return b"\xff\xd8" + app1 + b"\xff\xda\x00\x02\x00" + b"\xff\xd9"
+
+
+def test_exif_extraction_and_profile(spark):
+    """A20 EXIF tier (reference summary_helpers_image.py:84-107 +
+    summary_helpers.py:208-237): per-object tag map and the distributed
+    key-count/value-count aggregation, on a hand-crafted JPEG fixture via the
+    pure-Python APP1 parser (Pillow absent in this env; with Pillow the PIL
+    tier returns the same tags for this fixture)."""
+    from pandas_profiling_personal_spark.operators.multimodal import (
+        _parse_jpeg_exif,
+        media_metadata,
+        media_profile,
+    )
+
+    jpg = _exif_jpeg_fixture()
+    assert _parse_jpeg_exif(jpg) == {
+        "Make": "TestCam",
+        "Model": "X1",
+        "Orientation": "6",
+    }
+    assert _parse_jpeg_exif(b"\x89PNG not a jpeg") == {}
+
+    rows = [(1, jpg), (2, jpg), (3, b"\x89PNG\r\n\x1a\nnope")]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    meta = media_metadata(df, "blob", decoder="fake", exif=True)
+    got = {r["id"]: r["exif"] for r in meta.collect()}
+    assert got[1]["Make"] == "TestCam" and got[1]["Orientation"] == "6"
+    assert got[3] == {}
+    # meta struct unchanged (oracle safety)
+    assert [f.name for f in meta.schema["meta"].dataType.fields] == [
+        "n_bytes", "format", "width", "height", "truncated", "content_hash",
+    ]
+
+    prof = media_profile(df, "blob", exif=True)
+    assert prof["exif_keys"] == {"Make": 2, "Model": 2, "Orientation": 2}
+    assert prof["exif_values"]["Make"] == {"TestCam": 2}
+    # exif=False keeps the legacy shape
+    assert "exif_keys" not in media_profile(df, "blob")
+
+
 def test_write_table_and_deduplicated(spark, tmp_path):
     """Sink round-trip: partitioned layout on disk, maxRecordsPerFile honored,
     and the deduplicated-corpus materialization keeps exactly the keep-list."""
