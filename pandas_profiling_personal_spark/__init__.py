@@ -13,7 +13,13 @@ Public API:
     ProfileConfig                                   # explicit config (no global singleton)
 """
 
-from pandas_profiling_personal_spark.config import ProfileConfig
+from pandas_profiling_personal_spark.config import (
+    EXACT,
+    EXPLORATIVE,
+    MINIMAL,
+    SENSITIVE,
+    ProfileConfig,
+)
 from pandas_profiling_personal_spark.plans.profile import (
     ProfileResult,
     profile,
@@ -26,6 +32,10 @@ from pandas_profiling_personal_spark.types import VariableType, variable_types
 __version__ = "0.1.0"
 
 __all__ = [
+    "EXACT",
+    "EXPLORATIVE",
+    "MINIMAL",
+    "SENSITIVE",
     "ProfileConfig",
     "ProfileResult",
     "profile",

@@ -1,7 +1,8 @@
 """Command-line entry (S7, reference: controller/console.py:86-109).
 
     python -m pandas_profiling_personal_spark.cli INPUT [OUTPUT.html|.json] \
-        [--minimal] [--exact] [--infer-types] [--title T] [--master local[N]]
+        [--minimal | --explorative | --sensitive | --config FILE.yaml] \
+        [--exact] [--infer-types] [--title T] [--master local[N]]
 
 Reads any supported file (parquet/csv/json/orc + pandas formats) via
 ``spark.read`` and writes an HTML and/or JSON profile.
@@ -29,6 +30,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--minimal", action="store_true", help="cheap-stats tier")
     p.add_argument(
         "--exact", action="store_true", help="exact estimators (test/oracle tier)"
+    )
+    p.add_argument(
+        "--explorative",
+        action="store_true",
+        help="explorative tier: char analysis, url/path type refinement, "
+        "type inference, top-25 (reference explorative arg group)",
+    )
+    p.add_argument(
+        "--sensitive",
+        action="store_true",
+        help="sensitive tier: no raw values in the report "
+        "(reference sensitive arg group)",
+    )
+    p.add_argument(
+        "--config",
+        default=None,
+        metavar="YAML",
+        help="YAML config overlay (optional 'preset:' key + field overrides; "
+        "see ProfileConfig.from_yaml) — explicit flags still win",
     )
     p.add_argument("--infer-types", action="store_true")
     p.add_argument(
@@ -59,7 +79,26 @@ def main(argv: list[str] | None = None) -> int:
     from pandas_profiling_personal_spark.session import get_session
     from pandas_profiling_personal_spark.sources.readers import read_table
 
-    cfg = MINIMAL if args.minimal else ProfileConfig()
+    from pandas_profiling_personal_spark.config import EXPLORATIVE, SENSITIVE
+
+    if args.config:
+        cfg = ProfileConfig.from_yaml(args.config)
+    elif args.minimal:
+        cfg = MINIMAL
+    elif args.explorative:
+        cfg = EXPLORATIVE
+    elif args.sensitive:
+        cfg = SENSITIVE
+    else:
+        cfg = ProfileConfig()
+    if args.config and args.explorative:
+        cfg = cfg.with_(
+            char_analysis=True, string_refinement=True, infer_types=True
+        )
+    if args.config and args.sensitive:
+        cfg = cfg.with_(
+            samples_head=0, samples_random=0, duplicates=False, redact=True
+        )
     if args.exact:
         cfg = cfg.with_(exact=True)
     if args.infer_types:

@@ -9,7 +9,7 @@ exist so behavior is comparable.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field, fields, replace
 
 
 @dataclass(frozen=True)
@@ -68,6 +68,18 @@ class ProfileConfig:
     # --- feature toggles ------------------------------------------------------
     length_stats: bool = True
     char_analysis: bool = False
+    #: explorative string-type refinement (reference "explorative" arg group
+    #: activates the url/path/file/image variable types,
+    #: config.py:58-70): classify categorical columns whose pass-2 top-K
+    #: values look like URLs/paths (driver-side regex over values ALREADY
+    #: fetched — zero extra scans for detection) and attach a component
+    #: decomposition summary (scheme/netloc/... or dir/stem/suffix counts,
+    #: one bounded job per refined column)
+    string_refinement: bool = False
+    #: redact value-revealing outputs (reference "sensitive" arg group,
+    #: config.py:37-41: samples/duplicates off, categorical values redacted):
+    #: top_values/mode/extreme_obs are withheld from results
+    redact: bool = False
     #: correlation measures to compute: subset of
     #: {"pearson","spearman","kendall","cramers","phik"}; reference Spark defaults
     #: enable only pearson (config_default.yaml:70-92)
@@ -112,6 +124,59 @@ class ProfileConfig:
     def with_(self, **kw) -> "ProfileConfig":
         return replace(self, **kw)
 
+    @classmethod
+    def from_dict(cls, d: dict) -> "ProfileConfig":
+        """Build a config from a plain dict (YAML/JSON overlay). An optional
+        ``preset`` key ("default" | "minimal" | "exact" | "explorative" |
+        "sensitive") picks the base tier; remaining keys override fields.
+        Unknown keys raise ValueError (reference behavior: 'Config parameter
+        "x" does not exist', reference config.py:96)."""
+        d = dict(d or {})
+        preset = str(d.pop("preset", "default")).lower()
+        bases = {
+            "default": cls(),
+            "minimal": MINIMAL,
+            "exact": EXACT,
+            "explorative": EXPLORATIVE,
+            "sensitive": SENSITIVE,
+        }
+        if preset not in bases:
+            raise ValueError(
+                f"unknown preset {preset!r}; one of {sorted(bases)}"
+            )
+        base = bases[preset]
+        valid = {f.name for f in fields(cls)}
+        unknown = set(d) - valid
+        if unknown:
+            raise ValueError(
+                f"Config parameter(s) {sorted(unknown)} do not exist"
+            )
+        # YAML lists arrive as lists; tuple-typed fields need coercion
+        for k, v in list(d.items()):
+            if isinstance(v, list):
+                d[k] = tuple(v)
+        return base.with_(**d)
+
+    @classmethod
+    def from_yaml(cls, path) -> "ProfileConfig":
+        """Load a YAML config overlay (reference supports config files via
+        confuse, config.py:26-34; spark-submit users can't pass Python
+        kwargs). PyYAML is dependency-optional."""
+        try:
+            import yaml
+        except ImportError as exc:  # pragma: no cover
+            raise ImportError(
+                "ProfileConfig.from_yaml needs PyYAML; pass a dict to "
+                "ProfileConfig.from_dict instead"
+            ) from exc
+        with open(path) as fh:
+            data = yaml.safe_load(fh)
+        if data is None:
+            data = {}
+        if not isinstance(data, dict):
+            raise ValueError(f"config file {path} must hold a mapping")
+        return cls.from_dict(data)
+
 
 #: reference "minimal" tier (reference: config_minimal.yaml): cheap stats only.
 MINIMAL = ProfileConfig(
@@ -124,3 +189,23 @@ MINIMAL = ProfileConfig(
 
 #: oracle/test tier: exact estimators so results hash-match a DuckDB oracle.
 EXACT = ProfileConfig(exact=True)
+
+#: reference "explorative" tier (reference config.py:58-70: unicode char
+#: analysis on, url/path/file/image types active, n_freq_table_max=25):
+#: char analysis + string-type refinement + content-based type inference,
+#: wider top-K.
+EXPLORATIVE = ProfileConfig(
+    char_analysis=True,
+    string_refinement=True,
+    infer_types=True,
+    top_k=25,
+)
+
+#: reference "sensitive" tier (reference config.py:37-41): no raw values in
+#: the result — samples/duplicates off, frequent/extreme values withheld.
+SENSITIVE = ProfileConfig(
+    samples_head=0,
+    samples_random=0,
+    duplicates=False,
+    redact=True,
+)

@@ -252,6 +252,55 @@ def profile(
                 v["chi_squared"] = stat
                 v["chi_squared_p"] = p
 
+        # explorative string-type refinement (reference "explorative" group
+        # activates url/path variable types, config.py:58-70). Detection is
+        # FREE of extra scans: classify on the top-K values pass 2 already
+        # fetched; only confirmed columns pay one bounded decomposition job
+        # (url_parts/path_parts — a single melted groupBy each).
+        if cfg.string_refinement:
+            import re as _re
+
+            from pandas_profiling_personal_spark.operators import (
+                strings as STR,
+            )
+
+            url_re = _re.compile(r"^[a-z][a-z0-9+.\-]*://\S+$", _re.I)
+            path_re = _re.compile(r"^(?:/|[A-Za-z]:\\|\.{1,2}/)\S*$")
+            for cname, vt in types.items():
+                if vt is not VT.CATEGORICAL:
+                    continue
+                vals = [v for v, _ in (tops.get(cname) or []) if v]
+                if len(vals) < 3:
+                    continue
+                n_url = sum(1 for s in vals if url_re.match(s))
+                n_path = sum(1 for s in vals if path_re.match(s))
+                if n_url >= 0.9 * len(vals):
+                    kind = "url"
+                elif n_path >= 0.9 * len(vals):
+                    kind = "path"
+                else:
+                    continue
+                v = variables[cname]
+                v["type_refined"] = kind
+                if cfg.redact:
+                    continue  # component values are value-revealing
+                parts_df = (
+                    STR.url_parts(df, cname)
+                    if kind == "url"
+                    else STR.path_parts(df, cname)
+                ).withColumnRenamed("part", "column")
+                comp: dict[str, list[dict[str, Any]]] = {}
+                for r in sorted(
+                    FQ.top_k_counts(parts_df, cfg.top_k).collect(),
+                    key=lambda r: (r["column"], r["rank"]),
+                ):
+                    comp.setdefault(r["column"], []).append(
+                        {"value": r["value"], "count": r["count"]}
+                    )
+                v[f"{kind}_parts"] = comp
+                if kind == "path":
+                    v["common_prefix"] = STR.common_prefix(df, cname)
+
         # pass 3 — histograms for all numeric AND datetime columns (A11 + A16;
         # the reference has no Spark date describer at all)
         specs: dict[str, tuple[int, float, float]] = {}
@@ -458,6 +507,18 @@ def profile(
                 1 for c in types if variables[c]["n_missing"] > 0
             ),
         )
+
+        # sensitive tier (reference "sensitive" arg group, config.py:37-41):
+        # withhold every value-revealing output; counts/stats stay
+        if cfg.redact:
+            for v in variables.values():
+                for k in ("top_values", "mode", "mode_count", "extreme_obs"):
+                    v.pop(k, None)
+                v["redacted"] = True
+            sample = {"head": [], "random": []}
+            duplicates = [
+                {"n_dup": d.get("n_dup")} for d in duplicates
+            ]
 
         result = ProfileResult(
             table=table,

@@ -1,0 +1,123 @@
+"""YAML config overlay + explorative/sensitive tiers (VERDICT r3 #6; the
+reference supports confuse YAML files and named arg groups,
+reference config.py:26-70)."""
+
+import json
+
+import pytest
+
+
+def test_from_dict_presets_and_overrides():
+    from pandas_profiling_personal_spark import ProfileConfig
+
+    cfg = ProfileConfig.from_dict(
+        {"preset": "explorative", "top_k": 7, "correlations": ["pearson"]}
+    )
+    assert cfg.string_refinement is True and cfg.char_analysis is True
+    assert cfg.top_k == 7
+    assert cfg.correlations == ("pearson",)  # list -> tuple coercion
+
+    sens = ProfileConfig.from_dict({"preset": "sensitive"})
+    assert sens.redact is True and sens.duplicates is False
+
+    with pytest.raises(ValueError, match="does not exist|do not exist"):
+        ProfileConfig.from_dict({"no_such_knob": 1})
+    with pytest.raises(ValueError, match="preset"):
+        ProfileConfig.from_dict({"preset": "bogus"})
+
+
+def test_from_yaml(tmp_path):
+    from pandas_profiling_personal_spark import ProfileConfig
+
+    f = tmp_path / "cfg.yaml"
+    f.write_text(
+        "preset: minimal\ntop_k: 3\nsamples_head: 0\n"
+    )
+    cfg = ProfileConfig.from_yaml(f)
+    assert cfg.correlations == () and cfg.top_k == 3
+    assert cfg.samples_head == 0
+
+    empty = tmp_path / "empty.yaml"
+    empty.write_text("")
+    assert ProfileConfig.from_yaml(empty) == ProfileConfig()
+
+
+def test_explorative_string_refinement(spark):
+    from pandas_profiling_personal_spark import EXPLORATIVE, profile
+
+    rows = [
+        (
+            f"https://ex{i % 4}.org/p{i}?q={i}",
+            f"/data/set{i % 3}/file{i}.txt",
+            f"word{i % 5}",
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "u string, p string, w string")
+    r = profile(df, EXPLORATIVE.with_(correlations=(), duplicates=False))
+    u, p, w = r.variables["u"], r.variables["p"], r.variables["w"]
+    assert u["type_refined"] == "url"
+    assert {"protocol", "host", "path", "query"} <= set(u["url_parts"])
+    schemes = {d["value"]: d["count"] for d in u["url_parts"]["protocol"]}
+    assert schemes == {"https": 40}
+    assert p["type_refined"] == "path"
+    assert p["common_prefix"] == "/data/set"
+    suffixes = {d["value"]: d["count"] for d in p["path_parts"]["suffix"]}
+    assert suffixes[".txt"] == 40
+    assert "type_refined" not in w
+
+
+def test_sensitive_redaction(spark):
+    from pandas_profiling_personal_spark import SENSITIVE, profile
+
+    df = spark.createDataFrame(
+        [(i % 3, f"secret{i % 4}") for i in range(30)], "x int, s string"
+    )
+    r = profile(df, SENSITIVE.with_(correlations=()))
+    for v in r.variables.values():
+        assert v.get("redacted") is True
+        assert "top_values" not in v and "mode" not in v
+        assert "extreme_obs" not in v
+    assert r.sample == {"head": [], "random": []}
+    assert r.duplicates == []
+    # statistics survive redaction
+    assert r.variables["x"]["n_distinct"] == 3
+
+
+def test_cli_config_yaml(tmp_path):
+    """CLI --config consumes a YAML overlay in a subprocess (spark-submit
+    users cannot pass Python kwargs)."""
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    src = tmp_path / "d.parquet"
+    pd.DataFrame(
+        {"a": range(40), "s": [f"k{i % 4}" for i in range(40)]}
+    ).to_parquet(src)
+    ycfg = tmp_path / "cfg.yaml"
+    ycfg.write_text("preset: minimal\ntop_k: 2\n")
+    out = tmp_path / "rep.json"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "pandas_profiling_personal_spark.cli",
+            str(src),
+            str(out),
+            "--config",
+            str(ycfg),
+            "--master",
+            "local[2]",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rep = json.loads(out.read_text())
+    assert rep["table"]["n"] == 40
+    tops = rep["variables"]["s"]["top_values"]
+    assert len(tops) == 2  # top_k: 2 honored through the YAML path
