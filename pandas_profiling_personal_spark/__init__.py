@@ -27,6 +27,7 @@ from pandas_profiling_personal_spark.plans.profile import (
 )
 from pandas_profiling_personal_spark.report.html import render_html, to_file
 from pandas_profiling_personal_spark.report.notebook import to_notebook_iframe
+from pandas_profiling_personal_spark.report.widgets import to_widgets, widget_spec
 from pandas_profiling_personal_spark.types import VariableType, variable_types
 
 __version__ = "0.1.0"
@@ -45,4 +46,6 @@ __all__ = [
     "render_html",
     "to_file",
     "to_notebook_iframe",
+    "to_widgets",
+    "widget_spec",
 ]

@@ -366,6 +366,47 @@ def test_notebook_iframe_embed(spark):
     assert "srcdoc=" in payload
 
 
+def test_widget_spec_and_to_widgets(spark):
+    """to_widgets surface (reference profile_report.py:433-451): the spec
+    tree carries every report section with per-column children; without
+    ipywidgets the callable degrades to the iframe/HTML fallback, with it
+    the tree materializes (exercised when the env has it)."""
+    from pandas_profiling_personal_spark import (
+        ProfileConfig,
+        profile,
+        to_widgets,
+        widget_spec,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 4, f"s{i % 3}", None if i % 5 == 0 else float(i)) for i in range(60)],
+        "a int, s string, x double",
+    )
+    r = profile(df, ProfileConfig(exact=True))
+    spec = widget_spec(r, title="T")
+    assert spec["type"] == "tab" and spec["title"] == "T"
+    titles = [c["title"] for c in spec["children"]]
+    assert titles[0] == "Overview"
+    assert titles[1] == "Variables"
+    assert any(t == "Missing" for t in titles)
+    assert any(t == "Samples" for t in titles)
+    assert any(t.startswith("Alerts") for t in titles)
+    var_children = spec["children"][1]["children"]
+    assert len(var_children) == 3
+    assert {c["title"].split(" ")[0] for c in var_children} == {"a", "s", "x"}
+    assert all("<table" in c["html"] for c in var_children)
+
+    out = to_widgets(r)
+    try:
+        import ipywidgets
+
+        assert isinstance(out, ipywidgets.Tab)
+    except ImportError:
+        # graceful fallback: iframe HTML (str) or IPython HTML object
+        body = out if isinstance(out, str) else getattr(out, "data", "")
+        assert "iframe" in body
+
+
 def test_tail_sample_order_semantics(spark):
     """K3: tail returns the LAST n rows of the sorted frame."""
     from pandas_profiling_personal_spark.operators.sampling import tail
