@@ -549,6 +549,41 @@ def test_kendall_distributed_matches_kernel(spark):
                 )
 
 
+def test_kendall_constant_column_short_circuit_and_skew_warning(spark):
+    """ADVICE r3: a constant column must not funnel the whole pair into one
+    applyInPandas group — its pairs short-circuit to None (tau-b denominator
+    is zero) straight from the edge pass; a collapsed-but-not-constant
+    bucketing warns instead of silently overclaiming the memory bound."""
+    import warnings
+
+    from pandas_profiling_personal_spark.operators.correlations import (
+        kendall_matrix_distributed,
+        kendall_tau_b,
+    )
+
+    rows = [
+        (5.0, float(i % 7), 0.0 if i < 195 else float(i))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "const double, v double, skew double")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        m = kendall_matrix_distributed(
+            df, ["const", "v", "skew"], n_buckets=16
+        )
+    assert m[("const", "v")] is None
+    assert m[("const", "skew")] is None
+    # skewed-but-varying column stays EXACT and warns about the collapse
+    expect = kendall_tau_b(
+        [r[1] for r in rows], [r[2] for r in rows]
+    )
+    assert abs(m[("v", "skew")] - expect) < 1e-9
+    assert any(
+        "collapsed" in str(w.message) and "skew" in str(w.message)
+        for w in caught
+    ), [str(w.message) for w in caught]
+
+
 def test_kendall_single_group_escape_hatch_retired():
     """No all-data-on-one-executor path remains in the Kendall stack."""
     import inspect
