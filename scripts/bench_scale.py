@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Scale-curve measurement (VERDICT r3 #10 stretch): the flagship profile and
+the pipeline headliners at sf0.01 / sf0.1 / sf1 (sf1 from scripts/gen_sf1.py,
+10x the driver's largest tier). If per-row cost dominates, wall should grow
+~linearly with rows; the gap below linear is the fixed plan/codegen overhead
+amortizing — the closest local proxy for the 100x cluster story.
+
+Prints one JSON line: {"points": {sf: {workload: sec}}, "rows": {...}}.
+Each wall is min-of-2 (see bench.py for the pause rationale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+TIERS = {
+    "0.01": "/root/testdata/sf0.01",
+    "0.1": "/root/testdata/sf0.1",
+    "1": os.path.join(os.path.dirname(__file__), "..", "testdata_sf1"),
+}
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+    from pandas_profiling_personal_spark.operators import (
+        dedup as DD,
+        similarity as SIM,
+        text as TX,
+    )
+    from pandas_profiling_personal_spark.session import get_session
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    spark = get_session(app_name="bench_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed(run) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            run()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    points: dict[str, dict[str, float]] = {}
+    rows: dict[str, dict[str, int]] = {}
+    for sf, d in TIERS.items():
+        if not os.path.isdir(d):
+            continue
+        li = read_parquet(spark, f"{d}/lineitem.parquet")
+        docs = read_parquet(spark, f"{d}/documents.parquet")
+        emb = read_parquet(spark, f"{d}/embeddings.parquet")
+        rows[sf] = {
+            "lineitem": li.count(),
+            "documents": docs.count(),
+            "embeddings": emb.count(),
+        }
+        p: dict[str, float] = {}
+        p["full_profile_lineitem"] = timed(
+            lambda: profile(li, ProfileConfig(exact=False))
+        )
+        p["minhash_dedup_documents"] = timed(
+            lambda: DD.minhash_dedup(
+                docs, "doc_id", "text", num_hashes=32, bands=8,
+                hash_fn="xxhash64",
+            ).count()
+        )
+        p["text_profile_documents"] = timed(
+            lambda: TX.text_profile(docs, "text", "doc_id").count()
+        )
+        p["ann_lsh_topk_embeddings"] = timed(
+            lambda: SIM.ann_topk_lsh(
+                emb, emb.where(F.col("vec_id") < 50), dim=64, k=10
+            ).count()
+        )
+        points[sf] = p
+        print(json.dumps({"sf": sf, "walls": p, "rows": rows[sf]}), flush=True)
+
+    print(json.dumps({"points": points, "rows": rows}), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
