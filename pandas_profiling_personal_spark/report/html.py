@@ -567,6 +567,52 @@ def render_html(result: "Any", title: str = "Data profile") -> str:
     return "".join(parts)
 
 
-def to_file(result: "Any", path: str, title: str = "Data profile") -> None:
+def minify_html(page: str) -> str:
+    """Dependency-free HTML minify: drop comments, collapse inter-tag and
+    runs of whitespace (reference minifies via htmlmin when
+    ``html.minify_html`` is set, profile_report.py:257-279). Safe here
+    because the report emits no <pre>/whitespace-sensitive content."""
+    import re
+
+    page = re.sub(r"<!--.*?-->", "", page, flags=re.S)
+    page = re.sub(r">\s+<", "><", page)
+
+    def _css(m: "re.Match[str]") -> str:
+        return (
+            "<style>"
+            + re.sub(r"\s*([{};:,>])\s*", r"\1", m.group(1))
+            + "</style>"
+        )
+
+    page = re.sub(r"<style>(.*?)</style>", _css, page, flags=re.S)
+    return re.sub(r"[ \t\r\n]+", " ", page).strip()
+
+
+def to_file(
+    result: "Any",
+    path: str,
+    title: str = "Data profile",
+    minify: bool = False,
+    assets_dir: "str | None" = None,
+) -> None:
+    """Write the report. ``minify=True`` collapses whitespace/comments;
+    ``assets_dir`` externalizes the stylesheet next to the page instead of
+    inlining it (reference: profile_report.py:257-330 supports htmlmin and
+    an assets directory; inline-single-file remains the default)."""
+    page = render_html(result, title)
+    if assets_dir is not None:
+        import os
+
+        os.makedirs(assets_dir, exist_ok=True)
+        css_path = os.path.join(assets_dir, "profile.css")
+        with open(css_path, "w", encoding="utf-8") as fh:
+            fh.write(_CSS)
+        rel = os.path.relpath(css_path, os.path.dirname(path) or ".")
+        page = page.replace(
+            f"<style>{_CSS}</style>",
+            f"<link rel='stylesheet' href='{html.escape(rel)}'>",
+        )
+    if minify:
+        page = minify_html(page)
     with open(path, "w", encoding="utf-8") as fh:
-        fh.write(render_html(result, title))
+        fh.write(page)

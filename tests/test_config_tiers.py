@@ -84,6 +84,31 @@ def test_sensitive_redaction(spark):
     assert r.variables["x"]["n_distinct"] == 3
 
 
+def test_to_file_minify_and_assets(spark, tmp_path):
+    """Reference to_file parity: htmlmin-style minify + assets directory
+    (reference profile_report.py:257-330); inline single file stays the
+    default."""
+    from pandas_profiling_personal_spark import MINIMAL, profile
+    from pandas_profiling_personal_spark.report import html as H
+
+    df = spark.createDataFrame([(i, f"v{i % 3}") for i in range(20)],
+                               "a int, b string")
+    r = profile(df, MINIMAL)
+
+    plain = tmp_path / "plain.html"
+    H.to_file(r, str(plain))
+    mini = tmp_path / "mini.html"
+    H.to_file(r, str(mini), minify=True)
+    assert mini.stat().st_size < plain.stat().st_size
+    assert "<title>" in mini.read_text()
+
+    assets = tmp_path / "rep.html"
+    H.to_file(r, str(assets), assets_dir=str(tmp_path / "assets"))
+    page = assets.read_text()
+    assert "<style>" not in page and "profile.css" in page
+    assert (tmp_path / "assets" / "profile.css").stat().st_size > 100
+
+
 def test_cli_config_yaml(tmp_path):
     """CLI --config consumes a YAML overlay in a subprocess (spark-submit
     users cannot pass Python kwargs)."""
