@@ -324,6 +324,6 @@ def test_lsh_plan_constant_in_dim(spark):
     plan = _plan(out)
     out.collect()
     elapsed = time.time() - t0
-    assert elapsed < 60, f"768-d LSH plan+run took {elapsed:.1f}s"
+    assert elapsed < 30, f"768-d LSH plan+run took {elapsed:.1f}s"
     # one aggregate fold per table, not one when-branch per plane component
     assert plan.count("aggregate(") <= 64
