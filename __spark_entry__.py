@@ -195,6 +195,10 @@ _SPECS: dict[str, tuple] = {
         P.kendall_query("customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
         P.kendall_sql("customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
     ),
+    "complex_stats_lineitem": (
+        P.complex_stats_query("lineitem"),
+        P.complex_stats_sql("lineitem"),
+    ),
     "dedup_clusters_documents": (
         PP.dedup_clusters_query(0.1),
         PP.dedup_clusters_sql(0.1),

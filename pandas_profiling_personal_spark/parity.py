@@ -1028,3 +1028,105 @@ def tail_sample_sql(table: str, cols: list[str], order_col: str, n: int) -> str:
         f"SELECT {collist} FROM "
         f"(SELECT {collist} FROM {table} ORDER BY {order_col} DESC LIMIT {n})"
     )
+
+
+# --------------------------------------------------------------------------------
+# complex type — parse + numeric treatment (reference typeset.py:186-194,
+# visualisation/plot.py:191-216). Spark has no complex primitive, so the query
+# BUILDS Python-style complex literals from integer-derived lineitem columns
+# (integer->string formatting is engine-identical; double formatting is not),
+# then both engines parse them with the SAME RE2-compatible regexes and
+# aggregate. Exercises every parse branch: (a+bj), a±bj, bj, a, invalid, NULL.
+# --------------------------------------------------------------------------------
+
+
+def complex_stats_query(table: str = "lineitem") -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.complex_type import (
+            complex_summary,
+        )
+
+        df = load(spark, sf_dir, table)
+        re_i = (S.col("l_partkey") % 201 - 100).cast("long")
+        im_i = (S.col("l_suppkey") % 101 - 50).cast("long")
+        m = (S.col("l_orderkey") * 7 + S.col("l_linenumber")) % 6
+        sign = F.when(im_i >= 0, F.lit("+")).otherwise(F.lit("-"))
+        absim = F.abs(im_i).cast("string")
+        res = re_i.cast("string")
+        ims = im_i.cast("string")
+        cval = (
+            F.when(m == 0, F.concat(F.lit("("), res, sign, absim, F.lit("j)")))
+            .when(m == 1, F.concat(res, sign, absim, F.lit("j")))
+            .when(m == 2, F.concat(ims, F.lit("j")))
+            .when(m == 3, res)
+            .when(m == 4, F.concat(F.lit("x"), res))
+        )
+        return complex_summary(df.select(cval.alias("cval")), ["cval"])
+
+    return fn
+
+
+def complex_stats_sql(table: str = "lineitem") -> str:
+    from pandas_profiling_personal_spark.operators.complex_type import (
+        BOTH_RE,
+        IMAG_RE,
+        REAL_RE,
+    )
+
+    def coef(g: str) -> str:
+        return (
+            f"CASE WHEN {g} IN ('', '+') THEN 1.0"
+            f" WHEN {g} = '-' THEN -1.0"
+            f" ELSE CAST({g} AS DOUBLE) END"
+        )
+
+    both_1 = f"regexp_extract(s, '{BOTH_RE}', 1)"
+    both_2 = f"regexp_extract(s, '{BOTH_RE}', 2)"
+    imag_1 = f"regexp_extract(s, '{IMAG_RE}', 1)"
+    return f"""
+WITH base AS (
+  SELECT (l_partkey % 201 - 100) AS re_i, (l_suppkey % 101 - 50) AS im_i,
+         (l_orderkey * 7 + l_linenumber) % 6 AS m
+  FROM {table}
+), src AS (
+  SELECT CASE m
+    WHEN 0 THEN '(' || re_i || (CASE WHEN im_i >= 0 THEN '+' ELSE '-' END)
+                || abs(im_i) || 'j)'
+    WHEN 1 THEN re_i || (CASE WHEN im_i >= 0 THEN '+' ELSE '-' END)
+                || abs(im_i) || 'j'
+    WHEN 2 THEN im_i || 'j'
+    WHEN 3 THEN CAST(re_i AS VARCHAR)
+    WHEN 4 THEN 'x' || re_i
+    ELSE NULL END AS cval
+  FROM base
+), stripped AS (
+  SELECT cval, regexp_replace(trim(cval), '^\\((.*)\\)$', '\\1') AS s FROM src
+), parsed AS (
+  SELECT cval,
+    CASE WHEN regexp_matches(s, '{BOTH_RE}') THEN CAST({both_1} AS DOUBLE)
+         WHEN regexp_matches(s, '{IMAG_RE}') THEN 0.0
+         WHEN regexp_matches(s, '{REAL_RE}') THEN CAST(s AS DOUBLE)
+    END AS re,
+    CASE WHEN regexp_matches(s, '{BOTH_RE}') THEN {coef(both_2)}
+         WHEN regexp_matches(s, '{IMAG_RE}') THEN {coef(imag_1)}
+         WHEN regexp_matches(s, '{REAL_RE}') THEN 0.0
+    END AS im
+  FROM stripped
+)
+SELECT 'cval' AS "column",
+  COUNT(*) AS n,
+  CAST(SUM(CASE WHEN cval IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+  CAST(SUM(CASE WHEN cval IS NOT NULL AND re IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_invalid,
+  CAST(SUM(CASE WHEN re = 0.0 AND im = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+  round(avg(re), 4) AS mean_re,
+  round(avg(im), 4) AS mean_im,
+  round(avg(sqrt(re * re + im * im)), 4) AS mean_abs,
+  round(min(sqrt(re * re + im * im)), 4) AS min_abs,
+  round(max(sqrt(re * re + im * im)), 4) AS max_abs,
+  round(min(re), 4) AS min_re,
+  round(max(re), 4) AS max_re,
+  round(min(im), 4) AS min_im,
+  round(max(im), 4) AS max_im
+FROM parsed
+"""

@@ -266,6 +266,17 @@ def profile(
 
             url_re = _re.compile(r"^[a-z][a-z0-9+.\-]*://\S+$", _re.I)
             path_re = _re.compile(r"^(?:/|[A-Za-z]:\\|\.{1,2}/)\S*$")
+
+            def _is_complex_literal(s: str) -> bool:
+                # require a 'j' so plain numeric strings stay numeric-inferred
+                if "j" not in s and "J" not in s:
+                    return False
+                try:
+                    complex(s)
+                except ValueError:
+                    return False
+                return True
+
             for cname, vt in types.items():
                 if vt is not VT.CATEGORICAL:
                     continue
@@ -274,14 +285,41 @@ def profile(
                     continue
                 n_url = sum(1 for s in vals if url_re.match(s))
                 n_path = sum(1 for s in vals if path_re.match(s))
+                n_cplx = sum(1 for s in vals if _is_complex_literal(s))
                 if n_url >= 0.9 * len(vals):
                     kind = "url"
                 elif n_path >= 0.9 * len(vals):
                     kind = "path"
+                elif n_cplx >= 0.9 * len(vals):
+                    # reference Complex type (typeset.py:186-194): numeric
+                    # treatment of complex-literal strings + re/im view
+                    kind = "complex"
                 else:
                     continue
                 v = variables[cname]
                 v["type_refined"] = kind
+                if kind == "complex":
+                    from pandas_profiling_personal_spark.operators.complex_type import (
+                        complex_scatter,
+                        complex_summary,
+                    )
+
+                    stats_row = (
+                        complex_summary(df, [cname]).collect()[0].asDict()
+                    )
+                    stats_row.pop("column", None)
+                    v["complex_stats"] = stats_row
+                    if not cfg.redact:
+                        v["complex_scatter"] = sorted(
+                            (
+                                r.asDict()
+                                for r in complex_scatter(
+                                    df, cname, bins=16
+                                ).collect()
+                            ),
+                            key=lambda d: (d["x_bucket"], d["y_bucket"]),
+                        )
+                    continue
                 if cfg.redact:
                     continue  # component values are value-revealing
                 parts_df = (
