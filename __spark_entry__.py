@@ -159,6 +159,11 @@ _SPECS: dict[str, tuple] = {
     "path_parts_events": (P.path_parts_query(), P.path_parts_sql()),
     # --- training-data pipeline operators (documents / embeddings) -----------
     "text_profile_documents": (PP.text_profile_query(), PP.text_profile_sql()),
+    "pii_scan_documents": (PP.pii_scan_query(), PP.pii_scan_sql()),
+    "repetition_profile_documents": (
+        PP.repetition_query(2),
+        PP.repetition_sql(2),
+    ),
     "exact_dedup_documents": (
         PP.exact_duplicates_query(),
         PP.exact_duplicates_sql(),

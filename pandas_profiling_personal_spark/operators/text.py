@@ -163,3 +163,95 @@ def text_profile(
         F.round(quality_score(c), 4).alias("quality_score"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def lines(c: Column) -> Column:
+    """Non-empty trimmed lines."""
+    return F.filter(
+        F.transform(F.split(c, "\\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams from a token array (empty when < n tokens)."""
+    if n == 1:
+        return toks
+    # guard: F.sequence(1, 0) DESCENDS ([1, 0]) rather than yielding empty
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str, id_col: str, ngram: int = 2
+) -> DataFrame:
+    """Per-document repetition signals (the MassiveText/Gopher quality rules —
+    Rae et al. 2021 §A1.1): ``(id, n_lines, dup_line_frac, n_ngrams,
+    dup_ngram_frac, top_ngram_frac)``.
+
+    * ``dup_line_frac`` — fraction of non-empty lines that are duplicates of
+      an earlier line; computed narrowly per row with array HOFs (no shuffle).
+    * ``dup_ngram_frac`` / ``top_ngram_frac`` — fraction of word n-grams that
+      are repeats, and the share held by the single most frequent n-gram.
+      Computed the scale-shaped way: explode → count per (doc, gram) →
+      per-doc collapse. ONE shuffle keyed by (doc, gram) with map-side
+      combine — the same exchange shape the dedup family uses, bounded by
+      distinct grams per doc, never by corpus vocabulary.
+
+    High dup/top fractions mark boilerplate, templated spam and
+    degenerate-generation text — the documents a pretraining filter drops
+    first."""
+    c, idc = S.col(text_col), S.col(id_col)
+    lns = lines(c)
+    base = df.select(
+        idc.alias("doc_id"),
+        F.size(lns).alias("n_lines"),
+        F.when(
+            F.size(lns) > 0,
+            (F.size(lns) - F.size(F.array_distinct(lns)))
+            / F.size(lns).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        word_ngrams(tokens(c), ngram).alias("__grams"),
+    )
+    per_gram = (
+        base.select("doc_id", F.explode("__grams").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_ngrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    out = base.select("doc_id", "n_lines", "dup_line_frac").join(
+        per_doc, "doc_id", "left"
+    )
+    n = F.coalesce(F.col("n_ngrams"), F.lit(0))
+    return out.select(
+        "doc_id",
+        "n_lines",
+        F.round(F.col("dup_line_frac"), 4).alias("dup_line_frac"),
+        n.alias("n_ngrams"),
+        F.round(
+            F.when(
+                n > 0,
+                (n - F.coalesce(F.col("n_distinct"), F.lit(0))) / n.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_ngram_frac"),
+        F.round(
+            F.when(
+                n > 0,
+                F.coalesce(F.col("top_cnt"), F.lit(0)) / n.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("top_ngram_frac"),
+    )

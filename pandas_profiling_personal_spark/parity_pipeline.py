@@ -555,3 +555,129 @@ SELECT na AS n_a, nb AS n_b, nov AS n_overlap,
        round(nov / na, 4) AS containment_a_in_b
 FROM c
 """
+
+
+# --------------------------------------------------------------------------------
+# PII scan — deterministic PII injected from doc_id arithmetic (documents'
+# token-soup text carries no digit-only runs, so every match is planted and
+# both engines construct IDENTICAL strings: integer formatting is
+# engine-independent, double formatting is not)
+# --------------------------------------------------------------------------------
+
+
+def pii_scan_query() -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators import pii as PII
+
+        df = load(spark, sf_dir, "documents")
+        m = F.col("doc_id") % 4
+        octet = (F.col("doc_id") % 256).cast("string")
+        suffix = (
+            F.when(
+                m == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or admin@test.org"),
+                ),
+            )
+            .when(
+                m == 1,
+                F.concat(
+                    F.lit(" ip 10."), octet, F.lit(".0.1 ssn 123-45-6789")
+                ),
+            )
+            .when(
+                m == 2,
+                F.lit(" call +4915123456789 card 4111111111111111"),
+            )
+            .otherwise(F.lit(""))
+        )
+        spiked = df.select(
+            "doc_id", F.concat(F.col("text"), suffix).alias("text")
+        )
+        return PII.pii_scan(spiked, "text", "doc_id")
+
+    return fn
+
+
+def pii_scan_sql() -> str:
+    from pandas_profiling_personal_spark.operators.pii import PII_PATTERNS
+
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    total = " + ".join(f"n_{k}" for k in PII_PATTERNS)
+    return f"""
+WITH spiked AS (
+  SELECT doc_id, text || CASE doc_id % 4
+    WHEN 0 THEN ' contact user' || doc_id || '@example.com or admin@test.org'
+    WHEN 1 THEN ' ip 10.' || (doc_id % 256) || '.0.1 ssn 123-45-6789'
+    WHEN 2 THEN ' call +4915123456789 card 4111111111111111'
+    ELSE '' END AS text
+  FROM documents
+), cnt AS (
+  SELECT doc_id, {counts} FROM spiked
+)
+SELECT doc_id, {', '.join('n_' + k for k in PII_PATTERNS)},
+  {total} AS n_pii, ({total}) > 0 AS has_pii
+FROM cnt
+"""
+
+
+# --------------------------------------------------------------------------------
+# repetition profile (Gopher/MassiveText quality rules)
+# --------------------------------------------------------------------------------
+
+
+def repetition_query(ngram: int = 2) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return TX.repetition_profile(
+            load(spark, sf_dir, "documents"), "text", "doc_id", ngram=ngram
+        )
+
+    return fn
+
+
+def repetition_sql(ngram: int = 2) -> str:
+    gram_expr = " || ' ' || ".join(
+        f"t[i + {j}]" if j else "t[i]" for j in range(ngram)
+    )
+    return f"""
+WITH {_TOK},
+grams AS (
+  SELECT doc_id, CASE WHEN len(t) >= {ngram}
+    THEN list_transform(range(1, len(t) - {ngram - 2}), i -> {gram_expr})
+    ELSE CAST([] AS VARCHAR[]) END AS g
+  FROM tok
+), per AS (
+  SELECT doc_id, gram, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(g) AS gram FROM grams)
+  GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_ngrams,
+         count(*) AS n_distinct, max(cnt) AS top_cnt
+  FROM per GROUP BY 1
+), lns AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+                s -> s <> '') AS l
+  FROM documents
+)
+SELECT d.doc_id,
+  len(l.l) AS n_lines,
+  round(CASE WHEN len(l.l) > 0
+    THEN (len(l.l) - len(list_distinct(l.l))) * 1.0 / len(l.l)
+    ELSE 0.0 END, 4) AS dup_line_frac,
+  coalesce(a.n_ngrams, 0) AS n_ngrams,
+  round(CASE WHEN coalesce(a.n_ngrams, 0) > 0
+    THEN (a.n_ngrams - a.n_distinct) * 1.0 / a.n_ngrams
+    ELSE 0.0 END, 4) AS dup_ngram_frac,
+  round(CASE WHEN coalesce(a.n_ngrams, 0) > 0
+    THEN a.top_cnt * 1.0 / a.n_ngrams
+    ELSE 0.0 END, 4) AS top_ngram_frac
+FROM documents d
+JOIN lns l USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""

@@ -1,0 +1,95 @@
+"""PII scan/redact and Gopher-style repetition signals."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_profiling_personal_spark.operators import pii as PII
+from pandas_profiling_personal_spark.operators.text import (
+    repetition_profile,
+    word_ngrams,
+    tokens,
+)
+
+DOC = (
+    "Contact john.doe+spam@example.com or jane@sub.test.org today. "
+    "Server 192.168.1.254 logged ssn 123-45-6789 and card 4111111111111111; "
+    "call +4915123456789 now."
+)
+
+
+def test_pii_scan_counts(spark):
+    df = spark.createDataFrame(
+        [(0, DOC), (1, "clean text with tok123 and nothing else")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in PII.pii_scan(df, "text", "doc_id").collect()}
+    r = rows[0]
+    assert r["n_email"] == 2
+    assert r["n_ipv4"] == 1
+    assert r["n_ssn"] == 1
+    assert r["n_card"] == 1
+    assert r["n_phone"] == 1
+    assert r["n_pii"] == 6
+    assert r["has_pii"] is True
+    c = rows[1]
+    assert c["n_pii"] == 0 and c["has_pii"] is False
+
+
+def test_pii_redact_is_complete_and_typed(spark):
+    df = spark.createDataFrame([(DOC,)], "text string")
+    red = PII.redact_documents(df, "text").collect()[0]["text"]
+    for marker in ("<EMAIL>", "<IPV4>", "<SSN>", "<CARD>", "<PHONE>"):
+        assert marker in red, marker
+    # nothing PII-shaped survives a second scan
+    df2 = spark.createDataFrame([(red,)], "text string")
+    assert PII.pii_scan(df2, "text").collect()[0]["n_pii"] == 0
+
+
+def test_pii_summary_rates(spark):
+    df = spark.createDataFrame(
+        [(0, DOC), (1, "clean"), (2, "also clean")],
+        "doc_id bigint, text string",
+    )
+    row = PII.pii_summary(df, "text").collect()[0]
+    assert row["n_docs"] == 3
+    assert row["docs_pii"] == 1
+    assert row["total_email"] == 2 and row["docs_email"] == 1
+    assert row["pii_doc_rate"] == pytest.approx(round(1 / 3, 4))
+
+
+def test_word_ngrams_short_doc_guard(spark):
+    df = spark.createDataFrame([("one",), ("a b c",), ("",)], "t string")
+    got = df.select(
+        word_ngrams(tokens(F.col("t")), 2).alias("g")
+    ).collect()
+    assert got[0]["g"] == []
+    assert got[1]["g"] == ["a b", "b c"]
+    assert got[2]["g"] == []
+
+
+def test_repetition_profile_hand_example(spark):
+    # "spam spam spam ham" -> 2-grams: [spam spam, spam spam, spam ham]
+    # dup_ngram_frac = (3-2)/3, top_ngram_frac = 2/3
+    df = spark.createDataFrame(
+        [
+            (0, "spam spam spam ham"),
+            (1, "line one\nline one\nline two"),
+            (2, "x"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in repetition_profile(df, "text", "doc_id").collect()
+    }
+    r0 = rows[0]
+    assert r0["n_ngrams"] == 3
+    assert r0["dup_ngram_frac"] == pytest.approx(round(1 / 3, 4))
+    assert r0["top_ngram_frac"] == pytest.approx(round(2 / 3, 4))
+    assert r0["n_lines"] == 1 and r0["dup_line_frac"] == 0.0
+    r1 = rows[1]
+    assert r1["n_lines"] == 3
+    assert r1["dup_line_frac"] == pytest.approx(round(1 / 3, 4))
+    r2 = rows[2]  # single token: no 2-grams at all
+    assert r2["n_ngrams"] == 0
+    assert r2["dup_ngram_frac"] == 0.0 and r2["top_ngram_frac"] == 0.0
