@@ -110,11 +110,18 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
         "array<array<double>>",
     )
     one, zero = F.lit(1).cast("long"), F.lit(0).cast("long")
-    return F.aggregate(
-        planes_rev,
-        zero,
-        lambda acc, p: acc * 2 + F.when(dot(vec, p) >= 0, one).otherwise(zero),
-    )
+
+    def build(v: Column) -> Column:
+        # vec bound once: a computed vec (e.g. the as_double cast) would
+        # otherwise be re-evaluated inside every per-plane dot product
+        return F.aggregate(
+            planes_rev,
+            zero,
+            lambda acc, p: acc * 2
+            + F.when(dot(v, p) >= 0, one).otherwise(zero),
+        )
+
+    return F.element_at(F.transform(F.array(vec), build), 1)
 
 
 def ann_topk_lsh(

@@ -58,16 +58,25 @@ def minhash_signature_array(
         F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
         % MINHASH_PRIME
     )
-    mins = [
-        F.array_min(
-            F.transform(
-                shingles,
-                lambda s: (F.lit(a) * h(s) + F.lit(b)) % MINHASH_PRIME,
-            )
+    # hash every shingle ONCE, then bind the hashed array as a lambda
+    # variable: the naive form re-evaluated the shingle array (tokenize +
+    # slide + distinct) AND the md5 in every one of the H min-folds — H x
+    # the work per row (see dedup.word_shingles for the measured economics)
+    hashed = F.transform(shingles, h)
+
+    def build(hs: Column) -> Column:
+        return F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        hs, lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_PRIME
+                    )
+                )
+                for a, b in minhash_params(num_hashes, seed)
+            ]
         )
-        for a, b in minhash_params(num_hashes, seed)
-    ]
-    return F.array(*mins)
+
+    return F.element_at(F.transform(F.array(hashed), build), 1)
 
 
 def exact_dedup_stream(
