@@ -147,71 +147,30 @@ def text_profile(
     """Per-document text-analysis projection: id, language, quality features,
     token counts, fingerprint. Narrow (no shuffle) — safe to run inline at any
     scale and feed into filters/groupBys."""
+    # NOTE (measured at sf1, 50k docs): the column-per-feature form below is
+    # the FAST one (0.6 s) — whole-stage codegen's subexpression elimination
+    # already evaluates the shared tokens()/score subtrees once per row at
+    # projection level. A rewrite that moved every feature inside one bound
+    # HOF lambda measured 6.1 s: the lambda body is interpreted, so the
+    # regex/md5-heavy parts lost codegen. The lambda-binding trick (see
+    # word_shingles) pays ONLY for per-element re-evaluation inside HOF
+    # lambdas, never for top-level projection sharing.
     c = S.col(text_col)
     cols = [S.col(id_col)] if id_col else []
-
-    def build(t: Column) -> Column:
-        # every feature reads the SAME bound token array: the naive column-per
-        # -feature form re-ran the tokenizer (lower + regex split + filter)
-        # ~10x per row — language_id's tie-break chain alone duplicates the
-        # en-score subtree 8x (see word_shingles for the measured HOF-rebind
-        # economics). Values are bit-identical to the old spelling: same
-        # arithmetic, same left-to-right fold, same rounding.
-        n_tok = F.size(t)
-        score = {
-            lang: F.when(
-                n_tok > 0, stopword_hits(t, lang) / n_tok
-            ).otherwise(F.lit(0.0))
-            for lang in LANG_ORDER
-        }
-        mx = F.greatest(*[score[lang] for lang in LANG_ORDER])
-        lang = F.when(mx < 0.01, F.lit("und"))
-        for name in LANG_ORDER[:-1]:
-            lang = lang.when(score[name] == mx, F.lit(name))
-        lang = lang.otherwise(F.lit(LANG_ORDER[-1]))
-        n_chars = F.length(c)
-        alpha_chars = F.length(F.regexp_replace(F.lower(c), "[^a-z]", ""))
-        punct_chars = F.length(F.regexp_replace(c, "[^.,;:!?]", ""))
-        mean_token_len = F.when(n_tok > 0, alpha_chars / n_tok)
-        punct_ratio = F.when(n_chars > 0, punct_chars / n_chars).otherwise(
-            F.lit(0.0)
-        )
-        stopword_ratio = score["en"]
-        distinct_token_ratio = F.when(
-            n_tok > 0, F.size(F.array_distinct(t)) / n_tok
-        )
-        len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.2)
-        wordlen_ok = F.when(
-            (mean_token_len >= 2) & (mean_token_len <= 12), 1.0
-        ).otherwise(0.3)
-        stop_ok = F.least(stopword_ratio * 5.0, F.lit(1.0))
-        rep_ok = F.coalesce(distinct_token_ratio, F.lit(0.0))
-        punct_ok = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.4)
-        quality = (
-            0.25 * len_ok + 0.2 * wordlen_ok + 0.25 * stop_ok + 0.15 * rep_ok
-            + 0.15 * punct_ok
-        )
-        return F.struct(
-            lang.alias("language"),
-            n_tok.alias("n_tokens"),
-            bpe_token_count(c).alias("n_bpe_tokens"),
-            n_chars.alias("n_chars"),
-            F.round(mean_token_len, 4).alias("mean_token_len"),
-            F.round(punct_ratio, 4).alias("punct_ratio"),
-            F.round(stopword_ratio, 4).alias("stopword_ratio"),
-            F.round(distinct_token_ratio, 4).alias("distinct_token_ratio"),
-            F.round(quality, 4).alias("quality_score"),
-            fingerprint(c).alias("fingerprint"),
-        )
-
-    # explode(single-element array) = a Generate node: the struct materializes
-    # ONCE per row, so downstream field reads don't re-run the lambda
-    staged = df.select(
+    feats = quality_features(c)
+    return df.select(
         *cols,
-        F.explode(F.transform(F.array(tokens(c)), build)).alias("__f"),
+        language_id(c).alias("language"),
+        token_count(c).alias("n_tokens"),
+        bpe_token_count(c).alias("n_bpe_tokens"),
+        feats["n_chars"].alias("n_chars"),
+        F.round(feats["mean_token_len"], 4).alias("mean_token_len"),
+        F.round(feats["punct_ratio"], 4).alias("punct_ratio"),
+        F.round(feats["stopword_ratio"], 4).alias("stopword_ratio"),
+        F.round(feats["distinct_token_ratio"], 4).alias("distinct_token_ratio"),
+        F.round(quality_score(c), 4).alias("quality_score"),
+        fingerprint(c).alias("fingerprint"),
     )
-    keep = [S.col(id_col)] if id_col else []
-    return staged.select(*keep, "__f.*")
 
 
 def lines(c: Column) -> Column:
@@ -268,24 +227,17 @@ def repetition_profile(
     degenerate-generation text — the documents a pretraining filter drops
     first."""
     c, idc = S.col(text_col), S.col(id_col)
-
-    def line_stats(l: Column) -> Column:
-        # bound once (same trick as word_ngrams): lines() splits/trims the
-        # whole document, and this struct reads it four times
-        return F.struct(
-            F.size(l).alias("n"),
-            F.when(
-                F.size(l) > 0,
-                (F.size(l) - F.size(F.array_distinct(l)))
-                / F.size(l).cast("double"),
-            ).otherwise(F.lit(0.0)).alias("f"),
-        )
-
-    ls = F.element_at(F.transform(F.array(lines(c)), line_stats), 1)
+    # top-level repeats of lines() are fine: codegen subexpression
+    # elimination shares them (see the text_profile note)
+    lns = lines(c)
     base = df.select(
         idc.alias("doc_id"),
-        ls["n"].alias("n_lines"),
-        ls["f"].alias("dup_line_frac"),
+        F.size(lns).alias("n_lines"),
+        F.when(
+            F.size(lns) > 0,
+            (F.size(lns) - F.size(F.array_distinct(lns)))
+            / F.size(lns).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("dup_line_frac"),
         word_ngrams(tokens(c), ngram).alias("__grams"),
     )
     per_gram = (

@@ -337,6 +337,22 @@ def _var_section(name: str, v: dict, alerts: list[dict]) -> str:
             _kv_table([(lbl, v.get(k)) for lbl, k in _CAT_STATS
                        if v.get(k) is not None]),
         ))
+        # complex-refined strings: numeric view + re×im density (the
+        # reference's scatter_complex — visualisation/plot.py:191-216)
+        if v.get("complex_stats"):
+            cs = v["complex_stats"]
+            body = _kv_table([
+                ("Mean (re)", cs.get("mean_re")),
+                ("Mean (im)", cs.get("mean_im")),
+                ("Mean |z|", cs.get("mean_abs")),
+                ("Min |z|", cs.get("min_abs")),
+                ("Max |z|", cs.get("max_abs")),
+                ("Invalid", cs.get("n_invalid")),
+                ("Zeros", cs.get("n_zero")),
+            ])
+            if v.get("complex_scatter"):
+                body += _svg_scatter(v["complex_scatter"], bins=16)
+            tabs.append(("Complex", body))
     elif vtype == "Boolean":
         tabs.append((
             "Values",

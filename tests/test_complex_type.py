@@ -137,3 +137,9 @@ def test_profile_refines_complex_strings(spark):
     assert sum(d["cnt"] for d in v["complex_scatter"]) == len(vals)
     # numeric strings must NOT be claimed by the complex refiner
     assert res.variables["plain"].get("type_refined") != "complex"
+
+    from pandas_profiling_personal_spark.report.html import render_html
+
+    page = render_html(res)
+    assert "Complex" in page
+    assert "data-chart='scatter'" in page
