@@ -200,6 +200,10 @@ _SPECS: dict[str, tuple] = {
         P.kendall_query("customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
         P.kendall_sql("customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
     ),
+    "split_counts_orders": (
+        P.split_counts_query("orders", "o_orderkey", "o_orderstatus"),
+        P.split_counts_sql("orders", "o_orderkey", "o_orderstatus"),
+    ),
     "complex_stats_lineitem": (
         P.complex_stats_query("lineitem"),
         P.complex_stats_sql("lineitem"),

@@ -59,3 +59,70 @@ def deterministic_sample(
         "long"
     )
     return df.where(h % mod == bucket)
+
+
+def deterministic_split(
+    df: DataFrame,
+    key: str,
+    weights: tuple[tuple[str, float], ...] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    granularity: int = 10000,
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment a training-data pipeline can trust: each row's
+    split is a pure function of ``md5(key)``, so the partition is deterministic
+    across runs, engines, cluster sizes and row order — re-ingesting the corpus
+    never migrates a document between splits (the property ``df.randomSplit``
+    lacks: its assignment depends on partitioning). Zero shuffle: one codegen'd
+    projection.
+
+    ``weights`` are (name, fraction) in priority order; fractions are realized
+    as integer bucket boundaries out of ``granularity`` (exact boundaries, no
+    float accumulation). Fractions need not sum to 1 — any remainder falls to
+    the LAST split. Per-stratum ratios hold in expectation for any stratum
+    uncorrelated with the key hash; verify with :func:`split_counts`."""
+    h = F.conv(F.substring(F.md5(S.col(key).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % granularity
+    bounds: list[tuple[str, int]] = []
+    cum = 0.0
+    for name, w in weights[:-1]:
+        cum += w
+        bounds.append((name, int(round(cum * granularity))))
+    label = None
+    for name, b in bounds:
+        cond = h < b
+        label = (
+            F.when(cond, F.lit(name))
+            if label is None
+            else label.when(cond, F.lit(name))
+        )
+    last = F.lit(weights[-1][0])
+    label = last if label is None else label.otherwise(last)
+    return df.withColumn(out_col, label)
+
+
+def split_counts(
+    df: DataFrame,
+    key: str,
+    strata_col: str | None = None,
+    weights: tuple[tuple[str, float], ...] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    granularity: int = 10000,
+) -> DataFrame:
+    """Verification rollup for :func:`deterministic_split`: rows per split
+    (× stratum when given) — ONE combine-friendly aggregate, driver transfer
+    ≤ splits × strata."""
+    out = deterministic_split(df, key, weights, granularity)
+    group = ["split"] + ([strata_col] if strata_col else [])
+    return (
+        out.groupBy(*[S.col(g) for g in group])
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(*group)
+    )

@@ -1130,3 +1130,42 @@ SELECT 'cval' AS "column",
   round(max(im), 4) AS max_im
 FROM parsed
 """
+
+
+# --------------------------------------------------------------------------------
+# deterministic train/val/test split — md5-bucket assignment (engine-portable
+# by the same conv(substring(md5)) idiom the dedup oracles already prove);
+# verified as the (split, stratum) count rollup
+# --------------------------------------------------------------------------------
+
+
+def split_counts_query(
+    table: str = "orders", key: str = "o_orderkey", strata: str = "o_orderstatus"
+) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.sampling import (
+            split_counts,
+        )
+
+        return split_counts(load(spark, sf_dir, table), key, strata)
+
+    return fn
+
+
+def split_counts_sql(
+    table: str = "orders", key: str = "o_orderkey", strata: str = "o_orderstatus"
+) -> str:
+    return f"""
+WITH assigned AS (
+  SELECT {strata},
+    CASE
+      WHEN CAST(('0x' || substring(md5(CAST({key} AS VARCHAR)), 1, 8)) AS UBIGINT)
+           % 10000 < 9000 THEN 'train'
+      WHEN CAST(('0x' || substring(md5(CAST({key} AS VARCHAR)), 1, 8)) AS UBIGINT)
+           % 10000 < 9500 THEN 'val'
+      ELSE 'test' END AS split
+  FROM {table}
+)
+SELECT split, {strata}, count(*) AS n
+FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
+"""

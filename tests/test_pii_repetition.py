@@ -93,3 +93,35 @@ def test_repetition_profile_hand_example(spark):
     r2 = rows[2]  # single token: no 2-grams at all
     assert r2["n_ngrams"] == 0
     assert r2["dup_ngram_frac"] == 0.0 and r2["top_ngram_frac"] == 0.0
+
+
+def test_deterministic_split_properties(spark):
+    from pandas_profiling_personal_spark.operators.sampling import (
+        deterministic_split,
+        split_counts,
+    )
+
+    df = spark.range(0, 20000).withColumnRenamed("id", "k")
+    out = deterministic_split(df, "k")
+    counts = {r["split"]: r["n"] for r in split_counts(df, "k").collect()}
+    n = sum(counts.values())
+    assert n == 20000
+    assert abs(counts["train"] / n - 0.9) < 0.02
+    assert abs(counts["val"] / n - 0.05) < 0.01
+    assert abs(counts["test"] / n - 0.05) < 0.01
+    # deterministic: identical assignment on recomputation and on a
+    # differently-partitioned input
+    a = {r["k"]: r["split"] for r in out.collect()}
+    b = {
+        r["k"]: r["split"]
+        for r in deterministic_split(df.repartition(7), "k").collect()
+    }
+    assert a == b
+    # custom weights: remainder falls to the last split
+    w = (("train", 0.5), ("holdout", 0.25))
+    c2 = {
+        r["split"]: r["n"]
+        for r in split_counts(df, "k", weights=w).collect()
+    }
+    assert abs(c2["train"] / n - 0.5) < 0.02
+    assert abs(c2["holdout"] / n - 0.5) < 0.02
