@@ -79,9 +79,14 @@ def main() -> None:
         for i in range(25)
     ]
     wide = wbase.select(*wcols)
-    t0 = time.time()
-    profile(wide, ProfileConfig(exact=False))
-    timings["full_profile_wide100"] = round(time.time() - t0, 3)
+    # min-of-2 like everything else: host-level throttle windows (see
+    # PERFORMANCE.md variance caveat) can inflate a single 50 s run 2-3x
+    wide_wall = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        profile(wide, ProfileConfig(exact=False))
+        wide_wall = min(wide_wall, time.time() - t0)
+    timings["full_profile_wide100"] = round(wide_wall, 3)
 
     # breadth: the events table (nano-timestamp ingestion, datetime describer,
     # JSON/string columns) through the same default-tier pipeline

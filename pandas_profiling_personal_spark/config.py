@@ -42,9 +42,10 @@ class ProfileConfig:
     #: with no diagnostic value. Gated columns keep the pass-1 n_distinct
     #: and report n_unique/top_values as unavailable
     #: (``freq_skipped_near_unique=True``).
-    #: "auto" (default) = 0.9 when ``exact=False`` (the scale tier), never
-    #: in exact/oracle mode; a float forces the gate in BOTH tiers; None
-    #: disables it everywhere.
+    #: "auto" (default) = 0.5 when ``exact=False`` (the scale tier — at 50%
+    #: distinct the frequency table is half singletons and the melt exchange
+    #: carries half the rows), never in exact/oracle mode; a float forces the
+    #: gate in BOTH tiers; None disables it everywhere.
     freq_near_unique_ratio: float | None | str = "auto"
     #: the auto gate only fires for columns with at least this many non-null
     #: rows — on small interactive tables the melt branch is cheap and users
@@ -90,6 +91,12 @@ class ProfileConfig:
     duplicates: bool = True
     #: top-N duplicate row groups (reference: duplicates.head=10)
     duplicates_head: int = 10
+    #: hash-compressed duplicate pass (group on two salted xxhash64 of the row
+    #: instead of the full row payload — ~10-50x less exchange volume on wide
+    #: tables; see operators/duplicates.duplicate_summary_hashed). "auto":
+    #: hashed when the table has > duplicates_hash_min_cols grouped columns.
+    duplicates_hash: bool | str = "auto"
+    duplicates_hash_min_cols: int = 20
     samples_head: int = 10
     samples_random: int = 10
     #: tail sample size (K3). 0 disables (the default — the reference skips

@@ -171,16 +171,20 @@ def profile(
         # cardinality threshold (still driver-bounded).
         freq_cols = [c for c, vt in types.items() if vt is not VT.BINARY]
         # near-unique gate (freq_near_unique_ratio): drop columns whose
-        # pass-1 distinct estimate says the frequency table would be ~all
-        # count-1 rows — at scale that melt branch is a full-cardinality
+        # pass-1 distinct estimate says the frequency table would be mostly
+        # count-1 rows — at scale that melt branch is a near-full-cardinality
         # shuffle with no diagnostic value. Gated columns keep pass-1 stats.
-        # DEFAULT-ON in the approx tier (r4): "auto" resolves to 0.9 when
-        # exact=False, and to disabled in exact/oracle mode so hash-matched
-        # results and small-data test semantics never change. The min-count
-        # guard keeps small interactive tables fully profiled.
+        # DEFAULT-ON in the approx tier (r4): "auto" resolves to 0.5 when
+        # exact=False (at >=50% distinct the frequency table is >=50%
+        # singletons and the exchange carries >=half the rows; measured on
+        # the wide100 bench 0.9 gated only 2/75 continuous columns — their
+        # HLL ratios land at 0.2-0.85), and to disabled in exact/oracle mode
+        # so hash-matched results and small-data test semantics never
+        # change. The min-count guard keeps small interactive tables fully
+        # profiled.
         gate_ratio = cfg.freq_near_unique_ratio
         if gate_ratio == "auto":
-            gate_ratio = None if cfg.exact else 0.9
+            gate_ratio = None if cfg.exact else 0.5
         if gate_ratio is not None:
             min_count = (
                 cfg.freq_gate_min_count
@@ -401,7 +405,22 @@ def profile(
             if vt in (VT.NUMERIC, VT.CATEGORICAL, VT.BOOLEAN, VT.DATETIME)
         ]
         duplicates: list[dict[str, Any]] = []
-        if cfg.duplicates and dup_cols:
+        use_hashed_dup = cfg.duplicates_hash is True or (
+            cfg.duplicates_hash == "auto"
+            and len(dup_cols) > cfg.duplicates_hash_min_cols
+        )
+        if cfg.duplicates and dup_cols and use_hashed_dup:
+            # wide/scale tier: group on two salted 64-bit row hashes instead
+            # of the full row payload — same stats, top-N values recovered by
+            # a broadcast join-back (duplicates.duplicate_summary_hashed)
+            dstats, duplicates = D.duplicate_summary_hashed(
+                df, dup_cols, cfg.duplicates_head
+            )
+            table.update(
+                n_duplicates=dstats["n_duplicate_rows"],
+                p_duplicates=dstats["p_duplicates"],
+            )
+        elif cfg.duplicates and dup_cols:
             # one grouped shuffle shared by the duplicate count and the top-N
             # groups (cached; the grouped table is <= the distinct row count)
             from pyspark import StorageLevel as _SL

@@ -125,3 +125,48 @@ def test_deterministic_split_properties(spark):
     }
     assert abs(c2["train"] / n - 0.5) < 0.02
     assert abs(c2["holdout"] / n - 0.5) < 0.02
+
+
+def test_hashed_duplicates_match_exact(spark):
+    from pandas_profiling_personal_spark.operators.duplicates import (
+        duplicate_stats,
+        duplicate_summary_hashed,
+        top_duplicates,
+    )
+
+    rows = [(i % 40, f"v{i % 25}", float(i % 7)) for i in range(400)]
+    df = spark.createDataFrame(rows, "a bigint, b string, c double")
+    exact = duplicate_stats(df)
+    stats, top = duplicate_summary_hashed(df, n=10)
+    assert stats == exact
+    exact_top = [
+        r.asDict() for r in top_duplicates(df, n=10).collect()
+    ]
+    # same groups and counts (no count ties at the boundary in this data
+    # means selection is identical, not just equivalent)
+    assert sorted(
+        (d["a"], d["b"], d["c"], d["n_dup"]) for d in top
+    ) == sorted((d["a"], d["b"], d["c"], d["n_dup"]) for d in exact_top)
+
+
+def test_profile_wide_uses_hashed_duplicates(spark):
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+
+    cols = ", ".join(f"c{i} bigint" for i in range(25))
+    rows = [tuple((i * (j + 1)) % 5 for j in range(25)) for i in range(300)]
+    df = spark.createDataFrame(rows, cols)
+    r_hash = profile(
+        df, ProfileConfig(correlations=(), missing_diagrams=False)
+    )
+    r_exact = profile(
+        df,
+        ProfileConfig(
+            correlations=(), missing_diagrams=False, duplicates_hash=False
+        ),
+    )
+    assert r_hash.table["n_duplicates"] == r_exact.table["n_duplicates"]
+    assert r_hash.table["p_duplicates"] == r_exact.table["p_duplicates"]
+    assert len(r_hash.duplicates) == len(r_exact.duplicates)
+    assert {d["n_dup"] for d in r_hash.duplicates} == {
+        d["n_dup"] for d in r_exact.duplicates
+    }
