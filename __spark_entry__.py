@@ -160,6 +160,8 @@ _SPECS: dict[str, tuple] = {
     # --- training-data pipeline operators (documents / embeddings) -----------
     "text_profile_documents": (PP.text_profile_query(), PP.text_profile_sql()),
     "pii_scan_documents": (PP.pii_scan_query(), PP.pii_scan_sql()),
+    "pii_summary_documents": (PP.pii_summary_query(), PP.pii_summary_sql()),
+    "pii_redact_documents": (PP.pii_redact_query(), PP.pii_redact_sql()),
     "repetition_profile_documents": (
         PP.repetition_query(2),
         PP.repetition_sql(2),

@@ -681,3 +681,124 @@ FROM documents d
 JOIN lns l USING (doc_id)
 LEFT JOIN agg a USING (doc_id)
 """
+
+
+def pii_summary_query() -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators import pii as PII
+
+        df = load(spark, sf_dir, "documents")
+        m = F.col("doc_id") % 4
+        octet = (F.col("doc_id") % 256).cast("string")
+        suffix = (
+            F.when(
+                m == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or admin@test.org"),
+                ),
+            )
+            .when(
+                m == 1,
+                F.concat(
+                    F.lit(" ip 10."), octet, F.lit(".0.1 ssn 123-45-6789")
+                ),
+            )
+            .when(
+                m == 2,
+                F.lit(" call +4915123456789 card 4111111111111111"),
+            )
+            .otherwise(F.lit(""))
+        )
+        spiked = df.select(
+            "doc_id", F.concat(F.col("text"), suffix).alias("text")
+        )
+        return PII.pii_summary(spiked, "text")
+
+    return fn
+
+
+def pii_summary_sql() -> str:
+    from pandas_profiling_personal_spark.operators.pii import PII_PATTERNS
+
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    total = " + ".join(f"n_{k}" for k in PII_PATTERNS)
+    aggs = ", ".join(
+        f"CAST(SUM(n_{k}) AS BIGINT) AS total_{k}, "
+        f"CAST(SUM(CASE WHEN n_{k} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_{k}"
+        for k in PII_PATTERNS
+    )
+    return f"""
+WITH spiked AS (
+  SELECT doc_id, text || CASE doc_id % 4
+    WHEN 0 THEN ' contact user' || doc_id || '@example.com or admin@test.org'
+    WHEN 1 THEN ' ip 10.' || (doc_id % 256) || '.0.1 ssn 123-45-6789'
+    WHEN 2 THEN ' call +4915123456789 card 4111111111111111'
+    ELSE '' END AS text
+  FROM documents
+), cnt AS (
+  SELECT doc_id, {counts} FROM spiked
+)
+SELECT {aggs},
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN ({total}) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_pii,
+  round(CAST(SUM(CASE WHEN ({total}) > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 4) AS pii_doc_rate
+FROM cnt
+"""
+
+
+def pii_redact_query() -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators import pii as PII
+
+        df = load(spark, sf_dir, "documents")
+        m = F.col("doc_id") % 4
+        suffix = (
+            F.when(
+                m == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            )
+            .when(m == 1, F.lit(" ip 10.1.0.1 ssn 123-45-6789"))
+            .when(
+                m == 2,
+                F.lit(" call +4915123456789 card 4111111111111111"),
+            )
+            .otherwise(F.lit(""))
+        )
+        spiked = df.select(
+            "doc_id", F.concat(F.col("text"), suffix).alias("text")
+        )
+        return PII.redact_documents(spiked, "text").select(
+            "doc_id", F.md5("text").alias("redacted_md5")
+        )
+
+    return fn
+
+
+def pii_redact_sql() -> str:
+    from pandas_profiling_personal_spark.operators.pii import _REDACT
+
+    expr = "text"
+    for kind, (pat, repl) in _REDACT.items():
+        duck_repl = repl.replace("$1", "\\1")
+        expr = f"regexp_replace({expr}, '{pat}', '{duck_repl}', 'g')"
+    return f"""
+WITH spiked AS (
+  SELECT doc_id, text || CASE doc_id % 4
+    WHEN 0 THEN ' contact user' || doc_id || '@example.com'
+    WHEN 1 THEN ' ip 10.1.0.1 ssn 123-45-6789'
+    WHEN 2 THEN ' call +4915123456789 card 4111111111111111'
+    ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id, md5({expr}) AS redacted_md5 FROM spiked
+"""
