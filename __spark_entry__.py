@@ -160,6 +160,10 @@ _SPECS: dict[str, tuple] = {
     # --- training-data pipeline operators (documents / embeddings) -----------
     "text_profile_documents": (PP.text_profile_query(), PP.text_profile_sql()),
     "pii_scan_documents": (PP.pii_scan_query(), PP.pii_scan_sql()),
+    "quality_filter_documents": (
+        PP.quality_filter_query(),
+        PP.quality_filter_sql(),
+    ),
     "pii_summary_documents": (PP.pii_summary_query(), PP.pii_summary_sql()),
     "pii_redact_documents": (PP.pii_redact_query(), PP.pii_redact_sql()),
     "repetition_profile_documents": (

@@ -274,3 +274,47 @@ def repetition_profile(
             4,
         ).alias("top_ngram_frac"),
     )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    max_punct_ratio: float = 0.2,
+    min_stopword_ratio: float = 0.05,
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """Per-document keep/drop decision with machine-readable reasons — the
+    C4/Gopher-style corpus filter built on :func:`text_profile`'s features:
+    ``(id, quality_score, reject_reasons array<string>, keep)``.
+
+    Pure projection over the text-profile scan (no shuffle); the reasons
+    array preserves rule order so downstream triage can group by first
+    reason. Thresholds mirror the published heuristics (C4: length bounds
+    and punctuation; Gopher §A1.1: stopword floor) — tune per corpus."""
+    prof = text_profile(df, text_col, id_col)
+    reasons = F.filter(
+        F.array(
+            F.when(F.col("n_tokens") < min_tokens, F.lit("too_short")),
+            F.when(F.col("n_tokens") > max_tokens, F.lit("too_long")),
+            F.when(
+                F.col("punct_ratio") > max_punct_ratio, F.lit("high_punct")
+            ),
+            F.when(
+                F.col("stopword_ratio") < min_stopword_ratio,
+                F.lit("low_stopword"),
+            ),
+            F.when(
+                F.col("quality_score") < min_quality, F.lit("low_quality")
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return prof.select(
+        S.col(id_col),
+        F.col("quality_score"),
+        reasons.alias("reject_reasons"),
+        (F.size(reasons) == 0).alias("keep"),
+    )

@@ -802,3 +802,39 @@ WITH spiked AS (
 )
 SELECT doc_id, md5({expr}) AS redacted_md5 FROM spiked
 """
+
+
+def quality_filter_query() -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return TX.quality_filter(
+            load(spark, sf_dir, "documents"), "text", "doc_id"
+        )
+
+    return fn
+
+
+def quality_filter_sql() -> str:
+    # reasons re-derive the same thresholds over the text-profile CTE; the
+    # list_filter drops the NULL branches exactly like Spark's F.filter
+    profile_cte = text_profile_sql().strip().rstrip()
+    return f"""
+WITH tp AS (
+{profile_cte}
+)
+SELECT doc_id, quality_score,
+  list_filter([
+    CASE WHEN n_tokens < 10 THEN 'too_short' END,
+    CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+    CASE WHEN punct_ratio > 0.2 THEN 'high_punct' END,
+    CASE WHEN stopword_ratio < 0.05 THEN 'low_stopword' END,
+    CASE WHEN quality_score < 0.5 THEN 'low_quality' END
+  ], x -> x IS NOT NULL) AS reject_reasons,
+  len(list_filter([
+    CASE WHEN n_tokens < 10 THEN 'too_short' END,
+    CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+    CASE WHEN punct_ratio > 0.2 THEN 'high_punct' END,
+    CASE WHEN stopword_ratio < 0.05 THEN 'low_stopword' END,
+    CASE WHEN quality_score < 0.5 THEN 'low_quality' END
+  ], x -> x IS NOT NULL)) = 0 AS keep
+FROM tp
+"""

@@ -170,3 +170,30 @@ def test_profile_wide_uses_hashed_duplicates(spark):
     assert {d["n_dup"] for d in r_hash.duplicates} == {
         d["n_dup"] for d in r_exact.duplicates
     }
+
+
+def test_quality_filter_reasons(spark):
+    from pandas_profiling_personal_spark.operators.text import quality_filter
+
+    good = (
+        "the quick brown fox and the lazy dog are in the yard with you "
+        "for this is a fine day and it is good to have words that flow"
+    )
+    df = spark.createDataFrame(
+        [
+            (0, good),
+            (1, "short text"),  # < 10 tokens
+            (2, "zz " * 50),  # no stopwords
+            (3, good + " !!!;;;...." * 40),  # punctuation soup
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in quality_filter(df, "text", "doc_id").collect()
+    }
+    assert rows[0]["keep"] is True and rows[0]["reject_reasons"] == []
+    assert "too_short" in rows[1]["reject_reasons"]
+    assert "low_stopword" in rows[2]["reject_reasons"]
+    assert "high_punct" in rows[3]["reject_reasons"]
+    assert all(not rows[i]["keep"] for i in (1, 2, 3))
