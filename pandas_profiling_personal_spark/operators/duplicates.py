@@ -7,9 +7,10 @@ its top-N duplicate groups (:515-540) are correct. This engine derives BOTH from
 distinct rows (for the duplicate count) and the >1 groups (for the top-N table).
 
 Scale note: grouping on every column shuffles the full table — inherent to exact
-duplicate detection. At 100 TB prefer :mod:`...operators.dedup`'s hash-based
-variant (group on a single 128-bit hash of the row instead of the full row payload),
-which shuffles only (hash, count).
+duplicate detection. At 100 TB use :func:`duplicate_summary_hashed` below (group
+on two salted 64-bit row hashes instead of the full row payload — the exchange
+carries 16 bytes + count per row); ``profile()`` auto-selects it above
+``duplicates_hash_min_cols`` grouped columns.
 """
 
 from __future__ import annotations
