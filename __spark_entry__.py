@@ -164,6 +164,10 @@ _SPECS: dict[str, tuple] = {
         PP.quality_filter_query(),
         PP.quality_filter_sql(),
     ),
+    "packing_stats_documents": (
+        PP.packing_stats_query(256),
+        PP.packing_stats_sql(256),
+    ),
     "pii_summary_documents": (PP.pii_summary_query(), PP.pii_summary_sql()),
     "pii_redact_documents": (PP.pii_redact_query(), PP.pii_redact_sql()),
     "repetition_profile_documents": (

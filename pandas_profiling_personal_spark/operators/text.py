@@ -318,3 +318,64 @@ def quality_filter(
         reasons.alias("reject_reasons"),
         (F.size(reasons) == 0).alias("keep"),
     )
+
+
+def packing_stats(
+    df: DataFrame,
+    text_col: str,
+    context_len: int = 2048,
+    exact: bool = False,
+) -> DataFrame:
+    """Context-window packing planner for LLM training: ONE 1-row aggregate
+    over per-document token counts — ``(n_docs, total_tokens, mean_tokens,
+    p50_tokens, p95_tokens, max_tokens, docs_over_context,
+    tokens_over_context, min_sequences, naive_sequences, naive_pad_frac)``.
+
+    * ``min_sequences`` — ceil(total/L): the packing lower bound any
+      concatenate-and-chunk pipeline achieves.
+    * ``naive_sequences`` / ``naive_pad_frac`` — one-doc-per-sequence cost
+      (docs longer than L split into ceil(t/L) chunks): the upper bound, and
+      the padding fraction it wastes; the gap between the two is what a
+      packing strategy is worth on this corpus.
+    * ``docs/tokens_over_context`` — how much splitting/truncation L forces.
+
+    Counts use the whitespace tokenizer (:func:`token_count`); swap in BPE
+    counts by profiling ``bpe_token_count`` upstream. Partial-aggregated:
+    at 1000 executors this is a scan plus a 1-row exchange."""
+    t = token_count(S.col(text_col)).cast("long")
+    L = F.lit(int(context_len))
+    naive_seqs = F.ceil(t / L)
+    # exact tier: interpolated `percentile` (DuckDB quantile_cont-identical,
+    # the oracle convention); approx tier: GK sketch for corpus scale
+    if exact:
+        p50 = F.round(F.percentile(t, F.lit(0.5)), 4)
+        p95 = F.round(F.percentile(t, F.lit(0.95)), 4)
+    else:
+        p50 = F.percentile_approx(t, 0.5, 10000).cast("double")
+        p95 = F.percentile_approx(t, 0.95, 10000).cast("double")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(t).alias("total_tokens"),
+        F.round(F.avg(t), 4).alias("mean_tokens"),
+        p50.alias("p50_tokens"),
+        p95.alias("p95_tokens"),
+        F.max(t).alias("max_tokens"),
+        F.sum((t > L).cast("long")).alias("docs_over_context"),
+        F.sum(F.when(t > L, t - L).otherwise(F.lit(0))).alias(
+            "tokens_over_context"
+        ),
+        F.sum(naive_seqs).alias("naive_sequences"),
+    )
+    return agg.select(
+        "*",
+        F.ceil(F.col("total_tokens") / L).alias("min_sequences"),
+        F.round(
+            F.when(
+                F.col("naive_sequences") > 0,
+                1.0
+                - F.col("total_tokens")
+                / (F.col("naive_sequences") * L).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("naive_pad_frac"),
+    )

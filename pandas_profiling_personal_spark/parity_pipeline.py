@@ -838,3 +838,40 @@ SELECT doc_id, quality_score,
   ], x -> x IS NOT NULL)) = 0 AS keep
 FROM tp
 """
+
+
+def packing_stats_query(context_len: int = 256) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return TX.packing_stats(
+            load(spark, sf_dir, "documents"), "text", context_len, exact=True
+        )
+
+    return fn
+
+
+def packing_stats_sql(context_len: int = 256) -> str:
+    L = context_len
+    return f"""
+WITH {_TOK},
+t AS (SELECT CAST(len(tok.t) AS BIGINT) AS n FROM tok),
+agg AS (
+  SELECT COUNT(*) AS n_docs,
+    CAST(SUM(n) AS BIGINT) AS total_tokens,
+    round(avg(n), 4) AS mean_tokens,
+    round(quantile_cont(n, 0.5), 4) AS p50_tokens,
+    round(quantile_cont(n, 0.95), 4) AS p95_tokens,
+    max(n) AS max_tokens,
+    CAST(SUM(CASE WHEN n > {L} THEN 1 ELSE 0 END) AS BIGINT)
+      AS docs_over_context,
+    CAST(SUM(CASE WHEN n > {L} THEN n - {L} ELSE 0 END) AS BIGINT)
+      AS tokens_over_context,
+    CAST(SUM(CAST(ceil(n * 1.0 / {L}) AS BIGINT)) AS BIGINT)
+      AS naive_sequences
+  FROM t
+)
+SELECT *, CAST(ceil(total_tokens * 1.0 / {L}) AS BIGINT) AS min_sequences,
+  round(CASE WHEN naive_sequences > 0
+    THEN 1.0 - total_tokens * 1.0 / (naive_sequences * {L})
+    ELSE 0.0 END, 4) AS naive_pad_frac
+FROM agg
+"""

@@ -197,3 +197,23 @@ def test_quality_filter_reasons(spark):
     assert "low_stopword" in rows[2]["reject_reasons"]
     assert "high_punct" in rows[3]["reject_reasons"]
     assert all(not rows[i]["keep"] for i in (1, 2, 3))
+
+
+def test_packing_stats_hand_example(spark):
+    import math
+
+    from pandas_profiling_personal_spark.operators.text import packing_stats
+
+    # token counts: 4, 10, 3  with L=8
+    df = spark.createDataFrame(
+        [("a b c d",), ("t " * 10,), ("x y z",)], "text string"
+    )
+    row = packing_stats(df, "text", context_len=8, exact=True).collect()[0]
+    assert row["n_docs"] == 3
+    assert row["total_tokens"] == 17
+    assert row["max_tokens"] == 10
+    assert row["docs_over_context"] == 1
+    assert row["tokens_over_context"] == 2
+    assert row["min_sequences"] == math.ceil(17 / 8)  # 3
+    assert row["naive_sequences"] == 1 + 2 + 1  # ceil(4/8)+ceil(10/8)+ceil(3/8)
+    assert row["naive_pad_frac"] == round(1 - 17 / (4 * 8), 4)
