@@ -297,6 +297,9 @@ def quality_filter(
     prof = text_profile(df, text_col, id_col)
     reasons = F.filter(
         F.array(
+            # NULL text propagates NULL through every threshold condition,
+            # which would silently KEEP the document — reject it explicitly
+            F.when(F.col("n_tokens").isNull(), F.lit("null_text")),
             F.when(F.col("n_tokens") < min_tokens, F.lit("too_short")),
             F.when(F.col("n_tokens") > max_tokens, F.lit("too_long")),
             F.when(

@@ -823,6 +823,7 @@ WITH tp AS (
 )
 SELECT doc_id, quality_score,
   list_filter([
+    CASE WHEN n_tokens IS NULL THEN 'null_text' END,
     CASE WHEN n_tokens < 10 THEN 'too_short' END,
     CASE WHEN n_tokens > 100000 THEN 'too_long' END,
     CASE WHEN punct_ratio > 0.2 THEN 'high_punct' END,
@@ -830,6 +831,7 @@ SELECT doc_id, quality_score,
     CASE WHEN quality_score < 0.5 THEN 'low_quality' END
   ], x -> x IS NOT NULL) AS reject_reasons,
   len(list_filter([
+    CASE WHEN n_tokens IS NULL THEN 'null_text' END,
     CASE WHEN n_tokens < 10 THEN 'too_short' END,
     CASE WHEN n_tokens > 100000 THEN 'too_long' END,
     CASE WHEN punct_ratio > 0.2 THEN 'high_punct' END,

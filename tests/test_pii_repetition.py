@@ -217,3 +217,12 @@ def test_packing_stats_hand_example(spark):
     assert row["min_sequences"] == math.ceil(17 / 8)  # 3
     assert row["naive_sequences"] == 1 + 2 + 1  # ceil(4/8)+ceil(10/8)+ceil(3/8)
     assert row["naive_pad_frac"] == round(1 - 17 / (4 * 8), 4)
+
+
+def test_quality_filter_null_text(spark):
+    from pandas_profiling_personal_spark.operators.text import quality_filter
+
+    df = spark.createDataFrame([(0, None)], "doc_id bigint, text string")
+    row = quality_filter(df, "text", "doc_id").collect()[0]
+    assert row["keep"] is False
+    assert "null_text" in row["reject_reasons"]
