@@ -77,6 +77,10 @@ class ProfileConfig:
     #: decomposition summary (scheme/netloc/... or dir/stem/suffix counts,
     #: one bounded job per refined column)
     string_refinement: bool = False
+    #: refinement tier: a categorical column with pass-1 mean_length >= this
+    #: is treated as free TEXT — corpus-level language distribution + quality
+    #: rollup from the text-pipeline operators attach to the variable
+    text_min_mean_length: int = 80
     #: redact value-revealing outputs (reference "sensitive" arg group,
     #: config.py:37-41: samples/duplicates off, categorical values redacted):
     #: top_values/mode/extreme_obs are withheld from results

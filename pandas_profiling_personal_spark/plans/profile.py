@@ -298,10 +298,43 @@ def profile(
                     # reference Complex type (typeset.py:186-194): numeric
                     # treatment of complex-literal strings + re/im view
                     kind = "complex"
+                elif (
+                    variables[cname].get("mean_length") or 0
+                ) >= cfg.text_min_mean_length:
+                    # long free text: corpus-level language/quality rollup
+                    # from the text-pipeline operators (beyond the reference,
+                    # which renders long strings as plain categoricals)
+                    kind = "text"
                 else:
                     continue
                 v = variables[cname]
                 v["type_refined"] = kind
+                if kind == "text":
+                    from pandas_profiling_personal_spark.operators import (
+                        text as TXT,
+                    )
+
+                    prof = TXT.text_profile(df, cname)
+                    # two bounded jobs: a 1-row rollup + a ≤|langs|-row dist
+                    roll = prof.agg(
+                        F.round(F.avg("quality_score"), 4).alias("q"),
+                        F.round(F.avg("n_tokens"), 4).alias("mt"),
+                        F.sum("n_tokens").alias("tt"),
+                        F.round(F.avg("distinct_token_ratio"), 4).alias("dr"),
+                    ).collect()[0]
+                    v["text_stats"] = {
+                        "mean_quality_score": roll["q"],
+                        "mean_tokens": roll["mt"],
+                        "total_tokens": roll["tt"],
+                        "mean_distinct_token_ratio": roll["dr"],
+                    }
+                    v["language_dist"] = {
+                        r["language"]: r["cnt"]
+                        for r in prof.groupBy("language")
+                        .agg(F.count(F.lit(1)).alias("cnt"))
+                        .collect()
+                    }
+                    continue
                 if kind == "complex":
                     from pandas_profiling_personal_spark.operators.complex_type import (
                         complex_scatter,

@@ -353,6 +353,21 @@ def _var_section(name: str, v: dict, alerts: list[dict]) -> str:
             if v.get("complex_scatter"):
                 body += _svg_scatter(v["complex_scatter"], bins=16)
             tabs.append(("Complex", body))
+        # long-text columns: corpus-level language/quality rollup
+        if v.get("text_stats"):
+            ts = v["text_stats"]
+            body = _kv_table([
+                ("Mean quality", ts.get("mean_quality_score")),
+                ("Mean tokens/doc", ts.get("mean_tokens")),
+                ("Total tokens", ts.get("total_tokens")),
+                ("Distinct-token ratio", ts.get("mean_distinct_token_ratio")),
+            ])
+            dist = v.get("language_dist") or {}
+            if dist:
+                body += _kv_table(
+                    sorted(dist.items(), key=lambda kv: -kv[1])
+                )
+            tabs.append(("Text", body))
     elif vtype == "Boolean":
         tabs.append((
             "Values",

@@ -143,3 +143,33 @@ def test_profile_refines_complex_strings(spark):
     page = render_html(res)
     assert "Complex" in page
     assert "data-chart='scatter'" in page
+
+
+def test_profile_refines_long_text(spark):
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+
+    base = (
+        "the quick brown fox and the lazy dog are in the yard with you for "
+        "this is a fine day and it is good to have words that flow onward "
+    )
+    df = spark.createDataFrame(
+        [(i, base + f"doc number {i}") for i in range(40)],
+        "doc_id bigint, body string",
+    )
+    res = profile(
+        df,
+        ProfileConfig(
+            string_refinement=True, correlations=(), duplicates=False
+        ),
+    )
+    v = res.variables["body"]
+    assert v["type_refined"] == "text"
+    ts = v["text_stats"]
+    assert ts["total_tokens"] == 40 * (len(base.split()) + 3)
+    assert 0.0 < ts["mean_quality_score"] <= 1.0
+    assert v["language_dist"].get("en") == 40
+
+    from pandas_profiling_personal_spark.report.html import render_html
+
+    page = render_html(res)
+    assert "Mean quality" in page
