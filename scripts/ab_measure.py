@@ -42,7 +42,14 @@ def main() -> None:
     import __spark_entry__ as E
 
     qs = E.queries()
-    names = SUSPECTS + CONTROLS
+    # AB_QUERIES=name1,name2 overrides the suspect set — any queries() key
+    # works, so future bench-regression attribution needs no code edit
+    override = os.environ.get("AB_QUERIES")
+    names = (
+        ([n.strip() for n in override.split(",") if n.strip()] + CONTROLS)
+        if override
+        else SUSPECTS + CONTROLS
+    )
 
     # same warmup as bench.py: sf0.01 pass over every query
     warm_dir = "/root/testdata/sf0.01"
