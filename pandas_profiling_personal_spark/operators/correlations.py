@@ -565,18 +565,20 @@ def kendall_matrix_distributed(
     inversion pass). FOUR constant actions for the WHOLE matrix; every
     shuffle is keyed by (pair, bucket).
 
-    Group-size caveat (honest bound): a group holds ~n/n_buckets rows only
-    while each column's quantile edges survive dedup. A value spanning q of
-    the n_buckets quantiles collapses its buckets into one of ~q/n_buckets
-    mass (its internal pairs are x-ties contributing zero inversions, but
-    the group still materializes for sorting); the limit case — a constant
-    column — would put the whole pair in one group, so constant columns are
-    detected in the edge pass (min == max) and their pairs short-circuit to
-    tau-b's defined result (None: zero denominator) without shuffling any
-    data. Collapsed-but-not-constant bucketings emit a RuntimeWarning naming
-    the column so skew is visible, not silent."""
-    import warnings
-
+    Group-size bound under ties (ADVICE r3): a value whose mass spans >=2 of
+    the n_buckets quantile positions appears >=2 times in the raw percentile
+    sketch — each such HEAVY value is isolated into its own singleton-VALUE
+    bucket (bucket index = #edges<=x + #heavy<x, still monotone in x and
+    never splitting a tied value, so the cross-bucket contingency stays
+    valid). A singleton-value bucket is all-tied, so it contributes ZERO
+    within-bucket discordance for its tag and those rows are filtered out
+    before the applyInPandas kernels instead of materializing on one
+    executor. What remains in any kernel group is bounded by the mass
+    between consecutive sketch positions plus undetected ties (< ~2 sketch
+    intervals), i.e. O(n/n_buckets) with a small constant — no warning
+    needed. The limit case — a constant column — short-circuits in the edge
+    pass (min == max) to tau-b's defined result (None: zero denominator)
+    without shuffling any data."""
     import numpy as np
     import pandas as pd
     from pyspark import StorageLevel
@@ -587,9 +589,8 @@ def kendall_matrix_distributed(
     spark_cols = {c: S.col(c).cast("double") for c in columns}
 
     # per-column bucket edges + min/max, one agg pass (NaN masked so it can't
-    # poison the sketch); edges are deduped driver-side — a heavy tied value
-    # collapses to a near-singleton bucket whose internal pairs are x-ties
-    # (cost ~0)
+    # poison the sketch); a value repeated in the raw sketch is HEAVY (mass
+    # >= ~n/n_buckets) and gets its own singleton-value bucket below
     qs = [i / n_buckets for i in range(1, n_buckets)]
     masked = {
         c: F.when(~F.isnan(spark_cols[c]), spark_cols[c]) for c in columns
@@ -603,21 +604,24 @@ def kendall_matrix_distributed(
         *[F.max(masked[c]).alias(f"__hi_{i}") for i, c in enumerate(columns)],
     ).collect()[0]
     edges: dict[str, list[float]] = {}
+    heavy: dict[str, list[float]] = {}
+    singleton_bks: dict[str, set[int]] = {}
     constant: set[str] = set()
     for i, c in enumerate(columns):
-        es = sorted(set(e for e in (edge_row[c] or []) if e is not None))
+        raw = [e for e in (edge_row[c] or []) if e is not None]
+        es = sorted(set(raw))
         edges[c] = es
+        # heavy = repeated in the raw sketch => mass >= ~n/n_buckets; each
+        # gets a singleton-value bucket whose index is precomputable
+        hv = sorted({e for e in es if raw.count(e) >= 2})
+        heavy[c] = hv
+        singleton_bks[c] = {
+            sum(1 for e in es if e <= v) + sum(1 for h in hv if h < v)
+            for v in hv
+        }
         lo, hi = edge_row[f"__lo_{i}"], edge_row[f"__hi_{i}"]
         if lo is None or lo == hi:
             constant.add(c)  # all-null or single-valued: tau-b undefined
-        elif 0 < len(es) < max(2, n_buckets // 2):
-            warnings.warn(
-                f"kendall: column {c!r} collapsed to {len(es) + 1} buckets "
-                f"(heavy tied values); per-group memory for its pairs can "
-                f"exceed the ~n/{n_buckets} design bound",
-                RuntimeWarning,
-                stacklevel=2,
-            )
 
     const_pairs = [(a, b) for (a, b) in pairs if a in constant or b in constant]
     pairs = [(a, b) for (a, b) in pairs if a not in constant and b not in constant]
@@ -629,13 +633,33 @@ def kendall_matrix_distributed(
     def bucket_of(c: str):
         if not edges[c]:
             return F.lit(0)
-        return F.size(
+        bk = F.size(
             F.filter(F.lit(edges[c]), lambda e: e <= spark_cols[c])
         )
+        if heavy[c]:
+            # isolate each heavy value into its own bucket: still monotone
+            # in x, never splits a tied value
+            bk = bk + F.size(
+                F.filter(F.lit(heavy[c]), lambda h: h < spark_cols[c])
+            )
+        return bk
+
+    def singleton_of(c: str, bk):
+        # True iff this row's bucket holds exactly one tied value
+        if not singleton_bks[c]:
+            return F.lit(False)
+        return bk.isin(*sorted(singleton_bks[c]))
 
     proj = df.select(
         *[spark_cols[c].alias(f"__v_{i}") for i, c in enumerate(columns)],
         *[bucket_of(c).alias(f"__bk_{i}") for i, c in enumerate(columns)],
+    )
+    proj = proj.select(
+        "*",
+        *[
+            singleton_of(c, F.col(f"__bk_{i}")).alias(f"__sg_{i}")
+            for i, c in enumerate(columns)
+        ],
     )
     idx = {c: i for i, c in enumerate(columns)}
     structs = [
@@ -645,6 +669,8 @@ def kendall_matrix_distributed(
             F.col(f"__v_{idx[b]}").alias("y"),
             F.col(f"__bk_{idx[a]}").alias("bx"),
             F.col(f"__bk_{idx[b]}").alias("by"),
+            F.col(f"__sg_{idx[a]}").alias("sx"),
+            F.col(f"__sg_{idx[b]}").alias("sy"),
         )
         for pi, (a, b) in enumerate(pairs)
     ]
@@ -705,9 +731,15 @@ def kendall_matrix_distributed(
                 }
             )
 
+        # rows in a singleton-value bucket are all-tied on that tag's sort
+        # column — the whole group's discordance is provably 0, so skip it
+        # instead of materializing a heavy value's full mass in one group
         tagged = base.select(
-            "pid", "x", "y", "bx", "by",
+            "pid", "x", "y", "bx", "by", "sx", "sy",
             F.explode(F.array(F.lit(0), F.lit(1))).alias("tag"),
+        ).where(
+            ~((F.col("tag") == 0) & F.col("sx"))
+            & ~((F.col("tag") == 1) & F.col("sy"))
         ).withColumn(
             "gk",
             F.when(F.col("tag") == 0, F.col("bx")).otherwise(F.col("by")),

@@ -549,11 +549,13 @@ def test_kendall_distributed_matches_kernel(spark):
                 )
 
 
-def test_kendall_constant_column_short_circuit_and_skew_warning(spark):
-    """ADVICE r3: a constant column must not funnel the whole pair into one
-    applyInPandas group — its pairs short-circuit to None (tau-b denominator
-    is zero) straight from the edge pass; a collapsed-but-not-constant
-    bucketing warns instead of silently overclaiming the memory bound."""
+def test_kendall_constant_column_short_circuit_and_heavy_value_isolation(spark):
+    """ADVICE r3 (closed r4): a constant column must not funnel the whole
+    pair into one applyInPandas group — its pairs short-circuit to None
+    (tau-b denominator is zero) straight from the edge pass. A heavily tied
+    (collapsed-bucketing) column is handled by singleton-VALUE buckets: each
+    heavy value is isolated, its all-tied groups are skipped before the
+    kernels, and the result stays EXACT with no warning."""
     import warnings
 
     from pandas_profiling_personal_spark.operators.correlations import (
@@ -561,25 +563,35 @@ def test_kendall_constant_column_short_circuit_and_skew_warning(spark):
         kendall_tau_b,
     )
 
+    # skew: one value covers 97.5% of rows; multi: two heavy values plus a
+    # continuous tail, interleaved so heavy mass spans every partition
     rows = [
-        (5.0, float(i % 7), 0.0 if i < 195 else float(i))
+        (
+            5.0,
+            float(i % 7),
+            0.0 if i % 40 else float(i),
+            3.0 if i % 3 == 0 else (8.0 if i % 3 == 1 else float(i) / 7.0),
+        )
         for i in range(200)
     ]
-    df = spark.createDataFrame(rows, "const double, v double, skew double")
+    df = spark.createDataFrame(
+        rows, "const double, v double, skew double, multi double"
+    )
+    cols = ["const", "v", "skew", "multi"]
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        m = kendall_matrix_distributed(
-            df, ["const", "v", "skew"], n_buckets=16
-        )
+        m = kendall_matrix_distributed(df, cols, n_buckets=16)
     assert m[("const", "v")] is None
     assert m[("const", "skew")] is None
-    # skewed-but-varying column stays EXACT and warns about the collapse
-    expect = kendall_tau_b(
-        [r[1] for r in rows], [r[2] for r in rows]
-    )
-    assert abs(m[("v", "skew")] - expect) < 1e-9
-    assert any(
-        "collapsed" in str(w.message) and "skew" in str(w.message)
+    assert m[("const", "multi")] is None
+    # heavy-tied columns stay EXACT — the singleton-bucket path is not an
+    # approximation — and no collapse warning fires anymore
+    data = list(zip(*rows))
+    for i, j in [(1, 2), (1, 3), (2, 3)]:
+        expect = kendall_tau_b(data[i], data[j])
+        assert abs(m[(cols[i], cols[j])] - expect) < 1e-9, (cols[i], cols[j])
+    assert not any(
+        isinstance(w.message, RuntimeWarning) and "kendall" in str(w.message)
         for w in caught
     ), [str(w.message) for w in caught]
 
