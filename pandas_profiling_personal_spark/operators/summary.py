@@ -38,6 +38,13 @@ from pandas_profiling_personal_spark.types import (
 _DATETIME_STATS = {"min", "max"}
 
 
+def _sq(name: str) -> str:
+    """SQL identifier quoting tolerant of dots/spaces/backticks — the SQL-text
+    twin of :func:`stats.col` (equivalence asserted in
+    tests/test_plan_quality.py::test_scalar_summary_sql_matches_column_builders)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def scalar_summary(
     df: DataFrame,
     config: ProfileConfig | None = None,
@@ -47,37 +54,51 @@ def scalar_summary(
     """All scalar per-column stats in one aggregation pass (+1 for MAD).
 
     Returns ``{column: {stat: value, ...}, ..., "__table__": {...}}`` — and,
-    when ``extra_exprs`` (alias -> aggregate Column) is given, a second dict of
-    those results: the caller can fold e.g. the whole Pearson pair list and
-    nullity-correlation indicators into the SAME pass, keeping the profile at
-    one scan for all scalar statistics.
+    when ``extra_exprs`` (alias -> aggregate SQL fragment string, or a Column
+    for legacy callers) is given, a second dict of those results: the caller
+    can fold e.g. the whole Pearson pair list into the SAME pass, keeping the
+    profile at one scan for all scalar statistics.
+
+    The aggregate is BUILT as one SQL string executed via
+    ``spark.sql("... FROM {df}", df=df)`` rather than per-stat Column objects:
+    a 100-column profile needs ~1100 aggregate expressions, and building them
+    through the Python Column API costs ~6 Py4J round-trips each — a measured
+    4.2 s of pure driver time per profile call (the same lesson as the LSH
+    literal plan-build, PERFORMANCE.md). One SQL parse is ~50 ms and yields
+    the identical analyzed plan.
     """
     config = config or ProfileConfig()
     types = types or variable_types(df)
     float_cols = {
         f.name for f in df.schema.fields if is_float_type(f.dataType)
     }
+    rsd = 0.05  # stats.n_distinct default; <0.04 blows up HLL sketch size
 
-    exprs = [S.n_rows().alias("__n")]
+    frags = ["count(1) AS __n"]
     # percentile/percentile_approx are TypedImperativeAggregates: mixing them
     # with declarative aggregates forces the whole ObjectHashAggregate to
     # interpreted evaluation (~2x wall-clock). They run as a second aggregation
     # over the (persisted) input instead.
-    pct_exprs: list = []
+    pct_frags: list[str] = []
+    qlist = "array(" + ", ".join(repr(float(q)) for q in config.quantiles) + ")"
+    acc = max(1, int(round(1.0 / max(config.quantile_relative_error, 1e-6))))
     for i, (name, vt) in enumerate(types.items()):
-        c = S.col(name)
+        q = _sq(name)
         p = f"c{i}"
-        exprs.append(F.count(c).alias(f"{p}__count"))
+        frags.append(f"count({q}) AS {p}__count")
         if vt in (VT.ARRAY, VT.MAP, VT.STRUCT):
             # maps/structs aren't hashable by approx_count_distinct; profile opaquely
             # via their string form (reference converts maps to array(keys, values)
             # before grouping — dataframe_wrappers.py:520-531; casting is simpler
             # and equally distributed)
-            exprs.append(
-                F.approx_count_distinct(c.cast("string")).alias(f"{p}__approx_distinct")
+            frags.append(
+                f"approx_count_distinct(cast({q} as string), {rsd}) AS {p}__approx_distinct"
             )
             continue
-        exprs.append(S.n_distinct(c, exact=config.exact).alias(f"{p}__n_distinct"))
+        frags.append(
+            (f"count(DISTINCT {q})" if config.exact else f"approx_count_distinct({q}, {rsd})")
+            + f" AS {p}__n_distinct"
+        )
         if vt is VT.NUMERIC:
             # std/variance/skew/kurt deliberately absent here: Spark's
             # CentralMomentAgg update code degrades ~quadratically with the
@@ -86,46 +107,69 @@ def scalar_summary(
             # shifted power sums below), which is the one cliff that breaks
             # the wide-agg thesis at 100+ columns. They are reconstructed
             # from pass 1c's mean-shifted power sums instead.
-            exprs += [
-                S.mean(c).alias(f"{p}__mean"),
-                F.min(c).alias(f"{p}__min"),
-                F.max(c).alias(f"{p}__max"),
-                F.sum(c).alias(f"{p}__sum"),
-                S.n_zeros(c).alias(f"{p}__n_zeros"),
-                S.n_negative(c).alias(f"{p}__n_negative"),
+            frags += [
+                f"avg({q}) AS {p}__mean",
+                f"min({q}) AS {p}__min",
+                f"max({q}) AS {p}__max",
+                f"sum({q}) AS {p}__sum",
+                f"coalesce(sum(CASE WHEN {q} = 0 THEN 1 ELSE 0 END), 0) AS {p}__n_zeros",
+                f"coalesce(sum(CASE WHEN {q} < 0 THEN 1 ELSE 0 END), 0) AS {p}__n_negative",
             ]
             if name in float_cols:
-                exprs += [
-                    S.n_infinite(c).alias(f"{p}__n_infinite"),
-                    S.n_nan(c).alias(f"{p}__n_nan"),
+                frags += [
+                    f"coalesce(sum(CASE WHEN {q} = double('Infinity') THEN 1 "
+                    f"WHEN {q} = double('-Infinity') THEN 1 ELSE 0 END), 0) AS {p}__n_infinite",
+                    f"coalesce(sum(CASE WHEN isnan({q}) THEN 1 ELSE 0 END), 0) AS {p}__n_nan",
                 ]
-            qarr = S.quantile_array(
-                c, config.quantiles, config.exact, config.quantile_relative_error
-            )
-            for j, q in enumerate(config.quantiles):
-                pct_exprs.append(qarr[j].alias(f"{p}__q_{_qkey(q)}"))
+            if config.exact:
+                arr = f"percentile({q}, {qlist})"
+            else:
+                arr = f"cast(percentile_approx({q}, {qlist}, {acc}) as array<double>)"
+            for j, qq in enumerate(config.quantiles):
+                pct_frags.append(f"{arr}[{j}] AS {p}__q_{_qkey(qq)}")
         elif vt is VT.BOOLEAN:
-            exprs.append(S.n_true(c).alias(f"{p}__n_true"))
+            frags.append(f"coalesce(sum(cast({q} as int)), 0) AS {p}__n_true")
         elif vt is VT.DATETIME:
-            exprs += [
-                F.min(c).alias(f"{p}__min"),
-                F.max(c).alias(f"{p}__max"),
+            frags += [
+                f"min({q}) AS {p}__min",
+                f"max({q}) AS {p}__max",
                 # epoch-seconds bounds for the date histogram (A16) — avoids
                 # driver-side timezone round-trips
-                F.min(S.epoch_seconds(c)).alias(f"{p}__min_epoch"),
-                F.max(S.epoch_seconds(c)).alias(f"{p}__max_epoch"),
+                f"min(cast(unix_micros(cast({q} as timestamp)) as double) / 1e6) AS {p}__min_epoch",
+                f"max(cast(unix_micros(cast({q} as timestamp)) as double) / 1e6) AS {p}__max_epoch",
             ]
         elif vt is VT.CATEGORICAL:
-            exprs.append(S.n_empty(c).alias(f"{p}__n_empty"))
+            frags.append(
+                f"coalesce(sum(CASE WHEN {q} = '' THEN 1 ELSE 0 END), 0) AS {p}__n_empty"
+            )
             if config.length_stats:
-                for sname, e in S.length_stats(c).items():
-                    exprs.append(e.alias(f"{p}__{sname}"))
+                frags += [
+                    f"min(length({q})) AS {p}__min_length",
+                    f"avg(length({q})) AS {p}__mean_length",
+                    f"max(length({q})) AS {p}__max_length",
+                ]
 
     extra = dict(extra_exprs or {})
-    extra_aliased = [e.alias(f"__x_{k}") for k, e in extra.items()]
-    row = df.agg(*(exprs + extra_aliased)).collect()[0].asDict()
-    if pct_exprs:
-        row.update(df.agg(*pct_exprs).collect()[0].asDict())
+    extra_cols = []  # legacy Column extras ride a Column-built agg
+    for k, e in extra.items():
+        if isinstance(e, str):
+            frags.append(f"({e}) AS __x_{k}")
+        else:
+            extra_cols.append(e.alias(f"__x_{k}"))
+    spark = df.sparkSession
+    row = (
+        spark.sql("SELECT " + ", ".join(frags) + " FROM {df}", df=df)
+        .collect()[0]
+        .asDict()
+    )
+    if extra_cols:
+        row.update(df.agg(*extra_cols).collect()[0].asDict())
+    if pct_frags:
+        row.update(
+            spark.sql("SELECT " + ", ".join(pct_frags) + " FROM {df}", df=df)
+            .collect()[0]
+            .asDict()
+        )
     _moment_pass(df, types, row)
     n = row.pop("__n")
     extras = {k: row.pop(f"__x_{k}") for k in extra}
@@ -181,17 +225,23 @@ def _moment_pass(
             for k in ("std", "variance", "g1", "g2"):
                 row[f"{p}__{k}"] = float("nan")
             continue
-        d = S.col(name).cast("double") - F.lit(mean)
+        # SQL-text build for the same Py4J-chatter reason as pass 1a; repr()
+        # round-trips the mean literal bit-exactly
+        d = f"(cast({_sq(name)} as double) - ({mean!r}))"
         mexprs += [
-            F.sum(d).alias(f"{p}__ms1"),
-            F.sum(d * d).alias(f"{p}__ms2"),
-            F.sum(d * d * d).alias(f"{p}__ms3"),
-            F.sum(d * d * d * d).alias(f"{p}__ms4"),
+            f"sum({d}) AS {p}__ms1",
+            f"sum({d} * {d}) AS {p}__ms2",
+            f"sum({d} * {d} * {d}) AS {p}__ms3",
+            f"sum({d} * {d} * {d} * {d}) AS {p}__ms4",
         ]
         targets.append((p, name))
     if not mexprs:
         return
-    mrow = df.agg(*mexprs).collect()[0].asDict()
+    mrow = (
+        df.sparkSession.sql("SELECT " + ", ".join(mexprs) + " FROM {df}", df=df)
+        .collect()[0]
+        .asDict()
+    )
     for p, name in targets:
         cnt = row[f"{p}__count"]
         s1 = float(mrow[f"{p}__ms1"])

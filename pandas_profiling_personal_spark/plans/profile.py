@@ -93,6 +93,16 @@ def profile(
 ) -> ProfileResult:
     cfg = config or ProfileConfig()
     t0 = time.time()
+    # per-pass wall clock, surfaced in analysis["pass_durations_sec"] so a
+    # slow profile is attributable without external tooling (the reference
+    # records only a single duration, profile_report.py:345-367)
+    _passes: dict[str, float] = {}
+    _last = [t0]
+
+    def _mark(name: str) -> None:
+        now = time.time()
+        _passes[name] = round(_passes.get(name, 0.0) + now - _last[0], 3)
+        _last[0] = now
     # ``None`` means "all columns"; an explicit empty list means "no columns"
     # (empty result), never a silent fall-through to the full table — the
     # near-unique gate made gate-everything -> [] -> full-table-melt reachable.
@@ -140,27 +150,35 @@ def profile(
         pearson_pairs: list[tuple[str, str]] = []
         # pairwise folds are quadratic in column count; beyond the caps fall
         # back to ml.stat (pearson) / a gated second pass (nullity)
+        # extras fold into pass 1's SQL-built aggregate as SQL fragments
+        # (equivalence with the Column builders is CI-asserted,
+        # test_plan_quality.py::test_scalar_summary_sql_matches_column_builders)
+        from pandas_profiling_personal_spark.operators.summary import _sq
+
         if (
             "pearson" in cfg.correlations
             and 2 <= len(num_cols) <= 60
         ):
-            from pandas_profiling_personal_spark.functions import stats as S
-
             pearson_pairs = list(_comb(num_cols, 2))
             for i, (a, b) in enumerate(pearson_pairs):
-                extra[f"corr_{i}"] = S.safe_corr(S.col(a), S.col(b))
+                qa, qb = _sq(a), _sq(b)
+                extra[f"corr_{i}"] = (
+                    f"try_divide(covar_samp({qa}, {qb}), "
+                    f"stddev_samp({qa}) * stddev_samp({qb}))"
+                )
         # TYPE_DATE detection (R4): string columns fully castable to dates —
         # one boolean aggregate per string column, folded into pass 1
-        from pandas_profiling_personal_spark.functions import stats as S
-
         cat_cols = [c for c, vt in types.items() if vt is VT.CATEGORICAL]
         for i, c in enumerate(cat_cols):
-            cc = S.col(c)
-            extra[f"datelike_{i}"] = (F.count(cc) > 0) & (
-                F.count(cc.try_cast("date")) == F.count(cc)
+            q = _sq(c)
+            extra[f"datelike_{i}"] = (
+                f"(count({q}) > 0) AND "
+                f"(count(try_cast({q} as date)) = count({q}))"
             )
 
+        _mark("setup_types")
         variables, extras = SU.scalar_summary(df, cfg, types, extra_exprs=extra)
+        _mark("pass1_scalars")
         table = variables.pop("__table__")
         n = table["n"]
         for i, c in enumerate(cat_cols):
@@ -256,6 +274,7 @@ def profile(
                 v["chi_squared"] = stat
                 v["chi_squared_p"] = p
 
+        _mark("pass2_frequencies")
         # explorative string-type refinement (reference "explorative" group
         # activates url/path variable types, config.py:58-70). Detection is
         # FREE of extra scans: classify on the top-K values pass 2 already
@@ -376,6 +395,7 @@ def profile(
                 if kind == "path":
                     v["common_prefix"] = STR.common_prefix(df, cname)
 
+        _mark("refinement")
         # pass 3 — histograms for all numeric AND datetime columns (A11 + A16;
         # the reference has no Spark date describer at all)
         specs: dict[str, tuple[int, float, float]] = {}
@@ -403,6 +423,7 @@ def profile(
                 variables[cname]["chi_squared"] = stat
                 variables[cname]["chi_squared_p"] = p
 
+        _mark("pass3_histograms")
         # pass 4 — MAD, with nullity correlations piggybacked for the columns
         # pass 1 found nulls in (quadratic only over null-bearing columns, and
         # no extra scan when MAD runs anyway)
@@ -431,6 +452,7 @@ def profile(
         for cname, mad in mads.items():
             variables[cname]["mad"] = mad
 
+        _mark("pass4_mad")
         # pass 5 — duplicates (supported columns only, like the reference which
         # drops unsupported cols before grouping)
         dup_cols = [
@@ -484,6 +506,7 @@ def profile(
         else:
             table.update(n_duplicates=None, p_duplicates=None)
 
+        _mark("pass5_duplicates")
         # correlations (pearson came back with pass 1; others are extra jobs)
         correlations: dict[str, Any] = {}
         if pearson_pairs:
@@ -546,6 +569,7 @@ def profile(
                     "grid": grid,
                 }
 
+        _mark("correlations_interactions")
         # missing structure
         missing: dict[str, Any] = {
             "counts": {c: variables[c]["n_missing"] for c in types}
@@ -580,6 +604,7 @@ def profile(
                 r.asDict() for r in SA.tail(df, cfg.samples_tail)
             ]
 
+        _mark("missing_samples")
         # table rollups (reference: summary.py:213-310)
         type_counts: dict[str, int] = {}
         for vt in types.values():
@@ -621,6 +646,7 @@ def profile(
             analysis={
                 "duration_sec": round(time.time() - t0, 3),
                 "exact": cfg.exact,
+                "pass_durations_sec": _passes,
             },
             package={
                 "engine": "pandas_profiling_personal_spark",

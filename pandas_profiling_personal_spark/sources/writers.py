@@ -18,7 +18,7 @@ scale-critical choices explicit instead of implicit:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from pandas_profiling_personal_spark.functions import stats as S
 
@@ -56,6 +56,93 @@ def write_table(
         writer = writer.option("maxRecordsPerFile", int(target_file_rows))
     if compression:
         writer = writer.option("compression", compression)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "error",
+    **options,
+) -> None:
+    """Persist ``df`` as a Hive-bucketed table (``bucketBy`` + optional
+    ``sortBy`` via ``saveAsTable`` — bucketing metadata only exists for
+    catalog tables, not path writes).
+
+    This is THE Spark mechanism for amortizing a big join's shuffle across
+    many downstream queries: two tables bucketed on the same key with the
+    same bucket count join with ZERO exchange on either side (SortMergeJoin
+    reads co-located buckets directly; asserted in
+    tests/test_plan_quality.py::test_bucketed_join_has_no_exchange). At
+    100 TB the fact-table shuffle is usually the single largest cost in the
+    pipeline — bucketing the corpus once on ``doc_id`` makes every later
+    dedup/keep-list/decontamination join shuffle-free on that side.
+
+    ``sort_by`` additionally orders rows inside each bucket file so
+    merge-joins skip their sort and parquet min/max pages prune point
+    lookups."""
+    if not bucket_by:
+        raise ValueError("bucket_by must name at least one column")
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    # one output task per bucket: without this every task writes a file per
+    # bucket it sees — n_tasks x n_buckets small files
+    out = df.repartition(n_buckets, *[S.col(c) for c in bucket_by])
+    writer = (
+        out.write.format(fmt)
+        .mode(mode)
+        .bucketBy(n_buckets, *bucket_by)
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.saveAsTable(table)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key: str,
+    n_shards: int,
+    fmt: str = "parquet",
+    mode: str = "error",
+    **options,
+) -> None:
+    """Materialize a training-ready corpus: one global DETERMINISTIC shuffle
+    (order and shard assignment are pure functions of ``md5(key)``) into
+    exactly ``n_shards`` files.
+
+    Training loaders want (a) documents in an order uncorrelated with
+    ingestion order — md5 ordering is a seeded global shuffle that any
+    engine reproduces, unlike ``df.orderBy(rand())`` whose result depends
+    on partitioning; (b) a fixed shard count so epoch iteration and
+    data-parallel assignment are stable. Cost: ONE hash-partitioned
+    exchange + per-shard sort (``repartition(hash).sortWithinPartitions``
+    — no global range sort; shard membership is already deterministic, so
+    a total order across shards is unnecessary)."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    h = F.conv(
+        F.substring(F.md5(S.col(key).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    # leading __shard in the sort satisfies the dynamic-partition writer's
+    # required ordering, so it does NOT insert its own (order-destroying)
+    # sort on the partition column
+    out = (
+        df.withColumn("__shard", (h % n_shards).cast("int"))
+        .withColumn("__ord", h)
+        .repartition(n_shards, F.col("__shard"))
+        .sortWithinPartitions("__shard", "__ord")
+        .drop("__ord")
+    )
+    writer = out.write.format(fmt).mode(mode).partitionBy("__shard")
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save(path)

@@ -646,3 +646,52 @@ def test_write_table_and_deduplicated(spark, tmp_path):
         raise AssertionError("expected ValueError for unsupported format")
     except ValueError:
         pass
+
+
+def test_write_training_shards_deterministic(spark, tmp_path):
+    """Training-export sink: exactly n_shards shard directories, shard
+    membership and within-shard order pure functions of md5(key) — two
+    writes produce identical shards regardless of input partitioning."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+    from pandas_profiling_personal_spark.sources import writers as W
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    out_a = str(tmp_path / "shards_a")
+    out_b = str(tmp_path / "shards_b")
+    W.write_training_shards(docs, out_a, key="doc_id", n_shards=5)
+    # different input layout, same deterministic output
+    W.write_training_shards(
+        docs.repartition(13).sortWithinPartitions("lang"),
+        out_b, key="doc_id", n_shards=5,
+    )
+    assert sorted(
+        d for d in os.listdir(out_a) if d.startswith("__shard=")
+    ) == [f"__shard={i}" for i in range(5)]
+
+    def snapshot(path):
+        back = spark.read.parquet(path)
+        rows = back.select(
+            "__shard", F.input_file_name().alias("f"), "doc_id"
+        ).collect()
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r["__shard"], []).append(r["doc_id"])
+        files_per_shard = {
+            s: len({r["f"] for r in rows if r["__shard"] == s})
+            for s in by_shard
+        }
+        return by_shard, files_per_shard
+
+    shards_a, files_a = snapshot(out_a)
+    shards_b, _ = snapshot(out_b)
+    assert shards_a == shards_b  # identical membership AND order
+    assert all(nf == 1 for nf in files_a.values())  # one file per shard
+    assert sum(len(v) for v in shards_a.values()) == docs.count()
+    # the global shuffle actually decorrelates: no shard is a doc_id run
+    assert any(
+        v != sorted(v) for v in shards_a.values()
+    ), "shards are in ingestion order — not shuffled"
