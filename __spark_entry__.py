@@ -169,6 +169,14 @@ _SPECS: dict[str, tuple] = {
         PP.packing_stats_sql(256),
     ),
     "pii_summary_documents": (PP.pii_summary_query(), PP.pii_summary_sql()),
+    "mixture_plan_documents": (
+        PP.mixture_plan_query(),
+        PP.mixture_plan_sql(),
+    ),
+    "mixture_counts_documents": (
+        PP.mixture_counts_query(),
+        PP.mixture_counts_sql(),
+    ),
     "pii_redact_documents": (PP.pii_redact_query(), PP.pii_redact_sql()),
     "repetition_profile_documents": (
         PP.repetition_query(2),

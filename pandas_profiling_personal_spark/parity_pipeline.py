@@ -877,3 +877,108 @@ SELECT *, CAST(ceil(total_tokens * 1.0 / {L}) AS BIGINT) AS min_sequences,
     ELSE 0.0 END, 4) AS naive_pad_frac
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------------
+# corpus mixture planner — per-group sampling rates to hit target weights
+# (operators/mixture.py; no reference analogue — LLM-pipeline tier)
+# --------------------------------------------------------------------------------
+
+_MIX_TARGETS = {"en": 0.5, "zh": 0.2, "fr": 0.2, "de": 0.1}  # es dropped
+
+
+def _mix_target_case(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} = '{g}' THEN CAST({w!r} AS DOUBLE)"
+        for g, w in _MIX_TARGETS.items()
+    )
+    return f"CASE {whens} ELSE CAST(0.0 AS DOUBLE) END"
+
+
+def mixture_plan_query() -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.mixture import (
+            mixture_plan,
+        )
+
+        return mixture_plan(
+            load(spark, sf_dir, "documents"), "lang", _MIX_TARGETS, "n_chars"
+        )
+
+    return fn
+
+
+def mixture_plan_sql() -> str:
+    tgt = _mix_target_case('"group"')
+    return f"""
+WITH g AS (
+  SELECT lang AS "group", count(*) AS n_docs,
+    CAST(sum(n_chars) AS BIGINT) AS size
+  FROM documents GROUP BY 1
+),
+t AS (
+  SELECT *, {tgt} AS target_share,
+    CAST(sum(size) OVER () AS BIGINT) AS total,
+    min(CASE WHEN {tgt} > 0
+        THEN CAST(size AS DOUBLE) / {tgt} END) OVER () AS t_max
+  FROM g
+)
+SELECT "group", n_docs, size,
+  CAST(size AS DOUBLE) / CAST(total AS DOUBLE) AS current_share,
+  target_share,
+  CASE WHEN target_share > 0
+    THEN t_max * target_share / CAST(size AS DOUBLE)
+    ELSE CAST(0.0 AS DOUBLE) END AS sampling_rate,
+  (CASE WHEN target_share > 0
+    THEN t_max * target_share / CAST(size AS DOUBLE)
+    ELSE CAST(0.0 AS DOUBLE) END) * CAST(size AS DOUBLE) AS planned_size
+FROM t ORDER BY "group"
+"""
+
+
+def mixture_counts_query() -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.mixture import (
+            mixture_counts,
+        )
+
+        return mixture_counts(
+            load(spark, sf_dir, "documents"),
+            "lang",
+            _MIX_TARGETS,
+            key="doc_id",
+            size_col="n_chars",
+        )
+
+    return fn
+
+
+def mixture_counts_sql() -> str:
+    tgt = _mix_target_case('"group"')
+    return f"""
+WITH g AS (
+  SELECT lang AS "group", CAST(sum(n_chars) AS BIGINT) AS size
+  FROM documents GROUP BY 1
+),
+t AS (
+  SELECT *, {tgt} AS target_share,
+    min(CASE WHEN {tgt} > 0
+        THEN CAST(size AS DOUBLE) / {tgt} END) OVER () AS t_max
+  FROM g
+),
+plan AS (
+  SELECT "group",
+    CASE WHEN target_share > 0
+      THEN t_max * target_share / CAST(size AS DOUBLE)
+      ELSE CAST(0.0 AS DOUBLE) END AS sampling_rate
+  FROM t
+),
+kept AS (
+  SELECT d.lang AS "group", d.n_chars
+  FROM documents d JOIN plan p ON d.lang = p."group"
+  WHERE CAST({_HASH64.format(x="CAST(d.doc_id AS VARCHAR)")} AS DOUBLE)
+        / CAST(4294967296 AS DOUBLE) < p.sampling_rate
+)
+SELECT "group", count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_size
+FROM kept GROUP BY 1 ORDER BY 1
+"""

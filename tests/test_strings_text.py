@@ -301,3 +301,43 @@ def test_ivf_kmeans_centroids(spark):
     out = ivf_topk(emb, q, k=3, n_probe=2, centroids=cents).collect()
     assert out and all(1 <= r["rank"] <= 3 for r in out)
     assert {r["query_id"] for r in out} == {0, 1}
+
+
+def test_mixture_plan_and_apply(spark):
+    """Corpus mixture planner: the binding group samples at rate 1, every
+    other rate lands in (0,1], realized sizes hit the target ratios, groups
+    outside the target mix drop entirely, and apply is deterministic."""
+    from pandas_profiling_personal_spark.operators.mixture import (
+        apply_mixture,
+        mixture_counts,
+        mixture_plan,
+    )
+
+    rows = [(i, ["web", "code", "books", "junk"][i % 4], 100 + (i % 7)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_tokens bigint")
+    targets = {"web": 0.6, "code": 0.3, "books": 0.1}
+    plan = mixture_plan(df, "source", targets, "n_tokens").collect()
+    by = {r["group"]: r for r in plan}
+    assert by["junk"]["sampling_rate"] == 0.0
+    # equal-sized groups -> web (largest target) is binding at rate 1
+    assert abs(by["web"]["sampling_rate"] - 1.0) < 1e-12
+    for g in ("code", "books"):
+        assert 0.0 < by[g]["sampling_rate"] < 1.0
+    # planned sizes realize the target ratio exactly
+    assert abs(by["code"]["planned_size"] / by["web"]["planned_size"] - 0.5) < 1e-9
+    assert abs(by["books"]["planned_size"] / by["web"]["planned_size"] - (1 / 6)) < 1e-9
+
+    plan_df = mixture_plan(df, "source", targets, "n_tokens")
+    kept1 = sorted(r["doc_id"] for r in apply_mixture(df, plan_df, "source", "doc_id").collect())
+    kept2 = sorted(
+        r["doc_id"]
+        for r in apply_mixture(
+            df.repartition(7), plan_df, "source", "doc_id"
+        ).collect()
+    )
+    assert kept1 == kept2 and kept1  # deterministic under relayout
+    counts = {r["group"]: r for r in mixture_counts(df, "source", targets, "doc_id", "n_tokens").collect()}
+    assert "junk" not in counts
+    # md5-uniform sampling tracks the planned size within sampling noise
+    for g in ("web", "code", "books"):
+        assert abs(counts[g]["kept_size"] - by[g]["planned_size"]) / by[g]["planned_size"] < 0.15
