@@ -177,6 +177,10 @@ _SPECS: dict[str, tuple] = {
         PP.mixture_counts_query(),
         PP.mixture_counts_sql(),
     ),
+    "contamination_documents": (
+        PP.contamination_query(8, 37),
+        PP.contamination_sql(8, 37),
+    ),
     "pii_redact_documents": (PP.pii_redact_query(), PP.pii_redact_sql()),
     "repetition_profile_documents": (
         PP.repetition_query(2),

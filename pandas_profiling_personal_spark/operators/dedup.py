@@ -605,3 +605,64 @@ def corpus_overlap(
             F.col("n_overlap") / F.nullif(F.col("n_a"), F.lit(0)), 4
         ).alias("containment_a_in_b"),
     )
+
+
+def contamination_keep_list(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 8,
+    min_matched: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag every corpus document sharing at least
+    ``min_matched`` distinct ``shingle_k``-gram word shingles with ANY
+    document of ``benchmark`` — the standard eval-contamination rule (a
+    shared 8-gram means shared phrasing, not shared vocabulary; cf. the
+    n-gram overlap decontamination in GPT-3 appendix C / PaLM appendix).
+
+    Returns ``(doc_id, n_matched, keep)`` for every corpus document
+    (``keep = n_matched < min_matched``) — feed to
+    :func:`~pandas_profiling_personal_spark.sources.writers.write_deduplicated`
+    to materialize the clean corpus.
+
+    100 TB shape: a benchmark is eval-sized (MBs) while the corpus is the
+    100 TB side, so the benchmark's distinct-shingle set is BROADCAST —
+    the corpus-side scan joins against an in-memory set with NO shuffle of
+    corpus data; the only exchange is the (doc_id, count) partial-aggregated
+    rollup over matched rows, bounded by the contamination volume. Set
+    ``broadcast_benchmark=False`` only when the "benchmark" is itself
+    corpus-scale (then this is a plain shuffle join and
+    :func:`corpus_overlap`'s HLL tier is the cheaper first question).
+
+    No reference analogue (single-frame profiler); LLM-pipeline tier."""
+    def sh(df: DataFrame, with_id: bool) -> DataFrame:
+        cols = [S.col(id_col).alias("doc_id")] if with_id else []
+        return df.select(
+            *cols,
+            F.explode(
+                F.array_distinct(word_shingles(S.col(text_col), shingle_k))
+            ).alias("shingle"),
+        ).where(F.col("shingle") != "")
+
+    sh_b = sh(benchmark, with_id=False).distinct()
+    if broadcast_benchmark:
+        sh_b = F.broadcast(sh_b)
+    hits = (
+        sh(corpus, with_id=True)
+        .join(sh_b, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        corpus.select(S.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
+            (F.coalesce(F.col("n_matched"), F.lit(0)) < min_matched).alias(
+                "keep"
+            ),
+        )
+    )

@@ -982,3 +982,50 @@ kept AS (
 SELECT "group", count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_size
 FROM kept GROUP BY 1 ORDER BY 1
 """
+
+
+# --------------------------------------------------------------------------------
+# benchmark decontamination — corpus docs sharing k-gram shingles with a
+# benchmark subset (dedup.contamination_keep_list)
+# --------------------------------------------------------------------------------
+
+
+def _shingles_cte(name: str, k: int, where: str = "") -> str:
+    """k-parameterized twin of _SHINGLES (which is k=3): distinct k-word
+    shingles per doc, whole-doc fallback under k tokens — matches
+    dedup.word_shingles exactly."""
+    joined = " || '_' || ".join(f"t[i+{j}]" for j in range(k))
+    return (
+        f"{name} AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= {k}"
+        f" THEN list_transform(range(1, len(t) - {k} + 2), i -> {joined})"
+        f" ELSE [array_to_string(t, '_')] END)) AS shingle FROM tok {where})"
+    )
+
+
+def contamination_query(k: int = 8, bench_mod: int = 37) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.dedup import (
+            contamination_keep_list,
+        )
+
+        docs = load(spark, sf_dir, "documents")
+        bench = docs.where(F.col("doc_id") % bench_mod == 0)
+        return contamination_keep_list(docs, bench, shingle_k=k)
+
+    return fn
+
+
+def contamination_sql(k: int = 8, bench_mod: int = 37) -> str:
+    return f"""
+WITH {_TOK},
+{_shingles_cte("sh_c", k)},
+sh_ne AS (SELECT doc_id, shingle FROM sh_c WHERE shingle <> ''),
+bench AS (SELECT DISTINCT shingle FROM sh_ne WHERE doc_id % {bench_mod} = 0),
+hits AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_matched
+  FROM sh_ne s JOIN bench b USING (shingle) GROUP BY 1
+)
+SELECT d.doc_id, coalesce(h.n_matched, 0) AS n_matched,
+  coalesce(h.n_matched, 0) < 1 AS keep
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""

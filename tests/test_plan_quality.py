@@ -415,3 +415,25 @@ def test_scalar_summary_sql_matches_column_builders(spark):
         },
     )
     assert extras["sqlx"] == 1 and extras["colx"] == 3
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """contamination_keep_list: the benchmark shingle set must broadcast —
+    the 100 TB corpus side joins an eval-sized in-memory set with no corpus
+    shuffle; the only exchange is the bounded (doc_id, count) rollup."""
+    from pandas_profiling_personal_spark.operators.dedup import (
+        contamination_keep_list,
+    )
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 11 == 0)
+    out = contamination_keep_list(docs, bench)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, plan
+
+    # a benchmark member is trivially contaminated; most others survive
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[0]["keep"] is False and rows[0]["n_matched"] > 0
+    kept = sum(1 for r in rows.values() if r["keep"])
+    assert 0 < kept < len(rows)
