@@ -695,3 +695,49 @@ def test_write_training_shards_deterministic(spark, tmp_path):
     assert any(
         v != sorted(v) for v in shards_a.values()
     ), "shards are in ingestion order — not shuffled"
+
+
+def test_streaming_quality_filter_matches_batch(spark, tmp_path):
+    """quality_filter is a pure codegen'd projection, so it runs UNCHANGED on
+    an unbounded stream — same rows, same keep flags, same typed reject
+    reasons as the batch run over identical data. This pins that property
+    (no aggregate/sort sneaks into the operator and silently breaks
+    stream-validity)."""
+    import pyspark.sql.types as T
+
+    from pandas_profiling_personal_spark.operators.text import quality_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = tmp_path / "qf_src"
+    docs.write.parquet(str(src))
+
+    batch = {
+        (r["doc_id"], r["keep"], tuple(r["reject_reasons"]))
+        for r in quality_filter(docs, "text", "doc_id").select(
+            "doc_id", "keep", "reject_reasons"
+        ).collect()
+    }
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = quality_filter(stream, "text", "doc_id").select(
+        "doc_id", "keep", "reject_reasons"
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_qf")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r["doc_id"], r["keep"], tuple(r["reject_reasons"]))
+            for r in spark.table("t_qf").collect()
+        }
+    finally:
+        q.stop()
+    assert streamed == batch and batch
