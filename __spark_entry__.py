@@ -177,6 +177,10 @@ _SPECS: dict[str, tuple] = {
         PP.mixture_counts_query(),
         PP.mixture_counts_sql(),
     ),
+    "mixture_upsampled_documents": (
+        PP.mixture_upsampled_query(3.0),
+        PP.mixture_upsampled_sql(3.0),
+    ),
     "contamination_documents": (
         PP.contamination_query(8, 37),
         PP.contamination_sql(8, 37),

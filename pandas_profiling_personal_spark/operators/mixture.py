@@ -42,11 +42,22 @@ def _target_expr(group, targets: dict[str, float]):
     return expr.otherwise(F.lit(0.0)) if expr is not None else F.lit(0.0)
 
 
+def _maxrep_expr(group, max_repeats: "float | dict[str, float]"):
+    if not isinstance(max_repeats, dict):
+        return F.lit(float(max_repeats))
+    expr = None
+    for g, r in max_repeats.items():
+        cond = group == g
+        expr = F.when(cond, float(r)) if expr is None else expr.when(cond, float(r))
+    return expr.otherwise(F.lit(1.0)) if expr is not None else F.lit(1.0)
+
+
 def mixture_plan(
     df: DataFrame,
     group_col: str,
     targets: dict[str, float],
     size_col: str | None = None,
+    max_repeats: "float | dict[str, float]" = 1.0,
 ) -> DataFrame:
     """Per-group mixture plan: ``(group, n_docs, size, current_share,
     target_share, sampling_rate, planned_size)``, ordered by group.
@@ -56,6 +67,14 @@ def mixture_plan(
     ``targets`` get rate 0 (dropped from the mixture); a target group absent
     from the data simply contributes nothing (its weight is unreachable —
     visible because the realized shares of the others exceed their targets).
+
+    ``max_repeats`` allows UPSAMPLING small high-value groups (pretraining
+    mixes routinely repeat wiki/books several epochs while the web crawl is
+    subsampled): a group's budget contribution is capped at
+    ``size_g * max_repeats_g``, so ``sampling_rate`` may exceed 1 — a rate
+    of 2.4 means every document appears twice plus a 0.4 md5-deterministic
+    chance of a third copy (:func:`apply_mixture` materializes the copies
+    with an ``epoch`` column). The default 1.0 is the no-repeats plan.
     """
     grouped = (
         df.select(
@@ -70,7 +89,8 @@ def mixture_plan(
     )
     w = Window.partitionBy()  # |groups| rows total — bounded by design
     tgt = _target_expr(F.col("group"), targets)
-    ratio = F.when(tgt > 0, F.col("size").cast("double") / tgt)
+    rep = _maxrep_expr(F.col("group"), max_repeats)
+    ratio = F.when(tgt > 0, F.col("size").cast("double") * rep / tgt)
     t_max = F.min(ratio).over(w)
     rate = F.when(
         tgt > 0, t_max * tgt / F.col("size").cast("double")
@@ -97,21 +117,38 @@ def apply_mixture(
     group_col: str,
     key: str,
 ) -> DataFrame:
-    """Materialize the mixture: keep a document iff its deterministic
-    md5-uniform draw falls under its group's sampling rate. The plan side is
-    broadcast (tiny by construction); the draw is the same
+    """Materialize the mixture: each document appears
+    ``floor(rate) + (u < frac(rate))`` times, where ``u`` is its
+    deterministic md5-uniform draw — rates ≤ 1 subsample, rates > 1 (an
+    upsampling plan, see ``mixture_plan(max_repeats=...)``) repeat the
+    document across epochs. Output rows carry an ``epoch`` column
+    (1-based copy index) so downstream sharding can spread repeats. The
+    plan side is broadcast (tiny by construction); the draw is the same
     ``conv(substring(md5(key), 1, 8), 16, 10)`` idiom as
     :func:`~pandas_profiling_personal_spark.operators.sampling.deterministic_split`,
-    normalized to [0, 1)."""
+    normalized to [0, 1). Zero-copy rows vanish via the empty ``sequence``
+    explode — no filter pass needed."""
     u = (
         F.conv(F.substring(F.md5(S.col(key).cast("string")), 1, 8), 16, 10)
         .cast("double")
         / F.lit(_HASH_SPACE)
     )
     p = F.broadcast(plan.select("group", "sampling_rate"))
+    rate = F.coalesce(F.col("sampling_rate"), F.lit(0.0))
+    n_copies = (
+        F.floor(rate) + F.when(u < rate - F.floor(rate), 1).otherwise(0)
+    ).cast("int")
     return (
         df.join(p, S.col(group_col) == p["group"], "left")
-        .where(u < F.coalesce(F.col("sampling_rate"), F.lit(0.0)))
+        .withColumn(
+            "epoch",
+            # guard: sequence(1, 0) would infer step -1 and emit [1, 0]
+            F.explode(
+                F.when(
+                    n_copies >= 1, F.sequence(F.lit(1), n_copies)
+                ).otherwise(F.array().cast("array<int>"))
+            ),
+        )
         .drop("group", "sampling_rate")
     )
 
@@ -122,11 +159,12 @@ def mixture_counts(
     targets: dict[str, float],
     key: str,
     size_col: str | None = None,
+    max_repeats: "float | dict[str, float]" = 1.0,
 ) -> DataFrame:
     """Verification rollup: plan + apply + re-aggregate — ``(group, n_kept,
-    kept_size)`` per surviving group. One extra groupBy over the sampled
-    corpus; driver transfer ≤ |groups| rows."""
-    plan = mixture_plan(df, group_col, targets, size_col)
+    kept_size)`` per surviving group, copies counted individually. One extra
+    groupBy over the sampled corpus; driver transfer ≤ |groups| rows."""
+    plan = mixture_plan(df, group_col, targets, size_col, max_repeats)
     kept = apply_mixture(df, plan, group_col, key)
     return (
         kept.select(

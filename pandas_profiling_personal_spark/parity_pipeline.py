@@ -1029,3 +1029,60 @@ SELECT d.doc_id, coalesce(h.n_matched, 0) AS n_matched,
   coalesce(h.n_matched, 0) < 1 AS keep
 FROM documents d LEFT JOIN hits h USING (doc_id)
 """
+
+
+def mixture_upsampled_query(max_repeats: float = 3.0) -> QueryFn:
+    """Upsampling tier: zh/fr/de may repeat up to ``max_repeats`` epochs, so
+    the small languages stop being the binding constraint on the mixture."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.mixture import (
+            mixture_counts,
+        )
+
+        return mixture_counts(
+            load(spark, sf_dir, "documents"),
+            "lang",
+            _MIX_TARGETS,
+            key="doc_id",
+            size_col="n_chars",
+            max_repeats=max_repeats,
+        )
+
+    return fn
+
+
+def mixture_upsampled_sql(max_repeats: float = 3.0) -> str:
+    tgt = _mix_target_case('"group"')
+    rep = f"CAST({max_repeats!r} AS DOUBLE)"
+    return f"""
+WITH g AS (
+  SELECT lang AS "group", CAST(sum(n_chars) AS BIGINT) AS size
+  FROM documents GROUP BY 1
+),
+t AS (
+  SELECT *, {tgt} AS target_share,
+    min(CASE WHEN {tgt} > 0
+        THEN CAST(size AS DOUBLE) * {rep} / {tgt} END) OVER () AS t_max
+  FROM g
+),
+plan AS (
+  SELECT "group",
+    CASE WHEN target_share > 0
+      THEN t_max * target_share / CAST(size AS DOUBLE)
+      ELSE CAST(0.0 AS DOUBLE) END AS sampling_rate
+  FROM t
+),
+copies AS (
+  SELECT d.lang AS "group", d.n_chars,
+    CAST(floor(p.sampling_rate) AS BIGINT)
+    + CASE WHEN CAST({_HASH64.format(x="CAST(d.doc_id AS VARCHAR)")} AS DOUBLE)
+             / CAST(4294967296 AS DOUBLE)
+           < p.sampling_rate - floor(p.sampling_rate)
+      THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN plan p ON d.lang = p."group"
+)
+SELECT "group", CAST(sum(n_copies) AS BIGINT) AS n_kept,
+  CAST(sum(n_chars * n_copies) AS BIGINT) AS kept_size
+FROM copies WHERE n_copies > 0 GROUP BY 1 ORDER BY 1
+"""

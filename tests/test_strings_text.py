@@ -341,3 +341,35 @@ def test_mixture_plan_and_apply(spark):
     # md5-uniform sampling tracks the planned size within sampling noise
     for g in ("web", "code", "books"):
         assert abs(counts[g]["kept_size"] - by[g]["planned_size"]) / by[g]["planned_size"] < 0.15
+
+
+def test_mixture_upsampling_epochs(spark):
+    """max_repeats > 1: rates may exceed 1 and apply_mixture materializes
+    floor(rate) guaranteed copies plus an md5-deterministic fractional one,
+    tagged with a 1-based epoch column."""
+    from pandas_profiling_personal_spark.operators.mixture import (
+        apply_mixture,
+        mixture_plan,
+    )
+
+    rows = [(i, "wiki" if i < 200 else "web", 50) for i in range(2200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_tokens bigint")
+    targets = {"wiki": 0.3, "web": 0.7}
+    plan = mixture_plan(df, "source", targets, "n_tokens", max_repeats=4.0)
+    by = {r["group"]: r for r in plan.collect()}
+    # wiki is 1/11 of the corpus but wants 30%: upsampled beyond 1 epoch
+    assert by["wiki"]["sampling_rate"] > 1.0
+    out = apply_mixture(df, plan, "source", "doc_id")
+    kept = out.groupBy("source").count().collect()
+    k = {r["source"]: r["count"] for r in kept}
+    rate_w = by["wiki"]["sampling_rate"]
+    assert k["wiki"] >= 200 * int(rate_w)  # floor copies guaranteed
+    # every wiki doc appears at least floor(rate) times with distinct epochs
+    eps = (
+        out.where("source = 'wiki'")
+        .groupBy("doc_id")
+        .agg({"epoch": "max", "*": "count"})
+        .collect()
+    )
+    assert all(r["count(1)"] >= int(rate_w) for r in eps)
+    assert all(r["max(epoch)"] == r["count(1)"] for r in eps)
