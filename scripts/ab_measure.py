@@ -68,7 +68,14 @@ def main() -> None:
             qs[n](spark, sf_dir).collect()
             dt = round(time.time() - t0, 3)
             results[n].append(dt)
-            print(json.dumps({"round": r, "query": n, "sec": dt}), flush=True)
+            with open("/proc/loadavg") as fh:
+                load = float(fh.read().split()[0])
+            print(
+                json.dumps(
+                    {"round": r, "query": n, "sec": dt, "host_load_1m": load}
+                ),
+                flush=True,
+            )
 
     summary = {
         n: {
