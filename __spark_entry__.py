@@ -185,6 +185,10 @@ _SPECS: dict[str, tuple] = {
         PP.contamination_query(8, 37),
         PP.contamination_sql(8, 37),
     ),
+    "span_dedup_documents": (
+        PP.span_dedup_query(10),
+        PP.span_dedup_sql(10),
+    ),
     "pii_redact_documents": (PP.pii_redact_query(), PP.pii_redact_sql()),
     "repetition_profile_documents": (
         PP.repetition_query(2),

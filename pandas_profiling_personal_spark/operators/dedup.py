@@ -666,3 +666,81 @@ def contamination_keep_list(
             ),
         )
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 10,
+    min_span_chars: int = 0,
+) -> DataFrame:
+    """Corpus-level duplicated-span removal (the C4 pipeline's "discard any
+    repeated occurrence of a span" rule, applied to fixed ``span_words``-word
+    chunks): every span that occurs more than once ACROSS THE WHOLE CORPUS
+    keeps only its first occurrence — first = smallest ``(doc_id, span_idx)``,
+    a total order any engine reproduces — and each document is reassembled
+    from its surviving spans in order.
+
+    Returns ``(doc_id, text_deduped, n_spans, n_spans_kept)``. Reassembly
+    joins spans with single spaces, so text round-trips exactly for
+    single-space-separated corpora and is whitespace-normalized otherwise.
+    Spans shorter than ``min_span_chars`` are exempt (always kept) — short
+    tails are common strings, not contamination.
+
+    100 TB shape: one narrow posexplode (no data growth beyond a span-index
+    column), ONE corpus-wide exchange keyed by md5(span) carrying
+    (hash, min-struct) with map-side combine — the min-winner per span is a
+    partial-aggregatable fold, so the shuffle carries one row per DISTINCT
+    span, not per occurrence — then a hash-keyed join back and a per-doc
+    regroup bounded by document length. No driver-side state."""
+    k = span_words
+    t = F.split(S.col(text_col), " ")
+    n_chunks = F.ceil(F.size(t) / F.lit(float(k))).cast("int")
+    spans = F.when(
+        n_chunks >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(t, (i * k + 1).cast("int"), k)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = df.select(
+        S.col(id_col).alias("doc_id"),
+        F.posexplode(spans).alias("idx", "span"),
+    ).withColumn("h", F.md5(F.col("span")))
+    eligible = (
+        occ if min_span_chars <= 0
+        else occ.where(F.length("span") >= min_span_chars)
+    )
+    winners = eligible.groupBy("h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("w"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    kept = occ.join(winners, "h", "left").where(
+        F.col("w").isNull()  # exempt (below min_span_chars): always kept
+        | ((F.col("w.doc_id") == F.col("doc_id")) & (F.col("w.idx") == F.col("idx")))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "span"))),
+                lambda x: x["span"],
+            ),
+        ).alias("text_deduped"),
+        F.count(F.lit(1)).alias("n_spans_kept"),
+    )
+    totals = occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    return (
+        df.select(S.col(id_col).alias("doc_id"))
+        .join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("text_deduped"), F.lit("")).alias("text_deduped"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+            F.coalesce(F.col("n_spans_kept"), F.lit(0)).alias("n_spans_kept"),
+        )
+    )

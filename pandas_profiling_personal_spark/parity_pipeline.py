@@ -1086,3 +1086,50 @@ SELECT "group", CAST(sum(n_copies) AS BIGINT) AS n_kept,
   CAST(sum(n_chars * n_copies) AS BIGINT) AS kept_size
 FROM copies WHERE n_copies > 0 GROUP BY 1 ORDER BY 1
 """
+
+
+# --------------------------------------------------------------------------------
+# corpus-level duplicated-span removal (dedup.span_dedup, C4-style)
+# --------------------------------------------------------------------------------
+
+
+def span_dedup_query(span_words: int = 10) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.dedup import span_dedup
+
+        return span_dedup(
+            load(spark, sf_dir, "documents"), span_words=span_words
+        )
+
+    return fn
+
+
+def span_dedup_sql(span_words: int = 10) -> str:
+    k = span_words
+    n = f"CAST(ceil(len(t) / {float(k)!r}) AS BIGINT)"
+    return f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+occ AS (
+  SELECT doc_id,
+    unnest(range(1, {n} + 1)) - 1 AS idx,
+    unnest(list_transform(range(1, {n} + 1),
+      i -> array_to_string(t[(i-1)*{k}+1 : i*{k}], ' '))) AS span
+  FROM tok
+),
+win AS (
+  SELECT *, row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn
+  FROM occ
+),
+kept AS (
+  SELECT doc_id, string_agg(span, ' ' ORDER BY idx) AS text_deduped,
+    CAST(count(*) AS BIGINT) AS n_spans_kept
+  FROM win WHERE rn = 1 GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM occ GROUP BY doc_id)
+SELECT d.doc_id, coalesce(k.text_deduped, '') AS text_deduped,
+  coalesce(tot.n_spans, 0) AS n_spans,
+  coalesce(k.n_spans_kept, 0) AS n_spans_kept
+FROM documents d
+LEFT JOIN tot ON d.doc_id = tot.doc_id
+LEFT JOIN kept k ON d.doc_id = k.doc_id
+"""

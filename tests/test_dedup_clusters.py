@@ -117,3 +117,41 @@ def test_sessionize(spark):
     assert s[(1, t0 + dt.timedelta(minutes=70))] == s[(1, t0)] + 1
     st = {r["user_key"]: (r["n_sessions"], r["n_events"]) for r in session_stats(df, "user_id", "ts", 30).collect()}
     assert st == {1: (2, 3), 2: (1, 1)}
+
+
+def test_span_dedup_first_occurrence_wins(spark):
+    """span_dedup: a span repeated across documents survives only at its
+    smallest (doc_id, idx); documents reassemble in span order; spans under
+    min_span_chars are exempt; span counts are exact."""
+    from pandas_profiling_personal_spark.operators.dedup import span_dedup
+
+    boiler = "the quick brown fox jumps over the lazy dog again"  # 10 words
+    uniq_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    uniq_b = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, f"{boiler} {uniq_a}"),
+        (2, f"{uniq_b} {boiler}"),        # boiler repeated -> dropped here
+        (3, boiler),                        # dropped entirely -> empty text
+        (4, "short tail"),                 # sub-span-size chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in span_dedup(df, span_words=10).collect()}
+    assert out[1]["text_deduped"] == f"{boiler} {uniq_a}"
+    assert out[2]["text_deduped"] == uniq_b
+    assert out[3]["text_deduped"] == ""
+    assert out[4]["text_deduped"] == "short tail"
+    assert (out[2]["n_spans"], out[2]["n_spans_kept"]) == (2, 1)
+    assert (out[3]["n_spans"], out[3]["n_spans_kept"]) == (1, 0)
+
+    # exemption: "short tail" duplicated across docs but under min_span_chars
+    df2 = spark.createDataFrame(
+        [(1, "short tail"), (2, "short tail")], "doc_id bigint, text string"
+    )
+    out2 = {
+        r["doc_id"]: r
+        for r in span_dedup(df2, span_words=10, min_span_chars=20).collect()
+    }
+    assert out2[1]["n_spans_kept"] == 1 and out2[2]["n_spans_kept"] == 1
+    # without the exemption the second copy is removed
+    out3 = {r["doc_id"]: r for r in span_dedup(df2, span_words=10).collect()}
+    assert out3[1]["n_spans_kept"] == 1 and out3[2]["n_spans_kept"] == 0
