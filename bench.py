@@ -23,9 +23,24 @@ def _loadavg() -> float:
         return -1.0
 
 
+def _cpu_canary() -> float:
+    """Single-thread CPU canary, run BEFORE the Spark session exists: a fixed
+    20M-iteration loop. Measured range on this container: 0.77 s (fast
+    state) to 2.0 s (slow state) for IDENTICAL code — the host's effective
+    CPU speed swings ~2.5x between sessions. Unlike loadavg (self-polluted
+    once the 32-thread session is running), this isolates that multiplier:
+    compare canaries before comparing sweeps."""
+    t0 = time.time()
+    s = 0
+    for i in range(20_000_000):
+        s += i
+    return round(time.time() - t0, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    canary = _cpu_canary()  # before the JVM exists: pure host signal
 
     from pandas_profiling_personal_spark.session import get_session
 
@@ -171,11 +186,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # contamination marker: this container shows host-level CPU
-                # steal windows (loadavg 7-8 with ZERO local processes
-                # running) that uniformly inflate every query 2-3x; a high
-                # value here means the numbers are a throttled-window sample
+                # contamination markers: cpu_canary_sec (measured BEFORE
+                # the JVM started; 0.77-2.0 s observed for identical code —
+                # the host CPU-speed multiplier for this sweep) and
+                # end-of-sweep loadavg (self-polluted by the 32-thread
+                # session, but >12 implies external load on top)
                 "host_load_1m": _loadavg(),
+                "cpu_canary_sec": canary,
             }
         )
     )
