@@ -59,13 +59,16 @@ def scalar_summary(
     can fold e.g. the whole Pearson pair list into the SAME pass, keeping the
     profile at one scan for all scalar statistics.
 
-    The aggregate is BUILT as one SQL string executed via
-    ``spark.sql("... FROM {df}", df=df)`` rather than per-stat Column objects:
-    a 100-column profile needs ~1100 aggregate expressions, and building them
+    The aggregate is BUILT as SQL fragment strings applied with
+    ``df.selectExpr(*frags)`` rather than per-stat Column objects: a
+    100-column profile needs ~1100 aggregate expressions, and building them
     through the Python Column API costs ~6 Py4J round-trips each — a measured
     4.2 s of pure driver time per profile call (the same lesson as the LSH
-    literal plan-build, PERFORMANCE.md). One SQL parse is ~50 ms and yields
-    the identical analyzed plan.
+    literal plan-build, PERFORMANCE.md). selectExpr parses them in one Py4J
+    call, yields the identical analyzed plan, and — unlike
+    ``spark.sql("... FROM {df}")`` — keeps the DataFrame lineage so the
+    profile's persisted input actually caches (CacheManager does not match
+    the {df}-substituted plan; measured +3.2 s on EVERY later pass).
     """
     config = config or ProfileConfig()
     types = types or variable_types(df)
@@ -156,20 +159,19 @@ def scalar_summary(
             frags.append(f"({e}) AS __x_{k}")
         else:
             extra_cols.append(e.alias(f"__x_{k}"))
-    spark = df.sparkSession
-    row = (
-        spark.sql("SELECT " + ", ".join(frags) + " FROM {df}", df=df)
-        .collect()[0]
-        .asDict()
-    )
+    # selectExpr, NOT spark.sql("... FROM {df}"): the {df} substitution
+    # produces a plan the CacheManager does not match against the persisted
+    # frame, so the cache never materializes and EVERY pass of the profile
+    # recomputes the input from source — measured as a flat +3.2 s on every
+    # later action of a wide profile (CI-pinned in
+    # test_plan_quality.py::test_scalar_summary_hits_cache). selectExpr
+    # parses the same fragments in ONE Py4J call but keeps the DataFrame
+    # lineage, so both the cheap build and the cache hit hold.
+    row = df.selectExpr(*frags).collect()[0].asDict()
     if extra_cols:
         row.update(df.agg(*extra_cols).collect()[0].asDict())
     if pct_frags:
-        row.update(
-            spark.sql("SELECT " + ", ".join(pct_frags) + " FROM {df}", df=df)
-            .collect()[0]
-            .asDict()
-        )
+        row.update(df.selectExpr(*pct_frags).collect()[0].asDict())
     _moment_pass(df, types, row)
     n = row.pop("__n")
     extras = {k: row.pop(f"__x_{k}") for k in extra}
@@ -237,11 +239,8 @@ def _moment_pass(
         targets.append((p, name))
     if not mexprs:
         return
-    mrow = (
-        df.sparkSession.sql("SELECT " + ", ".join(mexprs) + " FROM {df}", df=df)
-        .collect()[0]
-        .asDict()
-    )
+    # selectExpr keeps the cache-hitting lineage (see scalar_summary)
+    mrow = df.selectExpr(*mexprs).collect()[0].asDict()
     for p, name in targets:
         cnt = row[f"{p}__count"]
         s1 = float(mrow[f"{p}__ms1"])

@@ -589,16 +589,19 @@ def profile(
                 M.nullity_correlation(df, cols_with_nulls)
             )
 
+        _mark("missing_structure")
         # samples (bounded driver transfers)
         sample = {
             "head": [r.asDict() for r in SA.head(df, cfg.samples_head).collect()],
-            "random": [
-                r.asDict()
-                for r in SA.random_sample(
-                    df, cfg.samples_random, cfg.seed, total=n
-                ).collect()
-            ],
         }
+        _mark("sample_head")
+        sample["random"] = [
+            r.asDict()
+            for r in SA.random_sample(
+                df, cfg.samples_random, cfg.seed, total=n
+            ).collect()
+        ]
+        _mark("sample_random")
         if cfg.samples_tail > 0:
             sample["tail"] = [
                 r.asDict() for r in SA.tail(df, cfg.samples_tail)

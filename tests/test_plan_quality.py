@@ -437,3 +437,36 @@ def test_contamination_broadcasts_benchmark(spark):
     assert rows[0]["keep"] is False and rows[0]["n_matched"] > 0
     kept = sum(1 for r in rows.values() if r["keep"])
     assert 0 < kept < len(rows)
+
+
+def test_scalar_summary_hits_cache(spark):
+    """The SQL-fragment build of pass 1 must keep the DataFrame lineage so a
+    persisted input actually caches: spark.sql("... FROM {df}") substitution
+    produced a plan the CacheManager did not match — the cache never
+    materialized and EVERY pass of the profile recomputed the input from
+    source (measured +3.2 s flat on each later action of a wide profile)."""
+    from pyspark import StorageLevel
+
+    from pandas_profiling_personal_spark.operators.summary import scalar_summary
+
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        scalar_summary(df)  # pass 1 must both USE and MATERIALIZE the cache
+        frag_plan = df.selectExpr("count(1) AS n")
+        assert "InMemoryTableScan" in _plan(frag_plan), (
+            "selectExpr lost the cached lineage"
+        )
+        jdf = df._jdf
+        assert jdf.queryExecution().optimizedPlan().toString().startswith(
+            "InMemoryRelation"
+        )
+        # the cache is materialized (storage holds blocks), not just planned
+        sc = spark.sparkContext
+        rdd_infos = sc._jsc.sc().getRDDStorageInfo()
+        assert any(i.numCachedPartitions() > 0 for i in rdd_infos), (
+            "persisted input never materialized — passes recompute from source"
+        )
+    finally:
+        df.unpersist()
