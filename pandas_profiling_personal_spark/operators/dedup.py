@@ -695,17 +695,26 @@ def span_dedup(
     span, not per occurrence — then a hash-keyed join back and a per-doc
     regroup bounded by document length. No driver-side state."""
     k = span_words
-    t = F.split(S.col(text_col), " ")
-    n_chunks = F.ceil(F.size(t) / F.lit(float(k))).cast("int")
-    spans = F.when(
-        n_chunks >= 1,
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.concat_ws(
-                " ", F.slice(t, (i * k + 1).cast("int"), k)
+
+    # bind the token array ONCE as a lambda variable (the word_shingles
+    # lesson): embedding split() in the per-index lambda re-tokenizes the
+    # document for EVERY span — measured 18.7 s -> see PERFORMANCE.md at
+    # sf1 (50k docs) for the bound form
+    def _build(t):
+        n_chunks = F.ceil(F.size(t) / F.lit(float(k))).cast("int")
+        return F.when(
+            n_chunks >= 1,
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(t, (i * k + 1).cast("int"), k)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>"))
+
+    spans = F.element_at(
+        F.transform(F.array(F.split(S.col(text_col), " ")), _build), 1
+    )
     occ = df.select(
         S.col(id_col).alias("doc_id"),
         F.posexplode(spans).alias("idx", "span"),

@@ -62,7 +62,7 @@ def main() -> None:
                 wdocs, "doc_id", "text", num_hashes=32, bands=8,
                 hash_fn="xxhash64",
             ).count()
-            TX.text_profile(wdocs, "text", "doc_id").count()
+            TX.text_profile(wdocs, "text", "doc_id").agg(F.sum("n_tokens")).first()
             SIM.ann_topk_lsh(
                 wemb, wemb.where(F.col("vec_id") < 50), dim=64, k=10
             ).count()
@@ -91,12 +91,36 @@ def main() -> None:
             ).count()
         )
         p["text_profile_documents"] = timed(
-            lambda: TX.text_profile(docs, "text", "doc_id").count()
+            lambda: TX.text_profile(docs, "text", "doc_id")
+            .agg(F.sum("n_tokens")).first()
         )
         p["ann_lsh_topk_embeddings"] = timed(
             lambda: SIM.ann_topk_lsh(
                 emb, emb.where(F.col("vec_id") < 50), dim=64, k=10
             ).count()
+        )
+        # r4 training-pipeline additions
+        # sum over OUTPUT columns, not .count(): a count() over these
+        # left joins lets Catalyst prune the whole computation (unique-key
+        # join elimination) and measures nothing
+        p["span_dedup_documents"] = timed(
+            lambda: DD.span_dedup(docs, span_words=10)
+            .agg(F.sum("n_spans_kept")).first()
+        )
+        p["contamination_documents"] = timed(
+            lambda: DD.contamination_keep_list(
+                docs, docs.where(F.col("doc_id") % 37 == 0), shingle_k=8
+            ).agg(F.sum(F.col("keep").cast("int"))).first()
+        )
+        from pandas_profiling_personal_spark.operators.mixture import (
+            mixture_counts,
+        )
+        p["mixture_counts_documents"] = timed(
+            lambda: mixture_counts(
+                docs, "lang",
+                {"en": 0.5, "zh": 0.2, "fr": 0.2, "de": 0.1},
+                key="doc_id", size_col="n_chars",
+            ).agg(F.sum("n_kept")).first()
         )
         points[sf] = p
         print(json.dumps({"sf": sf, "walls": p, "rows": rows[sf]}), flush=True)
