@@ -741,3 +741,53 @@ def test_streaming_quality_filter_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert streamed == batch and batch
+
+
+def test_streaming_apply_mixture_matches_batch(spark, tmp_path):
+    """apply_mixture is a stream-static left join (broadcast plan) plus a
+    deterministic md5 copy-count — it must run UNCHANGED on an unbounded
+    corpus stream and keep exactly the rows (and epochs) the batch run
+    keeps. This is the shape a continuous-ingest mixture would use: plan
+    recomputed periodically in batch, applied to the stream."""
+    from pandas_profiling_personal_spark.operators.mixture import (
+        apply_mixture,
+        mixture_plan,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    targets = {"en": 0.5, "zh": 0.2, "fr": 0.2, "de": 0.1}
+    plan = mixture_plan(docs, "lang", targets, "n_chars", max_repeats=2.0)
+
+    batch = {
+        (r["doc_id"], r["epoch"])
+        for r in apply_mixture(docs, plan, "lang", "doc_id")
+        .select("doc_id", "epoch")
+        .collect()
+    }
+    src = tmp_path / "mix_src"
+    docs.write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = apply_mixture(stream, plan, "lang", "doc_id").select(
+        "doc_id", "epoch"
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_mix")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r["doc_id"], r["epoch"])
+            for r in spark.table("t_mix").collect()
+        }
+    finally:
+        q.stop()
+    assert streamed == batch and batch
+    assert any(e > 1 for _, e in batch)  # upsampling epochs survive the stream
