@@ -112,6 +112,10 @@ _SPECS: dict[str, tuple] = {
         P.monotonicity_query("orders", "o_totalprice", "o_orderkey"),
         P.monotonicity_sql("orders", "o_totalprice", "o_orderkey"),
     ),
+    "grouped_summary_lineitem": (
+        P.grouped_summary_query(),
+        P.grouped_summary_sql(),
+    ),
     "numeric_summary_nation": (
         P.numeric_summary_query("nation", ["n_nationkey", "n_regionkey"]),
         P.numeric_summary_sql("nation", ["n_nationkey", "n_regionkey"]),

@@ -365,3 +365,50 @@ def _derive(stats: dict[str, Any], vt: VT, n: int) -> None:
     if "n_distinct" in stats:
         stats["p_distinct"] = stats["n_distinct"] / cnt if cnt else None
         stats["is_unique_approx"] = stats["n_distinct"] == cnt if cnt else None
+
+
+def grouped_summary(
+    df: DataFrame,
+    group_col: str,
+    columns: list[str],
+    round_to: int = 4,
+) -> DataFrame:
+    """Segment-wise numeric summaries — per-(group, column) count / nulls /
+    mean / std / min / max / sum in ONE melt + ONE groupBy exchange, however
+    many columns are profiled.
+
+    The per-segment view a corpus pipeline reads daily (stats per language /
+    source / shard); the reference profiles one frame globally and has no
+    group-by surface at all. The melt emits one (group, column, value) row
+    per cell of the selected columns; the aggregation is combine-friendly,
+    so the exchange carries |groups| x |columns| partial rows per map task —
+    never the data. Values round to ``round_to`` (the parity convention:
+    absorbs partition-order float drift so any engine reproduces the
+    result bit-for-bit).
+    """
+    if not columns:
+        raise ValueError("columns must name at least one column")
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            S.col(c).cast("double").alias("v"),
+        )
+        for c in columns
+    ]
+    melted = df.select(
+        S.col(group_col).alias("group"),
+        F.explode(F.array(*structs)).alias("kv"),
+    ).select("group", "kv.column", "kv.v")
+    return (
+        melted.groupBy("group", "column")
+        .agg(
+            F.count("v").alias("count"),
+            (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
+            F.round(F.avg("v"), round_to).alias("mean"),
+            F.round(F.stddev_samp("v"), round_to).alias("std"),
+            F.round(F.min("v"), round_to).alias("min"),
+            F.round(F.max("v"), round_to).alias("max"),
+            F.round(F.sum("v"), round_to).alias("sum"),
+        )
+        .orderBy("group", "column")
+    )

@@ -1169,3 +1169,44 @@ WITH assigned AS (
 SELECT split, {strata}, count(*) AS n
 FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------------
+# segment-wise numeric summaries (operators/summary.grouped_summary) — the
+# group-by analytics surface the reference lacks entirely
+# --------------------------------------------------------------------------------
+
+
+def grouped_summary_query(
+    table: str = "lineitem",
+    group: str = "l_returnflag",
+    cols: tuple[str, ...] = ("l_quantity", "l_extendedprice", "l_discount"),
+) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.summary import (
+            grouped_summary,
+        )
+
+        return grouped_summary(load(spark, sf_dir, table), group, list(cols))
+
+    return fn
+
+
+def grouped_summary_sql(
+    table: str = "lineitem",
+    group: str = "l_returnflag",
+    cols: tuple[str, ...] = ("l_quantity", "l_extendedprice", "l_discount"),
+) -> str:
+    parts = [
+        f"""SELECT {group} AS "group", '{c}' AS "column",
+  count(CAST({c} AS DOUBLE)) AS count,
+  count(*) - count(CAST({c} AS DOUBLE)) AS n_null,
+  round(avg(CAST({c} AS DOUBLE)), 4) AS mean,
+  round(stddev_samp(CAST({c} AS DOUBLE)), 4) AS std,
+  round(min(CAST({c} AS DOUBLE)), 4) AS min,
+  round(max(CAST({c} AS DOUBLE)), 4) AS max,
+  round(sum(CAST({c} AS DOUBLE)), 4) AS sum
+FROM {table} GROUP BY 1"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts) + '\nORDER BY "group", "column"'
