@@ -116,6 +116,7 @@ _SPECS: dict[str, tuple] = {
         P.grouped_summary_query(),
         P.grouped_summary_sql(),
     ),
+    "drift_psi_lineitem": (P.drift_query(), P.drift_sql()),
     "numeric_summary_nation": (
         P.numeric_summary_query("nation", ["n_nationkey", "n_regionkey"]),
         P.numeric_summary_sql("nation", ["n_nationkey", "n_regionkey"]),

@@ -1210,3 +1210,88 @@ FROM {table} GROUP BY 1"""
         for c in cols
     ]
     return "\nUNION ALL\n".join(parts) + '\nORDER BY "group", "column"'
+
+
+# --------------------------------------------------------------------------------
+# distribution drift (operators/drift.drift_profile) — PSI between snapshots
+# --------------------------------------------------------------------------------
+
+
+def drift_query(
+    cols: tuple[str, ...] = ("l_quantity", "l_extendedprice", "l_discount"),
+    bins: int = 10,
+) -> QueryFn:
+    """Baseline = full lineitem; candidate = the l_quantity > 10 slice — a
+    deliberately shifted snapshot so PSI is large on l_quantity and ~0 on
+    the (independent) discount column."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.drift import (
+            drift_profile,
+        )
+
+        li = load(spark, sf_dir, "lineitem")
+        return drift_profile(
+            li, li.where(F.col("l_quantity") > 10), list(cols), bins=bins
+        )
+
+    return fn
+
+
+def drift_sql(
+    cols: tuple[str, ...] = ("l_quantity", "l_extendedprice", "l_discount"),
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> str:
+    epsb = eps * bins
+    ctes, selects = [], []
+    for i, c in enumerate(cols):
+        v = f"CAST({c} AS DOUBLE)"
+        mask = f"{c} IS NOT NULL AND NOT isnan({v})"
+        bucket = (
+            f"CASE WHEN e.hi = e.lo THEN 0 ELSE CAST(least(greatest("
+            f"floor((v - e.lo) / ((e.hi - e.lo) / {float(bins)!r})), 0), {bins - 1}) "
+            f"AS BIGINT) END"
+        )
+        ctes.append(f"a_{i} AS (SELECT {v} AS v FROM lineitem WHERE {mask})")
+        ctes.append(
+            f"b_{i} AS (SELECT {v} AS v FROM lineitem WHERE l_quantity > 10 AND {mask})"
+        )
+        ctes.append(
+            f"e_{i} AS (SELECT least((SELECT min(v) FROM a_{i}), (SELECT min(v) FROM b_{i})) AS lo,"
+            f" greatest((SELECT max(v) FROM a_{i}), (SELECT max(v) FROM b_{i})) AS hi)"
+        )
+        ctes.append(
+            f"ca_{i} AS (SELECT bucket, count(*) AS c FROM (SELECT {bucket} AS bucket FROM a_{i}, e_{i} e) GROUP BY 1)"
+        )
+        ctes.append(
+            f"cb_{i} AS (SELECT bucket, count(*) AS c FROM (SELECT {bucket} AS bucket FROM b_{i}, e_{i} e) GROUP BY 1)"
+        )
+        ctes.append(
+            f"p_{i} AS (SELECT r.bucket, coalesce(ca.c, 0) AS c_a, coalesce(cb.c, 0) AS c_b"
+            f" FROM range(0, {bins}) r(bucket)"
+            f" LEFT JOIN ca_{i} ca ON r.bucket = ca.bucket"
+            f" LEFT JOIN cb_{i} cb ON r.bucket = cb.bucket)"
+        )
+        ctes.append(
+            f"t_{i} AS (SELECT bucket, c_a, c_b,"
+            f" sum(c_a) OVER () AS n_a, sum(c_b) OVER () AS n_b FROM p_{i})"
+        )
+        ctes.append(
+            f"s_{i} AS (SELECT bucket, n_a, n_b,"
+            f" ((c_a + {eps!r}) / (n_a + {epsb!r}) - (c_b + {eps!r}) / (n_b + {epsb!r}))"
+            f" * ln(((c_a + {eps!r}) / (n_a + {epsb!r})) / ((c_b + {eps!r}) / (n_b + {epsb!r}))) AS term,"
+            f" abs((c_a + {eps!r}) / (n_a + {epsb!r}) - (c_b + {eps!r}) / (n_b + {epsb!r})) AS shift"
+            f" FROM t_{i})"
+        )
+        selects.append(
+            f"SELECT '{c}' AS \"column\", CAST(max(n_a) AS BIGINT) AS n_a,"
+            f" CAST(max(n_b) AS BIGINT) AS n_b, round(sum(term), 6) AS psi,"
+            f" (SELECT bucket FROM s_{i} ORDER BY shift DESC, bucket DESC LIMIT 1)"
+            f" AS max_shift_bucket FROM s_{i}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + '\nORDER BY "column"'
+    )

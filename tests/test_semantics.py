@@ -650,3 +650,30 @@ def test_profile_correlations_constant_job_count(spark):
     # = 16 observed; bound at 20 to absorb AQE variance. Far under the ~132
     # the per-pair correlation loops would issue.
     assert len(jobs) <= 20, f"expected O(1) jobs, got {len(jobs)}"
+
+
+def test_drift_profile_psi_semantics(spark):
+    """PSI drift: identical snapshots read ~0; a shifted candidate reads
+    large on the shifted column only; a constant column collapses to bucket
+    0 on both sides (hi==lo guard) and reads ~0."""
+    import random
+
+    from pandas_profiling_personal_spark.operators.drift import drift_profile
+
+    rng = random.Random(3)
+    rows = [
+        (rng.gauss(0, 1), rng.uniform(0, 10), 5.0) for _ in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "x double, u double, k double")
+    same = {r["column"]: r for r in drift_profile(df, df, ["x", "u", "k"]).collect()}
+    for c in ("x", "u", "k"):
+        assert abs(same[c]["psi"]) < 1e-9, (c, same[c]["psi"])
+        assert same[c]["n_a"] == same[c]["n_b"] == 4000
+
+    shifted = spark.createDataFrame(
+        [(x + 2.0, u, 5.0) for x, u, _ in rows], "x double, u double, k double"
+    )
+    d = {r["column"]: r for r in drift_profile(df, shifted, ["x", "u", "k"]).collect()}
+    assert d["x"]["psi"] > 0.5, d["x"]["psi"]           # 2-sigma mean shift
+    assert abs(d["u"]["psi"]) < 0.05, d["u"]["psi"]      # unshifted
+    assert abs(d["k"]["psi"]) < 1e-9                      # constant column
