@@ -218,3 +218,29 @@ def test_span_dedup_invariants_random(spark):
         # small-vocab cases; allow <=2% slack and require near-total
         a["k"] >= a["t"] * 0.98
     )
+
+
+def test_contamination_hash_tier_matches_string_tier(spark):
+    """The xxhash64 shingle fast tier must produce the same keep-list as the
+    exact string tier on real data (collisions are ppb-level; none expected
+    at test scale)."""
+    from pyspark.sql import functions as F
+
+    from pandas_profiling_personal_spark.operators.dedup import (
+        contamination_keep_list,
+    )
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 11 == 0)
+
+    def snap(repr_):
+        return {
+            (r["doc_id"], r["n_matched"], r["keep"])
+            for r in contamination_keep_list(
+                docs, bench, shingle_repr=repr_
+            ).collect()
+        }
+
+    s, h = snap("string"), snap("hash")
+    assert s == h and any(not keep for _, _, keep in s)
