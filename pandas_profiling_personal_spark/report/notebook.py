@@ -51,3 +51,48 @@ def to_notebook_iframe(
     except Exception:
         pass
     return obj
+
+
+def to_app(
+    result: Any,
+    title: str = "Data profile",
+    open_browser: bool = True,
+) -> str:
+    """Desktop report window (reference ``to_app``,
+    profile_report.py:433-451 — an experimental PyQt5 surface the reference
+    itself marks "not ready to be used").
+
+    Tier 1: if PyQt5 + QtWebEngine are importable, open the rendered report
+    in a native window. Tier 2 (this container — no Qt): write the report
+    to a temp file and open it in the default browser via ``webbrowser``
+    (suppressed with ``open_browser=False`` for headless use). Either way
+    the path of the written HTML file is returned, so the caller always
+    gets a usable artifact — unlike the reference, which renders nothing
+    without PyQt5 installed."""
+    import tempfile
+    import webbrowser
+
+    page = render_html(result, title=title)
+    out = tempfile.NamedTemporaryFile(
+        mode="w", suffix=".html", prefix="profile_", delete=False
+    )
+    with out:
+        out.write(page)
+    try:
+        from PyQt5.QtCore import QUrl  # type: ignore
+        from PyQt5.QtWebEngineWidgets import QWebEngineView  # type: ignore
+        from PyQt5.QtWidgets import QApplication  # type: ignore
+
+        app = QApplication.instance() or QApplication([])
+        view = QWebEngineView()
+        view.setWindowTitle(title)
+        view.load(QUrl.fromLocalFile(out.name))
+        view.show()
+        app.exec_()
+    except ImportError:
+        if open_browser:
+            try:
+                webbrowser.open(f"file://{out.name}")
+            except Exception:
+                pass
+    return out.name

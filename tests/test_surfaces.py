@@ -791,3 +791,21 @@ def test_streaming_apply_mixture_matches_batch(spark, tmp_path):
         q.stop()
     assert streamed == batch and batch
     assert any(e > 1 for _, e in batch)  # upsampling epochs survive the stream
+
+
+def test_to_app_headless_fallback(spark, tmp_path):
+    """to_app without PyQt5 (this container) must still produce a usable
+    artifact: a written HTML file whose path is returned; no browser launch
+    in headless mode."""
+    import os
+
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+    from pandas_profiling_personal_spark.report.notebook import to_app
+
+    df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    r = profile(df, ProfileConfig(exact=True, correlations=()))
+    path = to_app(r, open_browser=False)
+    assert os.path.exists(path) and path.endswith(".html")
+    content = open(path).read()
+    assert "<html" in content and "n_name" in content
+    os.unlink(path)
