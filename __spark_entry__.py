@@ -117,6 +117,10 @@ _SPECS: dict[str, tuple] = {
         P.grouped_summary_sql(),
     ),
     "drift_psi_lineitem": (P.drift_query(), P.drift_sql()),
+    "grouped_top_k_documents": (
+        P.grouped_top_k_query(),
+        P.grouped_top_k_sql(),
+    ),
     "numeric_summary_nation": (
         P.numeric_summary_query("nation", ["n_nationkey", "n_regionkey"]),
         P.numeric_summary_sql("nation", ["n_nationkey", "n_regionkey"]),

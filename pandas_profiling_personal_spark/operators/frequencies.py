@@ -282,3 +282,56 @@ def frequency_summary(
             (r["value"], r["count"])
         )
     return scalars, tops, extremes
+
+
+def grouped_top_k(
+    df: DataFrame,
+    group_col: str,
+    columns: list[str],
+    k: int = 5,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Top-K frequent values per (group, column) — the segment twin of
+    :func:`top_k_all`: what are the most common event types per source, the
+    dominant languages per domain, the top licenses per crawl snapshot.
+
+    Shape: ONE melt + ONE (group, column, value) count exchange (map-side
+    combined), then the same salted two-phase top-K as the global operator —
+    first within (group, column, salt) so a hot segment cannot serialize on
+    one partition, then among the ≤ k x salt_buckets survivors. Deterministic
+    tie-break (count desc, value asc). Returns
+    ``(group, column, value, count, rank)``."""
+    if not columns:
+        raise ValueError("columns must name at least one column")
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            S.col(c).cast("string").alias("value"),
+        )
+        for c in columns
+    ]
+    vc = (
+        df.select(
+            S.col(group_col).alias("group"),
+            F.explode(F.array(*structs)).alias("kv"),
+        )
+        .select("group", "kv.column", "kv.value")
+        .where(F.col("value").isNotNull())
+        .groupBy("group", "column", "value")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    salted = Window.partitionBy("group", "column", "__salt").orderBy(
+        F.desc("count"), F.asc("value")
+    )
+    final = Window.partitionBy("group", "column").orderBy(
+        F.desc("count"), F.asc("value")
+    )
+    return (
+        vc.withColumn("__salt", F.abs(F.hash("value")) % salt_buckets)
+        .withColumn("__r1", F.row_number().over(salted))
+        .where(F.col("__r1") <= k)
+        .withColumn("rank", F.row_number().over(final))
+        .where(F.col("rank") <= k)
+        .drop("__salt", "__r1")
+        .orderBy("group", "column", "rank")
+    )

@@ -1295,3 +1295,43 @@ def drift_sql(
         + "\nUNION ALL\n".join(selects)
         + '\nORDER BY "column"'
     )
+
+
+def grouped_top_k_query(
+    table: str = "documents",
+    group: str = "lang",
+    cols: tuple[str, ...] = ("source",),
+    k: int = 3,
+) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.frequencies import (
+            grouped_top_k,
+        )
+
+        return grouped_top_k(load(spark, sf_dir, table), group, list(cols), k)
+
+    return fn
+
+
+def grouped_top_k_sql(
+    table: str = "documents",
+    group: str = "lang",
+    cols: tuple[str, ...] = ("source",),
+    k: int = 3,
+) -> str:
+    parts = [
+        f"""SELECT {group} AS "group", '{c}' AS "column",
+  CAST({c} AS VARCHAR) AS value, count(*) AS count
+FROM {table} WHERE {c} IS NOT NULL GROUP BY 1, 3"""
+        for c in cols
+    ]
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH vc AS ({union})
+SELECT "group", "column", value, count,
+  CAST(row_number() OVER (PARTITION BY "group", "column"
+       ORDER BY count DESC, value ASC) AS BIGINT) AS rank
+FROM vc
+QUALIFY rank <= {k}
+ORDER BY "group", "column", rank
+"""
