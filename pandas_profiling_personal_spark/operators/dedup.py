@@ -805,10 +805,21 @@ def span_dedup(
         ).alias("text_deduped"),
         F.count(F.lit(1)).alias("n_spans_kept"),
     )
-    totals = occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    # per-doc span totals ARITHMETICALLY (ceil(n_tokens / k), min 1 — the
+    # whole-doc fallback): size(spans) would rebuild every span string just
+    # to count them, and re-grouping the exploded table would re-evaluate
+    # the HOF (subtree reuse only applies to exchanges, not scans)
+    totals = df.select(
+        S.col(id_col).alias("doc_id"),
+        F.greatest(
+            F.ceil(
+                F.size(F.split(S.col(text_col), " ")) / F.lit(float(k))
+            ).cast("long"),
+            F.lit(1).cast("long"),
+        ).alias("n_spans"),
+    )
     return (
-        df.select(S.col(id_col).alias("doc_id"))
-        .join(totals, "doc_id", "left")
+        totals  # one row per corpus doc already — no extra id scan needed
         .join(rebuilt, "doc_id", "left")
         .select(
             "doc_id",

@@ -133,13 +133,20 @@ def apply_mixture(
         .cast("double")
         / F.lit(_HASH_SPACE)
     )
-    p = F.broadcast(plan.select("group", "sampling_rate"))
-    rate = F.coalesce(F.col("sampling_rate"), F.lit(0.0))
+    # __mix_-prefixed join columns so a corpus column named "group" or
+    # "sampling_rate" is never shadowed or dropped
+    p = F.broadcast(
+        plan.select(
+            F.col("group").alias("__mix_group"),
+            F.col("sampling_rate").alias("__mix_rate"),
+        )
+    )
+    rate = F.coalesce(F.col("__mix_rate"), F.lit(0.0))
     n_copies = (
         F.floor(rate) + F.when(u < rate - F.floor(rate), 1).otherwise(0)
     ).cast("int")
     return (
-        df.join(p, S.col(group_col) == p["group"], "left")
+        df.join(p, S.col(group_col) == p["__mix_group"], "left")
         .withColumn(
             "epoch",
             # guard: sequence(1, 0) would infer step -1 and emit [1, 0]
@@ -149,7 +156,7 @@ def apply_mixture(
                 ).otherwise(F.array().cast("array<int>"))
             ),
         )
-        .drop("group", "sampling_rate")
+        .drop("__mix_group", "__mix_rate")
     )
 
 
