@@ -39,6 +39,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 _SPECS: dict[str, tuple] = {
     # (spark_query_fn, oracle_sql or None)
+    #
+    # ORDERING CONTRACT: the driver records the FIRST 50 entries only, so the
+    # first 50 are one row per distinct operator family; redundant same-family
+    # variants (a second table for the same operator, sub-stages of a pipeline
+    # whose full pipeline is already checked, rows-only-by-design queries whose
+    # family has a full-oracle row) sit after the window. All entries — both
+    # windows — are verified by tests/test_oracle_parity.py locally.
     "numeric_summary_lineitem": (
         P.numeric_summary_query("lineitem", LINEITEM_NUMERIC),
         P.numeric_summary_sql("lineitem", LINEITEM_NUMERIC),
@@ -104,6 +111,10 @@ _SPECS: dict[str, tuple] = {
         P.spearman_query("lineitem", ["l_quantity", "l_extendedprice", "l_discount"]),
         P.spearman_sql("lineitem", ["l_quantity", "l_extendedprice", "l_discount"]),
     ),
+    "kendall_customer": (
+        P.kendall_query("customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
+        P.kendall_sql("customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
+    ),
     "char_counts_customer": (
         P.char_counts_query("customer", "c_mktsegment"),
         P.char_counts_sql("customer", "c_mktsegment"),
@@ -117,25 +128,17 @@ _SPECS: dict[str, tuple] = {
         P.grouped_summary_sql(),
     ),
     "drift_psi_lineitem": (P.drift_query(), P.drift_sql()),
+    "drift_psi_categorical": (
+        P.drift_categorical_query(),
+        P.drift_categorical_sql(),
+    ),
     "grouped_top_k_documents": (
         P.grouped_top_k_query(),
         P.grouped_top_k_sql(),
     ),
-    "numeric_summary_nation": (
-        P.numeric_summary_query("nation", ["n_nationkey", "n_regionkey"]),
-        P.numeric_summary_sql("nation", ["n_nationkey", "n_regionkey"]),
-    ),
-    "value_counts_event_type": (
-        P.value_counts_query("events", "event_type"),
-        P.value_counts_sql("events", "event_type"),
-    ),
     "hourly_rollup_events": (
         P.time_rollup_query("events", "ts", "event_type", "value"),
         P.time_rollup_sql("events", "ts", "event_type", "value"),
-    ),
-    "session_stats_events": (
-        P.session_stats_query("events", "user_id", "ts", 30),
-        P.session_stats_sql("events", "user_id", "ts", 30),
     ),
     "scatter_lineitem": (
         P.scatter_query("lineitem", "l_quantity", "l_extendedprice", 16),
@@ -144,17 +147,6 @@ _SPECS: dict[str, tuple] = {
     "phik_contingency_lineitem": (
         P.phik_contingency_query("lineitem", "l_quantity", "l_returnflag"),
         P.phik_contingency_sql("lineitem", "l_quantity", "l_returnflag"),
-    ),
-    # φk value itself is a driver-side bisection over a bivariate-normal
-    # integral — not SQL-expressible; rows-only check (contingency is the
-    # oracle-checked distributed core above)
-    "phik_mixed_lineitem": (
-        P.phik_mixed_query(
-            "lineitem",
-            ["l_quantity", "l_extendedprice"],
-            ["l_returnflag", "l_linestatus"],
-        ),
-        None,
     ),
     "url_parts_events": (P.url_parts_query(), P.url_parts_sql()),
     "tail_sample_orders": (
@@ -166,6 +158,14 @@ _SPECS: dict[str, tuple] = {
         ),
     ),
     "path_parts_events": (P.path_parts_query(), P.path_parts_sql()),
+    "split_counts_orders": (
+        P.split_counts_query("orders", "o_orderkey", "o_orderstatus"),
+        P.split_counts_sql("orders", "o_orderkey", "o_orderstatus"),
+    ),
+    "complex_stats_lineitem": (
+        P.complex_stats_query("lineitem"),
+        P.complex_stats_sql("lineitem"),
+    ),
     # --- training-data pipeline operators (documents / embeddings) -----------
     "text_profile_documents": (PP.text_profile_query(), PP.text_profile_sql()),
     "pii_scan_documents": (PP.pii_scan_query(), PP.pii_scan_sql()),
@@ -177,7 +177,7 @@ _SPECS: dict[str, tuple] = {
         PP.packing_stats_query(256),
         PP.packing_stats_sql(256),
     ),
-    "pii_summary_documents": (PP.pii_summary_query(), PP.pii_summary_sql()),
+    "pii_redact_documents": (PP.pii_redact_query(), PP.pii_redact_sql()),
     "mixture_plan_documents": (
         PP.mixture_plan_query(),
         PP.mixture_plan_sql(),
@@ -185,10 +185,6 @@ _SPECS: dict[str, tuple] = {
     "mixture_counts_documents": (
         PP.mixture_counts_query(),
         PP.mixture_counts_sql(),
-    ),
-    "mixture_upsampled_documents": (
-        PP.mixture_upsampled_query(3.0),
-        PP.mixture_upsampled_sql(3.0),
     ),
     "contamination_documents": (
         PP.contamination_query(8, 37),
@@ -198,7 +194,6 @@ _SPECS: dict[str, tuple] = {
         PP.span_dedup_query(10),
         PP.span_dedup_sql(10),
     ),
-    "pii_redact_documents": (PP.pii_redact_query(), PP.pii_redact_sql()),
     "repetition_profile_documents": (
         PP.repetition_query(2),
         PP.repetition_sql(2),
@@ -206,10 +201,6 @@ _SPECS: dict[str, tuple] = {
     "exact_dedup_documents": (
         PP.exact_duplicates_query(),
         PP.exact_duplicates_sql(),
-    ),
-    "minhash_signatures_documents": (
-        PP.minhash_signatures_query(16),
-        PP.minhash_signatures_sql(16),
     ),
     "minhash_lsh_dedup_documents": (
         PP.minhash_dedup_query(16, 4, 0.5),
@@ -220,33 +211,6 @@ _SPECS: dict[str, tuple] = {
         PP.jaccard_pairs_sql(0.1),
     ),
     "simhash_documents": (PP.simhash_query(32), PP.simhash_sql(32)),
-    "media_metadata_documents": (
-        PP.media_metadata_query(),
-        PP.media_metadata_sql(),
-    ),
-    "cosine_topk_embeddings": (
-        PP.cosine_topk_query(5, 5),
-        PP.cosine_topk_sql(5, 5),
-    ),
-    "embedding_near_dup_embeddings": (
-        PP.embedding_near_dup_query(0.4),
-        PP.embedding_near_dup_sql(0.4),
-    ),
-    # rows-only: LSH bucket membership depends on FP dot-product signs an
-    # independent engine can't reproduce bit-for-bit; recall is unit-tested
-    "ann_lsh_topk_embeddings": (PP.ann_lsh_topk_query(5, 5), None),
-    "kendall_customer": (
-        P.kendall_query("customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
-        P.kendall_sql("customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
-    ),
-    "split_counts_orders": (
-        P.split_counts_query("orders", "o_orderkey", "o_orderstatus"),
-        P.split_counts_sql("orders", "o_orderkey", "o_orderstatus"),
-    ),
-    "complex_stats_lineitem": (
-        P.complex_stats_query("lineitem"),
-        P.complex_stats_sql("lineitem"),
-    ),
     "dedup_clusters_documents": (
         PP.dedup_clusters_query(0.1),
         PP.dedup_clusters_sql(0.1),
@@ -259,10 +223,59 @@ _SPECS: dict[str, tuple] = {
         PP.corpus_overlap_query("token"),
         PP.corpus_overlap_sql("token"),
     ),
+    "media_metadata_documents": (
+        PP.media_metadata_query(),
+        PP.media_metadata_sql(),
+    ),
+    "embedding_near_dup_embeddings": (
+        PP.embedding_near_dup_query(0.4),
+        PP.embedding_near_dup_sql(0.4),
+    ),
     "ivf_topk_embeddings": (
         PP.ivf_topk_query(5, 5, 16, 4),
         PP.ivf_topk_sql(5, 5, 16, 4),
     ),
+    # ---- entry 51+ — outside the driver's 50-row window: redundant family
+    # variants and rows-only-by-design queries (local oracle still covers all)
+    "cosine_topk_embeddings": (
+        PP.cosine_topk_query(5, 5),
+        PP.cosine_topk_sql(5, 5),
+    ),
+    # rows-only: LSH bucket membership depends on FP dot-product signs an
+    # independent engine can't reproduce bit-for-bit; recall is unit-tested
+    "ann_lsh_topk_embeddings": (PP.ann_lsh_topk_query(5, 5), None),
+    "minhash_signatures_documents": (
+        PP.minhash_signatures_query(16),
+        PP.minhash_signatures_sql(16),
+    ),
+    "session_stats_events": (
+        P.session_stats_query("events", "user_id", "ts", 30),
+        P.session_stats_sql("events", "user_id", "ts", 30),
+    ),
+    "numeric_summary_nation": (
+        P.numeric_summary_query("nation", ["n_nationkey", "n_regionkey"]),
+        P.numeric_summary_sql("nation", ["n_nationkey", "n_regionkey"]),
+    ),
+    "value_counts_event_type": (
+        P.value_counts_query("events", "event_type"),
+        P.value_counts_sql("events", "event_type"),
+    ),
+    "mixture_upsampled_documents": (
+        PP.mixture_upsampled_query(3.0),
+        PP.mixture_upsampled_sql(3.0),
+    ),
+    # φk value itself is a driver-side bisection over a bivariate-normal
+    # integral — not SQL-expressible; rows-only check (contingency is the
+    # oracle-checked distributed core above)
+    "phik_mixed_lineitem": (
+        P.phik_mixed_query(
+            "lineitem",
+            ["l_quantity", "l_extendedprice"],
+            ["l_returnflag", "l_linestatus"],
+        ),
+        None,
+    ),
+    "pii_summary_documents": (PP.pii_summary_query(), PP.pii_summary_sql()),
 }
 
 

@@ -562,7 +562,8 @@ def kendall_matrix_distributed(
     across the cluster. Tie terms (tx, ty, txy) AND the contingency both
     derive from one (pid, x, y) pre-aggregation, so the exploded pair table
     is scanned only twice (once into that aggregate, once by the folded
-    inversion pass). FOUR constant actions for the WHOLE matrix; every
+    inversion pass). TWO constant actions for the WHOLE matrix (edge sketch
+    + one tagged-union collect of contingency/ties/inversions); every
     shuffle is keyed by (pair, bucket).
 
     Group-size bound under ties (ADVICE r3): a value whose mass spans >=2 of
@@ -694,34 +695,31 @@ def kendall_matrix_distributed(
             F.count(F.lit(1)).alias("c")
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
-        # action 1 — (pid, bx, by) contingency re-aggregated from xy:
-        # bounded by pairs * n_buckets²
-        cont = xy.groupBy("pid", "bx", "by").agg(
-            F.sum("c").alias("n")
-        ).collect()
+        # (pid, bx, by) contingency re-aggregated from xy: bounded by
+        # pairs * n_buckets²
+        cont_df = xy.groupBy("pid", "bx", "by").agg(
+            F.sum("c").cast("double").alias("v1")
+        )
 
-        # action 2 — tie terms, combine-friendly re-aggregations of xy
-        # joined pid-wise (tiny) into a single collect
+        # tie terms: combine-friendly re-aggregations of xy joined pid-wise
         pair_tie = F.sum(F.col("c") * (F.col("c") - 1) / 2)
         stats = xy.groupBy("pid").agg(
-            F.sum("c").alias("n"), pair_tie.alias("txy")
+            F.sum("c").cast("double").alias("v1"), pair_tie.alias("v4")
         )
         tx = (
             xy.groupBy("pid", "x").agg(F.sum("c").alias("c"))
-            .groupBy("pid").agg(pair_tie.alias("tx"))
+            .groupBy("pid").agg(pair_tie.alias("v2"))
         )
         ty = (
             xy.groupBy("pid", "y").agg(F.sum("c").alias("c"))
-            .groupBy("pid").agg(pair_tie.alias("ty"))
+            .groupBy("pid").agg(pair_tie.alias("v3"))
         )
-        tie_rows = stats.join(tx, "pid").join(ty, "pid").collect()
-        xy.unpersist()
+        ties_df = stats.join(tx, "pid").join(ty, "pid")
 
-        # action 3 — BOTH strict-discordance kernels in ONE keyed pass
-        # (VERDICT r3 #8: the two applyInPandas branches each re-shuffled the
-        # table; a tag column folds them into a single exchange). tag 0 =
-        # same-bx groups sorting (x, y); tag 1 = same-by groups sorting
-        # (bx, y).
+        # BOTH strict-discordance kernels in ONE keyed pass (VERDICT r3 #8:
+        # the two applyInPandas branches each re-shuffled the table; a tag
+        # column folds them into a single exchange). tag 0 = same-bx groups
+        # sorting (x, y); tag 1 = same-by groups sorting (bx, y).
         def kernel(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
             xcol = "x" if key[1] == 0 else "bx"
             return pd.DataFrame(
@@ -744,11 +742,48 @@ def kendall_matrix_distributed(
             "gk",
             F.when(F.col("tag") == 0, F.col("bx")).otherwise(F.col("by")),
         )
-        inv_rows = (
+        inv_df = (
             tagged.groupBy("pid", "tag", "gk")
             .applyInPandas(kernel, "pid string, inv long")
-            .groupBy("pid").agg(F.sum("inv").alias("inv")).collect()
+            .groupBy("pid").agg(F.sum("inv").cast("double").alias("v1"))
         )
+
+        # action 2 (of 2 total; action 1 was the edge sketch) — contingency,
+        # tie terms and inversion totals collected in ONE tagged-union action
+        # (VERDICT r4 #3: each was its own action; three driver round-trips
+        # per matrix were pure constant-factor overhead). The persisted
+        # base/xy subtrees are shared across the three branches.
+        def widen(df_, kind, with_bxby, cols):
+            sel = [F.lit(kind).alias("kind"), "pid"]
+            sel += (
+                [
+                    F.col("bx").cast("long").alias("bx"),
+                    F.col("by").cast("long").alias("by"),
+                ]
+                if with_bxby
+                else [
+                    F.lit(None).cast("long").alias("bx"),
+                    F.lit(None).cast("long").alias("by"),
+                ]
+            )
+            for name in ("v1", "v2", "v3", "v4"):
+                sel.append(
+                    F.col(name).cast("double").alias(name)
+                    if name in cols
+                    else F.lit(None).cast("double").alias(name)
+                )
+            return df_.select(*sel)
+
+        all_rows = (
+            widen(cont_df, 0, True, {"v1"})
+            .unionByName(widen(ties_df, 1, False, {"v1", "v2", "v3", "v4"}))
+            .unionByName(widen(inv_df, 2, False, {"v1"}))
+            .collect()
+        )
+        xy.unpersist()
+        cont = [r for r in all_rows if r["kind"] == 0]
+        tie_rows = [r for r in all_rows if r["kind"] == 1]
+        inv_rows = [r for r in all_rows if r["kind"] == 2]
     finally:
         base.unpersist()
 
@@ -756,7 +791,9 @@ def kendall_matrix_distributed(
     cross: dict[str, int] = {}
     by_pid: dict[str, list] = {}
     for r in cont:
-        by_pid.setdefault(r["pid"], []).append((r["bx"], r["by"], r["n"]))
+        by_pid.setdefault(r["pid"], []).append(
+            (r["bx"], r["by"], int(r["v1"]))
+        )
     for pid, cells in by_pid.items():
         if not cells:
             cross[pid] = 0
@@ -777,7 +814,7 @@ def kendall_matrix_distributed(
         cross[pid] = total
 
     inv_map: dict[str, int] = {
-        r["pid"]: int(r["inv"] or 0) for r in inv_rows
+        r["pid"]: int(r["v1"] or 0) for r in inv_rows
     }
 
     out: dict[tuple[str, str], float | None] = {p: None for p in const_pairs}
@@ -785,12 +822,12 @@ def kendall_matrix_distributed(
     for pi, (a, b) in enumerate(pairs):
         pid = str(pi)
         t = ties.get(pid)
-        if t is None or t["n"] < 2:
+        if t is None or t["v1"] < 2:
             out[(a, b)] = None
             continue
-        n = t["n"]
+        n = t["v1"]
         tot = n * (n - 1) / 2.0
-        tx_v, ty_v, txy_v = float(t["tx"]), float(t["ty"]), float(t["txy"])
+        tx_v, ty_v, txy_v = float(t["v2"]), float(t["v3"]), float(t["v4"])
         d = cross.get(pid, 0) + inv_map.get(pid, 0)
         denom = math.sqrt((tot - tx_v) * (tot - ty_v))
         if denom == 0:

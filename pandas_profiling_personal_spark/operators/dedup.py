@@ -636,13 +636,18 @@ def hashed_word_shingles(c: Column, k: int = 8) -> Column:
         return acc
 
     def build(h: Column) -> Column:
+        # empty token arrays yield NULL (no shingle at all), NOT the
+        # aggregate's initial accumulator 0 — otherwise every empty/
+        # punctuation-only doc shares hash 0 and falsely cross-matches
+        # (mirrors the string tier's shingle != '' guard)
         return F.when(
             F.size(h) >= k,
             F.transform(
                 F.sequence(F.lit(0), F.size(h) - k),
                 lambda i: window_hash(h, i),
             ),
-        ).otherwise(
+        ).when(
+            F.size(h) > 0,
             F.array(
                 F.aggregate(
                     h,
@@ -650,7 +655,7 @@ def hashed_word_shingles(c: Column, k: int = 8) -> Column:
                     lambda a, x: ((a % F.lit(1 << 55)) * 31 + x)
                     % F.lit(1 << 55),
                 )
-            )
+            ),
         )
 
     th = F.transform(
@@ -809,14 +814,21 @@ def span_dedup(
     # whole-doc fallback): size(spans) would rebuild every span string just
     # to count them, and re-grouping the exploded table would re-evaluate
     # the HOF (subtree reuse only applies to exchanges, not scans)
+    # null text → 0 spans (split(null) produced no occ rows, so flooring at 1
+    # would make null-text docs indistinguishable from docs whose only span
+    # was removed as a duplicate — and diverge from the oracle SQL)
     totals = df.select(
         S.col(id_col).alias("doc_id"),
-        F.greatest(
-            F.ceil(
-                F.size(F.split(S.col(text_col), " ")) / F.lit(float(k))
-            ).cast("long"),
-            F.lit(1).cast("long"),
-        ).alias("n_spans"),
+        F.when(S.col(text_col).isNull(), F.lit(0).cast("long"))
+        .otherwise(
+            F.greatest(
+                F.ceil(
+                    F.size(F.split(S.col(text_col), " ")) / F.lit(float(k))
+                ).cast("long"),
+                F.lit(1).cast("long"),
+            )
+        )
+        .alias("n_spans"),
     )
     return (
         totals  # one row per corpus doc already — no extra id scan needed

@@ -63,6 +63,21 @@ def drift_profile(
         if los and his:
             edges[c] = (min(los), max(his))
 
+    # columns that are all-null/NaN on BOTH sides have no edges: emit an
+    # explicit (psi=null, n=0) row rather than silently dropping them, and
+    # short-circuit when NO column has edges (F.array() over zero structs is
+    # VOID-typed and would fail the .select below)
+    no_edges = (
+        df_a.sparkSession.createDataFrame(
+            [(c, 0, 0, None, None) for c in columns if c not in edges],
+            "column string, n_a long, n_b long, psi double, max_shift_bucket long",
+        )
+        if len(edges) < len(columns)
+        else None
+    )
+    if not edges:
+        return no_edges.orderBy("column")
+
     def bucket_counts(df, side: str):
         structs = [
             F.struct(
@@ -116,20 +131,19 @@ def drift_profile(
         n_a.alias("n_a"), n_b.alias("n_b"),
         term.alias("term"), shift.alias("shift"),
     )
-    return (
-        per_bucket.groupBy("column")
-        .agg(
-            F.max("n_a").alias("n_a"),
-            F.max("n_b").alias("n_b"),
-            F.round(F.sum("term"), round_to).alias("psi"),
-            # lexicographic (shift, bucket) makes ties deterministic —
-            # required for cross-engine reproducibility
-            F.max_by(
-                "bucket", F.struct(F.col("shift"), F.col("bucket"))
-            ).alias("max_shift_bucket"),
-        )
-        .orderBy("column")
+    out = per_bucket.groupBy("column").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.round(F.sum("term"), round_to).alias("psi"),
+        # lexicographic (shift, bucket) makes ties deterministic —
+        # required for cross-engine reproducibility
+        F.max_by(
+            "bucket", F.struct(F.col("shift"), F.col("bucket"))
+        ).alias("max_shift_bucket"),
     )
+    if no_edges is not None:
+        out = out.unionByName(no_edges)
+    return out.orderBy("column")
 
 
 def _col_window():
@@ -137,3 +151,115 @@ def _col_window():
 
     # per-column window over the bins x columns grid — bounded rows by design
     return Window.partitionBy("column")
+
+
+def drift_profile_categorical(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    columns: list[str],
+    top_n: int = 20,
+    eps: float = 1e-6,
+    round_to: int = 6,
+    other_label: str = "__other__",
+) -> DataFrame:
+    """Per-column PSI over CATEGORICAL value proportions between two
+    snapshots: ``(column, n_a, n_b, psi, max_shift_value)`` ordered by
+    column. This is the most common real drift question for an LLM corpus —
+    did the language mix / source mix / license mix move between crawls —
+    which the numeric tier (``drift_profile``) cannot answer (it casts
+    categories to NULL doubles).
+
+    Buckets are the top-``top_n`` values of each column by COMBINED count
+    (ties broken by value ascending — deterministic cross-engine), with
+    everything else folded into ``other_label``. Proportions are ε-smoothed
+    exactly like the numeric tier, with the per-column bucket count as the
+    smoothing denominator's bin term. Nulls are excluded from both sides
+    (count drift shows in n_a/n_b); columns with no non-null value on either
+    side get an explicit (psi=null, n=0) row.
+
+    100 TB shape: both snapshots are melted and reduced by ONE shared
+    (column, value) exchange (map-side combined, side-conditional counts) —
+    the same shape as value_counts over all columns. Every subsequent step
+    (rank, other-fold, PSI) runs on the bounded (column, distinct-value)
+    aggregate. The per-column rank window assumes true categoricals
+    (distinct values per column ≪ rows); an ID-like column makes the
+    aggregate itself large, as it would for value_counts.
+    """
+    from pyspark.sql import Window
+
+    if not columns:
+        raise ValueError("columns must name at least one column")
+
+    def melt(df, side: str):
+        structs = [
+            F.struct(
+                F.lit(c).alias("column"),
+                S.col(c).cast("string").alias("value"),
+            )
+            for c in columns
+        ]
+        return df.select(F.explode(F.array(*structs)).alias("kv")).select(
+            "kv.column",
+            "kv.value",
+            F.lit(side).alias("side"),
+        )
+
+    counts = (
+        melt(df_a, "a")
+        .unionByName(melt(df_b, "b"))
+        .where(F.col("value").isNotNull())
+        .groupBy("column", "value")
+        .agg(
+            F.count(F.when(F.col("side") == "a", 1)).alias("c_a"),
+            F.count(F.when(F.col("side") == "b", 1)).alias("c_b"),
+        )
+    )
+    # rank on the bounded per-(column,value) aggregate; (count desc, value
+    # asc) makes the top-N cut deterministic and oracle-reproducible
+    rank_w = Window.partitionBy("column").orderBy(
+        (F.col("c_a") + F.col("c_b")).desc(), F.col("value").asc()
+    )
+    folded = (
+        counts.withColumn("rk", F.row_number().over(rank_w))
+        .select(
+            "column",
+            F.when(F.col("rk") <= top_n, F.col("value"))
+            .otherwise(F.lit(other_label))
+            .alias("value"),
+            "c_a",
+            "c_b",
+        )
+        .groupBy("column", "value")
+        .agg(F.sum("c_a").alias("c_a"), F.sum("c_b").alias("c_b"))
+    )
+    w = _col_window()
+    n_a = F.sum("c_a").over(w)
+    n_b = F.sum("c_b").over(w)
+    n_buckets = F.count(F.lit(1)).over(w)
+    pa = (F.col("c_a") + F.lit(eps)) / (n_a + F.lit(eps) * n_buckets)
+    pb = (F.col("c_b") + F.lit(eps)) / (n_b + F.lit(eps) * n_buckets)
+    term = (pa - pb) * F.log(pa / pb)
+    shift = F.abs(pa - pb)
+    per_value = folded.select(
+        "column",
+        "value",
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        term.alias("term"),
+        shift.alias("shift"),
+    )
+    out = per_value.groupBy("column").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.round(F.sum("term"), round_to).alias("psi"),
+        F.max_by(
+            "value", F.struct(F.col("shift"), F.col("value"))
+        ).alias("max_shift_value"),
+    )
+    # explicit rows for columns that are all-null on both sides — they have
+    # no (column, value) row at all and would otherwise vanish
+    empties = df_a.sparkSession.createDataFrame(
+        [(c, 0, 0, None, None) for c in columns],
+        "column string, n_a long, n_b long, psi double, max_shift_value string",
+    ).join(out.select("column"), "column", "left_anti")
+    return out.unionByName(empties).orderBy("column")

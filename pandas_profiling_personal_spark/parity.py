@@ -1297,6 +1297,93 @@ def drift_sql(
     )
 
 
+def drift_categorical_query(
+    cols: tuple[str, ...] = ("lang", "source"),
+    top_n: int = 8,
+) -> QueryFn:
+    """Baseline = full documents; candidate = the lang <> 'de' slice — the
+    language mix shifts hard (de vanishes), the source mix barely moves.
+    top_n=8 exercises the __other__ fold on source (20 values) and the
+    no-fold path on lang (5 values)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.drift import (
+            drift_profile_categorical,
+        )
+
+        docs = load(spark, sf_dir, "documents")
+        cand = docs.where(
+            F.col("lang").isNull() | (F.col("lang") != "de")
+        )
+        return drift_profile_categorical(docs, cand, list(cols), top_n=top_n)
+
+    return fn
+
+
+def drift_categorical_sql(
+    cols: tuple[str, ...] = ("lang", "source"),
+    top_n: int = 8,
+    eps: float = 1e-6,
+) -> str:
+    cand = "lang IS NULL OR lang <> 'de'"
+    melts = []
+    for c in cols:
+        melts.append(
+            f"SELECT '{c}' AS \"column\", CAST({c} AS VARCHAR) AS value,"
+            f" 'a' AS side FROM documents"
+        )
+        melts.append(
+            f"SELECT '{c}', CAST({c} AS VARCHAR), 'b' FROM documents WHERE {cand}"
+        )
+    union = "\nUNION ALL\n".join(melts)
+    e = repr(eps)
+    return f"""
+WITH m AS (
+{union}
+),
+counts AS (
+  SELECT "column", value,
+    count(*) FILTER (side = 'a') AS c_a,
+    count(*) FILTER (side = 'b') AS c_b
+  FROM m WHERE value IS NOT NULL GROUP BY 1, 2
+),
+folded0 AS (
+  SELECT "column",
+    CASE WHEN row_number() OVER (PARTITION BY "column"
+           ORDER BY c_a + c_b DESC, value ASC) <= {top_n}
+         THEN value ELSE '__other__' END AS value,
+    c_a, c_b
+  FROM counts
+),
+folded AS (
+  SELECT "column", value, sum(c_a) AS c_a, sum(c_b) AS c_b
+  FROM folded0 GROUP BY 1, 2
+),
+t AS (
+  SELECT "column", value, c_a, c_b,
+    sum(c_a) OVER (PARTITION BY "column") AS n_a,
+    sum(c_b) OVER (PARTITION BY "column") AS n_b,
+    count(*) OVER (PARTITION BY "column") AS nb
+  FROM folded
+),
+s AS (
+  SELECT "column", value, n_a, n_b,
+    ((c_a + {e}) / (n_a + {e} * nb) - (c_b + {e}) / (n_b + {e} * nb))
+      * ln(((c_a + {e}) / (n_a + {e} * nb)) / ((c_b + {e}) / (n_b + {e} * nb))) AS term,
+    abs((c_a + {e}) / (n_a + {e} * nb) - (c_b + {e}) / (n_b + {e} * nb)) AS shift
+  FROM t
+),
+msv AS (
+  SELECT *, first_value(value) OVER (PARTITION BY "column"
+    ORDER BY shift DESC, value DESC) AS max_shift_value
+  FROM s
+)
+SELECT "column", CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+  round(sum(term), 6) AS psi, max(max_shift_value) AS max_shift_value
+FROM msv GROUP BY 1 ORDER BY 1
+"""
+
+
 def grouped_top_k_query(
     table: str = "documents",
     group: str = "lang",

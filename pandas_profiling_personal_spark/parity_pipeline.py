@@ -805,9 +805,13 @@ SELECT doc_id, md5({expr}) AS redacted_md5 FROM spiked
 
 
 def quality_filter_query() -> QueryFn:
+    # the driver's canonicalizer sorts the result frame; an array column is
+    # unhashable for pandas sort_values, so the parity surface joins it to a
+    # CSV string — the library operator (TX.quality_filter) keeps the array
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return TX.quality_filter(
-            load(spark, sf_dir, "documents"), "text", "doc_id"
+        out = TX.quality_filter(load(spark, sf_dir, "documents"), "text", "doc_id")
+        return out.withColumn(
+            "reject_reasons", F.array_join("reject_reasons", ",")
         )
 
     return fn
@@ -822,14 +826,14 @@ WITH tp AS (
 {profile_cte}
 )
 SELECT doc_id, quality_score,
-  list_filter([
+  coalesce(array_to_string(list_filter([
     CASE WHEN n_tokens IS NULL THEN 'null_text' END,
     CASE WHEN n_tokens < 10 THEN 'too_short' END,
     CASE WHEN n_tokens > 100000 THEN 'too_long' END,
     CASE WHEN punct_ratio > 0.2 THEN 'high_punct' END,
     CASE WHEN stopword_ratio < 0.05 THEN 'low_stopword' END,
     CASE WHEN quality_score < 0.5 THEN 'low_quality' END
-  ], x -> x IS NOT NULL) AS reject_reasons,
+  ], x -> x IS NOT NULL), ','), '') AS reject_reasons,
   len(list_filter([
     CASE WHEN n_tokens IS NULL THEN 'null_text' END,
     CASE WHEN n_tokens < 10 THEN 'too_short' END,

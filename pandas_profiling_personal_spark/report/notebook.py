@@ -89,7 +89,11 @@ def to_app(
         view.load(QUrl.fromLocalFile(out.name))
         view.show()
         app.exec_()
-    except ImportError:
+    except Exception:
+        # not just ImportError: Qt can import fine yet fail at runtime
+        # (headless host, no DISPLAY — QApplication/QWebEngineView raise or
+        # abort construction). The caller must still receive the written
+        # HTML path, so ANY Qt failure falls through to the browser tier.
         if open_browser:
             try:
                 webbrowser.open(f"file://{out.name}")

@@ -157,6 +157,57 @@ def test_span_dedup_first_occurrence_wins(spark):
     assert out3[1]["n_spans_kept"] == 1 and out3[2]["n_spans_kept"] == 0
 
 
+def test_span_dedup_null_text(spark):
+    """Null-text docs report n_spans == 0 (NOT the floored 1), so they are
+    distinguishable from docs whose only span was removed as a duplicate."""
+    from pandas_profiling_personal_spark.operators.dedup import span_dedup
+
+    boiler = "the quick brown fox jumps over the lazy dog again"
+    df = spark.createDataFrame(
+        [(1, boiler), (2, boiler), (3, None)], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r for r in span_dedup(df, span_words=10).collect()}
+    assert (out[2]["n_spans"], out[2]["n_spans_kept"]) == (1, 0)  # dup removed
+    assert (out[3]["n_spans"], out[3]["n_spans_kept"]) == (0, 0)  # null text
+    assert out[3]["text_deduped"] == ""
+
+
+def test_contamination_hash_tier_empty_docs(spark):
+    """Empty/punctuation-only docs must NOT cross-match in hash shingle mode:
+    the empty token array yields NULL (no shingle), not the aggregate's
+    initial accumulator 0 shared by every empty doc."""
+    from pandas_profiling_personal_spark.operators.dedup import (
+        contamination_keep_list,
+        hashed_word_shingles,
+    )
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [(1, ""), (2, "..!!.."), (3, "a real document with several words here")],
+        "doc_id bigint, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(1, ""), (2, "totally unrelated benchmark prose")],
+        "doc_id bigint, text string",
+    )
+    for repr_ in ("string", "hash"):
+        out = {
+            r["doc_id"]: r["keep"]
+            for r in contamination_keep_list(
+                corpus, benchmark, shingle_k=8, shingle_repr=repr_
+            ).collect()
+        }
+        assert out == {1: True, 2: True, 3: True}, (repr_, out)
+
+    # unit level: empty token array -> NULL shingle array
+    row = (
+        spark.range(1)
+        .select(hashed_word_shingles(F.lit("  "), 8).alias("sh"))
+        .first()
+    )
+    assert row["sh"] is None
+
+
 def test_span_dedup_invariants_random(spark):
     """Property: with every span eligible, (1) summed kept spans == count of
     DISTINCT spans in the corpus (each survives exactly once), (2) total

@@ -609,6 +609,46 @@ def test_kendall_single_group_escape_hatch_retired():
     assert "kendall_matrix_distributed" in inspect.getsource(C.kendall_matrix_df)
 
 
+def test_kendall_two_action_budget(spark):
+    """VERDICT r4 #3: the Kendall matrix runs TWO actions — the edge sketch
+    and ONE tagged-union collect of contingency + tie terms + inversions.
+    AQE splits each action into several jobs, so the gate is a job budget
+    well under what the old 4-action form produced."""
+    import random
+
+    from pandas_profiling_personal_spark.operators.correlations import (
+        kendall_matrix_distributed,
+        kendall_tau_b,
+    )
+
+    rng = random.Random(7)
+    data = [[rng.gauss(0, 1) for _ in range(400)] for _ in range(3)]
+    rows = list(zip(*data))
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    sc = spark.sparkContext
+    sc.setJobGroup("kendall-budget", "kendall job budget")
+    try:
+        m = kendall_matrix_distributed(df, ["a", "b", "c"], n_buckets=8)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("kendall-budget")
+    # AQE materializes each exchange as its own job (~19 for the matrix), so
+    # raw job count is a weak action proxy — the bound only has to catch a
+    # regression to per-pair scheduling (O(pairs) actions, 30+ jobs here)
+    assert len(jobs) <= 24, f"kendall exceeded job budget: {len(jobs)}"
+    # the hard action gate: exactly TWO collect sites in the source — the
+    # edge sketch and the tagged-union (contingency+ties+inversions) collect.
+    # Measured on 30k rows x 3 cols: 2.80 s -> 1.98 s steady-state vs the
+    # 4-action r4 form, byte-identical taus.
+    import inspect
+
+    src = inspect.getsource(kendall_matrix_distributed)
+    assert src.count(".collect()") == 2, src.count(".collect()")
+    # and it must still be exact
+    expect = kendall_tau_b(data[0], data[1])
+    assert abs(m[("a", "b")] - expect) < 1e-12
+
+
 def test_profile_correlations_constant_job_count(spark):
     """VERDICT r1 #2: cramers+phik over many categorical columns must run a
     CONSTANT number of Spark jobs (batched contingency), not one per pair."""
@@ -677,3 +717,72 @@ def test_drift_profile_psi_semantics(spark):
     assert d["x"]["psi"] > 0.5, d["x"]["psi"]           # 2-sigma mean shift
     assert abs(d["u"]["psi"]) < 0.05, d["u"]["psi"]      # unshifted
     assert abs(d["k"]["psi"]) < 1e-9                      # constant column
+
+
+def test_drift_profile_all_null_columns(spark):
+    """Columns all-null/NaN on both sides get an explicit (psi=null, n=0)
+    row instead of vanishing, and an all-columns-all-null call returns a
+    well-typed frame instead of raising (F.array() over zero structs is
+    VOID-typed)."""
+    from pandas_profiling_personal_spark.operators.drift import drift_profile
+
+    df = spark.createDataFrame(
+        [(1.0, None, float("nan")) for _ in range(10)],
+        "x double, dead double, nan_col double",
+    )
+    out = {
+        r["column"]: r
+        for r in drift_profile(df, df, ["x", "dead", "nan_col"]).collect()
+    }
+    assert set(out) == {"x", "dead", "nan_col"}
+    for c in ("dead", "nan_col"):
+        assert out[c]["psi"] is None
+        assert out[c]["n_a"] == out[c]["n_b"] == 0
+        assert out[c]["max_shift_bucket"] is None
+    assert out["x"]["n_a"] == 10
+
+    only_null = drift_profile(df, df, ["dead", "nan_col"]).collect()
+    assert [r["column"] for r in only_null] == ["dead", "nan_col"]
+    assert all(r["psi"] is None for r in only_null)
+
+
+def test_drift_profile_categorical_semantics(spark):
+    """Categorical PSI: identical snapshots read ~0; removing a category
+    reads large on that column only; values beyond top_n fold into
+    __other__; all-null columns get an explicit null-psi row."""
+    from pandas_profiling_personal_spark.operators.drift import (
+        drift_profile_categorical,
+    )
+
+    rows = [
+        (["en", "de", "fr", "es", "zh"][i % 5], f"src{i % 12}", None)
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "lang string, source string, dead string")
+    cols = ["lang", "source", "dead"]
+
+    same = {
+        r["column"]: r
+        for r in drift_profile_categorical(df, df, cols, top_n=8).collect()
+    }
+    assert abs(same["lang"]["psi"]) < 1e-9
+    assert abs(same["source"]["psi"]) < 1e-9
+    assert same["dead"]["psi"] is None and same["dead"]["n_a"] == 0
+    assert same["lang"]["n_a"] == same["lang"]["n_b"] == 600
+
+    cand = df.where("lang <> 'de'")
+    d = {
+        r["column"]: r
+        for r in drift_profile_categorical(df, cand, cols, top_n=8).collect()
+    }
+    assert d["lang"]["psi"] > 0.2, d["lang"]["psi"]
+    assert d["lang"]["max_shift_value"] == "de"
+    assert abs(d["source"]["psi"]) < 0.01, d["source"]["psi"]
+
+    # top_n=3 on a 12-value column: the fold must conserve counts (n_a is
+    # the total non-null count, not just the top-3 mass)
+    folded = {
+        r["column"]: r
+        for r in drift_profile_categorical(df, cand, ["source"], top_n=3).collect()
+    }
+    assert folded["source"]["n_a"] == 600
