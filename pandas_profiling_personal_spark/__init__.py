@@ -20,6 +20,7 @@ from pandas_profiling_personal_spark.config import (
     SENSITIVE,
     ProfileConfig,
 )
+from pandas_profiling_personal_spark.decorator import attach, detach
 from pandas_profiling_personal_spark.plans.profile import (
     ProfileResult,
     profile,
@@ -38,6 +39,8 @@ __all__ = [
     "MINIMAL",
     "SENSITIVE",
     "ProfileConfig",
+    "attach",
+    "detach",
     "ProfileResult",
     "profile",
     "profile_column",

@@ -131,6 +131,12 @@ class ProfileConfig:
     #: and use null-aware aggregates instead)
     persist: bool = True
     column_order: str = "none"  # none | asc | desc (reference: summary.py:124-132)
+    #: per-segment tier (beyond the reference): profile numeric summaries and
+    #: categorical top-K per value of this column (language / source / shard),
+    #: bounded to the top ``segment_top_n`` segments by count. Rendered as a
+    #: Segments section in the HTML report; skipped under ``redact``.
+    segment_by: str | None = None
+    segment_top_n: int = 10
 
     def with_(self, **kw) -> "ProfileConfig":
         return replace(self, **kw)

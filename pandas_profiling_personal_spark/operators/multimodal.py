@@ -484,6 +484,52 @@ def file_stats(df: DataFrame, path_col: str = "path") -> DataFrame:
     return df.mapInPandas(stat_batch, out_schema)
 
 
+def read_paths_bytes(
+    df: DataFrame,
+    path_col: str = "path",
+    content_col: str = "content",
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Append the file CONTENT of each path as a binary column — the bridge
+    from a string path column to the binary-column media operators
+    (:func:`media_metadata` / :func:`media_profile`). Executor-local reads
+    inside an Arrow-batched ``mapInPandas`` (like :func:`file_stats`); paths
+    must be visible from the executors. Unreadable paths yield NULL content.
+    ``max_bytes`` caps the read per file (header-sniff tier: dimensions/
+    format of JPEG/PNG/GIF live in the first few KB — no need to pull a
+    100 MB TIFF across to hash its header)."""
+    import os
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(content_col, T.BinaryType())]
+    )
+
+    def read_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            contents = []
+            for p in pdf[path_col]:
+                try:
+                    local = str(p)
+                    if local.startswith("file:"):
+                        local = local[len("file:") :]
+                        while local.startswith("//"):
+                            local = local[1:]
+                    if not os.path.isfile(local):
+                        contents.append(None)
+                        continue
+                    with open(local, "rb") as fh:
+                        contents.append(
+                            fh.read(max_bytes) if max_bytes else fh.read()
+                        )
+                except OSError:
+                    contents.append(None)
+            pdf = pdf.copy()
+            pdf[content_col] = contents
+            yield pdf
+
+    return df.mapInPandas(read_batch, out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     binary_col: str,

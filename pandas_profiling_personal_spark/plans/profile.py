@@ -67,6 +67,7 @@ class ProfileResult:
     alerts: list[dict[str, Any]] = field(default_factory=list)
     analysis: dict[str, Any] = field(default_factory=dict)
     package: dict[str, Any] = field(default_factory=dict)
+    segments: dict[str, Any] = field(default_factory=dict)
 
     def as_dict(self) -> dict[str, Any]:
         return {
@@ -80,6 +81,7 @@ class ProfileResult:
             "scatter": self.scatter,
             "alerts": self.alerts,
             "package": self.package,
+            "segments": self.segments,
         }
 
     def to_json(self, **kw) -> str:
@@ -394,6 +396,107 @@ def profile(
                 v[f"{kind}_parts"] = comp
                 if kind == "path":
                     v["common_prefix"] = STR.common_prefix(df, cname)
+                    # File/Image refinement (reference typeset.py:129-183
+                    # refines Path -> File when every value exists, File ->
+                    # Image by mimetype; summary_algorithms.py:384-428 then
+                    # profiles sizes / dimensions). Gate: driver-side
+                    # existence check over the ALREADY-FETCHED top-K sample —
+                    # zero extra scans unless it passes; confirmed columns
+                    # pay one executor-side stat pass (+ one bounded
+                    # header-read pass for images).
+                    import os as _os
+
+                    from pandas_profiling_personal_spark.functions import (
+                        stats as S,
+                    )
+
+                    def _local(p: str) -> str:
+                        if p.startswith("file:"):
+                            p = p[len("file:"):]
+                            while p.startswith("//"):
+                                p = p[1:]
+                        return p
+
+                    n_exist = sum(
+                        1 for s in vals if _os.path.exists(_local(s))
+                    )
+                    if n_exist >= 0.9 * len(vals):
+                        from pandas_profiling_personal_spark.operators import (
+                            multimodal as MM,
+                        )
+
+                        v["type_refined"] = "file"
+                        fs = MM.file_stats(
+                            df.select(S.col(cname).alias("path")), "path"
+                        )
+                        frow = fs.agg(
+                            F.count("path").alias("n"),
+                            F.count("file_stat").alias("n_stat"),
+                            F.min("file_stat.st_size").alias("min_size"),
+                            F.round(
+                                F.avg("file_stat.st_size"), 2
+                            ).alias("mean_size"),
+                            F.max("file_stat.st_size").alias("max_size"),
+                            F.sum("file_stat.st_size").alias("total_size"),
+                            F.min("file_stat.st_mtime").alias("min_mtime"),
+                            F.max("file_stat.st_mtime").alias("max_mtime"),
+                        ).collect()[0]
+                        v["file_stats"] = {
+                            "n_paths": frow["n"],
+                            "n_existing": frow["n_stat"],
+                            "min_size": frow["min_size"],
+                            "mean_size": frow["mean_size"],
+                            "max_size": frow["max_size"],
+                            "total_size": frow["total_size"],
+                            "min_mtime": frow["min_mtime"],
+                            "max_mtime": frow["max_mtime"],
+                        }
+                        img_exts = (
+                            ".jpg", ".jpeg", ".png", ".gif", ".bmp",
+                            ".tif", ".tiff", ".webp",
+                        )
+                        n_img = sum(
+                            1
+                            for s in vals
+                            if s.lower().endswith(img_exts)
+                        )
+                        if n_img >= 0.9 * len(vals):
+                            v["type_refined"] = "image"
+                            # header-sniff tier: dimensions/format from the
+                            # first 64 KB of each file (PIL full-decode when
+                            # importable via decoder='auto')
+                            meta = MM.media_metadata(
+                                MM.read_paths_bytes(
+                                    df.select(S.col(cname).alias("path")),
+                                    "path",
+                                    max_bytes=65536,
+                                ),
+                                "content",
+                                decoder="auto",
+                            ).select("meta.*")
+                            irow = meta.agg(
+                                F.count("format").alias("n_decoded"),
+                                F.min("width").alias("min_width"),
+                                F.max("width").alias("max_width"),
+                                F.min("height").alias("min_height"),
+                                F.max("height").alias("max_height"),
+                            ).collect()[0]
+                            fmt_rows = (
+                                meta.where(F.col("format").isNotNull())
+                                .groupBy("format")
+                                .agg(F.count(F.lit(1)).alias("cnt"))
+                                .collect()
+                            )
+                            v["image_stats"] = {
+                                "n_decoded": irow["n_decoded"],
+                                "min_width": irow["min_width"],
+                                "max_width": irow["max_width"],
+                                "min_height": irow["min_height"],
+                                "max_height": irow["max_height"],
+                                "format_dist": {
+                                    r["format"]: r["cnt"] for r in fmt_rows
+                                },
+                            }
 
         _mark("refinement")
         # pass 3 — histograms for all numeric AND datetime columns (A11 + A16;
@@ -638,6 +741,62 @@ def profile(
                 {"n_dup": d.get("n_dup")} for d in duplicates
             ]
 
+        # per-segment tier (``segment_by=``) — the view a corpus pipeline
+        # reads daily (stats per language / source / shard); the reference
+        # profiles one frame globally and has no group-by surface. Bounded:
+        # segments are capped to the top ``segment_top_n`` by count, numeric
+        # summaries + categorical top-K each run as ONE melt + ONE exchange
+        # (operators grouped_summary / grouped_top_k). Skipped under redact —
+        # segment labels are data values.
+        segments: dict[str, Any] = {}
+        if cfg.segment_by and not cfg.redact:
+            seg = cfg.segment_by
+            if seg not in types:
+                raise ValueError(
+                    f"segment_by column {seg!r} not found in DataFrame"
+                )
+            from pandas_profiling_personal_spark.functions import stats as S
+
+            seg_str = S.col(seg).cast("string")
+            top_segs = [
+                r["v"]
+                for r in df.where(seg_str.isNotNull())
+                .groupBy(seg_str.alias("v"))
+                .agg(F.count(F.lit(1)).alias("c"))
+                .orderBy(F.desc("c"), F.asc("v"))
+                .limit(cfg.segment_top_n)
+                .collect()
+            ]
+            seg_df = df.where(seg_str.isin(top_segs)) if top_segs else df
+            seg_num = [
+                c for c, vt in types.items() if vt is VT.NUMERIC and c != seg
+            ]
+            # only bounded-cardinality categoricals: a near-unique string
+            # column (free text, ids) has no meaningful per-segment top-K and
+            # would melt the whole column for nothing
+            seg_cat = [
+                c
+                for c, vt in types.items()
+                if vt is VT.CATEGORICAL
+                and c != seg
+                and (variables[c].get("n_distinct") or 0)
+                <= cfg.categorical_maximum_correlation_distinct
+            ]
+            segments = {"by": seg, "segments": top_segs}
+            if top_segs and seg_num:
+                segments["summary"] = [
+                    r.asDict()
+                    for r in SU.grouped_summary(seg_df, seg, seg_num)
+                    .collect()
+                ]
+            if top_segs and seg_cat:
+                segments["top_values"] = [
+                    r.asDict()
+                    for r in FQ.grouped_top_k(seg_df, seg, seg_cat, k=5)
+                    .collect()
+                ]
+            _mark("segments")
+
         result = ProfileResult(
             table=table,
             variables=variables,
@@ -646,6 +805,7 @@ def profile(
             sample=sample,
             duplicates=duplicates,
             scatter=scatter,
+            segments=segments,
             analysis={
                 "duration_sec": round(time.time() - t0, 3),
                 "exact": cfg.exact,

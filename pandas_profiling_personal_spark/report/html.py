@@ -353,6 +353,36 @@ def _var_section(name: str, v: dict, alerts: list[dict]) -> str:
             if v.get("complex_scatter"):
                 body += _svg_scatter(v["complex_scatter"], bins=16)
             tabs.append(("Complex", body))
+        # path columns whose values are existing files: size/mtime rollup
+        # (reference File type, summary_algorithms.py:384-405)
+        if v.get("file_stats"):
+            fsv = v["file_stats"]
+            tabs.append((
+                "File",
+                _kv_table([
+                    ("Paths", fsv.get("n_paths")),
+                    ("Existing", fsv.get("n_existing")),
+                    ("Min size", fsv.get("min_size")),
+                    ("Mean size", fsv.get("mean_size")),
+                    ("Max size", fsv.get("max_size")),
+                    ("Total size", fsv.get("total_size")),
+                ]),
+            ))
+        # image-path columns: dimension/format rollup (reference Image type,
+        # summary_algorithms.py:407-428)
+        if v.get("image_stats"):
+            isv = v["image_stats"]
+            body = _kv_table([
+                ("Decoded", isv.get("n_decoded")),
+                ("Min width", isv.get("min_width")),
+                ("Max width", isv.get("max_width")),
+                ("Min height", isv.get("min_height")),
+                ("Max height", isv.get("max_height")),
+            ])
+            dist = isv.get("format_dist") or {}
+            if dist:
+                body += _kv_table(sorted(dist.items(), key=lambda kv: -kv[1]))
+            tabs.append(("Image", body))
         # long-text columns: corpus-level language/quality rollup
         if v.get("text_stats"):
             ts = v["text_stats"]
@@ -466,6 +496,9 @@ def render_html(result: "Any", title: str = "Data profile") -> str:
     nav_items += [("missing", "Missing values"), ("sample", "Sample")]
     if duplicates:
         nav_items.append(("duplicates", "Duplicate rows"))
+    segments = d.get("segments") or {}
+    if segments.get("segments"):
+        nav_items.append(("segments", "Segments"))
     nav = "<nav data-section='nav'>" + "".join(
         f"<a href='#{anchor}'>{label}</a>" for anchor, label in nav_items
     ) + "</nav>"
@@ -593,6 +626,28 @@ def render_html(result: "Any", title: str = "Data profile") -> str:
                      "Duplicate rows</h2><div class='card'>")
         parts.append(_sample_table(duplicates))
         parts.append("</div>")
+
+    # per-segment tier (segment_by= config; beyond the reference): numeric
+    # summaries and top values per segment of the chosen column
+    if segments.get("segments"):
+        by = segments.get("by") or ""
+        parts.append(
+            f"<h2 id='segments' data-section='segments'>Segments"
+            f" <span class='badge'>by {html.escape(str(by))}</span></h2>"
+        )
+        seg_tabs: list[tuple[str, str]] = []
+        if segments.get("summary"):
+            seg_tabs.append(
+                ("Numeric summary", _sample_table(segments["summary"]))
+            )
+        if segments.get("top_values"):
+            seg_tabs.append(
+                ("Top values", _sample_table(segments["top_values"]))
+            )
+        parts.append(
+            _tabs(seg_tabs)
+            or "<div class='card'><span class='type'>No segments.</span></div>"
+        )
 
     parts.append("</div></body></html>")
     return "".join(parts)

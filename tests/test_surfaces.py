@@ -809,3 +809,112 @@ def test_to_app_headless_fallback(spark, tmp_path):
     content = open(path).read()
     assert "<html" in content and "n_name" in content
     os.unlink(path)
+
+
+def test_profile_report_attach(spark):
+    """Opt-in DataFrame.profile_report() attach (reference monkey-patches
+    pandas at import, controller/pandas_decorator.py:1-20; here it is an
+    explicit attach()/detach() pair): kwargs are config-field overrides,
+    unknown keys raise the reference's error, config= + kwargs is rejected,
+    and the result round-trips to JSON."""
+    from pyspark.sql import DataFrame
+
+    from pandas_profiling_personal_spark import ProfileConfig, attach, detach
+
+    assert not hasattr(DataFrame, "profile_report")
+    attach()
+    attach()  # idempotent
+    try:
+        df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+        r = df.profile_report(preset="minimal", correlations=())
+        d = json.loads(r.to_json())
+        assert {"n_nationkey", "n_name", "n_regionkey"} <= set(d["variables"])
+        # ready-made config object still accepted
+        r2 = df.profile_report(config=ProfileConfig(exact=True, correlations=()))
+        assert r2.table["n"] == r.table["n"] == 25
+
+        with pytest.raises(ValueError, match="do not exist"):
+            df.profile_report(not_a_real_option=1)
+        with pytest.raises(ValueError, match="not both"):
+            df.profile_report(config=ProfileConfig(), preset="minimal")
+    finally:
+        detach()
+    assert not hasattr(DataFrame, "profile_report")
+
+
+def test_file_image_path_refinement(spark, tmp_path):
+    """Explorative profile() refines a string column of existing image paths
+    path -> file -> image (reference typeset.py:129-183): existence check on
+    the already-fetched top-K sample, then one executor-side stat pass
+    (file_stats) and one bounded header-read pass (image_stats); both render
+    as tabs in the HTML report."""
+    from pandas_profiling_personal_spark import EXPLORATIVE, profile
+    from pandas_profiling_personal_spark.report.html import render_html
+
+    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 24
+    paths = []
+    for i in range(6):
+        p = tmp_path / f"img_{i}.png"
+        p.write_bytes(png_magic + bytes([i]) * (10 + i))
+        paths.append(str(p))
+    df = spark.createDataFrame([(p,) for p in paths], "img_path string")
+
+    r = profile(df, EXPLORATIVE.with_(correlations=(), duplicates=False))
+    v = r.variables["img_path"]
+    assert v["type_refined"] == "image"
+    assert v["file_stats"]["n_paths"] == 6
+    assert v["file_stats"]["n_existing"] == 6
+    assert v["file_stats"]["min_size"] == 42  # 32 magic + 10 payload
+    assert v["image_stats"]["n_decoded"] == 6
+    assert v["image_stats"]["format_dist"] == {"png": 6}
+    page = render_html(r)
+    assert ">File<" in page and ">Image<" in page
+
+    # non-existing paths stay plain "path" (no stat pass triggered)
+    df2 = spark.createDataFrame(
+        [(f"/no/such/dir/f_{i}.txt",) for i in range(6)], "p string"
+    )
+    r2 = profile(df2, EXPLORATIVE.with_(correlations=(), duplicates=False))
+    v2 = r2.variables["p"]
+    assert v2["type_refined"] == "path"
+    assert "file_stats" not in v2
+
+
+def test_segment_by_profile_surface(spark):
+    """segment_by= renders a per-segment tier: top-N segments by count,
+    per-segment numeric summaries and categorical top-K, bounded and
+    json/HTML-round-trippable; redact suppresses it (labels are values)."""
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+    from pandas_profiling_personal_spark.report.html import render_html
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    cfg = ProfileConfig(
+        correlations=(), duplicates=False, segment_by="lang", segment_top_n=3
+    )
+    r = profile(docs, cfg)
+    seg = r.segments
+    assert seg["by"] == "lang"
+    assert 1 <= len(seg["segments"]) <= 3
+    assert "en" in seg["segments"]  # dominant language in the testdata
+    summary_groups = {row["group"] for row in seg["summary"]}
+    assert summary_groups <= set(seg["segments"])
+    assert {row["column"] for row in seg["summary"]} >= {"n_chars"}
+    # top-K bounded: rank <= 5 per (group, column)
+    assert all(row["rank"] <= 5 for row in seg.get("top_values", []))
+    page = render_html(r)
+    assert "Segments" in page and "by lang" in page
+    json.loads(r.to_json())
+
+    # unknown column is a loud error, not a silent no-op
+    with pytest.raises(ValueError, match="segment_by"):
+        profile(docs, ProfileConfig(correlations=(), segment_by="nope"))
+
+    # redact: no segment surface
+    r2 = profile(
+        docs,
+        ProfileConfig(
+            correlations=(), duplicates=False, segment_by="lang", redact=True
+        ),
+    )
+    assert r2.segments == {}
