@@ -56,7 +56,10 @@ def pii_scan(
 ) -> DataFrame:
     """Per-document PII counts: (id?, n_email, n_ssn, n_card, n_ipv4,
     n_phone, n_pii, has_pii). Narrow — no shuffle; feed it into filters,
-    keep-lists, or the 1-row :func:`pii_summary`."""
+    keep-lists, or the 1-row :func:`pii_summary`. This is the regex tier
+    (RE2-safe, zero Python); an NER model plugs in behind the same
+    n_pii/has_pii gating semantics via
+    ``operators.models.pii_entities_model`` (adds exact entity spans)."""
     c = S.col(text_col)
     counts = pii_counts(c)
     cols = [S.col(id_col)] if id_col else []

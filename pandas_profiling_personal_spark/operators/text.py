@@ -79,7 +79,10 @@ def language_scores(c: Column) -> dict[str, Column]:
 def language_id(c: Column, min_score: float = 0.01) -> Column:
     """Best-scoring language code, 'und' (undetermined) when no stopword hits.
 
-    Ties break by LANG_ORDER position (deterministic)."""
+    Ties break by LANG_ORDER position (deterministic). This is the heuristic
+    tier (pure codegen, honest caveat: stopword lists only); a fastText-style
+    learned model plugs in behind the SAME column contract via
+    ``operators.models.language_id_model(df, ..., loader=...)``."""
     scores = language_scores(c)
     best = F.lit("und")
     best_score = F.lit(float(min_score))

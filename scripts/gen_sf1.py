@@ -6,12 +6,18 @@ an sf1 tier under testdata_sf1/ (gitignored) with the SAME schemas:
 
 * lineitem — DuckDB's TPC-H dbgen at sf=1 (~6M rows), projected/cast to the
   11-column shape the driver's tables use (l_shipdate as TIMESTAMP).
+* orders — dbgen sf=1 orders (~1.5M rows), projected to the driver's 6-col
+  shape (o_orderdate as TIMESTAMP).
+* events — 1M rows mirroring the sf0.1 distribution 10x'd (30-day monotone
+  timestamp spread, 5 event types, JSON props), generated with DuckDB hash
+  arithmetic — deterministic, no Python loop.
 * documents — 50k deterministic synthetic docs (seeded token soup over a
   fixed vocabulary, ~10% planted near-duplicates) matching the sf0.1
   distribution shape 10x'd.
 * embeddings — 20k x 64-d seeded Gaussian vectors, ~10% planted near-dups.
 
-Deterministic (seed 42); ~1-2 min, ~300 MB on disk.
+Deterministic (seed 42); ~1-2 min, ~400 MB on disk. Already-present outputs
+are skipped, so re-running only fills gaps.
 """
 
 from __future__ import annotations
@@ -25,30 +31,73 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "testdata_sf1")
 DIM = 64
 
 
+def _have(name: str) -> bool:
+    return os.path.isfile(os.path.join(OUT, name))
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
-    con.execute("LOAD tpch")
-    print("generating TPC-H sf1 lineitem ...", flush=True)
-    con.execute("CALL dbgen(sf=1)")
-    con.execute(
-        f"""
-        COPY (
-            SELECT l_orderkey::BIGINT AS l_orderkey,
-                   l_partkey::BIGINT AS l_partkey,
-                   l_suppkey::BIGINT AS l_suppkey,
-                   l_linenumber::INTEGER AS l_linenumber,
-                   l_quantity::DOUBLE AS l_quantity,
-                   l_extendedprice::DOUBLE AS l_extendedprice,
-                   l_discount::DOUBLE AS l_discount,
-                   l_tax::DOUBLE AS l_tax,
-                   l_returnflag, l_linestatus,
-                   l_shipdate::TIMESTAMP AS l_shipdate
-            FROM lineitem
-        ) TO '{OUT}/lineitem.parquet' (FORMAT PARQUET)
-        """
-    )
+    if not _have("lineitem.parquet") or not _have("orders.parquet"):
+        con.execute("LOAD tpch")
+        print("generating TPC-H sf1 (dbgen) ...", flush=True)
+        con.execute("CALL dbgen(sf=1)")
+    if not _have("lineitem.parquet"):
+        print("writing sf1 lineitem ...", flush=True)
+        con.execute(
+            f"""
+            COPY (
+                SELECT l_orderkey::BIGINT AS l_orderkey,
+                       l_partkey::BIGINT AS l_partkey,
+                       l_suppkey::BIGINT AS l_suppkey,
+                       l_linenumber::INTEGER AS l_linenumber,
+                       l_quantity::DOUBLE AS l_quantity,
+                       l_extendedprice::DOUBLE AS l_extendedprice,
+                       l_discount::DOUBLE AS l_discount,
+                       l_tax::DOUBLE AS l_tax,
+                       l_returnflag, l_linestatus,
+                       l_shipdate::TIMESTAMP AS l_shipdate
+                FROM lineitem
+            ) TO '{OUT}/lineitem.parquet' (FORMAT PARQUET)
+            """
+        )
+    if not _have("orders.parquet"):
+        print("writing sf1 orders ...", flush=True)
+        con.execute(
+            f"""
+            COPY (
+                SELECT o_orderkey::BIGINT AS o_orderkey,
+                       o_custkey::BIGINT AS o_custkey,
+                       o_orderstatus,
+                       o_totalprice::DOUBLE AS o_totalprice,
+                       o_orderdate::TIMESTAMP AS o_orderdate,
+                       o_orderpriority
+                FROM orders
+            ) TO '{OUT}/orders.parquet' (FORMAT PARQUET)
+            """
+        )
+    if not _have("events.parquet"):
+        print("writing sf1 events (1M rows) ...", flush=True)
+        con.execute(
+            f"""
+            COPY (
+                SELECT i::BIGINT AS event_id,
+                       TIMESTAMP '2024-01-01'
+                         + to_microseconds((i * 2592000000000 / 1000000)::BIGINT
+                                           + (hash(i) % 1000000)::BIGINT) AS ts,
+                       (hash(i * 7) % 15000)::BIGINT AS user_id,
+                       ['view','click','purchase','signup','error']
+                         [(1 + hash(i * 3) % 5)::BIGINT] AS event_type,
+                       round((hash(i * 5) % 20000) / 100.0, 2)::DOUBLE AS value,
+                       '{{"k": ' || (hash(i * 11) % 100)::VARCHAR || '}}' AS props
+                FROM range(0, 1000000) t(i)
+            ) TO '{OUT}/events.parquet' (FORMAT PARQUET)
+            """
+        )
 
+    if _have("documents.parquet") and _have("embeddings.parquet"):
+        print("done:", OUT, flush=True)
+        return
     print("generating 50k documents ...", flush=True)
     rng = random.Random(42)
     vocab = [f"tok{i}" for i in range(4000)]

@@ -226,3 +226,108 @@ def test_quality_filter_null_text(spark):
     row = quality_filter(df, "text", "doc_id").collect()[0]
     assert row["keep"] is False
     assert "null_text" in row["reject_reasons"]
+
+
+def test_learned_model_seams_fake_models(spark):
+    """The learned-model seams (models.py) run a fake vectorized model
+    through the documented loader/predict contract: loader once per
+    partition, batch-aligned outputs, schema checked loudly, heuristic
+    tier as default with identical columns."""
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pandas_profiling_personal_spark.operators.models import (
+        apply_text_model,
+        language_id_model,
+        pii_entities_model,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog"),
+            (2, "der schnelle braune fuchs und der hund"),
+            (3, None),
+        ],
+        "doc_id bigint, text string",
+    )
+
+    # heuristic default: codegen path, (language, confidence) contract
+    heur = {r["doc_id"]: r for r in language_id_model(df, "text", "doc_id").collect()}
+    assert heur[1]["language"] == "en" and heur[1]["confidence"] > 0
+    assert heur[3]["language"] == "und"
+
+    # fake fastText: deterministic predict over the batch
+    def fake_lang_loader():
+        def predict(texts: pd.Series) -> pd.DataFrame:
+            langs, confs = [], []
+            for t in texts:
+                if t is None:
+                    langs.append("und"); confs.append(0.0)
+                elif "fuchs" in t:
+                    langs.append("de"); confs.append(0.99)
+                else:
+                    langs.append("en"); confs.append(0.95)
+            return pd.DataFrame({"language": langs, "confidence": confs})
+
+        return predict
+
+    model = {
+        r["doc_id"]: r
+        for r in language_id_model(
+            df, "text", "doc_id", loader=fake_lang_loader
+        ).collect()
+    }
+    assert model[2]["language"] == "de" and model[2]["confidence"] == 0.99
+    assert model[3]["language"] == "und"
+    # identical column contract between tiers
+    assert set(model[1].asDict()) == set(heur[1].asDict())
+
+    # NER-PII seam: spans in, counts derived with regex-tier semantics
+    def fake_ner_loader():
+        def predict(texts: pd.Series) -> pd.DataFrame:
+            ents = []
+            for t in texts:
+                if t and "fox" in t:
+                    i = t.index("fox")
+                    ents.append([{"kind": "ANIMAL", "begin": i, "end": i + 3}])
+                else:
+                    ents.append([])
+            return pd.DataFrame({"entities": ents})
+
+        return predict
+
+    pii = {
+        r["doc_id"]: r
+        for r in pii_entities_model(df, "text", fake_ner_loader, "doc_id").collect()
+    }
+    assert pii[1]["n_pii"] == 1 and pii[1]["has_pii"]
+    assert pii[1]["entities"][0]["kind"] == "ANIMAL"
+    assert pii[3]["n_pii"] == 0 and not pii[3]["has_pii"]
+
+    # contract violations fail loudly on the first batch
+    def bad_cols_loader():
+        def predict(texts: pd.Series) -> pd.DataFrame:
+            return pd.DataFrame({"lang": ["x"] * len(texts)})
+
+        return predict
+
+    from pandas_profiling_personal_spark.operators.models import (
+        LANGUAGE_MODEL_SCHEMA,
+    )
+
+    with pytest.raises(Exception, match="contract|columns"):
+        apply_text_model(
+            df, "text", bad_cols_loader, LANGUAGE_MODEL_SCHEMA, id_col="doc_id"
+        ).collect()
+
+    def bad_len_loader():
+        def predict(texts: pd.Series) -> pd.DataFrame:
+            return pd.DataFrame({"language": ["en"], "confidence": [1.0]})
+
+        return predict
+
+    with pytest.raises(Exception, match="one output row per input row"):
+        apply_text_model(
+            df.repartition(1), "text", bad_len_loader, LANGUAGE_MODEL_SCHEMA
+        ).collect()
