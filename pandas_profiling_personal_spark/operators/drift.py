@@ -47,19 +47,26 @@ def drift_profile(
         cc = S.col(c).cast("double")
         return F.when(~F.isnan(cc), cc)
 
-    # shared edges: one 1-row agg per side, combined driver-side (2 numbers
-    # per column cross the driver, nothing else)
-    def minmax(df):
+    # shared edges: both sides' 1-row min/max aggregates crossJoined into a
+    # single row — ONE driver action instead of two (2 numbers per column
+    # per side cross the driver, nothing else)
+    def minmax(df, tag: str):
         return df.agg(
-            *[F.min(masked(c)).alias(f"lo_{i}") for i, c in enumerate(columns)],
-            *[F.max(masked(c)).alias(f"hi_{i}") for i, c in enumerate(columns)],
-        ).collect()[0]
+            *[
+                F.min(masked(c)).alias(f"lo_{tag}_{i}")
+                for i, c in enumerate(columns)
+            ],
+            *[
+                F.max(masked(c)).alias(f"hi_{tag}_{i}")
+                for i, c in enumerate(columns)
+            ],
+        )
 
-    ra, rb = minmax(df_a), minmax(df_b)
+    row = minmax(df_a, "a").crossJoin(minmax(df_b, "b")).collect()[0]
     edges: dict[str, tuple[float, float]] = {}
     for i, c in enumerate(columns):
-        los = [v for v in (ra[f"lo_{i}"], rb[f"lo_{i}"]) if v is not None]
-        his = [v for v in (ra[f"hi_{i}"], rb[f"hi_{i}"]) if v is not None]
+        los = [v for v in (row[f"lo_a_{i}"], row[f"lo_b_{i}"]) if v is not None]
+        his = [v for v in (row[f"hi_a_{i}"], row[f"hi_b_{i}"]) if v is not None]
         if los and his:
             edges[c] = (min(los), max(his))
 

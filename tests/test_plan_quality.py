@@ -470,3 +470,37 @@ def test_scalar_summary_hits_cache(spark):
         )
     finally:
         df.unpersist()
+
+
+def test_categorical_drift_single_count_exchange(spark):
+    """drift_profile_categorical: both snapshots reduce through ONE shared
+    (column, value) count exchange (side-conditional counts over the union
+    melt) — everything after runs on the bounded distinct-value aggregate.
+    Gate: exactly one exchange whose hash partitioning keys include the
+    melted value column; no Python UDFs anywhere in the plan."""
+    from pandas_profiling_personal_spark.operators.drift import (
+        drift_profile_categorical,
+    )
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet")
+    out = drift_profile_categorical(
+        docs, docs.where(F.col("lang") != "de"), ["lang", "source"], top_n=8
+    )
+    plan = _plan(out)
+    # no Python EXECUTION nodes (the all-null-columns literal frame shows up
+    # as a driver-built ExistingRDD — that's createDataFrame, not a UDF)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
+    # the raw-data exchange is the one keyed by (column, value); later
+    # exchanges key on `column` alone (rank window, final agg) over the
+    # bounded aggregate. Formatted mode puts the partitioning on an
+    # `Arguments: hashpartitioning(...)` line of its own.
+    import re
+
+    data_exchanges = [
+        m
+        for m in re.findall(r"hashpartitioning\([^)]*\)", plan)
+        if "value#" in m
+    ]
+    assert len(data_exchanges) == 1, (len(data_exchanges), plan)
