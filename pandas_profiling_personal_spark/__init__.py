@@ -26,6 +26,10 @@ from pandas_profiling_personal_spark.plans.profile import (
     profile,
     profile_column,
 )
+from pandas_profiling_personal_spark.report.compare import (
+    compare_profiles,
+    comparison_to_html,
+)
 from pandas_profiling_personal_spark.report.html import render_html, to_file
 from pandas_profiling_personal_spark.report.notebook import to_notebook_iframe
 from pandas_profiling_personal_spark.report.widgets import to_widgets, widget_spec
@@ -46,6 +50,8 @@ __all__ = [
     "profile_column",
     "VariableType",
     "variable_types",
+    "compare_profiles",
+    "comparison_to_html",
     "render_html",
     "to_file",
     "to_notebook_iframe",

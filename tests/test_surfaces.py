@@ -918,3 +918,41 @@ def test_segment_by_profile_surface(spark):
         ),
     )
     assert r2.segments == {}
+
+
+def test_compare_profiles_surface(spark):
+    """compare_profiles diffs two snapshots driver-side: table deltas,
+    added/removed/type-changed columns, per-variable field diffs with
+    relative deltas, alert new/resolved sets; renders standalone HTML."""
+    from pandas_profiling_personal_spark import (
+        ProfileConfig,
+        compare_profiles,
+        comparison_to_html,
+        profile,
+    )
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    cfg = ProfileConfig(exact=True, correlations=(), duplicates=False)
+    li = read_parquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    a = profile(li, cfg)
+    b = profile(
+        li.where(F.col("l_quantity") > 10).drop("l_comment", "l_tax")
+        .withColumn("new_col", F.lit("x")),
+        cfg,
+    )
+    cmp = compare_profiles(a, b, labels=("r1", "r2"))
+    assert cmp["table"]["n"]["delta"] < 0          # candidate filtered rows
+    assert "new_col" in cmp["variables"]["added"]
+    assert "l_tax" in cmp["variables"]["removed"]
+    # the filter shifts l_quantity's mean up; diff captured with rel delta
+    q = cmp["variables"]["changed"]["l_quantity"]
+    assert q["mean"]["delta"] > 0 and q["mean"]["rel"] > 0
+    page = comparison_to_html(cmp, title="r1 vs r2")
+    assert "r1 vs r2" in page and "l_quantity" in page and "new_col" in page
+
+    # self-comparison is empty-ish: no added/removed/changed, no alert delta
+    same = compare_profiles(a, a)
+    assert not same["variables"]["added"]
+    assert not same["variables"]["removed"]
+    assert not same["variables"]["changed"]
+    assert not same["alerts"]["new"] and not same["alerts"]["resolved"]
