@@ -956,3 +956,90 @@ def test_compare_profiles_surface(spark):
     assert not same["variables"]["removed"]
     assert not same["variables"]["changed"]
     assert not same["alerts"]["new"] and not same["alerts"]["resolved"]
+
+
+def test_streaming_drift_psi(spark, tmp_path):
+    """drift_stream: per-window PSI vs a static baseline runs as a real
+    stream (file source -> memory sink, append mode — ONE stateful op) and
+    matches the identical plan in batch mode; a window drawn from the
+    baseline distribution reads ~0, a shifted window reads large."""
+    import random
+
+    from pandas_profiling_personal_spark.streaming.drift_stream import (
+        drift_stream,
+    )
+
+    rng = random.Random(5)
+    baseline = spark.createDataFrame(
+        [(rng.gauss(0, 1), rng.uniform(0, 10)) for _ in range(4000)],
+        "x double, u double",
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # window 1: same distribution as baseline; window 2: x shifted +2
+    rows = [
+        (t0 + dt.timedelta(seconds=i % 240), rng.gauss(0, 1), rng.uniform(0, 10))
+        for i in range(2000)
+    ] + [
+        (
+            t0 + dt.timedelta(minutes=10, seconds=i % 240),
+            rng.gauss(2, 1),
+            rng.uniform(0, 10),
+        )
+        for i in range(2000)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("u", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "drift_src"
+    spark.createDataFrame(rows, schema).write.parquet(str(src))
+
+    batch = {
+        (str(r["window"]["start"]), r["column"]): (r["n"], r["psi"])
+        for r in drift_stream(
+            spark.read.parquet(str(src)), baseline, ["x", "u"], "ts",
+            window="5 minutes",
+        ).collect()
+    }
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = drift_stream(stream, baseline, ["x", "u"], "ts", window="5 minutes")
+    assert out.isStreaming
+    # complete mode for the finite test source: append only emits once the
+    # watermark passes a window's end, which never happens after the last
+    # micro-batch of a bounded test stream
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_drift")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (str(r["window"]["start"]), r["column"]): (r["n"], r["psi"])
+            for r in spark.table("t_drift").collect()
+        }
+    finally:
+        q.stop()
+    assert streamed == batch and len(batch) == 4  # 2 windows x 2 columns
+
+    by_col = {}
+    for (w, c), (n, psi) in batch.items():
+        by_col.setdefault(c, []).append((w, psi))
+    x_psis = [p for _, p in sorted(by_col["x"])]
+    u_psis = [p for _, p in sorted(by_col["u"])]
+    assert x_psis[0] < 0.05 and x_psis[1] > 0.5, x_psis  # shift detected
+    assert all(p < 0.05 for p in u_psis), u_psis          # no false alarm
+
+    # all-null baseline column: loud error
+    import pytest as _pytest
+
+    null_base = spark.createDataFrame([(None,)] * 5, "x double")
+    with _pytest.raises(ValueError, match="all-null"):
+        drift_stream(
+            spark.read.parquet(str(src)), null_base, ["x"], "ts"
+        )
