@@ -66,6 +66,21 @@ def build_parser() -> argparse.ArgumentParser:
         help="skip exact frequency stats for columns with distinct/count >= R "
         "(100 TB lever; see ProfileConfig.freq_near_unique_ratio)",
     )
+    p.add_argument(
+        "--segment-by",
+        default=None,
+        metavar="COL",
+        help="per-segment tier: numeric summaries + top-K per value of COL "
+        "(top segments by count), rendered as a Segments section",
+    )
+    p.add_argument(
+        "--compare",
+        default=None,
+        metavar="INPUT2",
+        help="profile INPUT2 with the same config and write a comparison "
+        "report (INPUT = baseline, INPUT2 = candidate) instead of a single "
+        "profile",
+    )
     p.add_argument("--title", default=None)
     p.add_argument("--master", default=None, help="spark master (default local[N])")
     return p
@@ -107,12 +122,37 @@ def main(argv: list[str] | None = None) -> int:
         cfg = cfg.with_(samples_tail=args.tail)
     if args.near_unique_ratio is not None:
         cfg = cfg.with_(freq_near_unique_ratio=args.near_unique_ratio)
+    if args.segment_by:
+        cfg = cfg.with_(segment_by=args.segment_by)
 
     spark = get_session(app_name="spark-profile", master=args.master)
     try:
         df = read_table(spark, args.input)
         result = profile(df, cfg)
         out = args.output or (args.input.rsplit(".", 1)[0] + ".html")
+        if args.compare:
+            from pandas_profiling_personal_spark.report.compare import (
+                compare_profiles,
+                comparison_to_html,
+            )
+
+            result_b = profile(read_table(spark, args.compare), cfg)
+            cmp = compare_profiles(result, result_b)
+            title = args.title or f"{args.input} vs {args.compare}"
+            if out.endswith(".json"):
+                with open(out, "w", encoding="utf-8") as fh:
+                    json.dump(cmp, fh, indent=2, default=str)
+            else:
+                with open(out, "w", encoding="utf-8") as fh:
+                    fh.write(comparison_to_html(cmp, title))
+            print(json.dumps({
+                "output": out,
+                "added": cmp["variables"]["added"],
+                "removed": cmp["variables"]["removed"],
+                "changed": len(cmp["variables"]["changed"]),
+                "new_alerts": len(cmp["alerts"]["new"]),
+            }))
+            return 0
         title = args.title or f"Profile of {args.input}"
         if out.endswith(".json"):
             with open(out, "w", encoding="utf-8") as fh:

@@ -1043,3 +1043,37 @@ def test_streaming_drift_psi(spark, tmp_path):
         drift_stream(
             spark.read.parquet(str(src)), null_base, ["x"], "ts"
         )
+
+
+def test_cli_compare_and_segment(tmp_path):
+    """CLI --compare writes a comparison report between two inputs;
+    --segment-by feeds the per-segment tier (subprocess, real session)."""
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    a = tmp_path / "a.parquet"
+    b = tmp_path / "b.parquet"
+    pd.DataFrame(
+        {"x": range(60), "seg": [f"s{i % 3}" for i in range(60)]}
+    ).to_parquet(a)
+    pd.DataFrame(
+        {"x": range(100, 130), "seg": ["s0"] * 30, "extra": [1.0] * 30}
+    ).to_parquet(b)
+    out = tmp_path / "cmp.html"
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "pandas_profiling_personal_spark.cli",
+            str(a), str(out),
+            "--minimal", "--compare", str(b), "--segment-by", "seg",
+            "--master", "local[2]",
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    status = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert status["added"] == ["extra"]
+    assert status["changed"] >= 1  # x's range moved
+    page = out.read_text()
+    assert "extra" in page and "Changed variables" in page
