@@ -21,6 +21,12 @@ from pandas_profiling_personal_spark.config import (
     ProfileConfig,
 )
 from pandas_profiling_personal_spark.decorator import attach, detach
+from pandas_profiling_personal_spark.plans.incremental import (
+    PartialProfile,
+    finalize_partial,
+    merge_partials,
+    partial_profile,
+)
 from pandas_profiling_personal_spark.plans.profile import (
     ProfileResult,
     profile,
@@ -45,7 +51,11 @@ __all__ = [
     "ProfileConfig",
     "attach",
     "detach",
+    "PartialProfile",
     "ProfileResult",
+    "finalize_partial",
+    "merge_partials",
+    "partial_profile",
     "profile",
     "profile_column",
     "VariableType",

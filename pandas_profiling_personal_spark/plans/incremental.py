@@ -1,0 +1,471 @@
+"""Incremental / mergeable profiling: profile each shard (day, partition,
+crawl segment) INDEPENDENTLY, persist a small mergeable state, and combine
+states into a corpus-level profile WITHOUT re-scanning any shard.
+
+This is the 100 TB operating mode the batch ``profile()`` can't offer: a
+daily pipeline profiles only the new day's data (two aggregation actions
+over that shard), then folds the day's ``PartialProfile`` into the running
+corpus state driver-side. The reference is strictly whole-frame.
+
+What merges EXACTLY (no approximation):
+  count / n_missing / n_zeros / n_infinite / min / max / sum — additive or
+  lattice merges; mean/variance/std/skewness/kurtosis — per-shard central
+  moment sums (computed with the engine's mean-shifted power-sum pass, the
+  same arithmetic the batch profile uses) combined with the pairwise
+  update formulas of Pébay (2008) / Chan et al. (1979), which are exact
+  and cancellation-safe for any shard split.
+
+What merges APPROXIMATELY (mergeable sketches, error bounds a priori):
+  n_distinct — Datasketches HLL (``hll_sketch_agg`` state, ``hll_union``
+  merge, ~1.6% at lgK=12); quantiles — KLL (``kll_sketch_agg_double``,
+  ``kll_sketch_merge_double``); top values — per-shard top-M value counts
+  summed by value (a value is undercounted only if some shard dropped it
+  from its top-M; keep M ≳ 4×K for rank stability on skewed data).
+
+Histograms deliberately do NOT merge: independent shards bin with
+independent edges. Re-bin from the merged KLL quantiles, or run the batch
+histogram pass when bucket-exact output is needed.
+
+``PartialProfile`` serializes to/from JSON (sketches base64-encoded), so
+shard states can live next to the data and merge across sessions/engines.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import math
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pandas_profiling_personal_spark.functions import stats as S
+from pandas_profiling_personal_spark.types import (
+    VariableType as VT,
+    variable_types,
+)
+
+_HLL_LGK = 12
+_KLL_K = 200
+
+
+@dataclass
+class ColumnState:
+    """Mergeable per-column state. ``m1``..``m4``: mean and central moment
+    SUMS Σ(x−mean)^k over the shard's non-null non-NaN values."""
+
+    type: str
+    n_rows: int = 0
+    count: int = 0
+    n_missing: int = 0
+    n_zeros: int | None = None
+    n_infinite: int | None = None
+    min: Any = None
+    max: Any = None
+    m1: float | None = None
+    m2: float = 0.0
+    m3: float = 0.0
+    m4: float = 0.0
+    hll: bytes | None = None
+    kll: bytes | None = None
+    top_values: dict[str, int] = field(default_factory=dict)
+
+
+@dataclass
+class PartialProfile:
+    n: int
+    columns: dict[str, ColumnState]
+    n_shards: int = 1
+    #: sketch binaries pending a union (merging defers the Spark-side sketch
+    #: union until finalize so merge_partials stays pure driver arithmetic)
+    _pending: dict[str, dict[str, list[bytes]]] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        def enc(cs: ColumnState) -> dict:
+            d = cs.__dict__.copy()
+            for k in ("hll", "kll"):
+                if d[k] is not None:
+                    d[k] = base64.b64encode(d[k]).decode()
+            return d
+
+        return json.dumps(
+            {
+                "n": self.n,
+                "n_shards": self.n_shards,
+                "columns": {c: enc(cs) for c, cs in self.columns.items()},
+                "pending": {
+                    c: {
+                        k: [base64.b64encode(x).decode() for x in v]
+                        for k, v in kinds.items()
+                    }
+                    for c, kinds in self._pending.items()
+                },
+            },
+            default=str,
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "PartialProfile":
+        d = json.loads(s)
+
+        def dec(cd: dict) -> ColumnState:
+            cd = dict(cd)
+            for k in ("hll", "kll"):
+                if cd.get(k) is not None:
+                    cd[k] = base64.b64decode(cd[k])
+            return ColumnState(**cd)
+
+        out = cls(
+            n=d["n"],
+            columns={c: dec(cd) for c, cd in d["columns"].items()},
+            n_shards=d.get("n_shards", 1),
+        )
+        out._pending = {
+            c: {
+                k: [base64.b64decode(x) for x in v]
+                for k, v in kinds.items()
+            }
+            for c, kinds in (d.get("pending") or {}).items()
+        }
+        return out
+
+
+def partial_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    top_m: int = 40,
+) -> PartialProfile:
+    """Profile ONE shard into a mergeable state. Three bounded actions:
+    the wide scalar+sketch aggregate, the mean-shifted power-sum pass
+    (numeric columns), and one melt+groupBy for per-column top-``top_m``
+    value counts (categorical/boolean columns; skipped if none)."""
+    types = variable_types(df)
+    if columns is not None:
+        types = {c: t for c, t in types.items() if c in columns}
+    num = [c for c, t in types.items() if t is VT.NUMERIC]
+    cat = [c for c, t in types.items() if t in (VT.CATEGORICAL, VT.BOOLEAN)]
+
+    def masked(c):
+        cc = S.col(c).cast("double")
+        return F.when(~F.isnan(cc), cc)
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, (c, vt) in enumerate(types.items()):
+        p = f"c{i}"
+        col = S.col(c)
+        aggs.append(
+            F.sum(col.isNull().cast("long")).alias(f"{p}__missing")
+        )
+        aggs.append(
+            F.hll_sketch_agg(col.cast("string"), F.lit(_HLL_LGK)).alias(
+                f"{p}__hll"
+            )
+        )
+        if vt is VT.NUMERIC:
+            m = masked(c)
+            aggs += [
+                F.count(m).alias(f"{p}__count"),
+                F.avg(m).alias(f"{p}__mean"),
+                F.min(m).alias(f"{p}__min"),
+                F.max(m).alias(f"{p}__max"),
+                F.sum((m == 0).cast("long")).alias(f"{p}__zeros"),
+                F.sum(
+                    (
+                        col.cast("double").isNotNull()
+                        & (F.isnan(col.cast("double"))
+                           | col.cast("double").isin(
+                               float("inf"), float("-inf")))
+                    ).cast("long")
+                ).alias(f"{p}__inf"),
+                F.kll_sketch_agg_double(
+                    F.when(
+                        ~F.isnan(col.cast("double"))
+                        & ~col.cast("double").isin(
+                            float("inf"), float("-inf")
+                        ),
+                        col.cast("double"),
+                    ),
+                    F.lit(_KLL_K),
+                ).alias(f"{p}__kll"),
+            ]
+        else:
+            aggs.append(F.count(col).alias(f"{p}__count"))
+            if vt is VT.DATETIME:
+                aggs += [
+                    F.min(col).alias(f"{p}__min"),
+                    F.max(col).alias(f"{p}__max"),
+                ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    n = int(row["__n"])
+
+    cols: dict[str, ColumnState] = {}
+    for i, (c, vt) in enumerate(types.items()):
+        p = f"c{i}"
+        cnt_c = int(row.get(f"{p}__count") or 0)
+        cs = ColumnState(
+            type=vt.value,
+            n_rows=n,
+            count=cnt_c,
+            n_missing=int(row.get(f"{p}__missing") or 0),
+            # an all-null/empty shard yields an EMPTY sketch buffer that
+            # estimate/quantile calls reject — keep sketches only when the
+            # shard actually contributed values
+            hll=(
+                bytes(row[f"{p}__hll"])
+                if cnt_c > 0 and row.get(f"{p}__hll")
+                else None
+            ),
+        )
+        if vt is VT.NUMERIC:
+            cs.n_zeros = int(row.get(f"{p}__zeros") or 0)
+            cs.n_infinite = int(row.get(f"{p}__inf") or 0)
+            cs.min = row.get(f"{p}__min")
+            cs.max = row.get(f"{p}__max")
+            cs.m1 = (
+                float(row[f"{p}__mean"])
+                if row.get(f"{p}__mean") is not None
+                else None
+            )
+            cs.kll = (
+                bytes(row[f"{p}__kll"])
+                if cnt_c > 0 and row.get(f"{p}__kll")
+                else None
+            )
+        elif vt is VT.DATETIME:
+            cs.min, cs.max = row.get(f"{p}__min"), row.get(f"{p}__max")
+        cols[c] = cs
+
+    # pass 2 — central moment sums, shifted by the exact shard mean (same
+    # cancellation-safe arithmetic as the batch profile's _moment_pass)
+    mexprs, targets = [], []
+    for i, c in enumerate(num):
+        cs = cols[c]
+        if cs.m1 is None or math.isnan(cs.m1) or math.isinf(cs.m1):
+            continue
+        d = masked(c) - F.lit(cs.m1)
+        p = f"m{i}"
+        mexprs += [
+            F.sum(d).alias(f"{p}_1"),
+            F.sum(d * d).alias(f"{p}_2"),
+            F.sum(d * d * d).alias(f"{p}_3"),
+            F.sum(d * d * d * d).alias(f"{p}_4"),
+        ]
+        targets.append((p, c))
+    if mexprs:
+        mrow = df.agg(*mexprs).collect()[0].asDict()
+        for p, c in targets:
+            cs = cols[c]
+            cnt = cs.count
+            s1 = float(mrow[f"{p}_1"] or 0.0)
+            s2 = float(mrow[f"{p}_2"] or 0.0)
+            s3 = float(mrow[f"{p}_3"] or 0.0)
+            s4 = float(mrow[f"{p}_4"] or 0.0)
+            md = s1 / cnt if cnt else 0.0
+            cs.m1 = cs.m1 + md  # exact mean (shift + residual)
+            cs.m2 = max(0.0, s2 - cnt * md * md)
+            cs.m3 = s3 - 3 * md * s2 + 2 * cnt * md**3
+            cs.m4 = s4 - 4 * md * s3 + 6 * md * md * s2 - 3 * cnt * md**4
+
+    # pass 3 — per-column top-M value counts (categorical/boolean)
+    if cat and top_m > 0:
+        from pandas_profiling_personal_spark.operators import (
+            frequencies as FQ,
+        )
+
+        vc = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            S.col(c).cast("string").alias("value"),
+                        )
+                        for c in cat
+                    ]
+                )
+            ).alias("kv")
+        ).select("kv.*").where(F.col("value").isNotNull()).groupBy(
+            "column", "value"
+        ).agg(F.count(F.lit(1)).alias("count"))
+        for r in FQ.top_k_counts(vc, top_m).collect():
+            cols[r["column"]].top_values[r["value"]] = int(r["count"])
+
+    return PartialProfile(n=n, columns=cols)
+
+
+def _merge_moments(a: ColumnState, b: ColumnState) -> None:
+    """Pébay (2008) pairwise combination of mean + central moment sums —
+    exact for any split; result written into ``a``."""
+    na, nb = a.count, b.count
+    if nb == 0:
+        return
+    if na == 0 or a.m1 is None:
+        a.m1, a.m2, a.m3, a.m4 = b.m1, b.m2, b.m3, b.m4
+        return
+    if b.m1 is None:
+        return
+    n = na + nb
+    d = b.m1 - a.m1
+    m2 = a.m2 + b.m2 + d * d * na * nb / n
+    m3 = (
+        a.m3
+        + b.m3
+        + d**3 * na * nb * (na - nb) / (n * n)
+        + 3.0 * d * (na * b.m2 - nb * a.m2) / n
+    )
+    m4 = (
+        a.m4
+        + b.m4
+        + d**4 * na * nb * (na * na - na * nb + nb * nb) / (n**3)
+        + 6.0 * d * d * (na * na * b.m2 + nb * nb * a.m2) / (n * n)
+        + 4.0 * d * (na * b.m3 - nb * a.m3) / n
+    )
+    a.m1 = a.m1 + d * nb / n
+    a.m2, a.m3, a.m4 = m2, m3, m4
+
+
+def merge_partials(parts: list[PartialProfile]) -> PartialProfile:
+    """Fold shard states left-to-right — pure driver arithmetic (sketch
+    unions are deferred to :func:`finalize_partial`, which runs them as one
+    tiny Spark select over literals). Column sets must match."""
+    if not parts:
+        raise ValueError("need at least one PartialProfile")
+    out = PartialProfile(n=0, columns={}, n_shards=0)
+    for part in parts:
+        if out.columns and set(out.columns) != set(part.columns):
+            raise ValueError(
+                "column sets differ: "
+                f"{sorted(set(out.columns) ^ set(part.columns))}"
+            )
+        out.n += part.n
+        out.n_shards += part.n_shards
+        for c, cs in part.columns.items():
+            pend = out._pending.setdefault(c, {"hll": [], "kll": []})
+            if cs.hll:
+                pend["hll"].append(cs.hll)
+            if cs.kll:
+                pend["kll"].append(cs.kll)
+            for kinds in (part._pending.get(c) or {}).items():
+                pend[kinds[0]].extend(kinds[1])
+            if c not in out.columns:
+                a = ColumnState(type=cs.type, n_rows=cs.n_rows)
+                a.count, a.n_missing = cs.count, cs.n_missing
+                a.n_zeros, a.n_infinite = cs.n_zeros, cs.n_infinite
+                a.min, a.max = cs.min, cs.max
+                a.m1, a.m2, a.m3, a.m4 = cs.m1, cs.m2, cs.m3, cs.m4
+                a.top_values = dict(cs.top_values)
+                out.columns[c] = a
+                continue
+            a = out.columns[c]
+            a.n_rows += cs.n_rows
+            a.n_missing += cs.n_missing
+            if a.n_zeros is not None and cs.n_zeros is not None:
+                a.n_zeros += cs.n_zeros
+            if a.n_infinite is not None and cs.n_infinite is not None:
+                a.n_infinite += cs.n_infinite
+            if cs.min is not None:
+                a.min = cs.min if a.min is None else min(a.min, cs.min)
+            if cs.max is not None:
+                a.max = cs.max if a.max is None else max(a.max, cs.max)
+            _merge_moments(a, cs)
+            a.count += cs.count
+            for v, k in cs.top_values.items():
+                a.top_values[v] = a.top_values.get(v, 0) + k
+    return out
+
+
+def finalize_partial(
+    part: PartialProfile,
+    spark: SparkSession,
+    top_k: int = 10,
+    quantiles: tuple[float, ...] = (0.05, 0.25, 0.5, 0.75, 0.95),
+) -> dict[str, Any]:
+    """Merged state → profile dict: ``{"table": {...}, "variables": {col:
+    stats}}`` with the batch profile's field names and bias corrections.
+    Runs ONE tiny Spark job to union the deferred HLL/KLL sketches (a
+    single select over binary literals — no data scan)."""
+    # sketch unions: ONE select over binary literals for every column/kind
+    # (merged states carry shard sketches in _pending; a never-merged single
+    # shard carries them inline on the ColumnState — combine both sources)
+    exprs = []
+    keys = []
+    for c, cs in part.columns.items():
+        pend = part._pending.get(c) or {}
+        hlls = list(pend.get("hll") or []) + ([cs.hll] if cs.hll else [])
+        if hlls:
+            e = F.lit(hlls[0])
+            for x in hlls[1:]:
+                e = F.hll_union(e, F.lit(x))
+            exprs.append(F.hll_sketch_estimate(e).alias(f"s_{len(keys)}"))
+            keys.append((c, "distinct"))
+        klls = list(pend.get("kll") or []) + ([cs.kll] if cs.kll else [])
+        if klls:
+            e = F.lit(klls[0])
+            for x in klls[1:]:
+                e = F.kll_sketch_merge_double(e, F.lit(x))
+            qarr = F.array(*[F.lit(float(q)) for q in quantiles])
+            exprs.append(
+                F.kll_sketch_get_quantile_double(e, qarr).alias(
+                    f"s_{len(keys)}"
+                )
+            )
+            keys.append((c, "quantiles"))
+    sk: dict[tuple, Any] = {}
+    if exprs:
+        row = spark.range(1).select(*exprs).collect()[0]
+        for i, key in enumerate(keys):
+            sk[key] = row[i]
+
+    variables: dict[str, Any] = {}
+    for c, cs in part.columns.items():
+        v: dict[str, Any] = {
+            "type": cs.type,
+            "n": cs.n_rows,
+            "count": cs.count,
+            "n_missing": cs.n_missing,
+            "p_missing": cs.n_missing / cs.n_rows if cs.n_rows else 0.0,
+        }
+        if (c, "distinct") in sk:
+            v["n_distinct_approx"] = int(round(sk[(c, "distinct")]))
+        if cs.type == VT.NUMERIC.value:
+            cnt = cs.count
+            v.update(
+                min=cs.min, max=cs.max, mean=cs.m1,
+                n_zeros=cs.n_zeros, n_infinite=cs.n_infinite,
+            )
+            if cs.m1 is not None and cnt > 1:
+                variance = cs.m2 / (cnt - 1)
+                v["variance"] = variance
+                v["std"] = math.sqrt(max(0.0, variance))
+                mu2 = cs.m2 / cnt
+                if mu2 > 0:
+                    g1 = (cs.m3 / cnt) / mu2**1.5
+                    g2 = (cs.m4 / cnt) / (mu2 * mu2) - 3.0
+                    nn = float(cnt)
+                    if cnt > 2:
+                        v["skewness"] = (
+                            g1 * math.sqrt(nn * (nn - 1)) / (nn - 2)
+                        )
+                    if cnt > 3:
+                        v["kurtosis"] = (
+                            (nn - 1) / ((nn - 2) * (nn - 3))
+                            * ((nn + 1) * g2 + 6)
+                        )
+            if (c, "quantiles") in sk and sk[(c, "quantiles")] is not None:
+                v["quantiles_approx"] = {
+                    str(q): float(x)
+                    for q, x in zip(quantiles, sk[(c, "quantiles")])
+                }
+        elif cs.type == VT.DATETIME.value:
+            v.update(min=cs.min, max=cs.max)
+        if cs.top_values:
+            v["top_values"] = sorted(
+                cs.top_values.items(), key=lambda kv: (-kv[1], kv[0])
+            )[:top_k]
+        variables[c] = v
+    return {
+        "table": {"n": part.n, "n_var": len(variables),
+                  "n_shards": part.n_shards},
+        "variables": variables,
+    }

@@ -1,0 +1,130 @@
+"""Incremental (mergeable) profiling: shard states merged == whole-frame
+profile, exactly for moments/counts/extremes, within sketch bounds for
+distinct/quantiles, exactly for top values on bounded-cardinality data."""
+
+import json
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _load(spark):
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    return read_parquet(spark, "/root/testdata/sf0.01/lineitem.parquet")
+
+
+def test_shard_merge_matches_whole_frame(spark):
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+    from pandas_profiling_personal_spark.plans.incremental import (
+        finalize_partial,
+        merge_partials,
+        partial_profile,
+    )
+
+    df = _load(spark).select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_returnflag",
+        "l_linestatus",
+    )
+    # three deterministic, unequal shards
+    shards = [
+        df.where(F.col("l_extendedprice") % 7 < 2),
+        df.where(F.col("l_extendedprice") % 7 == 2),
+        df.where(F.col("l_extendedprice") % 7 > 2),
+    ]
+    parts = [partial_profile(s) for s in shards]
+    merged = merge_partials(parts)
+    inc = finalize_partial(merged, spark)
+
+    batch = profile(
+        df, ProfileConfig(exact=True, correlations=(), duplicates=False)
+    )
+    assert inc["table"]["n"] == batch.table["n"]
+    assert inc["table"]["n_shards"] == 3
+
+    for c in ("l_quantity", "l_extendedprice", "l_discount"):
+        iv, bv = inc["variables"][c], batch.variables[c]
+        assert iv["count"] == bv["count"]
+        assert iv["n_missing"] == bv["n_missing"]
+        assert iv["n_zeros"] == bv["n_zeros"]
+        assert iv["min"] == bv["min"] and iv["max"] == bv["max"]
+        # Pébay-merged moments are exact (fp-tolerance only)
+        for k in ("mean", "std", "variance", "skewness", "kurtosis"):
+            assert math.isclose(iv[k], bv[k], rel_tol=1e-9), (c, k, iv[k], bv[k])
+        # HLL distinct within its a-priori bound (~1.6% at lgK=12)
+        assert abs(iv["n_distinct_approx"] - bv["n_distinct"]) <= max(
+            3, 0.05 * bv["n_distinct"]
+        )
+        # KLL median within a rank-error neighbourhood of the exact median
+        exact_med = bv["q_0_5"]
+        kll_med = iv["quantiles_approx"]["0.5"]
+        lo, hi = bv["q_0_25"], bv["q_0_75"]
+        assert lo <= kll_med <= hi and abs(kll_med - exact_med) <= (hi - lo)
+
+    # categorical top values: exact on bounded-cardinality columns
+    for c in ("l_returnflag", "l_linestatus"):
+        iv, bv = inc["variables"][c], batch.variables[c]
+        batch_top = {
+            t["value"]: t["count"] for t in bv["top_values"]
+        }
+        inc_top = dict(iv["top_values"])
+        assert inc_top == dict(
+            sorted(batch_top.items(), key=lambda kv: (-kv[1], kv[0]))[
+                : len(inc_top)
+            ]
+        )
+
+    # merge is associative in the stats that matter: ((a+b)+c) == (a+(b+c))
+    alt = merge_partials([parts[0], merge_partials(parts[1:])])
+    alt_fin = finalize_partial(alt, spark)
+    for c in ("l_quantity", "l_extendedprice"):
+        for k in ("mean", "std", "skewness", "kurtosis"):
+            assert math.isclose(
+                alt_fin["variables"][c][k], inc["variables"][c][k],
+                rel_tol=1e-9,
+            )
+
+
+def test_partial_profile_json_roundtrip(spark):
+    from pandas_profiling_personal_spark.plans.incremental import (
+        PartialProfile,
+        finalize_partial,
+        merge_partials,
+        partial_profile,
+    )
+
+    df = _load(spark).select("l_quantity", "l_returnflag").limit(500)
+    a = partial_profile(df.where(F.col("l_quantity") <= 25))
+    b = partial_profile(df.where(F.col("l_quantity") > 25))
+
+    # shard states survive JSON (the cross-session persistence contract)
+    a2 = PartialProfile.from_json(a.to_json())
+    b2 = PartialProfile.from_json(b.to_json())
+    fin = finalize_partial(merge_partials([a, b]), spark)
+    fin2 = finalize_partial(merge_partials([a2, b2]), spark)
+    assert json.dumps(fin, default=str) == json.dumps(fin2, default=str)
+
+    # mismatched column sets fail loudly
+    c = partial_profile(df.select("l_quantity"))
+    with pytest.raises(ValueError, match="column sets differ"):
+        merge_partials([a, c])
+
+
+def test_partial_profile_all_null_and_empty_shards(spark):
+    from pandas_profiling_personal_spark.plans.incremental import (
+        finalize_partial,
+        merge_partials,
+        partial_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "x")] * 10, "v double, s string"
+    )
+    empty = df.where("s = 'nope'")
+    merged = merge_partials([partial_profile(df), partial_profile(empty)])
+    fin = finalize_partial(merged, spark)
+    v = fin["variables"]["v"]
+    assert v["count"] == 0 and v["n_missing"] == 10
+    assert v.get("mean") is None
+    assert fin["variables"]["s"]["top_values"] == [("x", 10)]
