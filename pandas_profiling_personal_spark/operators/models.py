@@ -132,10 +132,18 @@ def language_id_model(
             s = scores[lang]
             best_score = s if best_score is None else F.greatest(best_score, s)
         cols = [S.col(id_col)] if id_col else []
+        lang = TX.language_id(c)
+        # confidence describes the EMITTED label: rows language_id rejected
+        # (best score below its min_score → 'und') carry a null confidence,
+        # not the score of the rejected candidate
+        conf = F.when(
+            lang != F.lit("und"),
+            F.round(best_score, 4).cast("double"),
+        )
         return df.select(
             *cols,
-            TX.language_id(c).alias("language"),
-            F.round(best_score, 4).cast("double").alias("confidence"),
+            lang.alias("language"),
+            conf.alias("confidence"),
         )
     return apply_text_model(
         df, text_col, loader, LANGUAGE_MODEL_SCHEMA, id_col=id_col

@@ -429,6 +429,19 @@ FILE_STAT_SCHEMA = T.StructType(
 )
 
 
+def strip_file_uri(p: str) -> str:
+    """``file:``-URI → local path, handling ``file:/x``, ``file:///x`` and
+    ``file://host/x`` forms. The single source of truth for URI stripping —
+    :func:`file_stats`, :func:`read_paths_bytes` and the profile()'s path
+    refinement all share it so a path that stats also reads."""
+    p = str(p)
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
 def file_stats(df: DataFrame, path_col: str = "path") -> DataFrame:
     """Full st_size/st_mtime/st_ctime/st_atime per path (A19) — the fields the
     reference collects driver-side via ``os.stat``
@@ -455,12 +468,7 @@ def file_stats(df: DataFrame, path_col: str = "path") -> DataFrame:
             stats = []
             for p in pdf[path_col]:
                 try:
-                    local = str(p)
-                    if local.startswith("file:"):
-                        local = local[len("file:") :]
-                        # normalize file:///x and file://host/x forms
-                        while local.startswith("//"):
-                            local = local[1:]
+                    local = strip_file_uri(p)
                     try:
                         st = os.stat(local)
                     except OSError:
@@ -497,8 +505,11 @@ def read_paths_bytes(
     must be visible from the executors. Unreadable paths yield NULL content.
     ``max_bytes`` caps the read per file (header-sniff tier: dimensions/
     format of JPEG/PNG/GIF live in the first few KB — no need to pull a
-    100 MB TIFF across to hash its header)."""
+    100 MB TIFF across to hash its header). Same URI-stripping and
+    percent-decode fallback as :func:`file_stats`, so any path that stats
+    also reads."""
     import os
+    from urllib.parse import unquote
 
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(content_col, T.BinaryType())]
@@ -509,14 +520,13 @@ def read_paths_bytes(
             contents = []
             for p in pdf[path_col]:
                 try:
-                    local = str(p)
-                    if local.startswith("file:"):
-                        local = local[len("file:") :]
-                        while local.startswith("//"):
-                            local = local[1:]
+                    local = strip_file_uri(p)
                     if not os.path.isfile(local):
-                        contents.append(None)
-                        continue
+                        if "%" in local and os.path.isfile(unquote(local)):
+                            local = unquote(local)
+                        else:
+                            contents.append(None)
+                            continue
                     with open(local, "rb") as fh:
                         contents.append(
                             fh.read(max_bytes) if max_bytes else fh.read()

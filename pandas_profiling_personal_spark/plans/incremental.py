@@ -8,12 +8,19 @@ over that shard), then folds the day's ``PartialProfile`` into the running
 corpus state driver-side. The reference is strictly whole-frame.
 
 What merges EXACTLY (no approximation):
-  count / n_missing / n_zeros / n_infinite / min / max / sum — additive or
-  lattice merges; mean/variance/std/skewness/kurtosis — per-shard central
-  moment sums (computed with the engine's mean-shifted power-sum pass, the
-  same arithmetic the batch profile uses) combined with the pairwise
-  update formulas of Pébay (2008) / Chan et al. (1979), which are exact
-  and cancellation-safe for any shard split.
+  count / n_missing / n_zeros / n_infinite / n_nan / min / max — additive
+  or lattice merges; mean/variance/std/skewness/kurtosis — per-shard
+  central moment sums (computed with the engine's mean-shifted power-sum
+  pass, the same arithmetic the batch profile uses) combined with the
+  pairwise update formulas of Pébay (2008) / Chan et al. (1979), which are
+  exact and cancellation-safe for any shard split.
+
+All fields use the BATCH profile's semantics so merged == whole-frame:
+count includes NaN (Spark ``count`` counts NaN as non-null), n_infinite
+counts ±inf only, NaN is reported separately as n_nan, max follows
+Spark's NaN-is-largest ordering, and a shard whose mean is NaN/inf
+contaminates the merged moments to NaN — exactly what the batch moment
+pass reports on the same data.
 
 What merges APPROXIMATELY (mergeable sketches, error bounds a priori):
   n_distinct — Datasketches HLL (``hll_sketch_agg`` state, ``hll_union``
@@ -33,6 +40,7 @@ shard states can live next to the data and merge across sessions/engines.
 from __future__ import annotations
 
 import base64
+import datetime
 import json
 import math
 from dataclasses import dataclass, field
@@ -61,6 +69,7 @@ class ColumnState:
     n_missing: int = 0
     n_zeros: int | None = None
     n_infinite: int | None = None
+    n_nan: int | None = None
     min: Any = None
     max: Any = None
     m1: float | None = None
@@ -87,6 +96,13 @@ class PartialProfile:
             for k in ("hll", "kll"):
                 if d[k] is not None:
                     d[k] = base64.b64encode(d[k]).decode()
+            # datetime/date min/max → ISO strings (from_json parses them
+            # back, so a round-tripped state still merges with a fresh one)
+            for k in ("min", "max"):
+                if isinstance(d[k], (datetime.date, datetime.datetime)):
+                    d[k] = d[k].isoformat(sep=" ") if isinstance(
+                        d[k], datetime.datetime
+                    ) else d[k].isoformat()
             return d
 
         return json.dumps(
@@ -114,6 +130,15 @@ class PartialProfile:
             for k in ("hll", "kll"):
                 if cd.get(k) is not None:
                     cd[k] = base64.b64decode(cd[k])
+            if cd.get("type") == VT.DATETIME.value:
+                for k in ("min", "max"):
+                    s = cd.get(k)
+                    if isinstance(s, str):
+                        cd[k] = (
+                            datetime.date.fromisoformat(s)
+                            if len(s) == 10
+                            else datetime.datetime.fromisoformat(s)
+                        )
             return ColumnState(**cd)
 
         out = cls(
@@ -146,10 +171,6 @@ def partial_profile(
     num = [c for c, t in types.items() if t is VT.NUMERIC]
     cat = [c for c, t in types.items() if t in (VT.CATEGORICAL, VT.BOOLEAN)]
 
-    def masked(c):
-        cc = S.col(c).cast("double")
-        return F.when(~F.isnan(cc), cc)
-
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, (c, vt) in enumerate(types.items()):
         p = f"c{i}"
@@ -163,30 +184,27 @@ def partial_profile(
             )
         )
         if vt is VT.NUMERIC:
-            m = masked(c)
+            # BATCH semantics throughout (operators/summary.py pass 1a):
+            # count/mean/min/max over the raw non-null values — count
+            # includes NaN, NaN/inf contaminate the mean, max follows
+            # Spark's NaN-is-largest ordering; NaN and ±inf are counted
+            # separately. Only the KLL quantile sketch masks non-finite
+            # values (a sketch can't rank them).
+            dd = col.cast("double")
+            finite = ~F.isnan(dd) & ~dd.isin(float("inf"), float("-inf"))
             aggs += [
-                F.count(m).alias(f"{p}__count"),
-                F.avg(m).alias(f"{p}__mean"),
-                F.min(m).alias(f"{p}__min"),
-                F.max(m).alias(f"{p}__max"),
-                F.sum((m == 0).cast("long")).alias(f"{p}__zeros"),
+                F.count(dd).alias(f"{p}__count"),
+                F.avg(dd).alias(f"{p}__mean"),
+                F.min(dd).alias(f"{p}__min"),
+                F.max(dd).alias(f"{p}__max"),
+                F.sum((dd == 0).cast("long")).alias(f"{p}__zeros"),
                 F.sum(
-                    (
-                        col.cast("double").isNotNull()
-                        & (F.isnan(col.cast("double"))
-                           | col.cast("double").isin(
-                               float("inf"), float("-inf")))
-                    ).cast("long")
+                    dd.isin(float("inf"), float("-inf")).cast("long")
                 ).alias(f"{p}__inf"),
+                F.sum(F.isnan(dd).cast("long")).alias(f"{p}__nan"),
+                F.count(F.when(finite, 1)).alias(f"{p}__finite"),
                 F.kll_sketch_agg_double(
-                    F.when(
-                        ~F.isnan(col.cast("double"))
-                        & ~col.cast("double").isin(
-                            float("inf"), float("-inf")
-                        ),
-                        col.cast("double"),
-                    ),
-                    F.lit(_KLL_K),
+                    F.when(finite, dd), F.lit(_KLL_K)
                 ).alias(f"{p}__kll"),
             ]
         else:
@@ -220,6 +238,7 @@ def partial_profile(
         if vt is VT.NUMERIC:
             cs.n_zeros = int(row.get(f"{p}__zeros") or 0)
             cs.n_infinite = int(row.get(f"{p}__inf") or 0)
+            cs.n_nan = int(row.get(f"{p}__nan") or 0)
             cs.min = row.get(f"{p}__min")
             cs.max = row.get(f"{p}__max")
             cs.m1 = (
@@ -227,9 +246,12 @@ def partial_profile(
                 if row.get(f"{p}__mean") is not None
                 else None
             )
+            # gate on the FINITE count: an all-NaN shard has count > 0 but
+            # an empty KLL buffer that quantile calls would reject
             cs.kll = (
                 bytes(row[f"{p}__kll"])
-                if cnt_c > 0 and row.get(f"{p}__kll")
+                if int(row.get(f"{p}__finite") or 0) > 0
+                and row.get(f"{p}__kll")
                 else None
             )
         elif vt is VT.DATETIME:
@@ -241,9 +263,15 @@ def partial_profile(
     mexprs, targets = [], []
     for i, c in enumerate(num):
         cs = cols[c]
-        if cs.m1 is None or math.isnan(cs.m1) or math.isinf(cs.m1):
+        if cs.m1 is None:
             continue
-        d = masked(c) - F.lit(cs.m1)
+        if math.isnan(cs.m1) or math.isinf(cs.m1):
+            # NaN/inf contaminate every moment, exactly as the batch
+            # _moment_pass reports on the same shard — never leave the
+            # 0.0 defaults claiming a constant column
+            cs.m2 = cs.m3 = cs.m4 = float("nan")
+            continue
+        d = S.col(c).cast("double") - F.lit(cs.m1)
         p = f"m{i}"
         mexprs += [
             F.sum(d).alias(f"{p}_1"),
@@ -305,6 +333,13 @@ def _merge_moments(a: ColumnState, b: ColumnState) -> None:
         return
     if b.m1 is None:
         return
+    if not (math.isfinite(a.m1) and math.isfinite(b.m1)):
+        # a NaN/inf shard contaminates the merge: combine the means with
+        # the same IEEE arithmetic a whole-frame avg would (sum/count —
+        # inf stays inf, inf + -inf and NaN go NaN), central moments NaN
+        a.m1 = (a.m1 * na + b.m1 * nb) / (na + nb)
+        a.m2 = a.m3 = a.m4 = float("nan")
+        return
     n = na + nb
     d = b.m1 - a.m1
     m2 = a.m2 + b.m2 + d * d * na * nb / n
@@ -325,10 +360,32 @@ def _merge_moments(a: ColumnState, b: ColumnState) -> None:
     a.m2, a.m3, a.m4 = m2, m3, m4
 
 
+def _is_nan(x: Any) -> bool:
+    return isinstance(x, float) and math.isnan(x)
+
+
+def _merge_min(a: Any, b: Any) -> Any:
+    """Spark orders NaN ABOVE every double, so a NaN never wins a min."""
+    if _is_nan(a):
+        return b
+    if _is_nan(b):
+        return a
+    return min(a, b)
+
+
+def _merge_max(a: Any, b: Any) -> Any:
+    """...and always wins a max (matches the batch ``F.max`` on NaN data)."""
+    if _is_nan(a) or _is_nan(b):
+        return float("nan")
+    return max(a, b)
+
+
 def merge_partials(parts: list[PartialProfile]) -> PartialProfile:
     """Fold shard states left-to-right — pure driver arithmetic (sketch
     unions are deferred to :func:`finalize_partial`, which runs them as one
-    tiny Spark select over literals). Column sets must match."""
+    tiny Spark select over literals). Column sets AND per-column types must
+    match — schema drift between shards raises instead of silently merging
+    a numeric state into a categorical one."""
     if not parts:
         raise ValueError("need at least one PartialProfile")
     out = PartialProfile(n=0, columns={}, n_shards=0)
@@ -352,22 +409,31 @@ def merge_partials(parts: list[PartialProfile]) -> PartialProfile:
                 a = ColumnState(type=cs.type, n_rows=cs.n_rows)
                 a.count, a.n_missing = cs.count, cs.n_missing
                 a.n_zeros, a.n_infinite = cs.n_zeros, cs.n_infinite
+                a.n_nan = cs.n_nan
                 a.min, a.max = cs.min, cs.max
                 a.m1, a.m2, a.m3, a.m4 = cs.m1, cs.m2, cs.m3, cs.m4
                 a.top_values = dict(cs.top_values)
                 out.columns[c] = a
                 continue
             a = out.columns[c]
+            if a.type != cs.type:
+                raise ValueError(
+                    f"column {c!r} type differs between shards: "
+                    f"{a.type!r} vs {cs.type!r} — shards profiled under "
+                    "different schemas cannot merge"
+                )
             a.n_rows += cs.n_rows
             a.n_missing += cs.n_missing
             if a.n_zeros is not None and cs.n_zeros is not None:
                 a.n_zeros += cs.n_zeros
             if a.n_infinite is not None and cs.n_infinite is not None:
                 a.n_infinite += cs.n_infinite
+            if a.n_nan is not None and cs.n_nan is not None:
+                a.n_nan += cs.n_nan
             if cs.min is not None:
-                a.min = cs.min if a.min is None else min(a.min, cs.min)
+                a.min = cs.min if a.min is None else _merge_min(a.min, cs.min)
             if cs.max is not None:
-                a.max = cs.max if a.max is None else max(a.max, cs.max)
+                a.max = cs.max if a.max is None else _merge_max(a.max, cs.max)
             _merge_moments(a, cs)
             a.count += cs.count
             for v, k in cs.top_values.items():
@@ -433,8 +499,14 @@ def finalize_partial(
             v.update(
                 min=cs.min, max=cs.max, mean=cs.m1,
                 n_zeros=cs.n_zeros, n_infinite=cs.n_infinite,
+                n_nan=cs.n_nan,
             )
-            if cs.m1 is not None and cnt > 1:
+            if cs.m1 is not None and not math.isfinite(cs.m1):
+                # NaN/inf data: the batch profile reports NaN estimators —
+                # never a fabricated variance of 0
+                for k in ("variance", "std", "skewness", "kurtosis"):
+                    v[k] = float("nan")
+            elif cs.m1 is not None and cnt > 1:
                 variance = cs.m2 / (cnt - 1)
                 v["variance"] = variance
                 v["std"] = math.sqrt(max(0.0, variance))

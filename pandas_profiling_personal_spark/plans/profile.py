@@ -409,22 +409,16 @@ def profile(
                     from pandas_profiling_personal_spark.functions import (
                         stats as S,
                     )
-
-                    def _local(p: str) -> str:
-                        if p.startswith("file:"):
-                            p = p[len("file:"):]
-                            while p.startswith("//"):
-                                p = p[1:]
-                        return p
+                    from pandas_profiling_personal_spark.operators import (
+                        multimodal as MM,
+                    )
 
                     n_exist = sum(
-                        1 for s in vals if _os.path.exists(_local(s))
+                        1
+                        for s in vals
+                        if _os.path.exists(MM.strip_file_uri(s))
                     )
                     if n_exist >= 0.9 * len(vals):
-                        from pandas_profiling_personal_spark.operators import (
-                            multimodal as MM,
-                        )
-
                         v["type_refined"] = "file"
                         fs = MM.file_stats(
                             df.select(S.col(cname).alias("path")), "path"
@@ -474,27 +468,38 @@ def profile(
                                 "content",
                                 decoder="auto",
                             ).select("meta.*")
-                            irow = meta.agg(
-                                F.count("format").alias("n_decoded"),
-                                F.min("width").alias("min_width"),
-                                F.max("width").alias("max_width"),
-                                F.min("height").alias("min_height"),
-                                F.max("height").alias("max_height"),
-                            ).collect()[0]
+                            # ONE action: per-format counts + extents in a
+                            # single groupBy (every file header is read and
+                            # decoded exactly once); global extents folded
+                            # driver-side over the handful of format groups
                             fmt_rows = (
-                                meta.where(F.col("format").isNotNull())
-                                .groupBy("format")
-                                .agg(F.count(F.lit(1)).alias("cnt"))
+                                meta.groupBy("format")
+                                .agg(
+                                    F.count(F.lit(1)).alias("cnt"),
+                                    F.min("width").alias("min_w"),
+                                    F.max("width").alias("max_w"),
+                                    F.min("height").alias("min_h"),
+                                    F.max("height").alias("max_h"),
+                                )
                                 .collect()
                             )
+                            dec = [r for r in fmt_rows if r["format"]]
+
+                            def _fold(fn, key):
+                                xs = [
+                                    r[key] for r in dec
+                                    if r[key] is not None
+                                ]
+                                return fn(xs) if xs else None
+
                             v["image_stats"] = {
-                                "n_decoded": irow["n_decoded"],
-                                "min_width": irow["min_width"],
-                                "max_width": irow["max_width"],
-                                "min_height": irow["min_height"],
-                                "max_height": irow["max_height"],
+                                "n_decoded": sum(r["cnt"] for r in dec),
+                                "min_width": _fold(min, "min_w"),
+                                "max_width": _fold(max, "max_w"),
+                                "min_height": _fold(min, "min_h"),
+                                "max_height": _fold(max, "max_h"),
                                 "format_dist": {
-                                    r["format"]: r["cnt"] for r in fmt_rows
+                                    r["format"]: r["cnt"] for r in dec
                                 },
                             }
 

@@ -138,15 +138,18 @@ def drift_stream(
                 ]
             )
         ).alias("kv"),
-    ).select("__ts", "kv.column", "kv.bucket").where(
-        F.col("bucket").isNotNull()
-    )
+    ).select("__ts", "kv.column", "kv.bucket")
+    # null buckets (null/NaN values) are KEPT through the groupBy so a window
+    # in which a monitored column is entirely null still emits an explicit
+    # (window, column, n=0, psi=null) row — the batch tier's no-edges
+    # contract; a monitor keyed on (window, column) sees the break, not a
+    # silent gap. n counts non-null buckets only, matching the batch n_b.
 
     win = (
         F.window("__ts", window, slide) if slide else F.window("__ts", window)
     )
     counts = melted.groupBy(win.alias("window"), "column").agg(
-        F.count(F.lit(1)).alias("n"),
+        F.count("bucket").alias("n"),
         *[
             F.count(F.when(F.col("bucket") == i, 1)).alias(f"c_{i}")
             for i in range(bins)
@@ -168,5 +171,5 @@ def drift_stream(
         "window",
         "column",
         "n",
-        F.round(term, round_to).alias("psi"),
+        F.when(F.col("n") > 0, F.round(term, round_to)).alias("psi"),
     )

@@ -111,6 +111,76 @@ def test_partial_profile_json_roundtrip(spark):
         merge_partials([a, c])
 
 
+def test_partial_profile_nan_inf_matches_batch(spark):
+    """NaN/inf columns: shard states carry the BATCH profile's semantics —
+    count includes NaN, n_infinite is ±inf only, NaN tracked as n_nan, max
+    follows Spark's NaN-is-largest ordering, and non-finite means
+    contaminate the moment estimators to NaN (never a fabricated 0)."""
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+    from pandas_profiling_personal_spark.plans.incremental import (
+        finalize_partial,
+        merge_partials,
+        partial_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(float("nan"),), (1.0,), (2.0,), (float("inf"),)], "v double"
+    )
+    inc = finalize_partial(partial_profile(df), spark)["variables"]["v"]
+    bv = profile(
+        df, ProfileConfig(exact=True, correlations=(), duplicates=False)
+    ).variables["v"]
+    assert inc["count"] == bv["count"] == 4
+    assert inc["n_infinite"] == bv["n_infinite"] == 1
+    assert inc["n_nan"] == bv["n_nan"] == 1
+    assert math.isnan(inc["mean"]) and math.isnan(inc["variance"])
+    assert math.isnan(inc["max"]) and math.isnan(bv["max"])
+
+    # merging a finite shard with an inf shard contaminates, not zeroes
+    clean = partial_profile(spark.createDataFrame([(3.0,), (4.0,)], "v double"))
+    dirty = partial_profile(
+        spark.createDataFrame([(1.0,), (float("inf"),)], "v double")
+    )
+    fm = finalize_partial(merge_partials([clean, dirty]), spark)["variables"][
+        "v"
+    ]
+    assert math.isinf(fm["mean"]) and math.isnan(fm["variance"])
+
+
+def test_partial_profile_datetime_json_and_type_drift(spark):
+    """A JSON round-tripped shard state merges with a FRESH one — datetime
+    min/max come back as datetimes, not strings; and per-column type drift
+    between shards raises instead of silently merging garbage."""
+    import datetime as dt
+
+    from pandas_profiling_personal_spark.plans.incremental import (
+        PartialProfile,
+        finalize_partial,
+        merge_partials,
+        partial_profile,
+    )
+
+    a = partial_profile(
+        spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, 3, 4, 5),)], "ts timestamp"
+        )
+    )
+    loaded = PartialProfile.from_json(
+        partial_profile(
+            spark.createDataFrame([(dt.datetime(2024, 6, 1),)], "ts timestamp")
+        ).to_json()
+    )
+    fin = finalize_partial(merge_partials([a, loaded]), spark)
+    v = fin["variables"]["ts"]
+    assert v["min"] == dt.datetime(2024, 1, 1, 3, 4, 5)
+    assert v["max"] == dt.datetime(2024, 6, 1)
+
+    num = partial_profile(spark.createDataFrame([(1.0,)], "x double"))
+    cat = partial_profile(spark.createDataFrame([("a",)], "x string"))
+    with pytest.raises(ValueError, match="type differs"):
+        merge_partials([num, cat])
+
+
 def test_partial_profile_all_null_and_empty_shards(spark):
     from pandas_profiling_personal_spark.plans.incremental import (
         finalize_partial,

@@ -256,6 +256,9 @@ def test_learned_model_seams_fake_models(spark):
     heur = {r["doc_id"]: r for r in language_id_model(df, "text", "doc_id").collect()}
     assert heur[1]["language"] == "en" and heur[1]["confidence"] > 0
     assert heur[3]["language"] == "und"
+    # 'und' rows carry NO confidence: the best score belonged to the
+    # REJECTED candidate label, not to the emitted 'und'
+    assert heur[3]["confidence"] is None
 
     # fake fastText: deterministic predict over the batch
     def fake_lang_loader():

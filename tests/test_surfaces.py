@@ -515,6 +515,16 @@ def test_file_stats_uri_encoded_path(spark, tmp_path):
     assert row2["file_stat"] is not None
     assert row2["file_stat"]["st_size"] == 11
 
+    # read_paths_bytes shares the stripping + percent-decode fallback: any
+    # path that stats also READS (no stat-ok/read-null skew between tiers)
+    from pandas_profiling_personal_spark.operators.multimodal import (
+        read_paths_bytes,
+    )
+
+    for pdf in (df, enc):
+        (rb,) = read_paths_bytes(pdf, "path").collect()
+        assert rb["content"] == b"q" * 11, rb["path"]
+
 
 def test_corpus_overlap_empty_side_null_contract(spark):
     """ADVICE r3: empty corpora must yield explicit NULL ratios, not an ANSI
@@ -1043,6 +1053,25 @@ def test_streaming_drift_psi(spark, tmp_path):
         drift_stream(
             spark.read.parquet(str(src)), null_base, ["x"], "ts"
         )
+
+    # a window in which a monitored column goes entirely null still emits an
+    # explicit (window, column, n=0, psi=null) row — a monitor keyed on
+    # (window, column) sees the break, not a silent gap (same plan batch and
+    # streaming, so the batch run pins the contract)
+    gap_rows = [(t0, 0.5, 1.0)] * 5 + [
+        (t0 + dt.timedelta(minutes=10), 0.5, None)
+    ] * 5
+    gap = drift_stream(
+        spark.createDataFrame(gap_rows, schema), baseline, ["x", "u"], "ts",
+        window="5 minutes",
+    ).collect()
+    assert len(gap) == 4  # 2 windows x 2 columns, no dropped group
+    broken = [
+        r for r in gap
+        if r["column"] == "u" and r["window"]["start"].minute == 10
+    ]
+    assert len(broken) == 1
+    assert broken[0]["n"] == 0 and broken[0]["psi"] is None
 
 
 def test_cli_compare_and_segment(tmp_path):
