@@ -177,14 +177,17 @@ _SPECS: dict[str, tuple] = {
         PP.packing_stats_query(256),
         PP.packing_stats_sql(256),
     ),
-    "pii_redact_documents": (PP.pii_redact_query(), PP.pii_redact_sql()),
+    "chunk_documents": (
+        PP.chunk_documents_query(64, 16),
+        PP.chunk_documents_sql(64, 16),
+    ),
+    "c4_line_filter_documents": (
+        PP.c4_line_filter_query(4),
+        PP.c4_line_filter_sql(4),
+    ),
     "mixture_plan_documents": (
         PP.mixture_plan_query(),
         PP.mixture_plan_sql(),
-    ),
-    "mixture_counts_documents": (
-        PP.mixture_counts_query(),
-        PP.mixture_counts_sql(),
     ),
     "contamination_documents": (
         PP.contamination_query(8, 37),
@@ -276,6 +279,11 @@ _SPECS: dict[str, tuple] = {
         None,
     ),
     "pii_summary_documents": (PP.pii_summary_query(), PP.pii_summary_sql()),
+    "pii_redact_documents": (PP.pii_redact_query(), PP.pii_redact_sql()),
+    "mixture_counts_documents": (
+        PP.mixture_counts_query(),
+        PP.mixture_counts_sql(),
+    ),
 }
 
 

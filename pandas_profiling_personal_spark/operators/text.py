@@ -385,3 +385,123 @@ def packing_stats(
             4,
         ).alias("naive_pad_frac"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 256,
+    overlap_tokens: int = 32,
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG-indexing / training-prep
+    step that turns a corpus into bounded, overlapping token windows:
+    one output row per chunk, ``(id, chunk_index, chunk_id, chunk_text,
+    n_chunk_tokens)``.
+
+    Semantics (engine-independent, so an independent SQL engine reproduces
+    it byte-for-byte):
+
+    * tokens are whitespace runs of the trimmed text (the same cheap
+      tokenizer the packing planner uses);
+    * window starts are ``1, 1+stride, ...`` with ``stride = chunk_tokens −
+      overlap_tokens``, emitted while ``start ≤ max(1, n_tokens −
+      overlap_tokens)`` — the cap stops a trailing degenerate window that
+      would contain only the previous chunk's overlap;
+    * ``chunk_id = md5(id ':' chunk_index)`` — a deterministic, engine- and
+      partitioning-independent key downstream sinks can join/dedup on;
+    * null/empty documents yield NO chunks (callers keep them via the
+      source table, not the chunk table).
+
+    100 TB shape: sequence + posexplode + slice are all NARROW (per-row
+    expression work inside whole-stage codegen) — chunking shuffles
+    NOTHING; output partitioning inherits the scan. The expansion factor
+    is bounded by ~n_tokens/stride per document, so executor memory sees
+    one document's chunks at a time, never a corpus-level blowup.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            "overlap_tokens must satisfy 0 <= overlap < chunk_tokens, got "
+            f"{overlap_tokens} vs {chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap_tokens
+    toks = F.split(F.trim(S.col(text_col)), "\\s+")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(F.col("__toks")) - overlap_tokens, F.lit(1)),
+        F.lit(stride),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start"), chunk_tokens)
+    return (
+        df.where(F.length(F.coalesce(S.col(text_col), F.lit(""))) > 0)
+        .select(S.col(id_col).alias("id"), toks.alias("__toks"))
+        .select("id", "__toks", F.explode(starts).alias("__start"))
+        .select(
+            "id",
+            ((F.col("__start") - 1) / stride).cast("long").alias(
+                "chunk_index"
+            ),
+            chunk.alias("__chunk"),
+        )
+        .select(
+            "id",
+            "chunk_index",
+            F.md5(
+                F.concat_ws(":", F.col("id").cast("string"), "chunk_index")
+            ).alias("chunk_id"),
+            F.array_join(F.col("__chunk"), " ").alias("chunk_text"),
+            F.size(F.col("__chunk")).cast("long").alias("n_chunk_tokens"),
+        )
+    )
+
+
+#: line-level ban list from the C4 cleaning recipe (Raffel et al. 2020 §2.2):
+#: boilerplate markers that disqualify a line regardless of shape
+C4_BANNED_SUBSTRINGS = ("javascript", "lorem ipsum", "{")
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 3,
+    terminal_punct: str = '[.!?"]',
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    lines that (a) end in a terminal punctuation mark, (b) have at least
+    ``min_words`` whitespace-delimited words, and (c) contain none of the
+    boilerplate markers (``javascript``, ``lorem ipsum``, ``{``,
+    case-insensitive). One output row per document: ``(id, text_clean,
+    n_lines, n_lines_kept)`` — the kept lines rejoined with newlines, plus
+    the counts a page-level gate (e.g. drop docs with < N clean lines)
+    filters on.
+
+    Pure array higher-order functions over each row (split → filter →
+    array_join): NARROW, whole-stage codegen, zero shuffle — cleaning runs
+    at scan speed on any corpus size. Null documents pass through with
+    null text_clean/counts (the C4 page filter drops them downstream).
+    """
+    ln = F.split(S.col(text_col), "\n")
+
+    def keep(x: Column) -> Column:
+        t = F.trim(x)
+        lower = F.lower(t)
+        banned = None
+        for b in C4_BANNED_SUBSTRINGS:
+            hit = lower.contains(b)
+            banned = hit if banned is None else (banned | hit)
+        return (
+            (F.size(F.split(t, "\\s+")) >= min_words)
+            & t.rlike(terminal_punct + "$")
+            & ~banned
+        )
+
+    kept = F.filter(ln, keep)
+    return df.select(
+        S.col(id_col).alias("id"),
+        F.array_join(kept, "\n").alias("text_clean"),
+        F.size(ln).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+    )

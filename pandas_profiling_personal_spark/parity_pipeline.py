@@ -1137,3 +1137,93 @@ FROM documents d
 LEFT JOIN tot ON d.doc_id = tot.doc_id
 LEFT JOIN kept k ON d.doc_id = k.doc_id
 """
+
+
+# --------------------------------------------------------------------------------
+# sliding-window document chunking — RAG-indexing / training-prep step
+# (operators/text.py chunk_documents; no reference analogue — LLM-pipeline tier)
+# --------------------------------------------------------------------------------
+
+
+def chunk_documents_query(
+    chunk_tokens: int = 64, overlap_tokens: int = 16
+) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return TX.chunk_documents(
+            load(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            chunk_tokens=chunk_tokens,
+            overlap_tokens=overlap_tokens,
+        )
+
+    return fn
+
+
+def chunk_documents_sql(
+    chunk_tokens: int = 64, overlap_tokens: int = 16
+) -> str:
+    stride = chunk_tokens - overlap_tokens
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(coalesce(text, '')) > 0
+),
+st AS (
+  SELECT doc_id, toks,
+    unnest(generate_series(
+      1, greatest(len(toks) - {overlap_tokens}, 1), {stride})) AS gs
+  FROM base
+)
+SELECT doc_id AS id,
+  CAST((gs - 1) / {stride} AS BIGINT) AS chunk_index,
+  md5(CAST(doc_id AS VARCHAR) || ':'
+      || CAST(CAST((gs - 1) / {stride} AS BIGINT) AS VARCHAR)) AS chunk_id,
+  array_to_string(toks[gs:gs + {chunk_tokens} - 1], ' ') AS chunk_text,
+  CAST(len(toks[gs:gs + {chunk_tokens} - 1]) AS BIGINT) AS n_chunk_tokens
+FROM st
+"""
+
+
+# --------------------------------------------------------------------------------
+# C4-style line-level cleaning (operators/text.py c4_line_filter). The synthetic
+# documents are single-line, so the oracle row derives deterministic multi-line
+# text first (replace ' value ' -> newline, same literal-replace in both
+# engines) and relaxes the terminal-punctuation class to the corpus alphabet;
+# the full punctuation/ban-list semantics are pinned by hand-built pytests.
+# --------------------------------------------------------------------------------
+
+
+def c4_line_filter_query(min_words: int = 4) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load(spark, sf_dir, "documents").withColumn(
+            "text", F.replace(F.col("text"), F.lit(" value "), F.lit("\n"))
+        )
+        return TX.c4_line_filter(
+            df, "doc_id", "text",
+            min_words=min_words, terminal_punct="[a-z0-9]",
+        )
+
+    return fn
+
+
+def c4_line_filter_sql(min_words: int = 4) -> str:
+    keep = (
+        f"x -> len(string_split_regex(trim(x), '\\s+')) >= {min_words}"
+        " AND regexp_matches(trim(x), '[a-z0-9]$')"
+        " AND NOT (contains(lower(trim(x)), 'javascript')"
+        " OR contains(lower(trim(x)), 'lorem ipsum')"
+        " OR contains(lower(trim(x)), '{'))"
+    )
+    return f"""
+WITH lined AS (
+  SELECT doc_id, replace(text, ' value ', chr(10)) AS text FROM documents
+)
+SELECT doc_id AS id,
+  array_to_string(list_filter(string_split(text, chr(10)), {keep}), chr(10))
+    AS text_clean,
+  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+  CAST(len(list_filter(string_split(text, chr(10)), {keep})) AS BIGINT)
+    AS n_lines_kept
+FROM lined
+"""

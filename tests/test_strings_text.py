@@ -373,3 +373,94 @@ def test_mixture_upsampling_epochs(spark):
     )
     assert all(r["count(1)"] >= int(rate_w) for r in eps)
     assert all(r["max(epoch)"] == r["count(1)"] for r in eps)
+
+
+def test_chunk_documents_sliding_window(spark):
+    """chunk_documents: sliding token windows with overlap — hand example
+    pins start positions, tail-window suppression, deterministic chunk ids,
+    and the null/empty-doc contract (no chunks)."""
+    from pandas_profiling_personal_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, "t1 t2 t3 t4 t5 t6 t7 t8"),   # 8 tokens
+            (2, "a b"),                        # shorter than one chunk
+            (3, None),
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap_tokens=1)
+    rows = sorted(
+        ((r["id"], r["chunk_index"], r["chunk_text"], r["n_chunk_tokens"])
+         for r in out.collect())
+    )
+    # stride 3, starts while start <= n-overlap=7: 1, 4, 7
+    assert rows == [
+        (1, 0, "t1 t2 t3 t4", 4),
+        (1, 1, "t4 t5 t6 t7", 4),
+        (1, 2, "t7 t8", 2),
+        (2, 0, "a b", 2),
+    ]
+    # overlap: each chunk's first token is the previous chunk's last
+    # chunk_id is a pure function of (id, index) — engine/partition-free
+    ids = {(r["id"], r["chunk_index"]): r["chunk_id"] for r in out.collect()}
+    import hashlib
+
+    assert ids[(1, 1)] == hashlib.md5(b"1:1").hexdigest()
+
+    # degenerate tail suppressed: 5 tokens, chunk 4, overlap 1 -> starts 1, 4
+    # (a start at 7 would exist without the n-overlap cap on 8 tokens... and
+    # for n=5 a start at 4 covers through token 5; no start-5+ window)
+    five = spark.createDataFrame([(9, "x1 x2 x3 x4 x5")], "doc_id bigint, text string")
+    out5 = chunk_documents(five, "doc_id", "text", chunk_tokens=4, overlap_tokens=1)
+    assert [r["chunk_text"] for r in sorted(out5.collect(), key=lambda r: r["chunk_index"])] == [
+        "x1 x2 x3 x4", "x4 x5",
+    ]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap_tokens=4)
+
+
+def test_chunk_documents_no_shuffle(spark):
+    """Chunking is NARROW — sequence/explode/slice inside codegen, zero
+    exchanges: the 100 TB guarantee that chunking runs at scan speed."""
+    from pandas_profiling_personal_spark.operators.text import chunk_documents
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    df = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    plan = chunk_documents(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_c4_line_filter_semantics(spark):
+    """C4 line cleaning: terminal punctuation + min-words + ban list, with
+    per-doc kept/total counts; null docs pass through as null."""
+    from pandas_profiling_personal_spark.operators.text import c4_line_filter
+
+    doc = "\n".join(
+        [
+            "This line is long enough and ends properly.",  # keep
+            "Too short.",                                    # < 3 words
+            "No terminal punctuation on this line",          # no punct
+            "Enable javascript to view this page.",          # banned word
+            "A config block { with braces } inside.",        # banned '{'
+            'He said "a quoted ending counts."',             # keep (quote)
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, doc), (2, None)], "doc_id bigint, text string"
+    )
+    out = {r["id"]: r for r in c4_line_filter(df, "doc_id", "text").collect()}
+    assert out[1]["n_lines"] == 6 and out[1]["n_lines_kept"] == 2
+    assert out[1]["text_clean"] == (
+        "This line is long enough and ends properly.\n"
+        'He said "a quoted ending counts."'
+    )
+    assert out[2]["text_clean"] is None and out[2]["n_lines"] is None
+
+    # narrow plan: zero exchanges
+    plan = c4_line_filter(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
