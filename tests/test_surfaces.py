@@ -1106,3 +1106,97 @@ def test_cli_compare_and_segment(tmp_path):
     assert status["changed"] >= 1  # x's range moved
     page = out.read_text()
     assert "extra" in page and "Changed variables" in page
+
+
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    """sessionize_stream: custom stateful operator (applyInPandasWithState).
+    Closed sessions from a real stream match the batch lag+cumsum
+    sessionizer exactly; open sessions close via event-time timeout once
+    the watermark passes their gap horizon."""
+    from pandas_profiling_personal_spark.operators.sessions import sessionize
+    from pandas_profiling_personal_spark.streaming.session_stream import (
+        sessionize_stream,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def ev(user, minutes):
+        return (user, t0 + dt.timedelta(minutes=minutes))
+
+    # user a: sessions {0,5,10}, {60,62}, {240} / user b: {0}, {100,105}
+    early = [
+        ev("a", 0), ev("a", 5), ev("a", 10),
+        ev("a", 60), ev("a", 62),
+        ev("b", 0), ev("b", 100), ev("b", 105),
+    ]
+    late = [ev("a", 240), ev("b", 600)]  # far future: advances the watermark
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = tmp_path / "sess_src"
+    spark.createDataFrame(early, schema).coalesce(1).write.parquet(str(src))
+    spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+
+    # batch reference: per-(user, session) spans from the window sessionizer
+    batch_df = sessionize(
+        spark.read.parquet(str(src)), "user_id", "ts", gap_minutes=30
+    )
+    rows = batch_df.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()
+    batch_sessions = {
+        (r["user_id"], r["s"], r["e"], r["n"]) for r in rows
+    }
+
+    # bounded batch mode of the SAME operator: closed sessions only (each
+    # user's final session stays in state — no timeout clock in batch)
+    closed = {
+        (r["user_key"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize_stream(
+            spark.read.parquet(str(src)), "user_id", "ts", gap_minutes=30
+        ).collect()
+    }
+    last_per_user = {
+        u: max(s for s in batch_sessions if s[0] == u) for u in ("a", "b")
+    }
+    assert closed == batch_sessions - set(last_per_user.values())
+
+    # real stream, one file per micro-batch: the late file advances the
+    # watermark past every earlier session's gap horizon, so the event-time
+    # TIMEOUT closes them — everything but the final per-user sessions emits
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = sessionize_stream(stream, "user_id", "ts", gap_minutes=30,
+                            watermark="0 seconds")
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r["user_key"], r["session_start"], r["session_end"],
+             r["n_events"])
+            for r in spark.table("t_sessions").collect()
+        }
+    finally:
+        q.stop()
+    # every closed session matches the batch sessionizer byte-for-byte.
+    # user a's final session (16:00) closes via the EVENT-TIME TIMEOUT —
+    # user b's 22:00 event pushes the watermark past a's 16:30 gap horizon
+    # — while b's own final session stays open (nothing ever advances the
+    # watermark past it): the state store self-reaps, the last key waits.
+    assert streamed == batch_sessions - {last_per_user["b"]}
+    assert last_per_user["a"] in streamed
