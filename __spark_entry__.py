@@ -284,6 +284,10 @@ _SPECS: dict[str, tuple] = {
         PP.mixture_counts_query(),
         PP.mixture_counts_sql(),
     ),
+    "tfidf_top_terms_documents": (
+        PP.tfidf_top_terms_query(5),
+        PP.tfidf_top_terms_sql(5),
+    ),
 }
 
 

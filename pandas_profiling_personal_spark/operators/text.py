@@ -505,3 +505,71 @@ def c4_line_filter(
         F.size(ln).cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_lines_kept"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """Corpus keyword extraction: the top-``k`` TF-IDF terms per document —
+    ``(id, rank, term, tf, df, score)`` with the sklearn-style smoothed IDF
+    ``ln((N + 1) / (df + 1)) + 1`` (never zero, no division blowups on
+    corpus-wide terms).
+
+    Determinism across engines: score is ROUNDED (4 decimals) before
+    ranking and ties break on ``term`` ascending, so an independent SQL
+    engine reproduces the exact ranking (ulp-level ``ln`` differences
+    cannot reorder).
+
+    100 TB shape: four exchanges, each bounded — (doc,term) partial-agged
+    term counts, a vocab-sized document-frequency aggregate REUSED from the
+    (doc,term) table (no second corpus scan), a term-keyed join of the two,
+    and a per-doc ranking window whose groups are bounded by document
+    length (never corpus-sized). N arrives as a broadcast 1-row aggregate,
+    not a driver round-trip inside the plan.
+    """
+    tok = df.select(
+        S.col(id_col).alias("id"),
+        F.explode(tokens(S.col(text_col))).alias("term"),
+    )
+    tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # document frequency from the (doc,term) aggregate — one row per
+    # (doc,term) already, so df is a plain count, not a count_distinct
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.where(F.col("df") >= min_df)
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                4,
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("id", "rank", "term", "tf", "df", "score")
+    )

@@ -1227,3 +1227,43 @@ SELECT doc_id AS id,
     AS n_lines_kept
 FROM lined
 """
+
+
+# --------------------------------------------------------------------------------
+# TF-IDF keyword extraction (operators/text.py tfidf_top_terms). Score rounds
+# BEFORE ranking and ties break on term asc, so the ranking is reproducible
+# across engines despite ulp-level ln() differences.
+# --------------------------------------------------------------------------------
+
+
+def tfidf_top_terms_query(k: int = 5) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return TX.tfidf_top_terms(
+            load(spark, sf_dir, "documents"), "doc_id", "text", k=k
+        )
+
+    return fn
+
+
+def tfidf_top_terms_sql(k: int = 5) -> str:
+    return f"""
+WITH {_TOK},
+ex AS (SELECT doc_id, unnest(t) AS term FROM tok),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM ex GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+    round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 4)
+      AS score
+  FROM tf JOIN dfreq USING (term), n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id AS id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
+FROM ranked WHERE rank <= {k}
+"""

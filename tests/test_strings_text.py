@@ -464,3 +464,32 @@ def test_c4_line_filter_semantics(spark):
     # narrow plan: zero exchanges
     plan = c4_line_filter(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_tfidf_top_terms_semantics(spark):
+    """TF-IDF ranking: rare terms outrank corpus-wide terms; smoothed IDF
+    pinned by hand; min_df prunes the vocab tail; rank ties break on term."""
+    import math
+
+    from pandas_profiling_personal_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "common rare rare"),
+            (2, "common alpha alpha"),
+            (3, "common beta"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = tfidf_top_terms(df, "doc_id", "text", k=2)
+    rows = {(r["id"], r["rank"]): r for r in out.collect()}
+    # doc 1: 'rare' (tf=2, df=1) outranks 'common' (tf=1, df=3)
+    assert rows[(1, 1)]["term"] == "rare"
+    assert rows[(1, 2)]["term"] == "common"
+    # smoothed idf hand-check: tf=2, N=3, df=1 -> 2*(ln(4/2)+1)
+    assert rows[(1, 1)]["score"] == round(2 * (math.log(2.0) + 1.0), 4)
+    # 'common' in every doc: idf = ln(4/4)+1 = 1 -> score == tf == 1
+    assert rows[(1, 2)]["score"] == 1.0
+    # min_df=2 prunes the singleton vocab (rare/alpha/beta all df=1)
+    pruned = tfidf_top_terms(df, "doc_id", "text", k=3, min_df=2)
+    assert {r["term"] for r in pruned.collect()} == {"common"}
