@@ -288,6 +288,10 @@ _SPECS: dict[str, tuple] = {
         PP.tfidf_top_terms_query(5),
         PP.tfidf_top_terms_sql(5),
     ),
+    "semantic_dedup_embeddings": (
+        PP.semantic_dedup_query(16, 0.3),
+        PP.semantic_dedup_sql(16, 0.3),
+    ),
 }
 
 

@@ -379,3 +379,86 @@ def ivf_centroids_kmeans(
     return corpus.sparkSession.createDataFrame(
         centers, "cell_id bigint, __cellv array<double>"
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with a coarse quantizer,
+    then inside each cluster drop every item whose cosine similarity to a
+    lower-id item reaches ``threshold`` — semantic near-duplicates that
+    lexical dedup (MinHash/SimHash) cannot see. Output: one row per input,
+    ``(id, cell_id, keep, dup_of)`` with ``dup_of`` = the lowest id the row
+    duplicates (null for kept rows; in a similarity chain a > b > c the
+    middle link's dup_of may itself be dropped — follow dup_of to the kept
+    root, exactly like the paper's greedy sweep).
+
+    Representative choice: deterministic lowest-id-wins (the paper keeps
+    the item FARTHEST from the centroid; min-id is engine-reproducible, so
+    the keep-list is oracle-checkable — swap the ordering in the pair
+    predicate to change the policy).
+
+    Scale shape (the paper's own structure): centroids broadcast; the
+    assignment is a corpus × n_cells broadcast crossJoin folded by one
+    map-side-combinable min_by aggregate; the pair generation is an
+    equi-self-join on cell_id — quadratic only WITHIN a cell (bounded by
+    corpus/n_cells at balanced clustering; size n_cells ~ sqrt(corpus) as
+    in the paper); the keep fold is a |dropped|-row aggregate. Defaults
+    use the md5-seeded deterministic centroids (:func:`ivf_centroids`);
+    pass :func:`ivf_centroids_kmeans` output for better-balanced cells
+    when cross-engine reproducibility isn't needed.
+    """
+    if centroids is None:
+        centroids = ivf_centroids(corpus, id_col, vec_col, n_cells)
+    cents = F.broadcast(centroids.select("cell_id", "__cellv"))
+    c = parallelize_narrow(corpus).select(
+        S.col(id_col).alias("id"),
+        as_double(S.col(vec_col)).alias("__v"),
+    )
+    csim = F.round(cosine(F.col("__v"), F.col("__cellv")), 4)
+    assign = (
+        c.crossJoin(cents)
+        .select("id", "__v", "cell_id", csim.alias("__csim"))
+        .groupBy("id")
+        .agg(
+            F.min_by(
+                F.col("cell_id"), F.struct(-F.col("__csim"), F.col("cell_id"))
+            ).alias("cell_id"),
+            F.first("__v").alias("__v"),
+        )
+    )
+    a = assign.select(
+        F.col("id").alias("id_a"), F.col("cell_id").alias("__ca"),
+        F.col("__v").alias("__va"),
+    )
+    b = assign.select(
+        F.col("id").alias("id_b"), F.col("cell_id").alias("__cb"),
+        F.col("__v").alias("__vb"),
+    )
+    sim = F.round(cosine(F.col("__va"), F.col("__vb")), 4)
+    dups = (
+        a.join(
+            b,
+            (F.col("__ca") == F.col("__cb"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .where(sim >= threshold)
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+        .select(F.col("id_b").alias("id"), "dup_of")
+    )
+    return (
+        assign.join(dups, "id", "left")
+        .select(
+            "id",
+            "cell_id",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )

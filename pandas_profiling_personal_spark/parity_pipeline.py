@@ -1267,3 +1267,49 @@ ranked AS (
 SELECT doc_id AS id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
 FROM ranked WHERE rank <= {k}
 """
+
+
+# --------------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (operators/similarity.py semantic_dedup):
+# deterministic md5-seed centroids + min-id-wins keep rule make the whole
+# cluster/pair/keep pipeline oracle-reproducible.
+# --------------------------------------------------------------------------------
+
+
+def semantic_dedup_query(
+    n_cells: int = 16, threshold: float = 0.3
+) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return SIM.semantic_dedup(
+            load(spark, sf_dir, "embeddings"),
+            "vec_id",
+            "embedding",
+            n_cells=n_cells,
+            threshold=threshold,
+        )
+
+    return fn
+
+
+def semantic_dedup_sql(n_cells: int = 16, threshold: float = 0.3) -> str:
+    key = "CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS UBIGINT)"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS cell_id, v AS cv FROM e
+  ORDER BY {key} ASC, vec_id ASC LIMIT {n_cells}),
+asg AS (
+  SELECT id, v, cell_id FROM (
+    SELECT e.vec_id AS id, e.v, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round({_cos_sql("e.v", "c.cv")}, 4) DESC,
+                      c.cell_id ASC) AS r
+    FROM e, cents c) WHERE r = 1),
+dups AS (
+  SELECT b.id AS id, min(a.id) AS dup_of
+  FROM asg a JOIN asg b ON a.cell_id = b.cell_id AND a.id < b.id
+  WHERE round({_cos_sql("a.v", "b.v")}, 4) >= {threshold}
+  GROUP BY 1)
+SELECT asg.id, asg.cell_id, d.dup_of IS NULL AS keep, d.dup_of
+FROM asg LEFT JOIN dups d ON asg.id = d.id
+"""

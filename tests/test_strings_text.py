@@ -493,3 +493,41 @@ def test_tfidf_top_terms_semantics(spark):
     # min_df=2 prunes the singleton vocab (rare/alpha/beta all df=1)
     pruned = tfidf_top_terms(df, "doc_id", "text", k=3, min_df=2)
     assert {r["term"] for r in pruned.collect()} == {"common"}
+
+
+def test_semantic_dedup_keep_rule(spark):
+    """semantic_dedup: identical/near-identical embeddings inside a cell
+    collapse to the lowest id; dissimilar vectors survive; output covers
+    every input row exactly once."""
+    from pandas_profiling_personal_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),      # orthogonal — kept
+        (4, [1.0, 0.001, 0.0, 0.0]),    # near-dup of 1 too
+        (5, [0.0, 0.0, 1.0, 0.0]),      # orthogonal — kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    # one cell: the pair/keep logic tested directly (cluster blocking off)
+    out = {r["id"]: r for r in semantic_dedup(
+        df, "vec_id", "embedding", n_cells=1, threshold=0.95
+    ).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1]["keep"] and out[1]["dup_of"] is None
+    assert not out[2]["keep"] and out[2]["dup_of"] == 1
+    assert not out[4]["keep"] and out[4]["dup_of"] == 1
+    # orthogonal vectors never reach the threshold
+    assert out[3]["keep"] and out[5]["keep"]
+
+    # cluster blocking: with >1 cell, a dropped row's representative is
+    # ALWAYS a lower id in the SAME cell (pairs never cross cells)
+    blocked = {r["id"]: r for r in semantic_dedup(
+        df, "vec_id", "embedding", n_cells=2, threshold=0.95
+    ).collect()}
+    for r in blocked.values():
+        if not r["keep"]:
+            rep = blocked[r["dup_of"]]
+            assert rep["cell_id"] == r["cell_id"] and rep["id"] < r["id"]
