@@ -422,6 +422,10 @@ def semantic_dedup(
         as_double(S.col(vec_col)).alias("__v"),
     )
     csim = F.round(cosine(F.col("__v"), F.col("__cellv")), 4)
+    # ONE explicit cell_id exchange that every consumer shares: the pair
+    # self-join reads it twice via ReuseExchange and the final keep join
+    # reshuffles its OUTPUT — without it the assignment (a full corpus scan
+    # + the crossJoin fold) executes three times (measured in the plan)
     assign = (
         c.crossJoin(cents)
         .select("id", "__v", "cell_id", csim.alias("__csim"))
@@ -432,26 +436,19 @@ def semantic_dedup(
             ).alias("cell_id"),
             F.first("__v").alias("__v"),
         )
+        .repartition("cell_id")
     )
-    a = assign.select(
-        F.col("id").alias("id_a"), F.col("cell_id").alias("__ca"),
-        F.col("__v").alias("__va"),
-    )
-    b = assign.select(
-        F.col("id").alias("id_b"), F.col("cell_id").alias("__cb"),
-        F.col("__v").alias("__vb"),
-    )
-    sim = F.round(cosine(F.col("__va"), F.col("__vb")), 4)
+    a, b = assign.alias("a"), assign.alias("b")
+    sim = F.round(cosine(F.col("a.__v"), F.col("b.__v")), 4)
     dups = (
         a.join(
             b,
-            (F.col("__ca") == F.col("__cb"))
-            & (F.col("id_a") < F.col("id_b")),
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.id") < F.col("b.id")),
         )
         .where(sim >= threshold)
-        .groupBy("id_b")
-        .agg(F.min("id_a").alias("dup_of"))
-        .select(F.col("id_b").alias("id"), "dup_of")
+        .groupBy(F.col("b.id").alias("id"))
+        .agg(F.min(F.col("a.id")).alias("dup_of"))
     )
     return (
         assign.join(dups, "id", "left")

@@ -504,3 +504,21 @@ def test_categorical_drift_single_count_exchange(spark):
         if "value#" in m
     ]
     assert len(data_exchanges) == 1, (len(data_exchanges), plan)
+
+
+def test_semantic_dedup_assignment_computed_once(spark):
+    """semantic_dedup: the cell assignment (a full corpus scan + the
+    centroid crossJoin fold) must execute ONCE — its explicit cell_id
+    repartition is the shared exchange the pair self-join reads twice via
+    ReuseExchange and the keep join reshuffles from. Without it the
+    assignment ran three times (measured)."""
+    from pandas_profiling_personal_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    emb = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    out = semantic_dedup(emb, "vec_id", "embedding", n_cells=8, threshold=0.3)
+    out.collect()  # AQE resolves exchange reuse at runtime
+    plan = _plan(out)
+    assert "ReusedExchange" in plan, plan
