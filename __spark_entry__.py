@@ -292,6 +292,10 @@ _SPECS: dict[str, tuple] = {
         PP.semantic_dedup_query(16, 0.3),
         PP.semantic_dedup_sql(16, 0.3),
     ),
+    "corpus_funnel_documents": (
+        PP.corpus_funnel_query(),
+        PP.corpus_funnel_sql(),
+    ),
 }
 
 

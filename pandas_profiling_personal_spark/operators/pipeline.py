@@ -1,0 +1,184 @@
+"""End-to-end corpus preparation: the composed training-data pipeline a
+user of the individual operators would otherwise hand-wire — C4 line
+cleaning → quality filter → exact dedup → benchmark decontamination →
+(optional) chunking — plus a one-aggregate data FUNNEL report.
+
+Design: :func:`corpus_funnel` computes every stage as a SEQUENTIAL boolean
+flag over one wide DataFrame instead of materializing per-stage corpora —
+a later flag is true only if every earlier flag is (dedup winners are
+elected only among quality survivors, decontamination only among dedup
+winners), so the flags read as a funnel, the counts come from ONE
+aggregate, and nothing is filtered until the caller asks. The per-stage
+operators stay the single source of truth for semantics: line cleaning is
+:func:`...text.c4_line_filter`, the quality rules are
+:func:`...text.quality_filter` (over the CLEANED text), exact dedup
+groups on :func:`...text.fingerprint` of the cleaned text with the
+first-id-wins rule, decontamination is
+:func:`...dedup.contamination_keep_list`.
+
+Scale shape: one corpus scan feeds the flag projection; the only
+exchanges are the ones the component operators already pay — the
+fingerprint dedup's (fingerprint → min id) aggregate + join-back and the
+decontamination's broadcast-benchmark join + bounded hit rollup. The
+funnel report collapses to a single row via partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pandas_profiling_personal_spark.functions import stats as S
+from pandas_profiling_personal_spark.operators import text as TX
+
+#: funnel stages in order; each column of the flags frame
+FUNNEL_STAGES = (
+    "pass_lines",
+    "pass_quality",
+    "pass_dedup",
+    "pass_decontam",
+)
+
+
+def corpus_funnel(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words_per_line: int = 3,
+    min_clean_lines: int = 1,
+    line_filter: bool = True,
+    benchmark: DataFrame | None = None,
+    benchmark_text_col: str = "text",
+    quality_kwargs: dict | None = None,
+) -> DataFrame:
+    """One row per input document with the cleaned text and sequential
+    stage flags: ``(id, text_clean, pass_lines, pass_quality, pass_dedup,
+    pass_decontam, quality_score, reject_reasons)``.
+
+    ``pass_decontam`` is the FINAL keep decision (it folds every earlier
+    stage); with no ``benchmark`` it equals ``pass_dedup``. Dedup winners
+    are elected with min-id-wins among documents that survived the
+    quality stage — a dropped near-duplicate never shadows a kept one.
+    ``line_filter=False`` skips the C4 line stage (``text_clean`` is the
+    raw text, ``pass_lines`` is true for non-null docs).
+    """
+    base = df.select(S.col(id_col).alias("id"), S.col(text_col).alias("__t"))
+    # every per-document stage stacks as a PROJECTION on one frame (codegen
+    # subexpression elimination shares the tokenizer subtrees) — no
+    # self-joins, so the corpus is scanned once per genuinely relational
+    # stage (dedup winners, decontamination), not once per rule
+    if line_filter:
+        flags = TX.c4_line_filter(
+            base, "id", "__t", min_words=min_words_per_line
+        ).select(
+            "id",
+            "text_clean",
+            F.coalesce(
+                F.col("n_lines_kept") >= min_clean_lines, F.lit(False)
+            ).alias("pass_lines"),
+        )
+    else:
+        flags = base.select(
+            "id",
+            F.col("__t").alias("text_clean"),
+            F.col("__t").isNotNull().alias("pass_lines"),
+        )
+
+    score, reasons = TX.quality_reject_reasons(
+        F.col("text_clean"), **(quality_kwargs or {})
+    )
+    flags = flags.select(
+        "*",
+        score.alias("quality_score"),
+        reasons.alias("reject_reasons"),
+    ).withColumn(
+        "pass_quality",
+        F.col("pass_lines") & (F.size(F.col("reject_reasons")) == 0),
+    )
+
+    # exact dedup among quality survivors: min-id-wins per fingerprint of
+    # the CLEANED text; one (fingerprint → winner) aggregate + join-back
+    fp = F.when(F.col("pass_quality"), TX.fingerprint(F.col("text_clean")))
+    flags = flags.withColumn("__fp", fp)
+    winners = (
+        flags.where(F.col("__fp").isNotNull())
+        .groupBy("__fp")
+        .agg(F.min("id").alias("__winner"))
+    )
+    flags = flags.join(winners, "__fp", "left").withColumn(
+        "pass_dedup",
+        F.col("pass_quality") & (F.col("id") == F.col("__winner")),
+    )
+
+    if benchmark is not None:
+        from pandas_profiling_personal_spark.operators.dedup import (
+            contamination_keep_list,
+        )
+
+        contam = contamination_keep_list(
+            flags.select("id", "text_clean"),
+            benchmark.select(
+                S.col(benchmark_text_col).alias("text_clean")
+            ),
+            id_col="id",
+            text_col="text_clean",
+        ).select(
+            F.col("doc_id").alias("id"), F.col("keep").alias("__c_keep")
+        )
+        flags = flags.join(contam, "id", "left").withColumn(
+            "pass_decontam",
+            F.col("pass_dedup") & F.coalesce(F.col("__c_keep"), F.lit(True)),
+        )
+    else:
+        flags = flags.withColumn("pass_decontam", F.col("pass_dedup"))
+
+    return flags.select(
+        "id",
+        "text_clean",
+        *FUNNEL_STAGES,
+        "quality_score",
+        "reject_reasons",
+    )
+
+
+def funnel_report(flags: DataFrame) -> DataFrame:
+    """ONE-row survivor counts over a :func:`corpus_funnel` result:
+    ``(n_docs, n_pass_lines, n_pass_quality, n_pass_dedup,
+    n_pass_decontam)`` — a single partial-aggregated collapse, the
+    training-data "data funnel" chart in one job."""
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum(F.col(s).cast("long")).alias(f"n_{s}")
+            for s in FUNNEL_STAGES
+        ],
+    )
+
+
+def prepare_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int | None = None,
+    overlap_tokens: int = 0,
+    **funnel_kwargs,
+) -> DataFrame:
+    """The surviving corpus: :func:`corpus_funnel` filtered to the final
+    stage, original non-text columns preserved, text replaced by the
+    cleaned text. With ``chunk_tokens`` the result is chunk rows
+    (:func:`...text.chunk_documents` schema) instead of document rows —
+    ready for :func:`...sources.writers.write_training_shards` keyed on
+    ``chunk_id``/``id``."""
+    flags = corpus_funnel(df, id_col, text_col, **funnel_kwargs)
+    kept = flags.where(F.col("pass_decontam")).select("id", "text_clean")
+    others = [c for c in df.columns if c not in (id_col, text_col)]
+    out = (
+        df.select(S.col(id_col).alias("id"), *[S.col(c) for c in others])
+        .join(kept, "id")
+        .select("id", *others, F.col("text_clean").alias(text_col))
+    )
+    if chunk_tokens is not None:
+        return TX.chunk_documents(
+            out, "id", text_col,
+            chunk_tokens=chunk_tokens, overlap_tokens=overlap_tokens,
+        )
+    return out

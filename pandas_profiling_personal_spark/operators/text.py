@@ -279,6 +279,41 @@ def repetition_profile(
     )
 
 
+def quality_reject_reasons(
+    c: Column,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    max_punct_ratio: float = 0.2,
+    min_stopword_ratio: float = 0.05,
+    min_quality: float = 0.5,
+) -> tuple[Column, Column]:
+    """The quality-filter rules as PURE COLUMN expressions:
+    ``(quality_score, reject_reasons)`` over a text column — the single
+    source of truth shared by :func:`quality_filter` and the composed
+    pipeline (``operators.pipeline.corpus_funnel``), which stacks them as
+    projections instead of paying a join. Same rounded arithmetic as
+    :func:`text_profile`, so both call sites stay oracle-identical."""
+    feats = quality_features(c)
+    n_tok = feats["n_tokens"]
+    punct = F.round(feats["punct_ratio"], 4)
+    stop = F.round(feats["stopword_ratio"], 4)
+    score = F.round(quality_score(c), 4)
+    reasons = F.filter(
+        F.array(
+            # NULL text propagates NULL through every threshold condition,
+            # which would silently KEEP the document — reject it explicitly
+            F.when(n_tok.isNull(), F.lit("null_text")),
+            F.when(n_tok < min_tokens, F.lit("too_short")),
+            F.when(n_tok > max_tokens, F.lit("too_long")),
+            F.when(punct > max_punct_ratio, F.lit("high_punct")),
+            F.when(stop < min_stopword_ratio, F.lit("low_stopword")),
+            F.when(score < min_quality, F.lit("low_quality")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return score, reasons
+
+
 def quality_filter(
     df: DataFrame,
     text_col: str,
@@ -297,30 +332,17 @@ def quality_filter(
     array preserves rule order so downstream triage can group by first
     reason. Thresholds mirror the published heuristics (C4: length bounds
     and punctuation; Gopher §A1.1: stopword floor) — tune per corpus."""
-    prof = text_profile(df, text_col, id_col)
-    reasons = F.filter(
-        F.array(
-            # NULL text propagates NULL through every threshold condition,
-            # which would silently KEEP the document — reject it explicitly
-            F.when(F.col("n_tokens").isNull(), F.lit("null_text")),
-            F.when(F.col("n_tokens") < min_tokens, F.lit("too_short")),
-            F.when(F.col("n_tokens") > max_tokens, F.lit("too_long")),
-            F.when(
-                F.col("punct_ratio") > max_punct_ratio, F.lit("high_punct")
-            ),
-            F.when(
-                F.col("stopword_ratio") < min_stopword_ratio,
-                F.lit("low_stopword"),
-            ),
-            F.when(
-                F.col("quality_score") < min_quality, F.lit("low_quality")
-            ),
-        ),
-        lambda x: x.isNotNull(),
+    score, reasons = quality_reject_reasons(
+        S.col(text_col),
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        max_punct_ratio=max_punct_ratio,
+        min_stopword_ratio=min_stopword_ratio,
+        min_quality=min_quality,
     )
-    return prof.select(
+    return df.select(
         S.col(id_col),
-        F.col("quality_score"),
+        score.alias("quality_score"),
         reasons.alias("reject_reasons"),
         (F.size(reasons) == 0).alias("keep"),
     )

@@ -1313,3 +1313,67 @@ dups AS (
 SELECT asg.id, asg.cell_id, d.dup_of IS NULL AS keep, d.dup_of
 FROM asg LEFT JOIN dups d ON asg.id = d.id
 """
+
+
+# --------------------------------------------------------------------------------
+# composed corpus-preparation funnel (operators/pipeline.py corpus_funnel) in
+# its SQL-expressible configuration: quality + exact-dedup stages over raw
+# text (line_filter=False — the synthetic docs are single-line without
+# terminal punctuation; the line stage's semantics are pinned by the
+# c4_line_filter oracle row + pytest). reject_reasons joins to a string for
+# the driver's sort-based canonicalizer.
+# --------------------------------------------------------------------------------
+
+
+def corpus_funnel_query() -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.pipeline import (
+            FUNNEL_STAGES,
+            corpus_funnel,
+        )
+
+        out = corpus_funnel(
+            load(spark, sf_dir, "documents"), "doc_id", "text",
+            line_filter=False,
+        )
+        return out.select(
+            "id",
+            *FUNNEL_STAGES,
+            "quality_score",
+            F.coalesce(
+                F.array_join(F.col("reject_reasons"), ","), F.lit("")
+            ).alias("reject_reasons"),
+        )
+
+    return fn
+
+
+def corpus_funnel_sql() -> str:
+    profile_cte = text_profile_sql().strip()
+    reasons = """list_filter([
+    CASE WHEN n_tokens IS NULL THEN 'null_text' END,
+    CASE WHEN n_tokens < 10 THEN 'too_short' END,
+    CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+    CASE WHEN punct_ratio > 0.2 THEN 'high_punct' END,
+    CASE WHEN stopword_ratio < 0.05 THEN 'low_stopword' END,
+    CASE WHEN quality_score < 0.5 THEN 'low_quality' END
+  ], x -> x IS NOT NULL)"""
+    return f"""
+WITH tp AS (
+{profile_cte}
+),
+q AS (
+  SELECT tp.doc_id, tp.quality_score, tp.fingerprint,
+    d.text IS NOT NULL AS pass_lines,
+    (d.text IS NOT NULL) AND len({reasons}) = 0 AS pass_quality,
+    coalesce(array_to_string({reasons}, ','), '') AS reject_reasons
+  FROM tp JOIN documents d USING (doc_id)),
+w AS (
+  SELECT fingerprint, min(doc_id) AS win FROM q WHERE pass_quality
+  GROUP BY 1)
+SELECT q.doc_id AS id, q.pass_lines, q.pass_quality,
+  q.pass_quality AND q.doc_id = w.win AS pass_dedup,
+  q.pass_quality AND q.doc_id = w.win AS pass_decontam,
+  q.quality_score, q.reject_reasons
+FROM q LEFT JOIN w ON q.fingerprint = w.fingerprint
+"""

@@ -334,3 +334,59 @@ def test_learned_model_seams_fake_models(spark):
         apply_text_model(
             df.repartition(1), "text", bad_len_loader, LANGUAGE_MODEL_SCHEMA
         ).collect()
+
+
+def test_corpus_funnel_and_prepare(spark):
+    """End-to-end corpus preparation: sequential funnel flags (lines →
+    quality → exact dedup → decontamination), one-aggregate report, and
+    the filtered/chunked corpus with original columns preserved."""
+    from pandas_profiling_personal_spark.operators.pipeline import (
+        corpus_funnel,
+        funnel_report,
+        prepare_corpus,
+    )
+
+    good = (
+        "The quick brown fox jumps over the lazy dog every single day.\n"
+        "It is a fine dog and the fox is in the house with you and it."
+    )
+    dup = ("  " + good.upper() + " ")  # same after line-clean? no — keep raw dup
+    docs = [
+        (1, good, "web"),
+        (2, good, "web2"),          # exact dup of 1 (after cleaning) — loses
+        (3, "short.\nnope", "web"), # no line survives min_words
+        (4, "xx " * 40 + "end of the test sentence here.", "web"),  # low stopword/quality
+        (5, None, "web"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string, source string")
+    flags = corpus_funnel(df, "doc_id", "text")
+    by = {r["id"]: r for r in flags.collect()}
+    assert by[1]["pass_lines"] and by[1]["pass_quality"] and by[1]["pass_dedup"]
+    assert by[2]["pass_quality"] and not by[2]["pass_dedup"]  # dup loses to 1
+    assert not by[3]["pass_lines"] and not by[3]["pass_quality"]
+    assert by[5]["pass_lines"] is False and by[5]["pass_decontam"] is False
+
+    rep = funnel_report(flags).collect()[0]
+    assert rep["n_docs"] == 5
+    assert rep["n_pass_lines"] >= rep["n_pass_quality"] >= rep["n_pass_dedup"]
+    assert rep["n_pass_dedup"] == rep["n_pass_decontam"]  # no benchmark
+
+    # decontamination stage: doc 1's text as the benchmark kills 1 (and its
+    # dup 2 already lost) — funnel is sequential
+    bench = spark.createDataFrame([(100, good)], "doc_id bigint, text string")
+    flags_b = corpus_funnel(df, "doc_id", "text", benchmark=bench)
+    by_b = {r["id"]: r for r in flags_b.collect()}
+    assert by_b[1]["pass_dedup"] and not by_b[1]["pass_decontam"]
+
+    # prepare_corpus: survivors only, original columns preserved
+    out = prepare_corpus(df, "doc_id", "text")
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {r["id"] for r in flags.collect() if r["pass_decontam"]}
+    assert rows[1]["source"] == "web"
+    assert "\n" in rows[1]["text"]  # cleaned text, both lines kept
+
+    # chunked variant hands off chunk rows
+    chunks = prepare_corpus(df, "doc_id", "text", chunk_tokens=8,
+                            overlap_tokens=2).collect()
+    assert chunks and all(r["n_chunk_tokens"] <= 8 for r in chunks)
+    assert {r["id"] for r in chunks} == set(rows)
