@@ -152,6 +152,30 @@ def main() -> None:
                 key="doc_id", size_col="n_chars",
             ).agg(F.sum("n_kept")).first()
         )
+        # r5 additions: chunking (narrow, output-expansion bound), TF-IDF
+        # (vocab exchanges + per-doc window), the composed funnel, and
+        # semantic dedup (assignment fold + intra-cell self-join)
+        p["chunk_documents"] = timed(
+            lambda: TX.chunk_documents(docs, "doc_id", "text", 64, 16)
+            .agg(F.sum("n_chunk_tokens")).first()
+        )
+        p["tfidf_top_terms_documents"] = timed(
+            lambda: TX.tfidf_top_terms(docs, "doc_id", "text", k=5)
+            .agg(F.sum("tf")).first()
+        )
+        from pandas_profiling_personal_spark.operators.pipeline import (
+            corpus_funnel,
+            funnel_report,
+        )
+        p["corpus_funnel_documents"] = timed(
+            lambda: funnel_report(
+                corpus_funnel(docs, "doc_id", "text", line_filter=False)
+            ).first()
+        )
+        p["semantic_dedup_embeddings"] = timed(
+            lambda: SIM.semantic_dedup(emb, n_cells=16, threshold=0.3)
+            .agg(F.sum(F.col("keep").cast("int"))).first()
+        )
         points[sf] = p
         print(json.dumps({"sf": sf, "walls": p, "rows": rows[sf]}), flush=True)
 
