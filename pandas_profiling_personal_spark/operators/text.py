@@ -67,11 +67,17 @@ def stopword_hits(toks: Column, lang: str) -> Column:
 
 
 def language_scores(c: Column) -> dict[str, Column]:
-    """Per-language stopword-hit ratio in [0, 1]."""
+    """Per-language stopword-hit ratio in [0, 1].
+
+    Unconditional form (coalesce over a nullif denominator, not a
+    when-branch) so the per-language stopword HOF scans stay eligible for
+    subexpression elimination — see the evaluation-shape note on
+    :func:`quality_features`. Values unchanged: n=0 and null text both
+    yield 0.0, exactly as the branch form did."""
     toks = tokens(c)
-    n = F.size(toks)
+    n = F.nullif(F.size(toks), F.lit(0))
     return {
-        lang: F.when(n > 0, stopword_hits(toks, lang) / n).otherwise(F.lit(0.0))
+        lang: F.coalesce(stopword_hits(toks, lang) / n, F.lit(0.0))
         for lang in LANG_ORDER
     }
 
@@ -84,14 +90,34 @@ def language_id(c: Column, min_score: float = 0.01) -> Column:
     learned model plugs in behind the SAME column contract via
     ``operators.models.language_id_model(df, ..., loader=...)``."""
     scores = language_scores(c)
-    best = F.lit("und")
-    best_score = F.lit(float(min_score))
-    # iterate reversed so earlier languages win exact ties
-    for lang in reversed(LANG_ORDER):
-        s = scores[lang]
-        best = F.when(s >= best_score, F.lit(lang)).otherwise(best)
-        best_score = F.when(s >= best_score, s).otherwise(best_score)
-    return best
+    # single-reference argmax: greatest() over (score, priority, lang)
+    # structs compares lexicographically, so the best score wins and exact
+    # ties fall to the higher priority (= earlier LANG_ORDER position).
+    # The old when-chain referenced each score twice per link (predicate +
+    # value), re-evaluating the per-language stopword HOF scans — same
+    # evaluation-shape issue as quality_features.
+    n_langs = len(LANG_ORDER)
+    best = F.greatest(
+        *[
+            F.struct(
+                scores[lang].alias("s"),
+                F.lit(n_langs - i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(LANG_ORDER)
+        ]
+    )
+    # bound-lambda so the greatest() tree is evaluated ONCE (referencing
+    # best.s and best.lang separately would duplicate it)
+    return F.element_at(
+        F.transform(
+            F.array(best),
+            lambda b: F.when(
+                b["s"] >= F.lit(float(min_score)), b["lang"]
+            ).otherwise(F.lit("und")),
+        ),
+        1,
+    )
 
 
 def quality_features(c: Column) -> dict[str, Column]:
