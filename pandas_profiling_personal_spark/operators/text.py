@@ -265,17 +265,19 @@ def repetition_profile(
     degenerate-generation text — the documents a pretraining filter drops
     first."""
     c, idc = S.col(text_col), S.col(id_col)
-    # top-level repeats of lines() are fine: codegen subexpression
-    # elimination shares them (see the text_profile note)
+    # unconditional shape (coalesce / nullif, no heavy exprs inside when
+    # value branches) so the line HOFs stay subexpression-eliminable — see
+    # the evaluation-shape note on quality_features
     lns = lines(c)
+    n_lns = F.size(lns)
     base = df.select(
         idc.alias("doc_id"),
-        F.size(lns).alias("n_lines"),
-        F.when(
-            F.size(lns) > 0,
-            (F.size(lns) - F.size(F.array_distinct(lns)))
-            / F.size(lns).cast("double"),
-        ).otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        n_lns.alias("n_lines"),
+        F.coalesce(
+            (n_lns - F.size(F.array_distinct(lns)))
+            / F.nullif(n_lns, F.lit(0)).cast("double"),
+            F.lit(0.0),
+        ).alias("dup_line_frac"),
         word_ngrams(tokens(c), ngram).alias("__grams"),
     )
     per_gram = (
