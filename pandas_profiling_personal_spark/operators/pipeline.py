@@ -96,11 +96,20 @@ def corpus_funnel(
     )
 
     # exact dedup among quality survivors: min-id-wins per fingerprint of
-    # the CLEANED text; one (fingerprint → winner) aggregate + join-back
+    # the CLEANED text; one (fingerprint → winner) aggregate + join-back.
+    # Quality-failed docs get a UNIQUE synthetic join key instead of a
+    # shared NULL: on raw web corpora MOST docs fail quality, and a null
+    # __fp would hash every one of them into the single null-key shuffle
+    # partition — one straggler task holding the bulk of a 100 TB corpus.
     fp = F.when(F.col("pass_quality"), TX.fingerprint(F.col("text_clean")))
-    flags = flags.withColumn("__fp", fp)
+    flags = flags.withColumn(
+        "__fp",
+        F.coalesce(
+            fp, F.concat(F.lit("\x00nofp:"), F.col("id").cast("string"))
+        ),
+    )
     winners = (
-        flags.where(F.col("__fp").isNotNull())
+        flags.where(F.col("pass_quality"))
         .groupBy("__fp")
         .agg(F.min("id").alias("__winner"))
     )
@@ -169,16 +178,25 @@ def prepare_corpus(
     ready for :func:`...sources.writers.write_training_shards` keyed on
     ``chunk_id``/``id``."""
     flags = corpus_funnel(df, id_col, text_col, **funnel_kwargs)
-    kept = flags.where(F.col("pass_decontam")).select("id", "text_clean")
+    # internal aliases are __-prefixed and the output keeps the CALLER's
+    # id column name, so a corpus that already has columns named "id" or
+    # "text_clean" doesn't collide with the funnel's internals
+    kept = flags.where(F.col("pass_decontam")).select(
+        F.col("id").alias("__pc_id"), F.col("text_clean").alias("__pc_text")
+    )
     others = [c for c in df.columns if c not in (id_col, text_col)]
     out = (
-        df.select(S.col(id_col).alias("id"), *[S.col(c) for c in others])
-        .join(kept, "id")
-        .select("id", *others, F.col("text_clean").alias(text_col))
+        df.select(S.col(id_col).alias("__pc_id"), *[S.col(c) for c in others])
+        .join(kept, "__pc_id")
+        .select(
+            F.col("__pc_id").alias(id_col),
+            *others,
+            F.col("__pc_text").alias(text_col),
+        )
     )
     if chunk_tokens is not None:
         return TX.chunk_documents(
-            out, "id", text_col,
+            out, id_col, text_col,
             chunk_tokens=chunk_tokens, overlap_tokens=overlap_tokens,
         )
     return out

@@ -281,6 +281,30 @@ def ivf_centroids(
     return c.orderBy("__key", "cell_id").limit(n_cells).drop("__key")
 
 
+def _assign_cells(
+    vecs: DataFrame, cents, id_name: str, vec_name: str
+) -> DataFrame:
+    """Nearest-centroid assignment: ``(id_name, cell_id, vec_name)`` from a
+    broadcast corpus × centroids crossJoin folded by ONE
+    map-side-combinable ``min_by``. The rounding (4 decimals) and tie rule
+    (highest similarity, then SMALLEST cell id — min_by over (-sim,
+    cell_id), which stays ANSI-legal for non-numeric ids) are the single
+    source of truth shared by :func:`ivf_topk` and :func:`semantic_dedup`,
+    whose DuckDB oracles reproduce exactly this cell structure."""
+    csim = F.round(cosine(F.col(vec_name), F.col("__cellv")), 4)
+    return (
+        vecs.crossJoin(cents)
+        .select(id_name, vec_name, "cell_id", csim.alias("__csim"))
+        .groupBy(id_name)
+        .agg(
+            F.min_by(
+                F.col("cell_id"), F.struct(-F.col("__csim"), F.col("cell_id"))
+            ).alias("cell_id"),
+            F.first(vec_name).alias(vec_name),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -311,21 +335,7 @@ def ivf_topk(
         S.col(id_col).alias("neighbor_id"),
         as_double(S.col(vec_col)).alias("__cv"),
     )
-    csim = F.round(cosine(F.col("__cv"), F.col("__cellv")), 4)
-    assign = (
-        c.crossJoin(cents)
-        .select("neighbor_id", "__cv", "cell_id", csim.alias("__csim"))
-        .groupBy("neighbor_id")
-        .agg(
-            # min_by over (-sim, cell_id): highest similarity, ties broken by
-            # the SMALLEST cell id — without negating cell_id, which breaks
-            # under ANSI (and misorders) for non-numeric id columns
-            F.min_by(
-                F.col("cell_id"), F.struct(-F.col("__csim"), F.col("cell_id"))
-            ).alias("cell_id"),
-            F.first("__cv").alias("__cv"),
-        )
-    )
+    assign = _assign_cells(c, cents, "neighbor_id", "__cv")
     q = queries.select(
         S.col(query_id_col).alias("query_id"),
         as_double(S.col(vec_col)).alias("__qv"),
@@ -421,23 +431,11 @@ def semantic_dedup(
         S.col(id_col).alias("id"),
         as_double(S.col(vec_col)).alias("__v"),
     )
-    csim = F.round(cosine(F.col("__v"), F.col("__cellv")), 4)
     # ONE explicit cell_id exchange that every consumer shares: the pair
     # self-join reads it twice via ReuseExchange and the final keep join
     # reshuffles its OUTPUT — without it the assignment (a full corpus scan
     # + the crossJoin fold) executes three times (measured in the plan)
-    assign = (
-        c.crossJoin(cents)
-        .select("id", "__v", "cell_id", csim.alias("__csim"))
-        .groupBy("id")
-        .agg(
-            F.min_by(
-                F.col("cell_id"), F.struct(-F.col("__csim"), F.col("cell_id"))
-            ).alias("cell_id"),
-            F.first("__v").alias("__v"),
-        )
-        .repartition("cell_id")
-    )
+    assign = _assign_cells(c, cents, "id", "__v").repartition("cell_id")
     a, b = assign.alias("a"), assign.alias("b")
     sim = F.round(cosine(F.col("a.__v"), F.col("b.__v")), 4)
     dups = (

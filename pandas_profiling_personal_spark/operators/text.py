@@ -50,9 +50,25 @@ def tokens(c: Column) -> Column:
     )
 
 
+def size_or_null(arr: Column) -> Column:
+    """``size()`` that is NULL for a null array under BOTH ANSI modes.
+
+    With ANSI off (this package's own sessions) Spark defaults
+    ``spark.sql.legacy.sizeOfNull`` on, so ``size(NULL)`` is **-1**, not
+    NULL — a ratio like ``hits / nullif(size, 0)`` then evaluates to
+    ``(-1)/(-1) = 1.0`` for null text and silently classifies empty
+    documents as high-quality English (found by review after the r5
+    evaluation-shape refactor). ``greatest`` folds both encodings (-1 and
+    NULL — greatest ignores NULLs) to -1, and ``nullif`` lifts that back
+    to NULL, branch-free so the array expression stays
+    subexpression-eliminable."""
+    return F.nullif(F.greatest(F.size(arr), F.lit(-1)), F.lit(-1))
+
+
 def token_count(c: Column) -> Column:
-    """Whitespace-ish word token count."""
-    return F.size(tokens(c))
+    """Whitespace-ish word token count (NULL for null text in both ANSI
+    modes — see :func:`size_or_null`)."""
+    return size_or_null(tokens(c))
 
 
 def bpe_token_count(c: Column) -> Column:
@@ -75,7 +91,7 @@ def language_scores(c: Column) -> dict[str, Column]:
     :func:`quality_features`. Values unchanged: n=0 and null text both
     yield 0.0, exactly as the branch form did."""
     toks = tokens(c)
-    n = F.nullif(F.size(toks), F.lit(0))
+    n = F.nullif(size_or_null(toks), F.lit(0))
     return {
         lang: F.coalesce(stopword_hits(toks, lang) / n, F.lit(0.0))
         for lang in LANG_ORDER
@@ -134,7 +150,10 @@ def quality_features(c: Column) -> dict[str, Column]:
     text_profile reads 1.9 s. Values are identical (ANSI-safe: the nullif
     denominator can't divide by zero; coalesce restores the 0.0 cases)."""
     toks = tokens(c)
-    n_tok = F.size(toks)
+    # NULL (not -1) for null text under both ANSI modes, so the nullif
+    # denominators below null out and the coalesces restore the exact
+    # pre-refactor values for null documents
+    n_tok = size_or_null(toks)
     n_chars = F.length(c)
     alpha_chars = F.length(F.regexp_replace(F.lower(c), "[^a-z]", ""))
     punct_chars = F.length(F.regexp_replace(c, "[^.,;:!?]", ""))
@@ -469,8 +488,8 @@ def chunk_documents(
       would contain only the previous chunk's overlap;
     * ``chunk_id = md5(id ':' chunk_index)`` — a deterministic, engine- and
       partitioning-independent key downstream sinks can join/dedup on;
-    * null/empty documents yield NO chunks (callers keep them via the
-      source table, not the chunk table).
+    * null/empty/whitespace-only documents yield NO chunks (callers keep
+      them via the source table, not the chunk table).
 
     100 TB shape: sequence + posexplode + slice are all NARROW (per-row
     expression work inside whole-stage codegen) — chunking shuffles
@@ -486,7 +505,13 @@ def chunk_documents(
             f"{overlap_tokens} vs {chunk_tokens}"
         )
     stride = chunk_tokens - overlap_tokens
-    toks = F.split(F.trim(S.col(text_col)), "\\s+")
+    # regex-strip ALL whitespace at the edges (F.trim strips spaces only —
+    # a doc starting with a tab would otherwise yield a phantom '' token)
+    # and require at least one non-whitespace char (a whitespace-only doc
+    # must emit no chunks, same as empty/null)
+    toks = F.split(
+        F.regexp_replace(S.col(text_col), "^\\s+|\\s+$", ""), "\\s+"
+    )
     starts = F.sequence(
         F.lit(1),
         F.greatest(F.size(F.col("__toks")) - overlap_tokens, F.lit(1)),
@@ -494,7 +519,7 @@ def chunk_documents(
     )
     chunk = F.slice(F.col("__toks"), F.col("__start"), chunk_tokens)
     return (
-        df.where(F.length(F.coalesce(S.col(text_col), F.lit(""))) > 0)
+        df.where(S.col(text_col).rlike("\\S"))
         .select(S.col(id_col).alias("id"), toks.alias("__toks"))
         .select("id", "__toks", F.explode(starts).alias("__start"))
         .select(

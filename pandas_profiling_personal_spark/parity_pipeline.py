@@ -1166,8 +1166,10 @@ def chunk_documents_sql(
     stride = chunk_tokens - overlap_tokens
     return f"""
 WITH base AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-  FROM documents WHERE length(coalesce(text, '')) > 0
+  SELECT doc_id,
+    string_split_regex(
+      regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks
+  FROM documents WHERE regexp_matches(text, '\\S')
 ),
 st AS (
   SELECT doc_id, toks,

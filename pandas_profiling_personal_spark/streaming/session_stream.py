@@ -32,7 +32,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -90,8 +90,26 @@ def _sessions_frame(user: str, sessions: list[tuple[int, int, int]]):
 
 
 def _ts_micros(pdf: pd.DataFrame) -> list[int]:
-    col = pd.to_datetime(pdf["__ts"])
+    # drop NaT: a null timestamp would otherwise convert to int64-min (a
+    # year-1677 garbage session) — null-ts events carry no session signal
+    col = pd.to_datetime(pdf["__ts"]).dropna()
     return [int(x) // 1000 for x in col.astype("int64")]
+
+
+def _utc_timeout_ms(last_us: int, tz: str, gap_ms: int) -> int:
+    """Event-time timeout for an open session, in UTC epoch ms.
+
+    Arrow hands the kernel timestamps as NAIVE values localized to the
+    Spark session timezone, while ``setTimeoutTimestamp`` compares against
+    the UTC-epoch watermark — feeding session-local micros in directly
+    shifts the timeout by the UTC offset (west-of-UTC zones produce
+    timeouts already below the watermark, which Spark rejects, killing the
+    query). DST edges resolve deterministically (ambiguous → first
+    occurrence, nonexistent → shifted forward)."""
+    ts = pd.Timestamp(last_us, unit="us").tz_localize(
+        tz, ambiguous=True, nonexistent="shift_forward"
+    )
+    return ts.value // 1_000_000 + gap_ms
 
 
 def sessionize_stream(
@@ -112,11 +130,16 @@ def sessionize_stream(
     the stream before its timeout fires.
     """
     gap_us = int(gap_minutes) * 60 * 1_000_000
+    # captured at plan build for the UTC timeout conversion (the kernel
+    # has no session handle)
+    session_tz = df.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC"
+    )
 
     src = df.select(
         df[user_col].cast("string").alias("__user"),
         df[ts_col].cast("timestamp").alias("__ts"),
-    )
+    ).where(F.col("__ts").isNotNull())
 
     if not df.isStreaming:
 
@@ -153,8 +176,10 @@ def sessionize_stream(
         if open_state is not None:
             state.update(open_state)
             # event-time timeout: fire when the watermark passes the gap
-            # horizon of the open session (ms resolution)
-            state.setTimeoutTimestamp(open_state[1] // 1000 + gap_us // 1000)
+            # horizon of the open session (UTC ms — see _utc_timeout_ms)
+            state.setTimeoutTimestamp(
+                _utc_timeout_ms(open_state[1], session_tz, gap_us // 1000)
+            )
         if closed:
             yield _sessions_frame(user, closed)
 

@@ -378,9 +378,10 @@ def test_corpus_funnel_and_prepare(spark):
     by_b = {r["id"]: r for r in flags_b.collect()}
     assert by_b[1]["pass_dedup"] and not by_b[1]["pass_decontam"]
 
-    # prepare_corpus: survivors only, original columns preserved
+    # prepare_corpus: survivors only, original columns preserved under the
+    # CALLER's id column name (not the funnel's internal 'id')
     out = prepare_corpus(df, "doc_id", "text")
-    rows = {r["id"]: r for r in out.collect()}
+    rows = {r["doc_id"]: r for r in out.collect()}
     assert set(rows) == {r["id"] for r in flags.collect() if r["pass_decontam"]}
     assert rows[1]["source"] == "web"
     assert "\n" in rows[1]["text"]  # cleaned text, both lines kept
@@ -390,3 +391,61 @@ def test_corpus_funnel_and_prepare(spark):
                             overlap_tokens=2).collect()
     assert chunks and all(r["n_chunk_tokens"] <= 8 for r in chunks)
     assert {r["id"] for r in chunks} == set(rows)
+
+    # a corpus that already carries columns named 'id'/'text_clean' must
+    # not collide with the funnel's internals (review r5)
+    clash = df.withColumn("id", F.col("doc_id") * 100).withColumn(
+        "text_clean", F.lit("decoy")
+    )
+    out_c = prepare_corpus(clash, "doc_id", "text")
+    rc = {r["doc_id"]: r for r in out_c.collect()}
+    assert set(rc) == set(rows)
+    assert rc[1]["id"] == 100 and rc[1]["text_clean"] == "decoy"
+
+
+def test_null_text_semantics_under_legacy_size_of_null(spark):
+    """Review r5: with ANSI off (the package's own get_session), Spark
+    defaults legacy sizeOfNull on and size(NULL) is -1 — a nullif(size,0)
+    denominator then computes (-1)/(-1)=1.0 for null text, silently
+    classifying empty docs as high-quality English. size_or_null folds
+    both encodings to NULL; this test pins the null-doc contract under
+    the legacy mode the default-ANSI test session would never exercise."""
+    from pandas_profiling_personal_spark.functions import stats as S
+    from pandas_profiling_personal_spark.operators.text import (
+        language_id,
+        quality_filter,
+        text_profile,
+        token_count,
+    )
+
+    before = (
+        spark.conf.get("spark.sql.ansi.enabled"),
+        spark.conf.get("spark.sql.legacy.sizeOfNull"),
+    )
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.sizeOfNull", "true")
+    try:
+        df = spark.createDataFrame([(0, None)], "doc_id bigint, text string")
+        assert (
+            df.select(F.size(F.split("text", " ")).alias("s")).collect()[0][
+                "s"
+            ]
+            == -1
+        ), "legacy mode not active — test setup broken"
+        assert (
+            df.select(language_id(S.col("text")).alias("l")).collect()[0]["l"]
+            == "und"
+        )
+        assert (
+            df.select(token_count(S.col("text")).alias("n")).collect()[0]["n"]
+            is None
+        )
+        q = quality_filter(df, "text", "doc_id").collect()[0]
+        assert q["keep"] is False and "null_text" in q["reject_reasons"]
+        tp = text_profile(df, "text", "doc_id").collect()[0]
+        assert tp["n_tokens"] is None and tp["stopword_ratio"] == 0.0
+        assert tp["language"] == "und"
+        assert tp["quality_score"] == 0.26  # the pre-refactor null-doc score
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", before[0])
+        spark.conf.set("spark.sql.legacy.sizeOfNull", before[1])

@@ -387,6 +387,9 @@ def test_chunk_documents_sliding_window(spark):
             (2, "a b"),                        # shorter than one chunk
             (3, None),
             (4, ""),
+            (5, "   "),                        # whitespace-only: no chunks
+            (6, "\t\n  "),                     # tabs/newlines: no chunks
+            (7, "\t x1  x2\n"),                # edge whitespace: clean tokens
         ],
         "doc_id bigint, text string",
     )
@@ -401,6 +404,7 @@ def test_chunk_documents_sliding_window(spark):
         (1, 1, "t4 t5 t6 t7", 4),
         (1, 2, "t7 t8", 2),
         (2, 0, "a b", 2),
+        (7, 0, "x1 x2", 2),  # edge tabs/newlines stripped, no '' tokens
     ]
     # overlap: each chunk's first token is the previous chunk's last
     # chunk_id is a pure function of (id, index) — engine/partition-free

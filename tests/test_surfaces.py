@@ -1128,6 +1128,7 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
         ev("a", 0), ev("a", 5), ev("a", 10),
         ev("a", 60), ev("a", 62),
         ev("b", 0), ev("b", 100), ev("b", 105),
+        ("a", None),  # null timestamp: ignored, never a year-1677 session
     ]
     late = [ev("a", 240), ev("b", 600)]  # far future: advances the watermark
     schema = T.StructType(
@@ -1143,8 +1144,10 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
     )
 
     # batch reference: per-(user, session) spans from the window sessionizer
+    # (null-ts rows excluded — they are non-events by the operator contract)
     batch_df = sessionize(
-        spark.read.parquet(str(src)), "user_id", "ts", gap_minutes=30
+        spark.read.parquet(str(src)).where(F.col("ts").isNotNull()),
+        "user_id", "ts", gap_minutes=30,
     )
     rows = batch_df.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("s"), F.max("ts").alias("e"),
@@ -1200,3 +1203,26 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
     # watermark past it): the state store self-reaps, the last key waits.
     assert streamed == batch_sessions - {last_per_user["b"]}
     assert last_per_user["a"] in streamed
+
+
+def test_session_stream_utc_timeout_conversion():
+    """The event-time timeout must be UTC epoch ms regardless of the Spark
+    session timezone (Arrow hands the kernel session-LOCAL naive
+    timestamps; feeding them to setTimeoutTimestamp directly would shift
+    the timeout by the UTC offset and west-of-UTC zones would set
+    timeouts below the watermark, killing the query)."""
+    import pandas as pd
+
+    from pandas_profiling_personal_spark.streaming.session_stream import (
+        _utc_timeout_ms,
+    )
+
+    # 2024-03-01 12:00:00 session-local, gap 30 min
+    local_us = int(pd.Timestamp("2024-03-01 12:00:00").value) // 1000
+    gap_ms = 30 * 60 * 1000
+    utc = _utc_timeout_ms(local_us, "UTC", gap_ms)
+    la = _utc_timeout_ms(local_us, "America/Los_Angeles", gap_ms)
+    tokyo = _utc_timeout_ms(local_us, "Asia/Tokyo", gap_ms)
+    assert la - utc == 8 * 3600 * 1000    # LA noon is 8h later in UTC (PST)
+    assert utc - tokyo == 9 * 3600 * 1000  # Tokyo noon is 9h earlier
+    assert utc == local_us // 1000 + gap_ms
