@@ -296,6 +296,10 @@ _SPECS: dict[str, tuple] = {
         PP.corpus_funnel_query(),
         PP.corpus_funnel_sql(),
     ),
+    "embedding_stats_embeddings": (
+        PP.embedding_stats_query(),
+        PP.embedding_stats_sql(),
+    ),
 }
 
 

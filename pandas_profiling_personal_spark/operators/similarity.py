@@ -466,3 +466,52 @@ def semantic_dedup(
             "dup_of",
         )
     )
+
+
+def embedding_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    exact_quantiles: bool = False,
+) -> DataFrame:
+    """Embedding-column health profile in ONE 1-row aggregate:
+    ``(n, n_null, dim_min, dim_max, n_distinct_dims, n_zero_vectors,
+    n_nonfinite_vectors, norm_min, norm_mean, norm_p50, norm_max)``.
+
+    The sanity checks an embedding pipeline runs before indexing/training:
+    a ragged dimension (n_distinct_dims > 1) breaks every ANN index;
+    zero vectors make cosine undefined; non-finite components poison
+    downstream dot products silently. Norm statistics show whether the
+    embedder normalizes (norm≈1 everywhere) or the index needs to.
+
+    Norm statistics cover FINITE vectors only (a NaN component would
+    otherwise poison norm_max via Spark's NaN-is-largest max — the
+    poisoning is already reported as n_nonfinite_vectors).
+
+    Shape: pure per-row expressions (HOF fold for the norm) collapsed by
+    one partial-aggregated 1-row agg — scan speed at any corpus size.
+    ``exact_quantiles`` mirrors the engine-wide exact/GK tier split."""
+    v = as_double(S.col(vec_col))
+    dim = F.size(v)
+    finite = F.forall(
+        v, lambda x: ~F.isnan(x) & ~x.isin(float("inf"), float("-inf"))
+    )
+    norm = F.when(finite, l2_norm(v))
+    zero = F.forall(v, lambda x: x == 0.0)
+    p50 = (
+        F.round(F.percentile(norm, F.lit(0.5)), 4)
+        if exact_quantiles
+        else F.percentile_approx(norm, 0.5, 10000).cast("double")
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(S.col(vec_col).isNull().cast("long")).alias("n_null"),
+        F.min(dim).alias("dim_min"),
+        F.max(dim).alias("dim_max"),
+        F.count_distinct(dim).alias("n_distinct_dims"),
+        F.sum(zero.cast("long")).alias("n_zero_vectors"),
+        F.sum((~finite).cast("long")).alias("n_nonfinite_vectors"),
+        F.round(F.min(norm), 4).alias("norm_min"),
+        F.round(F.avg(norm), 4).alias("norm_mean"),
+        p50.alias("norm_p50"),
+        F.round(F.max(norm), 4).alias("norm_max"),
+    )

@@ -1379,3 +1379,48 @@ SELECT q.doc_id AS id, q.pass_lines, q.pass_quality,
   q.quality_score, q.reject_reasons
 FROM q LEFT JOIN w ON q.fingerprint = w.fingerprint
 """
+
+
+# --------------------------------------------------------------------------------
+# embedding-column health profile (operators/similarity.py embedding_stats)
+# --------------------------------------------------------------------------------
+
+
+def embedding_stats_query() -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return SIM.embedding_stats(
+            load(spark, sf_dir, "embeddings"), "embedding",
+            exact_quantiles=True,
+        )
+
+    return fn
+
+
+def embedding_stats_sql() -> str:
+    norm = "sqrt(list_dot_product(v, v))"
+    return f"""
+WITH e AS (SELECT embedding, embedding::DOUBLE[] AS v FROM embeddings),
+f AS (
+  SELECT embedding, v, len(v) AS dim,
+    len(list_filter(v, x -> x = 0.0)) = len(v) AS is_zero,
+    len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0 AS nonfinite,
+    -- norm over FINITE vectors only, mirroring the Spark op (a NaN
+    -- component would otherwise poison max/avg)
+    CASE WHEN len(list_filter(v, x -> isnan(x) OR isinf(x))) = 0
+         THEN {norm} END AS nrm
+  FROM e)
+SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null,
+  min(dim) AS dim_min, max(dim) AS dim_max,
+  CAST(count(DISTINCT dim) AS BIGINT) AS n_distinct_dims,
+  CAST(sum(CASE WHEN is_zero THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_zero_vectors,
+  CAST(sum(CASE WHEN nonfinite THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_nonfinite_vectors,
+  round(min(nrm), 4) AS norm_min,
+  round(avg(nrm), 4) AS norm_mean,
+  round(quantile_cont(nrm, 0.5), 4) AS norm_p50,
+  round(max(nrm), 4) AS norm_max
+FROM f
+"""

@@ -551,3 +551,27 @@ def test_semantic_dedup_auto_cells(spark):
     rows = out.collect()
     assert len(rows) == emb.count()           # one verdict per input row
     assert len({r["cell_id"] for r in rows}) > 4  # ~sqrt(n) cells in use
+
+
+def test_embedding_stats_pathologies(spark):
+    """embedding_stats: ragged dims, zero vectors, non-finite components
+    and nulls all surface in one 1-row health profile."""
+    from pandas_profiling_personal_spark.operators.similarity import (
+        embedding_stats,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0]),                # zero vector
+        (3, [1.0, float("nan"), 0.0]),       # NaN component
+        (4, [1.0, 2.0]),                      # ragged dimension
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    r = embedding_stats(df, "embedding", exact_quantiles=True).collect()[0]
+    assert r["n"] == 5 and r["n_null"] == 1
+    assert (r["dim_min"], r["dim_max"]) == (2, 3)
+    assert r["n_distinct_dims"] == 2
+    assert r["n_zero_vectors"] == 1
+    assert r["n_nonfinite_vectors"] == 1
+    assert r["norm_min"] == 0.0 and r["norm_max"] > 1.0
