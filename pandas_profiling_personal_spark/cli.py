@@ -83,6 +83,41 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--title", default=None)
     p.add_argument("--master", default=None, help="spark master (default local[N])")
+    g = p.add_argument_group("corpus preparation (training-data pipeline)")
+    g.add_argument(
+        "--prepare-corpus",
+        default=None,
+        metavar="OUTDIR",
+        help="instead of profiling: run the corpus funnel (C4 line clean -> "
+        "quality -> exact dedup -> optional decontamination) on INPUT, "
+        "print the per-stage survivor counts, and write the surviving "
+        "corpus (or token chunks) to OUTDIR",
+    )
+    g.add_argument("--id-col", default="doc_id", help="document id column")
+    g.add_argument("--text-col", default="text", help="document text column")
+    g.add_argument(
+        "--chunk", type=int, default=None, metavar="TOKENS",
+        help="emit sliding-window chunks of this many tokens instead of docs",
+    )
+    g.add_argument(
+        "--overlap", type=int, default=0, metavar="TOKENS",
+        help="chunk overlap (with --chunk)",
+    )
+    g.add_argument(
+        "--shards", type=int, default=None, metavar="N",
+        help="write N deterministic training shards (md5-shuffled) instead "
+        "of a plain table",
+    )
+    g.add_argument(
+        "--decontaminate",
+        default=None,
+        metavar="BENCHMARK",
+        help="benchmark table: drop docs sharing 8-gram shingles with it",
+    )
+    g.add_argument(
+        "--no-line-filter", action="store_true",
+        help="skip the C4 line-cleaning stage",
+    )
     return p
 
 
@@ -128,6 +163,50 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_session(app_name="spark-profile", master=args.master)
     try:
         df = read_table(spark, args.input)
+        if args.prepare_corpus:
+            from pandas_profiling_personal_spark.operators.pipeline import (
+                corpus_funnel,
+                funnel_report,
+                prepare_corpus,
+            )
+            from pandas_profiling_personal_spark.sources.writers import (
+                write_table,
+                write_training_shards,
+            )
+
+            bench = (
+                read_table(spark, args.decontaminate)
+                if args.decontaminate
+                else None
+            )
+            kw = dict(
+                line_filter=not args.no_line_filter, benchmark=bench
+            )
+            rep = (
+                funnel_report(
+                    corpus_funnel(df, args.id_col, args.text_col, **kw)
+                )
+                .collect()[0]
+                .asDict()
+            )
+            out_df = prepare_corpus(
+                df,
+                args.id_col,
+                args.text_col,
+                chunk_tokens=args.chunk,
+                overlap_tokens=args.overlap,
+                **kw,
+            )
+            if args.shards:
+                key = "chunk_id" if args.chunk else args.id_col
+                write_training_shards(
+                    out_df, args.prepare_corpus, key, args.shards,
+                    mode="overwrite",
+                )
+            else:
+                write_table(out_df, args.prepare_corpus, mode="overwrite")
+            print(json.dumps({"output": args.prepare_corpus, **rep}))
+            return 0
         result = profile(df, cfg)
         out = args.output or (args.input.rsplit(".", 1)[0] + ".html")
         if args.compare:

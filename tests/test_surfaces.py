@@ -1226,3 +1226,51 @@ def test_session_stream_utc_timeout_conversion():
     assert la - utc == 8 * 3600 * 1000    # LA noon is 8h later in UTC (PST)
     assert utc - tokyo == 9 * 3600 * 1000  # Tokyo noon is 9h earlier
     assert utc == local_us // 1000 + gap_ms
+
+
+def test_cli_prepare_corpus(tmp_path):
+    """CLI --prepare-corpus: funnel counts on stdout, surviving corpus (or
+    chunk shards) written to the output dir (subprocess, real session)."""
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    good = (
+        "The quick brown fox jumps over the lazy dog every single day.\n"
+        "It is a fine dog and the fox is in the house with you and it."
+    )
+    src = tmp_path / "docs.parquet"
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [good, good, "short.", None],
+            "source": ["w", "w2", "w", "w"],
+        }
+    ).to_parquet(src)
+    outdir = tmp_path / "clean"
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "pandas_profiling_personal_spark.cli",
+            str(src), "--prepare-corpus", str(outdir),
+            "--chunk", "8", "--overlap", "2", "--shards", "2",
+            "--master", "local[2]",
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    status = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert status["n_docs"] == 4
+    assert status["n_pass_dedup"] == 1  # doc 2 deduped, 3/4 rejected
+    # shard layout on disk with chunk rows inside
+    import glob
+
+    shard_dirs = sorted(glob.glob(str(outdir / "__shard=*")))
+    assert len(shard_dirs) == 2
+    import pandas as pd2
+
+    chunks = pd.concat(
+        [pd2.read_parquet(p) for p in shard_dirs], ignore_index=True
+    )
+    assert set(chunks["id"]) == {1}
+    assert (chunks["n_chunk_tokens"] <= 8).all()
