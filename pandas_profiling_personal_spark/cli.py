@@ -182,29 +182,34 @@ def main(argv: list[str] | None = None) -> int:
             kw = dict(
                 line_filter=not args.no_line_filter, benchmark=bench
             )
-            rep = (
-                funnel_report(
-                    corpus_funnel(df, args.id_col, args.text_col, **kw)
+            # ONE funnel execution: persisted flags feed both the report
+            # and the surviving-corpus filter (the quality stage dominates
+            # corpus cost — running the funnel twice doubles the job)
+            flags = corpus_funnel(
+                df, args.id_col, args.text_col, **kw
+            ).persist()
+            try:
+                rep = funnel_report(flags).collect()[0].asDict()
+                out_df = prepare_corpus(
+                    df,
+                    args.id_col,
+                    args.text_col,
+                    chunk_tokens=args.chunk,
+                    overlap_tokens=args.overlap,
+                    flags=flags,
                 )
-                .collect()[0]
-                .asDict()
-            )
-            out_df = prepare_corpus(
-                df,
-                args.id_col,
-                args.text_col,
-                chunk_tokens=args.chunk,
-                overlap_tokens=args.overlap,
-                **kw,
-            )
-            if args.shards:
-                key = "chunk_id" if args.chunk else args.id_col
-                write_training_shards(
-                    out_df, args.prepare_corpus, key, args.shards,
-                    mode="overwrite",
-                )
-            else:
-                write_table(out_df, args.prepare_corpus, mode="overwrite")
+                if args.shards:
+                    key = "chunk_id" if args.chunk else args.id_col
+                    write_training_shards(
+                        out_df, args.prepare_corpus, key, args.shards,
+                        mode="overwrite",
+                    )
+                else:
+                    write_table(
+                        out_df, args.prepare_corpus, mode="overwrite"
+                    )
+            finally:
+                flags.unpersist()
             print(json.dumps({"output": args.prepare_corpus, **rep}))
             return 0
         result = profile(df, cfg)

@@ -169,6 +169,7 @@ def prepare_corpus(
     text_col: str,
     chunk_tokens: int | None = None,
     overlap_tokens: int = 0,
+    flags: DataFrame | None = None,
     **funnel_kwargs,
 ) -> DataFrame:
     """The surviving corpus: :func:`corpus_funnel` filtered to the final
@@ -176,8 +177,13 @@ def prepare_corpus(
     cleaned text. With ``chunk_tokens`` the result is chunk rows
     (:func:`...text.chunk_documents` schema) instead of document rows —
     ready for :func:`...sources.writers.write_training_shards` keyed on
-    ``chunk_id``/``id``."""
-    flags = corpus_funnel(df, id_col, text_col, **funnel_kwargs)
+    ``chunk_id``/``id``.
+
+    Pass a precomputed (ideally persisted) :func:`corpus_funnel` result as
+    ``flags`` when you also need :func:`funnel_report` — otherwise the
+    funnel (whose quality stage dominates corpus cost) executes twice."""
+    if flags is None:
+        flags = corpus_funnel(df, id_col, text_col, **funnel_kwargs)
     # internal aliases are __-prefixed and the output keeps the CALLER's
     # id column name, so a corpus that already has columns named "id" or
     # "text_clean" doesn't collide with the funnel's internals

@@ -429,11 +429,13 @@ def semantic_dedup(
     the corpus grows (a fixed cell count grows it as n²/cells; measured
     13x wall for 10x rows at fixed 16 cells). Costs one count() action.
     """
-    if n_cells is None:
-        import math as _math
-
-        n_cells = max(1, _math.ceil(_math.sqrt(corpus.count())))
     if centroids is None:
+        if n_cells is None:
+            # guarded by `centroids is None`: explicit centroids make the
+            # auto-sizing dead, so don't pay a corpus count() action for it
+            import math as _math
+
+            n_cells = max(1, _math.ceil(_math.sqrt(corpus.count())))
         centroids = ivf_centroids(corpus, id_col, vec_col, n_cells)
     cents = F.broadcast(centroids.select("cell_id", "__cellv"))
     c = parallelize_narrow(corpus).select(
@@ -483,18 +485,30 @@ def embedding_stats(
     downstream dot products silently. Norm statistics show whether the
     embedder normalizes (norm≈1 everywhere) or the index needs to.
 
-    Norm statistics cover FINITE vectors only (a NaN component would
-    otherwise poison norm_max via Spark's NaN-is-largest max — the
-    poisoning is already reported as n_nonfinite_vectors).
+    A vector is NON-FINITE if any component is NaN, ±inf **or NULL** (a
+    null element is exactly the kind of silent embedder breakage this op
+    exists to catch — it would otherwise make every downstream dot
+    product NULL while looking healthy). Norm statistics cover finite
+    vectors only (a NaN component would otherwise poison norm_max via
+    Spark's NaN-is-largest max; the poisoning is already reported as
+    n_nonfinite_vectors). Null VECTORS count in n_null only.
 
     Shape: pure per-row expressions (HOF fold for the norm) collapsed by
     one partial-aggregated 1-row agg — scan speed at any corpus size.
     ``exact_quantiles`` mirrors the engine-wide exact/GK tier split."""
+    from pandas_profiling_personal_spark.operators.text import size_or_null
+
     v = as_double(S.col(vec_col))
-    dim = F.size(v)
+    # NULL (never -1) for null vectors under both ANSI modes, so dim
+    # min/max/distinct ignore them like the oracle's len(NULL)
+    dim = size_or_null(v)
     finite = F.forall(
-        v, lambda x: ~F.isnan(x) & ~x.isin(float("inf"), float("-inf"))
+        v,
+        lambda x: x.isNotNull()
+        & ~F.isnan(x)
+        & ~x.isin(float("inf"), float("-inf")),
     )
+    nonfinite = S.col(vec_col).isNotNull() & ~finite
     norm = F.when(finite, l2_norm(v))
     zero = F.forall(v, lambda x: x == 0.0)
     p50 = (
@@ -509,7 +523,7 @@ def embedding_stats(
         F.max(dim).alias("dim_max"),
         F.count_distinct(dim).alias("n_distinct_dims"),
         F.sum(zero.cast("long")).alias("n_zero_vectors"),
-        F.sum((~finite).cast("long")).alias("n_nonfinite_vectors"),
+        F.sum(nonfinite.cast("long")).alias("n_nonfinite_vectors"),
         F.round(F.min(norm), 4).alias("norm_min"),
         F.round(F.avg(norm), 4).alias("norm_mean"),
         p50.alias("norm_p50"),

@@ -1403,10 +1403,10 @@ WITH e AS (SELECT embedding, embedding::DOUBLE[] AS v FROM embeddings),
 f AS (
   SELECT embedding, v, len(v) AS dim,
     len(list_filter(v, x -> x = 0.0)) = len(v) AS is_zero,
-    len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0 AS nonfinite,
+    len(list_filter(v, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 AS nonfinite,
     -- norm over FINITE vectors only, mirroring the Spark op (a NaN
     -- component would otherwise poison max/avg)
-    CASE WHEN len(list_filter(v, x -> isnan(x) OR isinf(x))) = 0
+    CASE WHEN len(list_filter(v, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
          THEN {norm} END AS nrm
   FROM e)
 SELECT CAST(count(*) AS BIGINT) AS n,

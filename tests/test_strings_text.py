@@ -565,13 +565,30 @@ def test_embedding_stats_pathologies(spark):
         (2, [0.0, 0.0, 0.0]),                # zero vector
         (3, [1.0, float("nan"), 0.0]),       # NaN component
         (4, [1.0, 2.0]),                      # ragged dimension
-        (5, None),
+        (5, None),                            # null vector
+        (6, [1.0, None, 0.5]),               # NULL component: non-finite
     ]
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
     r = embedding_stats(df, "embedding", exact_quantiles=True).collect()[0]
-    assert r["n"] == 5 and r["n_null"] == 1
+    assert r["n"] == 6 and r["n_null"] == 1
     assert (r["dim_min"], r["dim_max"]) == (2, 3)
     assert r["n_distinct_dims"] == 2
     assert r["n_zero_vectors"] == 1
-    assert r["n_nonfinite_vectors"] == 1
+    assert r["n_nonfinite_vectors"] == 2  # NaN comp + NULL comp
     assert r["norm_min"] == 0.0 and r["norm_max"] > 1.0
+
+    # the package's own sessions run ANSI off where legacy sizeOfNull makes
+    # size(NULL) = -1: the null vector must NOT corrupt dim_min/dim stats
+    before = (
+        spark.conf.get("spark.sql.ansi.enabled"),
+        spark.conf.get("spark.sql.legacy.sizeOfNull"),
+    )
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.sizeOfNull", "true")
+    try:
+        r2 = embedding_stats(df, "embedding", exact_quantiles=True).collect()[0]
+        assert (r2["dim_min"], r2["dim_max"]) == (2, 3)
+        assert r2["n_distinct_dims"] == 2
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", before[0])
+        spark.conf.set("spark.sql.legacy.sizeOfNull", before[1])
