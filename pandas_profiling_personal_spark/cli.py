@@ -118,6 +118,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--no-line-filter", action="store_true",
         help="skip the C4 line-cleaning stage",
     )
+    g.add_argument(
+        "--corpus-report", action="store_true",
+        help="instead of a table profile: write a CORPUS report for INPUT "
+        "(language mix, quality, duplication, PII, repetition, packing) to "
+        "OUTPUT (.html or .json)",
+    )
     return p
 
 
@@ -163,6 +169,28 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_session(app_name="spark-profile", master=args.master)
     try:
         df = read_table(spark, args.input)
+        if args.corpus_report:
+            from pandas_profiling_personal_spark.plans.corpus import (
+                corpus_profile,
+                corpus_report_html,
+            )
+
+            rep = corpus_profile(df, args.id_col, args.text_col)
+            out = args.output or (args.input.rsplit(".", 1)[0] + ".html")
+            title = args.title or f"Corpus report: {args.input}"
+            if out.endswith(".json"):
+                with open(out, "w", encoding="utf-8") as fh:
+                    json.dump(rep, fh, indent=2, default=str)
+            else:
+                with open(out, "w", encoding="utf-8") as fh:
+                    fh.write(corpus_report_html(rep, title))
+            print(json.dumps({
+                "output": out,
+                "n_docs": rep["table"]["n_docs"],
+                "p_duplicates": rep["duplication"]["p_duplicates"],
+                "pii_doc_rate": rep["pii"].get("pii_doc_rate"),
+            }))
+            return 0
         if args.prepare_corpus:
             from pandas_profiling_personal_spark.operators.pipeline import (
                 corpus_funnel,

@@ -1,0 +1,188 @@
+"""Corpus-level profile: what ``profile()`` is for a table, this is for a
+TEXT CORPUS — one call that answers the questions a training-data engineer
+asks before spending compute on it: what languages, how much duplication,
+how much PII, how repetitive/boilerplate, how will it pack into context
+windows, and how much would the standard filters drop.
+
+One dict (JSON-ready) + a standalone HTML renderer. Built entirely from
+the existing bounded operators — every section is either a 1-row
+partial-aggregated collapse or a bounded groupBy — so the whole report is
+a handful of scan-shaped jobs regardless of corpus size:
+
+* table / quality / language mix / duplication — ONE persisted
+  text_profile projection feeds three small aggregates (lang groupBy is
+  bounded by |languages|, the fingerprint rollup is the exact-dedup
+  exchange, the scalar quality rollup is a 1-row collapse);
+* PII — ``pii_summary``'s 1-row collapse;
+* repetition — 1-row means over ``repetition_profile``'s per-doc signals
+  (one bounded (doc, gram) exchange);
+* packing — ``packing_stats``'s 1-row collapse.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+
+from pandas_profiling_personal_spark.operators import (
+    pii as PII,
+    text as TX,
+)
+
+
+def corpus_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    context_len: int = 2048,
+    ngram: int = 2,
+    quality_threshold: float = 0.5,
+) -> dict[str, Any]:
+    """Corpus report dict: ``table`` (docs/tokens/chars), ``language_mix``,
+    ``quality`` (score distribution + share below threshold),
+    ``duplication`` (exact-dup docs/rate via content fingerprints),
+    ``pii`` (per-kind totals + doc rate), ``repetition`` (mean Gopher
+    signals), ``packing`` (context-window planner at ``context_len``)."""
+    tp = TX.text_profile(df, text_col, id_col).persist()
+    try:
+        scalars = tp.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            # n_tokens is NULL exactly for null documents (size_or_null)
+            F.sum(F.col("n_tokens").isNull().cast("long")).alias(
+                "n_null_docs"
+            ),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("quality_score"), 4).alias("mean_quality"),
+            F.round(
+                F.percentile_approx("quality_score", 0.5, 10000), 4
+            ).alias("p50_quality"),
+            F.sum(
+                (F.col("quality_score") < quality_threshold).cast("long")
+            ).alias("n_low_quality"),
+            F.round(F.avg("stopword_ratio"), 4).alias("mean_stopword_ratio"),
+            F.round(F.avg("distinct_token_ratio"), 4).alias(
+                "mean_distinct_token_ratio"
+            ),
+        ).collect()[0]
+
+        lang_rows = (
+            tp.groupBy("language").agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        n_docs = int(scalars["n_docs"])
+        language_mix = {
+            r["language"]: {
+                "n": int(r["n"]),
+                "share": round(int(r["n"]) / n_docs, 4) if n_docs else 0.0,
+            }
+            for r in sorted(lang_rows, key=lambda r: -r["n"])
+        }
+
+        # exact duplication from the fingerprints text_profile already
+        # computed: one (fingerprint, count) exchange, collapsed to 2 scalars
+        dup = (
+            tp.where(F.col("fingerprint").isNotNull())
+            .groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0)).alias(
+                    "n_dup_docs"
+                ),
+                F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias(
+                    "n_dup_groups"
+                ),
+            )
+            .collect()[0]
+        )
+    finally:
+        tp.unpersist()
+
+    pii_row = PII.pii_summary(df, text_col).collect()[0].asDict()
+    rep = (
+        TX.repetition_profile(df, text_col, id_col, ngram=ngram)
+        .agg(
+            F.round(F.avg("dup_line_frac"), 4).alias("mean_dup_line_frac"),
+            F.round(F.avg("dup_ngram_frac"), 4).alias("mean_dup_ngram_frac"),
+            F.round(F.avg("top_ngram_frac"), 4).alias("mean_top_ngram_frac"),
+        )
+        .collect()[0]
+    )
+    packing = (
+        TX.packing_stats(df, text_col, context_len).collect()[0].asDict()
+    )
+
+    n_dup_docs = int(dup["n_dup_docs"] or 0)
+    return {
+        "table": {
+            "n_docs": n_docs,
+            "n_null_docs": int(scalars["n_null_docs"] or 0),
+            "total_tokens": int(scalars["total_tokens"] or 0),
+            "total_chars": int(scalars["total_chars"] or 0),
+        },
+        "language_mix": language_mix,
+        "quality": {
+            "mean": scalars["mean_quality"],
+            "p50": scalars["p50_quality"],
+            "n_below_threshold": int(scalars["n_low_quality"] or 0),
+            "threshold": quality_threshold,
+            "mean_stopword_ratio": scalars["mean_stopword_ratio"],
+            "mean_distinct_token_ratio": scalars[
+                "mean_distinct_token_ratio"
+            ],
+        },
+        "duplication": {
+            "n_duplicate_docs": n_dup_docs,
+            "n_duplicate_groups": int(dup["n_dup_groups"] or 0),
+            "p_duplicates": round(n_dup_docs / n_docs, 4) if n_docs else 0.0,
+        },
+        "pii": pii_row,
+        "repetition": rep.asDict(),
+        "packing": packing,
+    }
+
+
+def corpus_report_html(report: dict[str, Any], title: str = "Corpus report") -> str:
+    """Standalone single-file HTML for a :func:`corpus_profile` dict."""
+    import html as _html
+
+    def esc(x: Any) -> str:
+        return _html.escape(str(x))
+
+    def table(d: dict, keys: list[str] | None = None) -> str:
+        items = [(k, d[k]) for k in (keys or d)]
+        rows = "".join(
+            f"<tr><th>{esc(k)}</th><td>{esc(v)}</td></tr>" for k, v in items
+        )
+        return f"<table>{rows}</table>"
+
+    lang_rows = "".join(
+        f"<tr><th>{esc(lang)}</th><td>{m['n']}</td>"
+        f"<td>{m['share'] * 100:.2f}%</td></tr>"
+        for lang, m in report["language_mix"].items()
+    )
+    sections = [
+        ("Corpus", table(report["table"])),
+        (
+            "Language mix",
+            f"<table><tr><th>language</th><th>docs</th><th>share</th></tr>"
+            f"{lang_rows}</table>",
+        ),
+        ("Quality", table(report["quality"])),
+        ("Duplication (exact)", table(report["duplication"])),
+        ("PII", table(report["pii"])),
+        ("Repetition (Gopher signals)", table(report["repetition"])),
+        ("Context-window packing", table(report["packing"])),
+    ]
+    body = "".join(
+        f"<section><h2>{esc(h)}</h2>{t}</section>" for h, t in sections
+    )
+    return (
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>"
+        f"<title>{esc(title)}</title>"
+        "<style>body{font-family:sans-serif;margin:2rem;max-width:60rem}"
+        "table{border-collapse:collapse;margin:.5rem 0}"
+        "th,td{border:1px solid #ccc;padding:.25rem .6rem;text-align:left}"
+        "th{background:#f5f5f5}h2{margin-top:1.5rem}</style></head>"
+        f"<body><h1>{esc(title)}</h1>{body}</body></html>"
+    )

@@ -1274,3 +1274,83 @@ def test_cli_prepare_corpus(tmp_path):
     )
     assert set(chunks["id"]) == {1}
     assert (chunks["n_chunk_tokens"] <= 8).all()
+
+
+def test_corpus_profile_report(spark, tmp_path):
+    """corpus_profile: the one-call corpus report — language mix,
+    quality/duplication/PII/repetition/packing — with a standalone HTML
+    renderer. Values cross-checked against the underlying operators."""
+    from pandas_profiling_personal_spark.plans.corpus import (
+        corpus_profile,
+        corpus_report_html,
+    )
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    rep = corpus_profile(docs, "doc_id", "text", context_len=256)
+    n = docs.count()
+    assert rep["table"]["n_docs"] == n
+    assert rep["table"]["n_null_docs"] == 0
+    assert sum(m["n"] for m in rep["language_mix"].values()) == n
+    assert abs(sum(m["share"] for m in rep["language_mix"].values()) - 1.0) < 0.01
+    assert 0.0 <= rep["quality"]["mean"] <= 1.0
+    assert rep["duplication"]["p_duplicates"] >= 0.0
+    assert rep["pii"]["n_docs"] == n
+    assert rep["packing"]["n_docs"] == n
+    assert rep["packing"]["min_sequences"] <= rep["packing"]["naive_sequences"]
+    # JSON-serializable end to end
+    json.dumps(rep, default=str)
+
+    page = corpus_report_html(rep, "docs corpus")
+    out = tmp_path / "corpus.html"
+    out.write_text(page)
+    assert "Language mix" in page and "Duplication" in page
+    assert "docs corpus" in page
+
+    # a planted exact duplicate moves the duplication section
+    import pandas as pd
+
+    dup_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["same text here ok", "same text here ok", "other"],
+            }
+        )
+    )
+    rep2 = corpus_profile(dup_df, "doc_id", "text")
+    assert rep2["duplication"]["n_duplicate_docs"] == 1
+    assert rep2["duplication"]["n_duplicate_groups"] == 1
+
+
+def test_cli_corpus_report(tmp_path):
+    """CLI --corpus-report writes the corpus HTML + a JSON status line."""
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    src = tmp_path / "docs.parquet"
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the quick brown fox and the lazy dog are in the house",
+                "the quick brown fox and the lazy dog are in the house",
+                "le chien et le chat sont dans la maison pour que tu es la",
+            ],
+        }
+    ).to_parquet(src)
+    out = tmp_path / "corpus.html"
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "pandas_profiling_personal_spark.cli",
+            str(src), str(out), "--corpus-report", "--master", "local[2]",
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    status = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert status["n_docs"] == 3
+    assert status["p_duplicates"] > 0  # docs 1+2 are identical
+    assert "Language mix" in out.read_text()
