@@ -592,3 +592,38 @@ def test_embedding_stats_pathologies(spark):
     finally:
         spark.conf.set("spark.sql.ansi.enabled", before[0])
         spark.conf.set("spark.sql.legacy.sizeOfNull", before[1])
+
+
+def test_chunk_documents_coverage_invariants(spark):
+    """Property-style invariants over varied doc lengths and window
+    shapes: every token position is covered by at least one chunk, chunk
+    starts advance by exactly stride, consecutive chunks overlap by
+    exactly `overlap` tokens (except a shorter tail), and concatenating
+    each chunk's post-overlap suffix reconstructs the document."""
+    from pandas_profiling_personal_spark.operators.text import chunk_documents
+
+    docs = [
+        (n, " ".join(f"w{n}_{i}" for i in range(n)))
+        for n in (1, 2, 5, 7, 8, 9, 63, 64, 65, 200)
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    for chunk, overlap in ((4, 1), (8, 0), (16, 5), (64, 16)):
+        stride = chunk - overlap
+        out = {}
+        for r in chunk_documents(
+            df, "doc_id", "text", chunk_tokens=chunk, overlap_tokens=overlap
+        ).collect():
+            out.setdefault(r["id"], []).append(
+                (r["chunk_index"], r["chunk_text"].split(" "))
+            )
+        for n, text in docs:
+            toks = text.split(" ")
+            chunks = [t for _, t in sorted(out[n])]
+            # starts advance by stride; windows cap at chunk tokens
+            assert all(len(c) <= chunk for c in chunks)
+            # coverage: the union of windows is exactly the token sequence
+            rebuilt = list(chunks[0])
+            for c in chunks[1:]:
+                assert c[:overlap] == rebuilt[-overlap:] if overlap else True
+                rebuilt.extend(c[overlap:])
+            assert rebuilt == toks, (n, chunk, overlap)
