@@ -23,6 +23,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from pandas_profiling_personal_spark.functions import stats as S
+from pandas_profiling_personal_spark.functions.partitioning import (
+    parallelize_narrow,
+)
 
 #: detection patterns, ordered — redaction applies them in THIS order, so
 #: supersets must precede subsets (e.g. emails before bare digit runs). The
@@ -60,6 +63,7 @@ def pii_scan(
     (RE2-safe, zero Python); an NER model plugs in behind the same
     n_pii/has_pii gating semantics via
     ``operators.models.pii_entities_model`` (adds exact entity spans)."""
+    df = parallelize_narrow(df)
     c = S.col(text_col)
     counts = pii_counts(c)
     cols = [S.col(id_col)] if id_col else []

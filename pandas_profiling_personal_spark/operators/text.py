@@ -22,6 +22,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from pandas_profiling_personal_spark.functions import stats as S
+from pandas_profiling_personal_spark.functions.partitioning import (
+    parallelize_narrow,
+)
 
 #: small, fixed stopword inventories (top function words) per language.
 STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -212,6 +215,7 @@ def text_profile(
     # regex/md5-heavy parts lost codegen. The lambda-binding trick (see
     # word_shingles) pays ONLY for per-element re-evaluation inside HOF
     # lambdas, never for top-level projection sharing.
+    df = parallelize_narrow(df)
     c = S.col(text_col)
     cols = [S.col(id_col)] if id_col else []
     feats = quality_features(c)
@@ -283,6 +287,7 @@ def repetition_profile(
     High dup/top fractions mark boilerplate, templated spam and
     degenerate-generation text — the documents a pretraining filter drops
     first."""
+    df = parallelize_narrow(df)
     c, idc = S.col(text_col), S.col(id_col)
     # unconditional shape (coalesce / nullif, no heavy exprs inside when
     # value branches) so the line HOFs stay subexpression-eliminable — see
@@ -388,6 +393,7 @@ def quality_filter(
     array preserves rule order so downstream triage can group by first
     reason. Thresholds mirror the published heuristics (C4: length bounds
     and punctuation; Gopher §A1.1: stopword floor) — tune per corpus."""
+    df = parallelize_narrow(df)
     score, reasons = quality_reject_reasons(
         S.col(text_col),
         min_tokens=min_tokens,
@@ -426,6 +432,7 @@ def packing_stats(
     Counts use the whitespace tokenizer (:func:`token_count`); swap in BPE
     counts by profiling ``bpe_token_count`` upstream. Partial-aggregated:
     at 1000 executors this is a scan plus a 1-row exchange."""
+    df = parallelize_narrow(df)
     t = token_count(S.col(text_col)).cast("long")
     L = F.lit(int(context_len))
     naive_seqs = F.ceil(t / L)
@@ -519,7 +526,7 @@ def chunk_documents(
     )
     chunk = F.slice(F.col("__toks"), F.col("__start"), chunk_tokens)
     return (
-        df.where(S.col(text_col).rlike("\\S"))
+        parallelize_narrow(df.where(S.col(text_col).rlike("\\S")))
         .select(S.col(id_col).alias("id"), toks.alias("__toks"))
         .select("id", "__toks", F.explode(starts).alias("__start"))
         .select(
@@ -567,6 +574,7 @@ def c4_line_filter(
     at scan speed on any corpus size. Null documents pass through with
     null text_clean/counts (the C4 page filter drops them downstream).
     """
+    df = parallelize_narrow(df)
     ln = F.split(S.col(text_col), "\n")
 
     def keep(x: Column) -> Column:
@@ -615,7 +623,7 @@ def tfidf_top_terms(
     length (never corpus-sized). N arrives as a broadcast 1-row aggregate,
     not a driver round-trip inside the plan.
     """
-    tok = df.select(
+    tok = parallelize_narrow(df).select(
         S.col(id_col).alias("id"),
         F.explode(tokens(S.col(text_col))).alias("term"),
     )

@@ -430,13 +430,25 @@ def test_chunk_documents_sliding_window(spark):
 
 def test_chunk_documents_no_shuffle(spark):
     """Chunking is NARROW — sequence/explode/slice inside codegen, zero
-    exchanges: the 100 TB guarantee that chunking runs at scan speed."""
+    KEYED exchanges: the 100 TB guarantee that chunking runs at scan
+    speed. The only exchange permitted is parallelize_narrow's RoundRobin
+    widening, the small-file guard that is a no-op at real scale."""
+    import re
+
     from pandas_profiling_personal_spark.operators.text import chunk_documents
     from pandas_profiling_personal_spark.sources.readers import read_parquet
 
     df = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
     plan = chunk_documents(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan
+    keyed = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "RoundRobinPartitioning" not in ln
+    ]
+    assert not keyed, keyed
+    # and when the input is already wide, the guard itself disappears
+    wide = df.repartition(spark.sparkContext.defaultParallelism)
+    plan2 = chunk_documents(wide, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange", plan2)) == 1  # only the test's own repartition
 
 
 def test_c4_line_filter_semantics(spark):
