@@ -550,6 +550,8 @@ def corpus_overlap(
       sketch, the right shape when both corpora are 100 TB. Estimates can
       carry HLL error (~0.8% at lgk=14) and tiny intersections can read 0.
     """
+    df_a = parallelize_narrow(df_a)
+    df_b = parallelize_narrow(df_b)
     from pandas_profiling_personal_spark.operators.text import tokens
 
     def units(df: DataFrame) -> DataFrame:
@@ -719,7 +721,7 @@ def contamination_keep_list(
     if broadcast_benchmark:
         sh_b = F.broadcast(sh_b)
     hits = (
-        sh(corpus, with_id=True)
+        sh(parallelize_narrow(corpus), with_id=True)
         .join(sh_b, "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_matched"))
@@ -763,6 +765,7 @@ def span_dedup(
     partial-aggregatable fold, so the shuffle carries one row per DISTINCT
     span, not per occurrence — then a hash-keyed join back and a per-doc
     regroup bounded by document length. No driver-side state."""
+    df = parallelize_narrow(df)
     k = span_words
 
     # bind the token array ONCE as a lambda variable (the word_shingles
