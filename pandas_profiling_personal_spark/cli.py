@@ -124,11 +124,29 @@ def build_parser() -> argparse.ArgumentParser:
         "(language mix, quality, duplication, PII, repetition, packing) to "
         "OUTPUT (.html or .json)",
     )
+    g.add_argument(
+        "--context-len", type=int, default=None, metavar="TOKENS",
+        help="context window for the report's packing section "
+        "(default: --chunk if given, else 2048)",
+    )
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    modes = [
+        m for m, on in (
+            ("--corpus-report", args.corpus_report),
+            ("--prepare-corpus", args.prepare_corpus is not None),
+            ("--compare", args.compare is not None),
+        ) if on
+    ]
+    if len(modes) > 1:
+        parser.error(
+            "choose ONE mode: " + " / ".join(modes) + " are mutually "
+            "exclusive (each writes a different artifact)"
+        )
     from pandas_profiling_personal_spark import ProfileConfig, profile
     from pandas_profiling_personal_spark.config import MINIMAL
     from pandas_profiling_personal_spark.report import html as html_report
@@ -175,7 +193,10 @@ def main(argv: list[str] | None = None) -> int:
                 corpus_report_html,
             )
 
-            rep = corpus_profile(df, args.id_col, args.text_col)
+            ctx = args.context_len or args.chunk or 2048
+            rep = corpus_profile(
+                df, args.id_col, args.text_col, context_len=ctx
+            )
             out = args.output or (args.input.rsplit(".", 1)[0] + ".html")
             title = args.title or f"Corpus report: {args.input}"
             if out.endswith(".json"):

@@ -17,10 +17,12 @@ first-id-wins rule, decontamination is
 :func:`...dedup.contamination_keep_list`.
 
 Scale shape: one corpus scan feeds the flag projection; the only
-exchanges are the ones the component operators already pay — the
-fingerprint dedup's (fingerprint → min id) aggregate + join-back and the
-decontamination's broadcast-benchmark join + bounded hit rollup. The
-funnel report collapses to a single row via partial aggregation.
+exchanges are the fingerprint-keyed window that elects dedup winners
+(groups bounded by duplicate-group size; quality-failed docs carry
+unique synthetic keys so the null-key partition can't become a
+straggler) and the decontamination's broadcast-benchmark join + bounded
+hit rollup. The funnel report collapses to a single row via partial
+aggregation.
 """
 
 from __future__ import annotations
@@ -101,10 +103,10 @@ def corpus_funnel(
     )
 
     # exact dedup among quality survivors: min-id-wins per fingerprint of
-    # the CLEANED text; one (fingerprint → winner) aggregate + join-back.
-    # Quality-failed docs get a UNIQUE synthetic join key instead of a
-    # shared NULL: on raw web corpora MOST docs fail quality, and a null
-    # __fp would hash every one of them into the single null-key shuffle
+    # the CLEANED text, elected by ONE window over the fingerprint key.
+    # Quality-failed docs get a UNIQUE synthetic key instead of a shared
+    # NULL: on raw web corpora MOST docs fail quality, and a null __fp
+    # would hash every one of them into the single null-key shuffle
     # partition — one straggler task holding the bulk of a 100 TB corpus.
     fp = F.when(F.col("pass_quality"), TX.fingerprint(F.col("text_clean")))
     flags = flags.withColumn(
@@ -190,7 +192,15 @@ def prepare_corpus(
 
     Pass a precomputed (ideally persisted) :func:`corpus_funnel` result as
     ``flags`` when you also need :func:`funnel_report` — otherwise the
-    funnel (whose quality stage dominates corpus cost) executes twice."""
+    funnel (whose quality stage dominates corpus cost) executes twice.
+    ``flags`` and funnel options are mutually exclusive: stage options
+    like ``benchmark=`` must be baked into the flags you pass, and
+    silently dropping them here would ship a contaminated corpus."""
+    if flags is not None and funnel_kwargs:
+        raise ValueError(
+            "pass funnel options when BUILDING flags, not alongside them — "
+            f"these would be silently ignored: {sorted(funnel_kwargs)}"
+        )
     if flags is None:
         flags = corpus_funnel(df, id_col, text_col, **funnel_kwargs)
     # internal aliases are __-prefixed and the output keeps the CALLER's

@@ -431,9 +431,27 @@ def packing_stats(
 
     Counts use the whitespace tokenizer (:func:`token_count`); swap in BPE
     counts by profiling ``bpe_token_count`` upstream. Partial-aggregated:
-    at 1000 executors this is a scan plus a 1-row exchange."""
+    at 1000 executors this is a scan plus a 1-row exchange. Callers
+    that already computed per-document counts (corpus_profile holds
+    them in its persisted text_profile) use
+    :func:`packing_stats_from_counts` and skip the re-tokenization."""
     df = parallelize_narrow(df)
     t = token_count(S.col(text_col)).cast("long")
+    return packing_stats_from_counts(
+        df.select(t.alias("__t")), "__t", context_len, exact
+    )
+
+
+def packing_stats_from_counts(
+    df: DataFrame,
+    count_col: str,
+    context_len: int = 2048,
+    exact: bool = False,
+) -> DataFrame:
+    """:func:`packing_stats` over an existing per-document token-count
+    column — the tokenizer-free path for callers that already computed
+    the counts (same output schema and arithmetic)."""
+    t = S.col(count_col).cast("long")
     L = F.lit(int(context_len))
     naive_seqs = F.ceil(t / L)
     # exact tier: interpolated `percentile` (DuckDB quantile_cont-identical,

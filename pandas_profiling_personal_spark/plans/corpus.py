@@ -16,7 +16,8 @@ a handful of scan-shaped jobs regardless of corpus size:
 * PII — ``pii_summary``'s 1-row collapse;
 * repetition — 1-row means over ``repetition_profile``'s per-doc signals
   (one bounded (doc, gram) exchange);
-* packing — ``packing_stats``'s 1-row collapse.
+* packing — ``packing_stats_from_counts`` over the token counts the
+  persisted text_profile already holds (no extra scan).
 """
 
 from __future__ import annotations
@@ -95,6 +96,16 @@ def corpus_profile(
             )
             .collect()[0]
         )
+
+        # packing plan from the token counts the persisted text_profile
+        # already holds — no fourth corpus scan / re-tokenization
+        packing = (
+            TX.packing_stats_from_counts(
+                tp.select("n_tokens"), "n_tokens", context_len
+            )
+            .collect()[0]
+            .asDict()
+        )
     finally:
         tp.unpersist()
 
@@ -108,10 +119,6 @@ def corpus_profile(
         )
         .collect()[0]
     )
-    packing = (
-        TX.packing_stats(df, text_col, context_len).collect()[0].asDict()
-    )
-
     n_dup_docs = int(dup["n_dup_docs"] or 0)
     return {
         "table": {
@@ -144,17 +151,11 @@ def corpus_profile(
 
 def corpus_report_html(report: dict[str, Any], title: str = "Corpus report") -> str:
     """Standalone single-file HTML for a :func:`corpus_profile` dict."""
-    import html as _html
-
-    def esc(x: Any) -> str:
-        return _html.escape(str(x))
-
-    def table(d: dict, keys: list[str] | None = None) -> str:
-        items = [(k, d[k]) for k in (keys or d)]
-        rows = "".join(
-            f"<tr><th>{esc(k)}</th><td>{esc(v)}</td></tr>" for k, v in items
-        )
-        return f"<table>{rows}</table>"
+    from pandas_profiling_personal_spark.report.htmlbits import (
+        esc,
+        kv_table as table,
+        page,
+    )
 
     lang_rows = "".join(
         f"<tr><th>{esc(lang)}</th><td>{m['n']}</td>"
@@ -177,12 +178,4 @@ def corpus_report_html(report: dict[str, Any], title: str = "Corpus report") -> 
     body = "".join(
         f"<section><h2>{esc(h)}</h2>{t}</section>" for h, t in sections
     )
-    return (
-        "<!DOCTYPE html><html><head><meta charset='utf-8'>"
-        f"<title>{esc(title)}</title>"
-        "<style>body{font-family:sans-serif;margin:2rem;max-width:60rem}"
-        "table{border-collapse:collapse;margin:.5rem 0}"
-        "th,td{border:1px solid #ccc;padding:.25rem .6rem;text-align:left}"
-        "th{background:#f5f5f5}h2{margin-top:1.5rem}</style></head>"
-        f"<body><h1>{esc(title)}</h1>{body}</body></html>"
-    )
+    return page(title, body)

@@ -13,7 +13,6 @@ comparable bucket-by-bucket and this module does not pretend they are.
 
 from __future__ import annotations
 
-import html as _html
 from typing import Any
 
 #: numeric per-variable fields worth diffing, in render order
@@ -134,10 +133,9 @@ def comparison_to_html(
     cmp: dict[str, Any], title: str = "Profile comparison"
 ) -> str:
     """Standalone HTML for a :func:`compare_profiles` diff."""
-    la, lb = cmp.get("labels") or ("baseline", "candidate")
+    from pandas_profiling_personal_spark.report.htmlbits import BASE_CSS, esc
 
-    def esc(x) -> str:
-        return _html.escape(str(x))
+    la, lb = cmp.get("labels") or ("baseline", "candidate")
 
     def row3(name, rec) -> str:
         return (
@@ -149,8 +147,7 @@ def comparison_to_html(
     parts = [
         "<!doctype html><html><head><meta charset='utf-8'>",
         f"<title>{esc(title)}</title>",
-        "<style>body{font-family:sans-serif;margin:2em}table{border-collapse:"
-        "collapse}td,th{border:1px solid #ccc;padding:4px 8px}</style>",
+        f"<style>{BASE_CSS}</style>",
         f"</head><body><h1>{esc(title)}</h1>",
         f"<p>{esc(la)} → {esc(lb)}</p>",
         "<h2>Dataset</h2><table><tr><th>field</th>"
