@@ -119,9 +119,9 @@ _SPECS: dict[str, tuple] = {
         P.char_counts_query("customer", "c_mktsegment"),
         P.char_counts_sql("customer", "c_mktsegment"),
     ),
-    "monotonicity_orders": (
-        P.monotonicity_query("orders", "o_totalprice", "o_orderkey"),
-        P.monotonicity_sql("orders", "o_totalprice", "o_orderkey"),
+    "corpus_funnel_documents": (
+        PP.corpus_funnel_query(),
+        PP.corpus_funnel_sql(),
     ),
     "grouped_summary_lineitem": (
         P.grouped_summary_query(),
@@ -149,18 +149,14 @@ _SPECS: dict[str, tuple] = {
         P.phik_contingency_sql("lineitem", "l_quantity", "l_returnflag"),
     ),
     "url_parts_events": (P.url_parts_query(), P.url_parts_sql()),
-    "tail_sample_orders": (
-        P.tail_sample_query(
-            "orders", ["o_orderkey", "o_custkey", "o_totalprice"], "o_orderkey", 7
-        ),
-        P.tail_sample_sql(
-            "orders", ["o_orderkey", "o_custkey", "o_totalprice"], "o_orderkey", 7
-        ),
+    "tfidf_top_terms_documents": (
+        PP.tfidf_top_terms_query(5),
+        PP.tfidf_top_terms_sql(5),
     ),
     "path_parts_events": (P.path_parts_query(), P.path_parts_sql()),
-    "split_counts_orders": (
-        P.split_counts_query("orders", "o_orderkey", "o_orderstatus"),
-        P.split_counts_sql("orders", "o_orderkey", "o_orderstatus"),
+    "embedding_stats_embeddings": (
+        PP.embedding_stats_query(),
+        PP.embedding_stats_sql(),
     ),
     "complex_stats_lineitem": (
         P.complex_stats_query("lineitem"),
@@ -218,9 +214,9 @@ _SPECS: dict[str, tuple] = {
         PP.dedup_clusters_query(0.1),
         PP.dedup_clusters_sql(0.1),
     ),
-    "dedup_keep_list_documents": (
-        PP.dedup_keep_list_query(0.1),
-        PP.dedup_keep_list_sql(0.1),
+    "semantic_dedup_embeddings": (
+        PP.semantic_dedup_query(16, 0.3),
+        PP.semantic_dedup_sql(16, 0.3),
     ),
     "token_overlap_documents": (
         PP.corpus_overlap_query("token"),
@@ -284,21 +280,25 @@ _SPECS: dict[str, tuple] = {
         PP.mixture_counts_query(),
         PP.mixture_counts_sql(),
     ),
-    "tfidf_top_terms_documents": (
-        PP.tfidf_top_terms_query(5),
-        PP.tfidf_top_terms_sql(5),
+    "monotonicity_orders": (
+        P.monotonicity_query("orders", "o_totalprice", "o_orderkey"),
+        P.monotonicity_sql("orders", "o_totalprice", "o_orderkey"),
     ),
-    "semantic_dedup_embeddings": (
-        PP.semantic_dedup_query(16, 0.3),
-        PP.semantic_dedup_sql(16, 0.3),
+    "tail_sample_orders": (
+        P.tail_sample_query(
+            "orders", ["o_orderkey", "o_custkey", "o_totalprice"], "o_orderkey", 7
+        ),
+        P.tail_sample_sql(
+            "orders", ["o_orderkey", "o_custkey", "o_totalprice"], "o_orderkey", 7
+        ),
     ),
-    "corpus_funnel_documents": (
-        PP.corpus_funnel_query(),
-        PP.corpus_funnel_sql(),
+    "split_counts_orders": (
+        P.split_counts_query("orders", "o_orderkey", "o_orderstatus"),
+        P.split_counts_sql("orders", "o_orderkey", "o_orderstatus"),
     ),
-    "embedding_stats_embeddings": (
-        PP.embedding_stats_query(),
-        PP.embedding_stats_sql(),
+    "dedup_keep_list_documents": (
+        PP.dedup_keep_list_query(0.1),
+        PP.dedup_keep_list_sql(0.1),
     ),
 }
 
