@@ -1,7 +1,8 @@
 """End-to-end corpus preparation: the composed training-data pipeline a
 user of the individual operators would otherwise hand-wire — C4 line
-cleaning → quality filter → exact dedup → benchmark decontamination →
-(optional) chunking — plus a one-aggregate data FUNNEL report.
+cleaning → quality filter → exact dedup → (optional) MinHash near-dup →
+benchmark decontamination → (optional) chunking — plus a one-aggregate
+data FUNNEL report.
 
 Design: :func:`corpus_funnel` computes every stage as a SEQUENTIAL boolean
 flag over one wide DataFrame instead of materializing per-stage corpora —
@@ -20,9 +21,11 @@ Scale shape: one corpus scan feeds the flag projection; the only
 exchanges are the fingerprint-keyed window that elects dedup winners
 (groups bounded by duplicate-group size; quality-failed docs carry
 unique synthetic keys so the null-key partition can't become a
-straggler) and the decontamination's broadcast-benchmark join + bounded
-hit rollup. The funnel report collapses to a single row via partial
-aggregation.
+straggler), the optional near-dup stage's shared shingle exchange +
+banded LSH buckets (capped — see :func:`...dedup.minhash_dedup`) over
+exact-dedup winners only, and the decontamination's
+broadcast-benchmark join + bounded hit rollup. The funnel report
+collapses to a single row via partial aggregation.
 """
 
 from __future__ import annotations
@@ -35,11 +38,14 @@ from pandas_profiling_personal_spark.functions.partitioning import (
 )
 from pandas_profiling_personal_spark.operators import text as TX
 
-#: funnel stages in order; each column of the flags frame
+#: funnel stages in order; each column of the flags frame.
+#: pass_near_dup equals pass_dedup when the optional MinHash stage is off,
+#: so the funnel schema is stable across configurations.
 FUNNEL_STAGES = (
     "pass_lines",
     "pass_quality",
     "pass_dedup",
+    "pass_near_dup",
     "pass_decontam",
 )
 
@@ -51,20 +57,35 @@ def corpus_funnel(
     min_words_per_line: int = 3,
     min_clean_lines: int = 1,
     line_filter: bool = True,
+    near_dup: dict | None = None,
     benchmark: DataFrame | None = None,
     benchmark_text_col: str = "text",
     quality_kwargs: dict | None = None,
 ) -> DataFrame:
     """One row per input document with the cleaned text and sequential
     stage flags: ``(id, text_clean, pass_lines, pass_quality, pass_dedup,
-    pass_decontam, quality_score, reject_reasons)``.
+    pass_near_dup, pass_decontam, quality_score, reject_reasons)``.
 
     ``pass_decontam`` is the FINAL keep decision (it folds every earlier
-    stage); with no ``benchmark`` it equals ``pass_dedup``. Dedup winners
-    are elected with min-id-wins among documents that survived the
-    quality stage — a dropped near-duplicate never shadows a kept one.
-    ``line_filter=False`` skips the C4 line stage (``text_clean`` is the
-    raw text, ``pass_lines`` is true for non-null docs).
+    stage); with no ``benchmark`` it equals ``pass_near_dup``. Dedup
+    winners are elected with min-id-wins among documents that survived
+    the quality stage — a dropped near-duplicate never shadows a kept
+    one. ``line_filter=False`` skips the C4 line stage (``text_clean``
+    is the raw text, ``pass_lines`` is true for non-null docs).
+
+    ``near_dup`` switches on the fuzzy stage real pipelines run between
+    exact dedup and decontamination: MinHash → LSH buckets → exact
+    Jaccard verify (:func:`...dedup.minhash_dedup`, which these kwargs
+    parameterize — ``num_hashes``/``bands``/``shingle_k``/
+    ``min_jaccard``/``seed``/``hash_fn``; ``{}`` takes its defaults,
+    deterministic md5 tier included) over the exact-dedup WINNERS only,
+    then a greedy min-partner sweep: a winner is dropped iff some
+    verified near-duplicate partner has a lower id (the SemDeDup-style
+    sweep — non-iterative and engine-reproducible, unlike the
+    connected-components election of :func:`...dedup.dedup_keep_list`,
+    which drops transitive chain members a pairwise sweep keeps). With
+    ``near_dup=None`` (default) ``pass_near_dup`` equals ``pass_dedup``
+    and the stage costs nothing.
     """
     base = parallelize_narrow(df).select(
         S.col(id_col).alias("id"), S.col(text_col).alias("__t")
@@ -129,6 +150,32 @@ def corpus_funnel(
         "pass_dedup", F.col("pass_quality") & (F.col("id") == win)
     )
 
+    if near_dup is not None:
+        from pandas_profiling_personal_spark.operators.dedup import (
+            minhash_dedup,
+        )
+
+        # fuzzy stage over exact-dedup WINNERS only (the survivor set is
+        # already a fraction of the corpus, and exact dups would flood
+        # every LSH bucket with jaccard-1.0 pairs). minhash_dedup shares
+        # its (doc_id, shingle) exchange between the signature and the
+        # verify branches; its bucket cap bounds degenerate buckets.
+        winners = flags.where(F.col("pass_dedup")).select(
+            F.col("id"), F.col("text_clean")
+        )
+        pairs = minhash_dedup(winners, "id", "text_clean", **near_dup)
+        # greedy min-partner sweep: doc_b is dropped iff ANY verified
+        # partner precedes it — a |dropped|-row aggregate, no iteration
+        nd = pairs.groupBy(F.col("doc_b").alias("id")).agg(
+            F.min("doc_a").alias("__nd_of")
+        )
+        flags = flags.join(nd, "id", "left").withColumn(
+            "pass_near_dup",
+            F.col("pass_dedup") & F.col("__nd_of").isNull(),
+        )
+    else:
+        flags = flags.withColumn("pass_near_dup", F.col("pass_dedup"))
+
     if benchmark is not None:
         from pandas_profiling_personal_spark.operators.dedup import (
             contamination_keep_list,
@@ -146,10 +193,11 @@ def corpus_funnel(
         )
         flags = flags.join(contam, "id", "left").withColumn(
             "pass_decontam",
-            F.col("pass_dedup") & F.coalesce(F.col("__c_keep"), F.lit(True)),
+            F.col("pass_near_dup")
+            & F.coalesce(F.col("__c_keep"), F.lit(True)),
         )
     else:
-        flags = flags.withColumn("pass_decontam", F.col("pass_dedup"))
+        flags = flags.withColumn("pass_decontam", F.col("pass_near_dup"))
 
     return flags.select(
         "id",

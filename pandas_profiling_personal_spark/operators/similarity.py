@@ -395,9 +395,10 @@ def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int | None = 16,
+    n_cells: int | None = None,
     threshold: float = 0.95,
     centroids: DataFrame | None = None,
+    max_cell_size: int | None = 10_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with a coarse quantizer,
@@ -424,10 +425,24 @@ def semantic_dedup(
     pass :func:`ivf_centroids_kmeans` output for better-balanced cells
     when cross-engine reproducibility isn't needed.
 
-    ``n_cells=None`` auto-sizes to ``ceil(sqrt(corpus rows))`` — the
-    paper's prescription, which keeps the per-cell quadratic term FLAT as
-    the corpus grows (a fixed cell count grows it as n²/cells; measured
-    13x wall for 10x rows at fixed 16 cells). Costs one count() action.
+    ``n_cells=None`` (the default) auto-sizes to ``ceil(sqrt(corpus
+    rows))`` — the paper's prescription, which keeps the per-cell
+    quadratic term FLAT as the corpus grows (a fixed cell count grows it
+    as n²/cells; measured 13x wall for 10x rows at fixed 16 cells). Costs
+    one count() action; pass an explicit ``n_cells`` to skip it.
+
+    ``max_cell_size`` is the hot-cell guard: real embedding spaces skew
+    (boilerplate/template clusters), and one dense cell makes the
+    intra-cell self-join quadratic no matter how n_cells was chosen. Cells
+    over the cap are re-quantized by deterministic id-rank into sub-cells
+    of at most ``max_cell_size`` members, so every row still appears in
+    the output and pair generation is bounded by ``n·max_cell_size``
+    comparisons. The trade (documented, like every LSH bucket cap in this
+    repo): near-duplicate pairs that straddle a sub-cell boundary of an
+    oversized cell are not examined, so recall inside pathological cells
+    is partial rather than the cost being unbounded. The sub-split rides
+    the existing cell_id exchange (window over cell_id + a join on a
+    superset of the partition key) — no extra shuffle, CI-gated.
     """
     if centroids is None:
         if n_cells is None:
@@ -447,12 +462,25 @@ def semantic_dedup(
     # reshuffles its OUTPUT — without it the assignment (a full corpus scan
     # + the crossJoin fold) executes three times (measured in the plan)
     assign = _assign_cells(c, cents, "id", "__v").repartition("cell_id")
+    if max_cell_size:
+        # hot-cell guard: id-rank re-quantization of oversized cells into
+        # bounded sub-cells. partitionBy(cell_id) matches the repartition
+        # above, and the self-join clusters on a superset of cell_id, so
+        # this adds a sort but NO extra exchange (plan-gated).
+        wc = Window.partitionBy("cell_id").orderBy("id")
+        assign = assign.withColumn(
+            "__sub",
+            F.floor((F.row_number().over(wc) - F.lit(1)) / F.lit(max_cell_size)),
+        )
+    else:
+        assign = assign.withColumn("__sub", F.lit(0))
     a, b = assign.alias("a"), assign.alias("b")
     sim = F.round(cosine(F.col("a.__v"), F.col("b.__v")), 4)
     dups = (
         a.join(
             b,
             (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.__sub") == F.col("b.__sub"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .where(sim >= threshold)

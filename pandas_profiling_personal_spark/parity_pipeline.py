@@ -1319,12 +1319,16 @@ FROM asg LEFT JOIN dups d ON asg.id = d.id
 
 # --------------------------------------------------------------------------------
 # composed corpus-preparation funnel (operators/pipeline.py corpus_funnel) in
-# its SQL-expressible configuration: quality + exact-dedup stages over raw
-# text (line_filter=False — the synthetic docs are single-line without
-# terminal punctuation; the line stage's semantics are pinned by the
-# c4_line_filter oracle row + pytest). reject_reasons joins to a string for
-# the driver's sort-based canonicalizer.
+# its SQL-expressible configuration: quality + exact-dedup + MinHash
+# near-dup stages over raw text (line_filter=False — the synthetic docs are
+# single-line without terminal punctuation; the line stage's semantics are
+# pinned by the c4_line_filter oracle row + pytest). The near-dup stage runs
+# the full deterministic md5 MinHash→LSH→Jaccard-verify pipeline over the
+# exact-dedup winners, then the greedy min-partner sweep. reject_reasons
+# joins to a string for the driver's sort-based canonicalizer.
 # --------------------------------------------------------------------------------
+
+_FUNNEL_MIN_JACCARD = 0.5
 
 
 def corpus_funnel_query() -> QueryFn:
@@ -1337,6 +1341,7 @@ def corpus_funnel_query() -> QueryFn:
         out = corpus_funnel(
             load(spark, sf_dir, "documents"), "doc_id", "text",
             line_filter=False,
+            near_dup={"min_jaccard": _FUNNEL_MIN_JACCARD},
         )
         return out.select(
             "id",
@@ -1360,6 +1365,21 @@ def corpus_funnel_sql() -> str:
     CASE WHEN stopword_ratio < 0.05 THEN 'low_stopword' END,
     CASE WHEN quality_score < 0.5 THEN 'low_quality' END
   ], x -> x IS NOT NULL)"""
+    # MinHash near-dup over exact-dedup winners: same CTE chain as
+    # minhash_dedup_sql, with tokenization restricted to winner docs
+    num_hashes, bands, mj = 16, 4, _FUNNEL_MIN_JACCARD
+    params = DD.minhash_params(num_hashes)
+    r = num_hashes // bands
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {DD.MINHASH_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, md5(concat_ws(','"
+        + "".join(f", m{j * r + i}" for i in range(r))
+        + ")) AS bucket FROM sig"
+        for j in range(bands)
+    )
     return f"""
 WITH tp AS (
 {profile_cte}
@@ -1372,12 +1392,40 @@ q AS (
   FROM tp JOIN documents d USING (doc_id)),
 w AS (
   SELECT fingerprint, min(doc_id) AS win FROM q WHERE pass_quality
-  GROUP BY 1)
-SELECT q.doc_id AS id, q.pass_lines, q.pass_quality,
-  q.pass_quality AND q.doc_id = w.win AS pass_dedup,
-  q.pass_quality AND q.doc_id = w.win AS pass_decontam,
-  q.quality_score, q.reject_reasons
-FROM q LEFT JOIN w ON q.fingerprint = w.fingerprint
+  GROUP BY 1),
+d0 AS (
+  SELECT q.doc_id AS id, q.pass_lines, q.pass_quality,
+    q.pass_quality AND q.doc_id = w.win AS pass_dedup,
+    q.quality_score, q.reject_reasons
+  FROM q LEFT JOIN w ON q.fingerprint = w.fingerprint),
+tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+        '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents SEMI JOIN d0 ON documents.doc_id = d0.id AND d0.pass_dedup),
+{_SHINGLES},
+h AS (SELECT doc_id, CAST({_HASH64.format(x='shingle')} % {DD.MINHASH_PRIME} AS BIGINT) AS h
+      FROM sh WHERE shingle <> ''),
+sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+bands AS (SELECT * FROM ({band_selects})
+          QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+shf AS (SELECT doc_id, shingle FROM sh WHERE shingle <> ''),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
+common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+vc AS (SELECT c.* FROM common c SEMI JOIN cand ON c.doc_a = cand.doc_a AND c.doc_b = cand.doc_b),
+nd AS (SELECT vc.doc_b AS id, min(vc.doc_a) AS nd_of
+       FROM vc JOIN sizes sa ON vc.doc_a = sa.doc_id
+               JOIN sizes sb ON vc.doc_b = sb.doc_id
+       WHERE round(vc.n_common * 1.0 / (sa.n_sh + sb.n_sh - vc.n_common), 4) >= {mj}
+       GROUP BY 1)
+SELECT d0.id, d0.pass_lines, d0.pass_quality, d0.pass_dedup,
+  d0.pass_dedup AND nd.id IS NULL AS pass_near_dup,
+  d0.pass_dedup AND nd.id IS NULL AS pass_decontam,
+  d0.quality_score, d0.reject_reasons
+FROM d0 LEFT JOIN nd ON d0.id = nd.id
 """
 
 

@@ -371,6 +371,32 @@ def test_corpus_funnel_and_prepare(spark):
     assert rep["n_pass_lines"] >= rep["n_pass_quality"] >= rep["n_pass_dedup"]
     assert rep["n_pass_dedup"] == rep["n_pass_decontam"]  # no benchmark
 
+    # near-dup stage (off by default): pass_near_dup mirrors pass_dedup
+    for r in by.values():
+        assert r["pass_near_dup"] == r["pass_dedup"]
+
+    # near-dup stage ON: doc 6 shares most 3-shingles with doc 1 but is
+    # not an exact duplicate — exact dedup keeps both, MinHash+Jaccard
+    # drops the higher id; the funnel stays sequential and the report
+    # counts pin the full chain
+    near = good + " Extra tail words here."
+    docs_n = docs + [(6, near, "web")]
+    df_n = spark.createDataFrame(
+        docs_n, "doc_id bigint, text string, source string"
+    )
+    flags_n = corpus_funnel(
+        df_n, "doc_id", "text", near_dup={"min_jaccard": 0.5}
+    )
+    by_n = {r["id"]: r for r in flags_n.collect()}
+    assert by_n[6]["pass_dedup"]            # not an exact dup
+    assert not by_n[6]["pass_near_dup"]     # near-dup of 1 — greedy sweep
+    assert not by_n[6]["pass_decontam"]     # sequential fold
+    assert by_n[1]["pass_near_dup"]         # the lower id survives
+    rep_n = funnel_report(flags_n).collect()[0]
+    assert (rep_n["n_docs"], rep_n["n_pass_lines"], rep_n["n_pass_quality"],
+            rep_n["n_pass_dedup"], rep_n["n_pass_near_dup"],
+            rep_n["n_pass_decontam"]) == (6, 4, 3, 2, 1, 1)
+
     # decontamination stage: doc 1's text as the benchmark kills 1 (and its
     # dup 2 already lost) — funnel is sequential
     bench = spark.createDataFrame([(100, good)], "doc_id bigint, text string")

@@ -522,3 +522,19 @@ def test_semantic_dedup_assignment_computed_once(spark):
     out.collect()  # AQE resolves exchange reuse at runtime
     plan = _plan(out)
     assert "ReusedExchange" in plan, plan
+
+    # the hot-cell sub-split (max_cell_size) must ride the SAME cell_id
+    # exchange: window partitioned by cell_id + a join clustering on a
+    # superset of the partition key add a sort, never a new shuffle
+    capped = semantic_dedup(
+        emb, "vec_id", "embedding", n_cells=8, threshold=0.3,
+        max_cell_size=20,
+    )
+    capped.collect()
+    cplan = _plan(capped)
+    assert "ReusedExchange" in cplan, cplan
+    import re
+
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    n_ex_capped = len(re.findall(r"Exchange hashpartitioning", cplan))
+    assert n_ex_capped <= n_ex, (n_ex, n_ex_capped, cplan)

@@ -565,6 +565,37 @@ def test_semantic_dedup_auto_cells(spark):
     assert len({r["cell_id"] for r in rows}) > 4  # ~sqrt(n) cells in use
 
 
+def test_semantic_dedup_hot_cell_cap(spark):
+    """max_cell_size: a degenerate corpus (every vector identical → one
+    cell) is re-quantized into id-rank sub-cells, bounding the self-join;
+    every row still gets a verdict, keeps are one-per-sub-cell, and each
+    dropped row's representative sits in the SAME sub-cell (lower id,
+    within max_cell_size ranks)."""
+    from pandas_profiling_personal_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [(i, [1.0, 0.0, 0.0]) for i in range(1, 31)]  # one dense cell
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = semantic_dedup(
+        df, "vec_id", "embedding", n_cells=1, threshold=0.95, max_cell_size=7
+    ).collect()
+    assert len(out) == 30                     # every input row has a verdict
+    kept = sorted(r["id"] for r in out if r["keep"])
+    # 30 identical vectors / sub-cells of 7 → ceil(30/7)=5 sub-cell heads
+    assert kept == [1, 8, 15, 22, 29]
+    for r in out:
+        if not r["keep"]:
+            # representative = the head of this row's own sub-cell
+            assert r["dup_of"] == kept[(r["id"] - 1) // 7]
+    # uncapped control: the same corpus collapses to a single keeper
+    full = semantic_dedup(
+        df, "vec_id", "embedding", n_cells=1, threshold=0.95,
+        max_cell_size=None,
+    ).collect()
+    assert sorted(r["id"] for r in full if r["keep"]) == [1]
+
+
 def test_embedding_stats_pathologies(spark):
     """embedding_stats: ragged dims, zero vectors, non-finite components
     and nulls all surface in one 1-row health profile."""
