@@ -300,6 +300,14 @@ _SPECS: dict[str, tuple] = {
         PP.dedup_keep_list_query(0.1),
         PP.dedup_keep_list_sql(0.1),
     ),
+    "incremental_exact_dedup_documents": (
+        PP.incremental_exact_dedup_query(250),
+        PP.incremental_exact_dedup_sql(250),
+    ),
+    "incremental_minhash_dedup_documents": (
+        PP.incremental_minhash_dedup_query(250),
+        PP.incremental_minhash_dedup_sql(250),
+    ),
 }
 
 

@@ -843,3 +843,206 @@ def span_dedup(
             F.coalesce(F.col("n_spans_kept"), F.lit(0)).alias("n_spans_kept"),
         )
     )
+
+
+# --- incremental dedup vs a historical store -----------------------------------
+# The daily-incremental operating mode: yesterday's corpus is NOT re-read —
+# history lives in a compact persisted store (a fingerprint table, or a
+# num_hashes-ints-per-doc signature table) that the new shard joins against.
+# Pairs with plans/incremental.py (mergeable profile states) to make the
+# whole profile+dedup pipeline incremental. Contract both operators share:
+# document ids are globally unique and increase over time (later shards
+# carry larger ids), so "lower id wins" is exactly "first seen wins" and a
+# two-step run equals the batch run over the unioned corpus (pytest-gated).
+
+
+def incremental_exact_dedup(
+    df: DataFrame,
+    fp_store: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact dedup of a NEW shard against a persisted fingerprint store:
+    ``(doc_id, fingerprint, keep, dup_of)`` — one row per new document.
+    ``fp_store`` is ``(fingerprint, doc_id)`` with one row per historical
+    winner (``None`` for the first shard); a new document is kept iff its
+    normalized-text fingerprint has no historical winner AND it is the
+    minimum id for that fingerprint within the shard. ``dup_of`` is the
+    winning id (historical beats in-shard).
+
+    Scale shape: the shard is fingerprinted in one projection and elected
+    by one fingerprint-keyed window; the store participates ONLY through
+    an equi-join on its key (no historical text is re-read or re-hashed —
+    plan-gated). Update the store with :func:`dedup_store_update`;
+    two-step == batch equivalence is pytest-gated."""
+    fps = parallelize_narrow(df).select(
+        S.col(id_col).alias("doc_id"),
+        F.md5(normalize_text(S.col(text_col))).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint")
+    fps = fps.withColumn("__shard_win", F.min("doc_id").over(w))
+    store = (
+        fp_store.select(
+            F.col("fingerprint"), F.col("doc_id").alias("__hist_win")
+        )
+        if fp_store is not None
+        else fps.sparkSession.createDataFrame(
+            [], "fingerprint string, __hist_win bigint"
+        )
+    )
+    return (
+        fps.join(store, "fingerprint", "left")
+        .select(
+            "doc_id",
+            "fingerprint",
+            (
+                F.col("__hist_win").isNull()
+                & (F.col("doc_id") == F.col("__shard_win"))
+            ).alias("keep"),
+            F.when(
+                F.col("__hist_win").isNotNull(), F.col("__hist_win")
+            )
+            .when(
+                F.col("doc_id") != F.col("__shard_win"), F.col("__shard_win")
+            )
+            .alias("dup_of"),
+        )
+    )
+
+
+def dedup_store_update(
+    fp_store: DataFrame | None, flags: DataFrame
+) -> DataFrame:
+    """The next round's fingerprint store: historical winners plus the new
+    shard's kept documents (``(fingerprint, doc_id)``). Pure union — the
+    old store is never rewritten row-by-row, so the daily job appends a
+    partition instead of rewriting 100 TB of history."""
+    new_winners = flags.where(F.col("keep")).select("fingerprint", "doc_id")
+    if fp_store is None:
+        return new_winners
+    return fp_store.select("fingerprint", "doc_id").unionByName(new_winners)
+
+
+def incremental_minhash_dedup(
+    df: DataFrame,
+    sig_store: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_est_jaccard: float = 0.8,
+    shingle_k: int = 3,
+    seed: int = 42,
+    hash_fn: str = "md5",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-dup dedup of a NEW shard against a persisted MinHash SIGNATURE
+    store: ``(doc_id, keep, dup_of, m0..m{H-1})`` — one row per new
+    document. ``sig_store`` is ``(doc_id, m0..m{H-1})`` for EVERY
+    historical document (kept or dropped — the greedy sweep drops against
+    any earlier near-dup, so forgetting dropped docs would diverge from
+    the batch result); ``None`` for the first shard. Documents with no
+    shingles (null/empty text) have no near-dup identity and are ABSENT
+    from the result — route them through
+    :func:`incremental_exact_dedup`, whose null-fingerprint group covers
+    them.
+
+    Verification tier: history keeps ``num_hashes`` ints per document,
+    not its shingles, so cross-shard similarity is the SIGNATURE-estimated
+    Jaccard (fraction of agreeing minhash components — the unbiased
+    estimator LSH theory is built on), not the exact re-shingled Jaccard
+    of :func:`minhash_dedup`. Per-shard semantics: a new doc is dropped
+    iff some banded-LSH candidate with a LOWER id (historical or in-shard)
+    estimates >= ``min_est_jaccard`` — the same greedy min-partner sweep
+    as the corpus funnel's near-dup stage.
+
+    Scale shape: only the new shard is shingled (ONE signature pass; the
+    store is never re-shingled — plan-gated); candidates come from an
+    equi-join of the store+shard band table against the NEW shard's band
+    table; degenerate buckets are dropped via a bounded (band, bucket)
+    count aggregate broadcast back as an anti-join (no full-store window).
+    Appending ``m0..m{H-1}`` rows of this result to the store (ALL of
+    them, kept or not) is the store update; two-step == batch-on-union
+    equivalence is pytest-gated."""
+    sig_cols = [f"m{i}" for i in range(num_hashes)]
+    # ONE explicit doc_id exchange under the signature table: three
+    # consumers (the store∪new band table, the new band table, the final
+    # keep join) read the SAME subtree via ReuseExchange — without it the
+    # shingle+hash pass (the CPU hot spot) executes once per consumer
+    sigs_new = (
+        minhash_signatures(
+            df, id_col, text_col, num_hashes, shingle_k, seed, hash_fn
+        )
+        .select("doc_id", *sig_cols)
+        .repartition("doc_id")
+    )
+    if sig_store is not None:
+        store = sig_store.select("doc_id", *sig_cols)
+        all_sigs = store.unionByName(sigs_new)
+    else:
+        all_sigs = sigs_new
+
+    r = num_hashes // bands
+    assert r * bands == num_hashes, "bands must divide num_hashes"
+
+    def band_table(sigs: DataFrame) -> DataFrame:
+        band_structs = [
+            F.struct(
+                F.lit(j).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"m{j * r + i}") for i in range(r)]
+                    )
+                ).alias("bucket"),
+            )
+            for j in range(bands)
+        ]
+        return sigs.select(
+            "doc_id", *sig_cols, F.explode(F.array(*band_structs)).alias("bb")
+        ).select("doc_id", *sig_cols, "bb.band", "bb.bucket")
+
+    bands_all = band_table(all_sigs)
+    bands_new = band_table(sigs_new)
+    if max_bucket_size:
+        # hot buckets identified by a partial-aggregated count whose output
+        # is tiny (only buckets over the cap), broadcast as an anti-join —
+        # no window over the full historical band table
+        hot = (
+            bands_all.groupBy("band", "bucket")
+            .count()
+            .where(F.col("count") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        bands_all = bands_all.join(
+            F.broadcast(hot), ["band", "bucket"], "left_anti"
+        )
+        bands_new = bands_new.join(
+            F.broadcast(hot), ["band", "bucket"], "left_anti"
+        )
+    a, b = bands_all.alias("a"), bands_new.alias("b")
+    est = (
+        sum(
+            (F.col(f"a.{c}") == F.col(f"b.{c}")).cast("int") for c in sig_cols
+        )
+        / F.lit(float(num_hashes))
+    )
+    nd = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(est >= min_est_jaccard)
+        .groupBy(F.col("b.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("a.doc_id")).alias("dup_of"))
+    )
+    return (
+        sigs_new.join(nd, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+            *sig_cols,
+        )
+    )

@@ -1472,3 +1472,113 @@ SELECT CAST(count(*) AS BIGINT) AS n,
   round(max(nrm), 4) AS norm_max
 FROM f
 """
+
+
+# --------------------------------------------------------------------------------
+# incremental dedup vs a historical store (operators/dedup.py
+# incremental_exact_dedup / incremental_minhash_dedup): history = docs with
+# id < cutoff processed first, new shard = the rest — the oracle reproduces
+# the two-step store round-trip, which the pytest equivalence gate proves
+# equal to the batch sweep over the union.
+# --------------------------------------------------------------------------------
+
+
+def incremental_exact_dedup_query(cutoff: int = 250) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        hist = docs.where(F.col("doc_id") < cutoff)
+        new = docs.where(F.col("doc_id") >= cutoff)
+        fa = DD.incremental_exact_dedup(hist, None)
+        store = DD.dedup_store_update(None, fa)
+        return DD.incremental_exact_dedup(new, store)
+
+    return fn
+
+
+def incremental_exact_dedup_sql(cutoff: int = 250) -> str:
+    return f"""
+WITH f AS (SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+           FROM documents),
+hist AS (SELECT fingerprint, min(doc_id) AS hist_win FROM f
+         WHERE doc_id < {cutoff} AND fingerprint IS NOT NULL GROUP BY 1),
+new AS (SELECT doc_id, fingerprint,
+          min(doc_id) OVER (PARTITION BY fingerprint) AS shard_win
+        FROM f WHERE doc_id >= {cutoff})
+SELECT n.doc_id, n.fingerprint,
+  (h.hist_win IS NULL AND n.doc_id = n.shard_win) AS keep,
+  CASE WHEN h.hist_win IS NOT NULL THEN h.hist_win
+       WHEN n.doc_id <> n.shard_win THEN n.shard_win END AS dup_of
+FROM new n LEFT JOIN hist h ON n.fingerprint = h.fingerprint
+"""
+
+
+def incremental_minhash_dedup_query(
+    cutoff: int = 250,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_est_jaccard: float = 0.7,
+) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        sig_cols = [f"m{i}" for i in range(num_hashes)]
+        fa = DD.incremental_minhash_dedup(
+            docs.where(F.col("doc_id") < cutoff), None,
+            num_hashes=num_hashes, bands=bands,
+            min_est_jaccard=min_est_jaccard,
+        )
+        return DD.incremental_minhash_dedup(
+            docs.where(F.col("doc_id") >= cutoff),
+            fa.select("doc_id", *sig_cols),
+            num_hashes=num_hashes, bands=bands,
+            min_est_jaccard=min_est_jaccard,
+        )
+
+    return fn
+
+
+def incremental_minhash_dedup_sql(
+    cutoff: int = 250,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_est_jaccard: float = 0.7,
+) -> str:
+    params = DD.minhash_params(num_hashes)
+    r = num_hashes // bands
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {DD.MINHASH_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, md5(concat_ws(','"
+        + "".join(f", m{j * r + i}" for i in range(r))
+        + ")) AS bucket FROM sig"
+        for j in range(bands)
+    )
+    est = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    sig_out = ", ".join(f"s.m{i}" for i in range(num_hashes))
+    return f"""
+WITH {_TOK}, {_SHINGLES},
+h AS (SELECT doc_id, CAST({_HASH64.format(x='shingle')} % {DD.MINHASH_PRIME} AS BIGINT) AS h
+      FROM sh WHERE shingle <> ''),
+sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+bandst AS ({band_selects}),
+ba AS (SELECT * FROM bandst
+       QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM ba a JOIN ba b
+           ON a.band = b.band AND a.bucket = b.bucket
+          AND a.doc_id < b.doc_id AND b.doc_id >= {cutoff}),
+nd AS (SELECT c.doc_b AS doc_id, min(c.doc_a) AS dup_of
+       FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id
+                   JOIN sig sb ON c.doc_b = sb.doc_id
+       WHERE ({est}) * 1.0 / {num_hashes} >= {min_est_jaccard}
+       GROUP BY 1)
+SELECT s.doc_id, nd.doc_id IS NULL AS keep,
+       nd.dup_of, {sig_out}
+FROM sig s LEFT JOIN nd ON s.doc_id = nd.doc_id
+WHERE s.doc_id >= {cutoff}
+"""

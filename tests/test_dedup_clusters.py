@@ -295,3 +295,124 @@ def test_contamination_hash_tier_matches_string_tier(spark):
 
     s, h = snap("string"), snap("hash")
     assert s == h and any(not keep for _, _, keep in s)
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_incremental_exact_dedup_two_step_equals_batch(spark):
+    """incremental_exact_dedup: shard A then shard B against A's store
+    must keep exactly the docs batch exact-dedup keeps over A ∪ B
+    (min-id per fingerprint), with dup_of pointing at the true winner."""
+    from pandas_profiling_personal_spark.operators.dedup import (
+        dedup_store_update,
+        incremental_exact_dedup,
+    )
+
+    t1, t2, t3 = "alpha beta gamma", "delta epsilon zeta", "eta theta iota"
+    shard_a = _mk_docs(spark, [(1, t1), (2, t1), (3, t2)])   # 2 dups 1
+    shard_b = _mk_docs(
+        spark, [(10, t1), (11, t3), (12, t3), (13, "  ALPHA   beta GAMMA ")]
+    )  # 10 and 13 dup history's 1 (13 via normalization); 12 dups 11
+
+    fa = incremental_exact_dedup(shard_a, None)
+    store = dedup_store_update(None, fa)
+    fb = incremental_exact_dedup(shard_b, store)
+    by_a = {r["doc_id"]: r for r in fa.collect()}
+    by_b = {r["doc_id"]: r for r in fb.collect()}
+    assert by_a[1]["keep"] and by_a[3]["keep"] and not by_a[2]["keep"]
+    assert by_a[2]["dup_of"] == 1 and by_a[1]["dup_of"] is None
+    assert not by_b[10]["keep"] and by_b[10]["dup_of"] == 1   # historical win
+    assert not by_b[13]["keep"] and by_b[13]["dup_of"] == 1   # normalized
+    assert by_b[11]["keep"] and not by_b[12]["keep"]
+    assert by_b[12]["dup_of"] == 11                            # in-shard win
+
+    # batch reference: one-step over the union == the two-step keep set
+    union = shard_a.unionByName(shard_b)
+    batch = {r["doc_id"]: r for r in
+             incremental_exact_dedup(union, None).collect()}
+    two_step = {**by_a, **by_b}
+    assert {d for d, r in two_step.items() if r["keep"]} == \
+           {d for d, r in batch.items() if r["keep"]}
+
+    # the next-round store carries history + new winners only
+    store2 = dedup_store_update(store, fb)
+    assert {r["doc_id"] for r in store2.collect()} == {1, 3, 11}
+
+
+def test_incremental_minhash_dedup_two_step_equals_batch(spark):
+    """incremental_minhash_dedup: signature-store two-step == batch over
+    the union; history participates through its 16-int signatures only
+    (dropped docs included — the greedy sweep needs them)."""
+    from pandas_profiling_personal_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest tonight")
+    nearA = base + " again"                    # near-dup of base
+    other = ("completely different words about astronomy telescopes and "
+            "planetary orbits circling distant binary stars quietly")
+    shard_a = _mk_docs(spark, [(1, base), (2, nearA), (3, other)])
+    # 10 near-dups base (cross-shard vs a KEPT doc), 11 near-dups nearA's
+    # exact text (cross-shard vs a DROPPED doc), 12 unrelated
+    shard_b = _mk_docs(
+        spark,
+        [(10, base + " today"), (11, nearA),
+         (12, "unrelated content on medieval castle architecture and "
+              "fortified stone walls built visibly high")],
+    )
+
+    kw = dict(num_hashes=16, bands=4, min_est_jaccard=0.7)
+    fa = incremental_minhash_dedup(shard_a, None, **kw)
+    sig_cols = [f"m{i}" for i in range(16)]
+    store = fa.select("doc_id", *sig_cols)          # ALL docs, kept or not
+    fb = incremental_minhash_dedup(shard_b, store, **kw)
+    by = {r["doc_id"]: r for r in fa.collect()}
+    by.update({r["doc_id"]: r for r in fb.collect()})
+    assert by[1]["keep"] and by[3]["keep"] and not by[2]["keep"]
+    assert not by[10]["keep"] and by[10]["dup_of"] == 1
+    assert not by[11]["keep"] and by[11]["dup_of"] in (1, 2)  # via dropped 2
+    assert by[12]["keep"]
+
+    union = shard_a.unionByName(shard_b)
+    batch = {r["doc_id"]: r for r in
+             incremental_minhash_dedup(union, None, **kw).collect()}
+    assert {d for d, r in by.items() if r["keep"]} == \
+           {d for d, r in batch.items() if r["keep"]}
+    for d, r in by.items():
+        assert r["dup_of"] == batch[d]["dup_of"], (d, r, batch[d])
+
+
+def test_incremental_minhash_store_never_reshingled(spark):
+    """Plan gate: the new shard is scanned+shingled ONCE — the signature
+    aggregate's exchange is shared by its three consumers (store∪new band
+    table, new band table, final keep join) via ReuseExchange — and the
+    store participates through its band/bucket and doc_id keys only (it
+    has no text to re-shingle; persisting it severed the lineage)."""
+    from pandas_profiling_personal_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    # sf0.01, not sf0.001: on a tiny corpus AQE legitimately replans the
+    # band joins as broadcasts (re-executing the small scan per consumer);
+    # the shared-exchange shape this test gates appears at shuffle scale
+    docs = read_parquet(spark, "/root/testdata/sf0.01/documents.parquet")
+    store = incremental_minhash_dedup(
+        docs.where("doc_id % 2 = 0"), None
+    ).select("doc_id", *[f"m{i}" for i in range(16)])
+    # persisted store == no lineage back to text (what the daily job does)
+    store = spark.createDataFrame(store.collect(), store.schema)
+    out = incremental_minhash_dedup(docs.where("doc_id % 2 = 1"), store)
+    rows = out.collect()  # executes out's OWN queryExecution (final plan)
+    assert len(rows) == docs.where("doc_id % 2 = 1").count()
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    final = plan.split("Initial Plan")[0]
+    # exactly one corpus scan in the executed plan; the other signature
+    # consumers read the reused exchange
+    assert final.count("Scan parquet") == 1, final
+    assert final.count("ReusedExchange") >= 2, final
