@@ -77,6 +77,13 @@ class ProfileConfig:
     #: decomposition summary (scheme/netloc/... or dir/stem/suffix counts,
     #: one bounded job per refined column)
     string_refinement: bool = False
+    #: embedding refinement: a constant-dimension array<float|double>
+    #: column gets an Embedding tab (health profile from
+    #: operators/similarity.embedding_stats — ragged dims, zero vectors,
+    #: non-finite components, norm stats; one bounded 1-row aggregate per
+    #: candidate column). The reference treats arrays as opaque
+    #: (summary_algorithms.py:34-41); this is the explorative-tier upgrade.
+    embedding_refinement: bool = False
     #: refinement tier: a categorical column with pass-1 mean_length >= this
     #: is treated as free TEXT — corpus-level language distribution + quality
     #: rollup from the text-pipeline operators attach to the variable
@@ -214,6 +221,7 @@ EXACT = ProfileConfig(exact=True)
 EXPLORATIVE = ProfileConfig(
     char_analysis=True,
     string_refinement=True,
+    embedding_refinement=True,
     infer_types=True,
     top_k=25,
 )

@@ -503,6 +503,38 @@ def profile(
                                 },
                             }
 
+        # embedding-column refinement: a constant-dimension float/double
+        # array column is an EMBEDDING, not an opaque Array — attach the
+        # one-1-row-agg health profile (similarity.embedding_stats: ragged
+        # dims / zero vectors / non-finite components / norm stats). The
+        # reference profiles arrays as opaque everywhere
+        # (summary_algorithms.py:34-41); this engine's multimodal thesis
+        # says close that gap. Cost: one bounded 1-row aggregate per
+        # candidate column, only when the explorative tier asks for it.
+        if cfg.embedding_refinement:
+            from pyspark.sql import types as _T
+
+            from pandas_profiling_personal_spark.operators.similarity import (
+                embedding_stats,
+            )
+
+            for cname, vt in types.items():
+                if vt is not VT.ARRAY:
+                    continue
+                el = df.schema[cname].dataType.elementType
+                if not isinstance(el, (_T.FloatType, _T.DoubleType)):
+                    continue
+                row = embedding_stats(df, cname).collect()[0].asDict()
+                n_vec = (row["n"] or 0) - (row["n_null"] or 0)
+                if (
+                    n_vec > 0
+                    and row["dim_min"] is not None
+                    and row["dim_min"] == row["dim_max"]
+                ):
+                    v = variables[cname]
+                    v["type_refined"] = "embedding"
+                    v["embedding_stats"] = row
+
         _mark("refinement")
         # pass 3 — histograms for all numeric AND datetime columns (A11 + A16;
         # the reference has no Spark date describer at all)

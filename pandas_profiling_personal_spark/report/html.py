@@ -423,6 +423,26 @@ def _var_section(name: str, v: dict, alerts: list[dict]) -> str:
     else:
         tabs.append(("Common values", _freq_table(v)))
 
+    # constant-dimension float-array columns (Array vtype): embedding
+    # health profile (ragged dims / zero vectors / non-finite components /
+    # norms) from the explorative embedding refinement
+    if v.get("embedding_stats"):
+        es = v["embedding_stats"]
+        tabs.append((
+            "Embedding",
+            _kv_table([
+                ("Dimension", es.get("dim_min")),
+                ("Vectors", es.get("n")),
+                ("Null vectors", es.get("n_null")),
+                ("Zero vectors", es.get("n_zero_vectors")),
+                ("Non-finite vectors", es.get("n_nonfinite_vectors")),
+                ("Norm min", es.get("norm_min")),
+                ("Norm mean", es.get("norm_mean")),
+                ("Norm median", es.get("norm_p50")),
+                ("Norm max", es.get("norm_max")),
+            ]),
+        ))
+
     return (
         f"<div class='varsec' data-section='variable'"
         f" data-var-type='{html.escape(vtype)}' id='var-{html.escape(name)}'>"

@@ -146,3 +146,36 @@ def test_cli_config_yaml(tmp_path):
     assert rep["table"]["n"] == 40
     tops = rep["variables"]["s"]["top_values"]
     assert len(tops) == 2  # top_k: 2 honored through the YAML path
+
+
+def test_explorative_embedding_refinement(spark):
+    """EXPLORATIVE tier: a constant-dimension array<double> column refines
+    to an Embedding tab (health stats from one extra 1-row agg); ragged
+    and non-numeric arrays stay opaque Arrays; the HTML report renders
+    the tab."""
+    from pandas_profiling_personal_spark import EXPLORATIVE, profile
+    from pandas_profiling_personal_spark.report.html import render_html
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    r = profile(emb, EXPLORATIVE.with_(correlations=(), duplicates=False))
+    v = r.variables["embedding"]
+    assert v["type_refined"] == "embedding"
+    es = v["embedding_stats"]
+    assert es["dim_min"] == es["dim_max"] and es["dim_min"] > 0
+    assert es["n"] == emb.count()
+    assert "Embedding" in render_html(r)
+
+    # ragged dims / string arrays do NOT refine
+    rows = [([1.0, 2.0], ["a"]), ([1.0, 2.0, 3.0], ["b"])]
+    df2 = spark.createDataFrame(
+        rows, "ragged array<double>, strs array<string>"
+    )
+    r2 = profile(df2, EXPLORATIVE.with_(correlations=(), duplicates=False))
+    assert "type_refined" not in r2.variables["ragged"]
+    assert "embedding_stats" not in r2.variables["ragged"]
+    assert "type_refined" not in r2.variables["strs"]
+
+    # default tier: off (the gate mirrors string_refinement)
+    r3 = profile(emb.select("embedding"))
+    assert "embedding_stats" not in r3.variables["embedding"]
