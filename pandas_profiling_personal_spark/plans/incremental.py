@@ -29,9 +29,17 @@ What merges APPROXIMATELY (mergeable sketches, error bounds a priori):
   summed by value (a value is undercounted only if some shard dropped it
   from its top-M; keep M ≳ 4×K for rank stability on skewed data).
 
-Histograms deliberately do NOT merge: independent shards bin with
-independent edges. Re-bin from the merged KLL quantiles, or run the batch
-histogram pass when bucket-exact output is needed.
+Histograms merge EXACTLY when every shard bins over the SAME edges: pass
+``histograms=`` (explicit ``{col: (bins, lo, hi)}`` specs, or an int to
+derive specs from the FIRST shard's min/max — reuse them on later shards
+via :func:`histogram_specs_of`) and the merge is a vector add. The
+binning is the batch operator itself (``operators/histogram.histogram_all``,
+one extra melt job per shard), so merged == batch at the same spec,
+bit-for-bit; values outside the fixed range clamp into the end buckets
+(the batch ``bucket_index`` clamp — pass corpus-wide edges when the
+first shard's range may not cover later data). Shards profiled WITHOUT
+histograms (or with a different spec) refuse to merge with shards that
+have them — like schema drift, a silent partial histogram would lie.
 
 ``PartialProfile`` serializes to/from JSON (sketches base64-encoded), so
 shard states can live next to the data and merge across sessions/engines.
@@ -79,6 +87,12 @@ class ColumnState:
     hll: bytes | None = None
     kll: bytes | None = None
     top_values: dict[str, int] = field(default_factory=dict)
+    #: mergeable histogram: counts over the FIXED uniform bucketing
+    #: (len(hist_counts) bins over [hist_lo, hist_hi], batch bucket_index
+    #: clamp semantics) — identical specs merge as a vector add
+    hist_counts: list[int] | None = None
+    hist_lo: float | None = None
+    hist_hi: float | None = None
 
 
 @dataclass
@@ -160,11 +174,19 @@ def partial_profile(
     df: DataFrame,
     columns: list[str] | None = None,
     top_m: int = 40,
+    histograms: int | dict[str, tuple[int, float, float]] | None = None,
 ) -> PartialProfile:
     """Profile ONE shard into a mergeable state. Three bounded actions:
     the wide scalar+sketch aggregate, the mean-shifted power-sum pass
     (numeric columns), and one melt+groupBy for per-column top-``top_m``
-    value counts (categorical/boolean columns; skipped if none)."""
+    value counts (categorical/boolean columns; skipped if none).
+
+    ``histograms`` adds exact-mergeable histograms (one extra melt job —
+    the batch ``histogram_all`` operator): a ``{col: (bins, lo, hi)}``
+    spec dict, or an int N to derive N-bin specs from THIS shard's
+    min/max (the first-shard pattern — feed
+    :func:`histogram_specs_of` of the result to every later shard so
+    all states share edges and merge as vector adds)."""
     types = variable_types(df)
     if columns is not None:
         types = {c: t for c, t in types.items() if c in columns}
@@ -295,6 +317,33 @@ def partial_profile(
             cs.m3 = s3 - 3 * md * s2 + 2 * cnt * md**3
             cs.m4 = s4 - 4 * md * s3 + 6 * md * md * s2 - 3 * cnt * md**4
 
+    # optional histogram pass — the BATCH operator over fixed edges, so a
+    # later vector-add merge equals the batch histogram bit-for-bit
+    if histograms is not None:
+        from pandas_profiling_personal_spark.operators import histogram as H
+
+        if isinstance(histograms, int):
+            specs = {
+                c: (histograms, float(cols[c].min), float(cols[c].max))
+                for c in num
+                if cols[c].min is not None
+                and math.isfinite(float(cols[c].min))
+                and math.isfinite(float(cols[c].max))
+            }
+        else:
+            unknown = set(histograms) - {c for c in num}
+            if unknown:
+                raise ValueError(
+                    f"histogram specs for non-numeric/unknown columns: "
+                    f"{sorted(unknown)}"
+                )
+            specs = dict(histograms)
+        for c, hd in H.histogram_all(df, specs).items():
+            cs = cols[c]
+            cs.hist_counts = [int(x) for x in hd["counts"]]
+            cs.hist_lo = float(specs[c][1])
+            cs.hist_hi = float(specs[c][2])
+
     # pass 3 — per-column top-M value counts (categorical/boolean)
     if cat and top_m > 0:
         from pandas_profiling_personal_spark.operators import (
@@ -320,6 +369,18 @@ def partial_profile(
             cols[r["column"]].top_values[r["value"]] = int(r["count"])
 
     return PartialProfile(n=n, columns=cols)
+
+
+def histogram_specs_of(
+    part: PartialProfile,
+) -> dict[str, tuple[int, float, float]]:
+    """The ``histograms=`` spec dict a later shard must be profiled with
+    so its state merges exactly with ``part`` (the first-shard pattern)."""
+    return {
+        c: (len(cs.hist_counts), cs.hist_lo, cs.hist_hi)
+        for c, cs in part.columns.items()
+        if cs.hist_counts is not None
+    }
 
 
 def _merge_moments(a: ColumnState, b: ColumnState) -> None:
@@ -413,6 +474,9 @@ def merge_partials(parts: list[PartialProfile]) -> PartialProfile:
                 a.min, a.max = cs.min, cs.max
                 a.m1, a.m2, a.m3, a.m4 = cs.m1, cs.m2, cs.m3, cs.m4
                 a.top_values = dict(cs.top_values)
+                if cs.hist_counts is not None:
+                    a.hist_counts = list(cs.hist_counts)
+                    a.hist_lo, a.hist_hi = cs.hist_lo, cs.hist_hi
                 out.columns[c] = a
                 continue
             a = out.columns[c]
@@ -438,6 +502,28 @@ def merge_partials(parts: list[PartialProfile]) -> PartialProfile:
             a.count += cs.count
             for v, k in cs.top_values.items():
                 a.top_values[v] = a.top_values.get(v, 0) + k
+            # mergeable histograms: exact vector add, identical specs only
+            if (cs.hist_counts is None) != (a.hist_counts is None):
+                raise ValueError(
+                    f"column {c!r}: some shards carry a histogram and "
+                    "some don't — profile every shard with the same "
+                    "histograms= spec (histogram_specs_of the first state)"
+                )
+            if cs.hist_counts is not None:
+                if (a.hist_lo, a.hist_hi, len(a.hist_counts)) != (
+                    cs.hist_lo, cs.hist_hi, len(cs.hist_counts)
+                ):
+                    raise ValueError(
+                        f"column {c!r}: histogram specs differ between "
+                        f"shards ({len(a.hist_counts)} bins over "
+                        f"[{a.hist_lo}, {a.hist_hi}] vs "
+                        f"{len(cs.hist_counts)} over "
+                        f"[{cs.hist_lo}, {cs.hist_hi}]) — differing edges "
+                        "cannot merge exactly"
+                    )
+                a.hist_counts = [
+                    x + y for x, y in zip(a.hist_counts, cs.hist_counts)
+                ]
     return out
 
 
@@ -528,6 +614,16 @@ def finalize_partial(
                 v["quantiles_approx"] = {
                     str(q): float(x)
                     for q, x in zip(quantiles, sk[(c, "quantiles")])
+                }
+            if cs.hist_counts is not None:
+                # exact merged histogram, batch JSON shape (histogram_all)
+                bins = len(cs.hist_counts)
+                lo, hi = cs.hist_lo, cs.hist_hi
+                width = (hi - lo) / bins if hi > lo else 1.0
+                v["histogram"] = {
+                    "counts": list(cs.hist_counts),
+                    "bin_edges": [lo + i * width for i in range(bins)]
+                    + [hi],
                 }
         elif cs.type == VT.DATETIME.value:
             v.update(min=cs.min, max=cs.max)

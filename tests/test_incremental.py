@@ -198,3 +198,59 @@ def test_partial_profile_all_null_and_empty_shards(spark):
     assert v["count"] == 0 and v["n_missing"] == 10
     assert v.get("mean") is None
     assert fin["variables"]["s"]["top_values"] == [("x", 10)]
+
+
+def test_mergeable_histograms_match_batch_at_shared_edges(spark):
+    """histograms=: shard states binned over shared edges merge as a
+    vector add that equals the batch histogram_all at the same spec
+    bit-for-bit; first-shard edge derivation + histogram_specs_of round
+    the flow; JSON round-trips; differing specs refuse to merge."""
+    from pandas_profiling_personal_spark.operators.histogram import (
+        histogram_all,
+    )
+    from pandas_profiling_personal_spark.plans.incremental import (
+        PartialProfile,
+        finalize_partial,
+        histogram_specs_of,
+        merge_partials,
+        partial_profile,
+    )
+
+    df = _load(spark).select("l_quantity", "l_extendedprice", "l_returnflag")
+    shards = [
+        df.where(F.col("l_extendedprice") % 3 < 1),
+        df.where(F.col("l_extendedprice") % 3 >= 1),
+    ]
+    # first shard derives 12-bin edges from its own min/max …
+    p0 = partial_profile(shards[0], histograms=12)
+    specs = histogram_specs_of(p0)
+    assert set(specs) == {"l_quantity", "l_extendedprice"}
+    assert specs["l_quantity"][0] == 12
+    # … later shards bin over the SAME edges (values outside clamp)
+    p1 = partial_profile(shards[1], histograms=specs)
+    merged = merge_partials(
+        [PartialProfile.from_json(p0.to_json()), p1]  # JSON round-trip leg
+    )
+    out = finalize_partial(merged, spark)
+    batch = histogram_all(df, specs)
+    for c in specs:
+        assert out["variables"][c]["histogram"]["counts"] == \
+            batch[c]["counts"], c
+        assert out["variables"][c]["histogram"]["bin_edges"] == \
+            batch[c]["bin_edges"], c
+    assert sum(out["variables"]["l_quantity"]["histogram"]["counts"]) == \
+        df.where(F.col("l_quantity").isNotNull()).count()
+
+    # spec drift and missing-histogram shards refuse to merge
+    p_oth = partial_profile(
+        shards[1], histograms={"l_quantity": (8, 0.0, 10.0)}
+    )
+    with pytest.raises(ValueError, match="histogram"):
+        merge_partials([p0, p_oth])
+    p_none = partial_profile(shards[1])
+    with pytest.raises(ValueError, match="histogram"):
+        merge_partials([p0, p_none])
+
+    # non-numeric spec keys fail loudly
+    with pytest.raises(ValueError, match="non-numeric"):
+        partial_profile(shards[0], histograms={"l_returnflag": (4, 0.0, 1.0)})
