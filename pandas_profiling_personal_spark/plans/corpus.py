@@ -39,12 +39,25 @@ def corpus_profile(
     context_len: int = 2048,
     ngram: int = 2,
     quality_threshold: float = 0.5,
+    segment_by: str | None = None,
+    max_segments: int = 50,
 ) -> dict[str, Any]:
     """Corpus report dict: ``table`` (docs/tokens/chars), ``language_mix``,
     ``quality`` (score distribution + share below threshold),
     ``duplication`` (exact-dup docs/rate via content fingerprints),
     ``pii`` (per-kind totals + doc rate), ``repetition`` (mean Gopher
-    signals), ``packing`` (context-window planner at ``context_len``)."""
+    signals), ``packing`` (context-window planner at ``context_len``).
+
+    ``segment_by`` names a column of ``df`` (source, crawl, license, …)
+    and adds a ``segments`` section — the per-segment docs/tokens/quality/
+    duplication/language view a mixture decision reads. Cost: the
+    persisted text_profile joins the (id, segment) projection once, then
+    each rollup is ONE bounded exchange reusing the segment operators
+    (``grouped_summary`` for the scalar block, ``grouped_top_k`` for the
+    per-segment language mix, a two-stage (segment, fingerprint) rollup
+    for duplication). Reports the ``max_segments`` largest segments by
+    doc count and says so (``truncated``) rather than silently dropping
+    the tail."""
     tp = TX.text_profile(df, text_col, id_col).persist()
     try:
         scalars = tp.agg(
@@ -106,6 +119,12 @@ def corpus_profile(
             .collect()[0]
             .asDict()
         )
+
+        segments: dict[str, Any] | None = None
+        if segment_by is not None:
+            segments = _segment_rollups(
+                df, tp, id_col, segment_by, quality_threshold, max_segments
+            )
     finally:
         tp.unpersist()
 
@@ -120,7 +139,7 @@ def corpus_profile(
         .collect()[0]
     )
     n_dup_docs = int(dup["n_dup_docs"] or 0)
-    return {
+    out: dict[str, Any] = {
         "table": {
             "n_docs": n_docs,
             "n_null_docs": int(scalars["n_null_docs"] or 0),
@@ -146,6 +165,107 @@ def corpus_profile(
         "pii": pii_row,
         "repetition": rep.asDict(),
         "packing": packing,
+    }
+    if segments is not None:
+        out["segments"] = segments
+    return out
+
+
+def _segment_rollups(
+    df: DataFrame,
+    tp: DataFrame,
+    id_col: str,
+    segment_by: str,
+    quality_threshold: float,
+    max_segments: int,
+) -> dict[str, Any]:
+    """Per-segment corpus rollups over the persisted text_profile: one
+    (id, segment) join, then three bounded exchanges — grouped_summary
+    (scalars), grouped_top_k (languages), a (segment, fingerprint)
+    two-stage rollup (exact duplication)."""
+    from pandas_profiling_personal_spark.functions import stats as S
+    from pandas_profiling_personal_spark.operators import (
+        frequencies as FQ,
+        summary as SU,
+    )
+
+    seg = df.select(
+        S.col(id_col).alias("doc_id"),
+        S.col(segment_by).cast("string").alias("__seg"),
+    )
+    tp2 = tp.join(seg, "doc_id")
+
+    # scalar block: count/mean/sum per (segment, metric) in ONE melt +
+    # ONE exchange; the low-quality flag rides as a 0/1 metric whose sum
+    # is the below-threshold count
+    summ = SU.grouped_summary(
+        tp2.withColumn(
+            "low_q",
+            (F.col("quality_score") < F.lit(quality_threshold))
+            .cast("double"),
+        ),
+        "__seg",
+        ["quality_score", "n_tokens", "low_q"],
+    ).collect()
+    rows: dict[str, dict[str, Any]] = {}
+    for r in summ:
+        s = rows.setdefault(r["group"], {})
+        if r["column"] == "quality_score":
+            s["n_docs"] = int(r["count"]) + int(r["n_null"])
+            s["mean_quality"] = r["mean"]
+        elif r["column"] == "n_tokens":
+            s["total_tokens"] = int(r["sum"] or 0)
+        elif r["column"] == "low_q":
+            n_low = int(r["sum"] or 0)
+            s["n_below_threshold"] = n_low
+    for s in rows.values():
+        nd = s.get("n_docs") or 0
+        s["p_below_threshold"] = (
+            round(s.get("n_below_threshold", 0) / nd, 4) if nd else 0.0
+        )
+
+    # per-segment language mix: the salted segment top-K operator
+    for r in FQ.grouped_top_k(tp2, "__seg", ["language"], k=5).collect():
+        s = rows.get(r["group"])
+        if s is not None:
+            s.setdefault("languages", {})[r["value"]] = int(r["count"])
+
+    # exact duplication WITHIN each segment: (segment, fingerprint)
+    # counts collapsed to |segments| rows
+    for r in (
+        tp2.where(F.col("fingerprint").isNotNull())
+        .groupBy("__seg", "fingerprint")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("__seg")
+        .agg(
+            F.sum(
+                F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0)
+            ).alias("n_dup_docs")
+        )
+        .collect()
+    ):
+        s = rows.get(r["__seg"])
+        if s is not None:
+            nd = s.get("n_docs") or 0
+            n_dup = int(r["n_dup_docs"] or 0)
+            s["n_duplicate_docs"] = n_dup
+            s["p_duplicates"] = round(n_dup / nd, 4) if nd else 0.0
+    for s in rows.values():
+        s.setdefault("n_duplicate_docs", 0)
+        s.setdefault("p_duplicates", 0.0)
+
+    n_segments = len(rows)
+    truncated = n_segments > max_segments
+    if truncated:
+        keep = sorted(
+            rows.items(), key=lambda kv: (-(kv[1].get("n_docs") or 0), kv[0])
+        )[:max_segments]
+        rows = dict(keep)
+    return {
+        "by": segment_by,
+        "n_segments": n_segments,
+        "truncated": truncated,
+        "rows": rows,
     }
 
 
@@ -175,6 +295,29 @@ def corpus_report_html(report: dict[str, Any], title: str = "Corpus report") -> 
         ("Repetition (Gopher signals)", table(report["repetition"])),
         ("Context-window packing", table(report["packing"])),
     ]
+    if report.get("segments"):
+        sg = report["segments"]
+        seg_rows = "".join(
+            f"<tr><th>{esc(str(name))}</th><td>{m.get('n_docs')}</td>"
+            f"<td>{m.get('total_tokens')}</td>"
+            f"<td>{m.get('mean_quality')}</td>"
+            f"<td>{(m.get('p_below_threshold') or 0) * 100:.2f}%</td>"
+            f"<td>{(m.get('p_duplicates') or 0) * 100:.2f}%</td>"
+            f"<td>{esc(', '.join(list(m.get('languages') or [])[:3]))}</td>"
+            f"</tr>"
+            for name, m in sg["rows"].items()
+        )
+        note = (
+            f" (largest {len(sg['rows'])} of {sg['n_segments']})"
+            if sg.get("truncated")
+            else ""
+        )
+        sections.append((
+            f"Segments by {sg['by']}{note}",
+            "<table><tr><th>segment</th><th>docs</th><th>tokens</th>"
+            "<th>mean quality</th><th>low quality</th><th>dup rate</th>"
+            f"<th>top languages</th></tr>{seg_rows}</table>",
+        ))
     body = "".join(
         f"<section><h2>{esc(h)}</h2>{t}</section>" for h, t in sections
     )

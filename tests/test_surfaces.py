@@ -1323,6 +1323,58 @@ def test_corpus_profile_report(spark, tmp_path):
     assert rep2["duplication"]["n_duplicate_groups"] == 1
 
 
+def test_corpus_profile_segments(spark, tmp_path):
+    """segment_by: per-segment docs/tokens/quality/duplication/language
+    rollups — totals reconcile with the global sections, per-segment dup
+    counts match a direct per-segment computation, truncation is loud."""
+    from pandas_profiling_personal_spark.plans.corpus import (
+        corpus_profile,
+        corpus_report_html,
+    )
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    rep = corpus_profile(docs, "doc_id", "text", segment_by="source")
+    sg = rep["segments"]
+    assert sg["by"] == "source" and not sg["truncated"]
+    seg_counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert {k: v["n_docs"] for k, v in sg["rows"].items()} == seg_counts
+    assert sum(v["total_tokens"] for v in sg["rows"].values()) == \
+        rep["table"]["total_tokens"]
+    for v in sg["rows"].values():
+        assert 0.0 <= (v["mean_quality"] or 0.0) <= 1.0
+        assert v["languages"]  # every segment reports a language mix
+        assert 0.0 <= v["p_below_threshold"] <= 1.0
+    # per-segment exact-dup: cross-check one segment directly
+    seg0 = sorted(seg_counts)[0]
+    from pandas_profiling_personal_spark.operators.text import fingerprint
+
+    direct = (
+        docs.where(F.col("source") == seg0)
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .where(F.col("fp").isNotNull())
+        .groupBy("fp").count().where("count > 1")
+        .agg(F.sum(F.col("count") - 1)).collect()[0][0]
+    )
+    assert sg["rows"][seg0]["n_duplicate_docs"] == int(direct or 0)
+    json.dumps(rep, default=str)
+    page = corpus_report_html(rep)
+    assert "Segments by source" in page and seg0 in page
+
+    # loud truncation: cap below the segment count
+    rep_t = corpus_profile(
+        docs, "doc_id", "text", segment_by="source",
+        max_segments=max(1, len(seg_counts) - 1),
+    )
+    sgt = rep_t["segments"]
+    assert sgt["truncated"] and sgt["n_segments"] == len(seg_counts)
+    assert len(sgt["rows"]) == max(1, len(seg_counts) - 1)
+    assert "largest" in corpus_report_html(rep_t)
+
+
 def test_cli_corpus_report(tmp_path):
     """CLI --corpus-report writes the corpus HTML + a JSON status line."""
     import subprocess
