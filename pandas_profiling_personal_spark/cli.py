@@ -119,6 +119,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="skip the C4 line-cleaning stage",
     )
     g.add_argument(
+        "--near-dup-jaccard", type=float, default=None, metavar="J",
+        help="add the MinHash near-dup stage to the funnel: drop "
+        "exact-dedup winners with a verified near-duplicate (Jaccard >= J) "
+        "of lower id",
+    )
+    g.add_argument(
         "--corpus-report", action="store_true",
         help="instead of a table profile: write a CORPUS report for INPUT "
         "(language mix, quality, duplication, PII, repetition, packing) to "
@@ -195,7 +201,8 @@ def main(argv: list[str] | None = None) -> int:
 
             ctx = args.context_len or args.chunk or 2048
             rep = corpus_profile(
-                df, args.id_col, args.text_col, context_len=ctx
+                df, args.id_col, args.text_col, context_len=ctx,
+                segment_by=args.segment_by,
             )
             out = args.output or (args.input.rsplit(".", 1)[0] + ".html")
             title = args.title or f"Corpus report: {args.input}"
@@ -231,6 +238,8 @@ def main(argv: list[str] | None = None) -> int:
             kw = dict(
                 line_filter=not args.no_line_filter, benchmark=bench
             )
+            if args.near_dup_jaccard is not None:
+                kw["near_dup"] = {"min_jaccard": args.near_dup_jaccard}
             # ONE funnel execution: persisted flags feed both the report
             # and the surviving-corpus filter (the quality stage dominates
             # corpus cost — running the funnel twice doubles the job)

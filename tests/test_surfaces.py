@@ -1240,12 +1240,13 @@ def test_cli_prepare_corpus(tmp_path):
         "The quick brown fox jumps over the lazy dog every single day.\n"
         "It is a fine dog and the fox is in the house with you and it."
     )
+    near = good + " Extra tail words here."
     src = tmp_path / "docs.parquet"
     pd.DataFrame(
         {
-            "doc_id": [1, 2, 3, 4],
-            "text": [good, good, "short.", None],
-            "source": ["w", "w2", "w", "w"],
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [good, good, "short.", None, near],
+            "source": ["w", "w2", "w", "w", "w"],
         }
     ).to_parquet(src)
     outdir = tmp_path / "clean"
@@ -1254,14 +1255,16 @@ def test_cli_prepare_corpus(tmp_path):
             sys.executable, "-m", "pandas_profiling_personal_spark.cli",
             str(src), "--prepare-corpus", str(outdir),
             "--chunk", "8", "--overlap", "2", "--shards", "2",
+            "--near-dup-jaccard", "0.5",
             "--master", "local[2]",
         ],
         capture_output=True, text=True, timeout=300, cwd="/root/repo",
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     status = json.loads(proc.stdout.strip().splitlines()[-1])
-    assert status["n_docs"] == 4
-    assert status["n_pass_dedup"] == 1  # doc 2 deduped, 3/4 rejected
+    assert status["n_docs"] == 5
+    assert status["n_pass_dedup"] == 2   # doc 2 deduped, 3/4 rejected
+    assert status["n_pass_near_dup"] == 1  # doc 5 near-dups doc 1
     # shard layout on disk with chunk rows inside
     import glob
 
@@ -1391,13 +1394,15 @@ def test_cli_corpus_report(tmp_path):
                 "the quick brown fox and the lazy dog are in the house",
                 "le chien et le chat sont dans la maison pour que tu es la",
             ],
+            "source": ["web", "web", "books"],
         }
     ).to_parquet(src)
     out = tmp_path / "corpus.html"
     proc = subprocess.run(
         [
             sys.executable, "-m", "pandas_profiling_personal_spark.cli",
-            str(src), str(out), "--corpus-report", "--master", "local[2]",
+            str(src), str(out), "--corpus-report",
+            "--segment-by", "source", "--master", "local[2]",
         ],
         capture_output=True, text=True, timeout=300, cwd="/root/repo",
     )
@@ -1405,4 +1410,6 @@ def test_cli_corpus_report(tmp_path):
     status = json.loads(proc.stdout.strip().splitlines()[-1])
     assert status["n_docs"] == 3
     assert status["p_duplicates"] > 0  # docs 1+2 are identical
-    assert "Language mix" in out.read_text()
+    page = out.read_text()
+    assert "Language mix" in page
+    assert "Segments by source" in page and "books" in page
