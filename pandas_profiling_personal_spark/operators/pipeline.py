@@ -155,6 +155,17 @@ def corpus_funnel(
             minhash_dedup,
         )
 
+        # the per-document stage chain now has TWO consumers (the final
+        # flag projection and the winners→shingle branch), and projection
+        # pruning below the __fp window diverges between them, so exchange
+        # reuse cannot dedupe the chain (the r5 funnel lesson; measured:
+        # +1 full chain evaluation, 13 s of 25.7 at sf1). A LAZY local
+        # checkpoint materializes the flags once on first evaluation and
+        # both consumers read it — chain runs once per action. (On a
+        # multi-executor cluster, reliable checkpointing is the
+        # executor-loss-safe variant — same note as cluster_pairs.)
+        flags = flags.localCheckpoint(eager=False)
+
         # fuzzy stage over exact-dedup WINNERS only (the survivor set is
         # already a fraction of the corpus, and exact dups would flood
         # every LSH bucket with jaccard-1.0 pairs). minhash_dedup shares
