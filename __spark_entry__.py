@@ -128,17 +128,17 @@ _SPECS: dict[str, tuple] = {
         P.grouped_summary_sql(),
     ),
     "drift_psi_lineitem": (P.drift_query(), P.drift_sql()),
-    "drift_psi_categorical": (
-        P.drift_categorical_query(),
-        P.drift_categorical_sql(),
+    "incremental_exact_dedup_documents": (
+        PP.incremental_exact_dedup_query(250),
+        PP.incremental_exact_dedup_sql(250),
     ),
     "grouped_top_k_documents": (
         P.grouped_top_k_query(),
         P.grouped_top_k_sql(),
     ),
-    "hourly_rollup_events": (
-        P.time_rollup_query("events", "ts", "event_type", "value"),
-        P.time_rollup_sql("events", "ts", "event_type", "value"),
+    "incremental_minhash_dedup_documents": (
+        PP.incremental_minhash_dedup_query(250),
+        PP.incremental_minhash_dedup_sql(250),
     ),
     "scatter_lineitem": (
         P.scatter_query("lineitem", "l_quantity", "l_extendedprice", 16),
@@ -300,13 +300,13 @@ _SPECS: dict[str, tuple] = {
         PP.dedup_keep_list_query(0.1),
         PP.dedup_keep_list_sql(0.1),
     ),
-    "incremental_exact_dedup_documents": (
-        PP.incremental_exact_dedup_query(250),
-        PP.incremental_exact_dedup_sql(250),
+    "drift_psi_categorical": (
+        P.drift_categorical_query(),
+        P.drift_categorical_sql(),
     ),
-    "incremental_minhash_dedup_documents": (
-        PP.incremental_minhash_dedup_query(250),
-        PP.incremental_minhash_dedup_sql(250),
+    "hourly_rollup_events": (
+        P.time_rollup_query("events", "ts", "event_type", "value"),
+        P.time_rollup_sql("events", "ts", "event_type", "value"),
     ),
 }
 

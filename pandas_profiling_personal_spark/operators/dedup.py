@@ -169,17 +169,19 @@ def minhash_signatures(
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_table(
     signatures: DataFrame,
-    num_hashes: int = 16,
-    bands: int = 4,
-    max_bucket_size: int = 1000,
+    num_hashes: int,
+    bands: int,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(doc_a, doc_b) candidate pairs sharing at least one LSH band bucket.
-
-    rows_per_band = num_hashes // bands; a pair collides in a band iff that band's
-    signature slice matches exactly. ``max_bucket_size`` drops degenerate buckets
-    (boilerplate clusters) that would go quadratic."""
+    """(doc_id[, keep_cols...], band, bucket) — each signature exploded
+    into its ``bands`` LSH band buckets (bucket = md5 of that band's
+    ``num_hashes // bands`` signature slice). The ONE definition of band
+    hashing shared by the batch (:func:`lsh_candidate_pairs`) and
+    incremental (:func:`incremental_minhash_dedup`) paths — and mirrored
+    by the oracle SQL's band_selects — so they can never silently
+    disagree."""
     r = num_hashes // bands
     assert r * bands == num_hashes, "bands must divide num_hashes"
     band_structs = [
@@ -191,9 +193,24 @@ def lsh_candidate_pairs(
         )
         for j in range(bands)
     ]
-    melted = signatures.select(
-        F.col("doc_id"), F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", "bb.band", "bb.bucket")
+    extra = keep_cols or []
+    return signatures.select(
+        F.col("doc_id"), *extra, F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", *extra, "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs sharing at least one LSH band bucket.
+
+    rows_per_band = num_hashes // bands; a pair collides in a band iff that band's
+    signature slice matches exactly. ``max_bucket_size`` drops degenerate buckets
+    (boilerplate clusters) that would go quadratic."""
+    melted = band_table(signatures, num_hashes, bands)
     if max_bucket_size:
         w = Window.partitionBy("band", "bucket")
         melted = melted.withColumn("__bs", F.count(F.lit(1)).over(w)).where(
@@ -870,6 +887,14 @@ def incremental_exact_dedup(
     minimum id for that fingerprint within the shard. ``dup_of`` is the
     winning id (historical beats in-shard).
 
+    Null-text documents fingerprint to the ``"\\x00null"`` sentinel (never
+    SQL NULL): an equi-join on a null key matches nothing, so a null
+    fingerprint would silently exempt null-text docs from the store and
+    break two-step == batch (review r6). With the sentinel they form ONE
+    dup group across all shards — the same grouping the batch window
+    gives them. (That group is also one shuffle partition; if your corpus
+    is mostly null text, filter those docs out first.)
+
     Scale shape: the shard is fingerprinted in one projection and elected
     by one fingerprint-keyed window; the store participates ONLY through
     an equi-join on its key (no historical text is re-read or re-hashed —
@@ -877,7 +902,9 @@ def incremental_exact_dedup(
     two-step == batch equivalence is pytest-gated."""
     fps = parallelize_narrow(df).select(
         S.col(id_col).alias("doc_id"),
-        F.md5(normalize_text(S.col(text_col))).alias("fingerprint"),
+        F.coalesce(
+            F.md5(normalize_text(S.col(text_col))), F.lit("\x00null")
+        ).alias("fingerprint"),
     )
     w = Window.partitionBy("fingerprint")
     fps = fps.withColumn("__shard_win", F.min("doc_id").over(w))
@@ -963,7 +990,15 @@ def incremental_minhash_dedup(
     count aggregate broadcast back as an anti-join (no full-store window).
     Appending ``m0..m{H-1}`` rows of this result to the store (ALL of
     them, kept or not) is the store update; two-step == batch-on-union
-    equivalence is pytest-gated."""
+    equivalence is pytest-gated. One qualification (review r6): the
+    ``max_bucket_size`` cap counts each RUN's bucket population, so a
+    bucket that crosses the cap only once later shards join can differ
+    between two-step and batch (an early shard generated its pairs while
+    the bucket was small; the batch run anti-joins the whole bucket
+    away). The cap is a cost guard against degenerate buckets, not part
+    of the semantic contract — equivalence is exact whenever no bucket
+    crosses the cap between runs, and a crossed bucket only ever KEEPS
+    more (pairs are dropped, never invented)."""
     sig_cols = [f"m{i}" for i in range(num_hashes)]
     # ONE explicit doc_id exchange under the signature table: three
     # consumers (the store∪new band table, the new band table, the final
@@ -982,27 +1017,9 @@ def incremental_minhash_dedup(
     else:
         all_sigs = sigs_new
 
-    r = num_hashes // bands
-    assert r * bands == num_hashes, "bands must divide num_hashes"
-
-    def band_table(sigs: DataFrame) -> DataFrame:
-        band_structs = [
-            F.struct(
-                F.lit(j).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",", *[F.col(f"m{j * r + i}") for i in range(r)]
-                    )
-                ).alias("bucket"),
-            )
-            for j in range(bands)
-        ]
-        return sigs.select(
-            "doc_id", *sig_cols, F.explode(F.array(*band_structs)).alias("bb")
-        ).select("doc_id", *sig_cols, "bb.band", "bb.bucket")
-
-    bands_all = band_table(all_sigs)
-    bands_new = band_table(sigs_new)
+    # the ONE band-hashing definition, shared with lsh_candidate_pairs
+    bands_all = band_table(all_sigs, num_hashes, bands, keep_cols=sig_cols)
+    bands_new = band_table(sigs_new, num_hashes, bands, keep_cols=sig_cols)
     if max_bucket_size:
         # hot buckets identified by a partial-aggregated count whose output
         # is tiny (only buckets over the cap), broadcast as an anti-join —

@@ -1496,12 +1496,16 @@ def incremental_exact_dedup_query(cutoff: int = 250) -> QueryFn:
 
 
 def incremental_exact_dedup_sql(cutoff: int = 250) -> str:
+    # null text -> the same \\x00null sentinel the Spark op uses (an
+    # equi-join on SQL NULL matches nothing; the sentinel makes null-text
+    # docs one dup group across shards, matching the batch window)
     return f"""
 WITH f AS (SELECT doc_id,
-             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+             coalesce(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+                      chr(0) || 'null') AS fingerprint
            FROM documents),
 hist AS (SELECT fingerprint, min(doc_id) AS hist_win FROM f
-         WHERE doc_id < {cutoff} AND fingerprint IS NOT NULL GROUP BY 1),
+         WHERE doc_id < {cutoff} GROUP BY 1),
 new AS (SELECT doc_id, fingerprint,
           min(doc_id) OVER (PARTITION BY fingerprint) AS shard_win
         FROM f WHERE doc_id >= {cutoff})

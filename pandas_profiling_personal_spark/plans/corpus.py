@@ -182,7 +182,12 @@ def _segment_rollups(
     """Per-segment corpus rollups over the persisted text_profile: one
     (id, segment) join, then three bounded exchanges — grouped_summary
     (scalars), grouped_top_k (languages), a (segment, fingerprint)
-    two-stage rollup (exact duplication)."""
+    two-stage rollup (exact duplication). When the segment column has
+    more than ``max_segments`` values, the largest segments are ELECTED
+    FIRST (distributed top-N on the bounded size aggregate, broadcast
+    back as a semi-join) so neither the rollup exchanges nor the driver
+    collect ever scale with segment cardinality (review r6 — a URL-depth
+    segment column must not pull millions of rows to the driver)."""
     from pandas_profiling_personal_spark.functions import stats as S
     from pandas_profiling_personal_spark.operators import (
         frequencies as FQ,
@@ -190,10 +195,23 @@ def _segment_rollups(
     )
 
     seg = df.select(
-        S.col(id_col).alias("doc_id"),
+        S.col(id_col).alias("__seg_id"),
         S.col(segment_by).cast("string").alias("__seg"),
     )
-    tp2 = tp.join(seg, "doc_id")
+    # text_profile keeps the CALLER's id column name — join on it, never
+    # on a hardcoded "doc_id" (review r6)
+    tp2 = tp.join(seg, S.col(id_col) == F.col("__seg_id")).drop("__seg_id")
+
+    seg_sizes = tp2.groupBy("__seg").agg(F.count(F.lit(1)).alias("__n"))
+    n_segments = seg_sizes.count()
+    truncated = n_segments > max_segments
+    if truncated:
+        top = (
+            seg_sizes.orderBy(F.desc("__n"), F.asc("__seg"))
+            .limit(max_segments)  # TakeOrderedAndProject — never a global sort
+            .select("__seg")
+        )
+        tp2 = tp2.join(F.broadcast(top), "__seg")
 
     # scalar block: count/mean/sum per (segment, metric) in ONE melt +
     # ONE exchange; the low-quality flag rides as a 0/1 metric whose sum
@@ -254,13 +272,6 @@ def _segment_rollups(
         s.setdefault("n_duplicate_docs", 0)
         s.setdefault("p_duplicates", 0.0)
 
-    n_segments = len(rows)
-    truncated = n_segments > max_segments
-    if truncated:
-        keep = sorted(
-            rows.items(), key=lambda kv: (-(kv[1].get("n_docs") or 0), kv[0])
-        )[:max_segments]
-        rows = dict(keep)
     return {
         "by": segment_by,
         "n_segments": n_segments,

@@ -311,9 +311,14 @@ def test_incremental_exact_dedup_two_step_equals_batch(spark):
     )
 
     t1, t2, t3 = "alpha beta gamma", "delta epsilon zeta", "eta theta iota"
-    shard_a = _mk_docs(spark, [(1, t1), (2, t1), (3, t2)])   # 2 dups 1
+    # doc 4 / doc 14: null text — the \x00null sentinel makes them ONE
+    # dup group ACROSS shards (review r6: a SQL-null fingerprint would
+    # silently exempt them from the store join)
+    shard_a = _mk_docs(spark, [(1, t1), (2, t1), (3, t2), (4, None)])
     shard_b = _mk_docs(
-        spark, [(10, t1), (11, t3), (12, t3), (13, "  ALPHA   beta GAMMA ")]
+        spark,
+        [(10, t1), (11, t3), (12, t3), (13, "  ALPHA   beta GAMMA "),
+         (14, None)],
     )  # 10 and 13 dup history's 1 (13 via normalization); 12 dups 11
 
     fa = incremental_exact_dedup(shard_a, None)
@@ -327,6 +332,8 @@ def test_incremental_exact_dedup_two_step_equals_batch(spark):
     assert not by_b[13]["keep"] and by_b[13]["dup_of"] == 1   # normalized
     assert by_b[11]["keep"] and not by_b[12]["keep"]
     assert by_b[12]["dup_of"] == 11                            # in-shard win
+    assert by_a[4]["keep"]                                     # first null doc
+    assert not by_b[14]["keep"] and by_b[14]["dup_of"] == 4    # cross-shard
 
     # batch reference: one-step over the union == the two-step keep set
     union = shard_a.unionByName(shard_b)
@@ -338,7 +345,7 @@ def test_incremental_exact_dedup_two_step_equals_batch(spark):
 
     # the next-round store carries history + new winners only
     store2 = dedup_store_update(store, fb)
-    assert {r["doc_id"] for r in store2.collect()} == {1, 3, 11}
+    assert {r["doc_id"] for r in store2.collect()} == {1, 3, 4, 11}
 
 
 def test_incremental_minhash_dedup_two_step_equals_batch(spark):

@@ -1367,6 +1367,15 @@ def test_corpus_profile_segments(spark, tmp_path):
     page = corpus_report_html(rep)
     assert "Segments by source" in page and seg0 in page
 
+    # non-default id column (review r6: the rollup join must use the
+    # caller's id name, not a hardcoded doc_id)
+    rep_id = corpus_profile(
+        docs.withColumnRenamed("doc_id", "did"), "did", "text",
+        segment_by="source",
+    )
+    assert {k: v["n_docs"] for k, v in rep_id["segments"]["rows"].items()} \
+        == seg_counts
+
     # loud truncation: cap below the segment count
     rep_t = corpus_profile(
         docs, "doc_id", "text", segment_by="source",
