@@ -308,6 +308,14 @@ _SPECS: dict[str, tuple] = {
         P.time_rollup_query("events", "ts", "event_type", "value"),
         P.time_rollup_sql("events", "ts", "event_type", "value"),
     ),
+    "key_skew_events": (
+        P.key_skew_query("events", ["event_type"], 5),
+        P.key_skew_sql("events", ["event_type"], 5),
+    ),
+    "join_fanout_orders_lineitem": (
+        P.join_fanout_query("orders", "lineitem", ["o_orderkey"], ["l_orderkey"]),
+        P.join_fanout_sql("orders", "lineitem", ["o_orderkey"], ["l_orderkey"]),
+    ),
 }
 
 

@@ -335,3 +335,172 @@ def grouped_top_k(
         .drop("__salt", "__r1")
         .orderBy("group", "column", "rank")
     )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 10,
+    exact_quantiles: bool = True,
+) -> DataFrame:
+    """ONE-row shuffle-key diagnostics — the question every 100 TB
+    join/groupBy plan should answer first: is this key skewed, and by how
+    much? ``(n_rows, n_keys, max_count, p50_count, p95_count, mean_count,
+    skew_ratio, top_share, top_keys)`` where ``skew_ratio`` =
+    max group size / mean group size (1.0 = perfectly uniform; the
+    factor by which the hottest task outweighs the average under hash
+    partitioning), ``top_share`` = the hottest key's row fraction, and
+    ``top_keys`` the ``top_n`` heaviest keys as a deterministic
+    ``"key:count,..."`` string (string-typed so the driver's sort-based
+    canonicalizer can hash it; nulls render as ``"null"``).
+
+    Shape: one combine-friendly (key) count exchange — the same exchange
+    the diagnosed groupBy would pay — then a 1-row stats collapse and a
+    distributed top-N (TakeOrderedAndProject), crossJoined as two 1-row
+    frames. ``exact_quantiles=False`` switches the group-size percentiles
+    to GK sketches for corpora where |keys| itself is huge (the
+    engine-wide exact/approx tier convention)."""
+    if not key_cols:
+        raise ValueError("key_cols must name at least one column")
+    keystr = F.concat_ws(
+        "|",
+        *[F.coalesce(S.col(c).cast("string"), F.lit("null")) for c in key_cols],
+    )
+    counts = (
+        df.groupBy(keystr.alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    if exact_quantiles:
+        p50 = F.expr("percentile(__c, 0.5)")
+        p95 = F.expr("percentile(__c, 0.95)")
+    else:
+        p50 = F.expr("approx_percentile(__c, 0.5, 10000)").cast("double")
+        p95 = F.expr("approx_percentile(__c, 0.95, 10000)").cast("double")
+    stats = counts.agg(
+        F.sum("__c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__c").alias("max_count"),
+        F.round(p50, 4).alias("p50_count"),
+        F.round(p95, 4).alias("p95_count"),
+    )
+    # deterministic top-N string: per-partition heads + one driver merge
+    # (limit after orderBy = TakeOrderedAndProject, never a global sort),
+    # then a sort_array fold so the rendering order is (count desc, key
+    # asc) regardless of collect_list's partition order
+    top = (
+        counts.orderBy(F.desc("__c"), F.asc("__k"))
+        .limit(top_n)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("__c")).alias("nc"),
+                                F.col("__k").alias("k"),
+                                F.col("__c").alias("c"),
+                            )
+                        )
+                    ),
+                    lambda s: F.concat_ws(
+                        ":", s["k"], s["c"].cast("string")
+                    ),
+                ),
+                ",",
+            ).alias("top_keys")
+        )
+    )
+    return stats.crossJoin(top).select(
+        "n_rows",
+        "n_keys",
+        "max_count",
+        "p50_count",
+        "p95_count",
+        F.round(F.col("n_rows") / F.col("n_keys"), 4).alias("mean_count"),
+        F.round(
+            F.col("max_count") * F.col("n_keys") / F.col("n_rows"), 4
+        ).alias("skew_ratio"),
+        F.round(F.col("max_count") / F.col("n_rows"), 4).alias("top_share"),
+        "top_keys",
+    )
+
+
+def join_fanout_profile(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: list[str],
+    right_key: list[str] | None = None,
+) -> DataFrame:
+    """ONE-row pre-join diagnostics — the other question a 100 TB join
+    plan should answer first: how many rows will this join PRODUCE, and
+    is any key explosive? ``(left_rows, right_rows, n_left_keys,
+    n_right_keys, n_matched_keys, left_match_share, right_match_share,
+    inner_rows, max_fanout, fanout_ratio)`` where ``inner_rows`` is the
+    EXACT inner-join output size (Σ over matched keys of
+    left_count × right_count — computed from the two bounded key-count
+    tables, never by running the join), ``max_fanout`` the largest
+    single-key contribution, and ``fanout_ratio`` = inner_rows /
+    left_rows (how much the join multiplies the probe side; > 1 means
+    row explosion).
+
+    Shape: one combine-friendly count exchange per side — each the same
+    exchange the real join would pay — then a key-count × key-count
+    equi-join (cardinality = |keys|, not |rows|) collapsed to one row.
+    Nulls render as the literal key ``"null"`` and therefore MATCH each
+    other here, unlike a SQL equi-join — this operator reports key
+    distribution overlap; a null-keyed row never matching in the real
+    join is the first thing ``left_match_share`` tells you to check."""
+    right_key = right_key or left_key
+
+    def kc(df: DataFrame, keys: list[str], cname: str) -> DataFrame:
+        ks = F.concat_ws(
+            "|",
+            *[
+                F.coalesce(S.col(c).cast("string"), F.lit("null"))
+                for c in keys
+            ],
+        )
+        return df.groupBy(ks.alias("__k")).agg(
+            F.count(F.lit(1)).alias(cname)
+        )
+
+    lc, rc = kc(left, left_key, "__cl"), kc(right, right_key, "__cr")
+    j = lc.join(rc, "__k", "full_outer")
+    both = F.col("__cl").isNotNull() & F.col("__cr").isNotNull()
+    prod = F.col("__cl") * F.col("__cr")
+    return j.agg(
+        F.sum("__cl").alias("left_rows"),
+        F.sum("__cr").alias("right_rows"),
+        F.count("__cl").alias("n_left_keys"),
+        F.count("__cr").alias("n_right_keys"),
+        F.sum(both.cast("long")).alias("n_matched_keys"),
+        F.sum(F.when(both, F.col("__cl")).otherwise(0)).alias(
+            "__l_matched"
+        ),
+        F.sum(F.when(both, F.col("__cr")).otherwise(0)).alias(
+            "__r_matched"
+        ),
+        F.coalesce(
+            F.sum(F.when(both, prod)), F.lit(0).cast("long")
+        ).alias("inner_rows"),
+        F.coalesce(
+            F.max(F.when(both, prod)), F.lit(0).cast("long")
+        ).alias("max_fanout"),
+    ).select(
+        "left_rows",
+        "right_rows",
+        "n_left_keys",
+        "n_right_keys",
+        "n_matched_keys",
+        F.round(F.col("__l_matched") / F.col("left_rows"), 4).alias(
+            "left_match_share"
+        ),
+        F.round(F.col("__r_matched") / F.col("right_rows"), 4).alias(
+            "right_match_share"
+        ),
+        "inner_rows",
+        "max_fanout",
+        F.round(F.col("inner_rows") / F.col("left_rows"), 4).alias(
+            "fanout_ratio"
+        ),
+    )

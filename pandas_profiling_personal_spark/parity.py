@@ -1422,3 +1422,99 @@ FROM vc
 QUALIFY rank <= {k}
 ORDER BY "group", "column", rank
 """
+
+
+# --- shuffle-key skew diagnostics (operators/frequencies.key_skew_profile) -----
+
+
+def key_skew_query(table: str, key_cols: list[str], top_n: int = 10) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.frequencies import (
+            key_skew_profile,
+        )
+
+        return key_skew_profile(
+            load(spark, sf_dir, table), key_cols, top_n=top_n
+        )
+
+    return fn
+
+
+def key_skew_sql(table: str, key_cols: list[str], top_n: int = 10) -> str:
+    k = " || '|' || ".join(
+        f"coalesce(CAST({c} AS VARCHAR), 'null')" for c in key_cols
+    )
+    return f"""
+WITH c AS (SELECT {k} AS k, count(*) AS c FROM {table} GROUP BY 1),
+s AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(c) AS BIGINT) AS max_count,
+             round(quantile_cont(c, 0.5), 4) AS p50_count,
+             round(quantile_cont(c, 0.95), 4) AS p95_count
+      FROM c),
+t AS (SELECT string_agg(k || ':' || c, ',' ORDER BY c DESC, k ASC) AS top_keys
+      FROM (SELECT * FROM c ORDER BY c DESC, k ASC LIMIT {top_n}))
+SELECT s.n_rows, s.n_keys, s.max_count, s.p50_count, s.p95_count,
+  round(s.n_rows * 1.0 / s.n_keys, 4) AS mean_count,
+  round(s.max_count * 1.0 * s.n_keys / s.n_rows, 4) AS skew_ratio,
+  round(s.max_count * 1.0 / s.n_rows, 4) AS top_share,
+  t.top_keys
+FROM s, t
+"""
+
+
+def join_fanout_query(
+    left_table: str,
+    right_table: str,
+    left_key: list[str],
+    right_key: list[str] | None = None,
+) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.frequencies import (
+            join_fanout_profile,
+        )
+
+        return join_fanout_profile(
+            load(spark, sf_dir, left_table),
+            load(spark, sf_dir, right_table),
+            left_key,
+            right_key,
+        )
+
+    return fn
+
+
+def join_fanout_sql(
+    left_table: str,
+    right_table: str,
+    left_key: list[str],
+    right_key: list[str] | None = None,
+) -> str:
+    right_key = right_key or left_key
+
+    def ks(keys: list[str]) -> str:
+        return " || '|' || ".join(
+            f"coalesce(CAST({c} AS VARCHAR), 'null')" for c in keys
+        )
+
+    return f"""
+WITH lc AS (SELECT {ks(left_key)} AS k, count(*) AS cl
+            FROM {left_table} GROUP BY 1),
+rc AS (SELECT {ks(right_key)} AS k, count(*) AS cr
+       FROM {right_table} GROUP BY 1),
+j AS (SELECT lc.cl, rc.cr FROM lc FULL OUTER JOIN rc ON lc.k = rc.k)
+SELECT CAST(sum(cl) AS BIGINT) AS left_rows,
+  CAST(sum(cr) AS BIGINT) AS right_rows,
+  CAST(count(cl) AS BIGINT) AS n_left_keys,
+  CAST(count(cr) AS BIGINT) AS n_right_keys,
+  CAST(sum(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_matched_keys,
+  round(sum(CASE WHEN cr IS NOT NULL THEN cl ELSE 0 END) * 1.0 / sum(cl), 4)
+    AS left_match_share,
+  round(sum(CASE WHEN cl IS NOT NULL THEN cr ELSE 0 END) * 1.0 / sum(cr), 4)
+    AS right_match_share,
+  CAST(coalesce(sum(cl * cr), 0) AS BIGINT) AS inner_rows,
+  CAST(coalesce(max(cl * cr), 0) AS BIGINT) AS max_fanout,
+  round(coalesce(sum(cl * cr), 0) * 1.0 / sum(cl), 4) AS fanout_ratio
+FROM j
+"""

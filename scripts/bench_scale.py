@@ -176,6 +176,46 @@ def main() -> None:
             lambda: SIM.semantic_dedup(emb, n_cells=16, threshold=0.3)
             .agg(F.sum(F.col("keep").cast("int"))).first()
         )
+        # r6 additions: auto-sized + hot-cell-capped semantic dedup (the
+        # scale defaults), the funnel with the MinHash near-dup stage, and
+        # the daily-incremental dedup tiers (store = first half by id,
+        # new shard = second half)
+        p["semantic_dedup_auto_capped"] = timed(
+            lambda: SIM.semantic_dedup(emb, threshold=0.3)
+            .agg(F.sum(F.col("keep").cast("int"))).first()
+        )
+        p["corpus_funnel_near_dup"] = timed(
+            lambda: funnel_report(
+                corpus_funnel(
+                    docs, "doc_id", "text", line_filter=False,
+                    near_dup={"min_jaccard": 0.5},
+                )
+            ).first()
+        )
+        mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+
+        def _inc_exact():
+            fa = DD.incremental_exact_dedup(
+                docs.where(F.col("doc_id") < mid), None
+            )
+            store = DD.dedup_store_update(None, fa)
+            DD.incremental_exact_dedup(
+                docs.where(F.col("doc_id") >= mid), store
+            ).agg(F.sum(F.col("keep").cast("int"))).first()
+
+        p["incremental_exact_dedup"] = timed(_inc_exact)
+
+        def _inc_minhash():
+            fa = DD.incremental_minhash_dedup(
+                docs.where(F.col("doc_id") < mid), None
+            )
+            sig_cols = [f"m{i}" for i in range(16)]
+            DD.incremental_minhash_dedup(
+                docs.where(F.col("doc_id") >= mid),
+                fa.select("doc_id", *sig_cols),
+            ).agg(F.sum(F.col("keep").cast("int"))).first()
+
+        p["incremental_minhash_dedup"] = timed(_inc_minhash)
         points[sf] = p
         print(json.dumps({"sf": sf, "walls": p, "rows": rows[sf]}), flush=True)
 

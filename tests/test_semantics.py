@@ -786,3 +786,65 @@ def test_drift_profile_categorical_semantics(spark):
         for r in drift_profile_categorical(df, cand, ["source"], top_n=3).collect()
     }
     assert folded["source"]["n_a"] == 600
+
+
+def test_key_skew_profile(spark):
+    """key_skew_profile: hand-checked skew metrics, composite + null keys,
+    deterministic top string."""
+    from pandas_profiling_personal_spark.operators.frequencies import (
+        key_skew_profile,
+    )
+
+    rows = [("a", 1)] * 6 + [("b", 1)] * 2 + [("b", 2)] * 1 + [(None, 1)] * 3
+    df = spark.createDataFrame(rows, "k string, j int")
+    r = key_skew_profile(df, ["k"], top_n=2).collect()[0]
+    # groups: a=6, b=3, null=3 -> n_rows 12, n_keys 3
+    assert (r["n_rows"], r["n_keys"], r["max_count"]) == (12, 3, 6)
+    assert r["mean_count"] == 4.0
+    assert r["skew_ratio"] == 1.5          # 6 / 4
+    assert r["top_share"] == 0.5           # 6 / 12
+    assert r["p50_count"] == 3.0
+    assert r["top_keys"] == "a:6,b:3"      # count desc, key asc; n=2 cut
+
+    # composite key: (k, j) -> a|1=6, b|1=2, b|2=1, null|1=3
+    r2 = key_skew_profile(df, ["k", "j"], top_n=10).collect()[0]
+    assert (r2["n_rows"], r2["n_keys"], r2["max_count"]) == (12, 4, 6)
+    assert r2["top_keys"] == "a|1:6,null|1:3,b|1:2,b|2:1"
+
+    # uniform key -> skew_ratio exactly 1
+    uni = spark.createDataFrame([(i % 4,) for i in range(20)], "k int")
+    r3 = key_skew_profile(uni, ["k"]).collect()[0]
+    assert r3["skew_ratio"] == 1.0 and r3["n_keys"] == 4
+
+
+def test_join_fanout_profile(spark):
+    """join_fanout_profile: exact inner-join size and fanout from the two
+    key-count tables — hand-checked, plus cross-check against the real
+    join's count; null keys MATCH here (documented: distribution overlap,
+    not SQL null semantics)."""
+    from pandas_profiling_personal_spark.operators.frequencies import (
+        join_fanout_profile,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z"), (3, "w"), (None, "n")],
+        "k int, v string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (3, 13), (4, 14), (None, 15)],
+        "k int, u int",
+    )
+    r = join_fanout_profile(left, right, ["k"]).collect()[0]
+    assert (r["left_rows"], r["right_rows"]) == (5, 6)
+    assert (r["n_left_keys"], r["n_right_keys"]) == (4, 4)
+    # matched keys: 1, 3, and the null-sentinel
+    assert r["n_matched_keys"] == 3
+    # inner rows: k=1 -> 2*3=6, k=3 -> 1*1=1, null -> 1*1=1
+    assert r["inner_rows"] == 8 and r["max_fanout"] == 6
+    assert r["fanout_ratio"] == 1.6           # 8 / 5
+    assert r["left_match_share"] == 0.8       # 4 of 5 rows (k=2 unmatched)
+    # cross-check the non-null part against the REAL join
+    real = left.where("k is not null").join(
+        right.where("k is not null"), "k"
+    ).count()
+    assert real == 7 == r["inner_rows"] - 1   # minus the null-sentinel pair
