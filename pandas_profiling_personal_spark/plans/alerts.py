@@ -76,7 +76,39 @@ def compute_alerts(result: "ProfileResult", cfg: ProfileConfig) -> list[dict[str
             if v.get("date_like"):
                 alerts.append(_alert("TYPE_DATE", name))
         elif vt in (VT.ARRAY, VT.MAP, VT.STRUCT, VT.BINARY, VT.UNSUPPORTED):
-            alerts.append(_alert("UNSUPPORTED", name, dtype=str(vt)))
+            es = v.get("embedding_stats")
+            if es:
+                # embedding-profiled array column (r6): surface the three
+                # breakages an ANN index / training run hits silently —
+                # ragged dimensions (breaks every index), non-finite
+                # components, zero vectors (cosine undefined)
+                if (es.get("n_distinct_dims") or 0) > 1:
+                    alerts.append(
+                        _alert(
+                            "EMBEDDING_RAGGED",
+                            name,
+                            dim_min=es.get("dim_min"),
+                            dim_max=es.get("dim_max"),
+                        )
+                    )
+                if (es.get("n_nonfinite_vectors") or 0) > 0:
+                    alerts.append(
+                        _alert(
+                            "EMBEDDING_NONFINITE",
+                            name,
+                            n=es["n_nonfinite_vectors"],
+                        )
+                    )
+                if (es.get("n_zero_vectors") or 0) > 0:
+                    alerts.append(
+                        _alert(
+                            "EMBEDDING_ZERO",
+                            name,
+                            n=es["n_zero_vectors"],
+                        )
+                    )
+            else:
+                alerts.append(_alert("UNSUPPORTED", name, dtype=str(vt)))
 
     # correlation rules (reference: messages.py:290-306)
     for measure, matrix in result.correlations.items():

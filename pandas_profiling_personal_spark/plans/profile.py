@@ -526,14 +526,15 @@ def profile(
                     continue
                 row = embedding_stats(df, cname).collect()[0].asDict()
                 n_vec = (row["n"] or 0) - (row["n_null"] or 0)
-                if (
-                    n_vec > 0
-                    and row["dim_min"] is not None
-                    and row["dim_min"] == row["dim_max"]
-                ):
+                if n_vec > 0 and row["dim_min"] is not None:
                     v = variables[cname]
-                    v["type_refined"] = "embedding"
+                    # health stats attach to EVERY float-array column (a
+                    # ragged dimension is exactly the breakage worth
+                    # surfacing — EMBEDDING_RAGGED alert); the Embedding
+                    # refinement itself requires a constant dimension
                     v["embedding_stats"] = row
+                    if row["dim_min"] == row["dim_max"]:
+                        v["type_refined"] = "embedding"
 
         _mark("refinement")
         # pass 3 — histograms for all numeric AND datetime columns (A11 + A16;

@@ -166,15 +166,27 @@ def test_explorative_embedding_refinement(spark):
     assert es["n"] == emb.count()
     assert "Embedding" in render_html(r)
 
-    # ragged dims / string arrays do NOT refine
-    rows = [([1.0, 2.0], ["a"]), ([1.0, 2.0, 3.0], ["b"])]
+    # ragged float arrays do NOT refine to Embedding, but DO get health
+    # stats + the EMBEDDING_RAGGED alert (the breakage worth surfacing);
+    # string arrays stay untouched. A zero vector and a NaN component
+    # raise their own alerts.
+    rows = [
+        ([1.0, 2.0], ["a"]),
+        ([1.0, 2.0, 3.0], ["b"]),
+        ([0.0, 0.0], ["c"]),
+        ([float("nan"), 1.0], ["d"]),
+    ]
     df2 = spark.createDataFrame(
         rows, "ragged array<double>, strs array<string>"
     )
     r2 = profile(df2, EXPLORATIVE.with_(correlations=(), duplicates=False))
     assert "type_refined" not in r2.variables["ragged"]
-    assert "embedding_stats" not in r2.variables["ragged"]
+    assert r2.variables["ragged"]["embedding_stats"]["n_distinct_dims"] > 1
     assert "type_refined" not in r2.variables["strs"]
+    assert "embedding_stats" not in r2.variables["strs"]
+    kinds = {a["type"] for a in r2.alerts if a.get("column") == "ragged"}
+    assert {"EMBEDDING_RAGGED", "EMBEDDING_ZERO",
+            "EMBEDDING_NONFINITE"} <= kinds
 
     # default tier: off (the gate mirrors string_refinement)
     r3 = profile(emb.select("embedding"))
