@@ -898,8 +898,13 @@ def incremental_exact_dedup(
     Scale shape: the shard is fingerprinted in one projection and elected
     by one fingerprint-keyed window; the store participates ONLY through
     an equi-join on its key (no historical text is re-read or re-hashed —
-    plan-gated). Update the store with :func:`dedup_store_update`;
-    two-step == batch equivalence is pytest-gated."""
+    plan-gated). Persist the store with
+    :func:`...sources.writers.write_bucketed_table` bucketed on
+    ``fingerprint`` and the store side of that join reads co-located
+    buckets with NO exchange — only the daily shard shuffles
+    (plan-gated: test_incremental_dedup_bucketed_store_no_store_exchange).
+    Update the store with :func:`dedup_store_update`; two-step == batch
+    equivalence is pytest-gated."""
     fps = parallelize_narrow(df).select(
         S.col(id_col).alias("doc_id"),
         F.coalesce(

@@ -365,6 +365,56 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {right}")
 
 
+def test_incremental_dedup_bucketed_store_no_store_exchange(spark):
+    """The daily-dedup 100 TB shape: persist the fingerprint store as a
+    table BUCKETED on fingerprint (write_bucketed_table) and the store
+    side of incremental_exact_dedup's join reads co-located buckets with
+    NO exchange — only the (small) daily shard shuffles. The store is the
+    side that grows with history, so this is the term that matters."""
+    from pandas_profiling_personal_spark.operators.dedup import (
+        dedup_store_update,
+        incremental_exact_dedup,
+    )
+    from pandas_profiling_personal_spark.sources import writers as W
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet")
+    tbl = "t_fp_store_bkt"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        store = dedup_store_update(
+            None, incremental_exact_dedup(docs.where("doc_id % 2 = 0"), None)
+        )
+        W.write_bucketed_table(
+            store, tbl, bucket_by=["fingerprint"], n_buckets=4,
+            sort_by=["fingerprint"],
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = incremental_exact_dedup(
+                docs.where("doc_id % 2 = 1"), spark.table(tbl)
+            )
+            out.collect()
+            plan = _plan(out)
+            final = plan.split("Initial Plan")[0]
+            # exactly ONE exchange family in the executed join: the shard
+            # side (fingerprint window + join reuse one exchange); the
+            # bucketed store scan must contribute none
+            import re
+
+            n_ex = len(
+                re.findall(r"Exchange hashpartitioning\(fingerprint", final)
+            )
+            assert n_ex <= 1, (n_ex, final)
+            # and the store scan really is the bucketed table
+            assert tbl in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_scalar_summary_sql_matches_column_builders(spark):
     """Pass 1 is built as ONE SQL string (Py4J chatter on a 100-column
     profile measured 4.2 s of pure driver time); this pins the SQL fragments
