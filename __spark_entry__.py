@@ -40,12 +40,15 @@ def entry(spark: SparkSession) -> DataFrame:
 _SPECS: dict[str, tuple] = {
     # (spark_query_fn, oracle_sql or None)
     #
-    # ORDERING CONTRACT: the driver records the FIRST 50 entries only, so the
-    # first 50 are one row per distinct operator family; redundant same-family
-    # variants (a second table for the same operator, sub-stages of a pipeline
-    # whose full pipeline is already checked, rows-only-by-design queries whose
-    # family has a full-oracle row) sit after the window. All entries — both
-    # windows — are verified by tests/test_oracle_parity.py locally.
+    # ORDERING CONTRACT: the driver records the FIRST 50 entries only. With
+    # more distinct operator families than window slots (r6+), the window
+    # holds one row per family, favouring rows the driver has NEVER recorded
+    # and retiring rows whose machinery is exercised by an in-window kin
+    # (e.g. exact_dedup/minhash_lsh retire to the tail once the incremental
+    # store tiers — which run the same fingerprint/signature pipelines plus
+    # the store round-trip — and the funnel's full near-dup tier hold window
+    # rows). All entries — both windows — are verified by
+    # tests/test_oracle_parity.py locally every round.
     "numeric_summary_lineitem": (
         P.numeric_summary_query("lineitem", LINEITEM_NUMERIC),
         P.numeric_summary_sql("lineitem", LINEITEM_NUMERIC),
@@ -197,13 +200,13 @@ _SPECS: dict[str, tuple] = {
         PP.repetition_query(2),
         PP.repetition_sql(2),
     ),
-    "exact_dedup_documents": (
-        PP.exact_duplicates_query(),
-        PP.exact_duplicates_sql(),
+    "key_skew_events": (
+        P.key_skew_query("events", ["event_type"], 5),
+        P.key_skew_sql("events", ["event_type"], 5),
     ),
-    "minhash_lsh_dedup_documents": (
-        PP.minhash_dedup_query(16, 4, 0.5),
-        PP.minhash_dedup_sql(16, 4, 0.5),
+    "join_fanout_orders_lineitem": (
+        P.join_fanout_query("orders", "lineitem", ["o_orderkey"], ["l_orderkey"]),
+        P.join_fanout_sql("orders", "lineitem", ["o_orderkey"], ["l_orderkey"]),
     ),
     "ngram_jaccard_pairs_documents": (
         PP.jaccard_pairs_query(0.1),
@@ -308,13 +311,13 @@ _SPECS: dict[str, tuple] = {
         P.time_rollup_query("events", "ts", "event_type", "value"),
         P.time_rollup_sql("events", "ts", "event_type", "value"),
     ),
-    "key_skew_events": (
-        P.key_skew_query("events", ["event_type"], 5),
-        P.key_skew_sql("events", ["event_type"], 5),
+    "exact_dedup_documents": (
+        PP.exact_duplicates_query(),
+        PP.exact_duplicates_sql(),
     ),
-    "join_fanout_orders_lineitem": (
-        P.join_fanout_query("orders", "lineitem", ["o_orderkey"], ["l_orderkey"]),
-        P.join_fanout_sql("orders", "lineitem", ["o_orderkey"], ["l_orderkey"]),
+    "minhash_lsh_dedup_documents": (
+        PP.minhash_dedup_query(16, 4, 0.5),
+        PP.minhash_dedup_sql(16, 4, 0.5),
     ),
 }
 

@@ -337,6 +337,19 @@ def grouped_top_k(
     )
 
 
+def _key_string(key_cols: list[str]):
+    """The ONE key-canonicalization rule the shuffle diagnostics share
+    (and their oracle SQL mirrors): cast to string, nulls render as the
+    literal ``"null"``, composite keys join on ``"|"``."""
+    return F.concat_ws(
+        "|",
+        *[
+            F.coalesce(S.col(c).cast("string"), F.lit("null"))
+            for c in key_cols
+        ],
+    )
+
+
 def key_skew_profile(
     df: DataFrame,
     key_cols: list[str],
@@ -362,12 +375,8 @@ def key_skew_profile(
     engine-wide exact/approx tier convention)."""
     if not key_cols:
         raise ValueError("key_cols must name at least one column")
-    keystr = F.concat_ws(
-        "|",
-        *[F.coalesce(S.col(c).cast("string"), F.lit("null")) for c in key_cols],
-    )
     counts = (
-        df.groupBy(keystr.alias("__k"))
+        df.groupBy(_key_string(key_cols).alias("__k"))
         .agg(F.count(F.lit(1)).alias("__c"))
     )
     if exact_quantiles:
@@ -417,8 +426,12 @@ def key_skew_profile(
         "p50_count",
         "p95_count",
         F.round(F.col("n_rows") / F.col("n_keys"), 4).alias("mean_count"),
+        # divide BEFORE multiplying: max_count * n_keys as long*long
+        # overflows exactly on the pathological corpora this diagnostic
+        # exists for (ANSI throws, legacy wraps negative); division first
+        # moves the arithmetic to double
         F.round(
-            F.col("max_count") * F.col("n_keys") / F.col("n_rows"), 4
+            F.col("max_count") / F.col("n_rows") * F.col("n_keys"), 4
         ).alias("skew_ratio"),
         F.round(F.col("max_count") / F.col("n_rows"), 4).alias("top_share"),
         "top_keys",
@@ -450,24 +463,28 @@ def join_fanout_profile(
     other here, unlike a SQL equi-join — this operator reports key
     distribution overlap; a null-keyed row never matching in the real
     join is the first thing ``left_match_share`` tells you to check."""
+    if not left_key:
+        raise ValueError("left_key must name at least one column")
+    if right_key is not None and not right_key:
+        raise ValueError(
+            "right_key must name at least one column (or None to reuse "
+            "left_key)"
+        )
     right_key = right_key or left_key
 
     def kc(df: DataFrame, keys: list[str], cname: str) -> DataFrame:
-        ks = F.concat_ws(
-            "|",
-            *[
-                F.coalesce(S.col(c).cast("string"), F.lit("null"))
-                for c in keys
-            ],
-        )
-        return df.groupBy(ks.alias("__k")).agg(
+        return df.groupBy(_key_string(keys).alias("__k")).agg(
             F.count(F.lit(1)).alias(cname)
         )
 
     lc, rc = kc(left, left_key, "__cl"), kc(right, right_key, "__cr")
     j = lc.join(rc, "__k", "full_outer")
     both = F.col("__cl").isNotNull() & F.col("__cr").isNotNull()
-    prod = F.col("__cl") * F.col("__cr")
+    # products in DOUBLE: a 4B-row hot key on each side puts cl*cr past
+    # Long.MAX (ANSI throws, legacy wraps negative) — exactly the
+    # explosive join this diagnostic exists to catch. Double is exact to
+    # 2^53 and degrades gracefully past it.
+    prod = F.col("__cl").cast("double") * F.col("__cr")
     return j.agg(
         F.sum("__cl").alias("left_rows"),
         F.sum("__cr").alias("right_rows"),
@@ -480,11 +497,11 @@ def join_fanout_profile(
         F.sum(F.when(both, F.col("__cr")).otherwise(0)).alias(
             "__r_matched"
         ),
-        F.coalesce(
-            F.sum(F.when(both, prod)), F.lit(0).cast("long")
+        F.round(
+            F.coalesce(F.sum(F.when(both, prod)), F.lit(0.0)), 4
         ).alias("inner_rows"),
-        F.coalesce(
-            F.max(F.when(both, prod)), F.lit(0).cast("long")
+        F.round(
+            F.coalesce(F.max(F.when(both, prod)), F.lit(0.0)), 4
         ).alias("max_fanout"),
     ).select(
         "left_rows",

@@ -161,9 +161,13 @@ def corpus_funnel(
         # reuse cannot dedupe the chain (the r5 funnel lesson; measured:
         # +1 full chain evaluation, 13 s of 25.7 at sf1). A LAZY local
         # checkpoint materializes the flags once on first evaluation and
-        # both consumers read it — chain runs once per action. (On a
-        # multi-executor cluster, reliable checkpointing is the
-        # executor-loss-safe variant — same note as cluster_pairs.)
+        # both consumers read it — chain runs once per action. Storage
+        # lifetime: the blocks live while the returned DataFrame is
+        # referenced; Spark's ContextCleaner unpersists checkpointed RDDs
+        # once they are garbage-collected, so repeated calls don't
+        # accumulate (review r6). (On a multi-executor cluster, reliable
+        # checkpointing is the executor-loss-safe variant — same note as
+        # cluster_pairs.)
         flags = flags.localCheckpoint(eager=False)
 
         # fuzzy stage over exact-dedup WINNERS only (the survivor set is

@@ -1456,7 +1456,7 @@ t AS (SELECT string_agg(k || ':' || c, ',' ORDER BY c DESC, k ASC) AS top_keys
       FROM (SELECT * FROM c ORDER BY c DESC, k ASC LIMIT {top_n}))
 SELECT s.n_rows, s.n_keys, s.max_count, s.p50_count, s.p95_count,
   round(s.n_rows * 1.0 / s.n_keys, 4) AS mean_count,
-  round(s.max_count * 1.0 * s.n_keys / s.n_rows, 4) AS skew_ratio,
+  round(s.max_count * 1.0 / s.n_rows * s.n_keys, 4) AS skew_ratio,
   round(s.max_count * 1.0 / s.n_rows, 4) AS top_share,
   t.top_keys
 FROM s, t
@@ -1513,8 +1513,8 @@ SELECT CAST(sum(cl) AS BIGINT) AS left_rows,
     AS left_match_share,
   round(sum(CASE WHEN cl IS NOT NULL THEN cr ELSE 0 END) * 1.0 / sum(cr), 4)
     AS right_match_share,
-  CAST(coalesce(sum(cl * cr), 0) AS BIGINT) AS inner_rows,
-  CAST(coalesce(max(cl * cr), 0) AS BIGINT) AS max_fanout,
-  round(coalesce(sum(cl * cr), 0) * 1.0 / sum(cl), 4) AS fanout_ratio
+  round(coalesce(sum(cl * 1.0 * cr), 0), 4) AS inner_rows,
+  round(coalesce(max(cl * 1.0 * cr), 0), 4) AS max_fanout,
+  round(coalesce(sum(cl * 1.0 * cr), 0) / sum(cl), 4) AS fanout_ratio
 FROM j
 """

@@ -196,22 +196,35 @@ def _segment_rollups(
 
     seg = df.select(
         S.col(id_col).alias("__seg_id"),
-        S.col(segment_by).cast("string").alias("__seg"),
+        # null segments render as the literal "null" (the shuffle
+        # diagnostics' convention) so the election filter below — a
+        # literal IN — can never silently drop them
+        F.coalesce(
+            S.col(segment_by).cast("string"), F.lit("null")
+        ).alias("__seg"),
     )
     # text_profile keeps the CALLER's id column name — join on it, never
     # on a hardcoded "doc_id" (review r6)
     tp2 = tp.join(seg, S.col(id_col) == F.col("__seg_id")).drop("__seg_id")
 
+    # election in ONE TakeOrderedAndProject over the bounded size
+    # aggregate: fetch max_segments+1 heads — the common non-truncated
+    # case learns n_segments from the same action; only a truncated call
+    # pays one extra bounded count for the exact total (review r6: no
+    # unconditional second pass)
     seg_sizes = tp2.groupBy("__seg").agg(F.count(F.lit(1)).alias("__n"))
-    n_segments = seg_sizes.count()
-    truncated = n_segments > max_segments
+    head = (
+        seg_sizes.orderBy(F.desc("__n"), F.asc("__seg"))
+        .limit(max_segments + 1)
+        .collect()
+    )
+    truncated = len(head) > max_segments
     if truncated:
-        top = (
-            seg_sizes.orderBy(F.desc("__n"), F.asc("__seg"))
-            .limit(max_segments)  # TakeOrderedAndProject — never a global sort
-            .select("__seg")
-        )
-        tp2 = tp2.join(F.broadcast(top), "__seg")
+        n_segments = seg_sizes.count()
+        keep = [r["__seg"] for r in head[:max_segments]]
+        tp2 = tp2.where(F.col("__seg").isin(keep))
+    else:
+        n_segments = len(head)
 
     # scalar block: count/mean/sum per (segment, metric) in ONE melt +
     # ONE exchange; the low-quality flag rides as a 0/1 metric whose sum
