@@ -119,3 +119,47 @@ def signature_stream(
             S.col(text_col), num_hashes, shingle_k, seed
         ).alias("minhash"),
     )
+
+
+def exact_dedup_stream_vs_store(
+    df: DataFrame,
+    text_col: str,
+    fp_store: DataFrame,
+    ts_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """First-seen-wins exact dedup of a stream AGAINST A PERSISTED
+    HISTORY: the streaming half of the daily-incremental mode
+    (:func:`...operators.dedup.incremental_exact_dedup` is the batch
+    half and :func:`...operators.dedup.dedup_store_update` maintains the
+    store both read).
+
+    Two stages, both built-in: a stream-static LEFT ANTI join against the
+    store's fingerprint column (documents history already kept never
+    enter the stream's state store — the static side is re-read per
+    micro-batch, so a store table that grows during the run is picked
+    up), then the watermarked within-stream dedup of
+    :func:`exact_dedup_stream`. Fingerprints use the batch sentinel rule
+    (null text → ``"\\x00null"``) so a null-text doc kept in history
+    suppresses streaming null-text docs exactly like any other
+    fingerprint.
+
+    At 100 TB of history the anti join is the reason this scales: state
+    holds only fingerprints seen ON THE STREAM inside the watermark
+    horizon; history stays in the store table (bucket it on
+    ``fingerprint`` via ``write_bucketed_table`` and the static side
+    reads co-located buckets)."""
+    out = df.withColumn(
+        "fingerprint",
+        F.coalesce(fingerprint(S.col(text_col)), F.lit("\x00null")),
+    )
+    out = out.join(
+        fp_store.select("fingerprint").dropDuplicates(["fingerprint"]),
+        "fingerprint",
+        "left_anti",
+    )
+    if ts_col is not None and out.isStreaming:
+        return out.withWatermark(
+            ts_col, watermark
+        ).dropDuplicatesWithinWatermark(["fingerprint"])
+    return out.dropDuplicates(["fingerprint"])

@@ -227,6 +227,74 @@ def test_streaming_exact_dedup_first_seen_wins(spark, tmp_path):
     assert b.count() == 3
 
 
+def test_streaming_exact_dedup_vs_store(spark, tmp_path):
+    """exact_dedup_stream_vs_store: a persisted fingerprint store
+    suppresses historical duplicates via a stream-static anti join, the
+    watermarked dedup handles within-stream duplicates, and the kept set
+    matches the batch incremental operator over the same split."""
+    import datetime as dt
+
+    from pandas_profiling_personal_spark.operators.dedup import (
+        dedup_store_update,
+        incremental_exact_dedup,
+    )
+    from pandas_profiling_personal_spark.streaming.dedup_stream import (
+        exact_dedup_stream_vs_store,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "old news item"), (3, None)],
+        "doc_id bigint, text string",
+    )
+    store = dedup_store_update(None, incremental_exact_dedup(hist, None))
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 2, 0, 0, 0)
+    rows = [
+        (t0, 10, "  ALPHA   beta GAMMA "),   # dup of history 1
+        (t0, 11, "brand new document"),      # kept
+        (t0, 12, "brand new document"),      # within-stream dup of 11
+        (t0, 13, None),                      # null text — history 3 kept it
+        (t0, 14, "old news item"),           # dup of history 2
+    ]
+    src = tmp_path / "store_dedup_src"
+    spark.createDataFrame(rows, schema).write.parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = exact_dedup_stream_vs_store(
+        stream, "text", store, ts_col="ts", watermark="1 hour"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_store_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        kept = {r["doc_id"] for r in spark.table("t_store_dedup").collect()}
+    finally:
+        q.stop()
+    assert kept & {11, 12} and len(kept & {11, 12}) == 1
+    assert kept.isdisjoint({10, 13, 14})
+
+    # batch equivalence: same split through the incremental operator
+    new_docs = spark.createDataFrame(
+        [(r[1], r[2]) for r in rows], "doc_id bigint, text string"
+    )
+    batch_kept = {
+        r["doc_id"]
+        for r in incremental_exact_dedup(new_docs, store).collect()
+        if r["keep"]
+    }
+    assert batch_kept == {11}  # min-id wins in batch; stream keeps first-seen
+
+
 def test_html_json_serialize_roundtrip(spark, tmp_path):
     from pandas_profiling_personal_spark import ProfileConfig, profile
     from pandas_profiling_personal_spark.report import html as H
