@@ -186,7 +186,9 @@ def partial_profile(
     spec dict, or an int N to derive N-bin specs from THIS shard's
     min/max (the first-shard pattern — feed
     :func:`histogram_specs_of` of the result to every later shard so
-    all states share edges and merge as vector adds)."""
+    all states share edges and merge as vector adds). Datetime columns
+    participate with epoch-second edges (``histogram_all``'s own
+    conversion), so their specs are plain floats too."""
     types = variable_types(df)
     if columns is not None:
         types = {c: t for c, t in types.items() if c in columns}
@@ -235,6 +237,11 @@ def partial_profile(
                 aggs += [
                     F.min(col).alias(f"{p}__min"),
                     F.max(col).alias(f"{p}__max"),
+                    # epoch extents for first-shard histogram derivation —
+                    # SQL-side conversion (S.epoch_seconds), the same rule
+                    # histogram_all bins with, so no driver TZ arithmetic
+                    F.min(S.epoch_seconds(col)).alias(f"{p}__min_ep"),
+                    F.max(S.epoch_seconds(col)).alias(f"{p}__max_ep"),
                 ]
     row = df.agg(*aggs).collect()[0].asDict()
     n = int(row["__n"])
@@ -318,10 +325,13 @@ def partial_profile(
             cs.m4 = s4 - 4 * md * s3 + 6 * md * md * s2 - 3 * cnt * md**4
 
     # optional histogram pass — the BATCH operator over fixed edges, so a
-    # later vector-add merge equals the batch histogram bit-for-bit
+    # later vector-add merge equals the batch histogram bit-for-bit.
+    # Datetime columns bin over EPOCH-SECOND edges (histogram_all's own
+    # conversion), so their specs are floats like every other column's.
     if histograms is not None:
         from pandas_profiling_personal_spark.operators import histogram as H
 
+        dtt = [c for c, t in types.items() if t is VT.DATETIME]
         if isinstance(histograms, int):
             specs = {
                 c: (histograms, float(cols[c].min), float(cols[c].max))
@@ -330,8 +340,14 @@ def partial_profile(
                 and math.isfinite(float(cols[c].min))
                 and math.isfinite(float(cols[c].max))
             }
+            for i, (c, vt) in enumerate(types.items()):
+                if vt is VT.DATETIME:
+                    lo = row.get(f"c{i}__min_ep")
+                    hi = row.get(f"c{i}__max_ep")
+                    if lo is not None and hi is not None:
+                        specs[c] = (histograms, float(lo), float(hi))
         else:
-            unknown = set(histograms) - {c for c in num}
+            unknown = set(histograms) - set(num) - set(dtt)
             if unknown:
                 raise ValueError(
                     f"histogram specs for non-numeric/unknown columns: "
@@ -615,18 +631,18 @@ def finalize_partial(
                     str(q): float(x)
                     for q, x in zip(quantiles, sk[(c, "quantiles")])
                 }
-            if cs.hist_counts is not None:
-                # exact merged histogram, batch JSON shape (histogram_all)
-                bins = len(cs.hist_counts)
-                lo, hi = cs.hist_lo, cs.hist_hi
-                width = (hi - lo) / bins if hi > lo else 1.0
-                v["histogram"] = {
-                    "counts": list(cs.hist_counts),
-                    "bin_edges": [lo + i * width for i in range(bins)]
-                    + [hi],
-                }
         elif cs.type == VT.DATETIME.value:
             v.update(min=cs.min, max=cs.max)
+        if cs.hist_counts is not None:
+            # exact merged histogram, batch JSON shape (histogram_all);
+            # datetime columns carry epoch-second edges
+            bins = len(cs.hist_counts)
+            lo, hi = cs.hist_lo, cs.hist_hi
+            width = (hi - lo) / bins if hi > lo else 1.0
+            v["histogram"] = {
+                "counts": list(cs.hist_counts),
+                "bin_edges": [lo + i * width for i in range(bins)] + [hi],
+            }
         if cs.top_values:
             v["top_values"] = sorted(
                 cs.top_values.items(), key=lambda kv: (-kv[1], kv[0])

@@ -216,15 +216,18 @@ def test_mergeable_histograms_match_batch_at_shared_edges(spark):
         partial_profile,
     )
 
-    df = _load(spark).select("l_quantity", "l_extendedprice", "l_returnflag")
+    df = _load(spark).select(
+        "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"
+    )
     shards = [
         df.where(F.col("l_extendedprice") % 3 < 1),
         df.where(F.col("l_extendedprice") % 3 >= 1),
     ]
-    # first shard derives 12-bin edges from its own min/max …
+    # first shard derives 12-bin edges from its own min/max — datetime
+    # columns included (epoch-second edges, histogram_all's conversion) …
     p0 = partial_profile(shards[0], histograms=12)
     specs = histogram_specs_of(p0)
-    assert set(specs) == {"l_quantity", "l_extendedprice"}
+    assert set(specs) == {"l_quantity", "l_extendedprice", "l_shipdate"}
     assert specs["l_quantity"][0] == 12
     # … later shards bin over the SAME edges (values outside clamp)
     p1 = partial_profile(shards[1], histograms=specs)
