@@ -178,6 +178,23 @@ def main() -> None:
         ).count()
     )
 
+    # r6 headliner: the daily-incremental dedup round trip (store = first
+    # half of the corpus by id, new shard = second half) — the operating
+    # mode the 100 TB story leans on, so its wall belongs in the
+    # driver-recorded headline
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+
+    def _inc_dedup() -> None:
+        fa = DD.incremental_exact_dedup(
+            docs.where(F.col("doc_id") < mid), None
+        )
+        store = DD.dedup_store_update(None, fa)
+        DD.incremental_exact_dedup(
+            docs.where(F.col("doc_id") >= mid), store
+        ).where("keep").count()
+
+    timings["pipeline_incremental_dedup"] = timed(_inc_dedup)
+
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # contamination markers: cpu_canary_sec (measured BEFORE the JVM started;
     # 0.77-2.0 s observed for identical code — the host CPU-speed multiplier
@@ -218,6 +235,7 @@ def main() -> None:
                 "full_profile_events",
                 "pipeline_minhash_dedup",
                 "pipeline_ann_lsh",
+                "pipeline_incremental_dedup",
             )
             if k in timings
         },
