@@ -319,6 +319,10 @@ _SPECS: dict[str, tuple] = {
         PP.minhash_dedup_query(16, 4, 0.5),
         PP.minhash_dedup_sql(16, 4, 0.5),
     ),
+    "stratified_sample_documents": (
+        P.stratified_sample_query("documents", "lang", 5, "doc_id"),
+        P.stratified_sample_sql("documents", "lang", 5, "doc_id"),
+    ),
 }
 
 

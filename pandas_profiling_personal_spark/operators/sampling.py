@@ -8,7 +8,7 @@ reference's samples are unseeded and unstable — K4 note in SURVEY.md §2.6).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from pandas_profiling_personal_spark.functions import stats as S
 
@@ -125,4 +125,40 @@ def split_counts(
         out.groupBy(*[S.col(g) for g in group])
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(*group)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    key: str,
+) -> DataFrame:
+    """Deterministic exact-N-per-group sample — the eval-set / human-review
+    builder: ``n_per_group`` rows from EVERY group (language, source,
+    quality bucket …), chosen by md5-rank of ``key`` so the sample is
+    stable across runs, engines, cluster sizes and row order (the property
+    ``df.sampleBy`` lacks: fraction-based, partitioning-dependent, and
+    never exact-N). Groups smaller than ``n_per_group`` return whole.
+
+    Output: the input columns plus ``sample_rank`` (1-based md5 rank
+    within the group — feed ``sample_rank <= m`` to shrink the sample
+    later WITHOUT re-electing members: ranks are stable, so a 100-row
+    sample is always a superset of the 10-row one).
+
+    Shape: ONE group-keyed window exchange (the same exchange any
+    per-group operator pays); the md5 rank needs no pre-aggregation. A
+    pathologically hot group serializes its own partition like any
+    window — for billion-row groups sample via
+    :func:`deterministic_split`-style bucket thresholds instead (keeps
+    no order, approximate N)."""
+    if n_per_group <= 0:
+        raise ValueError(f"n_per_group must be positive, got {n_per_group}")
+    h = F.md5(S.col(key).cast("string"))
+    w = Window.partitionBy(S.col(group_col)).orderBy(
+        h.asc(), S.col(key).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n_per_group)
     )

@@ -1518,3 +1518,30 @@ SELECT CAST(sum(cl) AS BIGINT) AS left_rows,
   round(coalesce(sum(cl * 1.0 * cr), 0) / sum(cl), 4) AS fanout_ratio
 FROM j
 """
+
+
+def stratified_sample_query(
+    table: str, group_col: str, n: int, key: str
+) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        out = stratified_sample(load(spark, sf_dir, table), group_col, n, key)
+        return out.select(group_col, key, "sample_rank")
+
+    return fn
+
+
+def stratified_sample_sql(
+    table: str, group_col: str, n: int, key: str
+) -> str:
+    return f"""
+SELECT {group_col}, {key},
+  CAST(row_number() OVER (PARTITION BY {group_col}
+       ORDER BY md5(CAST({key} AS VARCHAR)) ASC, {key} ASC) AS BIGINT)
+    AS sample_rank
+FROM {table}
+QUALIFY sample_rank <= {n}
+"""

@@ -79,3 +79,48 @@ def test_profile_invariants_random_frames(spark, rows):
             assert mn - 1e-6 <= mean <= mx + 1e-6
     # the result must serialize
     assert len(r.to_json()) > 2
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(finite_doubles, min_size=2, max_size=60),
+    n_shards=st.integers(2, 4),
+    bins=st.integers(1, 9),
+)
+def test_histogram_merge_equals_batch_random(spark, vals, n_shards, bins):
+    """Property: for ANY values, shard split and bin count, sharded
+    histograms over shared first-shard edges merge (vector add) to
+    exactly the batch histogram at the same spec — including values
+    outside the first shard's range (clamped identically)."""
+    from pandas_profiling_personal_spark.operators.histogram import (
+        histogram_all,
+    )
+    from pandas_profiling_personal_spark.plans.incremental import (
+        histogram_specs_of,
+        merge_partials,
+        partial_profile,
+    )
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "i bigint, x double")
+    shards = [df.where(f"i % {n_shards} = {s}") for s in range(n_shards)]
+    # first non-empty shard derives the edges
+    first = next(s for s in shards if s.count() > 0)
+    p0 = partial_profile(first, columns=["x"], histograms=bins)
+    specs = histogram_specs_of(p0)
+    if not specs:  # constant/degenerate first shard still has lo==hi specs
+        return
+    parts = [p0] + [
+        partial_profile(s, columns=["x"], histograms=specs)
+        for s in shards
+        if s is not first
+    ]
+    merged = merge_partials(parts)
+    batch = histogram_all(df, specs)
+    assert merged.columns["x"].hist_counts == batch["x"]["counts"]
+    assert sum(merged.columns["x"].hist_counts) == len(vals)

@@ -848,3 +848,32 @@ def test_join_fanout_profile(spark):
         right.where("k is not null"), "k"
     ).count()
     assert real == 7 == r["inner_rows"] - 1   # minus the null-sentinel pair
+
+
+def test_stratified_sample(spark):
+    """stratified_sample: exact N per group, deterministic, nested —
+    the m-row sample is a superset of the k<m one; small groups whole."""
+    from pandas_profiling_personal_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    rows = [(f"g{i % 3}", i) for i in range(40)] + [("tiny", 100)]
+    df = spark.createDataFrame(rows, "grp string, k bigint")
+    s5 = stratified_sample(df, "grp", 5, "k")
+    got = {}
+    for r in s5.collect():
+        got.setdefault(r["grp"], set()).add(r["k"])
+    assert {g: len(v) for g, v in got.items()} == {
+        "g0": 5, "g1": 5, "g2": 5, "tiny": 1
+    }
+    # deterministic across invocations
+    again = {}
+    for r in stratified_sample(df, "grp", 5, "k").collect():
+        again.setdefault(r["grp"], set()).add(r["k"])
+    assert again == got
+    # nested: the 2-per-group sample is a subset of the 5-per-group one
+    s2 = {}
+    for r in stratified_sample(df, "grp", 2, "k").collect():
+        s2.setdefault(r["grp"], set()).add(r["k"])
+    for g, v in s2.items():
+        assert v <= got[g]
