@@ -135,9 +135,9 @@ _SPECS: dict[str, tuple] = {
         PP.incremental_exact_dedup_query(250),
         PP.incremental_exact_dedup_sql(250),
     ),
-    "grouped_top_k_documents": (
-        P.grouped_top_k_query(),
-        P.grouped_top_k_sql(),
+    "stratified_sample_documents": (
+        P.stratified_sample_query("documents", "lang", 5, "doc_id"),
+        P.stratified_sample_sql("documents", "lang", 5, "doc_id"),
     ),
     "incremental_minhash_dedup_documents": (
         PP.incremental_minhash_dedup_query(250),
@@ -319,9 +319,9 @@ _SPECS: dict[str, tuple] = {
         PP.minhash_dedup_query(16, 4, 0.5),
         PP.minhash_dedup_sql(16, 4, 0.5),
     ),
-    "stratified_sample_documents": (
-        P.stratified_sample_query("documents", "lang", 5, "doc_id"),
-        P.stratified_sample_sql("documents", "lang", 5, "doc_id"),
+    "grouped_top_k_documents": (
+        P.grouped_top_k_query(),
+        P.grouped_top_k_sql(),
     ),
 }
 

@@ -1537,10 +1537,16 @@ def stratified_sample_query(
 def stratified_sample_sql(
     table: str, group_col: str, n: int, key: str
 ) -> str:
+    # NULLS FIRST matches Spark's ASC default (DuckDB defaults NULLS
+    # LAST). Cross-engine caveat for REGISTERING this generator: float
+    # keys are out — Spark and DuckDB format doubles differently
+    # ('1.0E12' vs '1e+12') so md5 ranks diverge; use string/integer
+    # keys (documents.doc_id here is a non-null BIGINT).
     return f"""
 SELECT {group_col}, {key},
   CAST(row_number() OVER (PARTITION BY {group_col}
-       ORDER BY md5(CAST({key} AS VARCHAR)) ASC, {key} ASC) AS BIGINT)
+       ORDER BY md5(CAST({key} AS VARCHAR)) ASC NULLS FIRST,
+                {key} ASC NULLS FIRST) AS BIGINT)
     AS sample_rank
 FROM {table}
 QUALIFY sample_rank <= {n}

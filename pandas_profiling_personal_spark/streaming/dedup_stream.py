@@ -153,10 +153,11 @@ def exact_dedup_stream_vs_store(
         "fingerprint",
         F.coalesce(fingerprint(S.col(text_col)), F.lit("\x00null")),
     )
+    # no dedup on the static side: a LEFT ANTI join is unaffected by
+    # duplicate right-side keys, and a per-micro-batch HashAggregate over
+    # the full history store would be pure wasted work (review r6)
     out = out.join(
-        fp_store.select("fingerprint").dropDuplicates(["fingerprint"]),
-        "fingerprint",
-        "left_anti",
+        fp_store.select("fingerprint"), "fingerprint", "left_anti"
     )
     if ts_col is not None and out.isStreaming:
         return out.withWatermark(
