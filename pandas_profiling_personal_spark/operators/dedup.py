@@ -913,15 +913,26 @@ def incremental_exact_dedup(
     )
     w = Window.partitionBy("fingerprint")
     fps = fps.withColumn("__shard_win", F.min("doc_id").over(w))
-    store = (
-        fp_store.select(
+    if fp_store is not None:
+        store = fp_store.select(
             F.col("fingerprint"), F.col("doc_id").alias("__hist_win")
         )
-        if fp_store is not None
-        else fps.sparkSession.createDataFrame(
-            [], "fingerprint string, __hist_win bigint"
+    else:
+        # empty first-shard store: __hist_win must carry the CALLER's id
+        # type (string doc ids are legal) — a hardcoded bigint would make
+        # the dup_of F.when branches mix types, which fails analysis under
+        # ANSI mode (advice r6)
+        from pyspark.sql import types as T
+
+        store = fps.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("fingerprint", T.StringType()),
+                    T.StructField("__hist_win", df.schema[id_col].dataType),
+                ]
+            ),
         )
-    )
     return (
         fps.join(store, "fingerprint", "left")
         .select(

@@ -141,6 +141,13 @@ def stratified_sample(
     ``df.sampleBy`` lacks: fraction-based, partitioning-dependent, and
     never exact-N). Groups smaller than ``n_per_group`` return whole.
 
+    ``key`` must be UNIQUE within each group (a row id / primary key —
+    advice r6): rows tied on ``key`` are tied on ``md5(key)`` and the
+    tiebreak too, so which physical row wins the rank would be
+    partition-dependent and the determinism guarantee void. With a
+    duplicated key the MULTISET of sampled key values is still stable;
+    only which of the identical-key rows is returned can vary.
+
     Output: the input columns plus ``sample_rank`` (1-based md5 rank
     within the group — feed ``sample_rank <= m`` to shrink the sample
     later WITHOUT re-electing members: ranks are stable, so a 100-row

@@ -405,10 +405,14 @@ def semantic_dedup(
     then inside each cluster drop every item whose cosine similarity to a
     lower-id item reaches ``threshold`` — semantic near-duplicates that
     lexical dedup (MinHash/SimHash) cannot see. Output: one row per input,
-    ``(id, cell_id, keep, dup_of)`` with ``dup_of`` = the lowest id the row
-    duplicates (null for kept rows; in a similarity chain a > b > c the
-    middle link's dup_of may itself be dropped — follow dup_of to the kept
-    root, exactly like the paper's greedy sweep).
+    ``(id, cell_id, keep, dup_of, sub_cell)`` with ``dup_of`` = the lowest
+    id the row duplicates (null for kept rows; in a similarity chain
+    a > b > c the middle link's dup_of may itself be dropped — follow
+    dup_of to the kept root, exactly like the paper's greedy sweep) and
+    ``sub_cell`` = the hot-cell re-quantization slot (0 everywhere no cell
+    exceeded ``max_cell_size``; rows with ``sub_cell > 0`` sit in an
+    oversized cell whose cross-sub-cell pairs were NOT examined — the
+    reduced-recall trade made observable instead of silent, advice r6).
 
     Representative choice: deterministic lowest-id-wins (the paper keeps
     the item FARTHEST from the centroid; min-id is engine-reproducible, so
@@ -473,7 +477,7 @@ def semantic_dedup(
             F.floor((F.row_number().over(wc) - F.lit(1)) / F.lit(max_cell_size)),
         )
     else:
-        assign = assign.withColumn("__sub", F.lit(0))
+        assign = assign.withColumn("__sub", F.lit(0).cast("long"))
     a, b = assign.alias("a"), assign.alias("b")
     sim = F.round(cosine(F.col("a.__v"), F.col("b.__v")), 4)
     dups = (
@@ -494,6 +498,7 @@ def semantic_dedup(
             "cell_id",
             F.col("dup_of").isNull().alias("keep"),
             "dup_of",
+            F.col("__sub").alias("sub_cell"),
         )
     )
 

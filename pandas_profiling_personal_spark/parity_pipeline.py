@@ -1293,26 +1293,34 @@ def semantic_dedup_query(
     return fn
 
 
-def semantic_dedup_sql(n_cells: int = 16, threshold: float = 0.3) -> str:
+def semantic_dedup_sql(
+    n_cells: int = 16, threshold: float = 0.3, max_cell_size: int = 10_000
+) -> str:
     key = "CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS UBIGINT)"
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cents AS (
   SELECT vec_id AS cell_id, v AS cv FROM e
   ORDER BY {key} ASC, vec_id ASC LIMIT {n_cells}),
-asg AS (
+asg0 AS (
   SELECT id, v, cell_id FROM (
     SELECT e.vec_id AS id, e.v, c.cell_id,
            row_number() OVER (PARTITION BY e.vec_id
              ORDER BY round({_cos_sql("e.v", "c.cv")}, 4) DESC,
                       c.cell_id ASC) AS r
     FROM e, cents c) WHERE r = 1),
+asg AS (
+  SELECT id, v, cell_id,
+         CAST(floor((row_number() OVER (PARTITION BY cell_id ORDER BY id)
+                     - 1) / {max_cell_size}) AS BIGINT) AS sub_cell
+  FROM asg0),
 dups AS (
   SELECT b.id AS id, min(a.id) AS dup_of
-  FROM asg a JOIN asg b ON a.cell_id = b.cell_id AND a.id < b.id
+  FROM asg a JOIN asg b
+    ON a.cell_id = b.cell_id AND a.sub_cell = b.sub_cell AND a.id < b.id
   WHERE round({_cos_sql("a.v", "b.v")}, 4) >= {threshold}
   GROUP BY 1)
-SELECT asg.id, asg.cell_id, d.dup_of IS NULL AS keep, d.dup_of
+SELECT asg.id, asg.cell_id, d.dup_of IS NULL AS keep, d.dup_of, asg.sub_cell
 FROM asg LEFT JOIN dups d ON asg.id = d.id
 """
 

@@ -428,10 +428,18 @@ def _var_section(name: str, v: dict, alerts: list[dict]) -> str:
     # norms) from the explorative embedding refinement
     if v.get("embedding_stats"):
         es = v["embedding_stats"]
+        # a ragged column (dim_min != dim_max) is exactly what these stats
+        # exist to surface — render the RANGE, not a misleading single value
+        dim_lo, dim_hi = es.get("dim_min"), es.get("dim_max")
+        dim_disp = (
+            f"{dim_lo}–{dim_hi} (ragged)"
+            if dim_lo is not None and dim_hi is not None and dim_lo != dim_hi
+            else dim_lo
+        )
         tabs.append((
             "Embedding",
             _kv_table([
-                ("Dimension", es.get("dim_min")),
+                ("Dimension", dim_disp),
                 ("Vectors", es.get("n")),
                 ("Null vectors", es.get("n_null")),
                 ("Zero vectors", es.get("n_zero_vectors")),
