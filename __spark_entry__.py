@@ -323,6 +323,10 @@ _SPECS: dict[str, tuple] = {
         P.grouped_top_k_query(),
         P.grouped_top_k_sql(),
     ),
+    "image_near_dup_documents": (
+        PP.image_near_dup_query(),
+        PP.image_near_dup_sql(),
+    ),
 }
 
 

@@ -493,32 +493,46 @@ def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_duplicates(
-    df: DataFrame,
+def banded_hamming_pairs(
+    sig: DataFrame,
     id_col: str,
-    text_col: str,
-    bits: int = 32,
-    max_hamming: int = 3,
-    band_bits: int = 8,
+    sig_col: str,
+    bits: int,
+    band_bits: int,
+    max_hamming: int,
 ) -> DataFrame:
-    """(doc_a, doc_b, hamming) pairs with Hamming distance <= max_hamming,
-    blocked on ``bits/band_bits`` SimHash bands so the join never goes all-pairs
-    (pigeonhole: pairs within max_hamming share >= 1 exact band when
-    bands > max_hamming)."""
-    sim = simhash_table(df, id_col, text_col, bits)
+    """(doc_a, doc_b, hamming) pairs whose ``sig_col`` bit-signatures differ in
+    <= ``max_hamming`` positions, blocked on ``bits/band_bits`` exact-match
+    bands so the join never goes all-pairs (pigeonhole: two signatures within
+    ``max_hamming`` share at least one exact band when bands > max_hamming —
+    callers must keep ``bits/band_bits > max_hamming`` for exact recall).
+
+    Shared pair-generation engine for every Hamming-space signature: SimHash
+    over text (:func:`simhash_near_duplicates`) and perceptual image hashes
+    (``operators.multimodal.image_near_duplicates``). One band explode (rides
+    the signature scan), one equi-join keyed on (band, key) — the same
+    bucket-join shape as MinHash LSH, so the scale story is identical: no
+    cross-band comparisons, shuffle is ids+signature only."""
     n_bands = bits // band_bits
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"bits/band_bits={n_bands} bands cannot guarantee recall at "
+            f"max_hamming={max_hamming}; need more bands (pigeonhole)"
+        )
     band_structs = [
         F.struct(
             F.lit(j).alias("band"),
-            F.shiftright(F.col("simhash"), j * band_bits)
+            F.shiftright(F.col(sig_col), j * band_bits)
             .bitwiseAND(F.lit((1 << band_bits) - 1))
             .alias("key"),
         )
         for j in range(n_bands)
     ]
-    melted = sim.select(
-        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", "simhash", "bb.band", "bb.key")
+    melted = sig.select(
+        S.col(id_col).alias("doc_id"),
+        F.col(sig_col).alias("__sig"),
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select("doc_id", "__sig", "bb.band", "bb.key")
     a, b = melted.alias("a"), melted.alias("b")
     return (
         a.join(
@@ -530,12 +544,29 @@ def simhash_near_duplicates(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming_distance(F.col("a.simhash"), F.col("b.simhash")).alias(
+            hamming_distance(F.col("a.__sig"), F.col("b.__sig")).alias(
                 "hamming"
             ),
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    band_bits: int = 8,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with Hamming distance <= max_hamming,
+    blocked on ``bits/band_bits`` SimHash bands so the join never goes
+    all-pairs (see :func:`banded_hamming_pairs`)."""
+    sim = simhash_table(df, id_col, text_col, bits)
+    return banded_hamming_pairs(
+        sim, "doc_id", "simhash", bits, band_bits, max_hamming
     )
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -34,6 +35,8 @@ MEDIA_META_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType()),
         T.StructField("truncated", T.BooleanType()),
         T.StructField("content_hash", T.StringType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("dhash", T.LongType()),
     ]
 )
 
@@ -246,6 +249,174 @@ def extract_exif(data: bytes) -> dict[str, str]:
     return _parse_jpeg_exif(data)
 
 
+# ----------------------------------------------------------------------------
+# Perceptual image hashing (closes A20: the reference groups duplicate images
+# by imagehash.phash — reference: summary_helpers_image.py:57-67 — which is
+# PERCEPTUAL: a resized/recompressed copy hashes near-identically, unlike the
+# exact md5 content_hash). pHash/dHash are public algorithms: grayscale ->
+# small fixed resize -> 2D DCT low-frequency block (pHash) or horizontal
+# gradient signs (dHash) -> 64-bit signature; near-duplicates have small
+# Hamming distance, so pair generation reuses the SimHash band machinery
+# (operators/dedup.banded_hamming_pairs). Decode tiers:
+#   * PIL importable      -> any PIL format (the reference's tier)
+#   * pure netpbm parser  -> REAL perceptual hashes with zero dependencies
+#     (PGM/PPM P2/P3/P5/P6 are public plain formats), so resize-invariance is
+#     honestly testable in a PIL-free environment
+#   * fake                -> 60-bit signature from the md5 hex prefix —
+#     deterministic and SQL-expressible, the cross-engine oracle tier
+# The resize + DCT + threshold pipeline is shared numpy, so any two decode
+# tiers produce IDENTICAL hashes for identical pixel matrices.
+# ----------------------------------------------------------------------------
+
+
+def _parse_netpbm(data: bytes) -> "np.ndarray | None":
+    """Pure-Python netpbm decode -> float64 grayscale matrix (None if the
+    bytes are not a complete, well-formed P2/P3/P5/P6 image). Color planes
+    collapse via the Rec.601 luma weights PIL's ``convert("L")`` also uses."""
+    try:
+        if len(data) < 2 or data[0:1] != b"P" or data[1:2] not in b"2356":
+            return None
+        kind = chr(data[1])
+        i, vals = 2, []
+        while len(vals) < 3 and i < len(data):
+            c = data[i : i + 1]
+            if c == b"#":
+                j = data.find(b"\n", i)
+                i = len(data) if j < 0 else j + 1
+            elif c.isspace():
+                i += 1
+            elif c.isdigit():
+                j = i
+                while j < len(data) and data[j : j + 1].isdigit():
+                    j += 1
+                vals.append(int(data[i:j]))
+                i = j
+            else:
+                return None
+        if len(vals) < 3:
+            return None
+        w, h, maxval = vals
+        if not (0 < w and 0 < h and 0 < maxval < 65536) or w * h > (1 << 26):
+            return None
+        n = w * h * (3 if kind in "36" else 1)
+        if kind in "56":
+            i += 1  # exactly one whitespace byte after maxval
+            dt = np.uint8 if maxval < 256 else np.dtype(">u2")
+            px = np.frombuffer(data, dt, count=n, offset=i).astype(np.float64)
+        else:
+            toks = data[i:].split()
+            if len(toks) < n:
+                return None
+            px = np.array([int(t) for t in toks[:n]], dtype=np.float64)
+        px = px * (255.0 / maxval)
+        if kind in "36":
+            px = px.reshape(h, w, 3)
+            return 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+        return px.reshape(h, w)
+    except Exception:
+        return None
+
+
+def _pil_gray(data: bytes) -> "np.ndarray | None":
+    from io import BytesIO
+
+    from PIL import Image
+
+    try:
+        return np.asarray(
+            Image.open(BytesIO(data)).convert("L"), dtype=np.float64
+        )
+    except Exception:
+        return None
+
+
+def _decode_gray(data: bytes) -> "np.ndarray | None":
+    """Grayscale pixel matrix: PIL when importable, else the netpbm parser."""
+    if _pil_available():
+        m = _pil_gray(data)
+        if m is not None:
+            return m
+    return _parse_netpbm(data)
+
+
+def _resize_area(m: "np.ndarray", oh: int, ow: int) -> "np.ndarray":
+    """Deterministic block-mean downscale (area average — what makes the hash
+    survive resizes); nearest-neighbor when either target dim is an upscale."""
+    h, w = m.shape
+    if h < oh or w < ow:
+        return m[np.arange(oh) * h // oh][:, np.arange(ow) * w // ow]
+    re = np.arange(oh + 1) * h // oh
+    ce = np.arange(ow + 1) * w // ow
+    csum = np.zeros((h + 1, w + 1))
+    csum[1:, 1:] = m.cumsum(0).cumsum(1)
+    tot = (
+        csum[re[1:, None], ce[None, 1:]]
+        - csum[re[:-1, None], ce[None, 1:]]
+        - csum[re[1:, None], ce[None, :-1]]
+        + csum[re[:-1, None], ce[None, :-1]]
+    )
+    area = (re[1:, None] - re[:-1, None]) * (ce[None, 1:] - ce[None, :-1])
+    return tot / area
+
+
+_DCT_CACHE: dict[int, "np.ndarray"] = {}
+
+
+def _dct_matrix(n: int) -> "np.ndarray":
+    if n not in _DCT_CACHE:
+        k = np.arange(n, dtype=np.float64)[:, None]
+        i = np.arange(n, dtype=np.float64)[None, :]
+        d = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+        d[0] *= 1.0 / np.sqrt(2.0)
+        _DCT_CACHE[n] = d
+    return _DCT_CACHE[n]
+
+
+def _pack_bits(bits: "np.ndarray") -> int:
+    v = 0
+    for b in bits.flatten():
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v  # signed-long wraparound
+
+
+def phash_gray(m: "np.ndarray", hash_size: int = 8, highfreq: int = 4) -> int:
+    """64-bit pHash of a grayscale matrix: 32x32 area resize -> 2D DCT ->
+    top-left ``hash_size``^2 low-frequency block -> median threshold. Same
+    construction as imagehash.phash (the reference's duplicate grouping key);
+    bit order is row-major MSB-first, stable across engines."""
+    n = hash_size * highfreq
+    small = _resize_area(np.asarray(m, dtype=np.float64), n, n)
+    d = _dct_matrix(n)
+    low = (d @ small @ d.T)[:hash_size, :hash_size]
+    return _pack_bits(low > np.median(low))
+
+
+def dhash_gray(m: "np.ndarray", hash_size: int = 8) -> int:
+    """64-bit dHash: 8x9 area resize -> horizontal gradient signs."""
+    small = _resize_area(
+        np.asarray(m, dtype=np.float64), hash_size, hash_size + 1
+    )
+    return _pack_bits(small[:, 1:] > small[:, :-1])
+
+
+def perceptual_hashes(data: bytes) -> tuple[int | None, int | None]:
+    """(phash, dhash) for decodable image bytes, (None, None) otherwise."""
+    gray = _decode_gray(data)
+    if gray is None or gray.size == 0:
+        return None, None
+    return phash_gray(gray), dhash_gray(gray)
+
+
+def _fake_hashes(md5_hex: str) -> tuple[int, int]:
+    """Deterministic 60-bit signatures from the md5 hex: the oracle tier —
+    DuckDB reproduces them as CAST('0x' || substring(md5(x),1,15) AS UBIGINT)
+    (60 bits keeps every value signed-BIGINT-safe in both engines). Byte-
+    identical contents collide at Hamming 0; everything else is ~uniform, so
+    the fake tier exercises the full banded pair-generation path with exact
+    duplicates as the planted near-dups."""
+    return int(md5_hex[:15], 16), int(md5_hex[15:30], 16)
+
+
 def media_metadata(
     df: DataFrame,
     binary_col: str,
@@ -258,11 +429,19 @@ def media_metadata(
     Arrow-batched ``mapInPandas``: bytes never round-trip through Python row by
     row. Decoders:
 
-    * ``"fake"`` — deterministic pseudo-metadata (test tier; n_bytes, format
-      sniff and content_hash are REAL, width/height/truncated are derived)
+    * ``"fake"`` — deterministic pseudo-metadata (test/oracle tier; n_bytes,
+      format sniff and content_hash are REAL, width/height/truncated are
+      derived, phash/dhash are the md5-prefix signatures of
+      :func:`_fake_hashes` — engine-reproducible)
     * ``"real"`` — PIL dimensions/format/truncation
-      (reference: summary_helpers_image.py:1-114); raises ``ImportError``
-      up-front if PIL is absent
+      (reference: summary_helpers_image.py:1-114) plus perceptual
+      phash/dhash (reference: summary_helpers_image.py:57-67 groups
+      duplicates by imagehash.phash); raises ``ImportError`` up-front if
+      PIL is absent
+    * ``"netpbm"`` — dependency-free REAL tier: the pure PGM/PPM parser
+      decodes dimensions and perceptual hashes for netpbm bytes (None +
+      magic-sniff format for everything else) — real resize-surviving
+      hashes with zero imports
     * ``"auto"`` — ``"real"`` when PIL imports, else ``"fake"`` (the
       dependency-optional tier; resolved once on the driver so every executor
       runs the same kernel)
@@ -270,8 +449,8 @@ def media_metadata(
     ``exif=True`` additionally appends an ``exif`` map<string,string> column
     (A20 full tier): PIL's tag mapping when Pillow is importable, else the
     pure-Python JPEG APP1 parser — real tags from real bytes either way.
-    The ``meta`` struct schema is unchanged so oracle-checked selections of
-    its fields are unaffected.
+    Existing ``meta`` fields are unchanged (phash/dhash are additive) so
+    oracle-checked selections of its fields are unaffected.
     """
     if decoder == "auto":
         decoder = "real" if _pil_available() else "fake"
@@ -298,12 +477,26 @@ def media_metadata(
                     exifs.append(None)
                     continue
                 data = bytes(data)
+                md5_hex = hashlib.md5(data).hexdigest()
                 if decoder == "real":
                     fmt, width, height, truncated = _real_decode(data)
                     fmt = fmt or _sniff_format(data)
+                    ph, dh = perceptual_hashes(data)
+                elif decoder == "netpbm":
+                    gray = _parse_netpbm(data)
+                    if gray is not None:
+                        height, width = gray.shape
+                        fmt = "ppm" if data[1:2] in b"36" else "pgm"
+                        truncated = False
+                        ph, dh = phash_gray(gray), dhash_gray(gray)
+                    else:
+                        width = height = ph = dh = None
+                        truncated = False
+                        fmt = _sniff_format(data)
                 else:
                     width, height, truncated = _fake_decode(data)
                     fmt = _sniff_format(data)
+                    ph, dh = _fake_hashes(md5_hex)
                 metas.append(
                     {
                         "n_bytes": len(data),
@@ -311,7 +504,9 @@ def media_metadata(
                         "width": width,
                         "height": height,
                         "truncated": truncated,
-                        "content_hash": hashlib.md5(data).hexdigest(),
+                        "content_hash": md5_hex,
+                        "phash": ph,
+                        "dhash": dh,
                     }
                 )
                 if exif:
@@ -326,6 +521,46 @@ def media_metadata(
             yield out
 
     return df.mapInPandas(decode_batches, out_schema)
+
+
+def image_near_duplicates(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    decoder: str = "fake",
+    max_hamming: int = 7,
+    band_bits: int = 8,
+    bits: int = 64,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs of perceptually near-duplicate images —
+    the image-side analogue of MinHash text near-dup, and the scale-path
+    version of the reference's phash duplicate grouping
+    (reference: summary_helpers_image.py:57-67, driver-side exact-phash
+    groups over pandas; here: banded Hamming pairs, so a resized or
+    recompressed copy within ``max_hamming`` bits is found too).
+
+    One decode pass (Arrow-batched mapInPandas — the only Python, at the
+    codec boundary), then :func:`...operators.dedup.banded_hamming_pairs`
+    over ``meta.phash``: the shuffle carries (id, 64-bit signature) only,
+    blocked on ``bits/band_bits`` exact bands. Recall is exact while
+    ``bits/band_bits > max_hamming`` (pigeonhole). Undecodable rows (phash
+    null) are excluded — they cannot be perceptually compared.
+
+    Oracle tier: ``decoder="fake"`` signatures are 60-bit md5 prefixes, so
+    pass ``bits=60`` there (with e.g. ``band_bits=6``) and an independent
+    SQL engine reproduces the exact pair set."""
+    from pandas_profiling_personal_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    sig = (
+        media_metadata(df, binary_col, decoder)
+        .select(S.col(id_col), F.col("meta.phash").alias("__phash"))
+        .where(F.col("__phash").isNotNull())
+    )
+    return banded_hamming_pairs(
+        sig, id_col, "__phash", bits, band_bits, max_hamming
+    )
 
 
 def media_profile(
@@ -369,10 +604,22 @@ def media_profile(
             .where(F.col("cnt") > 1)
             .count()
         )
+        # perceptual duplicate groups — the reference's semantics
+        # (summary_helpers_image.py:57-67 groups by imagehash.phash, so a
+        # re-encoded copy counts as a duplicate; exact content_hash alone
+        # under-counts those)
+        p_dupes = (
+            meta.where(F.col("phash").isNotNull())
+            .groupBy("phash")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") > 1)
+            .count()
+        )
         out = {
             **scalars.asDict(),
             "formats": formats,
             "n_duplicate_contents": dupes,
+            "n_duplicate_perceptual": p_dupes,
         }
         if exif:
             # one explode of the map -> (key, value) pairs; keys counted in

@@ -322,6 +322,7 @@ def media_metadata_query() -> QueryFn:
             F.col("meta.n_bytes").alias("n_bytes"),
             F.col("meta.format").alias("format"),
             F.col("meta.content_hash").alias("content_hash"),
+            F.col("meta.phash").alias("phash"),
         )
 
     return fn
@@ -329,15 +330,72 @@ def media_metadata_query() -> QueryFn:
 
 def media_metadata_sql() -> str:
     # magic-byte sniff limited to prefixes expressible in valid UTF-8 text
-    # (jpeg/png/mp4 magics cannot begin a UTF-8 string)
+    # (jpeg/png/mp4 magics cannot begin a UTF-8 string); phash is the fake
+    # tier's md5-prefix signature (multimodal._fake_hashes), 60-bit so it is
+    # signed-BIGINT-safe in both engines
     return """
 SELECT doc_id,
        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
        CASE WHEN text LIKE 'GIF8%' THEN 'gif'
             WHEN text LIKE 'RIFF%' THEN 'riff'
             ELSE 'unknown' END AS format,
-       md5(text) AS content_hash
+       md5(text) AS content_hash,
+       CAST(('0x' || substring(md5(text), 1, 15)) AS UBIGINT)::BIGINT AS phash
 FROM documents WHERE text IS NOT NULL
+"""
+
+
+def image_near_dup_query(dup_stride: int = 5, id_shift: int = 100_000) -> QueryFn:
+    """Perceptual image near-dup (A20 full tier) through the FULL distributed
+    path: Arrow-batched decode -> 60-bit deterministic signatures -> banded
+    Hamming pair join (operators/dedup.banded_hamming_pairs). Every
+    ``dup_stride``-th document is re-added under a shifted id so the pair set
+    is non-empty and known; the oracle computes ALL-PAIRS Hamming directly,
+    so a driver match also proves the banding drops nothing (pigeonhole
+    recall, 10 bands of 6 bits > max_hamming=8)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.multimodal import (
+            image_near_duplicates,
+        )
+
+        base = (
+            load(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull())
+            .select("doc_id", "text")
+        )
+        planted = base.where(F.col("doc_id") % dup_stride == 0).select(
+            (F.col("doc_id") + id_shift).alias("doc_id"), "text"
+        )
+        df = base.unionAll(planted).select(
+            "doc_id", F.col("text").cast("binary").alias("blob")
+        )
+        pairs = image_near_duplicates(
+            df, "blob", "doc_id", decoder="fake",
+            max_hamming=8, band_bits=6, bits=60,
+        )
+        return pairs.select(
+            "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+        )
+
+    return fn
+
+
+def image_near_dup_sql(dup_stride: int = 5, id_shift: int = 100_000) -> str:
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + {id_shift} AS doc_id, text FROM documents
+  WHERE text IS NOT NULL AND doc_id % {dup_stride} = 0),
+sig AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(text), 1, 15)) AS UBIGINT)::BIGINT AS ph
+  FROM docs)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ph, b.ph)) <= 8
 """
 
 

@@ -50,6 +50,8 @@ def test_media_profile_and_real_decoder_gate(spark, media_df):
     assert prof["n"] == 4
     assert prof["formats"]["png"] == 2
     assert prof["n_duplicate_contents"] == 1
+    # fake tier: byte-identical contents share a phash -> one perceptual group
+    assert prof["n_duplicate_perceptual"] == 1
     if not _pil_available():
         # real tier must fail up-front (driver-side), not mid-job
         with pytest.raises(ImportError, match="Pillow"):
@@ -60,6 +62,130 @@ def test_media_profile_and_real_decoder_gate(spark, media_df):
             for r in media_metadata(media_df, "content", decoder="auto").collect()
         }
         assert out[1]["format"] == "jpeg" and out[1]["width"] is not None
+
+
+def _pgm(m):
+    """Encode a uint8-ish 2D numpy matrix as a binary PGM (P5)."""
+    import numpy as np
+
+    h, w = m.shape
+    return b"P5 %d %d 255 " % (w, h) + m.astype(np.uint8).tobytes()
+
+
+@pytest.fixture()
+def pgm_images():
+    """Hand-built resized-image fixture: a structured image, its 2x area
+    downscale (the perceptual near-dup), and an unrelated noise image."""
+    import numpy as np
+
+    from pandas_profiling_personal_spark.operators.multimodal import (
+        _resize_area,
+    )
+
+    y, x = np.mgrid[0:96, 0:96]
+    img = (
+        x * 1.5 + y * 0.9 + 40 * np.exp(-((x - 30) ** 2 + (y - 60) ** 2) / 400)
+    ) % 256
+    resized = _resize_area(img.astype(float), 48, 48)
+    noise = np.random.default_rng(11).integers(0, 256, (96, 96))
+    return img, resized, noise
+
+
+def test_perceptual_hash_kernels(pgm_images):
+    """pHash/dHash survive a resize (reference: summary_helpers_image.py:57-67
+    groups duplicates by the perceptual imagehash.phash, not byte equality)."""
+    from pandas_profiling_personal_spark.operators.multimodal import (
+        _parse_netpbm,
+        perceptual_hashes,
+        phash_gray,
+    )
+
+    img, resized, noise = pgm_images
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    ph, dh = perceptual_hashes(_pgm(img))
+    ph_r, dh_r = perceptual_hashes(_pgm(resized))
+    ph_n, _ = perceptual_hashes(_pgm(noise))
+    assert ham(ph, ph_r) <= 7, "resized copy must hash near-identically"
+    assert ham(dh, dh_r) <= 7
+    assert ham(ph, ph_n) > 12, "unrelated image must hash far away"
+
+    # ascii P2 and binary P5 of the SAME pixels -> identical hash
+    h, w = img.shape
+    import numpy as np
+
+    body = " ".join(str(int(v)) for v in np.asarray(img).flatten())
+    p2 = ("P2\n# comment\n%d %d\n255\n%s" % (w, h, body)).encode()
+    assert phash_gray(_parse_netpbm(p2)) == ph
+
+    # PPM color collapses via luma; junk bytes are simply undecodable
+    rgb = np.stack([img, img * 0.5 % 256, 255 - img], axis=-1)
+    p6 = b"P6 %d %d 255 " % (w, h) + rgb.astype(np.uint8).tobytes()
+    assert perceptual_hashes(p6)[0] is not None
+    assert perceptual_hashes(b"not an image") == (None, None)
+    assert perceptual_hashes(b"P5 9 9 255 short") == (None, None)
+
+
+def test_image_near_duplicates_netpbm_tier(spark, pgm_images):
+    """End-to-end distributed perceptual near-dup on REAL (netpbm) decodes:
+    only the original/resized pair lands within the Hamming budget, and the
+    banded join (pigeonhole blocking) finds it without all-pairs work."""
+    from pandas_profiling_personal_spark.operators.multimodal import (
+        image_near_duplicates,
+        media_metadata,
+    )
+
+    img, resized, noise = pgm_images
+    rows = [
+        (1, _pgm(img)),
+        (2, _pgm(resized)),
+        (3, _pgm(noise)),
+        (4, b"undecodable bytes"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+
+    meta = {
+        r["id"]: r["meta"]
+        for r in media_metadata(df, "content", decoder="netpbm").collect()
+    }
+    assert (meta[1]["width"], meta[1]["height"]) == (96, 96)
+    assert (meta[2]["width"], meta[2]["height"]) == (48, 48)
+    assert meta[1]["format"] == "pgm"
+    assert meta[1]["phash"] is not None
+    assert meta[4]["phash"] is None and meta[4]["width"] is None
+
+    pairs = image_near_duplicates(
+        df, "content", "id", decoder="netpbm", max_hamming=7
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_image_near_duplicates_fake_tier(spark, media_df):
+    """Oracle tier: md5-derived 60-bit signatures — byte-identical contents
+    pair at Hamming 0, everything else stays apart."""
+    from pandas_profiling_personal_spark.operators.multimodal import (
+        image_near_duplicates,
+    )
+
+    pairs = image_near_duplicates(
+        media_df, "content", "id", decoder="fake",
+        max_hamming=8, band_bits=6, bits=60,
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs] == [(2, 3, 0)]
+
+
+def test_banded_hamming_pairs_guard(spark):
+    """bits/band_bits <= max_hamming cannot guarantee recall -> refused."""
+    from pandas_profiling_personal_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    sig = spark.createDataFrame([(1, 5)], "id long, sig long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        banded_hamming_pairs(sig, "id", "sig", 64, 32, 3)
 
 
 @pytest.mark.skipif(
