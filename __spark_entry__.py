@@ -327,6 +327,10 @@ _SPECS: dict[str, tuple] = {
         PP.image_near_dup_query(),
         PP.image_near_dup_sql(),
     ),
+    "embedding_drift_embeddings": (
+        PP.embedding_drift_query(),
+        PP.embedding_drift_sql(),
+    ),
 }
 
 

@@ -270,3 +270,162 @@ def drift_profile_categorical(
         "column string, n_a long, n_b long, psi double, max_shift_value string",
     ).join(out.select("column"), "column", "left_anti")
     return out.unionByName(empties).orderBy("column")
+
+
+def embedding_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    bins: int = 10,
+    eps: float = 1e-6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-space drift between two corpus snapshots — the signal that
+    catches embedding-space rot between crawls/embedder versions, which
+    numeric/categorical PSI (:func:`drift_profile`) cannot see and a single
+    snapshot's health profile (``similarity.embedding_stats``) does not
+    compare. ONE output row:
+
+    ``(n_a, n_b, norm_psi, max_shift_bucket, centroid_cosine,
+    mean_shift_l2, max_shift_dim, max_mean_shift)``
+
+    * ``norm_psi`` — PSI over the L2-norm distribution (shared union
+      min/max edges, the engine's IEEE bucket arithmetic, ε-smoothed like
+      every other PSI here): catches scale/normalization drift.
+    * ``centroid_cosine`` — cosine between the two mean vectors: catches
+      directional drift of the whole space.
+    * ``mean_shift_l2`` — L2 distance between mean vectors.
+    * ``max_shift_dim`` / ``max_mean_shift`` — the 0-based dimension with
+      the largest |Δmean| / pooled_std (per-dimension standardized shift;
+      shift rounded to ``round_to`` BEFORE the argmax, ties to the lowest
+      dim — deterministic cross-engine) and its value: where to look first.
+
+    Only VALID vectors participate (non-null, ``size == dim``, all
+    components finite and non-null — the same validity rule as
+    ``embedding_stats``, whose counters report the invalid ones); ``n_a`` /
+    ``n_b`` count valid vectors.
+
+    100 TB shape: each side is scanned twice (a 1-row norm min/max to fix
+    shared edges, then ONE 1-row aggregate carrying the ``bins`` bucket
+    counts as conditional sums plus 2×``dim`` per-dimension power sums) —
+    no explode, no shuffle beyond partial-agg collapse, nothing crosses the
+    network but two bounded rows. Final arithmetic runs on the driver over
+    those 2(bins + 2·dim + 1) numbers."""
+    import math
+
+    from pandas_profiling_personal_spark.operators.similarity import (
+        as_double,
+        l2_norm,
+    )
+
+    if dim is None:
+        probe = df_a.select(F.size(S.col(vec_col)).alias("d")).first()
+        if probe is None or probe["d"] is None:
+            raise ValueError("cannot infer dim from an empty snapshot A")
+        dim = probe["d"]
+
+    def prep(df):
+        v = as_double(S.col(vec_col))
+        valid = (
+            S.col(vec_col).isNotNull()
+            & (F.size(v) == dim)
+            & F.forall(
+                v,
+                lambda x: x.isNotNull()
+                & ~F.isnan(x)
+                & ~x.isin(float("inf"), float("-inf")),
+            )
+        )
+        return df.where(valid).select(v.alias("v"), l2_norm(v).alias("norm"))
+
+    pa, pb = prep(df_a), prep(df_b)
+
+    # pass 1: shared norm edges — one crossJoined 1-row action
+    edges_row = (
+        pa.agg(F.min("norm").alias("lo_a"), F.max("norm").alias("hi_a"))
+        .crossJoin(
+            pb.agg(F.min("norm").alias("lo_b"), F.max("norm").alias("hi_b"))
+        )
+        .collect()[0]
+    )
+    has_a = edges_row["lo_a"] is not None
+    has_b = edges_row["lo_b"] is not None
+    schema = (
+        "n_a long, n_b long, norm_psi double, max_shift_bucket long, "
+        "centroid_cosine double, mean_shift_l2 double, max_shift_dim long, "
+        "max_mean_shift double"
+    )
+    if not (has_a and has_b):  # a side with zero valid vectors: drift is
+        # undefined — explicit null-signal row (count drift shows in n_a/n_b)
+        n_a = pa.count() if has_a else 0
+        n_b = pb.count() if has_b else 0
+        return df_a.sparkSession.createDataFrame(
+            [(n_a, n_b, None, None, None, None, None, None)], schema
+        )
+    lo = min(edges_row["lo_a"], edges_row["lo_b"])
+    hi = max(edges_row["hi_a"], edges_row["hi_b"])
+
+    # pass 2: one 1-row aggregate per side — bucket counts as conditional
+    # sums over the shared edges + per-dimension power sums
+    def side_agg(df, tag):
+        bucket = S.bucket_index(F.col("norm"), F.lit(lo), F.lit(hi), bins)
+        aggs = [F.count(F.lit(1)).alias(f"n_{tag}")]
+        aggs += [
+            F.sum((bucket == b).cast("long")).alias(f"c{b}_{tag}")
+            for b in range(bins)
+        ]
+        aggs += [
+            F.sum(F.col("v")[i]).alias(f"s{i}_{tag}") for i in range(dim)
+        ]
+        aggs += [
+            F.sum(F.col("v")[i] * F.col("v")[i]).alias(f"q{i}_{tag}")
+            for i in range(dim)
+        ]
+        return df.agg(*aggs)
+
+    r = side_agg(pa, "a").crossJoin(side_agg(pb, "b")).collect()[0]
+    n_a, n_b = r["n_a"], r["n_b"]
+
+    # PSI over the norm buckets (ε-smoothed, identical formula to
+    # drift_profile); shift rounded before the argmax for determinism
+    psi, best_shift, best_bucket = 0.0, -1.0, 0
+    for b in range(bins):
+        p = (r[f"c{b}_a"] + eps) / (n_a + eps * bins)
+        q = (r[f"c{b}_b"] + eps) / (n_b + eps * bins)
+        psi += (p - q) * math.log(p / q)
+        shift = round(abs(p - q), round_to)
+        if shift > best_shift:
+            best_shift, best_bucket = shift, b
+
+    mean_a = [r[f"s{i}_a"] / n_a for i in range(dim)]
+    mean_b = [r[f"s{i}_b"] / n_b for i in range(dim)]
+    dot = sum(x * y for x, y in zip(mean_a, mean_b))
+    na = math.sqrt(sum(x * x for x in mean_a))
+    nb = math.sqrt(sum(x * x for x in mean_b))
+    cos = dot / (na * nb) if na > 0 and nb > 0 else None
+    l2 = math.sqrt(sum((x - y) ** 2 for x, y in zip(mean_a, mean_b)))
+    best_dim, best_dshift = 0, -1.0
+    for i in range(dim):
+        var_a = max(r[f"q{i}_a"] / n_a - mean_a[i] ** 2, 0.0)
+        var_b = max(r[f"q{i}_b"] / n_b - mean_b[i] ** 2, 0.0)
+        pooled = math.sqrt((var_a + var_b) / 2.0)
+        dshift = round(abs(mean_a[i] - mean_b[i]) / (pooled + eps), round_to)
+        if dshift > best_dshift:
+            best_dshift, best_dim = dshift, i
+
+    return df_a.sparkSession.createDataFrame(
+        [
+            (
+                n_a,
+                n_b,
+                round(psi, round_to),
+                best_bucket,
+                round(cos, round_to) if cos is not None else None,
+                round(l2, round_to),
+                best_dim,
+                best_dshift,
+            )
+        ],
+        schema,
+    )

@@ -1540,6 +1540,107 @@ FROM f
 """
 
 
+def embedding_drift_query(
+    dim: int = 64, scale: float = 1.05, shift: float = 0.1, modulo: int = 3
+) -> QueryFn:
+    """Embedding drift between two snapshots (operators/drift.embedding_drift):
+    snapshot B is a deterministic scaled+shifted subset of A
+    (``x -> x*scale + shift`` over ``vec_id % modulo != 0``), so the norm-PSI,
+    centroid-cosine and per-dimension mean-shift signals are all non-trivially
+    exercised and an independent engine reproduces them exactly."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.drift import (
+            embedding_drift,
+        )
+
+        emb = load(spark, sf_dir, "embeddings")
+        df_b = emb.where(F.col("vec_id") % modulo != 0).select(
+            F.transform(
+                "embedding",
+                lambda x: x.cast("double") * scale + shift,
+            ).alias("embedding")
+        )
+        return embedding_drift(emb, df_b, "embedding", dim=dim)
+
+    return fn
+
+
+def embedding_drift_sql(
+    dim: int = 64,
+    scale: float = 1.05,
+    shift: float = 0.1,
+    modulo: int = 3,
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> str:
+    valid = (
+        "v IS NOT NULL AND len(v) = {d} AND "
+        "len(list_filter(v, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0"
+    ).format(d=dim)
+    norm = "sqrt(list_dot_product(v, v))"
+    bucket = (
+        f"CASE WHEN e.hi = e.lo THEN 0 ELSE CAST(least(greatest("
+        f"floor((norm - e.lo) / ((e.hi - e.lo) / {float(bins)!r})), 0), "
+        f"{bins - 1}) AS BIGINT) END"
+    )
+    epsb = eps * bins
+    return f"""
+WITH pa AS (
+  SELECT v, {norm} AS norm FROM (
+    SELECT embedding::DOUBLE[] AS v FROM embeddings)
+  WHERE {valid}),
+pb AS (
+  SELECT v, {norm} AS norm FROM (
+    SELECT list_transform(embedding::DOUBLE[], x -> x * {scale!r} + {shift!r}) AS v
+    FROM embeddings WHERE vec_id % {modulo} != 0)
+  WHERE {valid}),
+tot AS (SELECT (SELECT count(*) FROM pa) AS n_a, (SELECT count(*) FROM pb) AS n_b),
+e AS (SELECT least((SELECT min(norm) FROM pa), (SELECT min(norm) FROM pb)) AS lo,
+             greatest((SELECT max(norm) FROM pa), (SELECT max(norm) FROM pb)) AS hi),
+ca AS (SELECT bucket, count(*) AS c FROM (SELECT {bucket} AS bucket FROM pa, e) GROUP BY 1),
+cb AS (SELECT bucket, count(*) AS c FROM (SELECT {bucket} AS bucket FROM pb, e) GROUP BY 1),
+grid AS (
+  SELECT r.bucket, coalesce(ca.c, 0) AS c_a, coalesce(cb.c, 0) AS c_b
+  FROM range(0, {bins}) r(bucket)
+  LEFT JOIN ca ON r.bucket = ca.bucket LEFT JOIN cb ON r.bucket = cb.bucket),
+terms AS (
+  SELECT bucket, (p - q) * ln(p / q) AS term, round(abs(p - q), 6) AS shift
+  FROM (SELECT bucket, (c_a + {eps!r}) / (t.n_a + {epsb!r}) AS p,
+               (c_b + {eps!r}) / (t.n_b + {epsb!r}) AS q
+        FROM grid, tot t)),
+psi AS (
+  SELECT round(sum(term), 6) AS norm_psi,
+         (SELECT bucket FROM terms ORDER BY shift DESC, bucket ASC LIMIT 1)
+           AS max_shift_bucket
+  FROM terms),
+da AS (SELECT r.i, sum(v[r.i + 1]) AS s, sum(v[r.i + 1] * v[r.i + 1]) AS q
+       FROM pa, range(0, {dim}) r(i) GROUP BY 1),
+db AS (SELECT r.i, sum(v[r.i + 1]) AS s, sum(v[r.i + 1] * v[r.i + 1]) AS q
+       FROM pb, range(0, {dim}) r(i) GROUP BY 1),
+d AS (
+  SELECT a.i, a.s / t.n_a AS m_a, b.s / t.n_b AS m_b,
+         greatest(a.q / t.n_a - (a.s / t.n_a) ^ 2, 0) AS var_a,
+         greatest(b.q / t.n_b - (b.s / t.n_b) ^ 2, 0) AS var_b
+  FROM da a JOIN db b ON a.i = b.i, tot t),
+cent AS (
+  SELECT sum(m_a * m_b) AS dot, sqrt(sum(m_a * m_a)) AS na,
+         sqrt(sum(m_b * m_b)) AS nb,
+         sqrt(sum((m_a - m_b) ^ 2)) AS l2
+  FROM d),
+best AS (
+  SELECT i, round(abs(m_a - m_b) / (sqrt((var_a + var_b) / 2.0) + {eps!r}), 6)
+           AS ds
+  FROM d ORDER BY ds DESC, i ASC LIMIT 1)
+SELECT t.n_a AS n_a, t.n_b AS n_b, p.norm_psi, p.max_shift_bucket,
+       CASE WHEN c.na > 0 AND c.nb > 0
+            THEN round(c.dot / (c.na * c.nb), 6) END AS centroid_cosine,
+       round(c.l2, 6) AS mean_shift_l2,
+       b.i AS max_shift_dim, b.ds AS max_mean_shift
+FROM tot t, psi p, cent c, best b
+"""
+
+
 # --------------------------------------------------------------------------------
 # incremental dedup vs a historical store (operators/dedup.py
 # incremental_exact_dedup / incremental_minhash_dedup): history = docs with

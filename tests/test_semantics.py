@@ -719,6 +719,52 @@ def test_drift_profile_psi_semantics(spark):
     assert abs(d["k"]["psi"]) < 1e-9                      # constant column
 
 
+def test_embedding_drift_semantics(spark):
+    """Embedding drift: identical snapshots read zero on every signal; a
+    shifted copy moves norm-PSI, centroid cosine and the per-dimension shift;
+    invalid vectors (null / ragged / non-finite) are excluded from both
+    sides; an empty side yields an explicit null-signal row."""
+    import random
+
+    from pandas_profiling_personal_spark.operators.drift import embedding_drift
+
+    rng = random.Random(5)
+    vecs = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(800)]
+    df = spark.createDataFrame([(v,) for v in vecs], "v array<double>")
+
+    same = embedding_drift(df, df, "v", dim=8).collect()[0]
+    assert same["n_a"] == same["n_b"] == 800
+    assert abs(same["norm_psi"]) < 1e-6
+    assert same["centroid_cosine"] == 1.0
+    assert same["mean_shift_l2"] == 0.0
+    assert same["max_mean_shift"] == 0.0
+
+    # shift dimension 3 by +2 sigma: it must win max_shift_dim and move PSI
+    shifted = spark.createDataFrame(
+        [([x + 2.0 if i == 3 else x for i, x in enumerate(v)],) for v in vecs],
+        "v array<double>",
+    )
+    d = embedding_drift(df, shifted, "v", dim=8).collect()[0]
+    assert d["max_shift_dim"] == 3
+    assert d["max_mean_shift"] > 1.5
+    assert d["norm_psi"] > 0.1          # norms grow with the shifted dim
+    assert d["centroid_cosine"] < 0.9   # direction moved toward dim 3
+
+    # invalid vectors excluded: null, ragged, NaN component
+    dirty = spark.createDataFrame(
+        [(v,) for v in vecs]
+        + [(None,), ([1.0, 2.0],), ([float("nan")] * 8,)],
+        "v array<double>",
+    )
+    d2 = embedding_drift(dirty, dirty, "v", dim=8).collect()[0]
+    assert d2["n_a"] == d2["n_b"] == 800
+
+    # empty candidate side: explicit null-signal row, not a crash
+    empty = spark.createDataFrame([], "v array<double>")
+    d3 = embedding_drift(df, empty, "v", dim=8).collect()[0]
+    assert d3["n_b"] == 0 and d3["norm_psi"] is None
+
+
 def test_drift_profile_all_null_columns(spark):
     """Columns all-null/NaN on both sides get an explicit (psi=null, n=0)
     row instead of vanishing, and an all-columns-all-null call returns a
