@@ -164,3 +164,147 @@ def exact_dedup_stream_vs_store(
             ts_col, watermark
         ).dropDuplicatesWithinWatermark(["fingerprint"])
     return out.dropDuplicates(["fingerprint"])
+
+
+def near_dup_stream_vs_store(
+    df: DataFrame,
+    sig_store: DataFrame,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_est_jaccard: float = 0.8,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Suppress documents that are MinHash NEAR-duplicates of a persisted
+    SIGNATURE store — the streaming half of incremental near-dup
+    (:func:`...operators.dedup.incremental_minhash_dedup` is the batch half
+    and shares the store layout: ``(doc_id, m0..m{H-1})``, one row per
+    historical doc, kept or dropped).
+
+    Built-ins only, append-mode safe on a stream: the signature is the
+    stateless per-row :func:`minhash_signature_array` (bit-identical to the
+    batch operator), each of the ``bands`` LSH band buckets becomes a
+    per-row md5 column (same bucket definition as
+    :func:`...operators.dedup.band_table` — they can never silently
+    disagree), and history suppression is ``bands`` successive stream-static
+    LEFT ANTI equi-joins on the bucket key, each carrying the
+    signature-estimated-Jaccard >= ``min_est_jaccard`` verify as a join
+    residual. A document survives iff NO historical signature shares a band
+    bucket at estimated similarity — exactly the batch candidate rule.
+
+    WITHIN-STREAM near-dups are NOT suppressed here: near-dup is not an
+    equality key, so no built-in watermarked state can bound it
+    (``dropDuplicatesWithinWatermark`` handles the exact tier only). For
+    full two-step parity with the batch incremental operator — including
+    within-batch and cross-batch stream near-dups and store maintenance —
+    use :func:`minhash_dedup_foreach_batch`.
+
+    100 TB shape: signatures are pure map-side work; each anti join is an
+    equi-join on one band's bucket (the static side is re-read per
+    micro-batch — persist the store as a table so that read is a bounded
+    columnar scan of H ints + id per historical doc). Only the stream side
+    shuffles, ``bands`` times, on the bucket key; state stays empty.
+    Documents with no shingles (null/empty text) have no near-dup identity
+    and PASS THROUGH (their all-null signature matches nothing) — route
+    them through the exact tier, whose null sentinel covers them."""
+    r = num_hashes // bands
+    assert r * bands == num_hashes, "bands must divide num_hashes"
+    sig_cols = [f"m{i}" for i in range(num_hashes)]
+    out = df.withColumn(
+        "minhash",
+        minhash_signature_array(S.col(text_col), num_hashes, shingle_k, seed),
+    )
+    for j in range(bands):
+        out = out.withColumn(
+            f"__b{j}",
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("minhash", j * r + i + 1)
+                        for i in range(r)
+                    ],
+                )
+            ),
+        )
+    est = (
+        sum(
+            (F.element_at(F.col("minhash"), i + 1) == F.col(f"m{i}")).cast(
+                "int"
+            )
+            for i in range(num_hashes)
+        )
+        / F.lit(float(num_hashes))
+    )
+    for j in range(bands):
+        store_j = sig_store.select(
+            F.md5(
+                F.concat_ws(",", *[F.col(f"m{j * r + i}") for i in range(r)])
+            ).alias("__bucket"),
+            *sig_cols,
+        )
+        out = out.join(
+            store_j,
+            (F.col(f"__b{j}") == store_j["__bucket"])
+            & (est >= F.lit(min_est_jaccard)),
+            "left_anti",
+        )
+    return out.drop(*[f"__b{j}" for j in range(bands)])
+
+
+def minhash_dedup_foreach_batch(
+    store_path: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **minhash_kwargs,
+):
+    """``foreachBatch`` processor giving a stream FULL parity with the batch
+    incremental near-dup: each micro-batch runs
+    :func:`...operators.dedup.incremental_minhash_dedup` against the
+    persisted signature store, appends ALL of its signatures (kept or
+    dropped — the greedy sweep needs both) back to the store, and writes the
+    ``(doc_id, keep, dup_of)`` flags to ``out_path``. By construction the
+    result equals the batch two-step run whose shards are the micro-batches
+    — within-batch, cross-batch and vs-history near-dups included
+    (pytest-gated; the batch operator's ``max_bucket_size`` cap
+    qualification applies across micro-batches exactly as across shards).
+
+    Both writes land in ``batch=<id>`` subdirectories with overwrite, so a
+    retried micro-batch replaces its own output instead of duplicating
+    store signatures (exactly-once under foreachBatch's at-least-once
+    contract). Wire it up::
+
+        q = (stream.writeStream
+             .foreachBatch(minhash_dedup_foreach_batch(store, out))
+             .option("checkpointLocation", ckpt).start())
+    """
+    from pandas_profiling_personal_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            store = spark.read.parquet(store_path).drop("batch")
+        except Exception:  # first micro-batch: no store yet
+            store = None
+        flags = incremental_minhash_dedup(
+            batch_df, store, id_col=id_col, text_col=text_col, **minhash_kwargs
+        )
+        flags = flags.persist()
+        try:
+            import re
+
+            sig_cols = [c for c in flags.columns if re.fullmatch(r"m\d+", c)]
+            flags.select("doc_id", *sig_cols).write.mode("overwrite").parquet(
+                f"{store_path}/batch={batch_id}"
+            )
+            flags.select("doc_id", "keep", "dup_of").write.mode(
+                "overwrite"
+            ).parquet(f"{out_path}/batch={batch_id}")
+        finally:
+            flags.unpersist()
+
+    return process

@@ -421,6 +421,131 @@ def test_streaming_exact_dedup_vs_store(spark, tmp_path):
     assert batch_kept == {11}  # min-id wins in batch; stream keeps first-seen
 
 
+def test_streaming_near_dup_vs_store(spark, tmp_path):
+    """near_dup_stream_vs_store: a persisted SIGNATURE store suppresses
+    historical near-duplicates (not just exact copies) via banded
+    stream-static anti joins, and the surviving set matches the batch
+    incremental operator's history-suppression decisions."""
+    from pandas_profiling_personal_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+    from pandas_profiling_personal_spark.streaming.dedup_stream import (
+        near_dup_stream_vs_store,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs "
+        "far away into the deep green forest tonight"
+    )
+    other = (
+        "completely different words about astronomy telescopes and "
+        "planetary orbits circling distant binary stars quietly"
+    )
+    hist = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id bigint, text string"
+    )
+    kw = dict(num_hashes=16, bands=4, min_est_jaccard=0.7)
+    store = incremental_minhash_dedup(hist, None, **kw).select(
+        "doc_id", *[f"m{i}" for i in range(16)]
+    )
+    store_path = tmp_path / "sig_store"
+    store.write.parquet(str(store_path))
+    static_store = spark.read.parquet(str(store_path))
+
+    rows = [
+        (10, base + " again"),  # near-dup of history 1 -> suppressed
+        (11, other),            # exact dup of history 2 -> suppressed
+        (12, "unrelated content on medieval castle architecture and "
+             "fortified stone walls built visibly high"),  # kept
+        (13, None),             # no shingles: passes through (exact tier's job)
+    ]
+    src = tmp_path / "near_dup_src"
+    schema = "doc_id bigint, text string"
+    spark.createDataFrame(rows, schema).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string"
+    ).parquet(str(src))
+    out = near_dup_stream_vs_store(stream, static_store, "text", **kw)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_near_dup_store")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        kept = {r["doc_id"] for r in spark.table("t_near_dup_store").collect()}
+    finally:
+        q.stop()
+    assert kept == {12, 13}
+
+    # batch parity on the shingled docs: same keep/drop vs the store
+    new_docs = spark.createDataFrame(rows, schema).where("text IS NOT NULL")
+    batch = {
+        r["doc_id"]: r["keep"]
+        for r in incremental_minhash_dedup(new_docs, static_store, **kw).collect()
+    }
+    assert batch == {10: False, 11: False, 12: True}
+
+
+def test_streaming_minhash_foreach_batch_equals_two_step(spark, tmp_path):
+    """minhash_dedup_foreach_batch: micro-batches through the store
+    round-trip reproduce the batch two-step run EXACTLY (same keep/dup_of,
+    store grows by every signature), and a replayed micro-batch overwrites
+    its own output instead of duplicating store rows."""
+    from pandas_profiling_personal_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+    from pandas_profiling_personal_spark.streaming.dedup_stream import (
+        minhash_dedup_foreach_batch,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs "
+        "far away into the deep green forest tonight"
+    )
+    nearA = base + " again"
+    other = (
+        "completely different words about astronomy telescopes and "
+        "planetary orbits circling distant binary stars quietly"
+    )
+    shard_a = spark.createDataFrame(
+        [(1, base), (2, nearA), (3, other)], "doc_id bigint, text string"
+    )
+    shard_b = spark.createDataFrame(
+        [(10, base + " today"), (11, nearA),
+         (12, "unrelated content on medieval castle architecture and "
+              "fortified stone walls built visibly high")],
+        "doc_id bigint, text string",
+    )
+    kw = dict(num_hashes=16, bands=4, min_est_jaccard=0.7)
+    store_path = str(tmp_path / "fb_store")
+    out_path = str(tmp_path / "fb_out")
+    process = minhash_dedup_foreach_batch(store_path, out_path, **kw)
+    process(shard_a, 0)
+    process(shard_b, 1)
+    process(shard_b, 1)  # retried micro-batch: overwrite, not duplicate
+
+    got = {
+        r["doc_id"]: (r["keep"], r["dup_of"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+
+    # reference: the batch two-step over the same shard split
+    fa = incremental_minhash_dedup(shard_a, None, **kw)
+    store = fa.select("doc_id", *[f"m{i}" for i in range(16)])
+    fb = incremental_minhash_dedup(shard_b, store, **kw)
+    want = {
+        r["doc_id"]: (r["keep"], r["dup_of"])
+        for r in fa.unionByName(fb).collect()
+    }
+    assert got == want
+    assert not want[10][0] and want[10][1] == 1  # sanity: near-dup caught
+
+    # store holds one signature row per document, kept or dropped
+    assert spark.read.parquet(store_path).count() == 6
+
+
 def test_html_json_serialize_roundtrip(spark, tmp_path):
     from pandas_profiling_personal_spark import ProfileConfig, profile
     from pandas_profiling_personal_spark.report import html as H
