@@ -1044,8 +1044,12 @@ def incremental_minhash_dedup(
     the bucket was small; the batch run anti-joins the whole bucket
     away). The cap is a cost guard against degenerate buckets, not part
     of the semantic contract — equivalence is exact whenever no bucket
-    crosses the cap between runs, and a crossed bucket only ever KEEPS
-    more (pairs are dropped, never invented)."""
+    crosses the cap between runs, and the divergence direction is pinned
+    (test_incremental_minhash_bucket_cap_divergence_direction): every
+    run's bucket population is a subset of the batch run's, so candidate
+    pairs flow one way — two-step drops ⊇ batch drops, i.e. the crossed
+    bucket only ever makes the BATCH side keep more; two-step never
+    invents a keep the batch would drop."""
     sig_cols = [f"m{i}" for i in range(num_hashes)]
     # ONE explicit doc_id exchange under the signature table: three
     # consumers (the store∪new band table, the new band table, the final

@@ -392,6 +392,59 @@ def test_incremental_minhash_dedup_two_step_equals_batch(spark):
         assert r["dup_of"] == batch[d]["dup_of"], (d, r, batch[d])
 
 
+def test_incremental_minhash_bucket_cap_divergence_direction(spark):
+    """Pin the ONE documented two-step/batch divergence of
+    incremental_minhash_dedup: when a bucket crosses ``max_bucket_size``
+    only after later shards join, an EARLY run generated its pairs while
+    the bucket was small, while the batch run anti-joins the whole (now
+    hot) bucket away. Every run's bucket population is a subset of the
+    batch run's, so candidate pairs flow one way only:
+
+        two-step drops  ⊇  batch drops     (two-step keeps ⊆ batch keeps)
+
+    — the cap can only ever make the BATCH side keep more; a refactor that
+    flips this direction (two-step inventing keeps the batch would drop)
+    breaks the cost-guard contract in the docstring."""
+    from pandas_profiling_personal_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    text = (
+        "identical duplicated document text repeated across both shards "
+        "so every band bucket holds the whole group"
+    )
+    shard_a = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id bigint, text string"
+    )
+    shard_b = spark.createDataFrame(
+        [(10, text), (11, text), (12, text)], "doc_id bigint, text string"
+    )
+    kw = dict(num_hashes=16, bands=4, min_est_jaccard=0.7, max_bucket_size=3)
+
+    fa = incremental_minhash_dedup(shard_a, None, **kw)
+    store = fa.select("doc_id", *[f"m{i}" for i in range(16)])
+    fb = incremental_minhash_dedup(shard_b, store, **kw)
+    two_step = {r["doc_id"]: r["keep"] for r in fa.unionByName(fb).collect()}
+
+    batch = {
+        r["doc_id"]: r["keep"]
+        for r in incremental_minhash_dedup(
+            shard_a.unionByName(shard_b), None, **kw
+        ).collect()
+    }
+
+    # shard A ran while the bucket held 2 docs (<= cap): pair generated,
+    # doc 2 dropped; the batch bucket holds all 5 (> cap): anti-joined
+    # away, every doc kept
+    assert two_step == {1: True, 2: False, 10: True, 11: True, 12: True}
+    assert batch == {d: True for d in (1, 2, 10, 11, 12)}
+
+    # the pinned direction: two-step keep-set ⊆ batch keep-set
+    ts_keeps = {d for d, k in two_step.items() if k}
+    batch_keeps = {d for d, k in batch.items() if k}
+    assert ts_keeps <= batch_keeps and ts_keeps != batch_keeps
+
+
 def test_incremental_minhash_store_never_reshingled(spark):
     """Plan gate: the new shard is scanned+shingled ONCE — the signature
     aggregate's exchange is shared by its three consumers (store∪new band
