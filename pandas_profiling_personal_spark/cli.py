@@ -74,6 +74,14 @@ def build_parser() -> argparse.ArgumentParser:
         "(top segments by count), rendered as a Segments section",
     )
     p.add_argument(
+        "--domain-from",
+        default=None,
+        metavar="URLCOL",
+        help="corpus report: derive a 'domain' segment (registered domain "
+        "via parse_url HOST + public-suffix-lite collapse) from URL column "
+        "URLCOL — the C4/RefinedWeb-style per-domain curation view",
+    )
+    p.add_argument(
         "--compare",
         default=None,
         metavar="INPUT2",
@@ -203,6 +211,7 @@ def main(argv: list[str] | None = None) -> int:
             rep = corpus_profile(
                 df, args.id_col, args.text_col, context_len=ctx,
                 segment_by=args.segment_by,
+                domain_from=args.domain_from,
             )
             out = args.output or (args.input.rsplit(".", 1)[0] + ".html")
             title = args.title or f"Corpus report: {args.input}"

@@ -15,7 +15,7 @@ from __future__ import annotations
 import unicodedata
 from typing import Any
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from pandas_profiling_personal_spark.functions import stats as S
 
@@ -88,6 +88,46 @@ def url_parts(df: DataFrame, column: str) -> DataFrame:
         .where(F.col("value").isNotNull())
         .groupBy("part", "value")
         .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+#: second-level labels that act as public suffixes under a 2-letter ccTLD
+#: ("public-suffix-lite": the handful that covers the overwhelming mass of
+#: real multi-part registries — co.uk, com.au, ac.jp, gov.br, … — without
+#: shipping the full Mozilla list; wrong only for exotic registries, where
+#: it degrades to grouping one level too coarse, never to an error)
+_SECOND_LEVEL_SUFFIXES = (
+    "co", "com", "net", "org", "gov", "edu", "ac", "mil", "or", "ne", "go",
+)
+
+
+def registered_domain(url: Column) -> Column:
+    """Registered domain of a URL — the standard web-corpus curation key
+    (C4/RefinedWeb-style per-domain rollups group on this, not the raw
+    host, so ``a.blogspot.co.uk`` and ``www.blogspot.co.uk`` meet).
+
+    Pure string/built-in ops (codegen, no UDF): lowercase
+    ``parse_url(HOST)``, then collapse to the last two labels — or three
+    when the TLD is a 2-letter country code and the second level is a
+    known public-suffix label (``co.uk``, ``com.au``, ``ac.jp``, …).
+    IPv4 hosts and one-label hosts pass through whole; null/unparsable
+    URLs yield NULL (``try_parse_url`` — plain ``parse_url`` THROWS on
+    invalid input under ANSI mode, the driver's session default)."""
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    tld = F.element_at(labels, -1)
+    sld = F.element_at(labels, -2)
+    is_ip = host.rlike(r"^\d+\.\d+\.\d+\.\d+$")
+    two_part_suffix = (
+        (F.length(tld) == 2)
+        & sld.isin(*_SECOND_LEVEL_SUFFIXES)
+        & (n >= 3)
+    )
+    take = F.when(two_part_suffix, F.lit(3)).otherwise(F.lit(2))
+    collapsed = F.array_join(F.slice(labels, n - take + 1, take), ".")
+    return F.when(host.isNull() | (host == ""), F.lit(None)).otherwise(
+        F.when(is_ip | (n <= 2), host).otherwise(collapsed)
     )
 
 

@@ -41,6 +41,7 @@ def corpus_profile(
     quality_threshold: float = 0.5,
     segment_by: str | None = None,
     max_segments: int = 50,
+    domain_from: str | None = None,
 ) -> dict[str, Any]:
     """Corpus report dict: ``table`` (docs/tokens/chars), ``language_mix``,
     ``quality`` (score distribution + share below threshold),
@@ -57,7 +58,24 @@ def corpus_profile(
     per-segment language mix, a two-stage (segment, fingerprint) rollup
     for duplication). Reports the ``max_segments`` largest segments by
     doc count and says so (``truncated``) rather than silently dropping
-    the tail."""
+    the tail.
+
+    ``domain_from`` names a URL column and derives the standard web-corpus
+    curation segment from it — the REGISTERED DOMAIN
+    (``operators.strings.registered_domain``: ``parse_url(HOST)`` +
+    public-suffix-lite collapse, pure codegen) — as a ``domain`` column
+    that becomes the default ``segment_by``. The C4/RefinedWeb-style
+    per-domain docs/tokens/quality/duplication view is then just the
+    ordinary segment rollup; unparsable URLs land in the NULL segment."""
+    if domain_from is not None:
+        from pandas_profiling_personal_spark.functions import stats as S
+        from pandas_profiling_personal_spark.operators.strings import (
+            registered_domain,
+        )
+
+        df = df.withColumn("domain", registered_domain(S.col(domain_from)))
+        if segment_by is None:
+            segment_by = "domain"
     tp = TX.text_profile(df, text_col, id_col).persist()
     try:
         scalars = tp.agg(

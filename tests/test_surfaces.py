@@ -1706,6 +1706,55 @@ def test_corpus_profile_segments(spark, tmp_path):
     assert "largest" in corpus_report_html(rep_t)
 
 
+def test_registered_domain_and_domain_segments(spark):
+    """registered_domain: public-suffix-lite collapse on seeded URLs, and
+    corpus_profile(domain_from=) rolls the corpus up per registered domain
+    (the C4/RefinedWeb curation view) through the ordinary segment tier."""
+    from pandas_profiling_personal_spark.operators.strings import (
+        registered_domain,
+    )
+    from pandas_profiling_personal_spark.plans.corpus import corpus_profile
+
+    cases = [
+        ("https://www.bbc.co.uk/news/uk", "bbc.co.uk"),
+        ("http://sub.deep.example.com/a?b=c", "example.com"),
+        ("https://example.com/", "example.com"),
+        ("http://blog.site.com.au/x", "site.com.au"),
+        ("http://a.b.user.ac.jp/page", "user.ac.jp"),
+        ("http://192.168.1.10:8080/admin", "192.168.1.10"),
+        ("http://localhost/x", "localhost"),
+        ("not a url at all", None),  # try_parse_url: NULL, no ANSI throw
+        (None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(registered_domain(F.col("url"))).collect()]
+    assert got == [want for _, want in cases]
+
+    docs = spark.createDataFrame(
+        [
+            (1, "solid quality document text for the corpus report",
+             "https://www.bbc.co.uk/news/a"),
+            (2, "another bbc article body with enough words in it",
+             "https://sport.bbc.co.uk/football"),
+            (3, "an example dot com page body with plain text words",
+             "http://blog.example.com/post"),
+            (4, "unattributed document with a broken source url", "nope"),
+        ],
+        "doc_id bigint, text string, url string",
+    )
+    rep = corpus_profile(docs, "doc_id", "text", domain_from="url")
+    sg = rep["segments"]
+    assert sg["by"] == "domain"
+    assert sg["rows"]["bbc.co.uk"]["n_docs"] == 2
+    assert sg["rows"]["example.com"]["n_docs"] == 1
+    # explicit segment_by wins over the derived default
+    rep2 = corpus_profile(
+        docs.withColumn("src", F.lit("all")),
+        "doc_id", "text", domain_from="url", segment_by="src",
+    )
+    assert rep2["segments"]["by"] == "src"
+
+
 def test_cli_corpus_report(tmp_path):
     """CLI --corpus-report writes the corpus HTML + a JSON status line."""
     import subprocess
