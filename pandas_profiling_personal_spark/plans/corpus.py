@@ -42,6 +42,8 @@ def corpus_profile(
     segment_by: str | None = None,
     max_segments: int = 50,
     domain_from: str | None = None,
+    media_col: str | None = None,
+    media_decoder: str = "auto",
 ) -> dict[str, Any]:
     """Corpus report dict: ``table`` (docs/tokens/chars), ``language_mix``,
     ``quality`` (score distribution + share below threshold),
@@ -66,7 +68,17 @@ def corpus_profile(
     public-suffix-lite collapse, pure codegen) — as a ``domain`` column
     that becomes the default ``segment_by``. The C4/RefinedWeb-style
     per-domain docs/tokens/quality/duplication view is then just the
-    ordinary segment rollup; unparsable URLs land in the NULL segment."""
+    ordinary segment rollup; unparsable URLs land in the NULL segment.
+
+    ``media_col`` names an opaque binary column (images/audio/video) and
+    adds a ``media`` section — ``operators.multimodal.media_profile``'s
+    byte/format/dimension rollup including BOTH duplicate counts: exact
+    (``n_duplicate_contents``, byte-identical) and perceptual
+    (``n_duplicate_perceptual``, phash groups — the reference's image
+    duplicate semantics, which catches re-encoded copies). One extra
+    Arrow-batched decode pass over that column; ``media_decoder`` picks
+    the tier (default ``"auto"``: PIL when importable, else the
+    deterministic fake tier)."""
     if domain_from is not None:
         from pandas_profiling_personal_spark.functions import stats as S
         from pandas_profiling_personal_spark.operators.strings import (
@@ -186,6 +198,12 @@ def corpus_profile(
     }
     if segments is not None:
         out["segments"] = segments
+    if media_col is not None:
+        from pandas_profiling_personal_spark.operators.multimodal import (
+            media_profile,
+        )
+
+        out["media"] = media_profile(df, media_col, decoder=media_decoder)
     return out
 
 
@@ -337,6 +355,20 @@ def corpus_report_html(report: dict[str, Any], title: str = "Corpus report") -> 
         ("Repetition (Gopher signals)", table(report["repetition"])),
         ("Context-window packing", table(report["packing"])),
     ]
+    if report.get("media"):
+        m = dict(report["media"])
+        fmts = m.pop("formats", {}) or {}
+        m["formats"] = ", ".join(
+            f"{k}: {v}" for k, v in sorted(fmts.items(), key=lambda kv: -kv[1])
+        )
+        # exif sub-dicts are per-key tables — too wide for the rollup page
+        m.pop("exif_values", None)
+        ek = m.pop("exif_keys", None)
+        if ek:
+            m["exif_keys"] = ", ".join(
+                f"{k}: {v}" for k, v in sorted(ek.items(), key=lambda kv: -kv[1])
+            )
+        sections.append(("Media", table(m)))
     if report.get("segments"):
         sg = report["segments"]
         seg_rows = "".join(

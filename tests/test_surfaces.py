@@ -1755,6 +1755,35 @@ def test_registered_domain_and_domain_segments(spark):
     assert rep2["segments"]["by"] == "src"
 
 
+def test_corpus_profile_media_section(spark):
+    """media_col: the corpus report answers the multimodal questions too —
+    media_profile's rollup (incl. exact AND perceptual duplicate counts)
+    lands as a 'media' section and renders in the HTML page."""
+    from pandas_profiling_personal_spark.plans.corpus import (
+        corpus_profile,
+        corpus_report_html,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "document text body one", b"\x89PNG\r\n" + b"imgdata" * 9),
+            (2, "document text body two", b"\x89PNG\r\n" + b"imgdata" * 9),
+            (3, "document text body three", b"\xff\xd8\xff" + b"jpeg" * 7),
+            (4, "document with no media", None),
+        ],
+        "doc_id bigint, text string, blob binary",
+    )
+    rep = corpus_profile(docs, "doc_id", "text", media_col="blob")
+    med = rep["media"]
+    assert med["n"] == 4
+    assert med["formats"]["png"] == 2
+    assert med["n_duplicate_contents"] == 1
+    assert med["n_duplicate_perceptual"] == 1
+    json.dumps(rep, default=str)
+    page = corpus_report_html(rep, "media corpus")
+    assert "Media" in page and "n_duplicate_perceptual" in page
+
+
 def test_cli_corpus_report(tmp_path):
     """CLI --corpus-report writes the corpus HTML + a JSON status line."""
     import subprocess
