@@ -47,8 +47,14 @@ _SPECS: dict[str, tuple] = {
     # (e.g. exact_dedup/minhash_lsh retire to the tail once the incremental
     # store tiers — which run the same fingerprint/signature pipelines plus
     # the store round-trip — and the funnel's full near-dup tier hold window
-    # rows). All entries — both windows — are verified by
-    # tests/test_oracle_parity.py locally every round.
+    # rows). r7 rotation: in — image_near_dup + embedding_drift (new) and
+    # exact_dedup/drift_psi_categorical/grouped_top_k (driver evidence stale
+    # since r4/r5); out — ngram_jaccard_pairs (kin dedup_clusters),
+    # media_metadata (kin image_near_dup), embedding_stats (kin
+    # embedding_drift), token_overlap (kin contamination),
+    # top_duplicates_lineitem (kin duplicate_stats_orders). All entries —
+    # both windows — are verified by tests/test_oracle_parity.py locally
+    # every round.
     "numeric_summary_lineitem": (
         P.numeric_summary_query("lineitem", LINEITEM_NUMERIC),
         P.numeric_summary_sql("lineitem", LINEITEM_NUMERIC),
@@ -80,10 +86,6 @@ _SPECS: dict[str, tuple] = {
     "histogram_extendedprice": (
         P.histogram_query("lineitem", "l_extendedprice", 10),
         P.histogram_sql("lineitem", "l_extendedprice", 10),
-    ),
-    "top_duplicates_lineitem": (
-        P.top_duplicates_query("lineitem", DUP_SUBSET, 10),
-        P.top_duplicates_sql("lineitem", DUP_SUBSET, 10),
     ),
     "duplicate_stats_orders": (
         P.duplicate_stats_query("orders"),
@@ -157,10 +159,6 @@ _SPECS: dict[str, tuple] = {
         PP.tfidf_top_terms_sql(5),
     ),
     "path_parts_events": (P.path_parts_query(), P.path_parts_sql()),
-    "embedding_stats_embeddings": (
-        PP.embedding_stats_query(),
-        PP.embedding_stats_sql(),
-    ),
     "complex_stats_lineitem": (
         P.complex_stats_query("lineitem"),
         P.complex_stats_sql("lineitem"),
@@ -208,10 +206,6 @@ _SPECS: dict[str, tuple] = {
         P.join_fanout_query("orders", "lineitem", ["o_orderkey"], ["l_orderkey"]),
         P.join_fanout_sql("orders", "lineitem", ["o_orderkey"], ["l_orderkey"]),
     ),
-    "ngram_jaccard_pairs_documents": (
-        PP.jaccard_pairs_query(0.1),
-        PP.jaccard_pairs_sql(0.1),
-    ),
     "simhash_documents": (PP.simhash_query(32), PP.simhash_sql(32)),
     "dedup_clusters_documents": (
         PP.dedup_clusters_query(0.1),
@@ -221,14 +215,6 @@ _SPECS: dict[str, tuple] = {
         PP.semantic_dedup_query(16, 0.3),
         PP.semantic_dedup_sql(16, 0.3),
     ),
-    "token_overlap_documents": (
-        PP.corpus_overlap_query("token"),
-        PP.corpus_overlap_sql("token"),
-    ),
-    "media_metadata_documents": (
-        PP.media_metadata_query(),
-        PP.media_metadata_sql(),
-    ),
     "embedding_near_dup_embeddings": (
         PP.embedding_near_dup_query(0.4),
         PP.embedding_near_dup_sql(0.4),
@@ -236,6 +222,26 @@ _SPECS: dict[str, tuple] = {
     "ivf_topk_embeddings": (
         PP.ivf_topk_query(5, 5, 16, 4),
         PP.ivf_topk_sql(5, 5, 16, 4),
+    ),
+    "image_near_dup_documents": (
+        PP.image_near_dup_query(),
+        PP.image_near_dup_sql(),
+    ),
+    "embedding_drift_embeddings": (
+        PP.embedding_drift_query(),
+        PP.embedding_drift_sql(),
+    ),
+    "exact_dedup_documents": (
+        PP.exact_duplicates_query(),
+        PP.exact_duplicates_sql(),
+    ),
+    "drift_psi_categorical": (
+        P.drift_categorical_query(),
+        P.drift_categorical_sql(),
+    ),
+    "grouped_top_k_documents": (
+        P.grouped_top_k_query(),
+        P.grouped_top_k_sql(),
     ),
     # ---- entry 51+ — outside the driver's 50-row window: redundant family
     # variants and rows-only-by-design queries (local oracle still covers all)
@@ -303,33 +309,33 @@ _SPECS: dict[str, tuple] = {
         PP.dedup_keep_list_query(0.1),
         PP.dedup_keep_list_sql(0.1),
     ),
-    "drift_psi_categorical": (
-        P.drift_categorical_query(),
-        P.drift_categorical_sql(),
-    ),
     "hourly_rollup_events": (
         P.time_rollup_query("events", "ts", "event_type", "value"),
         P.time_rollup_sql("events", "ts", "event_type", "value"),
-    ),
-    "exact_dedup_documents": (
-        PP.exact_duplicates_query(),
-        PP.exact_duplicates_sql(),
     ),
     "minhash_lsh_dedup_documents": (
         PP.minhash_dedup_query(16, 4, 0.5),
         PP.minhash_dedup_sql(16, 4, 0.5),
     ),
-    "grouped_top_k_documents": (
-        P.grouped_top_k_query(),
-        P.grouped_top_k_sql(),
+    "ngram_jaccard_pairs_documents": (
+        PP.jaccard_pairs_query(0.1),
+        PP.jaccard_pairs_sql(0.1),
     ),
-    "image_near_dup_documents": (
-        PP.image_near_dup_query(),
-        PP.image_near_dup_sql(),
+    "media_metadata_documents": (
+        PP.media_metadata_query(),
+        PP.media_metadata_sql(),
     ),
-    "embedding_drift_embeddings": (
-        PP.embedding_drift_query(),
-        PP.embedding_drift_sql(),
+    "embedding_stats_embeddings": (
+        PP.embedding_stats_query(),
+        PP.embedding_stats_sql(),
+    ),
+    "token_overlap_documents": (
+        PP.corpus_overlap_query("token"),
+        PP.corpus_overlap_sql("token"),
+    ),
+    "top_duplicates_lineitem": (
+        P.top_duplicates_query("lineitem", DUP_SUBSET, 10),
+        P.top_duplicates_sql("lineitem", DUP_SUBSET, 10),
     ),
 }
 

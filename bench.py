@@ -123,11 +123,17 @@ def main() -> None:
     timings["full_profile_wide100"] = round(wide_wall, 3)
 
     # breadth: the events table (nano-timestamp ingestion, datetime describer,
-    # JSON/string columns) through the same default-tier pipeline
+    # JSON/string columns) through the same default-tier pipeline. min-of-2
+    # like the other flagships — r6 recorded this one at 1.61x its steady
+    # state precisely because it was the only single-shot flagship and the
+    # sweep ran inside a host-throttle window (PERFORMANCE.md r7)
     ev = read_parquet(spark, f"{sf_dir}/events.parquet")
-    t0 = time.time()
-    profile(ev, ProfileConfig(exact=False))
-    timings["full_profile_events"] = round(time.time() - t0, 3)
+    ev_wall = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        profile(ev, ProfileConfig(exact=False))
+        ev_wall = min(ev_wall, time.time() - t0)
+    timings["full_profile_events"] = round(ev_wall, 3)
 
     def timed(run) -> float:
         # min-of-2 ALWAYS: this container shows 2-8 s stop-the-world pauses

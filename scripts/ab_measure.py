@@ -41,9 +41,53 @@ def main() -> None:
 
     import __spark_entry__ as E
 
-    qs = E.queries()
+    qs = dict(E.queries())
+
+    # the three bench flagships as first-class A/B entries (VERDICT r6 #3:
+    # they are the headline numbers, so regression adjudication must be able
+    # to rotate them like any oracle query) — same configurations bench.py
+    # times, expressed as (spark, sf_dir) callables
+    from pyspark.sql import functions as F
+
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+    from pandas_profiling_personal_spark.operators.sampling import (
+        deterministic_sample,
+    )
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    def _fp_lineitem(spark, d):
+        profile(read_parquet(spark, f"{d}/lineitem.parquet"),
+                ProfileConfig(exact=False))
+        return spark.range(0)
+
+    def _fp_events(spark, d):
+        profile(read_parquet(spark, f"{d}/events.parquet"),
+                ProfileConfig(exact=False))
+        return spark.range(0)
+
+    def _fp_wide100(spark, d):
+        wcols = [
+            ((F.col("l_extendedprice") * (i + 1) + F.col("l_quantity"))
+             % F.lit(1000 + i)).alias(f"num_{i}")
+            for i in range(75)
+        ] + [
+            F.concat(F.col("l_returnflag"), F.lit(str(i % 7))).alias(f"cat_{i}")
+            for i in range(25)
+        ]
+        base = deterministic_sample(
+            read_parquet(spark, f"{d}/lineitem.parquet"), "l_orderkey",
+            mod=8, bucket=0,
+        )
+        profile(base.select(*wcols), ProfileConfig(exact=False))
+        return spark.range(0)
+
+    qs["full_profile_lineitem"] = _fp_lineitem
+    qs["full_profile_events"] = _fp_events
+    qs["full_profile_wide100"] = _fp_wide100
+
     # AB_QUERIES=name1,name2 overrides the suspect set — any queries() key
-    # works, so future bench-regression attribution needs no code edit
+    # or flagship name works, so future bench-regression attribution needs
+    # no code edit
     override = os.environ.get("AB_QUERIES")
     names = (
         ([n.strip() for n in override.split(",") if n.strip()] + CONTROLS)
