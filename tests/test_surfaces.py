@@ -914,9 +914,11 @@ def test_exif_extraction_and_profile(spark):
     got = {r["id"]: r["exif"] for r in meta.collect()}
     assert got[1]["Make"] == "TestCam" and got[1]["Orientation"] == "6"
     assert got[3] == {}
-    # meta struct unchanged (oracle safety)
+    # meta struct stable (oracle safety): existing fields in place, the r7
+    # perceptual hashes appended AFTER them (additive only)
     assert [f.name for f in meta.schema["meta"].dataType.fields] == [
         "n_bytes", "format", "width", "height", "truncated", "content_hash",
+        "phash", "dhash",
     ]
 
     prof = media_profile(df, "blob", exif=True)
