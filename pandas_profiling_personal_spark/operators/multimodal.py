@@ -557,6 +557,13 @@ def image_near_duplicates(
         media_metadata(df, binary_col, decoder)
         .select(S.col(id_col), F.col("meta.phash").alias("__phash"))
         .where(F.col("__phash").isNotNull())
+        # explicit exchange under the signature table: the banded join reads
+        # it TWICE (both self-join sides), and mapInPandas has no exchange
+        # boundary of its own — without this the DECODE PASS (the expensive
+        # part for real images) executes once per side; with it both sides
+        # read one shuffle via ReuseExchange (the incremental_minhash_dedup
+        # pattern at dedup.py)
+        .repartition(S.col(id_col))
     )
     return banded_hamming_pairs(
         sig, id_col, "__phash", bits, band_bits, max_hamming
