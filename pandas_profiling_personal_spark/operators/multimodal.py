@@ -531,6 +531,7 @@ def image_near_duplicates(
     max_hamming: int = 7,
     band_bits: int = 8,
     bits: int = 64,
+    key_blocks: int = 1,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs of perceptually near-duplicate images —
     the image-side analogue of MinHash text near-dup, and the scale-path
@@ -547,8 +548,16 @@ def image_near_duplicates(
     null) are excluded — they cannot be perceptually compared.
 
     Oracle tier: ``decoder="fake"`` signatures are 60-bit md5 prefixes, so
-    pass ``bits=60`` there (with e.g. ``band_bits=6``) and an independent
-    SQL engine reproduces the exact pair set."""
+    pass ``bits=60`` there and an independent SQL engine reproduces the
+    exact pair set.
+
+    Scale note: the default single-block bands cap key width at
+    ``bits/(max_hamming+1)`` bits, which goes quadratic at corpus scale
+    (64-256 buckets per band). For large corpora pass ``key_blocks=2``
+    (keys concatenate two blocks — e.g. ``max_hamming=6, band_bits=8,
+    key_blocks=2`` gives 28 bands of 16-bit keys over 64-bit hashes) —
+    same exact-recall guarantee, ~an order of magnitude fewer candidate
+    pairs; see :func:`...operators.dedup.banded_hamming_pairs`."""
     from pandas_profiling_personal_spark.operators.dedup import (
         banded_hamming_pairs,
     )
@@ -566,7 +575,8 @@ def image_near_duplicates(
         .repartition(S.col(id_col))
     )
     return banded_hamming_pairs(
-        sig, id_col, "__phash", bits, band_bits, max_hamming
+        sig, id_col, "__phash", bits, band_bits, max_hamming,
+        key_blocks=key_blocks,
     )
 
 

@@ -216,6 +216,50 @@ def main() -> None:
             ).agg(F.sum(F.col("keep").cast("int"))).first()
 
         p["incremental_minhash_dedup"] = timed(_inc_minhash)
+
+        # r7 additions: perceptual image near-dup (decode-once banded
+        # pairs), embedding drift (zero-shuffle two-scan shape), and the
+        # streaming near-dup history suppression measured in its batch form
+        # (the same bands× anti-join plan a micro-batch executes)
+        from pandas_profiling_personal_spark.operators.drift import (
+            embedding_drift,
+        )
+        from pandas_profiling_personal_spark.operators.multimodal import (
+            image_near_duplicates,
+        )
+        from pandas_profiling_personal_spark.streaming.dedup_stream import (
+            near_dup_stream_vs_store,
+        )
+
+        blobs = docs.where(F.col("text").isNotNull()).select(
+            "doc_id", F.col("text").cast("binary").alias("blob")
+        )
+        p["image_near_dup_documents"] = timed(
+            lambda: image_near_duplicates(
+                blobs, "blob", "doc_id", decoder="fake",
+                max_hamming=8, band_bits=6, bits=60, key_blocks=2,
+            ).count()
+        )
+        emb_b = emb.where(F.col("vec_id") % 3 != 0).select(
+            F.transform(
+                "embedding", lambda x: x.cast("double") * 1.05 + 0.1
+            ).alias("embedding")
+        )
+        p["embedding_drift_embeddings"] = timed(
+            lambda: embedding_drift(emb, emb_b, "embedding", dim=64).first()
+        )
+
+        def _stream_near_dup():
+            fa = DD.incremental_minhash_dedup(
+                docs.where(F.col("doc_id") < mid), None
+            )
+            near_dup_stream_vs_store(
+                docs.where(F.col("doc_id") >= mid),
+                fa.select("doc_id", *[f"m{i}" for i in range(16)]),
+                "text",
+            ).count()
+
+        p["stream_near_dup_vs_store"] = timed(_stream_near_dup)
         points[sf] = p
         print(json.dumps({"sf": sf, "walls": p, "rows": rows[sf]}), flush=True)
 
