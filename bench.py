@@ -79,40 +79,25 @@ def main() -> None:
 
     timings: dict[str, float] = {"full_profile_lineitem": round(flagship, 3)}
 
-    # wide-table proof (VERDICT r2 #4): 100-column profile — 75 derived numeric
-    # + 25 categorical over a deterministic 1/8 sample of lineitem. The
-    # reference's own harness sweeps to 50 columns
-    # (reference: tests/performance/timings.py:75-87); this records that the
-    # one-pass wide agg survives 100+ columns with no per-column job growth
-    # (asserted in tests/test_plan_quality.py) and no codegen cliff. Measured
-    # once (no re-runs) to keep the harness bounded.
-    from pandas_profiling_personal_spark.operators.sampling import (
-        deterministic_sample,
-    )
+    # wide-table proof (VERDICT r2 #4): 100-column profile — the shared
+    # builder in benchmarks.py (ONE definition for bench + A/B adjudication;
+    # review r7). Records that the one-pass wide agg survives 100+ columns
+    # with no per-column job growth (asserted in tests/test_plan_quality.py)
+    # and no codegen cliff.
+    from pandas_profiling_personal_spark.benchmarks import wide100_frame
 
-    wcols = [
-        (
-            (F.col("l_extendedprice") * (i + 1) + F.col("l_quantity"))
-            % F.lit(1000 + i)
-        ).alias(f"num_{i}")
-        for i in range(75)
-    ] + [
-        F.concat(F.col("l_returnflag"), F.lit(str(i % 7))).alias(f"cat_{i}")
-        for i in range(25)
-    ]
     # warm the 100-col plan SHAPE at sf0.01: the generated aggregate classes
     # for a 900-expression pass are their own JIT surface — the 11-column
     # warmup above does not touch them, and a cold first wide run reads 2-3x
     # its steady state (stage-metric attribution in PERFORMANCE.md)
     try:
         profile(
-            read_parquet(spark, f"{warm_dir}/lineitem.parquet").select(*wcols),
+            wide100_frame(read_parquet(spark, f"{warm_dir}/lineitem.parquet")),
             ProfileConfig(exact=False),
         )
     except Exception:
         pass
-    wbase = deterministic_sample(df, "l_orderkey", mod=8, bucket=0)
-    wide = wbase.select(*wcols)
+    wide = wide100_frame(df)
     # min-of-2 like everything else: host-level throttle windows (see
     # PERFORMANCE.md variance caveat) can inflate a single 50 s run 2-3x
     wide_wall = float("inf")

@@ -320,10 +320,23 @@ def embedding_drift(
     )
 
     if dim is None:
-        probe = df_a.select(F.size(S.col(vec_col)).alias("d")).first()
-        if probe is None or probe["d"] is None:
-            raise ValueError("cannot infer dim from an empty snapshot A")
-        dim = probe["d"]
+        # median vector size over snapshot A, NOT the first physical row: a
+        # single ragged/corrupt leading vector (exactly what the validity
+        # filter exists to exclude) must not silently redefine validity for
+        # the whole comparison (review r7)
+        from pandas_profiling_personal_spark.operators.text import (
+            size_or_null,  # size(NULL) is -1 under legacy sizeOfNull
+        )
+
+        probe = df_a.agg(
+            F.median(size_or_null(S.col(vec_col))).alias("d")
+        ).collect()[0]
+        if probe["d"] is None:
+            raise ValueError(
+                "cannot infer dim: snapshot A has no non-null vectors — "
+                "pass dim explicitly"
+            )
+        dim = int(probe["d"])
 
     def prep(df):
         v = as_double(S.col(vec_col))

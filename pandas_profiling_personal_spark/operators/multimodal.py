@@ -76,10 +76,16 @@ def _pil_available() -> bool:
         return False
 
 
-def _real_decode(data: bytes) -> tuple[str | None, int | None, int | None, bool]:
-    """PIL decode: (format, width, height, truncated) — the reference's image
-    dimensions/truncation analysis (reference: summary_helpers_image.py:1-114)
-    as a per-object kernel. Caller guarantees PIL is importable."""
+def _real_decode(
+    data: bytes,
+) -> tuple[str | None, int | None, int | None, bool, "np.ndarray | None"]:
+    """PIL decode: (format, width, height, truncated, grayscale matrix) — the
+    reference's image dimensions/truncation analysis
+    (reference: summary_helpers_image.py:1-114) as a per-object kernel that
+    decodes ONCE: the grayscale matrix for the perceptual hashes comes from
+    the same loaded Image (decode dominates per-image cost — a second
+    Image.open for hashing would halve real-tier throughput, review r7).
+    Caller guarantees PIL is importable."""
     from io import BytesIO
 
     from PIL import Image
@@ -89,14 +95,16 @@ def _real_decode(data: bytes) -> tuple[str | None, int | None, int | None, bool]
         fmt = (img.format or "unknown").lower()
         width, height = img.size
         truncated = False
+        gray = None
         try:
             img.load()
+            gray = np.asarray(img.convert("L"), dtype=np.float64)
         except Exception:
             truncated = True
-        return fmt, width, height, truncated
+        return fmt, width, height, truncated, gray
     except Exception:
         # not an image PIL recognizes — keep the magic-bytes sniff for format
-        return None, None, None, False
+        return None, None, None, False, None
 
 
 # ----------------------------------------------------------------------------
@@ -479,9 +487,14 @@ def media_metadata(
                 data = bytes(data)
                 md5_hex = hashlib.md5(data).hexdigest()
                 if decoder == "real":
-                    fmt, width, height, truncated = _real_decode(data)
+                    fmt, width, height, truncated, gray = _real_decode(data)
                     fmt = fmt or _sniff_format(data)
-                    ph, dh = perceptual_hashes(data)
+                    if gray is None:  # PIL couldn't load: netpbm fallback
+                        gray = _parse_netpbm(data)
+                    if gray is not None and gray.size:
+                        ph, dh = phash_gray(gray), dhash_gray(gray)
+                    else:
+                        ph = dh = None
                 elif decoder == "netpbm":
                     gray = _parse_netpbm(data)
                     if gray is not None:
@@ -529,8 +542,8 @@ def image_near_duplicates(
     id_col: str,
     decoder: str = "fake",
     max_hamming: int = 7,
-    band_bits: int = 8,
-    bits: int = 64,
+    band_bits: int | None = None,
+    bits: int | None = None,
     key_blocks: int = 1,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs of perceptually near-duplicate images —
@@ -547,9 +560,12 @@ def image_near_duplicates(
     ``bits/band_bits > max_hamming`` (pigeonhole). Undecodable rows (phash
     null) are excluded — they cannot be perceptually compared.
 
-    Oracle tier: ``decoder="fake"`` signatures are 60-bit md5 prefixes, so
-    pass ``bits=60`` there and an independent SQL engine reproduces the
-    exact pair set.
+    Oracle tier: ``decoder="fake"`` signatures are 60-bit md5 prefixes —
+    ``bits``/``band_bits`` DEFAULT per decoder (60/6 for fake, 64/8 for
+    the real tiers) so the top block is never a degenerate short band (a
+    60-bit signature banded as 64-bit leaves a 16-key band that alone goes
+    quadratic — review r7); an independent SQL engine reproduces the fake
+    tier's exact pair set.
 
     Scale note: the default single-block bands cap key width at
     ``bits/(max_hamming+1)`` bits, which goes quadratic at corpus scale
@@ -562,6 +578,10 @@ def image_near_duplicates(
         banded_hamming_pairs,
     )
 
+    if bits is None:
+        bits = 60 if decoder == "fake" else 64
+    if band_bits is None:
+        band_bits = 6 if decoder == "fake" else 8
     sig = (
         media_metadata(df, binary_col, decoder)
         .select(S.col(id_col), F.col("meta.phash").alias("__phash"))

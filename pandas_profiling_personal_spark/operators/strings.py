@@ -112,8 +112,13 @@ def registered_domain(url: Column) -> Column:
     known public-suffix label (``co.uk``, ``com.au``, ``ac.jp``, …).
     IPv4 hosts and one-label hosts pass through whole; null/unparsable
     URLs yield NULL (``try_parse_url`` — plain ``parse_url`` THROWS on
-    invalid input under ANSI mode, the driver's session default)."""
-    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    invalid input under ANSI mode, the driver's session default). A
+    trailing dot (the legal absolute-FQDN form, ``example.com.``) is
+    trimmed first — otherwise every such host would collapse into one
+    junk empty-TLD segment (review r7)."""
+    host = F.regexp_replace(
+        F.lower(F.try_parse_url(url, F.lit("HOST"))), r"\.+$", ""
+    )
     labels = F.split(host, r"\.")
     n = F.size(labels)
     tld = F.element_at(labels, -1)

@@ -191,7 +191,16 @@ def near_dup_stream_vs_store(
     LEFT ANTI equi-joins on the bucket key, each carrying the
     signature-estimated-Jaccard >= ``min_est_jaccard`` verify as a join
     residual. A document survives iff NO historical signature shares a band
-    bucket at estimated similarity — exactly the batch candidate rule.
+    bucket at estimated similarity.
+
+    Semantics note: this is the STREAM rule — history wins, regardless of
+    id order (the same first-seen-wins rule as
+    :func:`exact_dedup_stream_vs_store`). The batch incremental operator
+    instead drops only against LOWER-id partners, so the two agree exactly
+    when ids are assigned in arrival order (the normal log/crawl case); a
+    stream doc with an id SMALLER than its historical near-dup is
+    suppressed here but kept by the batch run. On a stream "the store saw
+    it first" is the meaningful order — arrival, not id.
 
     WITHIN-STREAM near-dups are NOT suppressed here: near-dup is not an
     equality key, so no built-in watermarked state can bound it
@@ -285,11 +294,25 @@ def minhash_dedup_foreach_batch(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         try:
-            store = spark.read.parquet(store_path).drop("batch")
-        except Exception:  # first micro-batch: no store yet
+            store = spark.read.parquet(store_path)
+        except AnalysisException as exc:
+            # ONLY path-not-found means "first micro-batch: no store yet";
+            # any other failure (permissions, corrupt footer) must fail the
+            # batch — silently deduping against empty history would write
+            # wrong keep flags permanently (review r7)
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
             store = None
+        if store is not None:
+            # a RETRY of this micro-batch must not read its own failed
+            # attempt's signatures: counting this batch's docs twice
+            # inflates band buckets past max_bucket_size and flips flags
+            # vs a clean run (review r7)
+            store = store.where(F.col("batch") != batch_id).drop("batch")
         flags = incremental_minhash_dedup(
             batch_df, store, id_col=id_col, text_col=text_col, **minhash_kwargs
         )

@@ -47,12 +47,8 @@ def main() -> None:
     # they are the headline numbers, so regression adjudication must be able
     # to rotate them like any oracle query) — same configurations bench.py
     # times, expressed as (spark, sf_dir) callables
-    from pyspark.sql import functions as F
-
     from pandas_profiling_personal_spark import ProfileConfig, profile
-    from pandas_profiling_personal_spark.operators.sampling import (
-        deterministic_sample,
-    )
+    from pandas_profiling_personal_spark.benchmarks import wide100_frame
     from pandas_profiling_personal_spark.sources.readers import read_parquet
 
     def _fp_lineitem(spark, d):
@@ -66,19 +62,12 @@ def main() -> None:
         return spark.range(0)
 
     def _fp_wide100(spark, d):
-        wcols = [
-            ((F.col("l_extendedprice") * (i + 1) + F.col("l_quantity"))
-             % F.lit(1000 + i)).alias(f"num_{i}")
-            for i in range(75)
-        ] + [
-            F.concat(F.col("l_returnflag"), F.lit(str(i % 7))).alias(f"cat_{i}")
-            for i in range(25)
-        ]
-        base = deterministic_sample(
-            read_parquet(spark, f"{d}/lineitem.parquet"), "l_orderkey",
-            mod=8, bucket=0,
+        # the SHARED builder (benchmarks.py) — bench.py times the identical
+        # frame, so adjudication can never drift from the headline workload
+        profile(
+            wide100_frame(read_parquet(spark, f"{d}/lineitem.parquet")),
+            ProfileConfig(exact=False),
         )
-        profile(base.select(*wcols), ProfileConfig(exact=False))
         return spark.range(0)
 
     qs["full_profile_lineitem"] = _fp_lineitem

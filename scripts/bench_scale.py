@@ -84,26 +84,12 @@ def main() -> None:
         p["full_profile_lineitem"] = timed(
             lambda: profile(li, ProfileConfig(exact=False))
         )
-        # wide-table scale point (same derivation as bench.py): 75 derived
-        # numeric + 25 categorical over a deterministic 1/8 slice — proves
-        # the one-pass wide agg's fixed codegen cost amortizes with rows
-        from pandas_profiling_personal_spark.operators.sampling import (
-            deterministic_sample,
-        )
+        # wide-table scale point — the SHARED builder (benchmarks.py, one
+        # definition across bench/A-B/scale harnesses): proves the one-pass
+        # wide agg's fixed codegen cost amortizes with rows
+        from pandas_profiling_personal_spark.benchmarks import wide100_frame
 
-        wcols = [
-            (
-                (F.col("l_extendedprice") * (i + 1) + F.col("l_quantity"))
-                % F.lit(1000 + i)
-            ).alias(f"num_{i}")
-            for i in range(75)
-        ] + [
-            F.concat(F.col("l_returnflag"), F.lit(str(i % 7))).alias(f"cat_{i}")
-            for i in range(25)
-        ]
-        wide = deterministic_sample(li, "l_orderkey", mod=8, bucket=0).select(
-            *wcols
-        )
+        wide = wide100_frame(li)
         p["full_profile_wide100"] = timed(
             lambda: profile(wide, ProfileConfig(exact=False))
         )

@@ -750,14 +750,18 @@ def test_embedding_drift_semantics(spark):
     assert d["norm_psi"] > 0.1          # norms grow with the shifted dim
     assert d["centroid_cosine"] < 0.9   # direction moved toward dim 3
 
-    # invalid vectors excluded: null, ragged, NaN component
+    # invalid vectors excluded: null, ragged, NaN component — listed FIRST
+    # so dim inference must not trust the first physical row (review r7:
+    # dim comes from the median size, so the ragged minority can't hijack)
     dirty = spark.createDataFrame(
-        [(v,) for v in vecs]
-        + [(None,), ([1.0, 2.0],), ([float("nan")] * 8,)],
+        [(None,), ([1.0, 2.0],), ([float("nan")] * 8,)]
+        + [(v,) for v in vecs],
         "v array<double>",
     )
     d2 = embedding_drift(dirty, dirty, "v", dim=8).collect()[0]
     assert d2["n_a"] == d2["n_b"] == 800
+    d2i = embedding_drift(dirty, dirty, "v").collect()[0]  # inferred dim
+    assert d2i["n_a"] == 800 and d2i["centroid_cosine"] == 1.0
 
     # empty candidate side: explicit null-signal row, not a crash
     empty = spark.createDataFrame([], "v array<double>")

@@ -176,6 +176,20 @@ def test_image_near_duplicates_fake_tier(spark, media_df):
     ).collect()
     assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs] == [(2, 3, 0)]
 
+    # per-decoder defaults: fake signatures are 60-bit, so defaulting
+    # bits=64 would leave a degenerate 16-key top band (review r7) — the
+    # bare call must resolve to the 60/6 fake geometry and still work
+    dflt = image_near_duplicates(media_df, "content", "id").collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in dflt] == [(2, 3)]
+
+    # Manku key_blocks=2 (wider keys, same exact-recall guarantee) finds
+    # the identical pair set
+    kb2 = image_near_duplicates(
+        media_df, "content", "id", decoder="fake",
+        max_hamming=8, band_bits=6, bits=60, key_blocks=2,
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in kb2] == [(2, 3, 0)]
+
 
 def test_banded_hamming_pairs_guard(spark):
     """bits/band_bits <= max_hamming cannot guarantee recall -> refused."""
@@ -522,6 +536,10 @@ def test_streaming_minhash_foreach_batch_equals_two_step(spark, tmp_path):
     store_path = str(tmp_path / "fb_store")
     out_path = str(tmp_path / "fb_out")
     process = minhash_dedup_foreach_batch(store_path, out_path, **kw)
+    process(shard_a, 0)
+    # retried FIRST batch: the store read must filter out batch 0's own
+    # failed-attempt signatures (review r7 — counting this batch's docs
+    # twice inflates band buckets and can flip flags vs a clean run)
     process(shard_a, 0)
     process(shard_b, 1)
     process(shard_b, 1)  # retried micro-batch: overwrite, not duplicate
@@ -1725,6 +1743,7 @@ def test_registered_domain_and_domain_segments(spark):
         ("http://a.b.user.ac.jp/page", "user.ac.jp"),
         ("http://192.168.1.10:8080/admin", "192.168.1.10"),
         ("http://localhost/x", "localhost"),
+        ("http://example.com./page", "example.com"),  # absolute-FQDN dot
         ("not a url at all", None),  # try_parse_url: NULL, no ANSI throw
         (None, None),
     ]
