@@ -337,6 +337,10 @@ _SPECS: dict[str, tuple] = {
         P.top_duplicates_query("lineitem", DUP_SUBSET, 10),
         P.top_duplicates_sql("lineitem", DUP_SUBSET, 10),
     ),
+    "image_dedup_keep_list_documents": (
+        PP.image_dedup_keep_list_query(),
+        PP.image_dedup_keep_list_sql(),
+    ),
 }
 
 

@@ -600,6 +600,33 @@ def image_near_duplicates(
     )
 
 
+def image_dedup_keep_list(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    decoder: str = "fake",
+    **band_kwargs,
+) -> DataFrame:
+    """The end product of IMAGE dedup: the input with a ``keep`` flag — one
+    representative (minimum id) per perceptual near-dup CLUSTER, everything
+    else kept. The image-side twin of the text pipeline's
+    ``dedup.dedup_keep_list``, composed from the same machinery:
+    :func:`image_near_duplicates` pairs -> ``dedup.cluster_pairs``
+    connected components (a chain original ≈ resized ≈ re-resized collapses
+    to ONE representative even when the chain's ends exceed
+    ``max_hamming`` of each other) -> keep flags. ``band_kwargs`` pass
+    through to the pair stage (``max_hamming``/``band_bits``/``bits``/
+    ``key_blocks``)."""
+    from pandas_profiling_personal_spark.operators.dedup import (
+        dedup_keep_list,
+    )
+
+    pairs = image_near_duplicates(
+        df, binary_col, id_col, decoder=decoder, **band_kwargs
+    )
+    return dedup_keep_list(df, pairs, id_col)
+
+
 def media_profile(
     df: DataFrame, binary_col: str, decoder: str = "fake", exif: bool = False
 ) -> dict:

@@ -384,6 +384,68 @@ def image_near_dup_query(dup_stride: int = 5, id_shift: int = 100_000) -> QueryF
     return fn
 
 
+def image_dedup_keep_list_query(
+    dup_stride: int = 5, id_shift: int = 100_000
+) -> QueryFn:
+    """The full image-dedup pipeline end product: perceptual pairs ->
+    connected components -> one kept representative per cluster (fake tier,
+    scale banding); oracled against an all-pairs + recursive-CTE transitive
+    closure, so a driver match proves banding AND clustering together."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.multimodal import (
+            image_dedup_keep_list,
+        )
+
+        base = (
+            load(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull())
+            .select("doc_id", "text")
+        )
+        planted = base.where(F.col("doc_id") % dup_stride == 0).select(
+            (F.col("doc_id") + id_shift).alias("doc_id"), "text"
+        )
+        df = base.unionAll(planted).select(
+            "doc_id", F.col("text").cast("binary").alias("blob")
+        )
+        out = image_dedup_keep_list(
+            df, "blob", "doc_id", decoder="fake",
+            max_hamming=8, band_bits=6, bits=60, key_blocks=2,
+        )
+        return out.select("doc_id", "keep")
+
+    return fn
+
+
+def image_dedup_keep_list_sql(
+    dup_stride: int = 5, id_shift: int = 100_000
+) -> str:
+    return f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + {id_shift} AS doc_id, text FROM documents
+  WHERE text IS NOT NULL AND doc_id % {dup_stride} = 0),
+sig AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(text), 1, 15)) AS UBIGINT)::BIGINT AS ph
+  FROM docs),
+pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.ph, b.ph)) <= 8),
+edges AS (SELECT da, db FROM pairs UNION SELECT db AS da, da AS db FROM pairs),
+reach(id, peer) AS (
+  SELECT da, db FROM edges
+  UNION
+  SELECT r.id, e.db FROM reach r JOIN edges e ON r.peer = e.da
+  WHERE e.db != r.id),
+mins AS (SELECT id, min(peer) AS mn FROM reach GROUP BY 1)
+SELECT d.doc_id, (m.mn IS NULL OR m.mn > d.doc_id) AS keep
+FROM docs d LEFT JOIN mins m ON d.doc_id = m.id
+"""
+
+
 def image_near_dup_sql(dup_stride: int = 5, id_shift: int = 100_000) -> str:
     return f"""
 WITH docs AS (

@@ -191,6 +191,36 @@ def test_image_near_duplicates_fake_tier(spark, media_df):
     assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in kb2] == [(2, 3, 0)]
 
 
+def test_image_dedup_keep_list_transitive(spark, pgm_images):
+    """image_dedup_keep_list: a resize CHAIN (96 ≈ 64 ≈ 48) collapses to one
+    kept representative via connected components, even if the chain's ends
+    drift apart in Hamming space; unrelated and undecodable rows are kept."""
+    import numpy as np
+
+    from pandas_profiling_personal_spark.operators.multimodal import (
+        _resize_area,
+        image_dedup_keep_list,
+    )
+
+    img, resized48, noise = pgm_images
+    resized64 = _resize_area(img.astype(float), 64, 64)
+    rows = [
+        (1, _pgm(img)),
+        (2, _pgm(np.asarray(resized64))),
+        (3, _pgm(np.asarray(resized48))),
+        (4, _pgm(noise)),
+        (5, b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = {
+        r["id"]: r["keep"]
+        for r in image_dedup_keep_list(
+            df, "content", "id", decoder="netpbm", max_hamming=7
+        ).collect()
+    }
+    assert out == {1: True, 2: False, 3: False, 4: True, 5: True}
+
+
 def test_banded_hamming_pairs_guard(spark):
     """bits/band_bits <= max_hamming cannot guarantee recall -> refused."""
     from pandas_profiling_personal_spark.operators.dedup import (
