@@ -442,3 +442,106 @@ def embedding_drift(
         ],
         schema,
     )
+
+
+def drift_alerts(
+    numeric_rows: list | None = None,
+    categorical_rows: list | None = None,
+    embedding_row: "dict | None" = None,
+    psi_watch: float = 0.1,
+    psi_significant: float = 0.25,
+    min_centroid_cosine: float = 0.98,
+    max_dim_shift: float = 3.0,
+) -> list[dict]:
+    """Rule-based alert classification over the drift operators' outputs —
+    the two-frame counterpart of ``plans/alerts.compute_alerts`` (pure
+    driver logic over already-collected rows, no Spark jobs).
+
+    * numeric/categorical PSI rows (:func:`drift_profile` /
+      :func:`drift_profile_categorical`): PSI >= ``psi_significant``
+      (conventional 0.25, "significant shift") -> ``DRIFT_SIGNIFICANT``;
+      >= ``psi_watch`` (0.1, "investigate") -> ``DRIFT_WATCH``. Each alert
+      carries the max-shift bucket/value so the reader knows where to look.
+    * the :func:`embedding_drift` row: norm-PSI classified on the same
+      scale (``EMBEDDING_NORM_DRIFT``); ``centroid_cosine`` below
+      ``min_centroid_cosine`` -> ``EMBEDDING_DIRECTION_DRIFT``;
+      ``max_mean_shift`` (standardized per-dimension shift) above
+      ``max_dim_shift`` sigmas -> ``EMBEDDING_DIM_SHIFT`` naming the
+      dimension.
+
+    Rows may be ``pyspark.sql.Row`` or plain dicts."""
+    alerts: list[dict] = []
+
+    def _get(r, k):
+        if hasattr(r, "asDict"):
+            r = r.asDict()
+        return r.get(k) if isinstance(r, dict) else r[k]
+
+    for r in numeric_rows or []:
+        psi = _get(r, "psi")
+        if psi is None:
+            continue
+        kind = (
+            "DRIFT_SIGNIFICANT"
+            if psi >= psi_significant
+            else "DRIFT_WATCH" if psi >= psi_watch else None
+        )
+        if kind:
+            alerts.append(
+                {
+                    "type": kind,
+                    "column": _get(r, "column"),
+                    "psi": psi,
+                    "max_shift_bucket": _get(r, "max_shift_bucket"),
+                }
+            )
+    for r in categorical_rows or []:
+        psi = _get(r, "psi")
+        if psi is None:
+            continue
+        kind = (
+            "DRIFT_SIGNIFICANT"
+            if psi >= psi_significant
+            else "DRIFT_WATCH" if psi >= psi_watch else None
+        )
+        if kind:
+            alerts.append(
+                {
+                    "type": kind,
+                    "column": _get(r, "column"),
+                    "psi": psi,
+                    "max_shift_value": _get(r, "max_shift_value"),
+                }
+            )
+    if embedding_row is not None:
+        e = embedding_row
+        npsi = _get(e, "norm_psi")
+        if npsi is not None and npsi >= psi_watch:
+            alerts.append(
+                {
+                    "type": "EMBEDDING_NORM_DRIFT",
+                    "column": None,
+                    "psi": npsi,
+                    "significant": npsi >= psi_significant,
+                }
+            )
+        cos = _get(e, "centroid_cosine")
+        if cos is not None and cos < min_centroid_cosine:
+            alerts.append(
+                {
+                    "type": "EMBEDDING_DIRECTION_DRIFT",
+                    "column": None,
+                    "centroid_cosine": cos,
+                }
+            )
+        ds = _get(e, "max_mean_shift")
+        if ds is not None and ds > max_dim_shift:
+            alerts.append(
+                {
+                    "type": "EMBEDDING_DIM_SHIFT",
+                    "column": None,
+                    "dim": _get(e, "max_shift_dim"),
+                    "shift_sigmas": ds,
+                }
+            )
+    return alerts

@@ -769,6 +769,49 @@ def test_embedding_drift_semantics(spark):
     assert d3["n_b"] == 0 and d3["norm_psi"] is None
 
 
+def test_drift_alerts_classification(spark):
+    """drift_alerts: the two-frame alert classifier — PSI bands for
+    numeric/categorical rows, embedding norm/direction/dimension rules —
+    over REAL operator outputs, thresholds crossing where planted."""
+    import random
+
+    from pandas_profiling_personal_spark.operators.drift import (
+        drift_alerts,
+        drift_profile,
+        embedding_drift,
+    )
+
+    rng = random.Random(9)
+    rows = [(rng.gauss(0, 1), rng.uniform(0, 10)) for _ in range(3000)]
+    a = spark.createDataFrame(rows, "x double, u double")
+    b = spark.createDataFrame(
+        [(x + 2.0, u) for x, u in rows], "x double, u double"
+    )
+    num = drift_profile(a, b, ["x", "u"]).collect()
+    alerts = drift_alerts(numeric_rows=num)
+    kinds = {al["column"]: al["type"] for al in alerts}
+    assert kinds.get("x") == "DRIFT_SIGNIFICANT"  # 2-sigma shift
+    assert "u" not in kinds                       # unshifted: no alert
+
+    vecs = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(500)]
+    va = spark.createDataFrame([(v,) for v in vecs], "v array<double>")
+    vb = spark.createDataFrame(
+        [([x + 4.0 if i == 2 else x for i, x in enumerate(v)],) for v in vecs],
+        "v array<double>",
+    )
+    erow = embedding_drift(va, vb, "v", dim=8).collect()[0]
+    ealerts = {al["type"]: al for al in drift_alerts(embedding_row=erow)}
+    assert "EMBEDDING_NORM_DRIFT" in ealerts
+    assert "EMBEDDING_DIRECTION_DRIFT" in ealerts
+    assert ealerts["EMBEDDING_DIM_SHIFT"]["dim"] == 2
+
+    # identical snapshots: silence
+    assert drift_alerts(
+        numeric_rows=drift_profile(a, a, ["x", "u"]).collect(),
+        embedding_row=embedding_drift(va, va, "v", dim=8).collect()[0],
+    ) == []
+
+
 def test_drift_profile_all_null_columns(spark):
     """Columns all-null/NaN on both sides get an explicit (psi=null, n=0)
     row instead of vanishing, and an all-columns-all-null call returns a
