@@ -341,6 +341,10 @@ _SPECS: dict[str, tuple] = {
         PP.image_dedup_keep_list_query(),
         PP.image_dedup_keep_list_sql(),
     ),
+    "pack_sequences_documents": (
+        PP.pack_sequences_query(),
+        PP.pack_sequences_sql(),
+    ),
 }
 
 

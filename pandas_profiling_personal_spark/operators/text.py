@@ -490,6 +490,70 @@ def packing_stats_from_counts(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+    context_len: int = 2048,
+    bucket_size: int = 100_000,
+) -> DataFrame:
+    """The EXECUTABLE packing assignment the :func:`packing_stats` planner
+    estimates: GPT-style concatenate-and-chunk — documents laid end-to-end
+    in ``id_col`` order, the token stream cut every ``context_len`` tokens.
+    One row per document:
+
+    ``(id, n_tokens, start_token, seq_first, seq_last)``
+
+    where ``start_token`` is the document's offset in the global token
+    stream and ``seq_first``/``seq_last`` the training sequences it lands
+    in (``seq_last > seq_first`` means the document crosses one or more
+    sequence boundaries — the standard trade of zero-padding pipelines).
+    Deterministic for a given id order; achieves exactly the planner's
+    ``min_sequences`` lower bound. Null counts pack as 0 tokens.
+
+    Scale shape: a global prefix sum WITHOUT a single-partition global
+    window — the two-phase pattern: (1) a cumsum windowed inside
+    order-aligned id buckets (``floor(id / bucket_size)``), (2) bucket
+    totals (|buckets| rows, bounded) cumsum'd over the small rollup and
+    broadcast back as per-bucket offsets. Shuffles: one bucket-keyed
+    window exchange + one bounded rollup; pick ``bucket_size`` so
+    |buckets| stays in the thousands at your corpus size."""
+    from pyspark.sql import Window
+
+    t = F.coalesce(S.col(count_col).cast("long"), F.lit(0))
+    L = F.lit(int(context_len))
+    b = F.floor(S.col(id_col) / F.lit(int(bucket_size)))
+    w_in = Window.partitionBy("__b").orderBy(S.col(id_col))
+    within = df.select(
+        S.col(id_col), t.alias("__t"), b.alias("__b")
+    ).withColumn("__cum_in", F.sum("__t").over(w_in))
+    # bucket totals: a bounded rollup; its cumsum runs over |buckets| rows
+    w_b = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        within.groupBy("__b")
+        .agg(F.sum("__t").alias("__bt"))
+        .withColumn("__off", F.coalesce(F.sum("__bt").over(w_b), F.lit(0)))
+        .select("__b", "__off")
+    )
+    start = F.col("__off") + F.col("__cum_in") - F.col("__t")
+    end = start + F.col("__t") - 1
+    return (
+        within.join(F.broadcast(offs), "__b")
+        .select(
+            S.col(id_col),
+            F.col("__t").alias("n_tokens"),
+            start.alias("start_token"),
+            F.floor(start / L).cast("long").alias("seq_first"),
+            F.when(F.col("__t") > 0, F.floor(end / L))
+            .otherwise(F.floor(start / L))
+            .cast("long")
+            .alias("seq_last"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

@@ -1818,3 +1818,43 @@ SELECT s.doc_id, nd.doc_id IS NULL AS keep,
 FROM sig s LEFT JOIN nd ON s.doc_id = nd.doc_id
 WHERE s.doc_id >= {cutoff}
 """
+
+
+def pack_sequences_query(
+    context_len: int = 500, bucket_size: int = 100
+) -> QueryFn:
+    """Executable concatenate-and-chunk packing over the documents table
+    (n_chars as the token proxy so the oracle is arithmetic-exact);
+    bucket_size 100 forces the two-phase prefix sum through multiple
+    buckets even at sf0.01."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.text import (
+            pack_sequences,
+        )
+
+        return pack_sequences(
+            load(spark, sf_dir, "documents"),
+            "doc_id",
+            "n_chars",
+            context_len=context_len,
+            bucket_size=bucket_size,
+        )
+
+    return fn
+
+
+def pack_sequences_sql(context_len: int = 500) -> str:
+    return f"""
+WITH d AS (SELECT doc_id, coalesce(n_chars, 0) AS t FROM documents),
+c AS (SELECT doc_id, t,
+             sum(t) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d)
+SELECT doc_id, CAST(t AS BIGINT) AS n_tokens,
+       CAST(cum - t AS BIGINT) AS start_token,
+       CAST(floor((cum - t) / {float(context_len)!r}) AS BIGINT) AS seq_first,
+       CAST(CASE WHEN t > 0 THEN floor((cum - 1) / {float(context_len)!r})
+                 ELSE floor((cum - t) / {float(context_len)!r}) END AS BIGINT)
+         AS seq_last
+FROM c
+"""

@@ -113,6 +113,42 @@ def test_minhash_finds_planted_near_dup(spark):
     assert all(3 not in p for p in found)
 
 
+def test_pack_sequences_assignment(spark):
+    """pack_sequences: the executable concatenate-and-chunk packing — global
+    offsets exact across multiple prefix-sum buckets, boundary-crossing docs
+    span seq_first..seq_last, nulls pack as 0 tokens, and the number of
+    sequences equals the planner's min_sequences lower bound."""
+    import math
+
+    from pandas_profiling_personal_spark.operators.text import pack_sequences
+
+    counts = [30, 80, 25, None, 90, 10, 55, 70, 5, 40]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(counts)], "doc_id long, n_tokens long"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            df, "doc_id", "n_tokens", context_len=64, bucket_size=3
+        ).collect()
+    }
+    # reference: plain running sum
+    cum = 0
+    total = 0
+    for i, c in enumerate(counts):
+        t = c or 0
+        r = out[i]
+        assert r["n_tokens"] == t and r["start_token"] == cum, (i, r)
+        assert r["seq_first"] == cum // 64
+        assert r["seq_last"] == ((cum + t - 1) // 64 if t else cum // 64)
+        cum += t
+        total += t
+    # doc 1 (starts at 30, 80 tokens) crosses the first boundary
+    assert out[1]["seq_first"] == 0 and out[1]["seq_last"] == 1
+    n_seqs = max(r["seq_last"] for r in out.values()) + 1
+    assert n_seqs == math.ceil(total / 64)  # the planner's min_sequences
+
+
 def test_simhash_hamming(spark):
     from pandas_profiling_personal_spark.operators.dedup import (
         hamming_distance,
