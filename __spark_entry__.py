@@ -345,6 +345,10 @@ _SPECS: dict[str, tuple] = {
         PP.pack_sequences_query(),
         PP.pack_sequences_sql(),
     ),
+    "audio_metadata_documents": (
+        PP.audio_metadata_query(),
+        PP.audio_metadata_sql(),
+    ),
 }
 
 

@@ -600,6 +600,133 @@ def image_near_duplicates(
     )
 
 
+#: metadata produced per audio object
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("content_hash", T.StringType()),
+    ]
+)
+
+
+def _parse_wav_header(data: bytes) -> dict | None:
+    """Pure-Python RIFF/WAVE header parse -> sample_rate/channels/bits/
+    frames/duration (None if the bytes are not a well-formed WAV). The
+    container format is public: 'RIFF'<size>'WAVE' then chunks; 'fmt '
+    carries the codec params, 'data' the sample payload whose size over
+    block_align is the frame count."""
+    try:
+        if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            return None
+        i, fmt, data_size = 12, None, None
+        while i + 8 <= len(data):
+            cid = data[i : i + 4]
+            csize = int.from_bytes(data[i + 4 : i + 8], "little")
+            if cid == b"fmt " and i + 8 + 16 <= len(data):
+                fmt = {
+                    "channels": int.from_bytes(data[i + 10 : i + 12], "little"),
+                    "sample_rate": int.from_bytes(
+                        data[i + 12 : i + 16], "little"
+                    ),
+                    "block_align": int.from_bytes(
+                        data[i + 20 : i + 22], "little"
+                    ),
+                    "bits_per_sample": int.from_bytes(
+                        data[i + 22 : i + 24], "little"
+                    ),
+                }
+            elif cid == b"data":
+                data_size = csize
+            i += 8 + csize + (csize & 1)  # chunks are word-aligned
+        if fmt is None or data_size is None or fmt["block_align"] == 0:
+            return None
+        n_frames = data_size // fmt["block_align"]
+        return {
+            "sample_rate": fmt["sample_rate"],
+            "channels": fmt["channels"],
+            "bits_per_sample": fmt["bits_per_sample"],
+            "n_frames": n_frames,
+            "duration_s": (
+                round(n_frames / fmt["sample_rate"], 6)
+                if fmt["sample_rate"]
+                else None
+            ),
+        }
+    except Exception:
+        return None
+
+
+def audio_metadata(
+    df: DataFrame, binary_col: str, decoder: str = "auto"
+) -> DataFrame:
+    """Append an ``audio_meta`` struct decoded from ``binary_col`` — the
+    audio half of the multimodal column contract (images get
+    :func:`media_metadata`). Arrow-batched ``mapInPandas``; same seam
+    policy: Python only at the codec boundary.
+
+    Decoders: ``"auto"`` — the pure RIFF/WAVE header parser (real fields
+    from real bytes, zero dependencies — WAV is the PGM of audio);
+    non-WAV bytes keep the magic-bytes format sniff with null audio
+    fields. ``"fake"`` — deterministic md5-derived pseudo-fields for ANY
+    bytes (the engine-reproducible oracle/test tier: an independent SQL
+    engine recomputes them from the same md5 prefix)."""
+    fields = list(df.schema.fields) + [
+        T.StructField("audio_meta", AUDIO_META_SCHEMA)
+    ]
+    out_schema = T.StructType(fields)
+
+    def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = []
+            for data in pdf[binary_col]:
+                if data is None:
+                    metas.append(None)
+                    continue
+                data = bytes(data)
+                md5_hex = hashlib.md5(data).hexdigest()
+                base = {"n_bytes": len(data), "content_hash": md5_hex}
+                if decoder == "fake":
+                    h = int(md5_hex[:8], 16)
+                    rate = 8000 + h % 40000
+                    frames = int(md5_hex[8:16], 16) % 1_000_000
+                    metas.append(
+                        {
+                            **base,
+                            "format": _sniff_format(data),
+                            "sample_rate": rate,
+                            "channels": 1 + h % 2,
+                            "bits_per_sample": 8 * (1 + (h >> 2) % 2),
+                            "n_frames": frames,
+                            "duration_s": round(frames / rate, 6),
+                        }
+                    )
+                    continue
+                wav = _parse_wav_header(data)
+                if wav is not None:
+                    metas.append({**base, "format": "wav", **wav})
+                else:
+                    metas.append(
+                        {
+                            **base,
+                            "format": _sniff_format(data),
+                            "sample_rate": None,
+                            "channels": None,
+                            "bits_per_sample": None,
+                            "n_frames": None,
+                            "duration_s": None,
+                        }
+                    )
+            yield pdf.assign(audio_meta=metas)
+
+    return df.mapInPandas(decode_batches, out_schema)
+
+
 def image_dedup_keep_list(
     df: DataFrame,
     binary_col: str,

@@ -1858,3 +1858,50 @@ SELECT doc_id, CAST(t AS BIGINT) AS n_tokens,
          AS seq_last
 FROM c
 """
+
+
+def audio_metadata_query() -> QueryFn:
+    """Audio plumbing (fake tier) through the Arrow-batched decode pass —
+    the md5-derived pseudo-fields are engine-reproducible integers
+    (duration_s is excluded: Python banker's rounding vs SQL half-up can
+    disagree on exact 6th-decimal ties; it is n_frames/sample_rate)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.multimodal import (
+            audio_metadata,
+        )
+
+        df = (
+            load(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull())
+            .select("doc_id", F.col("text").cast("binary").alias("blob"))
+        )
+        meta = audio_metadata(df, "blob", decoder="fake")
+        return meta.select(
+            "doc_id",
+            F.col("audio_meta.n_bytes").alias("n_bytes"),
+            F.col("audio_meta.format").alias("format"),
+            F.col("audio_meta.sample_rate").cast("long").alias("sample_rate"),
+            F.col("audio_meta.channels").cast("long").alias("channels"),
+            F.col("audio_meta.bits_per_sample").cast("long").alias("bits"),
+            F.col("audio_meta.n_frames").alias("n_frames"),
+        )
+
+    return fn
+
+
+def audio_metadata_sql() -> str:
+    h = "CAST(('0x' || substring(md5(text), 1, 8)) AS UBIGINT)"
+    frames = "CAST(('0x' || substring(md5(text), 9, 8)) AS UBIGINT) % 1000000"
+    return f"""
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       CASE WHEN text LIKE 'GIF8%' THEN 'gif'
+            WHEN text LIKE 'RIFF%' THEN 'riff'
+            ELSE 'unknown' END AS format,
+       CAST(8000 + {h} % 40000 AS BIGINT) AS sample_rate,
+       CAST(1 + {h} % 2 AS BIGINT) AS channels,
+       CAST(8 * (1 + ({h} >> 2) % 2) AS BIGINT) AS bits,
+       CAST({frames} AS BIGINT) AS n_frames
+FROM documents WHERE text IS NOT NULL
+"""

@@ -191,6 +191,60 @@ def test_image_near_duplicates_fake_tier(spark, media_df):
     assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in kb2] == [(2, 3, 0)]
 
 
+def _wav(rate=16000, channels=1, bits=16, frames=800):
+    """Hand-built canonical RIFF/WAVE bytes (silence)."""
+    block = channels * bits // 8
+    data = b"\x00" * (frames * block)
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little") + bits.to_bytes(2, "little")
+    )
+    body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_audio_metadata_wav_tier(spark):
+    """audio_metadata: the pure RIFF/WAVE parser yields real sample-rate/
+    channels/frames/duration with zero dependencies; non-WAV bytes keep the
+    sniffed format with null audio fields; the fake tier is deterministic."""
+    from pandas_profiling_personal_spark.operators.multimodal import (
+        audio_metadata,
+    )
+
+    rows = [
+        (1, _wav(rate=16000, channels=1, bits=16, frames=8000)),
+        (2, _wav(rate=44100, channels=2, bits=8, frames=44100)),
+        (3, b"\xff\xd8\xffnot audio"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {
+        r["id"]: r["audio_meta"]
+        for r in audio_metadata(df, "content").collect()
+    }
+    assert got[1]["format"] == "wav"
+    assert got[1]["sample_rate"] == 16000 and got[1]["channels"] == 1
+    assert got[1]["n_frames"] == 8000 and got[1]["duration_s"] == 0.5
+    assert got[2]["sample_rate"] == 44100 and got[2]["channels"] == 2
+    assert got[2]["bits_per_sample"] == 8 and got[2]["duration_s"] == 1.0
+    assert got[3]["format"] == "jpeg" and got[3]["sample_rate"] is None
+    assert got[4] is None
+
+    fake = {
+        r["id"]: r["audio_meta"]
+        for r in audio_metadata(df, "content", decoder="fake").collect()
+    }
+    again = {
+        r["id"]: r["audio_meta"]
+        for r in audio_metadata(df, "content", decoder="fake").collect()
+    }
+    assert fake == again  # deterministic
+    assert 8000 <= fake[1]["sample_rate"] < 48000
+
+
 def test_image_dedup_keep_list_transitive(spark, pgm_images):
     """image_dedup_keep_list: a resize CHAIN (96 ≈ 64 ≈ 48) collapses to one
     kept representative via connected components, even if the chain's ends
