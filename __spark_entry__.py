@@ -349,6 +349,10 @@ _SPECS: dict[str, tuple] = {
         PP.audio_metadata_query(),
         PP.audio_metadata_sql(),
     ),
+    "lm_perplexity_documents": (
+        PP.lm_perplexity_query(),
+        PP.lm_perplexity_sql(),
+    ),
 }
 
 

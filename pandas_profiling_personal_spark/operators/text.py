@@ -747,3 +747,169 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select("id", "rank", "term", "tf", "df", "score")
     )
+
+
+def ngram_lm_train(
+    ref: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    unk: str = "<unk>",
+) -> tuple[DataFrame, DataFrame]:
+    """"Train" a bigram language model on a REFERENCE corpus — the
+    CCNet-style quality-filter recipe (score web documents by how well a
+    clean-corpus LM predicts them; KenLM 5-gram in the paper, a bigram +
+    add-alpha tier here — same pipeline seam, dependency-free and
+    engine-reproducible). Returns ``(unigrams, bigrams)`` count tables:
+
+    * ``unigrams(w, c)`` — the top-``vocab_size`` terms by (count desc,
+      term asc — deterministic cut) plus one ``unk`` row carrying the
+      summed count of everything out-of-vocabulary.
+    * ``bigrams(w1, w2, c)`` — consecutive-token pair counts AFTER
+      unk-mapping (the standard order: map, then count).
+
+    Scale shape: one token explode + groupBy for the counts; the vocab cut
+    is a distributed TakeOrdered (no single-partition sort); unk-mapping
+    joins are broadcasts of the bounded vocab; the bigram aggregate is one
+    (w1, w2) exchange. Both outputs are bounded by vocab² worst-case and
+    by observed pairs in practice — persist them once, score forever."""
+    toks = parallelize_narrow(ref).select(
+        F.explode(tokens(S.col(text_col))).alias("w")
+    )
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        counts.orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(vocab_size)
+        .select("w", "c")
+    )
+    unk_row = (
+        counts.join(F.broadcast(vocab.select("w")), "w", "left_anti")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("c"))
+        .select(F.lit(unk).alias("w"), "c")
+    )
+    unigrams = vocab.unionByName(unk_row)
+
+    t = tokens(S.col(text_col))
+    pairs = (
+        parallelize_narrow(ref)
+        .select(t.alias("__t"))
+        .where(F.size("__t") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("__t"), 1, F.size("__t") - 1),
+                    F.slice(F.col("__t"), 2, F.size("__t") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    v = vocab.select("w")
+    mapped = (
+        pairs.join(
+            F.broadcast(v.withColumnRenamed("w", "__v1")),
+            F.col("w1") == F.col("__v1"),
+            "left",
+        )
+        .join(
+            F.broadcast(v.withColumnRenamed("w", "__v2")),
+            F.col("w2") == F.col("__v2"),
+            "left",
+        )
+        .select(
+            F.coalesce("__v1", F.lit(unk)).alias("w1"),
+            F.coalesce("__v2", F.lit(unk)).alias("w2"),
+        )
+    )
+    bigrams = mapped.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    return unigrams, bigrams
+
+
+def lm_perplexity_score(
+    df: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    unk: str = "<unk>",
+    round_to: int = 6,
+) -> DataFrame:
+    """Score documents by a reference bigram LM
+    (:func:`ngram_lm_train`) — the perplexity-proxy quality signal corpus
+    curation ranks on (CCNet: keep the low-perplexity tail of a
+    clean-corpus LM). One row per document with >= 2 tokens:
+
+    ``(id, n_bigrams, mean_logp, ppl)`` where
+    ``logp_i = ln((C(w1,w2) + alpha) / (C(w1) + alpha·V))`` (add-alpha
+    smoothing, V = |vocab| + 1 for unk), ``mean_logp`` their mean and
+    ``ppl = exp(-mean_logp)``. OOV tokens map to ``unk`` exactly as in
+    training. Deterministic given the model tables, so an independent
+    engine reproduces it bit-for-bit at the documented rounding.
+
+    Scale shape: docs explode once into consecutive pairs; the model
+    participates through two broadcast joins (vocab map) + a pair-keyed
+    left join (bigram counts) + a broadcast unigram join; one final
+    per-doc aggregate."""
+    V = unigrams.count()  # bounded table — cheap, exact
+    t = tokens(S.col(text_col))
+    pairs = (
+        parallelize_narrow(df)
+        .select(S.col(id_col).alias("__id"), t.alias("__t"))
+        .where(F.size("__t") >= 2)
+        .select(
+            "__id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("__t"), 1, F.size("__t") - 1),
+                    F.slice(F.col("__t"), 2, F.size("__t") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p"),
+        )
+        .select("__id", "p.w1", "p.w2")
+    )
+    v = unigrams.where(F.col("w") != unk).select("w")
+    mapped = (
+        pairs.join(
+            F.broadcast(v.withColumnRenamed("w", "__v1")),
+            F.col("w1") == F.col("__v1"),
+            "left",
+        )
+        .join(
+            F.broadcast(v.withColumnRenamed("w", "__v2")),
+            F.col("w2") == F.col("__v2"),
+            "left",
+        )
+        .select(
+            "__id",
+            F.coalesce("__v1", F.lit(unk)).alias("w1"),
+            F.coalesce("__v2", F.lit(unk)).alias("w2"),
+        )
+    )
+    scored = (
+        mapped.join(bigrams.withColumnRenamed("c", "__c12"), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(
+                unigrams.select(F.col("w").alias("w1"), F.col("c").alias("__c1"))
+            ),
+            "w1",
+            "left",
+        )
+        .select(
+            "__id",
+            F.log(
+                (F.coalesce("__c12", F.lit(0)) + F.lit(alpha))
+                / (F.coalesce("__c1", F.lit(0)) + F.lit(alpha) * F.lit(float(V)))
+            ).alias("__lp"),
+        )
+    )
+    return (
+        scored.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("__lp"), round_to).alias("mean_logp"),
+            F.round(F.exp(-F.avg("__lp")), 4).alias("ppl"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )

@@ -1905,3 +1905,75 @@ SELECT doc_id,
        CAST({frames} AS BIGINT) AS n_frames
 FROM documents WHERE text IS NOT NULL
 """
+
+
+def lm_perplexity_query(
+    vocab_size: int = 300, alpha: float = 0.5, ref_mod: int = 2
+) -> QueryFn:
+    """CCNet-style LM quality scoring: train the bigram model on the even
+    half of the corpus, score every document; vocab_size small enough that
+    the unk path is exercised at sf0.01."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.text import (
+            lm_perplexity_score,
+            ngram_lm_train,
+        )
+
+        docs = load(spark, sf_dir, "documents")
+        uni, big = ngram_lm_train(
+            docs.where(F.col("doc_id") % ref_mod == 0),
+            vocab_size=vocab_size,
+        )
+        return lm_perplexity_score(docs, uni, big, alpha=alpha)
+
+    return fn
+
+
+def lm_perplexity_sql(
+    vocab_size: int = 300, alpha: float = 0.5, ref_mod: int = 2
+) -> str:
+    tok = (
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+        " x -> x <> '')"
+    )
+    return f"""
+WITH tokr AS (
+  SELECT {tok} AS t FROM documents
+  WHERE doc_id % {ref_mod} = 0 AND text IS NOT NULL),
+uni0 AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM tokr) GROUP BY 1),
+vocab AS (SELECT w, c FROM uni0 ORDER BY c DESC, w ASC LIMIT {vocab_size}),
+uni AS (
+  SELECT w, c FROM vocab
+  UNION ALL
+  SELECT '<unk>' AS w, coalesce(sum(c), 0) AS c FROM uni0
+  WHERE w NOT IN (SELECT w FROM vocab)),
+nv AS (SELECT count(*) AS v FROM uni),
+bp AS (
+  SELECT unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM tokr WHERE len(t) >= 2),
+bpm AS (
+  SELECT coalesce(v1.w, '<unk>') AS w1, coalesce(v2.w, '<unk>') AS w2
+  FROM bp LEFT JOIN vocab v1 ON bp.w1 = v1.w
+          LEFT JOIN vocab v2 ON bp.w2 = v2.w),
+big AS (SELECT w1, w2, count(*) AS c FROM bpm GROUP BY 1, 2),
+tokd AS (
+  SELECT doc_id, {tok} AS t FROM documents WHERE text IS NOT NULL),
+pd AS (
+  SELECT doc_id, unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM tokd WHERE len(t) >= 2),
+pm AS (
+  SELECT doc_id, coalesce(v1.w, '<unk>') AS w1, coalesce(v2.w, '<unk>') AS w2
+  FROM pd LEFT JOIN vocab v1 ON pd.w1 = v1.w
+          LEFT JOIN vocab v2 ON pd.w2 = v2.w),
+sc AS (
+  SELECT doc_id,
+         ln((coalesce(b.c, 0) + {alpha!r})
+            / (coalesce(u.c, 0) + {alpha!r} * (SELECT v FROM nv))) AS lp
+  FROM pm LEFT JOIN big b ON pm.w1 = b.w1 AND pm.w2 = b.w2
+          LEFT JOIN uni u ON pm.w1 = u.w)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(lp), 6) AS mean_logp, round(exp(-avg(lp)), 4) AS ppl
+FROM sc GROUP BY 1
+"""

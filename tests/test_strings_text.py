@@ -113,6 +113,54 @@ def test_minhash_finds_planted_near_dup(spark):
     assert all(3 not in p for p in found)
 
 
+def test_lm_perplexity_scoring(spark):
+    """Bigram-LM quality scoring (CCNet recipe): documents that look like
+    the reference corpus score LOWER perplexity than shuffled/gibberish
+    text; OOV tokens route through <unk>; the model tables are bounded and
+    deterministic."""
+    from pandas_profiling_personal_spark.operators.text import (
+        lm_perplexity_score,
+        ngram_lm_train,
+    )
+
+    ref_sentences = [
+        "the cat sat on the mat and the dog sat on the rug",
+        "the dog ran to the cat and the cat ran to the mat",
+        "a cat and a dog sat on a mat near the door",
+        "the mat was on the floor and the cat was on the mat",
+    ] * 5
+    ref = spark.createDataFrame([(s,) for s in ref_sentences], "text string")
+    uni, big = ngram_lm_train(ref, vocab_size=8)  # small: forces <unk>
+    vocab = {r["w"] for r in uni.collect()}
+    assert "<unk>" in vocab and len(vocab) == 9
+    assert big.count() <= 9 * 9  # bounded by (vocab+unk)^2
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),          # in-domain
+            (2, "zqx vbnm kjhg fdsa trewq yuiop"),  # gibberish: all <unk>
+            (3, "mat the on sat cat the"),          # right words, wrong order
+            (4, "single"),                          # < 2 tokens: absent
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in lm_perplexity_score(docs, uni, big).collect()
+    }
+    assert 4 not in got
+    assert got[1]["ppl"] < got[2]["ppl"], "in-domain must beat gibberish"
+    assert got[1]["ppl"] < got[3]["ppl"], "word order must matter (bigrams)"
+    assert got[1]["n_bigrams"] == 5
+
+    # deterministic across runs
+    again = {
+        r["doc_id"]: r["mean_logp"]
+        for r in lm_perplexity_score(docs, uni, big).collect()
+    }
+    assert again == {d: r["mean_logp"] for d, r in got.items()}
+
+
 def test_pack_sequences_assignment(spark):
     """pack_sequences: the executable concatenate-and-chunk packing — global
     offsets exact across multiple prefix-sum buckets, boundary-crossing docs
