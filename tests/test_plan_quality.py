@@ -588,3 +588,61 @@ def test_semantic_dedup_assignment_computed_once(spark):
     n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
     n_ex_capped = len(re.findall(r"Exchange hashpartitioning", cplan))
     assert n_ex_capped <= n_ex, (n_ex, n_ex_capped, cplan)
+
+
+def test_image_near_dup_decodes_once(spark):
+    """image_near_duplicates: the Arrow-batched decode pass (the expensive
+    part for real images) must execute ONCE — the explicit id repartition
+    under the signature table is the exchange both self-join sides read
+    via ReusedExchange. Without it mapInPandas (which has no exchange
+    boundary of its own) re-ran per side (review r7; found by reading the
+    executed plan, fixed the same day)."""
+    from pyspark.sql import functions as F
+
+    from pandas_profiling_personal_spark.operators.multimodal import (
+        image_near_duplicates,
+    )
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    docs = (
+        read_parquet(spark, f"{SF_DIR}/documents.parquet")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.col("text").cast("binary").alias("blob"))
+    )
+    out = image_near_duplicates(
+        docs, "blob", "doc_id", decoder="fake",
+        max_hamming=8, band_bits=6, bits=60, key_blocks=2,
+    )
+    out.collect()  # AQE resolves exchange reuse at runtime
+    final = _plan(out).split("Initial Plan")[0]
+    assert final.count("MapInPandas") == 1, final
+    assert "ReusedExchange" in final, final
+
+
+def test_pack_sequences_bounded_windows(spark):
+    """pack_sequences: the prefix sum must never run a single-partition
+    window over the CORPUS — the only global (unpartitioned) window sits
+    over the bounded bucket-total rollup, and the per-row cumsum is
+    partitioned by the id bucket."""
+    from pandas_profiling_personal_spark.operators.text import pack_sequences
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet")
+    out = pack_sequences(
+        docs, "doc_id", "n_chars", context_len=500, bucket_size=100
+    )
+    plan = _plan(out)
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs, plan
+    # the per-doc cumsum window is PARTITIONED by the bucket column (spec
+    # lists __b as a partition key followed by the doc_id ordering); the
+    # only unpartitioned spec (leading 'ASC' right after __b = pure
+    # ordering) runs over the bounded bucket-total rollup
+    partitioned = [s for s in specs if re.match(r"__b#\d+L, ", s)]
+    unpartitioned = [s for s in specs if re.match(r"__b#\d+L ASC", s)]
+    assert partitioned and unpartitioned, specs
+    assert len(partitioned) + len(unpartitioned) == len(specs), specs
+    # structural spot-check: a broadcast carries the bucket offsets back
+    assert "BroadcastExchange" in plan, plan
