@@ -246,6 +246,30 @@ def main() -> None:
             ).count()
 
         p["stream_near_dup_vs_store"] = timed(_stream_near_dup)
+
+        # r7 batch 2: LM quality scoring (train + score round trip),
+        # executable packing, audio metadata
+        from pandas_profiling_personal_spark.operators.multimodal import (
+            audio_metadata,
+        )
+
+        def _lm():
+            u, bg = TX.ngram_lm_train(
+                docs.where(F.col("doc_id") % 2 == 0), vocab_size=300
+            )
+            TX.lm_perplexity_score(docs, u, bg).agg(
+                F.sum("n_bigrams")
+            ).first()
+
+        p["lm_train_and_score"] = timed(_lm)
+        p["pack_sequences_documents"] = timed(
+            lambda: TX.pack_sequences(docs, "doc_id", "n_chars", 2048, 1000)
+            .agg(F.max("seq_last")).first()
+        )
+        p["audio_metadata_fake"] = timed(
+            lambda: audio_metadata(blobs, "blob", decoder="fake")
+            .agg(F.sum("audio_meta.n_frames")).first()
+        )
         points[sf] = p
         print(json.dumps({"sf": sf, "walls": p, "rows": rows[sf]}), flush=True)
 
