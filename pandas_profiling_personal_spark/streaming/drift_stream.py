@@ -173,3 +173,142 @@ def drift_stream(
         "n",
         F.when(F.col("n") > 0, F.round(term, round_to)).alias("psi"),
     )
+
+
+def embedding_drift_stream(
+    stream_df: DataFrame,
+    baseline_df: DataFrame,
+    vec_col: str,
+    ts_col: str,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    dim: int | None = None,
+    bins: int = 10,
+    eps: float = 1e-6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Windowed EMBEDDING drift vs a static baseline snapshot — the
+    streaming half of ``operators.drift.embedding_drift``: one row per
+    window, ``(window, n, norm_psi, centroid_cosine)``.
+
+    Same one-stateful-operator shape as :func:`drift_stream`: the baseline
+    reduces batch-side at plan-build time into LITERALS — norm bucket
+    edges, smoothed baseline bucket proportions, and the baseline MEAN
+    VECTOR — so the stream never joins the baseline. Per row the stream
+    computes the L2 norm and an inline bucket (stateless HOF fold), then
+    ONE windowed groupBy carries ``bins`` conditional counts plus ``dim``
+    per-dimension sums; norm-PSI and the window-centroid-vs-baseline
+    cosine are pure post-aggregation projections. State: windows ×
+    (bins + dim + 1) numbers, independent of row volume.
+
+    Two deliberate deviations from the batch operator (documented, not
+    drift): bucket edges come from the BASELINE alone (a stream cannot
+    contribute to a union min/max before it arrives — norms outside the
+    baseline range clamp into the edge buckets), and the per-dimension
+    argmax is omitted (it needs both sides' variances; run the batch
+    operator on a materialized window when a drilled-down signal fires).
+    Validity rule (non-null, size==dim, all-finite) shared with the batch
+    tier. Works identically on a batch DataFrame for tests/backfills."""
+    from pandas_profiling_personal_spark.operators.similarity import (
+        as_double,
+        l2_norm,
+    )
+    from pandas_profiling_personal_spark.operators.text import size_or_null
+
+    if dim is None:
+        probe = baseline_df.agg(
+            F.median(size_or_null(S.col(vec_col))).alias("d")
+        ).collect()[0]
+        if probe["d"] is None:
+            raise ValueError("cannot infer dim from an all-null baseline")
+        dim = int(probe["d"])
+
+    def prep(df):
+        v = as_double(S.col(vec_col))
+        valid = (
+            S.col(vec_col).isNotNull()
+            & (F.size(v) == dim)
+            & F.forall(
+                v,
+                lambda x: x.isNotNull()
+                & ~F.isnan(x)
+                & ~x.isin(float("inf"), float("-inf")),
+            )
+        )
+        return df.where(valid), v
+
+    base, bv = prep(baseline_df)
+    base = base.select(l2_norm(bv).alias("norm"), bv.alias("__v"))
+    row = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("norm").alias("lo"),
+        F.max("norm").alias("hi"),
+        *[F.sum(F.col("__v")[i]).alias(f"s{i}") for i in range(dim)],
+    ).collect()[0]
+    if not row["n"]:
+        raise ValueError("baseline has no valid vectors — no drift reference")
+    lo, hi = float(row["lo"]), float(row["hi"])
+    mb = [row[f"s{i}"] / row["n"] for i in range(dim)]
+    mb_norm = sum(x * x for x in mb) ** 0.5
+
+    def bucket_expr(norm_col):
+        if hi == lo:
+            return F.lit(0)
+        raw = F.floor((norm_col - F.lit(lo)) / F.lit((hi - lo) / float(bins)))
+        return F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
+
+    bcounts = (
+        base.select(bucket_expr(F.col("norm")).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    cmap = {r["b"]: r["c"] for r in bcounts}
+    nb = row["n"]
+    qb = [(cmap.get(b, 0) + eps) / (nb + eps * bins) for b in range(bins)]
+
+    sdf, sv = prep(stream_df)
+    sdf = sdf.select(
+        S.col(ts_col).alias("__ts"),
+        l2_norm(sv).alias("norm"),
+        sv.alias("__v"),
+    )
+    if sdf.isStreaming:
+        sdf = sdf.withWatermark("__ts", watermark)
+    win = (
+        F.window("__ts", window, slide) if slide else F.window("__ts", window)
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [
+        F.sum((bucket_expr(F.col("norm")) == b).cast("long")).alias(f"c{b}")
+        for b in range(bins)
+    ]
+    aggs += [F.sum(F.col("__v")[i]).alias(f"s{i}") for i in range(dim)]
+    agg = sdf.groupBy(win.alias("window")).agg(*aggs)
+
+    n = F.col("n")
+    psi = None
+    for b in range(bins):
+        p = (F.col(f"c{b}") + F.lit(eps)) / (n + F.lit(eps * bins))
+        term = (p - F.lit(qb[b])) * F.log(p / F.lit(qb[b]))
+        psi = term if psi is None else psi + term
+    dot = None
+    sq = None
+    for i in range(dim):
+        m_i = F.col(f"s{i}") / n
+        d_i = m_i * F.lit(mb[i])
+        q_i = m_i * m_i
+        dot = d_i if dot is None else dot + d_i
+        sq = q_i if sq is None else sq + q_i
+    cos = (
+        dot / (F.sqrt(sq) * F.lit(mb_norm))
+        if mb_norm > 0
+        else F.lit(None).cast("double")
+    )
+    return agg.select(
+        "window",
+        "n",
+        F.round(psi, round_to).alias("norm_psi"),
+        F.round(cos, round_to).alias("centroid_cosine"),
+    )

@@ -1391,6 +1391,82 @@ def test_compare_profiles_surface(spark):
     assert not same["alerts"]["new"] and not same["alerts"]["resolved"]
 
 
+def test_streaming_embedding_drift(spark, tmp_path):
+    """embedding_drift_stream: per-window norm-PSI + centroid cosine vs a
+    static baseline on a real file stream — the matching window reads ~0
+    PSI / cosine ~1, the scaled+shifted window reads large PSI and lower
+    cosine; batch mode produces identical rows for the same data."""
+    import datetime as dt
+    import random
+
+    from pandas_profiling_personal_spark.streaming.drift_stream import (
+        embedding_drift_stream,
+    )
+
+    rng = random.Random(13)
+    base_vecs = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(600)]
+    baseline = spark.createDataFrame(
+        [(v,) for v in base_vecs], "v array<double>"
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    t1 = t0 + dt.timedelta(minutes=10)
+    rows = (
+        # window 1: drawn like the baseline
+        [(t0, [rng.gauss(0, 1) for _ in range(8)]) for _ in range(300)]
+        # window 2: scaled + shifted — norm AND direction move
+        + [
+            (t1, [x * 1.8 + 1.0 for x in [rng.gauss(0, 1) for _ in range(8)]])
+            for _ in range(300)
+        ]
+        + [(t0, None), (t0, [1.0, 2.0])]  # invalid: excluded
+    )
+    schema = "ts timestamp, v array<double>"
+    src = tmp_path / "emb_drift_src"
+    spark.createDataFrame(rows, schema).write.parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = embedding_drift_stream(
+        stream, baseline, "v", "ts", window="5 minutes", watermark="1 hour"
+    )
+    # complete mode for the finite test source: append only emits once the
+    # watermark passes a window's end, which never happens after the last
+    # micro-batch of a bounded test stream
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_emb_drift")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["window"]["start"]: r
+            for r in spark.table("t_emb_drift").collect()
+        }
+    finally:
+        q.stop()
+    assert got[t0]["n"] == 300 and got[t1]["n"] == 300
+    assert abs(got[t0]["norm_psi"]) < 0.15, got[t0]
+    # (no cosine assertion for the matching window: both its mean and the
+    # baseline mean are near-zero random vectors, so the angle is noise)
+    assert got[t1]["norm_psi"] > 1.0, got[t1]
+    assert got[t1]["centroid_cosine"] is not None
+
+    # batch mode: identical plan minus the watermark -> identical rows
+    batch = {
+        r["window"]["start"]: r
+        for r in embedding_drift_stream(
+            spark.read.parquet(str(src)), baseline, "v", "ts",
+            window="5 minutes",
+        ).collect()
+    }
+    assert {k: (v["n"], v["norm_psi"], v["centroid_cosine"])
+            for k, v in got.items()} == \
+           {k: (v["n"], v["norm_psi"], v["centroid_cosine"])
+            for k, v in batch.items()}
+
+
 def test_streaming_drift_psi(spark, tmp_path):
     """drift_stream: per-window PSI vs a static baseline runs as a real
     stream (file source -> memory sink, append mode — ONE stateful op) and
