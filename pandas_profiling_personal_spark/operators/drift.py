@@ -545,3 +545,73 @@ def drift_alerts(
                 }
             )
     return alerts
+
+
+def drift_report_html(
+    numeric_rows: list | None = None,
+    categorical_rows: list | None = None,
+    embedding_row: "dict | None" = None,
+    title: str = "Drift report",
+    **alert_thresholds,
+) -> str:
+    """Standalone single-file HTML for the two-frame drift surface: the
+    numeric/categorical PSI tables, the embedding signal row, and the
+    :func:`drift_alerts` classification banner — driver-side rendering of
+    already-collected rows (no Spark jobs), same htmlbits the corpus
+    report uses."""
+    from pandas_profiling_personal_spark.report.htmlbits import (
+        esc,
+        kv_table,
+        page,
+    )
+
+    def _row(r):
+        return r.asDict() if hasattr(r, "asDict") else dict(r)
+
+    alerts = drift_alerts(
+        numeric_rows=numeric_rows,
+        categorical_rows=categorical_rows,
+        embedding_row=embedding_row,
+        **alert_thresholds,
+    )
+    sections: list[str] = []
+    if alerts:
+        items = "".join(
+            f"<li><b>{esc(a['type'])}</b>"
+            + (f" — {esc(a['column'])}" if a.get("column") else "")
+            + "".join(
+                f" {esc(k)}={esc(v)}"
+                for k, v in a.items()
+                if k not in ("type", "column")
+            )
+            + "</li>"
+            for a in alerts
+        )
+        sections.append(f"<h2>Alerts ({len(alerts)})</h2><ul>{items}</ul>")
+    else:
+        sections.append("<h2>Alerts</h2><p>none — no drift band crossed</p>")
+
+    def _psi_table(rows, shift_key, label):
+        if not rows:
+            return
+        body = "".join(
+            "<tr><th>{c}</th><td>{na}</td><td>{nb}</td><td>{psi}</td>"
+            "<td>{sh}</td></tr>".format(
+                c=esc(_row(r)["column"]),
+                na=_row(r)["n_a"],
+                nb=_row(r)["n_b"],
+                psi=_row(r)["psi"],
+                sh=esc(_row(r).get(shift_key)),
+            )
+            for r in rows
+        )
+        sections.append(
+            f"<h2>{label}</h2><table><tr><th>column</th><th>n_a</th>"
+            f"<th>n_b</th><th>psi</th><th>max shift</th></tr>{body}</table>"
+        )
+
+    _psi_table(numeric_rows, "max_shift_bucket", "Numeric PSI")
+    _psi_table(categorical_rows, "max_shift_value", "Categorical PSI")
+    if embedding_row is not None:
+        sections.append("<h2>Embedding</h2>" + kv_table(_row(embedding_row)))
+    return page(title, "".join(sections))

@@ -811,6 +811,18 @@ def test_drift_alerts_classification(spark):
         embedding_row=embedding_drift(va, va, "v", dim=8).collect()[0],
     ) == []
 
+    # the one-pager renders the tables + the alert banner
+    from pandas_profiling_personal_spark.operators.drift import (
+        drift_report_html,
+    )
+
+    page = drift_report_html(
+        numeric_rows=num, embedding_row=erow, title="crawl 1 vs crawl 2"
+    )
+    assert "crawl 1 vs crawl 2" in page
+    assert "DRIFT_SIGNIFICANT" in page and "Numeric PSI" in page
+    assert "EMBEDDING_DIM_SHIFT" in page and "centroid_cosine" in page
+
 
 def test_drift_profile_all_null_columns(spark):
     """Columns all-null/NaN on both sides get an explicit (psi=null, n=0)
