@@ -82,6 +82,14 @@ def build_parser() -> argparse.ArgumentParser:
         "URLCOL — the C4/RefinedWeb-style per-domain curation view",
     )
     p.add_argument(
+        "--media-col",
+        default=None,
+        metavar="BINCOL",
+        help="corpus report: profile opaque binary column BINCOL (bytes, "
+        "formats, dimensions, exact + perceptual duplicate counts) as a "
+        "Media section",
+    )
+    p.add_argument(
         "--compare",
         default=None,
         metavar="INPUT2",
@@ -212,6 +220,7 @@ def main(argv: list[str] | None = None) -> int:
                 df, args.id_col, args.text_col, context_len=ctx,
                 segment_by=args.segment_by,
                 domain_from=args.domain_from,
+                media_col=args.media_col,
             )
             out = args.output or (args.input.rsplit(".", 1)[0] + ".html")
             title = args.title or f"Corpus report: {args.input}"
