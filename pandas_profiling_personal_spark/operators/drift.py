@@ -477,42 +477,28 @@ def drift_alerts(
             r = r.asDict()
         return r.get(k) if isinstance(r, dict) else r[k]
 
-    for r in numeric_rows or []:
-        psi = _get(r, "psi")
-        if psi is None:
-            continue
-        kind = (
-            "DRIFT_SIGNIFICANT"
-            if psi >= psi_significant
-            else "DRIFT_WATCH" if psi >= psi_watch else None
-        )
-        if kind:
-            alerts.append(
-                {
-                    "type": kind,
-                    "column": _get(r, "column"),
-                    "psi": psi,
-                    "max_shift_bucket": _get(r, "max_shift_bucket"),
-                }
+    def _classify(rows, shift_key):
+        for r in rows or []:
+            psi = _get(r, "psi")
+            if psi is None:
+                continue
+            kind = (
+                "DRIFT_SIGNIFICANT"
+                if psi >= psi_significant
+                else "DRIFT_WATCH" if psi >= psi_watch else None
             )
-    for r in categorical_rows or []:
-        psi = _get(r, "psi")
-        if psi is None:
-            continue
-        kind = (
-            "DRIFT_SIGNIFICANT"
-            if psi >= psi_significant
-            else "DRIFT_WATCH" if psi >= psi_watch else None
-        )
-        if kind:
-            alerts.append(
-                {
-                    "type": kind,
-                    "column": _get(r, "column"),
-                    "psi": psi,
-                    "max_shift_value": _get(r, "max_shift_value"),
-                }
-            )
+            if kind:
+                alerts.append(
+                    {
+                        "type": kind,
+                        "column": _get(r, "column"),
+                        "psi": psi,
+                        shift_key: _get(r, shift_key),
+                    }
+                )
+
+    _classify(numeric_rows, "max_shift_bucket")
+    _classify(categorical_rows, "max_shift_value")
     if embedding_row is not None:
         e = embedding_row
         npsi = _get(e, "norm_psi")

@@ -628,7 +628,7 @@ def _parse_wav_header(data: bytes) -> dict | None:
         while i + 8 <= len(data):
             cid = data[i : i + 4]
             csize = int.from_bytes(data[i + 4 : i + 8], "little")
-            if cid == b"fmt " and i + 8 + 16 <= len(data):
+            if cid == b"fmt " and csize >= 16 and i + 8 + 16 <= len(data):
                 fmt = {
                     "channels": int.from_bytes(data[i + 10 : i + 12], "little"),
                     "sample_rate": int.from_bytes(
@@ -642,9 +642,18 @@ def _parse_wav_header(data: bytes) -> dict | None:
                     ),
                 }
             elif cid == b"data":
-                data_size = csize
+                # clamp the declared payload to the bytes ACTUALLY present:
+                # a truncated download keeps its header's size field, and
+                # trusting it would silently overcount frames/duration
+                # (review r7)
+                data_size = min(csize, max(len(data) - (i + 8), 0))
             i += 8 + csize + (csize & 1)  # chunks are word-aligned
         if fmt is None or data_size is None or fmt["block_align"] == 0:
+            return None
+        # hostile/corrupt headers: a 4-byte field can exceed the int32
+        # schema (0xFFFFFFFF "sample rate" would fail or wrap the Arrow
+        # struct conversion and take the whole job down — review r7)
+        if not (0 < fmt["sample_rate"] < 1 << 31):
             return None
         n_frames = data_size // fmt["block_align"]
         return {

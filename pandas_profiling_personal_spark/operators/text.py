@@ -523,7 +523,18 @@ def pack_sequences(
     t = F.coalesce(S.col(count_col).cast("long"), F.lit(0))
     L = F.lit(int(context_len))
     b = F.floor(S.col(id_col) / F.lit(int(bucket_size)))
-    w_in = Window.partitionBy("__b").orderBy(S.col(id_col))
+    # ROWS frame, not the default RANGE frame: RANGE collapses rows TIED on
+    # the order key into one cumulative group, so two rows sharing an id
+    # would both read the tie-group total and claim overlapping token
+    # ranges (review r7). With ROWS every row gets a distinct running sum;
+    # ids should still be unique for the ASSIGNMENT to be deterministic
+    # (which physical duplicate gets which slot is partition-dependent —
+    # the same contract as stratified_sample's key).
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy(S.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     within = df.select(
         S.col(id_col), t.alias("__t"), b.alias("__b")
     ).withColumn("__cum_in", F.sum("__t").over(w_in))
@@ -822,7 +833,17 @@ def ngram_lm_train(
         )
     )
     bigrams = mapped.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    return unigrams, bigrams
+    # persist BOTH tables (bounded by construction): the scorer consumes
+    # unigrams three times (V count, vocab broadcasts, the c1 join) and
+    # bigrams once — unpersisted, every consumer would re-tokenize the
+    # whole reference corpus through this lineage (review r7). Callers
+    # that persist to real tables can .unpersist() after writing.
+    from pyspark import StorageLevel
+
+    return (
+        unigrams.persist(StorageLevel.MEMORY_AND_DISK),
+        bigrams.persist(StorageLevel.MEMORY_AND_DISK),
+    )
 
 
 def lm_perplexity_score(
@@ -842,10 +863,12 @@ def lm_perplexity_score(
 
     ``(id, n_bigrams, mean_logp, ppl)`` where
     ``logp_i = ln((C(w1,w2) + alpha) / (C(w1) + alpha·V))`` (add-alpha
-    smoothing, V = |vocab| + 1 for unk), ``mean_logp`` their mean and
-    ``ppl = exp(-mean_logp)``. OOV tokens map to ``unk`` exactly as in
-    training. Deterministic given the model tables, so an independent
-    engine reproduces it bit-for-bit at the documented rounding.
+    smoothing, V = |vocab| + 1 for unk), ``mean_logp`` their mean
+    (rounded to ``round_to``) and ``ppl = exp(-mean_logp)`` (FIXED at 4
+    decimals — ppl's magnitude makes more precision noise; only
+    ``mean_logp`` follows ``round_to``). OOV tokens map to ``unk``
+    exactly as in training. Deterministic given the model tables, so an
+    independent engine reproduces it bit-for-bit at these roundings.
 
     Scale shape: docs explode once into consecutive pairs; the model
     participates through two broadcast joins (vocab map) + a pair-keyed

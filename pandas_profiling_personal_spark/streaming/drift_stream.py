@@ -238,32 +238,45 @@ def embedding_drift_stream(
         )
         return df.where(valid), v
 
+    from pyspark import StorageLevel
+
     base, bv = prep(baseline_df)
-    base = base.select(l2_norm(bv).alias("norm"), bv.alias("__v"))
-    row = base.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("norm").alias("lo"),
-        F.max("norm").alias("hi"),
-        *[F.sum(F.col("__v")[i]).alias(f"s{i}") for i in range(dim)],
-    ).collect()[0]
-    if not row["n"]:
-        raise ValueError("baseline has no valid vectors — no drift reference")
-    lo, hi = float(row["lo"]), float(row["hi"])
-    mb = [row[f"s{i}"] / row["n"] for i in range(dim)]
-    mb_norm = sum(x * x for x in mb) ** 0.5
-
-    def bucket_expr(norm_col):
-        if hi == lo:
-            return F.lit(0)
-        raw = F.floor((norm_col - F.lit(lo)) / F.lit((hi - lo) / float(bins)))
-        return F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
-
-    bcounts = (
-        base.select(bucket_expr(F.col("norm")).alias("b"))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
+    # persisted: the baseline reduction needs TWO passes by construction
+    # (edges before bucketing), and unpersisted each would re-run the
+    # validity filter + norm fold over the whole snapshot (review r7)
+    base = base.select(l2_norm(bv).alias("norm"), bv.alias("__v")).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    try:
+        row = base.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("norm").alias("lo"),
+            F.max("norm").alias("hi"),
+            *[F.sum(F.col("__v")[i]).alias(f"s{i}") for i in range(dim)],
+        ).collect()[0]
+        if not row["n"]:
+            raise ValueError(
+                "baseline has no valid vectors — no drift reference"
+            )
+        lo, hi = float(row["lo"]), float(row["hi"])
+        mb = [row[f"s{i}"] / row["n"] for i in range(dim)]
+        mb_norm = sum(x * x for x in mb) ** 0.5
+
+        def bucket_expr(norm_col):
+            # the ONE engine bucket definition (functions/stats.bucket_index,
+            # oracle-proven IEEE form) — a hand-rolled copy here could
+            # silently diverge from the batch tier it promises to match
+            # (review r7)
+            return S.bucket_index(norm_col, F.lit(lo), F.lit(hi), bins)
+
+        bcounts = (
+            base.select(bucket_expr(F.col("norm")).alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+    finally:
+        base.unpersist()
     cmap = {r["b"]: r["c"] for r in bcounts}
     nb = row["n"]
     qb = [(cmap.get(b, 0) + eps) / (nb + eps * bins) for b in range(bins)]
