@@ -197,6 +197,49 @@ def test_pack_sequences_assignment(spark):
     assert n_seqs == math.ceil(total / 64)  # the planner's min_sequences
 
 
+def test_pack_sequences_duplicate_ids_no_overlap(spark):
+    """The ROWS-framed cumsum (review r7): rows TIED on the id still get
+    DISTINCT, non-overlapping token ranges — the default RANGE frame
+    handed duplicates the tie-group total and overlapping slots."""
+    from pandas_profiling_personal_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 10), (2, 10), (3, 10)], "doc_id long, n_tokens long"
+    )
+    rows = pack_sequences(
+        df, "doc_id", "n_tokens", context_len=64, bucket_size=10
+    ).collect()
+    starts = sorted(r["start_token"] for r in rows)
+    assert starts == [0, 10, 20, 30]  # distinct, gap-free, non-overlapping
+
+
+def test_wav_parser_truncation_and_hostile_headers():
+    """_parse_wav_header (review r7): a truncated payload clamps the frame
+    count to the bytes present; a hostile 32-bit sample rate and a short
+    fmt chunk are rejected instead of poisoning the int32 schema."""
+    from pandas_profiling_personal_spark.operators.multimodal import (
+        _parse_wav_header,
+    )
+
+    from tests.test_surfaces import _wav
+
+    full = _wav(rate=16000, channels=1, bits=16, frames=1000)
+    ok = _parse_wav_header(full)
+    assert ok["n_frames"] == 1000
+
+    truncated = full[: len(full) - 1500]  # cut mid-payload (2B/frame)
+    t = _parse_wav_header(truncated)
+    assert t is not None and t["n_frames"] == 1000 - 750
+
+    hostile = bytearray(full)
+    hostile[24:28] = (0xFFFFFFFF).to_bytes(4, "little")  # "sample rate"
+    assert _parse_wav_header(bytes(hostile)) is None
+
+    short_fmt = bytearray(full)
+    short_fmt[16:20] = (8).to_bytes(4, "little")  # fmt csize < 16
+    assert _parse_wav_header(bytes(short_fmt)) is None
+
+
 def test_simhash_hamming(spark):
     from pandas_profiling_personal_spark.operators.dedup import (
         hamming_distance,
