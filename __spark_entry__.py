@@ -353,6 +353,10 @@ _SPECS: dict[str, tuple] = {
         PP.lm_perplexity_query(),
         PP.lm_perplexity_sql(),
     ),
+    "canonical_url_events": (
+        PP.canonical_url_query(),
+        PP.canonical_url_sql(),
+    ),
 }
 
 

@@ -136,6 +136,60 @@ def registered_domain(url: Column) -> Column:
     )
 
 
+#: query parameters that are pure click-tracking noise — the standard strip
+#: list URL-level dedup applies before comparing (utm_* campaign tags plus
+#: the big ad/social click ids)
+_TRACKER_PARAM_RE = (
+    r"^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref_src|yclid)="
+)
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL — the normalization URL-level dedup and
+    per-URL rollups need before two spellings of the same resource can
+    meet: scheme and host lowercased, default ports dropped (``:443`` on
+    https, ``:80`` on http — other ports kept), tracker query parameters
+    stripped (``utm_*``, ``fbclid``, ``gclid``, …), remaining parameters
+    SORTED, trailing path slashes removed, fragment dropped. NULL for
+    null/unparsable input (``try_parse_url`` — ANSI-safe on junk).
+
+    Pure built-ins (regex + array HOFs, codegen): rebuilds
+    ``scheme://host[:port][path][?sorted_query]``. Simplification stated
+    honestly: userinfo (``user:pass@host``) is not preserved — URLs
+    carrying credentials canonicalize to their host form."""
+    scheme = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    authority = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    port_part = F.when(
+        (port == "")
+        | ((scheme == "https") & (port == "443"))
+        | ((scheme == "http") & (port == "80")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_replace(
+        F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit("")), r"/+$", ""
+    )
+    params = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit("")), "&"),
+            lambda p: (p != "") & ~F.lower(p).rlike(_TRACKER_PARAM_RE),
+        )
+    )
+    qs = F.array_join(params, "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        port_part,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+    return F.when(
+        scheme.isNotNull() & host.isNotNull() & (host != ""), rebuilt
+    )
+
+
 # --- filesystem-style paths -----------------------------------------------------------
 
 _PATH_EXPRS = {

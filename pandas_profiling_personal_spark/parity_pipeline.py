@@ -1977,3 +1977,40 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        round(avg(lp), 6) AS mean_logp, round(exp(-avg(lp)), 4) AS ppl
 FROM sc GROUP BY 1
 """
+
+
+def canonical_url_query() -> QueryFn:
+    """URL canonicalization over a deliberately messy synthetic URL (upper
+    case, default port, tracker params, unsorted params, trailing slash,
+    fragment); the oracle derives the expected canonical form
+    INDEPENDENTLY from the base columns, so every normalization step is
+    checked, not just reproduced."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.strings import (
+            canonical_url,
+        )
+
+        messy = (
+            "concat('HTTPS://', coalesce(event_type, 'none'),"
+            " '.Example.COM:443/u/', cast(coalesce(user_id, -1) as string),"
+            " '/?utm_source=x&b=', cast(coalesce(event_id, -9) % 5 as string),"
+            " '&a=1#frag')"
+        )
+        return (
+            load(spark, sf_dir, "events")
+            .withColumn("url", F.expr(messy))
+            .select("event_id", canonical_url(F.col("url")).alias("curl"))
+        )
+
+    return fn
+
+
+def canonical_url_sql() -> str:
+    return """
+SELECT event_id,
+       'https://' || lower(coalesce(event_type, 'none')) || '.example.com/u/'
+       || CAST(coalesce(user_id, -1) AS VARCHAR)
+       || '?a=1&b=' || CAST(coalesce(event_id, -9) % 5 AS VARCHAR) AS curl
+FROM events
+"""

@@ -1886,6 +1886,30 @@ def test_corpus_profile_segments(spark, tmp_path):
     assert "largest" in corpus_report_html(rep_t)
 
 
+def test_canonical_url(spark):
+    """canonical_url: the URL-dedup normalization — case, default ports,
+    tracker params, param order, trailing slash and fragment all collapse;
+    non-default ports and real params survive."""
+    from pandas_profiling_personal_spark.operators.strings import (
+        canonical_url,
+    )
+
+    cases = [
+        ("HTTPS://Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+         "https://example.com/a/b?a=1&b=2"),
+        ("https://example.com/a/b?a=1&b=2",
+         "https://example.com/a/b?a=1&b=2"),  # already canonical: fixpoint
+        ("http://site.org:8080/path/", "http://site.org:8080/path"),
+        ("http://site.org:80/", "http://site.org"),
+        ("https://a.com/?fbclid=xyz&gclid=1&UTM_CAMPAIGN=2", "https://a.com"),
+        ("not a url", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonical_url(F.col("url"))).collect()]
+    assert got == [want for _, want in cases]
+
+
 def test_registered_domain_and_domain_segments(spark):
     """registered_domain: public-suffix-lite collapse on seeded URLs, and
     corpus_profile(domain_from=) rolls the corpus up per registered domain
