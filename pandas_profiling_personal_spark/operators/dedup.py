@@ -493,6 +493,57 @@ def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def auto_band_geometry(
+    n: int,
+    bits: int,
+    max_hamming: int,
+    band_bits: int | None = None,
+) -> tuple[int, int]:
+    """Pick ``(band_bits, key_blocks)`` for :func:`banded_hamming_pairs`
+    from the corpus size — the signature-space twin of
+    ``similarity.semantic_dedup``'s ``n_cells=None`` auto-sizing (review
+    r7: the safe tier must be the DEFAULT, not a flag).
+
+    Enumerates every exact-recall geometry — ``band_bits`` dividing
+    ``bits`` (or the caller's fixed value), ``key_blocks`` up to
+    ``blocks - max_hamming`` (pigeonhole) under the 512-band explode cap —
+    and minimizes the expected row model for uniform signatures::
+
+        cost = n * C(blocks, k)                    (band-exploded rows)
+             + C(blocks, k) * n^2 / 2^(k*bb + 1)   (candidate pairs)
+
+    Small corpora get single-block bands (minimal explode); large corpora
+    widen keys (``key_blocks`` up, the Manku block-combination scheme)
+    because candidate pairs dominate — measured at 50k 60-bit fake
+    signatures: k=1 -> ~195M candidates / 75.8 s, k=2 -> ~14x fewer /
+    16.6 s, same exact pair set. Deterministic: ties break toward fewer
+    bands, then wider band_bits."""
+    from math import comb
+
+    bbs = [band_bits] if band_bits is not None else [
+        bb for bb in range(3, min(bits, 17)) if bits % bb == 0
+    ]
+    best = None
+    for bb in bbs:
+        blocks = bits // bb
+        for k in range(1, max(blocks - max_hamming, 0) + 1):
+            bands = comb(blocks, k)
+            if bands > 512:
+                break
+            cost = n * bands + bands * n * n / (2.0 ** (k * bb + 1))
+            cand = (cost, bands, -bb, bb, k)
+            if best is None or cand < best:
+                best = cand
+    if best is None:
+        raise ValueError(
+            f"no exact-recall band geometry exists for bits={bits}, "
+            f"max_hamming={max_hamming}"
+            + (f", band_bits={band_bits}" if band_bits is not None else "")
+            + " — lower max_hamming or widen the signature"
+        )
+    return best[3], best[4]
+
+
 def banded_hamming_pairs(
     sig: DataFrame,
     id_col: str,

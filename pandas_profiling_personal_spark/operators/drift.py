@@ -153,6 +153,28 @@ def drift_profile(
     return out.orderBy("column")
 
 
+def round_half_up(x: float | None, ndigits: int) -> float | None:
+    """Round half AWAY from zero — the SQL ``round()`` rule DuckDB and
+    Spark's ``F.round`` share. Python's builtin ``round()`` is banker's
+    (half-to-even), so an exact tie at the ``ndigits``-th decimal diverges
+    between a Python-side finalization and a SQL oracle (review r8 — the
+    hazard ``audio_metadata_query`` worked around by exclusion). Driver-side
+    finalizations that an oracle re-derives must use THIS."""
+    if x is None:
+        return None
+    from decimal import ROUND_HALF_UP, Decimal
+
+    # Decimal(x), NOT Decimal(repr(x)): the EXACT binary expansion is what
+    # both engines round (Spark: java BigDecimal(double) HALF_UP; DuckDB:
+    # scaled std::round) — the shortest-repr decimal would call a near-tie
+    # like 0.1234565 (binary ...64999) a tie and round it the other way
+    return float(
+        Decimal(x).quantize(
+            Decimal(1).scaleb(-ndigits), rounding=ROUND_HALF_UP
+        )
+    )
+
+
 def _col_window():
     from pyspark.sql import Window
 
@@ -407,7 +429,7 @@ def embedding_drift(
         p = (r[f"c{b}_a"] + eps) / (n_a + eps * bins)
         q = (r[f"c{b}_b"] + eps) / (n_b + eps * bins)
         psi += (p - q) * math.log(p / q)
-        shift = round(abs(p - q), round_to)
+        shift = round_half_up(abs(p - q), round_to)
         if shift > best_shift:
             best_shift, best_bucket = shift, b
 
@@ -423,7 +445,9 @@ def embedding_drift(
         var_a = max(r[f"q{i}_a"] / n_a - mean_a[i] ** 2, 0.0)
         var_b = max(r[f"q{i}_b"] / n_b - mean_b[i] ** 2, 0.0)
         pooled = math.sqrt((var_a + var_b) / 2.0)
-        dshift = round(abs(mean_a[i] - mean_b[i]) / (pooled + eps), round_to)
+        dshift = round_half_up(
+            abs(mean_a[i] - mean_b[i]) / (pooled + eps), round_to
+        )
         if dshift > best_dshift:
             best_dshift, best_dim = dshift, i
 
@@ -432,10 +456,10 @@ def embedding_drift(
             (
                 n_a,
                 n_b,
-                round(psi, round_to),
+                round_half_up(psi, round_to),
                 best_bucket,
-                round(cos, round_to) if cos is not None else None,
-                round(l2, round_to),
+                round_half_up(cos, round_to),
+                round_half_up(l2, round_to),
                 best_dim,
                 best_dshift,
             )

@@ -308,7 +308,17 @@ def _parse_netpbm(data: bytes) -> "np.ndarray | None":
             return None
         n = w * h * (3 if kind in "36" else 1)
         if kind in "56":
-            i += 1  # exactly one whitespace byte after maxval
+            # the spec demands EXACTLY ONE whitespace byte between maxval and
+            # the raster — verify it rather than assume: a CRLF writer or a
+            # stray comment here would shift the pixel offset and produce
+            # silently WRONG perceptual hashes (review r8); one \r\n pair is
+            # tolerated as the single "newline"
+            ws = data[i : i + 1]
+            if not ws.isspace():
+                return None
+            i += 1
+            if ws == b"\r" and data[i : i + 1] == b"\n":
+                i += 1
             dt = np.uint8 if maxval < 256 else np.dtype(">u2")
             px = np.frombuffer(data, dt, count=n, offset=i).astype(np.float64)
         else:
@@ -544,7 +554,7 @@ def image_near_duplicates(
     max_hamming: int = 7,
     band_bits: int | None = None,
     bits: int | None = None,
-    key_blocks: int = 1,
+    key_blocks: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs of perceptually near-duplicate images —
     the image-side analogue of MinHash text near-dup, and the scale-path
@@ -567,20 +577,37 @@ def image_near_duplicates(
     quadratic — review r7); an independent SQL engine reproduces the fake
     tier's exact pair set.
 
-    Scale note: the default single-block bands cap key width at
-    ``bits/(max_hamming+1)`` bits, which goes quadratic at corpus scale
-    (64-256 buckets per band). For large corpora pass ``key_blocks=2``
-    (keys concatenate two blocks — e.g. ``max_hamming=6, band_bits=8,
-    key_blocks=2`` gives 28 bands of 16-bit keys over 64-bit hashes) —
-    same exact-recall guarantee, ~an order of magnitude fewer candidate
-    pairs; see :func:`...operators.dedup.banded_hamming_pairs`."""
+    Scale note: ``key_blocks=None`` (the default) AUTO-SIZES the band
+    geometry from the corpus count via
+    :func:`...operators.dedup.auto_band_geometry` — small corpora get
+    single-block bands (minimal explode), large corpora widen keys by
+    concatenating blocks (the Manku block-combination scheme: e.g. 60-bit
+    fake signatures at 50k docs pick multi-block keys for ~14x fewer
+    candidate pairs at the SAME exact-recall radius; measured 75.8 s ->
+    16.6 s at sf1 — review r7/r8: the scale-safe tier is the default, not
+    a flag). The sizing count on the INPUT frame is metadata-only for a
+    parquet scan; pass explicit ``key_blocks`` (and ``band_bits``) to
+    skip it and pin a geometry — the PAIR SET is identical for every
+    valid geometry, only the plan changes."""
     from pandas_profiling_personal_spark.operators.dedup import (
+        auto_band_geometry,
         banded_hamming_pairs,
     )
 
+    if decoder == "auto":
+        # resolve the tier BEFORE picking hash geometry: in a PIL-free
+        # environment 'auto' decodes with the fake tier's 60-bit md5
+        # signatures, and banding those as bits=64/band_bits=8 leaves a
+        # degenerate 16-key top band that silently goes quadratic
+        # (review r8)
+        decoder = "real" if _pil_available() else "fake"
     if bits is None:
         bits = 60 if decoder == "fake" else 64
-    if band_bits is None:
+    if key_blocks is None:
+        band_bits, key_blocks = auto_band_geometry(
+            df.count(), bits, max_hamming, band_bits
+        )
+    elif band_bits is None:
         band_bits = 6 if decoder == "fake" else 8
     sig = (
         media_metadata(df, binary_col, decoder)
@@ -764,7 +791,11 @@ def image_dedup_keep_list(
 
 
 def media_profile(
-    df: DataFrame, binary_col: str, decoder: str = "fake", exif: bool = False
+    df: DataFrame,
+    binary_col: str,
+    decoder: str = "fake",
+    exif: bool = False,
+    exif_max_keys: int = 256,
 ) -> dict:
     """Aggregate media statistics: byte-size stats, format histogram, dimension
     stats, duplicate-content groups — one decode pass + ordinary aggregations
@@ -829,10 +860,17 @@ def media_profile(
             ).where(F.col("k").isNotNull())
             kv = kv.persist(StorageLevel.MEMORY_AND_DISK)
             try:
+                # top-``exif_max_keys`` keys by count, NOT every distinct
+                # key: real EXIF tag vocabularies are tiny, but hostile
+                # metadata can mint arbitrary key strings and an unbounded
+                # rollup would land them all on the driver (review r7) —
+                # the explicit limit makes the transfer bound a contract
                 out["exif_keys"] = {
                     r["k"]: r["cnt"]
                     for r in kv.groupBy("k")
                     .agg(F.count(F.lit(1)).alias("cnt"))
+                    .orderBy(F.desc("cnt"), "k")
+                    .limit(exif_max_keys)
                     .collect()
                 }
                 from pandas_profiling_personal_spark.operators.frequencies import (
@@ -840,11 +878,19 @@ def media_profile(
                 )
 
                 vals: dict[str, dict[str, int]] = {}
-                vc = kv.groupBy(
-                    F.col("k").alias("column"), F.col("v").alias("value")
-                ).agg(F.count(F.lit(1)).alias("count"))
-                for r in top_k_counts(vc, 10).collect():
-                    vals.setdefault(r["column"], {})[r["value"]] = r["count"]
+                if out["exif_keys"]:  # isin() rejects an empty list
+                    vc = (
+                        kv.where(F.col("k").isin(*out["exif_keys"]))
+                        .groupBy(
+                            F.col("k").alias("column"),
+                            F.col("v").alias("value"),
+                        )
+                        .agg(F.count(F.lit(1)).alias("count"))
+                    )
+                    for r in top_k_counts(vc, 10).collect():
+                        vals.setdefault(r["column"], {})[r["value"]] = r[
+                            "count"
+                        ]
                 out["exif_values"] = vals
             finally:
                 kv.unpersist()

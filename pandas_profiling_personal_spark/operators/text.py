@@ -513,16 +513,24 @@ def pack_sequences(
 
     Scale shape: a global prefix sum WITHOUT a single-partition global
     window — the two-phase pattern: (1) a cumsum windowed inside
-    order-aligned id buckets (``floor(id / bucket_size)``), (2) bucket
-    totals (|buckets| rows, bounded) cumsum'd over the small rollup and
-    broadcast back as per-bucket offsets. Shuffles: one bucket-keyed
-    window exchange + one bounded rollup; pick ``bucket_size`` so
-    |buckets| stays in the thousands at your corpus size."""
+    order-aligned id buckets, (2) bucket totals (|buckets| rows, bounded)
+    cumsum'd over the small rollup and broadcast back as per-bucket
+    offsets. NUMERIC ids bucket arithmetically (``floor(id /
+    bucket_size)`` — one window exchange; pick ``bucket_size`` so
+    |buckets| stays in the thousands at your corpus size); any OTHER
+    orderable id type (string doc ids, timestamps) buckets by
+    ``repartitionByRange(id)`` + partition id — the range partitioner
+    guarantees order-aligned buckets for any orderable type, at the cost
+    of one extra exchange (its sampled boundaries do NOT affect the
+    output: ``start_token`` depends only on global id order, which every
+    order-aligned bucketing reproduces; ``bucket_size`` is ignored on
+    this path)."""
     from pyspark.sql import Window
+    from pyspark.sql.types import NumericType
 
     t = F.coalesce(S.col(count_col).cast("long"), F.lit(0))
     L = F.lit(int(context_len))
-    b = F.floor(S.col(id_col) / F.lit(int(bucket_size)))
+    numeric_id = isinstance(df.schema[id_col].dataType, NumericType)
     # ROWS frame, not the default RANGE frame: RANGE collapses rows TIED on
     # the order key into one cumulative group, so two rows sharing an id
     # would both read the tie-group total and claim overlapping token
@@ -535,9 +543,16 @@ def pack_sequences(
         .orderBy(S.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    within = df.select(
-        S.col(id_col), t.alias("__t"), b.alias("__b")
-    ).withColumn("__cum_in", F.sum("__t").over(w_in))
+    if numeric_id:
+        b = F.floor(S.col(id_col) / F.lit(int(bucket_size)))
+        bucketed = df.select(S.col(id_col), t.alias("__t"), b.alias("__b"))
+    else:
+        bucketed = (
+            df.select(S.col(id_col), t.alias("__t"))
+            .repartitionByRange(S.col(id_col))
+            .withColumn("__b", F.spark_partition_id().cast("long"))
+        )
+    within = bucketed.withColumn("__cum_in", F.sum("__t").over(w_in))
     # bucket totals: a bounded rollup; its cumsum runs over |buckets| rows
     w_b = Window.orderBy("__b").rowsBetween(
         Window.unboundedPreceding, -1

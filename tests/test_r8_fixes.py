@@ -1,0 +1,220 @@
+"""Round-8 review fixes: auto band geometry, half-up rounding, string-id
+packing, hardened netpbm header, EXIF key cap, decoder='auto' resolution."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_auto_band_geometry_scales_with_n():
+    """Small corpora pick minimal-explode single-block bands; large corpora
+    widen keys (Manku block combinations) because candidate pairs dominate.
+    Every returned geometry keeps the pigeonhole exact-recall guarantee."""
+    from pandas_profiling_personal_spark.operators.dedup import (
+        auto_band_geometry,
+    )
+
+    bb_small, k_small = auto_band_geometry(100, 60, 8)
+    bb_large, k_large = auto_band_geometry(50_000, 60, 8)
+    for bb, k in ((bb_small, k_small), (bb_large, k_large)):
+        assert 60 % bb == 0
+        assert 1 <= k <= 60 // bb - 8  # pigeonhole: >=1 unperturbed key
+    assert k_small == 1, "tiny corpus must not pay a wide explode"
+    assert (k_large, bb_large) != (k_small, bb_small) and (
+        k_large * bb_large > k_small * bb_small
+    ), "50k corpus must widen the key past the single-block tier"
+    # honors a caller-pinned band_bits
+    bb_fix, _ = auto_band_geometry(50_000, 64, 6, band_bits=8)
+    assert bb_fix == 8
+    # deterministic
+    assert auto_band_geometry(50_000, 60, 8) == (bb_large, k_large)
+    # infeasible radius -> explicit error, not a silent bad geometry
+    with pytest.raises(ValueError, match="no exact-recall"):
+        auto_band_geometry(1000, 8, 64)
+
+
+def test_banded_hamming_pairs_geometry_equivalence(spark):
+    """The PAIR SET is a function of (signatures, max_hamming) only — every
+    valid band geometry, auto or pinned, returns the identical set (the
+    r7 all-pairs-rebuild guarantee, now asserted across geometries)."""
+    from pandas_profiling_personal_spark.operators.dedup import (
+        auto_band_geometry,
+        banded_hamming_pairs,
+    )
+
+    # deterministic 60-bit signatures with planted near-dup structure
+    base = spark.range(0, 120).select(
+        F.col("id"),
+        (
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            .bitwiseAND(F.lit((1 << 60) - 1))
+        ).alias("sig"),
+    )
+    # plant exact + 1-bit + 3-bit neighbours of doc 0..9 as ids 1000+
+    planted = base.where(F.col("id") < 10).select(
+        (F.col("id") + 1000).alias("id"),
+        F.col("sig").bitwiseXOR(
+            F.when(F.col("id") % 3 == 0, F.lit(0))
+            .when(F.col("id") % 3 == 1, F.lit(1 << 17))
+            .otherwise(F.lit((1 << 3) + (1 << 31) + (1 << 55)))
+        ).alias("sig"),
+    )
+    sig = base.unionByName(planted)
+
+    def pairs(bb, k):
+        return {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in banded_hamming_pairs(
+                sig, "id", "sig", bits=60, max_hamming=4,
+                band_bits=bb, key_blocks=k,
+            ).collect()
+        }
+
+    auto_bb, auto_k = auto_band_geometry(130, 60, 4)
+    golden = pairs(auto_bb, auto_k)
+    assert len(golden) >= 10  # all planted pairs found
+    assert pairs(6, 1) == golden
+    assert pairs(6, 2) == golden
+    assert pairs(10, 1) == golden
+    assert pairs(10, 2) == golden
+
+
+def test_round_half_up_vs_bankers():
+    """SQL round() (DuckDB + Spark F.round) is half-away-from-zero; Python's
+    builtin is banker's. Driver-side finalizations an oracle re-derives must
+    round half-up (review r8 — the embedding_drift tie hazard)."""
+    from pandas_profiling_personal_spark.operators.drift import round_half_up
+
+    # exact binary ties where banker's diverges
+    assert round(0.125, 2) == 0.12  # the hazard
+    assert round_half_up(0.125, 2) == 0.13
+    assert round_half_up(0.375, 2) == 0.38
+    assert round_half_up(2.5, 0) == 3.0
+    assert round_half_up(-2.5, 0) == -3.0  # away from zero, not toward +inf
+    assert round_half_up(None, 4) is None
+    # non-ties unchanged
+    assert round_half_up(0.1234, 2) == 0.12
+    # matches Spark's own F.round on the tie
+    spark_val = None
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            spark_val = s.sql("select round(0.125d, 2) v").collect()[0]["v"]
+    except Exception:
+        pass
+    if spark_val is not None:
+        assert round_half_up(0.125, 2) == spark_val
+
+
+def test_pack_sequences_string_ids(spark):
+    """String doc ids (explicitly supported across the dedup family) must
+    pack identically to the numeric path: start_token depends only on global
+    id order, which the range-partitioned bucketing reproduces (review r8 —
+    the floor(id/bucket_size) path silently required numeric ids and failed
+    analysis under ANSI)."""
+    from pandas_profiling_personal_spark.operators.text import pack_sequences
+
+    toks = [37, 0, 512, 2048, 1, 100, 900, 3000, 5, 64]
+    num = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id long, n_tokens long"
+    )
+    # zero-padded strings sort in the same order as the ints
+    txt = spark.createDataFrame(
+        [(f"doc-{i:04d}", t) for i, t in enumerate(toks)],
+        "doc_id string, n_tokens long",
+    )
+    want = {
+        f"doc-{r['doc_id']:04d}": (r["start_token"], r["seq_first"], r["seq_last"])
+        for r in pack_sequences(num, context_len=1000).collect()
+    }
+    got = {
+        r["doc_id"]: (r["start_token"], r["seq_first"], r["seq_last"])
+        for r in pack_sequences(txt, context_len=1000).collect()
+    }
+    assert got == want
+    # single partition after repartitionByRange still correct (tiny input)
+    one = pack_sequences(txt.coalesce(1), context_len=1000).collect()
+    assert {
+        r["doc_id"]: (r["start_token"], r["seq_first"], r["seq_last"])
+        for r in one
+    } == want
+
+
+def test_parse_netpbm_header_whitespace_hardening():
+    """Binary P5/P6 require exactly one whitespace byte after maxval; a CRLF
+    pair is tolerated as the single newline, anything else returns None
+    instead of decoding pixels at the wrong offset (review r8 — a shifted
+    raster yields a silently WRONG perceptual hash, i.e. wrong pairs)."""
+    import numpy as np
+
+    from pandas_profiling_personal_spark.operators.multimodal import (
+        _parse_netpbm,
+        phash_gray,
+    )
+
+    img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 256
+    body = img.tobytes()
+    lf = b"P5 8 8 255\n" + body
+    crlf = b"P5 8 8 255\r\n" + body
+    cr = b"P5 8 8 255\r" + body
+    ref = _parse_netpbm(lf)
+    assert ref is not None
+    assert np.array_equal(_parse_netpbm(crlf), ref), "CRLF must not shift"
+    assert np.array_equal(_parse_netpbm(cr), ref), "lone CR is one ws byte"
+    assert phash_gray(_parse_netpbm(crlf)) == phash_gray(ref)
+    # non-whitespace after maxval -> reject, don't mis-offset
+    assert _parse_netpbm(b"P5 8 8 255#" + body) is None
+    assert _parse_netpbm(b"P5 8 8 255x" + body) is None
+
+
+def test_media_profile_exif_key_cap(spark):
+    """The EXIF key rollup is driver-bounded: top-``exif_max_keys`` keys by
+    count (ties by name), and exif_values only covers the kept keys — hostile
+    minted metadata can't unbound the collect (review r7 item 7)."""
+    from tests.test_surfaces import _exif_jpeg_fixture
+
+    from pandas_profiling_personal_spark.operators.multimodal import (
+        media_profile,
+    )
+
+    jpg = _exif_jpeg_fixture()
+    df = spark.createDataFrame([(1, jpg), (2, jpg)], "id long, blob binary")
+    full = media_profile(df, "blob", exif=True)
+    assert set(full["exif_keys"]) == {"Make", "Model", "Orientation"}
+
+    capped = media_profile(df, "blob", exif=True, exif_max_keys=2)
+    # all three tie at count 2 -> lexicographic tiebreak keeps Make, Model
+    assert capped["exif_keys"] == {"Make": 2, "Model": 2}
+    assert set(capped["exif_values"]) <= {"Make", "Model"}
+
+    # degenerate cap of 0 keys -> empty dicts, no isin([]) crash
+    none = media_profile(df, "blob", exif=True, exif_max_keys=0)
+    assert none["exif_keys"] == {} and none["exif_values"] == {}
+
+
+def test_image_near_duplicates_auto_decoder_geometry(spark):
+    """decoder='auto' must resolve to the EFFECTIVE tier before picking hash
+    geometry: in a PIL-free env it decodes fake 60-bit signatures, and
+    banding those at bits=64 leaves a degenerate 16-key top band that goes
+    quadratic (review r8). Auto must equal the explicit fake tier."""
+    from pandas_profiling_personal_spark.operators.multimodal import (
+        _pil_available,
+        image_near_duplicates,
+    )
+
+    if _pil_available():
+        pytest.skip("PIL present: auto resolves to the real tier")
+    rows = [
+        (1, b"\xff\xd8\xff" + b"jpegdata" * 10),
+        (2, b"\x89PNG\r\n" + b"pngdata" * 5),
+        (3, b"\x89PNG\r\n" + b"pngdata" * 5),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    auto = image_near_duplicates(df, "content", "id", decoder="auto").collect()
+    fake = image_near_duplicates(df, "content", "id", decoder="fake").collect()
+    assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in auto] == [
+        (r["doc_a"], r["doc_b"], r["hamming"]) for r in fake
+    ] == [(2, 3, 0)]
