@@ -52,20 +52,32 @@ _SPECS: dict[str, tuple] = {
     # since r4/r5); out — ngram_jaccard_pairs (kin dedup_clusters),
     # media_metadata (kin image_near_dup), embedding_stats (kin
     # embedding_drift), token_overlap (kin contamination),
-    # top_duplicates_lineitem (kin duplicate_stats_orders). All entries —
-    # both windows — are verified by tests/test_oracle_parity.py locally
-    # every round.
+    # top_duplicates_lineitem (kin duplicate_stats_orders). r8 rotation:
+    # in — the five r7 tail additions that have never had a driver row
+    # (image_dedup_keep_list, pack_sequences, audio_metadata, lm_perplexity,
+    # canonical_url) plus cosine_topk + session_stats (stale since r4);
+    # out — image_near_dup (kin image_dedup_keep_list, which runs the same
+    # decode->phash->banded-pairs pipeline plus clustering), exact_dedup
+    # (kin incremental_exact_dedup), drift_psi_categorical (kin
+    # drift_psi_lineitem), grouped_top_k (kin top_k_part_brand), mad (kin
+    # numeric_summary quantile machinery), value_counts_returnflag (kin
+    # value-count head of top_k/char_counts), phik_contingency (kin
+    # cramers_v contingency shuffle) — all seven r7-green, so their family
+    # evidence is fresh while they sit out. numeric_summary_nation stays in
+    # the tail: same operator as in-window numeric_summary_lineitem. All
+    # entries — both windows — are verified by tests/test_oracle_parity.py
+    # locally every round.
     "numeric_summary_lineitem": (
         P.numeric_summary_query("lineitem", LINEITEM_NUMERIC),
         P.numeric_summary_sql("lineitem", LINEITEM_NUMERIC),
     ),
-    "mad_lineitem": (
-        P.mad_query("lineitem", ["l_quantity", "l_extendedprice", "l_discount"]),
-        P.mad_sql("lineitem", ["l_quantity", "l_extendedprice", "l_discount"]),
+    "image_dedup_keep_list_documents": (
+        PP.image_dedup_keep_list_query(),
+        PP.image_dedup_keep_list_sql(),
     ),
-    "value_counts_returnflag": (
-        P.value_counts_query("lineitem", "l_returnflag"),
-        P.value_counts_sql("lineitem", "l_returnflag"),
+    "pack_sequences_documents": (
+        PP.pack_sequences_query(),
+        PP.pack_sequences_sql(),
     ),
     "top_k_part_brand": (
         P.top_k_query("part", "p_brand", 5),
@@ -149,9 +161,9 @@ _SPECS: dict[str, tuple] = {
         P.scatter_query("lineitem", "l_quantity", "l_extendedprice", 16),
         P.scatter_sql("lineitem", "l_quantity", "l_extendedprice", 16),
     ),
-    "phik_contingency_lineitem": (
-        P.phik_contingency_query("lineitem", "l_quantity", "l_returnflag"),
-        P.phik_contingency_sql("lineitem", "l_quantity", "l_returnflag"),
+    "session_stats_events": (
+        P.session_stats_query("events", "user_id", "ts", 30),
+        P.session_stats_sql("events", "user_id", "ts", 30),
     ),
     "url_parts_events": (P.url_parts_query(), P.url_parts_sql()),
     "tfidf_top_terms_documents": (
@@ -223,13 +235,31 @@ _SPECS: dict[str, tuple] = {
         PP.ivf_topk_query(5, 5, 16, 4),
         PP.ivf_topk_sql(5, 5, 16, 4),
     ),
-    "image_near_dup_documents": (
-        PP.image_near_dup_query(),
-        PP.image_near_dup_sql(),
+    "audio_metadata_documents": (
+        PP.audio_metadata_query(),
+        PP.audio_metadata_sql(),
     ),
     "embedding_drift_embeddings": (
         PP.embedding_drift_query(),
         PP.embedding_drift_sql(),
+    ),
+    "lm_perplexity_documents": (
+        PP.lm_perplexity_query(),
+        PP.lm_perplexity_sql(),
+    ),
+    "canonical_url_events": (
+        PP.canonical_url_query(),
+        PP.canonical_url_sql(),
+    ),
+    "cosine_topk_embeddings": (
+        PP.cosine_topk_query(5, 5),
+        PP.cosine_topk_sql(5, 5),
+    ),
+    # ---- entry 51+ — outside the driver's 50-row window: redundant family
+    # variants and rows-only-by-design queries (local oracle still covers all)
+    "image_near_dup_documents": (
+        PP.image_near_dup_query(),
+        PP.image_near_dup_sql(),
     ),
     "exact_dedup_documents": (
         PP.exact_duplicates_query(),
@@ -243,11 +273,17 @@ _SPECS: dict[str, tuple] = {
         P.grouped_top_k_query(),
         P.grouped_top_k_sql(),
     ),
-    # ---- entry 51+ — outside the driver's 50-row window: redundant family
-    # variants and rows-only-by-design queries (local oracle still covers all)
-    "cosine_topk_embeddings": (
-        PP.cosine_topk_query(5, 5),
-        PP.cosine_topk_sql(5, 5),
+    "mad_lineitem": (
+        P.mad_query("lineitem", ["l_quantity", "l_extendedprice", "l_discount"]),
+        P.mad_sql("lineitem", ["l_quantity", "l_extendedprice", "l_discount"]),
+    ),
+    "value_counts_returnflag": (
+        P.value_counts_query("lineitem", "l_returnflag"),
+        P.value_counts_sql("lineitem", "l_returnflag"),
+    ),
+    "phik_contingency_lineitem": (
+        P.phik_contingency_query("lineitem", "l_quantity", "l_returnflag"),
+        P.phik_contingency_sql("lineitem", "l_quantity", "l_returnflag"),
     ),
     # rows-only: LSH bucket membership depends on FP dot-product signs an
     # independent engine can't reproduce bit-for-bit; recall is unit-tested
@@ -255,10 +291,6 @@ _SPECS: dict[str, tuple] = {
     "minhash_signatures_documents": (
         PP.minhash_signatures_query(16),
         PP.minhash_signatures_sql(16),
-    ),
-    "session_stats_events": (
-        P.session_stats_query("events", "user_id", "ts", 30),
-        P.session_stats_sql("events", "user_id", "ts", 30),
     ),
     "numeric_summary_nation": (
         P.numeric_summary_query("nation", ["n_nationkey", "n_regionkey"]),
@@ -336,26 +368,6 @@ _SPECS: dict[str, tuple] = {
     "top_duplicates_lineitem": (
         P.top_duplicates_query("lineitem", DUP_SUBSET, 10),
         P.top_duplicates_sql("lineitem", DUP_SUBSET, 10),
-    ),
-    "image_dedup_keep_list_documents": (
-        PP.image_dedup_keep_list_query(),
-        PP.image_dedup_keep_list_sql(),
-    ),
-    "pack_sequences_documents": (
-        PP.pack_sequences_query(),
-        PP.pack_sequences_sql(),
-    ),
-    "audio_metadata_documents": (
-        PP.audio_metadata_query(),
-        PP.audio_metadata_sql(),
-    ),
-    "lm_perplexity_documents": (
-        PP.lm_perplexity_query(),
-        PP.lm_perplexity_sql(),
-    ),
-    "canonical_url_events": (
-        PP.canonical_url_query(),
-        PP.canonical_url_sql(),
     ),
 }
 
