@@ -70,12 +70,29 @@ def main() -> None:
     # configuration that scales; exact tier is for the oracle gate)
     from pyspark.sql import functions as F
 
+    # per-attempt times for the three flagships go into BENCH_FULL verbatim:
+    # the r7 driver sweep recorded the lineitem flagship at 28.1 s inside a
+    # host-throttle window while the same commit measured 11.5 s min-of-3 —
+    # with the attempts recorded, a throttle window is self-evident from the
+    # artifact (one 40 s outlier next to two ~11 s runs) instead of needing
+    # after-the-fact adjudication
+    attempts: dict[str, list[float]] = {}
+
+    def flagship_wall(name: str, run, n: int = 3) -> float:
+        best = float("inf")
+        attempts[name] = []
+        for _ in range(n):
+            t0 = time.time()
+            run()
+            el = time.time() - t0
+            attempts[name].append(round(el, 3))
+            best = min(best, el)
+        return best
+
     df = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
-    flagship = float("inf")
-    for _ in range(2):  # min-of-2 (same pause rationale as timed() below)
-        t0 = time.time()
-        profile(df, ProfileConfig(exact=False))
-        flagship = min(flagship, time.time() - t0)
+    flagship = flagship_wall(
+        "full_profile_lineitem", lambda: profile(df, ProfileConfig(exact=False))
+    )
 
     timings: dict[str, float] = {"full_profile_lineitem": round(flagship, 3)}
 
@@ -98,13 +115,11 @@ def main() -> None:
     except Exception:
         pass
     wide = wide100_frame(df)
-    # min-of-2 like everything else: host-level throttle windows (see
+    # min-of-3 like the other flagships: host-level throttle windows (see
     # PERFORMANCE.md variance caveat) can inflate a single 50 s run 2-3x
-    wide_wall = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        profile(wide, ProfileConfig(exact=False))
-        wide_wall = min(wide_wall, time.time() - t0)
+    wide_wall = flagship_wall(
+        "full_profile_wide100", lambda: profile(wide, ProfileConfig(exact=False))
+    )
     timings["full_profile_wide100"] = round(wide_wall, 3)
 
     # breadth: the events table (nano-timestamp ingestion, datetime describer,
@@ -113,11 +128,9 @@ def main() -> None:
     # state precisely because it was the only single-shot flagship and the
     # sweep ran inside a host-throttle window (PERFORMANCE.md r7)
     ev = read_parquet(spark, f"{sf_dir}/events.parquet")
-    ev_wall = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        profile(ev, ProfileConfig(exact=False))
-        ev_wall = min(ev_wall, time.time() - t0)
+    ev_wall = flagship_wall(
+        "full_profile_events", lambda: profile(ev, ProfileConfig(exact=False))
+    )
     timings["full_profile_events"] = round(ev_wall, 3)
 
     def timed(run) -> float:
@@ -142,7 +155,17 @@ def main() -> None:
             elapsed = min(elapsed, time.time() - t0)
         return round(elapsed, 3)
 
-    for name, fn in E.queries().items():
+    qitems = list(E.queries().items())
+    canary_mid = None
+    for i, (name, fn) in enumerate(qitems):
+        if i == len(qitems) // 2:
+            # mid-sweep canary: the pre-JVM canary dates the host's speed at
+            # sweep START; a throttle window opening mid-sweep (the r7
+            # artifact) is only visible from a second sample. Polluted by the
+            # live 32-thread session, so compare mid-to-mid across runs, not
+            # mid-to-pre — a 3x+ mid/pre ratio next to a normal pre canary
+            # is the throttle signature
+            canary_mid = _cpu_canary()
         timings[name] = timed(lambda: fn(spark, sf_dir).collect())
 
     # pipeline headliners at bench scale (not oracle-tier params): near-dup
@@ -196,9 +219,11 @@ def main() -> None:
         "value": round(flagship, 3),
         "unit": "sec",
         "queries": timings,
+        "flagship_attempts": attempts,
         "sf": sf_val,
         "host_load_1m": _loadavg(),
         "cpu_canary_sec": canary,
+        "cpu_canary_mid_sec": canary_mid,
     }
     # the full 60+-query map makes one very long line that the driver's tail
     # capture truncated in r4 ("parsed": null) — so the full record goes to a
@@ -231,8 +256,10 @@ def main() -> None:
             if k in timings
         },
         "sf": sf_val,
+        "flagship_attempts": attempts.get("full_profile_lineitem"),
         "host_load_1m": _loadavg(),
         "cpu_canary_sec": canary,
+        "cpu_canary_mid_sec": canary_mid,
         "full_map": "BENCH_FULL.json",
     }
     print(json.dumps(headline))
