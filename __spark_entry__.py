@@ -369,6 +369,12 @@ _SPECS: dict[str, tuple] = {
         P.top_duplicates_query("lineitem", DUP_SUBSET, 10),
         P.top_duplicates_sql("lineitem", DUP_SUBSET, 10),
     ),
+    # r8 addition (tail — r9 window candidate): mergeable-Pearson shard
+    # states vs the whole-frame corr an independent engine computes
+    "incremental_pearson_lineitem": (
+        PP.incremental_pearson_query(),
+        PP.incremental_pearson_sql(),
+    ),
 }
 
 

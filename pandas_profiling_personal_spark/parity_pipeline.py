@@ -2014,3 +2014,66 @@ SELECT event_id,
        || '?a=1&b=' || CAST(coalesce(event_id, -9) % 5 AS VARCHAR) AS curl
 FROM events
 """
+
+
+# --------------------------------------------------------------------------------
+# Incremental mergeable Pearson (plans/incremental.py) — shard states merged
+# driver-side must reproduce the whole-frame correlation matrix an independent
+# engine computes in one pass (the r8 addition closing the one profile section
+# the incremental mode lacked; the reference computes correlations per-snapshot
+# only, model/correlations.py:102-137)
+# --------------------------------------------------------------------------------
+
+
+def incremental_pearson_query(
+    n_shards: int = 3,
+    cols: tuple = ("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+) -> QueryFn:
+    """Split lineitem into ``n_shards`` disjoint shards, profile each with
+    ``correlations=True`` (six co-moment sums per pair riding the moment
+    pass), merge the states, finalize to the Pearson matrix. Exactness is
+    the whole point: the oracle computes ``corr`` over the UNSHARDED frame,
+    so a hash-match proves the Chan/Pébay pairwise merge is exact — not
+    approximately right — across an arbitrary split."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.drift import (
+            round_half_up,
+        )
+        from pandas_profiling_personal_spark.plans.incremental import (
+            merge_partials,
+            partial_profile,
+            pearson_of,
+        )
+
+        li = load(spark, sf_dir, "lineitem").select(*cols)
+        key = F.col("l_extendedprice").cast("long") % n_shards
+        parts = [
+            partial_profile(li.where(key == i), correlations=True)
+            for i in range(n_shards)
+        ]
+        mat = pearson_of(merge_partials(parts))
+        rows = [
+            (a, b, round_half_up(v, 6) if v is not None else None)
+            for (a, b), v in sorted(mat.items())
+        ]
+        return spark.createDataFrame(
+            rows, "col_a string, col_b string, corr double"
+        )
+
+    return fn
+
+
+def incremental_pearson_sql(
+    n_shards: int = 3,
+    cols: tuple = ("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+) -> str:
+    from itertools import combinations
+
+    pairs = sorted(combinations(cols, 2))
+    selects = [
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"round(corr({a}, {b}), 6) AS corr FROM lineitem"
+        for a, b in pairs
+    ]
+    return "\nUNION ALL ".join(selects)

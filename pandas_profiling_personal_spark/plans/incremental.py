@@ -96,10 +96,35 @@ class ColumnState:
 
 
 @dataclass
+class PairState:
+    """Mergeable pairwise-Pearson state for one numeric column pair, over
+    the PAIRWISE-COMPLETE rows (both sides non-null — the same row set
+    Spark's ``covar_samp``/``corr`` and the batch ``safe_corr`` use).
+    ``cxx``/``cyy``/``cxy`` are central co-moment SUMS Σ(x−mx)(y−my) etc.
+    The batch ``safe_corr`` divides the pairwise covariance by the
+    PER-COLUMN sample stds, so finalization takes the denominator from the
+    per-column ``ColumnState.m2`` sums; the pairwise ``cxx``/``cyy`` are
+    carried anyway — they cost nothing extra in the same aggregate and
+    enable an ``F.corr``-style fully-pairwise variant."""
+
+    n: int = 0
+    mx: float = 0.0
+    my: float = 0.0
+    cxx: float = 0.0
+    cyy: float = 0.0
+    cxy: float = 0.0
+
+
+@dataclass
 class PartialProfile:
     n: int
     columns: dict[str, ColumnState]
     n_shards: int = 1
+    #: pairwise co-moment states for the Pearson matrix, keyed (col_a, col_b)
+    #: in column order; None = shard profiled WITHOUT correlations (merging a
+    #: with-correlations state into a without-correlations state raises, like
+    #: mismatched histogram specs — a silent partial matrix would lie)
+    pairs: dict[tuple[str, str], PairState] | None = None
     #: sketch binaries pending a union (merging defers the Spark-side sketch
     #: union until finalize so merge_partials stays pure driver arithmetic)
     _pending: dict[str, dict[str, list[bytes]]] = field(default_factory=dict)
@@ -124,6 +149,14 @@ class PartialProfile:
                 "n": self.n,
                 "n_shards": self.n_shards,
                 "columns": {c: enc(cs) for c, cs in self.columns.items()},
+                "pairs": (
+                    None
+                    if self.pairs is None
+                    else [
+                        [a, b, ps.__dict__]
+                        for (a, b), ps in self.pairs.items()
+                    ]
+                ),
                 "pending": {
                     c: {
                         k: [base64.b64encode(x).decode() for x in v]
@@ -159,6 +192,13 @@ class PartialProfile:
             n=d["n"],
             columns={c: dec(cd) for c, cd in d["columns"].items()},
             n_shards=d.get("n_shards", 1),
+            pairs=(
+                None
+                if d.get("pairs") is None
+                else {
+                    (a, b): PairState(**pd) for a, b, pd in d["pairs"]
+                }
+            ),
         )
         out._pending = {
             c: {
@@ -175,6 +215,7 @@ def partial_profile(
     columns: list[str] | None = None,
     top_m: int = 40,
     histograms: int | dict[str, tuple[int, float, float]] | None = None,
+    correlations: bool = False,
 ) -> PartialProfile:
     """Profile ONE shard into a mergeable state. Three bounded actions:
     the wide scalar+sketch aggregate, the mean-shifted power-sum pass
@@ -188,7 +229,17 @@ def partial_profile(
     :func:`histogram_specs_of` of the result to every later shard so
     all states share edges and merge as vector adds). Datetime columns
     participate with epoch-second edges (``histogram_all``'s own
-    conversion), so their specs are plain floats too."""
+    conversion), so their specs are plain floats too.
+
+    ``correlations=True`` adds mergeable Pearson state: per numeric pair,
+    six co-moment sums over the pairwise-complete rows (the row set
+    ``covar_samp`` uses), shifted by the shard column means for
+    cancellation safety and RIDING THE SAME moment-pass aggregate — no
+    extra job. Merged states combine with the pairwise covariance update
+    (Chan et al. 1979 / Pébay 2008), so the merged matrix equals the
+    whole-frame ``pearson_matrix`` exactly; the reference computes
+    correlations per-snapshot only (model/correlations.py:102-137), so
+    the incremental tier exceeds it here."""
     types = variable_types(df)
     if columns is not None:
         types = {c: t for c, t in types.items() if c in columns}
@@ -309,8 +360,62 @@ def partial_profile(
             F.sum(d * d * d * d).alias(f"{p}_4"),
         ]
         targets.append((p, c))
+    # pairwise Pearson co-moment sums, folded into the SAME aggregate (one
+    # scan buys moments AND the correlation state). Shift each side by the
+    # shard column mean (any constant shift is exact for central co-moments;
+    # the mean keeps magnitudes small). Over PAIRWISE-COMPLETE rows, so the
+    # pair's own mean/count — which differ from the column's when nulls
+    # don't align — are recovered from the masked sums.
+    pair_keys: list[tuple[str, str]] = []
+    if correlations:
+        from itertools import combinations as _comb
+
+        shift = {
+            c: (
+                cols[c].m1
+                if cols[c].m1 is not None and math.isfinite(cols[c].m1)
+                else 0.0
+            )
+            for c in num
+        }
+        for k, (ca, cb) in enumerate(_comb(num, 2)):
+            w = S.col(ca).isNotNull() & S.col(cb).isNotNull()
+            dx = S.col(ca).cast("double") - F.lit(shift[ca])
+            dy = S.col(cb).cast("double") - F.lit(shift[cb])
+            q = f"pr{k}"
+            mexprs += [
+                F.count(F.when(w, 1)).alias(f"{q}_n"),
+                F.sum(F.when(w, dx)).alias(f"{q}_sx"),
+                F.sum(F.when(w, dy)).alias(f"{q}_sy"),
+                F.sum(F.when(w, dx * dx)).alias(f"{q}_sxx"),
+                F.sum(F.when(w, dy * dy)).alias(f"{q}_syy"),
+                F.sum(F.when(w, dx * dy)).alias(f"{q}_sxy"),
+            ]
+            pair_keys.append((ca, cb))
+    pairs: dict[tuple[str, str], PairState] | None = (
+        {} if correlations else None
+    )
     if mexprs:
         mrow = df.agg(*mexprs).collect()[0].asDict()
+        for k, (ca, cb) in enumerate(pair_keys):
+            q = f"pr{k}"
+            np_ = int(mrow[f"{q}_n"] or 0)
+            if np_ == 0:
+                pairs[(ca, cb)] = PairState()
+                continue
+            sx = float(mrow[f"{q}_sx"] or 0.0)
+            sy = float(mrow[f"{q}_sy"] or 0.0)
+            sxx = float(mrow[f"{q}_sxx"] or 0.0)
+            syy = float(mrow[f"{q}_syy"] or 0.0)
+            sxy = float(mrow[f"{q}_sxy"] or 0.0)
+            pairs[(ca, cb)] = PairState(
+                n=np_,
+                mx=shift[ca] + sx / np_,
+                my=shift[cb] + sy / np_,
+                cxx=sxx - sx * sx / np_,
+                cyy=syy - sy * sy / np_,
+                cxy=sxy - sx * sy / np_,
+            )
         for p, c in targets:
             cs = cols[c]
             cnt = cs.count
@@ -384,7 +489,7 @@ def partial_profile(
         for r in FQ.top_k_counts(vc, top_m).collect():
             cols[r["column"]].top_values[r["value"]] = int(r["count"])
 
-    return PartialProfile(n=n, columns=cols)
+    return PartialProfile(n=n, columns=cols, pairs=pairs)
 
 
 def histogram_specs_of(
@@ -437,6 +542,30 @@ def _merge_moments(a: ColumnState, b: ColumnState) -> None:
     a.m2, a.m3, a.m4 = m2, m3, m4
 
 
+def _merge_pair(a: PairState, b: PairState) -> None:
+    """Chan/Pébay pairwise covariance combination — exact for any shard
+    split; result written into ``a``. NaN/inf co-moments contaminate
+    through the arithmetic, mirroring a whole-frame ``covar_samp`` on the
+    same data."""
+    na, nb = a.n, b.n
+    if nb == 0:
+        return
+    if na == 0:
+        a.n, a.mx, a.my = b.n, b.mx, b.my
+        a.cxx, a.cyy, a.cxy = b.cxx, b.cyy, b.cxy
+        return
+    n = na + nb
+    dx = b.mx - a.mx
+    dy = b.my - a.my
+    f = na * nb / n
+    a.cxx = a.cxx + b.cxx + dx * dx * f
+    a.cyy = a.cyy + b.cyy + dy * dy * f
+    a.cxy = a.cxy + b.cxy + dx * dy * f
+    a.mx = a.mx + dx * nb / n
+    a.my = a.my + dy * nb / n
+    a.n = n
+
+
 def _is_nan(x: Any) -> bool:
     return isinstance(x, float) and math.isnan(x)
 
@@ -466,12 +595,35 @@ def merge_partials(parts: list[PartialProfile]) -> PartialProfile:
     if not parts:
         raise ValueError("need at least one PartialProfile")
     out = PartialProfile(n=0, columns={}, n_shards=0)
+    first = True
     for part in parts:
         if out.columns and set(out.columns) != set(part.columns):
             raise ValueError(
                 "column sets differ: "
                 f"{sorted(set(out.columns) ^ set(part.columns))}"
             )
+        # mergeable Pearson: all-or-nothing, like histogram specs — a
+        # silent partial correlation matrix would lie about coverage
+        if first:
+            out.pairs = (
+                None
+                if part.pairs is None
+                else {k: PairState(**ps.__dict__) for k, ps in part.pairs.items()}
+            )
+            first = False
+        elif (part.pairs is None) != (out.pairs is None):
+            raise ValueError(
+                "some shards carry Pearson state and some don't — profile "
+                "every shard with the same correlations= setting"
+            )
+        elif part.pairs is not None:
+            if set(part.pairs) != set(out.pairs):
+                raise ValueError(
+                    "Pearson pair sets differ between shards: "
+                    f"{sorted(set(part.pairs) ^ set(out.pairs))}"
+                )
+            for k, ps in part.pairs.items():
+                _merge_pair(out.pairs[k], ps)
         out.n += part.n
         out.n_shards += part.n_shards
         for c, cs in part.columns.items():
@@ -540,6 +692,47 @@ def merge_partials(parts: list[PartialProfile]) -> PartialProfile:
                 a.hist_counts = [
                     x + y for x, y in zip(a.hist_counts, cs.hist_counts)
                 ]
+    return out
+
+
+def pearson_of(
+    part: PartialProfile,
+) -> dict[tuple[str, str], float | None]:
+    """The Pearson matrix of a (merged) state — same shape and semantics as
+    the batch ``correlations.pearson_matrix`` (``safe_corr``:
+    ``covar_samp`` over pairwise-complete rows divided by the per-column
+    ``stddev_samp`` product), ``None`` when either side is constant or any
+    count is < 2 (the batch ``try_divide``/under-count null). Pure driver
+    arithmetic over the mergeable co-moment sums."""
+    if part.pairs is None:
+        raise ValueError(
+            "state carries no Pearson pairs — profile shards with "
+            "correlations=True"
+        )
+    out: dict[tuple[str, str], float | None] = {}
+    for (a, b), ps in part.pairs.items():
+        ca, cb = part.columns[a], part.columns[b]
+        # the batch denominator is the PER-COLUMN sample std (stddev_samp
+        # over each column's own non-null rows — safe_corr's shape), NOT the
+        # pairwise-complete std; with misaligned nulls the two differ, and
+        # matching the batch operator is the contract here. Both m2 sums are
+        # Pébay-merged, so this stays exact across any shard split.
+        if ps.n < 2 or ca.count < 2 or cb.count < 2:
+            out[(a, b)] = None  # covar_samp/stddev_samp null under-count
+            continue
+        cov = ps.cxy / (ps.n - 1)
+        denom = math.sqrt(
+            max(ca.m2, 0.0) / (ca.count - 1)
+        ) * math.sqrt(max(cb.m2, 0.0) / (cb.count - 1))
+        if denom == 0.0 or math.isnan(denom):
+            # constant side -> null (try_divide); NaN moments -> NaN
+            out[(a, b)] = (
+                float("nan")
+                if math.isnan(cov) or math.isnan(denom)
+                else None
+            )
+            continue
+        out[(a, b)] = cov / denom
     return out
 
 
@@ -648,8 +841,16 @@ def finalize_partial(
                 cs.top_values.items(), key=lambda kv: (-kv[1], kv[0])
             )[:top_k]
         variables[c] = v
-    return {
+    out = {
         "table": {"n": part.n, "n_var": len(variables),
                   "n_shards": part.n_shards},
         "variables": variables,
     }
+    if part.pairs is not None:
+        # batch profile's nested matrix shape ({a: {b: corr}}, symmetric)
+        mat: dict[str, dict[str, float | None]] = {}
+        for (a, b), v in pearson_of(part).items():
+            mat.setdefault(a, {})[b] = v
+            mat.setdefault(b, {})[a] = v
+        out["correlations"] = {"pearson": mat}
+    return out

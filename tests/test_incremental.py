@@ -257,3 +257,84 @@ def test_mergeable_histograms_match_batch_at_shared_edges(spark):
     # non-numeric spec keys fail loudly
     with pytest.raises(ValueError, match="non-numeric"):
         partial_profile(shards[0], histograms={"l_returnflag": (4, 0.0, 1.0)})
+
+
+def test_mergeable_pearson_matches_batch(spark):
+    """correlations=True: per-pair co-moment states merged across 3 and 5
+    unequal shards reproduce the whole-frame pearson_matrix to 1e-9 —
+    including a null-bearing column (pairwise-complete row sets differ per
+    pair) and a constant column (batch try_divide null)."""
+    from pandas_profiling_personal_spark.operators.correlations import (
+        pearson_matrix,
+    )
+    from pandas_profiling_personal_spark.plans.incremental import (
+        PartialProfile,
+        finalize_partial,
+        merge_partials,
+        partial_profile,
+        pearson_of,
+    )
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    base = _load(spark).select(*cols)
+    # plant nulls in one column (misaligned with another's nulls) and a
+    # constant column: the two cases that separate pairwise-complete
+    # co-moments from a naive whole-column computation
+    df = base.withColumn(
+        "l_tax", F.when(F.col("l_quantity") % 11 != 0, F.col("l_tax"))
+    ).withColumn(
+        "l_discount",
+        F.when(F.col("l_extendedprice") % 13 != 0, F.col("l_discount")),
+    ).withColumn("const_col", F.lit(4.0))
+    all_cols = cols + ["const_col"]
+
+    batch = pearson_matrix(df, all_cols)
+
+    def shards(k):
+        key = F.floor(F.col("l_extendedprice")).cast("long") % k
+        return [df.where(key == i) for i in range(k)]
+
+    for k in (3, 5):
+        parts = [
+            partial_profile(s, columns=all_cols, correlations=True)
+            for s in shards(k)
+        ]
+        merged = merge_partials(parts)
+        inc = pearson_of(merged)
+        assert set(inc) == set(batch)
+        for pair, bv in batch.items():
+            iv = inc[pair]
+            if bv is None:
+                assert iv is None, (pair, iv)
+            else:
+                assert iv is not None and math.isclose(
+                    iv, bv, rel_tol=1e-9, abs_tol=1e-12
+                ), (k, pair, iv, bv)
+
+    # associativity: ((a+b)+rest) == merge(all)
+    alt = merge_partials([parts[0], merge_partials(parts[1:])])
+    for pair, v in pearson_of(alt).items():
+        w = inc[pair]
+        assert (v is None) == (w is None)
+        if v is not None:
+            assert math.isclose(v, w, rel_tol=1e-12)
+
+    # JSON round-trip carries the pair states
+    rt = merge_partials(
+        [PartialProfile.from_json(p.to_json()) for p in parts]
+    )
+    assert pearson_of(rt) == inc
+
+    # finalize exposes the batch profile's nested matrix shape
+    fin = finalize_partial(merged, spark)
+    m = fin["correlations"]["pearson"]
+    b01 = batch[("l_quantity", "l_extendedprice")]
+    assert math.isclose(
+        m["l_quantity"]["l_extendedprice"], b01, rel_tol=1e-9
+    )
+    assert m["l_extendedprice"]["l_quantity"] == m["l_quantity"]["l_extendedprice"]
+
+    # mixed correlations= settings refuse to merge
+    plain = partial_profile(shards(3)[0], columns=all_cols)
+    with pytest.raises(ValueError, match="Pearson"):
+        merge_partials([parts[0], plain])
