@@ -369,11 +369,16 @@ _SPECS: dict[str, tuple] = {
         P.top_duplicates_query("lineitem", DUP_SUBSET, 10),
         P.top_duplicates_sql("lineitem", DUP_SUBSET, 10),
     ),
-    # r8 addition (tail — r9 window candidate): mergeable-Pearson shard
-    # states vs the whole-frame corr an independent engine computes
+    # r8 additions (tail — r9 window candidates): mergeable-Pearson shard
+    # states vs the whole-frame corr an independent engine computes, and
+    # audio near-dup (fake tier) vs an all-pairs Hamming rebuild
     "incremental_pearson_lineitem": (
         PP.incremental_pearson_query(),
         PP.incremental_pearson_sql(),
+    ),
+    "audio_near_dup_documents": (
+        PP.audio_near_dup_query(),
+        PP.audio_near_dup_sql(),
     ),
 }
 

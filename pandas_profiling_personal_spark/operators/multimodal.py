@@ -638,6 +638,10 @@ AUDIO_META_SCHEMA = T.StructType(
         T.StructField("n_frames", T.LongType()),
         T.StructField("duration_s", T.DoubleType()),
         T.StructField("content_hash", T.StringType()),
+        # appended AFTER the r7 fields (additive only — oracle-checked
+        # selections of the earlier fields are unaffected): the perceptual
+        # audio signature, filled only when audio_metadata(signature=True)
+        T.StructField("signature", T.LongType()),
     ]
 )
 
@@ -698,8 +702,87 @@ def _parse_wav_header(data: bytes) -> dict | None:
         return None
 
 
+def _wav_samples(data: bytes) -> "np.ndarray | None":
+    """Mono float64 samples of a PCM RIFF/WAVE payload (uint8 or int16 LE,
+    any channel count — channels average down), None for anything else.
+    Same chunk-walk hardening as :func:`_parse_wav_header` (declared sizes
+    clamped to bytes actually present)."""
+    try:
+        if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            return None
+        i, fmt, payload = 12, None, None
+        while i + 8 <= len(data):
+            cid = data[i : i + 4]
+            csize = int.from_bytes(data[i + 4 : i + 8], "little")
+            if cid == b"fmt " and csize >= 16 and i + 8 + 16 <= len(data):
+                fmt = {
+                    "codec": int.from_bytes(data[i + 8 : i + 10], "little"),
+                    "channels": int.from_bytes(data[i + 10 : i + 12], "little"),
+                    "block_align": int.from_bytes(
+                        data[i + 20 : i + 22], "little"
+                    ),
+                    "bits": int.from_bytes(data[i + 22 : i + 24], "little"),
+                }
+            elif cid == b"data":
+                end = i + 8 + min(csize, max(len(data) - (i + 8), 0))
+                payload = data[i + 8 : end]
+            i += 8 + csize + (csize & 1)
+        if (
+            fmt is None
+            or payload is None
+            or fmt["codec"] != 1  # PCM only
+            or fmt["channels"] < 1
+            or fmt["bits"] not in (8, 16)
+            or fmt["block_align"] != fmt["channels"] * fmt["bits"] // 8
+        ):
+            return None
+        n_frames = len(payload) // fmt["block_align"]
+        if n_frames == 0:
+            return None
+        cnt = n_frames * fmt["channels"]
+        if fmt["bits"] == 8:  # unsigned, midpoint 128
+            x = (
+                np.frombuffer(payload, np.uint8, count=cnt).astype(np.float64)
+                - 128.0
+            )
+        else:
+            x = np.frombuffer(payload, "<i2", count=cnt).astype(np.float64)
+        return x.reshape(n_frames, fmt["channels"]).mean(axis=1)
+    except Exception:
+        return None
+
+
+def audio_envelope_signature(
+    samples: "np.ndarray", windows: int = 64
+) -> int | None:
+    """Deterministic perceptual audio signature — the dHash of audio: the
+    mean-|amplitude| envelope over ``windows + 1`` equal TIME windows
+    (fractional-edge area resampling, so the envelope depends on relative
+    position, not sample count), one bit per adjacent-window gradient sign.
+    Invariant to global gain (comparisons are scale-free) and stable under
+    resampling (the envelope is a function of relative time), so a
+    re-encoded/normalized copy lands within a small Hamming distance —
+    exactly the property the banded pair join needs. Pure numpy; the audio
+    twin of :func:`dhash_gray` (reference groups image duplicates by
+    perceptual hash, summary_helpers_image.py:57-67; audio has no
+    reference-side counterpart — this closes the modality gap)."""
+    n = int(samples.size)
+    if n < 2:
+        return None
+    cs = np.concatenate(
+        [[0.0], np.cumsum(np.abs(samples), dtype=np.float64)]
+    )
+    edges = np.linspace(0.0, float(n), windows + 2)
+    areas = np.diff(np.interp(edges, np.arange(n + 1, dtype=np.float64), cs))
+    env = areas / np.diff(edges)
+    return _pack_bits(env[:-1] > env[1:])
+
+
 def audio_metadata(
-    df: DataFrame, binary_col: str, decoder: str = "auto"
+    df: DataFrame,
+    binary_col: str,
+    decoder: str = "auto",
+    signature: bool = False,
 ) -> DataFrame:
     """Append an ``audio_meta`` struct decoded from ``binary_col`` — the
     audio half of the multimodal column contract (images get
@@ -711,7 +794,15 @@ def audio_metadata(
     non-WAV bytes keep the magic-bytes format sniff with null audio
     fields. ``"fake"`` — deterministic md5-derived pseudo-fields for ANY
     bytes (the engine-reproducible oracle/test tier: an independent SQL
-    engine recomputes them from the same md5 prefix)."""
+    engine recomputes them from the same md5 prefix).
+
+    ``signature=True`` additionally fills the ``signature`` field (null
+    otherwise): the 64-bit perceptual envelope hash of
+    :func:`audio_envelope_signature` on the WAV tier (null for non-PCM
+    bytes), or the 60-bit md5-prefix signature on the fake tier (the same
+    oracle-reproducible rule as image ``_fake_hashes``). Off by default —
+    the signature decodes the full sample payload, while the metadata
+    fields only read the header."""
     fields = list(df.schema.fields) + [
         T.StructField("audio_meta", AUDIO_META_SCHEMA)
     ]
@@ -726,11 +817,17 @@ def audio_metadata(
                     continue
                 data = bytes(data)
                 md5_hex = hashlib.md5(data).hexdigest()
-                base = {"n_bytes": len(data), "content_hash": md5_hex}
+                base = {
+                    "n_bytes": len(data),
+                    "content_hash": md5_hex,
+                    "signature": None,
+                }
                 if decoder == "fake":
                     h = int(md5_hex[:8], 16)
                     rate = 8000 + h % 40000
                     frames = int(md5_hex[8:16], 16) % 1_000_000
+                    if signature:
+                        base["signature"] = int(md5_hex[:15], 16)
                     metas.append(
                         {
                             **base,
@@ -745,6 +842,10 @@ def audio_metadata(
                     continue
                 wav = _parse_wav_header(data)
                 if wav is not None:
+                    if signature:
+                        x = _wav_samples(data)
+                        if x is not None:
+                            base["signature"] = audio_envelope_signature(x)
                     metas.append({**base, "format": "wav", **wav})
                 else:
                     metas.append(
@@ -761,6 +862,79 @@ def audio_metadata(
             yield pdf.assign(audio_meta=metas)
 
     return df.mapInPandas(decode_batches, out_schema)
+
+
+def audio_near_duplicates(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    decoder: str = "auto",
+    max_hamming: int = 7,
+    band_bits: int | None = None,
+    bits: int | None = None,
+    key_blocks: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs of perceptually near-duplicate audio —
+    the audio analogue of :func:`image_near_duplicates`, sharing the same
+    pair-generation engine (``dedup.banded_hamming_pairs``) and the same
+    two-tier design:
+
+    * ``"auto"`` — the 64-bit envelope-gradient signature of
+      :func:`audio_envelope_signature` over decoded PCM WAV samples
+      (gain-invariant, resample-stable); non-WAV/non-PCM rows drop out of
+      pair generation (null signature).
+    * ``"fake"`` — 60-bit md5-prefix signatures (byte-identical contents
+      pair at Hamming 0; an independent SQL engine reproduces the exact
+      pair set — the oracle tier, same rule as image ``_fake_hashes``).
+
+    One Arrow decode pass produces the signatures; only (id, signature)
+    enters the shuffle. ``key_blocks=None`` auto-sizes the band geometry
+    from the corpus count (``dedup.auto_band_geometry`` — the scale-safe
+    default); every valid geometry returns the identical pair set."""
+    from pandas_profiling_personal_spark.operators.dedup import (
+        auto_band_geometry,
+        banded_hamming_pairs,
+    )
+
+    if bits is None:
+        bits = 60 if decoder == "fake" else 64
+    if key_blocks is None:
+        band_bits, key_blocks = auto_band_geometry(
+            df.count(), bits, max_hamming, band_bits
+        )
+    elif band_bits is None:
+        band_bits = 6 if decoder == "fake" else 8
+    sig = (
+        audio_metadata(df, binary_col, decoder, signature=True)
+        .select(id_col, F.col("audio_meta.signature").alias("__sig"))
+        .where(F.col("__sig").isNotNull())
+    )
+    return banded_hamming_pairs(
+        sig, id_col, "__sig", bits=bits, band_bits=band_bits,
+        max_hamming=max_hamming, key_blocks=key_blocks,
+    )
+
+
+def audio_dedup_keep_list(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    decoder: str = "auto",
+    **band_kwargs,
+) -> DataFrame:
+    """AUDIO dedup end product: the input with a ``keep`` flag — one
+    representative (minimum id) per perceptual near-dup cluster, composed
+    from :func:`audio_near_duplicates` pairs -> ``dedup.cluster_pairs``
+    connected components -> keep flags, the same composition as
+    :func:`image_dedup_keep_list`."""
+    from pandas_profiling_personal_spark.operators.dedup import (
+        dedup_keep_list,
+    )
+
+    pairs = audio_near_duplicates(
+        df, binary_col, id_col, decoder=decoder, **band_kwargs
+    )
+    return dedup_keep_list(df, pairs, id_col)
 
 
 def image_dedup_keep_list(

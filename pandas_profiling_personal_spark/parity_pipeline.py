@@ -2077,3 +2077,64 @@ def incremental_pearson_sql(
         for a, b in pairs
     ]
     return "\nUNION ALL ".join(selects)
+
+
+# --------------------------------------------------------------------------------
+# Audio perceptual near-dup (operators/multimodal.py audio_near_duplicates) —
+# fake tier vs an all-pairs SQL Hamming rebuild, the image_near_dup pattern: a
+# driver match proves the banded pair join (auto-sized geometry included)
+# drops nothing vs the quadratic reference computation
+# --------------------------------------------------------------------------------
+
+
+def audio_near_dup_query(dup_stride: int = 5, id_shift: int = 100_000) -> QueryFn:
+    """Audio near-dup through the FULL distributed path: Arrow-batched
+    signature decode -> banded Hamming pair join. Every ``dup_stride``-th
+    document re-added under a shifted id plants a known pair set; the fake
+    tier's 60-bit md5-prefix signatures are engine-reproducible, and the
+    oracle computes ALL-PAIRS Hamming directly. key_blocks is left at the
+    auto-sizing default on purpose — the driver row certifies the geometry
+    the operator actually picks at this corpus size."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.multimodal import (
+            audio_near_duplicates,
+        )
+
+        base = (
+            load(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull())
+            .select("doc_id", "text")
+        )
+        planted = base.where(F.col("doc_id") % dup_stride == 0).select(
+            (F.col("doc_id") + id_shift).alias("doc_id"), "text"
+        )
+        df = base.unionAll(planted).select(
+            "doc_id", F.col("text").cast("binary").alias("blob")
+        )
+        pairs = audio_near_duplicates(
+            df, "blob", "doc_id", decoder="fake", max_hamming=8
+        )
+        return pairs.select(
+            "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+        )
+
+    return fn
+
+
+def audio_near_dup_sql(dup_stride: int = 5, id_shift: int = 100_000) -> str:
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + {id_shift} AS doc_id, text FROM documents
+  WHERE text IS NOT NULL AND doc_id % {dup_stride} = 0),
+sig AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(text), 1, 15)) AS UBIGINT)::BIGINT AS s
+  FROM docs)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 8
+"""

@@ -218,3 +218,102 @@ def test_image_near_duplicates_auto_decoder_geometry(spark):
     assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in auto] == [
         (r["doc_a"], r["doc_b"], r["hamming"]) for r in fake
     ] == [(2, 3, 0)]
+
+
+def _wav_pcm(samples, rate=16000, bits=16, channels=1):
+    """Hand-built canonical RIFF/WAVE bytes from a float sample vector."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    if channels > 1:
+        x = np.repeat(x[:, None], channels, axis=1).ravel()
+    if bits == 16:
+        payload = np.clip(x, -32768, 32767).astype("<i2").tobytes()
+    else:
+        payload = (np.clip(x, -128, 127) + 128).astype("uint8").tobytes()
+    block = channels * bits // 8
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little") + rate.to_bytes(4, "little")
+        + (rate * block).to_bytes(4, "little") + block.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    data = b"data" + len(payload).to_bytes(4, "little") + payload
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _audio_fixture():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    t = np.linspace(0, 2.0, 32000)
+    sig = (
+        8000 * np.sin(2 * np.pi * 3 * t)
+        * (1 + 0.5 * np.sin(2 * np.pi * 0.7 * t))
+        + 500 * rng.standard_normal(t.size)
+    )
+    noise = 12000 * rng.standard_normal(32000)
+    return sig, noise
+
+
+def test_audio_envelope_signature_invariances():
+    """The envelope-gradient signature is gain-invariant (scale-free sign
+    comparisons), resample-stable (relative-time windows), and mixes
+    channels down — a re-encoded copy hashes identically while unrelated
+    audio lands far away."""
+    from pandas_profiling_personal_spark.operators.multimodal import (
+        _wav_samples,
+        audio_envelope_signature,
+    )
+
+    sig, noise = _audio_fixture()
+
+    def s(b):
+        return audio_envelope_signature(_wav_samples(b))
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    base = s(_wav_pcm(sig))
+    assert ham(base, s(_wav_pcm(sig * 0.25))) <= 3, "gain-scaled copy"
+    assert ham(base, s(_wav_pcm(sig[::2], rate=8000))) <= 3, "resampled copy"
+    assert ham(base, s(_wav_pcm(sig, channels=2))) <= 3, "stereo re-encode"
+    assert ham(base, s(_wav_pcm(sig / 256, bits=8))) <= 6, "8-bit re-encode"
+    assert ham(base, s(_wav_pcm(noise))) > 12, "unrelated audio stays far"
+    # hostile/degenerate inputs decode to None signatures, not garbage
+    assert _wav_samples(b"RIFF\x10\x00\x00\x00WAVEjunkchunk") is None
+    assert _wav_samples(b"not audio at all") is None
+    import numpy as np
+
+    assert audio_envelope_signature(np.array([1.0])) is None
+
+
+def test_audio_near_duplicates_wav_tier(spark):
+    """End-to-end distributed audio near-dup on REAL (PCM WAV) decodes:
+    the gain-scaled and resampled copies pair with the original, noise and
+    undecodable bytes drop out, and the keep-list collapses the perceptual
+    cluster to its minimum-id representative."""
+    from pandas_profiling_personal_spark.operators.multimodal import (
+        audio_dedup_keep_list,
+        audio_near_duplicates,
+    )
+
+    sig, noise = _audio_fixture()
+    rows = [
+        (1, _wav_pcm(sig)),
+        (2, _wav_pcm(sig * 0.25)),
+        (3, _wav_pcm(sig[::2], rate=8000)),
+        (4, _wav_pcm(noise)),
+        (5, b"not audio"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    pairs = audio_near_duplicates(df, "blob", "id", max_hamming=7).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2), (1, 3), (2, 3)}
+
+    keep = {
+        r["id"]: r["keep"]
+        for r in audio_dedup_keep_list(df, "blob", "id", max_hamming=7).collect()
+    }
+    assert keep == {1: True, 2: False, 3: False, 4: True, 5: True, 6: True}
