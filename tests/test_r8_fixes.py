@@ -317,3 +317,179 @@ def test_audio_near_duplicates_wav_tier(spark):
         for r in audio_dedup_keep_list(df, "blob", "id", max_hamming=7).collect()
     }
     assert keep == {1: True, 2: False, 3: False, 4: True, 5: True, 6: True}
+
+
+def _near_dup_corpus():
+    """Docs with known near-dup structure: 0~1~2 a similarity chain, 3 exact
+    dup of 0 arriving later, 4/5 unrelated, 6 shingle-less."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest tonight without any warning"
+    )
+    return [
+        (0, base),
+        (1, base + " again"),
+        (2, base + " again and again"),
+        (3, base),
+        (4, "completely different words about astronomy telescopes and "
+            "planetary orbits circling distant binary stars quietly"),
+        (5, "unrelated content on medieval castle architecture and "
+            "fortified stone walls built high above the river valley"),
+        (6, None),
+    ]
+
+
+def test_near_dup_stream_matches_batch_incremental(spark, tmp_path):
+    """Within-stream near-dup (applyInPandasWithState on band buckets): over
+    a replayed stream whose ids follow arrival order and whose span fits the
+    TTL horizon, the flagged set equals the batch
+    incremental_minhash_dedup(df, None) greedy sweep — including chains and
+    within-batch pairs — across both one-batch and file-per-batch replays."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from pandas_profiling_personal_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+    from pandas_profiling_personal_spark.streaming.dedup_stream import (
+        near_dup_stream,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (i, txt, t0 + dt.timedelta(minutes=i))
+        for i, txt in _near_dup_corpus()
+    ]
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    kw = dict(num_hashes=16, bands=4, min_est_jaccard=0.7)
+
+    batch_df = spark.createDataFrame(rows, schema)
+    batch = {
+        r["doc_id"]: r["keep"]
+        for r in incremental_minhash_dedup(
+            batch_df.where("text IS NOT NULL"), None, **kw
+        ).collect()
+    }
+    expect_flagged = {d for d, keep in batch.items() if not keep}
+    assert expect_flagged, "fixture must contain near-dups"
+
+    for replay, per_file in (("one_batch", None), ("file_per_batch", 1)):
+        src = tmp_path / f"nd_src_{replay}"
+        if per_file is None:
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                str(src)
+            )
+        else:
+            for row in rows:  # one file per doc -> one micro-batch per doc
+                spark.createDataFrame([row], schema).coalesce(
+                    1
+                ).write.mode("append").parquet(str(src))
+        reader = spark.readStream.schema(schema)
+        if per_file:
+            reader = reader.option("maxFilesPerTrigger", per_file)
+        stream = reader.parquet(str(src))
+        out = near_dup_stream(
+            stream, "text", "doc_id", "ts", watermark="1 hour", **kw
+        )
+        assert out.isStreaming
+        name = f"t_near_dup_{replay}"
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            verdicts = spark.table(name).collect()
+        finally:
+            q.stop()
+        flagged = {r["doc_id"] for r in verdicts}
+        assert flagged == expect_flagged, (replay, flagged, expect_flagged)
+        # every verdict names a LOWER-id partner above the threshold
+        for r in verdicts:
+            assert r["dup_of"] < r["doc_id"]
+            assert r["est_jaccard"] >= 0.7
+
+
+def test_near_dup_stream_ttl_evicts_state(spark, tmp_path):
+    """state_ttl_minutes bounds suppression by event time: once the
+    watermark passes entry_ts + ttl, an old signature stops suppressing —
+    a near-dup arriving past the horizon is NOT flagged, while one inside
+    the horizon still is. Also: batch DataFrames are rejected."""
+    import datetime as dt
+
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from pandas_profiling_personal_spark.streaming.dedup_stream import (
+        near_dup_stream,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest tonight without any warning"
+    )
+    other = (
+        "completely different words about astronomy telescopes and "
+        "planetary orbits circling distant binary stars quietly"
+    )
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def at(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    # file1: doc 0 at t+0. file2: doc 10 at t+100 (advances the watermark
+    # past 0's 30-min horizon). file3: doc 11 = near-dup of 0 (stale — not
+    # flagged) and doc 12 = near-dup of 10 (fresh — flagged).
+    files = [
+        [(0, base, at(0))],
+        [(10, other, at(100))],
+        [(11, base + " again", at(101)), (12, other + " too", at(101))],
+    ]
+    src = tmp_path / "nd_ttl_src"
+    for chunk in files:
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = near_dup_stream(
+        stream, "text", "doc_id", "ts",
+        num_hashes=16, bands=4, min_est_jaccard=0.7,
+        watermark="0 seconds", state_ttl_minutes=30,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_near_dup_ttl")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        verdicts = {
+            r["doc_id"]: r["dup_of"]
+            for r in spark.table("t_near_dup_ttl").collect()
+        }
+    finally:
+        q.stop()
+    assert 11 not in verdicts, "stale partner must have been evicted"
+    assert verdicts.get(12) == 10, "fresh partner still suppresses"
+
+    with _pytest.raises(ValueError, match="streaming tier"):
+        near_dup_stream(
+            spark.createDataFrame([], schema), "text", "doc_id", "ts"
+        )
