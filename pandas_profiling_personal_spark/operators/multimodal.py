@@ -908,6 +908,11 @@ def audio_near_duplicates(
         audio_metadata(df, binary_col, decoder, signature=True)
         .select(id_col, F.col("audio_meta.signature").alias("__sig"))
         .where(F.col("__sig").isNotNull())
+        # explicit exchange under the signature table: mapInPandas has no
+        # exchange boundary of its own, so without this the banded self-join
+        # re-runs the decode pass once PER SIDE (the image_near_duplicates
+        # review-r7 lesson; plan-gated for both operators)
+        .repartition(S.col(id_col))
     )
     return banded_hamming_pairs(
         sig, id_col, "__sig", bits=bits, band_bits=band_bits,

@@ -646,3 +646,54 @@ def test_pack_sequences_bounded_windows(spark):
     assert len(partitioned) + len(unpartitioned) == len(specs), specs
     # structural spot-check: a broadcast carries the bucket offsets back
     assert "BroadcastExchange" in plan, plan
+
+
+def test_audio_near_dup_decodes_once(spark):
+    """audio_near_duplicates: the Arrow-batched signature decode (full PCM
+    sample pass on the WAV tier) must execute ONCE — same explicit id
+    exchange + ReusedExchange contract as image_near_duplicates, gated on
+    the AUTO-geometry default path the bare call takes."""
+    from pyspark.sql import functions as F
+
+    from pandas_profiling_personal_spark.operators.multimodal import (
+        audio_near_duplicates,
+    )
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    docs = (
+        read_parquet(spark, f"{SF_DIR}/documents.parquet")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.col("text").cast("binary").alias("blob"))
+    )
+    out = audio_near_duplicates(docs, "blob", "doc_id", decoder="fake")
+    out.collect()  # AQE resolves exchange reuse at runtime
+    final = _plan(out).split("Initial Plan")[0]
+    assert final.count("MapInPandas") == 1, final
+    assert "ReusedExchange" in final, final
+
+
+def test_incremental_pearson_adds_no_jobs(spark):
+    """partial_profile(correlations=True): the pairwise co-moment sums must
+    RIDE the existing moment-pass aggregate — turning correlations on adds
+    ZERO Spark jobs (the alternative, a separate pair pass, would double
+    the numeric scan cost of every shard)."""
+    from pandas_profiling_personal_spark.plans.incremental import (
+        partial_profile,
+    )
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    li = read_parquet(spark, f"{SF_DIR}/lineitem.parquet").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    sc = spark.sparkContext
+    jobs = {}
+    for flag in (False, True):
+        group = f"inc-pearson-{flag}"
+        sc.setJobGroup(group, "incremental pearson job growth")
+        try:
+            part = partial_profile(li, correlations=flag)
+        finally:
+            sc.setJobGroup(None, None)
+        assert (part.pairs is not None) == flag
+        jobs[flag] = len(sc.statusTracker().getJobIdsForGroup(group))
+    assert jobs[True] == jobs[False], f"correlations=True grew jobs: {jobs}"
