@@ -380,6 +380,12 @@ _SPECS: dict[str, tuple] = {
         PP.audio_near_dup_query(),
         PP.audio_near_dup_sql(),
     ),
+    # r8: frame-vote video near-dup — the codec stays stubbed (libav absent)
+    # but the distributed shape is real and oracle-checked on the fake tier
+    "video_near_dup_documents": (
+        PP.video_near_dup_query(),
+        PP.video_near_dup_sql(),
+    ),
 }
 
 

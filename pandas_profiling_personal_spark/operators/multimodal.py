@@ -1249,3 +1249,84 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return df.mapInPandas(extract, out_schema)
+
+
+def video_near_duplicates(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    n_frames: int = 4,
+    decoder: str = "fake",
+    max_hamming: int = 7,
+    min_matching_frames: int | None = None,
+    band_bits: int | None = None,
+    bits: int | None = None,
+    key_blocks: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, n_matching_frames) pairs of near-duplicate VIDEOS —
+    the last modality's near-dup tier, composed over the existing frame
+    plumbing: :func:`sample_frames` emits ``n_frames`` evenly-spaced frame
+    hashes per video, each frame hash becomes a 60-bit signature, frames at
+    the SAME index pair through the shared banded Hamming engine, and two
+    videos near-dup when at least ``min_matching_frames`` (default: a
+    strict majority, ``n_frames // 2 + 1``) of their same-index frames
+    match within ``max_hamming`` — the standard frame-voting rule for
+    video-level dedup. The real frame decoder remains an honest
+    ``NotImplementedError`` (libav absent in this environment); the fake
+    tier's md5 frame hashes are engine-reproducible, so an independent SQL
+    engine rebuilds the exact pair set (all-pairs per frame index + the
+    same vote) — the plumbing, partitioning and vote semantics are real
+    and oracle-checked even while the codec is stubbed.
+
+    Same-index pairing rides ONE banded join: frame rows carry the encoded
+    id ``video_id * n_frames + frame_index``, so banding runs once over
+    all frames; candidates that banded across DIFFERENT indexes are
+    discarded by the decode filter (recall is untouched — the per-frame
+    pigeonhole guarantee holds within every index, and the filter only
+    drops pairs the vote must not count). Shuffles: the one banded-pair
+    exchange + one (doc_a, doc_b) count."""
+    from pandas_profiling_personal_spark.operators.dedup import (
+        auto_band_geometry,
+        banded_hamming_pairs,
+    )
+
+    if decoder == "real":
+        raise NotImplementedError("frame extraction needs libav")
+    if min_matching_frames is None:
+        min_matching_frames = n_frames // 2 + 1
+    if bits is None:
+        bits = 60
+    K = int(n_frames)
+    frames = sample_frames(
+        df.select(id_col, binary_col), binary_col, n_frames, decoder
+    ).select(
+        (S.col(id_col).cast("long") * K + F.col("frame.frame_index")).alias(
+            "__fid"
+        ),
+        F.conv(F.substring("frame.frame_hash", 1, 15), 16, 10)
+        .cast("long")
+        .alias("__sig"),
+    )
+    if key_blocks is None:
+        band_bits, key_blocks = auto_band_geometry(
+            df.count() * K, bits, max_hamming, band_bits
+        )
+    elif band_bits is None:
+        band_bits = 6
+    pairs = banded_hamming_pairs(
+        frames.repartition(S.col("__fid")), "__fid", "__sig",
+        bits=bits, band_bits=band_bits,
+        max_hamming=max_hamming, key_blocks=key_blocks,
+    )
+    return (
+        pairs
+        # same frame index only: the vote counts aligned frames
+        .where(F.col("doc_a") % K == F.col("doc_b") % K)
+        .select(
+            F.floor(F.col("doc_a") / K).alias("doc_a"),
+            F.floor(F.col("doc_b") / K).alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_matching_frames"))
+        .where(F.col("n_matching_frames") >= int(min_matching_frames))
+    )

@@ -2138,3 +2138,83 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.s, b.s)) <= 8
 """
+
+
+# --------------------------------------------------------------------------------
+# Video near-dup (operators/multimodal.py video_near_duplicates) — frame-voting
+# over the sample_frames plumbing, fake tier vs an all-pairs-per-index SQL
+# rebuild of the SAME vote: the codec is stubbed (libav absent) but the
+# distributed shape — frame explode, one banded pair join, the majority vote —
+# is real and driver-checked
+# --------------------------------------------------------------------------------
+
+
+def video_near_dup_query(
+    dup_stride: int = 5,
+    id_shift: int = 100_000,
+    n_frames: int = 4,
+    max_hamming: int = 8,
+) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.multimodal import (
+            video_near_duplicates,
+        )
+
+        base = (
+            load(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull())
+            .select("doc_id", "text")
+        )
+        planted = base.where(F.col("doc_id") % dup_stride == 0).select(
+            (F.col("doc_id") + id_shift).alias("doc_id"), "text"
+        )
+        df = base.unionAll(planted).select(
+            "doc_id", F.col("text").cast("binary").alias("blob")
+        )
+        pairs = video_near_duplicates(
+            df, "blob", "doc_id",
+            n_frames=n_frames, decoder="fake", max_hamming=max_hamming,
+        )
+        return pairs.select(
+            "doc_a", "doc_b",
+            F.col("n_matching_frames").cast("long").alias("n_matching_frames"),
+        )
+
+    return fn
+
+
+def video_near_dup_sql(
+    dup_stride: int = 5,
+    id_shift: int = 100_000,
+    n_frames: int = 4,
+    max_hamming: int = 8,
+) -> str:
+    # fake frame hash = md5(video_bytes + frame_index as 4 big-endian bytes);
+    # DuckDB varchars carry NULs, so chr(0)x3 || chr(i) rebuilds the suffix
+    frame_selects = "\nUNION ALL ".join(
+        f"SELECT doc_id, {i} AS idx, "
+        "CAST(('0x' || substring(md5(text || chr(0)||chr(0)||chr(0)||"
+        f"chr({i})), 1, 15)) AS UBIGINT)::BIGINT AS sig FROM docs"
+        if i > 0
+        else "SELECT doc_id, 0 AS idx, "
+        "CAST(('0x' || substring(md5(text || chr(0)||chr(0)||chr(0)||"
+        "chr(0)), 1, 15)) AS UBIGINT)::BIGINT AS sig FROM docs"
+        for i in range(n_frames)
+    )
+    vote = n_frames // 2 + 1
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + {id_shift} AS doc_id, text FROM documents
+  WHERE text IS NOT NULL AND doc_id % {dup_stride} = 0),
+frames AS ({frame_selects}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM frames a JOIN frames b
+    ON a.idx = b.idx AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming})
+SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_matching_frames
+FROM pairs GROUP BY doc_a, doc_b
+HAVING count(*) >= {vote}
+"""

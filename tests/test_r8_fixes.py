@@ -493,3 +493,35 @@ def test_near_dup_stream_ttl_evicts_state(spark, tmp_path):
         near_dup_stream(
             spark.createDataFrame([], schema), "text", "doc_id", "ts"
         )
+
+
+def test_video_near_duplicates_frame_vote(spark):
+    """video_near_duplicates: frame-vote composition over the sample_frames
+    plumbing — byte-identical videos match at every sampled frame, unrelated
+    ones never reach the vote, the vote threshold is honored, and the real
+    codec tier stays an honest NotImplementedError (libav absent)."""
+    from pandas_profiling_personal_spark.operators.multimodal import (
+        video_near_duplicates,
+    )
+
+    rows = [
+        (1, b"\x00\x00\x01\xba" + b"fakevideo" * 50),
+        (2, b"\x00\x00\x01\xba" + b"fakevideo" * 50),  # identical -> dup
+        (3, b"\x00\x00\x01\xba" + b"unrelated" * 50),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    pairs = video_near_duplicates(df, "blob", "id", n_frames=4).collect()
+    assert [(r["doc_a"], r["doc_b"], r["n_matching_frames"]) for r in pairs] \
+        == [(1, 2, 4)], pairs
+
+    # a vote no pair can reach -> empty, not an error
+    assert (
+        video_near_duplicates(
+            df, "blob", "id", n_frames=4, min_matching_frames=5
+        ).count()
+        == 0
+    )
+
+    with pytest.raises(NotImplementedError, match="libav"):
+        video_near_duplicates(df, "blob", "id", decoder="real")
