@@ -80,8 +80,11 @@ def size_estimate(df: DataFrame) -> int | None:
     None if the JVM internals are unavailable."""
     try:
         jdf = df._jdf  # noqa: SLF001 — no public API for plan stats
-        return int(
-            jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
-        )
+        size = jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j auto-converts the scala BigInt to a Python int on Spark 4;
+        # older bridges hand back a JVM object needing toString (the silent
+        # always-None bug this except used to swallow — caught by the r8
+        # inventory test, not by any user)
+        return int(size if isinstance(size, int) else size.toString())
     except Exception:
         return None

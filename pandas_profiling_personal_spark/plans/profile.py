@@ -39,6 +39,7 @@ from pandas_profiling_personal_spark.operators import (
     frequencies as FQ,
     histogram as H,
     missing as M,
+    order_stats as OS,
     sampling as SA,
     summary as SU,
 )
@@ -766,6 +767,15 @@ def profile(
                 1 for c in types if variables[c]["n_missing"] > 0
             ),
         )
+        # memory/record size (reference summary.py:217-224 samples cube-root
+        # rows to pandas and extrapolates): the Catalyst plan estimate is
+        # free and scale-independent — omitted when JVM internals are
+        # unavailable rather than fabricated
+        mem = OS.size_estimate(df)
+        if mem is not None:
+            table.update(
+                memory_size=mem, record_size=(mem / n) if n else 0.0
+            )
 
         # sensitive tier (reference "sensitive" arg group, config.py:37-41):
         # withhold every value-revealing output; counts/stats stay

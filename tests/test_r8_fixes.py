@@ -525,3 +525,43 @@ def test_video_near_duplicates_frame_vote(spark):
 
     with pytest.raises(NotImplementedError, match="libav"):
         video_near_duplicates(df, "blob", "id", decoder="real")
+
+
+def test_size_estimate_and_fillna_rows(spark):
+    """Close the two 'untested (trivial)' inventory rows: A22 size_estimate
+    returns a positive Catalyst estimate that shrinks under column pruning,
+    and P7's built-in fill path keeps the profile's null accounting honest."""
+    from pandas_profiling_personal_spark.operators.order_stats import (
+        size_estimate,
+    )
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    li = read_parquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    full = size_estimate(li)
+    pruned = size_estimate(li.select("l_quantity"))
+    assert full is not None and full > 0
+    assert pruned is not None and 0 < pruned < full, (pruned, full)
+
+    # P7: df.na.fill IS the operator (reference normalizes NA pre-describe);
+    # a filled frame profiles with zero missing and the fill value counted
+    from pandas_profiling_personal_spark.operators.missing import null_counts
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, None), (3, 5.0)], "id long, v double"
+    )
+    filled = df.na.fill({"v": 0.0})
+    assert null_counts(df)["v"] == 1
+    assert null_counts(filled)["v"] == 0
+    assert filled.where("v = 0.0").count() == 1
+
+    # the estimate now reaches the profile's table rollup (reference
+    # summary.py:217-224 memory_size/record_size)
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+
+    r = profile(
+        li.select("l_quantity", "l_returnflag"),
+        ProfileConfig(correlations=(), duplicates=False,
+                      missing_diagrams=False),
+    )
+    assert r.table.get("memory_size", 0) > 0
+    assert r.table["record_size"] == r.table["memory_size"] / r.table["n"]
