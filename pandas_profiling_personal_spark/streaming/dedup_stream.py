@@ -204,10 +204,12 @@ def near_dup_stream_vs_store(
 
     WITHIN-STREAM near-dups are NOT suppressed here: near-dup is not an
     equality key, so no built-in watermarked state can bound it
-    (``dropDuplicatesWithinWatermark`` handles the exact tier only). For
-    full two-step parity with the batch incremental operator — including
-    within-batch and cross-batch stream near-dups and store maintenance —
-    use :func:`minhash_dedup_foreach_batch`.
+    (``dropDuplicatesWithinWatermark`` handles the exact tier only). Two
+    closures of that gap: :func:`near_dup_stream` (custom band-bucket state
+    via ``applyInPandasWithState`` — within-stream verdicts, TTL-bounded
+    state), and :func:`minhash_dedup_foreach_batch` for full two-step
+    parity with the batch incremental operator including store
+    maintenance.
 
     100 TB shape: signatures are pure map-side work; each anti join is an
     equi-join on one band's bucket (the static side is re-read per

@@ -270,6 +270,43 @@ def main() -> None:
             lambda: audio_metadata(blobs, "blob", decoder="fake")
             .agg(F.sum("audio_meta.n_frames")).first()
         )
+
+        # r8: the new modality near-dup tiers (auto band geometry — the
+        # default the bare call takes) + mergeable Pearson
+        from pandas_profiling_personal_spark.operators.multimodal import (
+            audio_near_duplicates,
+            video_near_duplicates,
+        )
+        from pandas_profiling_personal_spark.plans.incremental import (
+            merge_partials,
+            partial_profile,
+            pearson_of,
+        )
+
+        p["audio_near_dup_documents"] = timed(
+            lambda: audio_near_duplicates(
+                blobs, "blob", "doc_id", decoder="fake", max_hamming=8
+            ).count()
+        )
+        p["video_near_dup_documents"] = timed(
+            lambda: video_near_duplicates(
+                blobs, "blob", "doc_id", n_frames=4, decoder="fake",
+                max_hamming=8,
+            ).count()
+        )
+        li4 = li.select(
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+        )
+        shard_key = F.col("l_extendedprice").cast("long") % 3
+
+        def _inc_pearson():
+            parts = [
+                partial_profile(li4.where(shard_key == i), correlations=True)
+                for i in range(3)
+            ]
+            pearson_of(merge_partials(parts))
+
+        p["incremental_pearson_lineitem"] = timed(_inc_pearson)
         points[sf] = p
         print(json.dumps({"sf": sf, "walls": p, "rows": rows[sf]}), flush=True)
 
