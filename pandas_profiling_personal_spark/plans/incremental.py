@@ -736,6 +736,90 @@ def pearson_of(
     return out
 
 
+def drift_between_partials(
+    a: PartialProfile,
+    b: PartialProfile,
+    bins_eps: float = 1e-6,
+    round_to: int = 6,
+) -> dict[str, dict[str, Any]]:
+    """Numeric drift between two (merged) shard states — yesterday's corpus
+    state vs today's WITHOUT rescanning either: per-column PSI from the
+    exact-mergeable histograms plus the standardized mean shift from the
+    Pébay moments. Pure driver arithmetic over numbers the states already
+    carry; the daily-incremental twin of ``operators.drift.drift_profile``.
+
+    Covers every column where BOTH states carry a histogram; identical
+    specs are required (the same shared-edges contract as merging — a PSI
+    over different bucketings would lie). The arithmetic is drift_profile's
+    exactly — ε-smoothed proportions ``(c+eps)/(n+eps·bins)``, empty
+    buckets included, ``max_shift_bucket`` ties to the HIGHEST bucket
+    (its ``max_by(struct(shift, bucket))`` rule), half-up rounding — so
+    when the fixed edges cover both sides' data the result equals
+    ``drift_profile`` on the raw frames bit-for-bit (pytest-gated).
+
+    Returns ``{column: {n_a, n_b, psi, max_shift_bucket, mean_a, mean_b,
+    standardized_mean_shift}}``; mean fields are None for non-numeric
+    histogram columns (datetimes)."""
+    from pandas_profiling_personal_spark.operators.drift import round_half_up
+
+    out: dict[str, dict[str, Any]] = {}
+    both = [
+        c
+        for c, cs in a.columns.items()
+        if cs.hist_counts is not None
+        and c in b.columns
+        and b.columns[c].hist_counts is not None
+    ]
+    for c in both:
+        ca, cb = a.columns[c], b.columns[c]
+        if (ca.hist_lo, ca.hist_hi, len(ca.hist_counts)) != (
+            cb.hist_lo, cb.hist_hi, len(cb.hist_counts)
+        ):
+            raise ValueError(
+                f"column {c!r}: histogram specs differ between states — "
+                "profile both with the same histograms= spec "
+                "(histogram_specs_of the first state)"
+            )
+        bins = len(ca.hist_counts)
+        n_a, n_b = sum(ca.hist_counts), sum(cb.hist_counts)
+        psi = 0.0
+        best = (-1.0, -1)  # (shift, bucket): ties -> highest bucket
+        for i in range(bins):
+            pa = (ca.hist_counts[i] + bins_eps) / (n_a + bins_eps * bins)
+            pb = (cb.hist_counts[i] + bins_eps) / (n_b + bins_eps * bins)
+            psi += (pa - pb) * math.log(pa / pb)
+            shift = abs(pa - pb)
+            if (shift, i) >= best:
+                best = (shift, i)
+        row: dict[str, Any] = {
+            "n_a": n_a,
+            "n_b": n_b,
+            "psi": round_half_up(psi, round_to),
+            "max_shift_bucket": best[1],
+            "mean_a": None,
+            "mean_b": None,
+            "standardized_mean_shift": None,
+        }
+        if (
+            ca.type == VT.NUMERIC.value
+            and ca.m1 is not None
+            and cb.m1 is not None
+            and ca.count > 1
+            and cb.count > 1
+            and math.isfinite(ca.m1)
+            and math.isfinite(cb.m1)
+        ):
+            var_a = max(ca.m2, 0.0) / (ca.count - 1)
+            var_b = max(cb.m2, 0.0) / (cb.count - 1)
+            pooled = math.sqrt((var_a + var_b) / 2.0)
+            row["mean_a"], row["mean_b"] = ca.m1, cb.m1
+            row["standardized_mean_shift"] = round_half_up(
+                abs(ca.m1 - cb.m1) / (pooled + bins_eps), round_to
+            )
+        out[c] = row
+    return out
+
+
 def finalize_partial(
     part: PartialProfile,
     spark: SparkSession,

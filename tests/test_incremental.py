@@ -338,3 +338,67 @@ def test_mergeable_pearson_matches_batch(spark):
     plain = partial_profile(shards(3)[0], columns=all_cols)
     with pytest.raises(ValueError, match="Pearson"):
         merge_partials([parts[0], plain])
+
+
+def test_drift_between_partials_matches_drift_profile(spark):
+    """drift_between_partials: PSI between two shard states (pure driver
+    arithmetic over the mergeable histograms) equals the batch drift_profile
+    on the raw frames when the fixed edges cover both sides — including the
+    eps smoothing of empty buckets and the highest-bucket tie rule."""
+    from pandas_profiling_personal_spark.operators.drift import drift_profile
+    from pandas_profiling_personal_spark.plans.incremental import (
+        drift_between_partials,
+        histogram_specs_of,
+        merge_partials,
+        partial_profile,
+    )
+
+    cols = ["l_quantity", "l_extendedprice"]
+    base = _load(spark).select(*cols)
+    df_a = base.where(F.col("l_quantity") <= 30)
+    df_b = base.where(F.col("l_quantity") > 10)
+
+    # shared edges covering BOTH sides: the union min/max (what
+    # drift_profile derives internally)
+    row = base.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    specs = {
+        c: (10, float(row[f"lo_{c}"]), float(row[f"hi_{c}"])) for c in cols
+    }
+    pa = partial_profile(df_a, histograms=specs)
+    pb = partial_profile(df_b, histograms=specs)
+
+    batch = {
+        r["column"]: r
+        for r in drift_profile(df_a, df_b, cols, bins=10).collect()
+    }
+    inc = drift_between_partials(pa, pb)
+    assert set(inc) == set(cols)
+    for c in cols:
+        assert inc[c]["n_a"] == batch[c]["n_a"]
+        assert inc[c]["n_b"] == batch[c]["n_b"]
+        assert inc[c]["psi"] == pytest.approx(batch[c]["psi"], abs=2e-6)
+        assert inc[c]["max_shift_bucket"] == batch[c]["max_shift_bucket"], c
+        assert inc[c]["standardized_mean_shift"] is not None
+
+    # states merged from shards drift identically (merge-then-drift ==
+    # whole-shard drift): the histograms are exact vector adds
+    key = F.floor(F.col("l_extendedprice")).cast("long") % 2
+    pa2 = merge_partials([
+        partial_profile(df_a.where(key == i), histograms=specs)
+        for i in range(2)
+    ])
+    assert histogram_specs_of(pa2) == specs
+    inc2 = drift_between_partials(pa2, pb)
+    assert {c: inc2[c]["psi"] for c in cols} == {
+        c: inc[c]["psi"] for c in cols
+    }
+
+    # mismatched specs refuse to drift
+    pb_other = partial_profile(
+        df_b, histograms={c: (8, specs[c][1], specs[c][2]) for c in cols}
+    )
+    with pytest.raises(ValueError, match="specs differ"):
+        drift_between_partials(pa, pb_other)
