@@ -386,6 +386,12 @@ _SPECS: dict[str, tuple] = {
         PP.video_near_dup_query(),
         PP.video_near_dup_sql(),
     ),
+    # r8: PSI from mergeable shard STATES vs the raw-frame SQL rebuild —
+    # the oracle is drift_sql itself, proving state drift == frame drift
+    "incremental_drift_lineitem": (
+        PP.incremental_drift_query(),
+        P.drift_sql(),
+    ),
 }
 
 

@@ -2218,3 +2218,64 @@ SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_matching_frames
 FROM pairs GROUP BY doc_a, doc_b
 HAVING count(*) >= {vote}
 """
+
+
+# --------------------------------------------------------------------------------
+# Incremental drift (plans/incremental.py drift_between_partials) — PSI computed
+# driver-side from two shard STATES (mergeable histograms) must equal the PSI an
+# independent engine computes from the raw frames with the same edges: the
+# oracle IS parity.drift_sql, proving state-vs-state drift == frame-vs-frame
+# --------------------------------------------------------------------------------
+
+
+def incremental_drift_query(
+    cols: tuple = ("l_quantity", "l_extendedprice", "l_discount"),
+    bins: int = 10,
+    n_shards: int = 2,
+) -> QueryFn:
+    """Baseline = full lineitem, candidate = the l_quantity > 10 slice (the
+    drift_psi_lineitem fixture) — but the Spark side never runs a drift
+    scan: each side is profiled into mergeable states (the baseline in
+    ``n_shards`` shards, merged) with shared histogram edges from the union
+    min/max, and PSI comes from ``drift_between_partials``'s driver
+    arithmetic over those states. The oracle recomputes from the raw rows,
+    so a hash-match proves state drift == frame drift exactly."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.plans.incremental import (
+            drift_between_partials,
+            merge_partials,
+            partial_profile,
+        )
+
+        li = load(spark, sf_dir, "lineitem").select(*cols)
+        df_b = li.where(F.col("l_quantity") > 10)
+        row = li.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"lo_{i}")
+              for i, c in enumerate(cols)],
+            *[F.max(F.col(c).cast("double")).alias(f"hi_{i}")
+              for i, c in enumerate(cols)],
+        ).collect()[0]
+        # union min/max == baseline's (the candidate is a subset)
+        specs = {
+            c: (bins, float(row[f"lo_{i}"]), float(row[f"hi_{i}"]))
+            for i, c in enumerate(cols)
+        }
+        key = F.col("l_extendedprice").cast("long") % n_shards
+        pa = merge_partials([
+            partial_profile(li.where(key == i), histograms=specs)
+            for i in range(n_shards)
+        ])
+        pb = partial_profile(df_b, histograms=specs)
+        drift = drift_between_partials(pa, pb)
+        rows = [
+            (c, d["n_a"], d["n_b"], d["psi"], d["max_shift_bucket"])
+            for c, d in sorted(drift.items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "column string, n_a long, n_b long, psi double, "
+            "max_shift_bucket long",
+        )
+
+    return fn
