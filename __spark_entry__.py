@@ -392,6 +392,12 @@ _SPECS: dict[str, tuple] = {
         PP.incremental_drift_query(),
         P.drift_sql(),
     ),
+    # r8: embedding drift from mergeable states — oracle is the batch
+    # operator's own SQL rebuild (state drift == frame drift, embeddings)
+    "incremental_embedding_drift_embeddings": (
+        PP.incremental_embedding_drift_query(),
+        PP.embedding_drift_sql(),
+    ),
 }
 
 

@@ -2279,3 +2279,55 @@ def incremental_drift_query(
         )
 
     return fn
+
+
+def incremental_embedding_drift_query(
+    dim: int = 64, scale: float = 1.05, shift: float = 0.1, modulo: int = 3
+) -> QueryFn:
+    """Embedding drift from mergeable STATES (plans/incremental.py): the
+    embedding_drift_embeddings fixture, but the Spark side never runs the
+    batch operator — snapshot A is profiled in two shards and merged,
+    snapshot B whole, over shared norm edges (the union extent, what the
+    batch derives), and the drift row comes from
+    ``embedding_drift_between``'s driver arithmetic. The oracle is the
+    batch operator's own SQL rebuild, so a hash-match proves state drift ==
+    frame drift for embeddings too."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.plans.incremental import (
+            embedding_drift_between,
+            embedding_norm_extent,
+            embedding_partial,
+            merge_embedding_states,
+        )
+
+        emb = load(spark, sf_dir, "embeddings")
+        df_b = emb.where(F.col("vec_id") % modulo != 0).select(
+            F.transform(
+                "embedding",
+                lambda x: x.cast("double") * scale + shift,
+            ).alias("embedding")
+        )
+        ea = embedding_norm_extent(emb, "embedding", dim)
+        eb = embedding_norm_extent(df_b, "embedding", dim)
+        edges = (min(ea[0], eb[0]), max(ea[1], eb[1]))
+        pa = merge_embedding_states([
+            embedding_partial(
+                emb.where(F.col("vec_id") % 2 == i), "embedding", dim, edges
+            )
+            for i in range(2)
+        ])
+        pb = embedding_partial(df_b, "embedding", dim, edges)
+        d = embedding_drift_between(pa, pb)
+        return spark.createDataFrame(
+            [tuple(d[k] for k in (
+                "n_a", "n_b", "norm_psi", "max_shift_bucket",
+                "centroid_cosine", "mean_shift_l2", "max_shift_dim",
+                "max_mean_shift",
+            ))],
+            "n_a long, n_b long, norm_psi double, max_shift_bucket long, "
+            "centroid_cosine double, mean_shift_l2 double, "
+            "max_shift_dim long, max_mean_shift double",
+        )
+
+    return fn

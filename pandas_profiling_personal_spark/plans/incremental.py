@@ -938,3 +938,226 @@ def finalize_partial(
             mat.setdefault(b, {})[a] = v
         out["correlations"] = {"pearson": mat}
     return out
+
+
+# ----------------------------------------------------------------------------
+# Mergeable EMBEDDING state — the embedding twin of ColumnState: one bounded
+# aggregate per shard carrying the norm-bucket counts + per-dimension power
+# sums that operators/drift.embedding_drift collects per-snapshot, so two
+# (merged) states drift against each other with zero data rescans.
+# ----------------------------------------------------------------------------
+
+
+@dataclass
+class EmbeddingState:
+    """Mergeable embedding-snapshot state: ``n`` valid vectors,
+    ``bucket_counts`` over a FIXED L2-norm bucketing (``bins`` buckets on
+    ``[lo, hi]``, the engine's ``bucket_index`` clamp), and per-dimension
+    sum / square-sum vectors. Everything merges as a vector add — exact for
+    any shard split. Validity rule identical to ``embedding_drift``:
+    non-null, ``size == dim``, all components finite."""
+
+    dim: int
+    bins: int
+    lo: float
+    hi: float
+    n: int = 0
+    bucket_counts: list[int] = field(default_factory=list)
+    s: list[float] = field(default_factory=list)
+    q: list[float] = field(default_factory=list)
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__)
+
+    @classmethod
+    def from_json(cls, txt: str) -> "EmbeddingState":
+        return cls(**json.loads(txt))
+
+
+def embedding_norm_extent(
+    df: DataFrame, vec_col: str, dim: int
+) -> tuple[float, float] | None:
+    """(lo, hi) of the valid-vector L2 norms — the shared-edges input every
+    shard's :func:`embedding_partial` must receive (the first-snapshot
+    pattern, like :func:`histogram_specs_of`). None when no valid vectors.
+    For exact parity with the batch ``embedding_drift``, take the union of
+    both snapshots' extents (min of los, max of his)."""
+    from pandas_profiling_personal_spark.operators.similarity import (
+        as_double,
+        l2_norm,
+    )
+
+    v = as_double(F.col(vec_col))
+    valid = (
+        F.col(vec_col).isNotNull()
+        & (F.size(v) == dim)
+        & F.forall(
+            v,
+            lambda x: x.isNotNull()
+            & ~F.isnan(x)
+            & ~x.isin(float("inf"), float("-inf")),
+        )
+    )
+    row = (
+        df.where(valid)
+        .select(l2_norm(v).alias("norm"))
+        .agg(F.min("norm").alias("lo"), F.max("norm").alias("hi"))
+        .collect()[0]
+    )
+    if row["lo"] is None:
+        return None
+    return float(row["lo"]), float(row["hi"])
+
+
+def embedding_partial(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    norm_edges: tuple[float, float],
+    bins: int = 10,
+) -> EmbeddingState:
+    """Profile ONE shard's embedding column into a mergeable state — ONE
+    1-row aggregate (bins conditional counts + 2·dim power sums + a count),
+    the same aggregate ``embedding_drift`` runs per side, with the norm
+    edges FIXED by the caller so every shard's buckets align (pass the
+    union :func:`embedding_norm_extent` of the snapshots you intend to
+    compare)."""
+    from pandas_profiling_personal_spark.functions import stats as FS
+    from pandas_profiling_personal_spark.operators.similarity import (
+        as_double,
+        l2_norm,
+    )
+
+    lo, hi = float(norm_edges[0]), float(norm_edges[1])
+    v = as_double(F.col(vec_col))
+    valid = (
+        F.col(vec_col).isNotNull()
+        & (F.size(v) == dim)
+        & F.forall(
+            v,
+            lambda x: x.isNotNull()
+            & ~F.isnan(x)
+            & ~x.isin(float("inf"), float("-inf")),
+        )
+    )
+    src = df.where(valid).select(v.alias("v"), l2_norm(v).alias("norm"))
+    bucket = FS.bucket_index(F.col("norm"), F.lit(lo), F.lit(hi), bins)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [
+        F.sum((bucket == b).cast("long")).alias(f"c{b}") for b in range(bins)
+    ]
+    aggs += [F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(dim)]
+    aggs += [
+        F.sum(F.col("v")[i] * F.col("v")[i]).alias(f"q{i}")
+        for i in range(dim)
+    ]
+    r = src.agg(*aggs).collect()[0]
+    n = int(r["n"])
+    return EmbeddingState(
+        dim=dim,
+        bins=bins,
+        lo=lo,
+        hi=hi,
+        n=n,
+        bucket_counts=[int(r[f"c{b}"] or 0) for b in range(bins)],
+        s=[float(r[f"s{i}"] or 0.0) for i in range(dim)],
+        q=[float(r[f"q{i}"] or 0.0) for i in range(dim)],
+    )
+
+
+def merge_embedding_states(states: list[EmbeddingState]) -> EmbeddingState:
+    """Vector-add fold — exact. Mismatched (dim, bins, lo, hi) specs raise:
+    states bucketed over different edges cannot merge."""
+    if not states:
+        raise ValueError("need at least one EmbeddingState")
+    first = states[0]
+    out = EmbeddingState(
+        dim=first.dim,
+        bins=first.bins,
+        lo=first.lo,
+        hi=first.hi,
+        n=0,
+        bucket_counts=[0] * first.bins,
+        s=[0.0] * first.dim,
+        q=[0.0] * first.dim,
+    )
+    for st in states:
+        if (st.dim, st.bins, st.lo, st.hi) != (
+            out.dim, out.bins, out.lo, out.hi,
+        ):
+            raise ValueError(
+                "embedding state specs differ — profile every shard with "
+                "the same (dim, bins, norm_edges)"
+            )
+        out.n += st.n
+        out.bucket_counts = [
+            x + y for x, y in zip(out.bucket_counts, st.bucket_counts)
+        ]
+        out.s = [x + y for x, y in zip(out.s, st.s)]
+        out.q = [x + y for x, y in zip(out.q, st.q)]
+    return out
+
+
+def embedding_drift_between(
+    a: EmbeddingState,
+    b: EmbeddingState,
+    eps: float = 1e-6,
+    round_to: int = 6,
+) -> dict[str, Any]:
+    """Embedding drift between two (merged) states — the driver arithmetic
+    of ``operators/drift.embedding_drift`` verbatim (norm-PSI over the
+    shared buckets, centroid cosine, mean-shift L2, standardized per-dim
+    shift; identical eps/rounding/tie rules), over numbers the states
+    already carry. When the shared edges are the union norm extent of the
+    two snapshots, the result equals the batch operator field-for-field
+    (pytest-gated). Returns the operator's row as a dict; PSI fields are
+    None when either side has zero valid vectors."""
+    from pandas_profiling_personal_spark.operators.drift import round_half_up
+
+    if (a.dim, a.bins, a.lo, a.hi) != (b.dim, b.bins, b.lo, b.hi):
+        raise ValueError(
+            "embedding state specs differ — rebuild with shared norm_edges"
+        )
+    if a.n == 0 or b.n == 0:
+        return {
+            "n_a": a.n, "n_b": b.n, "norm_psi": None,
+            "max_shift_bucket": None, "centroid_cosine": None,
+            "mean_shift_l2": None, "max_shift_dim": None,
+            "max_mean_shift": None,
+        }
+    n_a, n_b, bins, dim = a.n, b.n, a.bins, a.dim
+    psi, best_shift, best_bucket = 0.0, -1.0, 0
+    for i in range(bins):
+        p = (a.bucket_counts[i] + eps) / (n_a + eps * bins)
+        q = (b.bucket_counts[i] + eps) / (n_b + eps * bins)
+        psi += (p - q) * math.log(p / q)
+        shift = round_half_up(abs(p - q), round_to)
+        if shift > best_shift:
+            best_shift, best_bucket = shift, i
+    mean_a = [a.s[i] / n_a for i in range(dim)]
+    mean_b = [b.s[i] / n_b for i in range(dim)]
+    dot = sum(x * y for x, y in zip(mean_a, mean_b))
+    na = math.sqrt(sum(x * x for x in mean_a))
+    nb = math.sqrt(sum(x * x for x in mean_b))
+    cos = dot / (na * nb) if na > 0 and nb > 0 else None
+    l2 = math.sqrt(sum((x - y) ** 2 for x, y in zip(mean_a, mean_b)))
+    best_dim, best_dshift = 0, -1.0
+    for i in range(dim):
+        var_a = max(a.q[i] / n_a - mean_a[i] ** 2, 0.0)
+        var_b = max(b.q[i] / n_b - mean_b[i] ** 2, 0.0)
+        pooled = math.sqrt((var_a + var_b) / 2.0)
+        dshift = round_half_up(
+            abs(mean_a[i] - mean_b[i]) / (pooled + eps), round_to
+        )
+        if dshift > best_dshift:
+            best_dshift, best_dim = dshift, i
+    return {
+        "n_a": n_a,
+        "n_b": n_b,
+        "norm_psi": round_half_up(psi, round_to),
+        "max_shift_bucket": best_bucket,
+        "centroid_cosine": round_half_up(cos, round_to),
+        "mean_shift_l2": round_half_up(l2, round_to),
+        "max_shift_dim": best_dim,
+        "max_mean_shift": best_dshift,
+    }

@@ -402,3 +402,68 @@ def test_drift_between_partials_matches_drift_profile(spark):
     )
     with pytest.raises(ValueError, match="specs differ"):
         drift_between_partials(pa, pb_other)
+
+
+def test_mergeable_embedding_state_matches_batch_drift(spark):
+    """EmbeddingState: shard states merged over shared norm edges reproduce
+    the batch embedding_drift row field-for-field, survive JSON, and refuse
+    to merge or drift across mismatched specs."""
+    from pandas_profiling_personal_spark.operators.drift import (
+        embedding_drift,
+    )
+    from pandas_profiling_personal_spark.plans.incremental import (
+        EmbeddingState,
+        embedding_drift_between,
+        embedding_norm_extent,
+        embedding_partial,
+        merge_embedding_states,
+    )
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    dim = 64
+    emb = read_parquet(spark, "/root/testdata/sf0.01/embeddings.parquet")
+    df_b = emb.where(F.col("vec_id") % 3 != 0).select(
+        F.transform(
+            "embedding", lambda x: x.cast("double") * 1.05 + 0.1
+        ).alias("embedding")
+    )
+    batch = embedding_drift(emb, df_b, "embedding", dim=dim).collect()[0]
+
+    ea = embedding_norm_extent(emb, "embedding", dim)
+    eb = embedding_norm_extent(df_b, "embedding", dim)
+    edges = (min(ea[0], eb[0]), max(ea[1], eb[1]))
+    shards = [
+        embedding_partial(
+            emb.where(F.col("vec_id") % 3 == i), "embedding", dim, edges
+        )
+        for i in range(3)
+    ]
+    pa = merge_embedding_states(shards)
+    pb = embedding_partial(df_b, "embedding", dim, edges)
+    inc = embedding_drift_between(pa, pb)
+    assert inc["n_a"] == batch["n_a"] and inc["n_b"] == batch["n_b"]
+    for k in ("norm_psi", "centroid_cosine", "mean_shift_l2",
+              "max_mean_shift"):
+        assert inc[k] == pytest.approx(batch[k], abs=2e-6), k
+    assert inc["max_shift_bucket"] == batch["max_shift_bucket"]
+    assert inc["max_shift_dim"] == batch["max_shift_dim"]
+
+    # JSON round-trip drifts identically
+    rt = merge_embedding_states(
+        [EmbeddingState.from_json(s.to_json()) for s in shards]
+    )
+    assert embedding_drift_between(rt, pb) == inc
+
+    # spec mismatch refuses
+    other = embedding_partial(df_b, "embedding", dim, (0.0, 1.0), bins=10)
+    with pytest.raises(ValueError, match="specs differ"):
+        embedding_drift_between(pa, other)
+    with pytest.raises(ValueError, match="specs differ"):
+        merge_embedding_states([pa, other])
+
+    # empty side -> explicit null-signal dict
+    empty = embedding_partial(
+        emb.where("vec_id < 0"), "embedding", dim, edges
+    )
+    nul = embedding_drift_between(pa, empty)
+    assert nul["n_b"] == 0 and nul["norm_psi"] is None
