@@ -398,6 +398,12 @@ _SPECS: dict[str, tuple] = {
         PP.incremental_embedding_drift_query(),
         PP.embedding_drift_sql(),
     ),
+    # r8: Hamming signature-store dedup (image fake tier, full two-step
+    # round trip) vs the union-rule SQL rebuild
+    "incremental_image_dedup_documents": (
+        PP.incremental_image_dedup_query(),
+        PP.incremental_image_dedup_sql(),
+    ),
 }
 
 

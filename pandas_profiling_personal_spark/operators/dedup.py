@@ -1196,3 +1196,113 @@ def incremental_minhash_dedup(
             *sig_cols,
         )
     )
+
+
+def incremental_hamming_dedup(
+    new_sigs: DataFrame,
+    sig_store: DataFrame | None,
+    id_col: str = "doc_id",
+    sig_col: str = "signature",
+    bits: int = 64,
+    max_hamming: int = 7,
+    band_bits: int | None = None,
+    key_blocks: int | None = None,
+) -> DataFrame:
+    """Near-dup dedup of a NEW shard of Hamming-space signatures against a
+    persisted signature store — the bit-signature twin of
+    :func:`incremental_minhash_dedup`, completing the daily-incremental
+    mode for the modalities that dedup on Hamming distance: perceptual
+    image hashes (``multimodal.media_metadata`` phash), audio envelope
+    signatures (``multimodal.audio_metadata``), and SimHash. Returns
+    ``(id, signature, keep, dup_of)`` — one row per new signature;
+    ``sig_store`` is ``(id, signature)`` for EVERY historical doc (kept or
+    dropped — dropping only against keepers would diverge from the batch
+    sweep), ``None`` for the first shard; appending this result's
+    ``(id, signature)`` rows is the store update.
+
+    Semantics: a new doc is dropped iff some banded candidate with a LOWER
+    id (historical or in-shard) lies within ``max_hamming``; ``dup_of`` is
+    the minimum such partner. Two-step == batch-on-union equivalence is
+    exact (pytest-gated) — banding has the pigeonhole recall guarantee, so
+    unlike the MinHash tier there is no bucket-size-cap qualification.
+
+    Scale shape: the store participates only through the band equi-join
+    (band-melted once, ``C(blocks, key_blocks)`` rows per signature); the
+    new shard melts the same way; one (band, key) exchange + one min
+    aggregate per flagged doc. ``key_blocks=None`` auto-sizes from
+    |store| + |shard| via :func:`auto_band_geometry`."""
+    ids = new_sigs.select(
+        S.col(id_col).alias("doc_id"), S.col(sig_col).alias("__sig")
+    ).repartition("doc_id")
+    all_sigs = (
+        ids
+        if sig_store is None
+        else sig_store.select(
+            S.col(id_col).alias("doc_id"), S.col(sig_col).alias("__sig")
+        ).unionByName(ids)
+    )
+    if key_blocks is None:
+        band_bits, key_blocks = auto_band_geometry(
+            all_sigs.count(), bits, max_hamming, band_bits
+        )
+    elif band_bits is None:
+        band_bits = 6 if bits % 6 == 0 else 8
+
+    from itertools import combinations
+
+    n_blocks = bits // band_bits
+    if n_blocks < max_hamming + key_blocks:
+        raise ValueError(
+            f"bits/band_bits={n_blocks} blocks cannot guarantee recall at "
+            f"max_hamming={max_hamming} with key_blocks={key_blocks}"
+        )
+    combos = list(combinations(range(n_blocks), key_blocks))
+
+    def melt(df):
+        def block(i: int):
+            return F.shiftright(F.col("__sig"), i * band_bits).bitwiseAND(
+                F.lit((1 << band_bits) - 1)
+            )
+
+        def key_of(combo):
+            k = block(combo[0])
+            for i in combo[1:]:
+                k = F.shiftleft(k, band_bits).bitwiseOR(block(i))
+            return k
+
+        return df.select(
+            "doc_id",
+            "__sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band"), key_of(c).alias("key")
+                        )
+                        for j, c in enumerate(combos)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc_id", "__sig", "bb.band", "bb.key")
+
+    a, b = melt(all_sigs).alias("a"), melt(ids).alias("b")
+    nd = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(
+            hamming_distance(F.col("a.__sig"), F.col("b.__sig"))
+            <= max_hamming
+        )
+        .groupBy(F.col("b.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("a.doc_id")).alias("dup_of"))
+    )
+    return ids.join(nd, "doc_id", "left").select(
+        F.col("doc_id").alias(id_col),
+        F.col("__sig").alias(sig_col),
+        F.col("dup_of").isNull().alias("keep"),
+        "dup_of",
+    )

@@ -969,6 +969,66 @@ def image_dedup_keep_list(
     return dedup_keep_list(df, pairs, id_col)
 
 
+def incremental_image_dedup(
+    df: DataFrame,
+    sig_store: DataFrame | None,
+    binary_col: str,
+    id_col: str,
+    decoder: str = "fake",
+    **kwargs,
+) -> DataFrame:
+    """Daily-incremental IMAGE dedup: decode the new shard's perceptual
+    signatures once and sweep them against a persisted ``(id, signature)``
+    store via ``dedup.incremental_hamming_dedup`` — the image twin of the
+    text pipeline's ``incremental_minhash_dedup``. Returns ``(id,
+    signature, keep, dup_of)``; append its ``(id, signature)`` rows to the
+    store afterwards. Rows with undecodable/null media have no perceptual
+    identity and are ABSENT (route them through the exact content-hash
+    tier). ``kwargs`` pass to the sweep (``bits``/``max_hamming``/
+    ``band_bits``/``key_blocks``)."""
+    from pandas_profiling_personal_spark.operators.dedup import (
+        incremental_hamming_dedup,
+    )
+
+    if decoder == "auto":
+        decoder = "real" if _pil_available() else "fake"
+    kwargs.setdefault("bits", 60 if decoder == "fake" else 64)
+    sigs = (
+        media_metadata(df, binary_col, decoder)
+        .select(id_col, F.col("meta.phash").alias("signature"))
+        .where(F.col("signature").isNotNull())
+    )
+    return incremental_hamming_dedup(
+        sigs, sig_store, id_col=id_col, sig_col="signature", **kwargs
+    )
+
+
+def incremental_audio_dedup(
+    df: DataFrame,
+    sig_store: DataFrame | None,
+    binary_col: str,
+    id_col: str,
+    decoder: str = "auto",
+    **kwargs,
+) -> DataFrame:
+    """Daily-incremental AUDIO dedup — :func:`incremental_image_dedup`'s
+    audio twin over the envelope signatures of
+    :func:`audio_envelope_signature` (or the md5 fake tier)."""
+    from pandas_profiling_personal_spark.operators.dedup import (
+        incremental_hamming_dedup,
+    )
+
+    kwargs.setdefault("bits", 60 if decoder == "fake" else 64)
+    sigs = (
+        audio_metadata(df, binary_col, decoder, signature=True)
+        .select(id_col, F.col("audio_meta.signature").alias("signature"))
+        .where(F.col("signature").isNotNull())
+    )
+    return incremental_hamming_dedup(
+        sigs, sig_store, id_col=id_col, sig_col="signature", **kwargs
+    )
+
+
 def media_profile(
     df: DataFrame,
     binary_col: str,

@@ -2331,3 +2331,66 @@ def incremental_embedding_drift_query(
         )
 
     return fn
+
+
+def incremental_image_dedup_query(
+    cutoff: int = 250, dup_stride: int = 5, id_shift: int = 100_000
+) -> QueryFn:
+    """Daily-incremental image dedup (fake tier), full store round trip:
+    shard 1 (doc_id < cutoff) sweeps against an empty store, its signatures
+    become the store, shard 2 (the rest + every ``dup_stride``-th doc
+    re-planted under a shifted id) sweeps against it. The oracle computes
+    the union rule directly — dropped iff ANY lower-id partner within the
+    Hamming radius — so a driver match proves two-step == batch-on-union
+    for the Hamming store tier."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.multimodal import (
+            incremental_image_dedup,
+        )
+
+        base = (
+            load(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull())
+            .select("doc_id", F.col("text").cast("binary").alias("blob"))
+        )
+        planted = base.where(F.col("doc_id") % dup_stride == 0).select(
+            (F.col("doc_id") + id_shift).alias("doc_id"), "blob"
+        )
+        hist = base.where(F.col("doc_id") < cutoff)
+        new = base.where(F.col("doc_id") >= cutoff).unionAll(planted)
+        kw = dict(decoder="fake", max_hamming=8)
+        first = incremental_image_dedup(hist, None, "blob", "doc_id", **kw)
+        store = first.select("doc_id", "signature")
+        out = incremental_image_dedup(new, store, "blob", "doc_id", **kw)
+        return out.select(
+            "doc_id", "signature", "keep", "dup_of"
+        )
+
+    return fn
+
+
+def incremental_image_dedup_sql(
+    cutoff: int = 250, dup_stride: int = 5, id_shift: int = 100_000
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(text), 1, 15)) AS UBIGINT)::BIGINT
+           AS signature
+  FROM documents WHERE text IS NOT NULL),
+docs AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT doc_id + {id_shift} AS doc_id, signature FROM base
+  WHERE doc_id % {dup_stride} = 0),
+new AS (SELECT * FROM docs WHERE doc_id >= {cutoff}),
+nd AS (
+  SELECT n.doc_id, min(p.doc_id) AS dup_of
+  FROM new n JOIN docs p
+    ON p.doc_id < n.doc_id
+   AND bit_count(xor(p.signature, n.signature)) <= 8
+  GROUP BY n.doc_id)
+SELECT n.doc_id, n.signature, (d.dup_of IS NULL) AS keep, d.dup_of
+FROM new n LEFT JOIN nd d ON n.doc_id = d.doc_id
+"""

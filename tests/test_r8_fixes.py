@@ -565,3 +565,68 @@ def test_size_estimate_and_fillna_rows(spark):
     )
     assert r.table.get("memory_size", 0) > 0
     assert r.table["record_size"] == r.table["memory_size"] / r.table["n"]
+
+
+def test_incremental_hamming_dedup_two_step_equals_batch(spark):
+    """Hamming signature-store dedup: shard-1 sweep -> store -> shard-2
+    sweep reproduces the batch union rule EXACTLY (any lower-id partner
+    within the radius — banding's pigeonhole recall means no bucket-cap
+    qualification, unlike the MinHash tier), across both the generic
+    operator and the WAV-tier audio wrapper."""
+    from pandas_profiling_personal_spark.operators.dedup import (
+        incremental_hamming_dedup,
+    )
+    from pandas_profiling_personal_spark.operators.multimodal import (
+        incremental_audio_dedup,
+    )
+
+    # synthetic 60-bit signatures with planted near-dups (1-bit flips)
+    base = spark.range(0, 60).select(
+        F.col("id").alias("doc_id"),
+        (
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+        ).alias("signature"),
+    )
+    planted = base.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.col("signature").bitwiseXOR(F.lit(1 << 13)).alias("signature"),
+    )
+    sigs = base.unionByName(planted)
+    kw = dict(bits=60, max_hamming=4)
+
+    batch = {
+        r["doc_id"]: (r["keep"], r["dup_of"])
+        for r in incremental_hamming_dedup(sigs, None, **kw).collect()
+    }
+    assert any(not k for k, _ in batch.values()), "fixture needs dups"
+
+    first = incremental_hamming_dedup(
+        sigs.where("doc_id < 30"), None, **kw
+    )
+    store = first.select("doc_id", "signature")
+    second = incremental_hamming_dedup(
+        sigs.where("doc_id >= 30"), store, **kw
+    )
+    two_step = {
+        r["doc_id"]: (r["keep"], r["dup_of"]) for r in first.collect()
+    } | {r["doc_id"]: (r["keep"], r["dup_of"]) for r in second.collect()}
+    assert two_step == batch
+
+    # audio wrapper: a WAV near-dup arriving in a later shard is swept
+    # against the stored envelope signature of the original
+    sig_w, noise = _audio_fixture()
+    shard1 = spark.createDataFrame(
+        [(1, _wav_pcm(sig_w)), (2, _wav_pcm(noise))], "id long, blob binary"
+    )
+    shard2 = spark.createDataFrame(
+        [(3, _wav_pcm(sig_w * 0.5)), (4, b"not audio")],
+        "id long, blob binary",
+    )
+    f1 = incremental_audio_dedup(shard1, None, "blob", "id", max_hamming=7)
+    st = f1.select("id", "signature")
+    f2 = incremental_audio_dedup(shard2, st, "blob", "id", max_hamming=7)
+    out1 = {r["id"]: (r["keep"], r["dup_of"]) for r in f1.collect()}
+    out2 = {r["id"]: (r["keep"], r["dup_of"]) for r in f2.collect()}
+    assert out1 == {1: (True, None), 2: (True, None)}
+    assert out2 == {3: (False, 1)}, out2  # 4 absent: no audio identity
