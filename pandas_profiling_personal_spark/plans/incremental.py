@@ -1161,3 +1161,85 @@ def embedding_drift_between(
         "max_shift_dim": best_dim,
         "max_mean_shift": best_dshift,
     }
+
+
+def categorical_drift_between_partials(
+    a: PartialProfile,
+    b: PartialProfile,
+    top_n: int = 20,
+    eps: float = 1e-6,
+    round_to: int = 6,
+    other_label: str = "__other__",
+) -> dict[str, dict[str, Any]]:
+    """Categorical drift between two (merged) shard states — the language/
+    source/license-mix question for the daily-incremental mode, computed
+    from the states' value counts with zero data rescans. Covers every
+    categorical/boolean column present in both states.
+
+    The arithmetic is ``drift_profile_categorical``'s: top-``top_n`` values
+    by combined count (ties by value ascending), remainder folded into
+    ``other_label``, ε-smoothed PSI with the per-column bucket count as the
+    bin term, ``max_shift_value`` ties to the lexicographically-largest
+    value. EXACTNESS is explicit in the output: ``exact=True`` iff both
+    sides' value counts are complete (Σ top_values == non-null count — true
+    whenever every shard's cardinality fit inside its ``top_m``); otherwise
+    the uncaptured residual mass folds into ``other_label`` and the PSI is
+    an approximation whose error is bounded by the dropped tail counts.
+    When exact, the result equals the batch operator on the raw frames
+    (pytest-gated)."""
+    from pandas_profiling_personal_spark.operators.drift import round_half_up
+
+    out: dict[str, dict[str, Any]] = {}
+    cats = [
+        c
+        for c, cs in a.columns.items()
+        if cs.type in (VT.CATEGORICAL.value, VT.BOOLEAN.value)
+        and c in b.columns
+        and b.columns[c].type == cs.type
+    ]
+    for c in cats:
+        ca, cb = a.columns[c], b.columns[c]
+        n_a = sum(ca.top_values.values())
+        n_b = sum(cb.top_values.values())
+        resid_a = max(ca.count - n_a, 0)
+        resid_b = max(cb.count - n_b, 0)
+        exact = resid_a == 0 and resid_b == 0
+        if ca.count == 0 and cb.count == 0:
+            out[c] = {
+                "n_a": 0, "n_b": 0, "psi": None,
+                "max_shift_value": None, "exact": True,
+            }
+            continue
+        values = sorted(
+            set(ca.top_values) | set(cb.top_values),
+            key=lambda v: (
+                -(ca.top_values.get(v, 0) + cb.top_values.get(v, 0)),
+                v,
+            ),
+        )
+        kept = values[:top_n]
+        other_a = resid_a + sum(ca.top_values.get(v, 0) for v in values[top_n:])
+        other_b = resid_b + sum(cb.top_values.get(v, 0) for v in values[top_n:])
+        buckets = [
+            (v, ca.top_values.get(v, 0), cb.top_values.get(v, 0))
+            for v in kept
+        ]
+        if other_a or other_b or len(values) > top_n or not exact:
+            buckets.append((other_label, other_a, other_b))
+        tot_a, tot_b, bins = ca.count, cb.count, len(buckets)
+        psi, best = 0.0, (-1.0, "")
+        for v, x, y in buckets:
+            p = (x + eps) / (tot_a + eps * bins)
+            q = (y + eps) / (tot_b + eps * bins)
+            psi += (p - q) * math.log(p / q)
+            shift = abs(p - q)
+            if (shift, v) >= best:
+                best = (shift, v)
+        out[c] = {
+            "n_a": tot_a,
+            "n_b": tot_b,
+            "psi": round_half_up(psi, round_to),
+            "max_shift_value": best[1],
+            "exact": exact,
+        }
+    return out

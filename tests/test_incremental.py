@@ -467,3 +467,53 @@ def test_mergeable_embedding_state_matches_batch_drift(spark):
     )
     nul = embedding_drift_between(pa, empty)
     assert nul["n_b"] == 0 and nul["norm_psi"] is None
+
+
+def test_categorical_drift_between_partials_matches_batch(spark):
+    """Categorical state drift: on bounded-cardinality columns (complete
+    value counts -> exact=True) the PSI/max-shift equal the batch
+    drift_profile_categorical on the raw frames; high-cardinality columns
+    flag exact=False and fold the uncaptured tail into __other__."""
+    from pandas_profiling_personal_spark.operators.drift import (
+        drift_profile_categorical,
+    )
+    from pandas_profiling_personal_spark.plans.incremental import (
+        categorical_drift_between_partials,
+        merge_partials,
+        partial_profile,
+    )
+
+    cols = ["l_returnflag", "l_linestatus"]
+    base = _load(spark).select(*cols, "l_quantity")
+    df_a = base.where(F.col("l_quantity") <= 30).select(*cols)
+    df_b = base.where(F.col("l_quantity") > 20).select(*cols)
+
+    key = F.crc32(F.concat_ws("|", *cols)) % 2
+    pa = merge_partials([
+        partial_profile(df_a.where(key == i)) for i in range(2)
+    ])
+    pb = partial_profile(df_b)
+
+    batch = {
+        r["column"]: r
+        for r in drift_profile_categorical(df_a, df_b, cols).collect()
+    }
+    inc = categorical_drift_between_partials(pa, pb)
+    assert set(inc) == set(cols)
+    for c in cols:
+        assert inc[c]["exact"] is True
+        assert inc[c]["n_a"] == batch[c]["n_a"]
+        assert inc[c]["n_b"] == batch[c]["n_b"]
+        assert inc[c]["psi"] == pytest.approx(batch[c]["psi"], abs=2e-6)
+        assert inc[c]["max_shift_value"] == batch[c]["max_shift_value"], c
+
+    # high-cardinality column: per-shard top-M drops tail values -> the
+    # drift is flagged approximate, still computable
+    wide = _load(spark).select(
+        F.col("l_orderkey").cast("string").alias("k")
+    )
+    qa = partial_profile(wide.limit(2000), top_m=10)
+    qb = partial_profile(wide.limit(3000), top_m=10)
+    approx = categorical_drift_between_partials(qa, qb)["k"]
+    assert approx["exact"] is False
+    assert approx["psi"] is not None
