@@ -1243,3 +1243,46 @@ def categorical_drift_between_partials(
             "exact": exact,
         }
     return out
+
+
+def incremental_drift_report(
+    part_a: PartialProfile,
+    part_b: PartialProfile,
+    emb_a: "EmbeddingState | None" = None,
+    emb_b: "EmbeddingState | None" = None,
+    title: str = "Incremental drift report",
+    **alert_thresholds,
+) -> str:
+    """One-call drift surface for the daily-incremental mode: numeric +
+    categorical + (optional) embedding drift between two states, classified
+    through the SAME ``drift_alerts`` rules and rendered with the SAME
+    ``drift_report_html`` one-pager as the two-frame operators — zero data
+    rescans, zero Spark jobs (pure driver arithmetic over state). Numeric
+    rows cover the columns both states carry histograms for; categorical
+    rows carry the ``exact`` flag through to the table."""
+    from pandas_profiling_personal_spark.operators.drift import (
+        drift_report_html,
+    )
+
+    numeric_rows = [
+        {"column": c, **d}
+        for c, d in drift_between_partials(part_a, part_b).items()
+    ]
+    categorical_rows = [
+        {"column": c, **d}
+        for c, d in categorical_drift_between_partials(
+            part_a, part_b
+        ).items()
+    ]
+    embedding_row = (
+        embedding_drift_between(emb_a, emb_b)
+        if emb_a is not None and emb_b is not None
+        else None
+    )
+    return drift_report_html(
+        numeric_rows=numeric_rows,
+        categorical_rows=categorical_rows,
+        embedding_row=embedding_row,
+        title=title,
+        **alert_thresholds,
+    )

@@ -517,3 +517,44 @@ def test_categorical_drift_between_partials_matches_batch(spark):
     approx = categorical_drift_between_partials(qa, qb)["k"]
     assert approx["exact"] is False
     assert approx["psi"] is not None
+
+
+def test_incremental_drift_report_surface(spark):
+    """incremental_drift_report: the daily-incremental one-pager — numeric,
+    categorical and embedding drift between states through the shared
+    alert rules and HTML renderer, no Spark jobs past state construction."""
+    from pandas_profiling_personal_spark.plans.incremental import (
+        embedding_norm_extent,
+        embedding_partial,
+        incremental_drift_report,
+        partial_profile,
+    )
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    cols = ["l_quantity", "l_returnflag"]
+    base = _load(spark).select(*cols)
+    row = base.agg(
+        F.min("l_quantity").alias("lo"), F.max("l_quantity").alias("hi")
+    ).collect()[0]
+    specs = {"l_quantity": (10, float(row["lo"]), float(row["hi"]))}
+    pa = partial_profile(base.where("l_quantity <= 30"), histograms=specs)
+    pb = partial_profile(base.where("l_quantity > 25"), histograms=specs)
+
+    emb = read_parquet(spark, "/root/testdata/sf0.01/embeddings.parquet")
+    shifted = emb.select(
+        F.transform("embedding", lambda x: x.cast("double") * 3.0).alias(
+            "embedding"
+        )
+    )
+    edges_a = embedding_norm_extent(emb, "embedding", 64)
+    edges_b = embedding_norm_extent(shifted, "embedding", 64)
+    edges = (min(edges_a[0], edges_b[0]), max(edges_a[1], edges_b[1]))
+    ea = embedding_partial(emb, "embedding", 64, edges)
+    eb = embedding_partial(shifted, "embedding", 64, edges)
+
+    html = incremental_drift_report(pa, pb, ea, eb)
+    assert "<html" in html and "Alerts" in html
+    # the deliberately shifted quantity slice and the 3x-scaled embeddings
+    # must both surface in the alert banner
+    assert "l_quantity" in html
+    assert "EMBEDDING_NORM_DRIFT" in html or "DRIFT_" in html
