@@ -64,7 +64,18 @@ _SPECS: dict[str, tuple] = {
     # value-count head of top_k/char_counts), phik_contingency (kin
     # cramers_v contingency shuffle) — all seven r7-green, so their family
     # evidence is fresh while they sit out. numeric_summary_nation stays in
-    # the tail: same operator as in-window numeric_summary_lineitem. All
+    # the tail: same operator as in-window numeric_summary_lineitem.
+    # r8 rotation, second pass (the six operators BUILT this round get
+    # driver evidence this round): in — audio_near_dup, video_near_dup,
+    # incremental_pearson, incremental_drift, incremental_embedding_drift,
+    # incremental_image_dedup; out (all r7-green, kin-covered) —
+    # drift_psi_lineitem and embedding_drift (their incremental twins run
+    # the SAME oracle SQL over a superset path), url_parts (kin
+    # canonical_url), histogram_extendedprice (kin incremental_drift's
+    # per-shard histogram_all + shared bucket arithmetic),
+    # incremental_minhash_dedup (kin incremental_image_dedup store round
+    # trip + in-window incremental_exact_dedup), tfidf_top_terms (text
+    # family: text_profile/chunk/c4/repetition all in-window). All
     # entries — both windows — are verified by tests/test_oracle_parity.py
     # locally every round.
     "numeric_summary_lineitem": (
@@ -95,9 +106,9 @@ _SPECS: dict[str, tuple] = {
             "events", ["event_id", "ts", "user_id", "event_type", "value", "props"]
         ),
     ),
-    "histogram_extendedprice": (
-        P.histogram_query("lineitem", "l_extendedprice", 10),
-        P.histogram_sql("lineitem", "l_extendedprice", 10),
+    "incremental_pearson_lineitem": (
+        PP.incremental_pearson_query(),
+        PP.incremental_pearson_sql(),
     ),
     "duplicate_stats_orders": (
         P.duplicate_stats_query("orders"),
@@ -144,7 +155,10 @@ _SPECS: dict[str, tuple] = {
         P.grouped_summary_query(),
         P.grouped_summary_sql(),
     ),
-    "drift_psi_lineitem": (P.drift_query(), P.drift_sql()),
+    "incremental_drift_lineitem": (
+        PP.incremental_drift_query(),
+        P.drift_sql(),
+    ),
     "incremental_exact_dedup_documents": (
         PP.incremental_exact_dedup_query(250),
         PP.incremental_exact_dedup_sql(250),
@@ -153,9 +167,9 @@ _SPECS: dict[str, tuple] = {
         P.stratified_sample_query("documents", "lang", 5, "doc_id"),
         P.stratified_sample_sql("documents", "lang", 5, "doc_id"),
     ),
-    "incremental_minhash_dedup_documents": (
-        PP.incremental_minhash_dedup_query(250),
-        PP.incremental_minhash_dedup_sql(250),
+    "incremental_image_dedup_documents": (
+        PP.incremental_image_dedup_query(),
+        PP.incremental_image_dedup_sql(),
     ),
     "scatter_lineitem": (
         P.scatter_query("lineitem", "l_quantity", "l_extendedprice", 16),
@@ -165,10 +179,13 @@ _SPECS: dict[str, tuple] = {
         P.session_stats_query("events", "user_id", "ts", 30),
         P.session_stats_sql("events", "user_id", "ts", 30),
     ),
-    "url_parts_events": (P.url_parts_query(), P.url_parts_sql()),
-    "tfidf_top_terms_documents": (
-        PP.tfidf_top_terms_query(5),
-        PP.tfidf_top_terms_sql(5),
+    "audio_near_dup_documents": (
+        PP.audio_near_dup_query(),
+        PP.audio_near_dup_sql(),
+    ),
+    "video_near_dup_documents": (
+        PP.video_near_dup_query(),
+        PP.video_near_dup_sql(),
     ),
     "path_parts_events": (P.path_parts_query(), P.path_parts_sql()),
     "complex_stats_lineitem": (
@@ -239,8 +256,8 @@ _SPECS: dict[str, tuple] = {
         PP.audio_metadata_query(),
         PP.audio_metadata_sql(),
     ),
-    "embedding_drift_embeddings": (
-        PP.embedding_drift_query(),
+    "incremental_embedding_drift_embeddings": (
+        PP.incremental_embedding_drift_query(),
         PP.embedding_drift_sql(),
     ),
     "lm_perplexity_documents": (
@@ -372,37 +389,31 @@ _SPECS: dict[str, tuple] = {
     # r8 additions (tail — r9 window candidates): mergeable-Pearson shard
     # states vs the whole-frame corr an independent engine computes, and
     # audio near-dup (fake tier) vs an all-pairs Hamming rebuild
-    "incremental_pearson_lineitem": (
-        PP.incremental_pearson_query(),
-        PP.incremental_pearson_sql(),
+    "histogram_extendedprice": (
+        P.histogram_query("lineitem", "l_extendedprice", 10),
+        P.histogram_sql("lineitem", "l_extendedprice", 10),
     ),
-    "audio_near_dup_documents": (
-        PP.audio_near_dup_query(),
-        PP.audio_near_dup_sql(),
-    ),
+    "drift_psi_lineitem": (P.drift_query(), P.drift_sql()),
     # r8: frame-vote video near-dup — the codec stays stubbed (libav absent)
     # but the distributed shape is real and oracle-checked on the fake tier
-    "video_near_dup_documents": (
-        PP.video_near_dup_query(),
-        PP.video_near_dup_sql(),
+    "incremental_minhash_dedup_documents": (
+        PP.incremental_minhash_dedup_query(250),
+        PP.incremental_minhash_dedup_sql(250),
     ),
     # r8: PSI from mergeable shard STATES vs the raw-frame SQL rebuild —
     # the oracle is drift_sql itself, proving state drift == frame drift
-    "incremental_drift_lineitem": (
-        PP.incremental_drift_query(),
-        P.drift_sql(),
-    ),
+    "url_parts_events": (P.url_parts_query(), P.url_parts_sql()),
     # r8: embedding drift from mergeable states — oracle is the batch
     # operator's own SQL rebuild (state drift == frame drift, embeddings)
-    "incremental_embedding_drift_embeddings": (
-        PP.incremental_embedding_drift_query(),
-        PP.embedding_drift_sql(),
+    "tfidf_top_terms_documents": (
+        PP.tfidf_top_terms_query(5),
+        PP.tfidf_top_terms_sql(5),
     ),
     # r8: Hamming signature-store dedup (image fake tier, full two-step
     # round trip) vs the union-rule SQL rebuild
-    "incremental_image_dedup_documents": (
-        PP.incremental_image_dedup_query(),
-        PP.incremental_image_dedup_sql(),
+    "embedding_drift_embeddings": (
+        PP.embedding_drift_query(),
+        PP.embedding_drift_sql(),
     ),
 }
 
