@@ -697,3 +697,37 @@ def test_incremental_pearson_adds_no_jobs(spark):
         assert (part.pairs is not None) == flag
         jobs[flag] = len(sc.statusTracker().getJobIdsForGroup(group))
     assert jobs[True] == jobs[False], f"correlations=True grew jobs: {jobs}"
+
+
+def test_video_near_dup_decodes_once(spark):
+    """video_near_duplicates: the frame-sampling mapInPandas must execute
+    ONCE — the explicit encoded-frame-id exchange is what both banded
+    self-join sides reuse (same contract as the image/audio operators).
+    Duplicates are planted so the result is non-empty: AQE collapses an
+    empty aggregate to EmptyRelation, leaving no final plan to inspect
+    (exchange reuse is a RUNTIME stage feature — the initial plan always
+    shows two pipelines)."""
+    from pyspark.sql import functions as F
+
+    from pandas_profiling_personal_spark.operators.multimodal import (
+        video_near_duplicates,
+    )
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    base = (
+        read_parquet(spark, f"{SF_DIR}/documents.parquet")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    planted = base.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+    )
+    docs = base.unionAll(planted).select(
+        "doc_id", F.col("text").cast("binary").alias("blob")
+    )
+    out = video_near_duplicates(docs, "blob", "doc_id", n_frames=4)
+    assert out.count() > 0  # non-vacuous: the final plan materializes
+    out.collect()
+    final = _plan(out).split("Initial Plan")[0]
+    assert final.count("MapInPandas") == 1, final
+    assert "ReusedExchange" in final, final
