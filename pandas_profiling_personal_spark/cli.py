@@ -151,6 +151,35 @@ def build_parser() -> argparse.ArgumentParser:
         help="context window for the report's packing section "
         "(default: --chunk if given, else 2048)",
     )
+    s = p.add_argument_group("incremental states (daily pipeline)")
+    s.add_argument(
+        "--save-state",
+        default=None,
+        metavar="STATE_JSON",
+        help="instead of a report: profile INPUT into a mergeable shard "
+        "state (moments, sketches, mergeable histograms + Pearson) and "
+        "write it as JSON — the daily-incremental building block",
+    )
+    s.add_argument(
+        "--state-bins", type=int, default=10, metavar="N",
+        help="histogram bins when deriving a NEW state's edges "
+        "(ignored with --align-state)",
+    )
+    s.add_argument(
+        "--align-state",
+        default=None,
+        metavar="STATE_JSON",
+        help="with --save-state: reuse this earlier state's histogram "
+        "specs (shared edges) so the two states merge and drift exactly",
+    )
+    s.add_argument(
+        "--drift-against",
+        default=None,
+        metavar="STATE_JSON",
+        help="instead of a profile: profile INPUT into a state aligned to "
+        "the stored state's edges and write the incremental drift report "
+        "(numeric + categorical PSI, alerts) to OUTPUT",
+    )
     return p
 
 
@@ -162,6 +191,8 @@ def main(argv: list[str] | None = None) -> int:
             ("--corpus-report", args.corpus_report),
             ("--prepare-corpus", args.prepare_corpus is not None),
             ("--compare", args.compare is not None),
+            ("--save-state", args.save_state is not None),
+            ("--drift-against", args.drift_against is not None),
         ) if on
     ]
     if len(modes) > 1:
@@ -209,6 +240,51 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_session(app_name="spark-profile", master=args.master)
     try:
         df = read_table(spark, args.input)
+        if args.save_state or args.drift_against:
+            from pandas_profiling_personal_spark.plans.incremental import (
+                PartialProfile,
+                histogram_specs_of,
+                incremental_drift_report,
+                partial_profile,
+            )
+
+            if args.save_state:
+                if args.align_state:
+                    with open(args.align_state, encoding="utf-8") as fh:
+                        prev = PartialProfile.from_json(fh.read())
+                    specs = histogram_specs_of(prev) or None
+                    corr = prev.pairs is not None
+                else:
+                    specs, corr = args.state_bins, True
+                part = partial_profile(
+                    df, histograms=specs, correlations=corr
+                )
+                with open(args.save_state, "w", encoding="utf-8") as fh:
+                    fh.write(part.to_json())
+                print(json.dumps({
+                    "output": args.save_state,
+                    "n": part.n,
+                    "n_columns": len(part.columns),
+                    "aligned_to": args.align_state,
+                }))
+                return 0
+            with open(args.drift_against, encoding="utf-8") as fh:
+                prev = PartialProfile.from_json(fh.read())
+            cur = partial_profile(
+                df, histograms=histogram_specs_of(prev) or None
+            )
+            out = args.output or (args.input.rsplit(".", 1)[0] + ".html")
+            title = args.title or (
+                f"Drift: {args.drift_against} vs {args.input}"
+            )
+            with open(out, "w", encoding="utf-8") as fh:
+                fh.write(
+                    incremental_drift_report(prev, cur, title=title)
+                )
+            print(json.dumps({
+                "output": out, "n_a": prev.n, "n_b": cur.n,
+            }))
+            return 0
         if args.corpus_report:
             from pandas_profiling_personal_spark.plans.corpus import (
                 corpus_profile,

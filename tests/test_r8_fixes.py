@@ -630,3 +630,59 @@ def test_incremental_hamming_dedup_two_step_equals_batch(spark):
     out2 = {r["id"]: (r["keep"], r["dup_of"]) for r in f2.collect()}
     assert out1 == {1: (True, None), 2: (True, None)}
     assert out2 == {3: (False, 1)}, out2  # 4 absent: no audio identity
+
+
+def test_cli_save_state_and_drift(tmp_path):
+    """CLI incremental-state modes: --save-state writes a mergeable shard
+    state, --align-state reuses its histogram edges, --drift-against writes
+    the incremental drift HTML — the daily pipeline's command-line loop."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    src_a = tmp_path / "day1.parquet"
+    src_b = tmp_path / "day2.parquet"
+    pd.DataFrame(
+        {"v": [1.0, 2.0, 3.0, 4.0, 5.0], "cat": list("aabbc")}
+    ).to_parquet(src_a)
+    pd.DataFrame(
+        {"v": [4.0, 4.5, 5.0, 5.0, 2.0], "cat": list("ccccb")}
+    ).to_parquet(src_b)
+
+    def run(*argv):
+        proc = subprocess.run(
+            [sys.executable, "-m", "pandas_profiling_personal_spark.cli",
+             *argv, "--master", "local[2]"],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    st_a = tmp_path / "a.json"
+    st_b = tmp_path / "b.json"
+    out = tmp_path / "drift.html"
+    s1 = run(str(src_a), "--save-state", str(st_a))
+    assert s1["n"] == 5 and s1["n_columns"] == 2
+    s2 = run(
+        str(src_b), "--save-state", str(st_b), "--align-state", str(st_a)
+    )
+    assert s2["aligned_to"] == str(st_a)
+    s3 = run(str(src_b), str(out), "--drift-against", str(st_a))
+    assert s3["n_a"] == 5 and s3["n_b"] == 5
+    html = out.read_text()
+    assert "<html" in html and "cat" in html
+
+    # the two saved states merge (shared edges) and drift in-library too
+    from pandas_profiling_personal_spark.plans.incremental import (
+        PartialProfile,
+        drift_between_partials,
+        merge_partials,
+    )
+
+    pa = PartialProfile.from_json(st_a.read_text())
+    pb = PartialProfile.from_json(st_b.read_text())
+    merged = merge_partials([pa, pb])
+    assert merged.n == 10
+    assert drift_between_partials(pa, pb)["v"]["psi"] is not None
