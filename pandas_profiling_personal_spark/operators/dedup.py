@@ -544,6 +544,41 @@ def auto_band_geometry(
     return best[3], best[4]
 
 
+def _hamming_band_melt(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    band_bits: int,
+    combos: list[tuple[int, ...]],
+) -> DataFrame:
+    """(doc_id, __sig, band, key) rows — THE one band-key definition for
+    Hamming-space banding (block = shiftright+mask, key = concatenated
+    blocks), shared by :func:`banded_hamming_pairs` and
+    :func:`incremental_hamming_dedup` so the pair engine and the store
+    sweep can never silently disagree (the ``band_table`` rule)."""
+
+    def block(i: int) -> Column:
+        return F.shiftright(F.col(sig_col), i * band_bits).bitwiseAND(
+            F.lit((1 << band_bits) - 1)
+        )
+
+    def key_of(combo) -> Column:
+        k = block(combo[0])
+        for i in combo[1:]:
+            k = F.shiftleft(k, band_bits).bitwiseOR(block(i))
+        return k
+
+    band_structs = [
+        F.struct(F.lit(j).alias("band"), key_of(combo).alias("key"))
+        for j, combo in enumerate(combos)
+    ]
+    return df.select(
+        S.col(id_col).alias("doc_id"),
+        F.col(sig_col).alias("__sig"),
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select("doc_id", "__sig", "bb.band", "bb.key")
+
+
 def banded_hamming_pairs(
     sig: DataFrame,
     id_col: str,
@@ -595,26 +630,7 @@ def banded_hamming_pairs(
             "factor is unreasonable; use fewer/wider blocks"
         )
 
-    def block(i: int):
-        return F.shiftright(F.col(sig_col), i * band_bits).bitwiseAND(
-            F.lit((1 << band_bits) - 1)
-        )
-
-    def key_of(combo) -> Column:
-        k = block(combo[0])
-        for i in combo[1:]:
-            k = F.shiftleft(k, band_bits).bitwiseOR(block(i))
-        return k
-
-    band_structs = [
-        F.struct(F.lit(j).alias("band"), key_of(combo).alias("key"))
-        for j, combo in enumerate(combos)
-    ]
-    melted = sig.select(
-        S.col(id_col).alias("doc_id"),
-        F.col(sig_col).alias("__sig"),
-        F.explode(F.array(*band_structs)).alias("bb"),
-    ).select("doc_id", "__sig", "bb.band", "bb.key")
+    melted = _hamming_band_melt(sig, id_col, sig_col, band_bits, combos)
     a, b = melted.alias("a"), melted.alias("b")
     return (
         a.join(
@@ -1207,6 +1223,7 @@ def incremental_hamming_dedup(
     max_hamming: int = 7,
     band_bits: int | None = None,
     key_blocks: int | None = None,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Near-dup dedup of a NEW shard of Hamming-space signatures against a
     persisted signature store — the bit-signature twin of
@@ -1230,7 +1247,12 @@ def incremental_hamming_dedup(
     (band-melted once, ``C(blocks, key_blocks)`` rows per signature); the
     new shard melts the same way; one (band, key) exchange + one min
     aggregate per flagged doc. ``key_blocks=None`` auto-sizes from
-    |store| + |shard| via :func:`auto_band_geometry`."""
+    |store| + |shard| via :func:`auto_band_geometry`; pass ``n_hint``
+    (that total, known cheaply by the caller — e.g. a metadata-only
+    ``df.count()`` BEFORE an expensive signature pipeline) so the sizing
+    does not execute ``new_sigs``'s lineage as an extra job (review r8:
+    the image/audio wrappers' sizing count was re-running the full Arrow
+    media decode)."""
     ids = new_sigs.select(
         S.col(id_col).alias("doc_id"), S.col(sig_col).alias("__sig")
     ).repartition("doc_id")
@@ -1243,7 +1265,8 @@ def incremental_hamming_dedup(
     )
     if key_blocks is None:
         band_bits, key_blocks = auto_band_geometry(
-            all_sigs.count(), bits, max_hamming, band_bits
+            all_sigs.count() if n_hint is None else int(n_hint),
+            bits, max_hamming, band_bits,
         )
     elif band_bits is None:
         band_bits = 6 if bits % 6 == 0 else 8
@@ -1257,35 +1280,11 @@ def incremental_hamming_dedup(
             f"max_hamming={max_hamming} with key_blocks={key_blocks}"
         )
     combos = list(combinations(range(n_blocks), key_blocks))
-
-    def melt(df):
-        def block(i: int):
-            return F.shiftright(F.col("__sig"), i * band_bits).bitwiseAND(
-                F.lit((1 << band_bits) - 1)
-            )
-
-        def key_of(combo):
-            k = block(combo[0])
-            for i in combo[1:]:
-                k = F.shiftleft(k, band_bits).bitwiseOR(block(i))
-            return k
-
-        return df.select(
-            "doc_id",
-            "__sig",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("band"), key_of(c).alias("key")
-                        )
-                        for j, c in enumerate(combos)
-                    ]
-                )
-            ).alias("bb"),
-        ).select("doc_id", "__sig", "bb.band", "bb.key")
-
-    a, b = melt(all_sigs).alias("a"), melt(ids).alias("b")
+    # the ONE band-key definition, shared with banded_hamming_pairs
+    a = _hamming_band_melt(all_sigs, "doc_id", "__sig", band_bits, combos
+                           ).alias("a")
+    b = _hamming_band_melt(ids, "doc_id", "__sig", band_bits, combos
+                           ).alias("b")
     nd = (
         a.join(
             b,

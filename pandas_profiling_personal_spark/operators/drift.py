@@ -162,6 +162,13 @@ def round_half_up(x: float | None, ndigits: int) -> float | None:
     finalizations that an oracle re-derives must use THIS."""
     if x is None:
         return None
+    import math as _math
+
+    if not _math.isfinite(x):
+        # the builtin round() this replaces passed inf/NaN through; Decimal
+        # quantize would raise InvalidOperation on inf (review r8 — an
+        # overflowed aggregate must report inf, not crash the finalization)
+        return x
     from decimal import ROUND_HALF_UP, Decimal
 
     # Decimal(x), NOT Decimal(repr(x)): the EXACT binary expansion is what

@@ -317,8 +317,21 @@ def _parse_netpbm(data: bytes) -> "np.ndarray | None":
             if not ws.isspace():
                 return None
             i += 1
+            itemsize = 1 if maxval < 256 else 2
+            need = n * itemsize
             if ws == b"\r" and data[i : i + 1] == b"\n":
-                i += 1
+                # ambiguous: the byte after CR is either the LF of a CRLF
+                # newline or a pixel valued 10 — disambiguate by the EXACT
+                # expected raster size (review r8 second pass: skipping the
+                # LF unconditionally shifted a spec-conforming raster whose
+                # first pixel is 10). Exact-size match wins; oversized
+                # payloads prefer the spec-conforming single-ws reading.
+                if len(data) - i == need:
+                    pass  # spec reading fits exactly: the 0x0A is a pixel
+                elif len(data) - (i + 1) == need:
+                    i += 1  # CRLF writer with an exact-size raster
+                elif len(data) - i < need <= len(data) - (i + 1):
+                    i += 1  # only the CRLF reading has enough bytes
             dt = np.uint8 if maxval < 256 else np.dtype(">u2")
             px = np.frombuffer(data, dt, count=n, offset=i).astype(np.float64)
         else:
@@ -993,6 +1006,14 @@ def incremental_image_dedup(
     if decoder == "auto":
         decoder = "real" if _pil_available() else "fake"
     kwargs.setdefault("bits", 60 if decoder == "fake" else 64)
+    if kwargs.get("key_blocks") is None and "n_hint" not in kwargs:
+        # size the band geometry from the PRE-decode counts: counting the
+        # signature frame itself would re-run the Arrow media decode as an
+        # extra job (review r8); df.count() is metadata-only on a parquet
+        # scan and the store is a plain signature table
+        kwargs["n_hint"] = df.count() + (
+            sig_store.count() if sig_store is not None else 0
+        )
     sigs = (
         media_metadata(df, binary_col, decoder)
         .select(id_col, F.col("meta.phash").alias("signature"))
@@ -1019,6 +1040,11 @@ def incremental_audio_dedup(
     )
 
     kwargs.setdefault("bits", 60 if decoder == "fake" else 64)
+    if kwargs.get("key_blocks") is None and "n_hint" not in kwargs:
+        # pre-decode sizing count, same rationale as incremental_image_dedup
+        kwargs["n_hint"] = df.count() + (
+            sig_store.count() if sig_store is not None else 0
+        )
     sigs = (
         audio_metadata(df, binary_col, decoder, signature=True)
         .select(id_col, F.col("audio_meta.signature").alias("signature"))
@@ -1352,6 +1378,18 @@ def video_near_duplicates(
 
     if decoder == "real":
         raise NotImplementedError("frame extraction needs libav")
+    from pyspark.sql.types import IntegralType
+
+    if not isinstance(df.schema[id_col].dataType, IntegralType):
+        # the encoded frame id is id*K+index arithmetic: a string id casts
+        # to null (silently EMPTY pair set) and a fractional double
+        # truncates (silently MERGED videos) — refuse both loudly
+        raise ValueError(
+            f"video_near_duplicates needs an integral {id_col!r} "
+            f"(got {df.schema[id_col].dataType.simpleString()}): frame ids "
+            "encode as id*n_frames+index — map string ids to a surrogate "
+            "first (e.g. xxhash64 or zipWithIndex)"
+        )
     if min_matching_frames is None:
         min_matching_frames = n_frames // 2 + 1
     if bits is None:

@@ -2195,10 +2195,6 @@ def video_near_dup_sql(
         f"SELECT doc_id, {i} AS idx, "
         "CAST(('0x' || substring(md5(text || chr(0)||chr(0)||chr(0)||"
         f"chr({i})), 1, 15)) AS UBIGINT)::BIGINT AS sig FROM docs"
-        if i > 0
-        else "SELECT doc_id, 0 AS idx, "
-        "CAST(('0x' || substring(md5(text || chr(0)||chr(0)||chr(0)||"
-        "chr(0)), 1, 15)) AS UBIGINT)::BIGINT AS sig FROM docs"
         for i in range(n_frames)
     )
     vote = n_frames // 2 + 1

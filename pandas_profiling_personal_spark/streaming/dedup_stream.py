@@ -498,8 +498,17 @@ def near_dup_stream(
                     for v in flat[i * H : (i + 1) * H]
                 ]
         rows = []
-        for pdf in pdfs:
-            for _, row in pdf.sort_values("__id").iterrows():
+        # concatenate the Arrow chunks BEFORE sorting: a bucket spanning
+        # multiple chunks in one micro-batch must still process in global
+        # id order, or a later-chunk doc whose lower-id partner sits in an
+        # earlier chunk is compared before that partner enters state — a
+        # silently missed duplicate vs the batch sweep (review r8)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        merged_pdf = (
+            pd.concat(chunks, ignore_index=True) if chunks else None
+        )
+        if merged_pdf is not None:
+            for _, row in merged_pdf.sort_values("__id").iterrows():
                 doc = int(row["__id"])
                 cur = np.asarray(row["__sig"], dtype=np.int64)
                 n = len(ids)

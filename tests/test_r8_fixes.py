@@ -154,8 +154,11 @@ def test_parse_netpbm_header_whitespace_hardening():
         phash_gray,
     )
 
-    img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 256
+    # exact-size uint8 raster (astype matters: int arithmetic would emit
+    # 2-byte values and an oversized body, the genuinely ambiguous case)
+    img = ((np.arange(64).reshape(8, 8) * 3) % 256).astype(np.uint8)
     body = img.tobytes()
+    assert len(body) == 64
     lf = b"P5 8 8 255\n" + body
     crlf = b"P5 8 8 255\r\n" + body
     cr = b"P5 8 8 255\r" + body
@@ -686,3 +689,90 @@ def test_cli_save_state_and_drift(tmp_path):
     merged = merge_partials([pa, pb])
     assert merged.n == 10
     assert drift_between_partials(pa, pb)["v"]["psi"] is not None
+
+
+def test_parse_netpbm_cr_pixel_ambiguity():
+    """Review r8 second pass: a spec-conforming P5 using a bare \\r whose
+    FIRST PIXEL is 10 (0x0A) must not lose that pixel to CRLF tolerance —
+    exact expected-raster-size disambiguates; CRLF writers with exact-size
+    rasters still decode at the right offset."""
+    import numpy as np
+
+    from pandas_profiling_personal_spark.operators.multimodal import (
+        _parse_netpbm,
+    )
+
+    img = np.array([[10, 20], [30, 40]], dtype=np.uint8)
+    body = img.tobytes()
+    # bare CR, first pixel 0x0A, exact size: the 0x0A is a PIXEL
+    got = _parse_netpbm(b"P5 2 2 255\r" + body)
+    assert got is not None and np.array_equal(got, img), got
+    # CRLF writer, exact size: the 0x0A after \r is the newline
+    got2 = _parse_netpbm(b"P5 2 2 255\r\n" + body)
+    assert got2 is not None and np.array_equal(got2, img), got2
+
+
+def test_round_half_up_nonfinite_passthrough():
+    """round_half_up passes inf/NaN through like the builtin it replaced —
+    an overflowed aggregate reports inf, it doesn't crash finalization."""
+    import math
+
+    from pandas_profiling_personal_spark.operators.drift import round_half_up
+
+    assert round_half_up(float("inf"), 6) == float("inf")
+    assert round_half_up(float("-inf"), 6) == float("-inf")
+    assert math.isnan(round_half_up(float("nan"), 6))
+
+
+def test_near_dup_stream_multi_chunk_group(spark, tmp_path):
+    """Review r8: a (band, bucket) group spanning multiple Arrow chunks in
+    one micro-batch must process in GLOBAL id order (chunks concatenated
+    before the sort), so every doc still sees its lower-id partner."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from pandas_profiling_personal_spark.streaming.dedup_stream import (
+        near_dup_stream,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest tonight without any warning"
+    )
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [(i, base, t0) for i in range(6)]  # one bucket, 6 docs
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src = tmp_path / "nd_chunks"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        out = near_dup_stream(
+            stream, "text", "doc_id", "ts",
+            num_hashes=16, bands=4, min_est_jaccard=0.7, watermark="1 hour",
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_nd_chunks")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            verdicts = {
+                r["doc_id"]: r["dup_of"]
+                for r in spark.table("t_nd_chunks").collect()
+            }
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    assert verdicts == {i: 0 for i in range(1, 6)}, verdicts
