@@ -1237,6 +1237,15 @@ def incremental_hamming_dedup(
     sweep), ``None`` for the first shard; appending this result's
     ``(id, signature)`` rows is the store update.
 
+    ID CONTRACT: new-shard ids must be distinct within the shard AND
+    disjoint from the store. The sweep pairs on strict ``a.id < b.id``, so
+    re-ingesting an id already present keeps it (its identical-signature
+    twin never pairs) and the documented append then doubles that id's
+    band rows in every later sweep (review r9). Re-ingestion pipelines
+    must anti-join new ids against the store first
+    (``new.join(store, [id_col], "left_anti")``) — not done here because
+    the extra exchange would tax every caller for a contract violation.
+
     Semantics: a new doc is dropped iff some banded candidate with a LOWER
     id (historical or in-shard) lies within ``max_hamming``; ``dup_of`` is
     the minimum such partner. Two-step == batch-on-union equivalence is

@@ -172,9 +172,13 @@ def round_half_up(x: float | None, ndigits: int) -> float | None:
     from decimal import ROUND_HALF_UP, Decimal
 
     # Decimal(x), NOT Decimal(repr(x)): the EXACT binary expansion is what
-    # both engines round (Spark: java BigDecimal(double) HALF_UP; DuckDB:
-    # scaled std::round) — the shortest-repr decimal would call a near-tie
-    # like 0.1234565 (binary ...64999) a tie and round it the other way
+    # the DuckDB oracle rounds (scaled std::round) — the shortest-repr
+    # decimal would call a near-tie like 0.1234565 (binary ...64999) a tie
+    # and round it the other way. Spark's F.round is the OTHER convention
+    # (BigDecimal.valueOf(double), i.e. shortest-repr HALF_UP), so on such
+    # near-ties a batch F.round finalization and this function can disagree
+    # at the last digit (review r9) — driver-side finalizations that a
+    # DuckDB oracle re-derives must use THIS, not match F.round
     return float(
         Decimal(x).quantize(
             Decimal(1).scaleb(-ndigits), rounding=ROUND_HALF_UP

@@ -330,8 +330,10 @@ def _parse_netpbm(data: bytes) -> "np.ndarray | None":
                     pass  # spec reading fits exactly: the 0x0A is a pixel
                 elif len(data) - (i + 1) == need:
                     i += 1  # CRLF writer with an exact-size raster
-                elif len(data) - i < need <= len(data) - (i + 1):
-                    i += 1  # only the CRLF reading has enough bytes
+                # oversized / truncated payloads fall through to the
+                # spec-conforming single-whitespace reading: the CRLF reading
+                # always has ONE byte fewer, so "only CRLF has enough bytes"
+                # is impossible (review r9 — an unsatisfiable elif sat here)
             dt = np.uint8 if maxval < 256 else np.dtype(">u2")
             px = np.frombuffer(data, dt, count=n, offset=i).astype(np.float64)
         else:
@@ -1395,6 +1397,22 @@ def video_near_duplicates(
     if bits is None:
         bits = 60
     K = int(n_frames)
+    # one cheap agg on the id column sizes the geometry AND bounds-checks
+    # the frame-id encoding: |id|*K + (K-1) must fit a long, else the ANSI
+    # multiply errors mid-job with a stack trace that names nothing useful
+    # (review r9) — fail fast here with the fix spelled out instead
+    n_videos, max_abs_id = df.agg(
+        F.count(F.lit(1)), F.max(F.abs(S.col(id_col).cast("long")))
+    ).first()
+    id_bound = ((1 << 63) - 1 - (K - 1)) // K
+    if max_abs_id is not None and max_abs_id > id_bound:
+        raise ValueError(
+            f"video_near_duplicates: max |{id_col}| = {max_abs_id} exceeds "
+            f"{id_bound} = (2^63-1-(n_frames-1))/n_frames, so the encoded "
+            "frame id id*n_frames+frame_index would overflow long "
+            "arithmetic — map ids to a dense surrogate first (e.g. "
+            "zipWithIndex or row_number)"
+        )
     frames = sample_frames(
         df.select(id_col, binary_col), binary_col, n_frames, decoder
     ).select(
@@ -1407,7 +1425,7 @@ def video_near_duplicates(
     )
     if key_blocks is None:
         band_bits, key_blocks = auto_band_geometry(
-            df.count() * K, bits, max_hamming, band_bits
+            n_videos * K, bits, max_hamming, band_bits
         )
     elif band_bits is None:
         band_bits = 6
@@ -1418,11 +1436,18 @@ def video_near_duplicates(
     )
     return (
         pairs
-        # same frame index only: the vote counts aligned frames
-        .where(F.col("doc_a") % K == F.col("doc_b") % K)
+        # same frame index only: the vote counts aligned frames. pmod, not
+        # %: Spark's remainder follows the sign, so a negative-id video
+        # would never index-match a positive-id one (review r9) — pmod and
+        # the floor decode below agree for every sign
+        .where(F.pmod(F.col("doc_a"), F.lit(K)) == F.pmod(F.col("doc_b"), F.lit(K)))
         .select(
-            F.floor(F.col("doc_a") / K).alias("doc_a"),
-            F.floor(F.col("doc_b") / K).alias("doc_b"),
+            # exact integer decode (floor division for every sign): the
+            # numerator is exactly divisible by K after subtracting pmod, so
+            # integral `div` is exact — double division would round for
+            # encoded ids beyond 2^53 (review r9)
+            F.expr(f"(doc_a - pmod(doc_a, {K})) div {K}").alias("doc_a"),
+            F.expr(f"(doc_b - pmod(doc_b, {K})) div {K}").alias("doc_b"),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_matching_frames"))

@@ -378,7 +378,14 @@ def near_dup_stream(
     Semantics match the batch ``incremental_minhash_dedup(df, None, ...)``
     greedy sweep — a doc is flagged iff some banded-LSH candidate with a
     LOWER id estimates >= the threshold — EXACTLY, whenever every near-dup
-    pair arrives within the TTL horizon (pytest-gated equivalence). Two
+    pair arrives within the TTL horizon AND ids respect micro-batch
+    arrival order (pytest-gated equivalence). The order condition is load-
+    bearing across micro-batches: if a LOWER-id partner arrives in a LATER
+    micro-batch, the higher-id doc was already judged against state that
+    lacked it and stays permanently unflagged (in-batch disorder is fine —
+    each batch sorts by id before the sweep; review r9). Monotone ids
+    (ingest sequence numbers, the usual streaming id) satisfy this by
+    construction. Two
     qualifications, both deliberate: (1) ``state_ttl_minutes`` bounds state
     by event time — an entry stops suppressing once the watermark passes
     ``entry_ts + ttl`` (None = no age eviction: exact, state grows with
