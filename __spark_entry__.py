@@ -41,55 +41,40 @@ _SPECS: dict[str, tuple] = {
     # (spark_query_fn, oracle_sql or None)
     #
     # ORDERING CONTRACT: the driver records the FIRST 50 entries only. With
-    # more distinct operator families than window slots (r6+), the window
-    # holds one row per family, favouring rows the driver has NEVER recorded
-    # and retiring rows whose machinery is exercised by an in-window kin
-    # (e.g. exact_dedup/minhash_lsh retire to the tail once the incremental
-    # store tiers — which run the same fingerprint/signature pipelines plus
-    # the store round-trip — and the funnel's full near-dup tier hold window
-    # rows). r7 rotation: in — image_near_dup + embedding_drift (new) and
-    # exact_dedup/drift_psi_categorical/grouped_top_k (driver evidence stale
-    # since r4/r5); out — ngram_jaccard_pairs (kin dedup_clusters),
-    # media_metadata (kin image_near_dup), embedding_stats (kin
-    # embedding_drift), token_overlap (kin contamination),
-    # top_duplicates_lineitem (kin duplicate_stats_orders). r8 rotation:
-    # in — the five r7 tail additions that have never had a driver row
-    # (image_dedup_keep_list, pack_sequences, audio_metadata, lm_perplexity,
-    # canonical_url) plus cosine_topk + session_stats (stale since r4);
-    # out — image_near_dup (kin image_dedup_keep_list, which runs the same
-    # decode->phash->banded-pairs pipeline plus clustering), exact_dedup
-    # (kin incremental_exact_dedup), drift_psi_categorical (kin
-    # drift_psi_lineitem), grouped_top_k (kin top_k_part_brand), mad (kin
-    # numeric_summary quantile machinery), value_counts_returnflag (kin
-    # value-count head of top_k/char_counts), phik_contingency (kin
-    # cramers_v contingency shuffle) — all seven r7-green, so their family
-    # evidence is fresh while they sit out. numeric_summary_nation stays in
-    # the tail: same operator as in-window numeric_summary_lineitem.
-    # r8 rotation, second pass (the six operators BUILT this round get
-    # driver evidence this round): in — audio_near_dup, video_near_dup,
-    # incremental_pearson, incremental_drift, incremental_embedding_drift,
-    # incremental_image_dedup; out (all r7-green, kin-covered) —
-    # drift_psi_lineitem and embedding_drift (their incremental twins run
-    # the SAME oracle SQL over a superset path), url_parts (kin
-    # canonical_url), histogram_extendedprice (kin incremental_drift's
-    # per-shard histogram_all + shared bucket arithmetic),
-    # incremental_minhash_dedup (kin incremental_image_dedup store round
-    # trip + in-window incremental_exact_dedup), tfidf_top_terms (text
-    # family: text_profile/chunk/c4/repetition all in-window). All
-    # entries — both windows — are verified by tests/test_oracle_parity.py
-    # locally every round.
-    "numeric_summary_lineitem": (
-        P.numeric_summary_query("lineitem", LINEITEM_NUMERIC),
-        P.numeric_summary_sql("lineitem", LINEITEM_NUMERIC),
-    ),
-    "image_dedup_keep_list_documents": (
-        PP.image_dedup_keep_list_query(),
-        PP.image_dedup_keep_list_sql(),
-    ),
-    "pack_sequences_documents": (
-        PP.pack_sequences_query(),
-        PP.pack_sequences_sql(),
-    ),
+    # more distinct operator families than window slots, the window holds
+    # one row per family, favouring rows the driver has NEVER recorded and
+    # retiring rows whose machinery is exercised by an in-window kin. Full
+    # rotation history for r7/r8 lives in git (b952a02^); every entry —
+    # window and tail — is verified by tests/test_oracle_parity.py locally
+    # every round.
+    #
+    # r9 rotation (VERDICT r8 #1/#2/#3): in — the 13 stale rows whose last
+    # driver evidence was r4 (minhash_signatures, mixture_counts,
+    # mixture_upsampled, numeric_summary_nation, pii_redact, pii_summary,
+    # value_counts_event_type) or r5 (dedup_keep_list, hourly_rollup,
+    # minhash_lsh_dedup, monotonicity, split_counts, tail_sample), plus the
+    # two NEW r9 specs (incremental_cramers_v — mergeable contingency
+    # state; ann_lsh_recall — the recall gate that converts the last
+    # gateable rows-only spec into a hash-match row). out — 15 r8-green
+    # rows whose machinery stays covered by an in-window kin:
+    # numeric_summary_lineitem (kin numeric_summary_nation, same operator),
+    # pack_sequences (kin packing_stats), image_dedup_keep_list (kin
+    # incremental_image_dedup — same decode->phash->banded pipeline plus
+    # the store round trip), incremental_pearson +
+    # incremental_embedding_drift (state machinery: kin incremental_drift /
+    # incremental_cramers_v in-window; both r8-green),
+    # string_lengths (kin char_counts), corpus_funnel (its component
+    # stages quality_filter/c4/repetition/span_dedup/contamination all
+    # in-window), cramers_v_lineitem (kin incremental_cramers_v — same
+    # chi-square/bias arithmetic over the same contingency cells),
+    # path_parts (kin canonical_url), pii_scan (kin pii_summary/pii_redact
+    # rotating in), mixture_plan (kin mixture_counts/mixture_upsampled
+    # rotating in), dedup_clusters (kin minhash_lsh_dedup/dedup_keep_list
+    # rotating in), cosine_topk (kin ann_lsh_recall, which runs
+    # cosine_topk AND the LSH path internally), audio_metadata (kin
+    # audio_near_dup — decodes the same RIFF payloads plus the banded
+    # sweep), grouped_summary (kin numeric_summary_nation + in-window
+    # grouped machinery: top_k/stratified/session).
     "top_k_part_brand": (
         P.top_k_query("part", "p_brand", 5),
         P.top_k_sql("part", "p_brand", 5),
@@ -106,17 +91,9 @@ _SPECS: dict[str, tuple] = {
             "events", ["event_id", "ts", "user_id", "event_type", "value", "props"]
         ),
     ),
-    "incremental_pearson_lineitem": (
-        PP.incremental_pearson_query(),
-        PP.incremental_pearson_sql(),
-    ),
     "duplicate_stats_orders": (
         P.duplicate_stats_query("orders"),
         P.duplicate_stats_sql("orders"),
-    ),
-    "string_lengths_customer": (
-        P.string_lengths_query("customer", CUSTOMER_STRINGS),
-        P.string_lengths_sql("customer", CUSTOMER_STRINGS),
     ),
     "date_stats_orders": (
         P.date_stats_query("orders", ["o_orderdate"]),
@@ -130,10 +107,8 @@ _SPECS: dict[str, tuple] = {
             "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
         ),
     ),
-    "json_extract_events": (P.json_props_query(), P.json_props_sql()),
-    "cramers_v_lineitem": (
-        P.cramers_v_query("lineitem", "l_returnflag", "l_linestatus"),
-        P.cramers_v_sql("lineitem", "l_returnflag", "l_linestatus"),
+    "json_extract_events": (
+        P.json_props_query(), P.json_props_sql(),
     ),
     "spearman_lineitem": (
         P.spearman_query("lineitem", ["l_quantity", "l_extendedprice", "l_discount"]),
@@ -146,14 +121,6 @@ _SPECS: dict[str, tuple] = {
     "char_counts_customer": (
         P.char_counts_query("customer", "c_mktsegment"),
         P.char_counts_sql("customer", "c_mktsegment"),
-    ),
-    "corpus_funnel_documents": (
-        PP.corpus_funnel_query(),
-        PP.corpus_funnel_sql(),
-    ),
-    "grouped_summary_lineitem": (
-        P.grouped_summary_query(),
-        P.grouped_summary_sql(),
     ),
     "incremental_drift_lineitem": (
         PP.incremental_drift_query(),
@@ -187,14 +154,13 @@ _SPECS: dict[str, tuple] = {
         PP.video_near_dup_query(),
         PP.video_near_dup_sql(),
     ),
-    "path_parts_events": (P.path_parts_query(), P.path_parts_sql()),
     "complex_stats_lineitem": (
         P.complex_stats_query("lineitem"),
         P.complex_stats_sql("lineitem"),
     ),
-    # --- training-data pipeline operators (documents / embeddings) -----------
-    "text_profile_documents": (PP.text_profile_query(), PP.text_profile_sql()),
-    "pii_scan_documents": (PP.pii_scan_query(), PP.pii_scan_sql()),
+    "text_profile_documents": (
+        PP.text_profile_query(), PP.text_profile_sql(),
+    ),
     "quality_filter_documents": (
         PP.quality_filter_query(),
         PP.quality_filter_sql(),
@@ -210,10 +176,6 @@ _SPECS: dict[str, tuple] = {
     "c4_line_filter_documents": (
         PP.c4_line_filter_query(4),
         PP.c4_line_filter_sql(4),
-    ),
-    "mixture_plan_documents": (
-        PP.mixture_plan_query(),
-        PP.mixture_plan_sql(),
     ),
     "contamination_documents": (
         PP.contamination_query(8, 37),
@@ -235,10 +197,8 @@ _SPECS: dict[str, tuple] = {
         P.join_fanout_query("orders", "lineitem", ["o_orderkey"], ["l_orderkey"]),
         P.join_fanout_sql("orders", "lineitem", ["o_orderkey"], ["l_orderkey"]),
     ),
-    "simhash_documents": (PP.simhash_query(32), PP.simhash_sql(32)),
-    "dedup_clusters_documents": (
-        PP.dedup_clusters_query(0.1),
-        PP.dedup_clusters_sql(0.1),
+    "simhash_documents": (
+        PP.simhash_query(32), PP.simhash_sql(32),
     ),
     "semantic_dedup_embeddings": (
         PP.semantic_dedup_query(16, 0.3),
@@ -252,14 +212,6 @@ _SPECS: dict[str, tuple] = {
         PP.ivf_topk_query(5, 5, 16, 4),
         PP.ivf_topk_sql(5, 5, 16, 4),
     ),
-    "audio_metadata_documents": (
-        PP.audio_metadata_query(),
-        PP.audio_metadata_sql(),
-    ),
-    "incremental_embedding_drift_embeddings": (
-        PP.incremental_embedding_drift_query(),
-        PP.embedding_drift_sql(),
-    ),
     "lm_perplexity_documents": (
         PP.lm_perplexity_query(),
         PP.lm_perplexity_sql(),
@@ -268,12 +220,131 @@ _SPECS: dict[str, tuple] = {
         PP.canonical_url_query(),
         PP.canonical_url_sql(),
     ),
+    "incremental_cramers_v_lineitem": (
+        PP.incremental_cramers_v_query(),
+        PP.incremental_cramers_v_sql(),
+    ),
+    "ann_lsh_recall_embeddings": (
+        PP.ann_lsh_recall_query(5, 5),
+        PP.ann_lsh_recall_sql(5, 5),
+    ),
+    "minhash_signatures_documents": (
+        PP.minhash_signatures_query(16),
+        PP.minhash_signatures_sql(16),
+    ),
+    "mixture_counts_documents": (
+        PP.mixture_counts_query(),
+        PP.mixture_counts_sql(),
+    ),
+    "mixture_upsampled_documents": (
+        PP.mixture_upsampled_query(3.0),
+        PP.mixture_upsampled_sql(3.0),
+    ),
+    "numeric_summary_nation": (
+        P.numeric_summary_query("nation", ["n_nationkey", "n_regionkey"]),
+        P.numeric_summary_sql("nation", ["n_nationkey", "n_regionkey"]),
+    ),
+    "pii_redact_documents": (
+        PP.pii_redact_query(), PP.pii_redact_sql(),
+    ),
+    "pii_summary_documents": (
+        PP.pii_summary_query(), PP.pii_summary_sql(),
+    ),
+    "value_counts_event_type": (
+        P.value_counts_query("events", "event_type"),
+        P.value_counts_sql("events", "event_type"),
+    ),
+    "dedup_keep_list_documents": (
+        PP.dedup_keep_list_query(0.1),
+        PP.dedup_keep_list_sql(0.1),
+    ),
+    "hourly_rollup_events": (
+        P.time_rollup_query("events", "ts", "event_type", "value"),
+        P.time_rollup_sql("events", "ts", "event_type", "value"),
+    ),
+    "minhash_lsh_dedup_documents": (
+        PP.minhash_dedup_query(16, 4, 0.5),
+        PP.minhash_dedup_sql(16, 4, 0.5),
+    ),
+    "monotonicity_orders": (
+        P.monotonicity_query("orders", "o_totalprice", "o_orderkey"),
+        P.monotonicity_sql("orders", "o_totalprice", "o_orderkey"),
+    ),
+    "split_counts_orders": (
+        P.split_counts_query("orders", "o_orderkey", "o_orderstatus"),
+        P.split_counts_sql("orders", "o_orderkey", "o_orderstatus"),
+    ),
+    "tail_sample_orders": (
+        P.tail_sample_query(
+            "orders", ["o_orderkey", "o_custkey", "o_totalprice"], "o_orderkey", 7
+        ),
+        P.tail_sample_sql(
+            "orders", ["o_orderkey", "o_custkey", "o_totalprice"], "o_orderkey", 7
+        ),
+    ),
+    # ---- entry 51+ — outside the driver's 50-row window: redundant family
+    # variants, r8-green rows sitting out, and rows-only-by-design queries
+    # (ann_lsh_topk: bucket membership not engine-reproducible — its recall
+    # gate ann_lsh_recall IS in-window; phik_mixed: driver-side bisection
+    # over a bivariate-normal integral, not SQL-expressible)
+    "numeric_summary_lineitem": (
+        P.numeric_summary_query("lineitem", LINEITEM_NUMERIC),
+        P.numeric_summary_sql("lineitem", LINEITEM_NUMERIC),
+    ),
+    "image_dedup_keep_list_documents": (
+        PP.image_dedup_keep_list_query(),
+        PP.image_dedup_keep_list_sql(),
+    ),
+    "pack_sequences_documents": (
+        PP.pack_sequences_query(),
+        PP.pack_sequences_sql(),
+    ),
+    "incremental_pearson_lineitem": (
+        PP.incremental_pearson_query(),
+        PP.incremental_pearson_sql(),
+    ),
+    "string_lengths_customer": (
+        P.string_lengths_query("customer", CUSTOMER_STRINGS),
+        P.string_lengths_sql("customer", CUSTOMER_STRINGS),
+    ),
+    "cramers_v_lineitem": (
+        P.cramers_v_query("lineitem", "l_returnflag", "l_linestatus"),
+        P.cramers_v_sql("lineitem", "l_returnflag", "l_linestatus"),
+    ),
+    "corpus_funnel_documents": (
+        PP.corpus_funnel_query(),
+        PP.corpus_funnel_sql(),
+    ),
+    "grouped_summary_lineitem": (
+        P.grouped_summary_query(),
+        P.grouped_summary_sql(),
+    ),
+    "path_parts_events": (
+        P.path_parts_query(), P.path_parts_sql(),
+    ),
+    "pii_scan_documents": (
+        PP.pii_scan_query(), PP.pii_scan_sql(),
+    ),
+    "mixture_plan_documents": (
+        PP.mixture_plan_query(),
+        PP.mixture_plan_sql(),
+    ),
+    "dedup_clusters_documents": (
+        PP.dedup_clusters_query(0.1),
+        PP.dedup_clusters_sql(0.1),
+    ),
+    "audio_metadata_documents": (
+        PP.audio_metadata_query(),
+        PP.audio_metadata_sql(),
+    ),
+    "incremental_embedding_drift_embeddings": (
+        PP.incremental_embedding_drift_query(),
+        PP.embedding_drift_sql(),
+    ),
     "cosine_topk_embeddings": (
         PP.cosine_topk_query(5, 5),
         PP.cosine_topk_sql(5, 5),
     ),
-    # ---- entry 51+ — outside the driver's 50-row window: redundant family
-    # variants and rows-only-by-design queries (local oracle still covers all)
     "image_near_dup_documents": (
         PP.image_near_dup_query(),
         PP.image_near_dup_sql(),
@@ -302,28 +373,9 @@ _SPECS: dict[str, tuple] = {
         P.phik_contingency_query("lineitem", "l_quantity", "l_returnflag"),
         P.phik_contingency_sql("lineitem", "l_quantity", "l_returnflag"),
     ),
-    # rows-only: LSH bucket membership depends on FP dot-product signs an
-    # independent engine can't reproduce bit-for-bit; recall is unit-tested
-    "ann_lsh_topk_embeddings": (PP.ann_lsh_topk_query(5, 5), None),
-    "minhash_signatures_documents": (
-        PP.minhash_signatures_query(16),
-        PP.minhash_signatures_sql(16),
+    "ann_lsh_topk_embeddings": (
+        PP.ann_lsh_topk_query(5, 5), None,
     ),
-    "numeric_summary_nation": (
-        P.numeric_summary_query("nation", ["n_nationkey", "n_regionkey"]),
-        P.numeric_summary_sql("nation", ["n_nationkey", "n_regionkey"]),
-    ),
-    "value_counts_event_type": (
-        P.value_counts_query("events", "event_type"),
-        P.value_counts_sql("events", "event_type"),
-    ),
-    "mixture_upsampled_documents": (
-        PP.mixture_upsampled_query(3.0),
-        PP.mixture_upsampled_sql(3.0),
-    ),
-    # φk value itself is a driver-side bisection over a bivariate-normal
-    # integral — not SQL-expressible; rows-only check (contingency is the
-    # oracle-checked distributed core above)
     "phik_mixed_lineitem": (
         P.phik_mixed_query(
             "lineitem",
@@ -331,40 +383,6 @@ _SPECS: dict[str, tuple] = {
             ["l_returnflag", "l_linestatus"],
         ),
         None,
-    ),
-    "pii_summary_documents": (PP.pii_summary_query(), PP.pii_summary_sql()),
-    "pii_redact_documents": (PP.pii_redact_query(), PP.pii_redact_sql()),
-    "mixture_counts_documents": (
-        PP.mixture_counts_query(),
-        PP.mixture_counts_sql(),
-    ),
-    "monotonicity_orders": (
-        P.monotonicity_query("orders", "o_totalprice", "o_orderkey"),
-        P.monotonicity_sql("orders", "o_totalprice", "o_orderkey"),
-    ),
-    "tail_sample_orders": (
-        P.tail_sample_query(
-            "orders", ["o_orderkey", "o_custkey", "o_totalprice"], "o_orderkey", 7
-        ),
-        P.tail_sample_sql(
-            "orders", ["o_orderkey", "o_custkey", "o_totalprice"], "o_orderkey", 7
-        ),
-    ),
-    "split_counts_orders": (
-        P.split_counts_query("orders", "o_orderkey", "o_orderstatus"),
-        P.split_counts_sql("orders", "o_orderkey", "o_orderstatus"),
-    ),
-    "dedup_keep_list_documents": (
-        PP.dedup_keep_list_query(0.1),
-        PP.dedup_keep_list_sql(0.1),
-    ),
-    "hourly_rollup_events": (
-        P.time_rollup_query("events", "ts", "event_type", "value"),
-        P.time_rollup_sql("events", "ts", "event_type", "value"),
-    ),
-    "minhash_lsh_dedup_documents": (
-        PP.minhash_dedup_query(16, 4, 0.5),
-        PP.minhash_dedup_sql(16, 4, 0.5),
     ),
     "ngram_jaccard_pairs_documents": (
         PP.jaccard_pairs_query(0.1),
@@ -386,31 +404,24 @@ _SPECS: dict[str, tuple] = {
         P.top_duplicates_query("lineitem", DUP_SUBSET, 10),
         P.top_duplicates_sql("lineitem", DUP_SUBSET, 10),
     ),
-    # r8 additions (tail — r9 window candidates): mergeable-Pearson shard
-    # states vs the whole-frame corr an independent engine computes, and
-    # audio near-dup (fake tier) vs an all-pairs Hamming rebuild
     "histogram_extendedprice": (
         P.histogram_query("lineitem", "l_extendedprice", 10),
         P.histogram_sql("lineitem", "l_extendedprice", 10),
     ),
-    "drift_psi_lineitem": (P.drift_query(), P.drift_sql()),
-    # r8: frame-vote video near-dup — the codec stays stubbed (libav absent)
-    # but the distributed shape is real and oracle-checked on the fake tier
+    "drift_psi_lineitem": (
+        P.drift_query(), P.drift_sql(),
+    ),
     "incremental_minhash_dedup_documents": (
         PP.incremental_minhash_dedup_query(250),
         PP.incremental_minhash_dedup_sql(250),
     ),
-    # r8: PSI from mergeable shard STATES vs the raw-frame SQL rebuild —
-    # the oracle is drift_sql itself, proving state drift == frame drift
-    "url_parts_events": (P.url_parts_query(), P.url_parts_sql()),
-    # r8: embedding drift from mergeable states — oracle is the batch
-    # operator's own SQL rebuild (state drift == frame drift, embeddings)
+    "url_parts_events": (
+        P.url_parts_query(), P.url_parts_sql(),
+    ),
     "tfidf_top_terms_documents": (
         PP.tfidf_top_terms_query(5),
         PP.tfidf_top_terms_sql(5),
     ),
-    # r8: Hamming signature-store dedup (image fake tier, full two-step
-    # round trip) vs the union-rule SQL rebuild
     "embedding_drift_embeddings": (
         PP.embedding_drift_query(),
         PP.embedding_drift_sql(),

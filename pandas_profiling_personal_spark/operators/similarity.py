@@ -190,6 +190,61 @@ def ann_topk_lsh(
     )
 
 
+def ann_lsh_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Per-query recall gate of :func:`ann_topk_lsh` against the exact scan:
+    ``(query_id, n_exact, recall_ok)`` where ``recall_ok`` asserts at least
+    ``min_hits`` of the exact top-``k`` neighbors appear in the LSH top-``k``.
+
+    This converts the one probabilistic operator into a deterministic,
+    oracle-checkable claim: the hyperplanes are seeded and every dot product
+    is a sequential left-to-right fold (row-level deterministic, independent
+    of partitioning), so for a FIXED dataset + seed + geometry the hit
+    counts are a constant — an oracle that re-derives ``n_exact`` and
+    asserts the pinned floor hash-matches iff the signature/bucket/re-rank
+    pipeline still finds true neighbors at the documented rate. A broken
+    ``lsh_signature`` (candidates ≈ random) collapses recall to ~candidate
+    fraction and fails the floor.
+
+    Cost: one exact scan (the thing LSH avoids at scale) — this is a
+    correctness gate over a bounded query set, not a production path."""
+    exact = cosine_topk(corpus, queries, id_col, vec_col, k)
+    approx = ann_topk_lsh(
+        corpus, queries, dim, id_col, vec_col, k, n_planes, n_tables, seed
+    )
+    hits = (
+        exact.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__n_hit"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            (F.coalesce(F.col("__n_hit"), F.lit(0)) >= min_hits).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",

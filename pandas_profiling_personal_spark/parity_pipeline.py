@@ -481,6 +481,52 @@ def ann_lsh_topk_query(k: int = 5, n_queries: int = 5) -> QueryFn:
     return fn
 
 
+def ann_lsh_recall_query(
+    k: int = 5,
+    n_queries: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    min_hits: int = 3,
+) -> QueryFn:
+    """Hash-matchable recall gate for the LSH ANN (VERDICT r8 #2): the Spark
+    side computes per-query overlap of the LSH top-k against the exact scan
+    and asserts the pinned floor; the oracle re-derives ``n_exact`` and
+    asserts the same floor rows. Deterministic because the hyperplanes are
+    seeded and dot products are sequential folds — measured hits at sf0.01
+    with (4 planes, 16 tables): [4, 5, 4, 5, 4] of 5, so ``min_hits=3``
+    holds with margin while a broken signature pipeline (recall ≈ candidate
+    fraction) fails it. Wide-bucket geometry is deliberate: the gate wants
+    high recall on a bounded query set; ``ann_lsh_topk`` keeps the selective
+    production geometry."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = load(spark, sf_dir, "embeddings")
+        dim = len(emb.select("embedding").first()[0])
+        queries = emb.where(F.col("vec_id") < n_queries)
+        return SIM.ann_lsh_recall(
+            emb,
+            queries,
+            dim,
+            "vec_id",
+            "embedding",
+            k,
+            n_planes=n_planes,
+            n_tables=n_tables,
+            min_hits=min_hits,
+        )
+
+    return fn
+
+
+def ann_lsh_recall_sql(k: int = 5, n_queries: int = 5) -> str:
+    return f"""
+SELECT vec_id AS query_id,
+       LEAST({k}, (SELECT count(*) - 1 FROM embeddings))::BIGINT AS n_exact,
+       TRUE AS recall_ok
+FROM embeddings WHERE vec_id < {n_queries}
+"""
+
+
 def embedding_near_dup_query(threshold: float = 0.4, max_id: int = 800) -> QueryFn:
     """Brute-force (exact) near-dup pairs, bounded to ``vec_id < max_id`` so the
     oracle query stays quadratic-in-a-constant at any benchmark scale factor
@@ -2077,6 +2123,88 @@ def incremental_pearson_sql(
         for a, b in pairs
     ]
     return "\nUNION ALL ".join(selects)
+
+
+def incremental_cramers_v_query(n_shards: int = 3) -> QueryFn:
+    """Mergeable categorical association (VERDICT r8 #3): split lineitem
+    into ``n_shards`` disjoint shards, carry a bounded contingency state
+    per shard (one melt shuffle each), vector-add-merge, finalize with the
+    batch chi²/bias-correction arithmetic. The oracle computes Cramér's V
+    over the UNSHARDED frame, so a hash-match proves the integer-cell
+    merge is exact across an arbitrary split — the categorical twin of
+    ``incremental_pearson``. The pair is DERIVED (quantity decile ×
+    quantity mod 7, V ≈ 0.21 at sf0.01) because the synthetic tables'
+    string columns are mutually independent — a clamped-to-zero V would
+    gate the merge but not the chi² arithmetic."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.drift import (
+            round_half_up,
+        )
+        from pandas_profiling_personal_spark.plans.incremental import (
+            cramers_v_of,
+            merge_partials,
+            partial_profile,
+        )
+
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_extendedprice",
+            F.floor(F.col("l_quantity") / 10)
+            .cast("string")
+            .alias("q_decile"),
+            F.pmod(F.col("l_quantity").cast("long"), F.lit(7))
+            .cast("string")
+            .alias("q_mod7"),
+        )
+        key = F.col("l_extendedprice").cast("long") % n_shards
+        parts = [
+            partial_profile(
+                li.where(key == i).select("q_decile", "q_mod7"),
+                top_m=0,
+                categorical_pairs=[("q_decile", "q_mod7")],
+            )
+            for i in range(n_shards)
+        ]
+        res = cramers_v_of(merge_partials(parts))[("q_decile", "q_mod7")]
+        v = res["v"]
+        rows = [
+            (
+                "q_decile",
+                "q_mod7",
+                round_half_up(v, 4) if v is not None else None,
+                res["n"],
+                res["exact"],
+            )
+        ]
+        return spark.createDataFrame(
+            rows,
+            "col_a string, col_b string, cramers_v double, "
+            "n_rows long, exact boolean",
+        )
+
+    return fn
+
+
+def incremental_cramers_v_sql() -> str:
+    # the cell labels never enter the chi² formula, so the oracle groups the
+    # raw derived expressions — no cross-engine string-formatting hazard
+    col_a = "floor(l_quantity / 10)"
+    col_b = "CAST(l_quantity AS BIGINT) % 7"
+    return f"""
+WITH ct AS (SELECT {col_a} AS a, {col_b} AS b, count(*) AS n FROM lineitem
+            WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL GROUP BY 1, 2),
+cells AS (SELECT n, sum(n) OVER (PARTITION BY a) AS ra,
+                 sum(n) OVER (PARTITION BY b) AS cb FROM ct),
+agg AS (SELECT sum(n) AS N, sum(n * n / (ra * cb)) AS s FROM cells),
+rk AS (SELECT count(DISTINCT a) AS r, count(DISTINCT b) AS k FROM ct)
+SELECT 'q_decile' AS col_a, 'q_mod7' AS col_b,
+       round(sqrt(
+         greatest((N * s - N) / N - (k - 1) * (r - 1) / (N - 1), 0.0)
+         / least(k - (k - 1) * (k - 1) / (N - 1) - 1,
+                 r - (r - 1) * (r - 1) / (N - 1) - 1)), 4) AS cramers_v,
+       N::BIGINT AS n_rows, TRUE AS exact
+FROM agg, rk
+"""
 
 
 # --------------------------------------------------------------------------------

@@ -116,6 +116,23 @@ class PairState:
 
 
 @dataclass
+class ContingencyState:
+    """Mergeable contingency cells for ONE declared categorical pair:
+    ``(value_a, value_b) -> count`` over the pairwise-complete rows (both
+    sides non-null — the row set the batch :func:`cramers_v` uses). ``n``
+    is the FULL pairwise-complete count, including any mass the per-shard
+    cell cap truncated away; ``capped`` records that truncation, making
+    approximation explicit (the ``categorical_drift_between_partials``
+    ``exact`` pattern). Uncapped states merge as a pure vector add, so the
+    merged chi²/Cramér's V equals the batch operator on the union frame
+    EXACTLY — integer cell counts, no FP merge error at all."""
+
+    cells: dict[tuple[str, str], int] = field(default_factory=dict)
+    n: int = 0
+    capped: bool = False
+
+
+@dataclass
 class PartialProfile:
     n: int
     columns: dict[str, ColumnState]
@@ -125,6 +142,9 @@ class PartialProfile:
     #: with-correlations state into a without-correlations state raises, like
     #: mismatched histogram specs — a silent partial matrix would lie)
     pairs: dict[tuple[str, str], PairState] | None = None
+    #: mergeable contingency states for DECLARED categorical pairs (the
+    #: incremental Cramér's V tier); same all-or-nothing merge discipline
+    cat_pairs: dict[tuple[str, str], ContingencyState] | None = None
     #: sketch binaries pending a union (merging defers the Spark-side sketch
     #: union until finalize so merge_partials stays pure driver arithmetic)
     _pending: dict[str, dict[str, list[bytes]]] = field(default_factory=dict)
@@ -155,6 +175,23 @@ class PartialProfile:
                     else [
                         [a, b, ps.__dict__]
                         for (a, b), ps in self.pairs.items()
+                    ]
+                ),
+                "cat_pairs": (
+                    None
+                    if self.cat_pairs is None
+                    else [
+                        [
+                            a,
+                            b,
+                            [
+                                [va, vb, n]
+                                for (va, vb), n in st.cells.items()
+                            ],
+                            st.n,
+                            st.capped,
+                        ]
+                        for (a, b), st in self.cat_pairs.items()
                     ]
                 ),
                 "pending": {
@@ -199,6 +236,20 @@ class PartialProfile:
                     (a, b): PairState(**pd) for a, b, pd in d["pairs"]
                 }
             ),
+            cat_pairs=(
+                None
+                if d.get("cat_pairs") is None
+                else {
+                    (a, b): ContingencyState(
+                        cells={
+                            (va, vb): int(n) for va, vb, n in cells
+                        },
+                        n=int(n_total),
+                        capped=bool(capped),
+                    )
+                    for a, b, cells, n_total, capped in d["cat_pairs"]
+                }
+            ),
         )
         out._pending = {
             c: {
@@ -216,6 +267,8 @@ def partial_profile(
     top_m: int = 40,
     histograms: int | dict[str, tuple[int, float, float]] | None = None,
     correlations: bool = False,
+    categorical_pairs: list[tuple[str, str]] | None = None,
+    max_cells: int = 10_000,
 ) -> PartialProfile:
     """Profile ONE shard into a mergeable state. Three bounded actions:
     the wide scalar+sketch aggregate, the mean-shifted power-sum pass
@@ -239,7 +292,18 @@ def partial_profile(
     (Chan et al. 1979 / Pébay 2008), so the merged matrix equals the
     whole-frame ``pearson_matrix`` exactly; the reference computes
     correlations per-snapshot only (model/correlations.py:102-137), so
-    the incremental tier exceeds it here."""
+    the incremental tier exceeds it here.
+
+    ``categorical_pairs`` adds mergeable contingency state for the DECLARED
+    pairs (one extra melt+groupBy — the batch ``contingency_all_pairs``
+    shuffle): per pair, the (value_a, value_b) cell counts over pairwise-
+    complete rows, capped at ``max_cells`` cells kept by (count desc, value
+    asc) with ``capped=True`` recording any truncation. Merged uncapped
+    states finalize (:func:`cramers_v_of`) to EXACTLY the batch
+    ``cramers_v_matrix`` — integer cells vector-add with zero FP error.
+    Declare pairs over bounded-cardinality columns (the same
+    cardinality gate the batch operator's caller applies); a high-
+    cardinality pair degrades loudly via ``exact=False``, never silently."""
     types = variable_types(df)
     if columns is not None:
         types = {c: t for c, t in types.items() if c in columns}
@@ -489,7 +553,47 @@ def partial_profile(
         for r in FQ.top_k_counts(vc, top_m).collect():
             cols[r["column"]].top_values[r["value"]] = int(r["count"])
 
-    return PartialProfile(n=n, columns=cols, pairs=pairs)
+    # optional pass 4 — contingency cells for declared categorical pairs
+    # (ONE melt shuffle for all pairs — the batch contingency_all_pairs)
+    cat_states: dict[tuple[str, str], ContingencyState] | None = None
+    if categorical_pairs is not None:
+        from pandas_profiling_personal_spark.operators.correlations import (
+            contingency_all_pairs,
+        )
+
+        missing = sorted(
+            {c for p in categorical_pairs for c in p} - set(df.columns)
+        )
+        if missing:
+            raise ValueError(
+                f"categorical_pairs name columns not in the frame: {missing}"
+            )
+        plist = [tuple(p) for p in categorical_pairs]
+        exprs = {
+            c: S.col(c).cast("string") for p in plist for c in p
+        }
+        tables = contingency_all_pairs(df, exprs, plist)
+        cat_states = {}
+        for p in plist:
+            cells = {
+                (va, vb): int(cnt) for va, vb, cnt in tables[p]
+            }
+            n_full = sum(cells.values())
+            capped = len(cells) > max_cells
+            if capped:
+                # deterministic truncation: largest cells first, value-
+                # ascending ties — the kept mass dominates the chi²
+                kept = sorted(
+                    cells.items(), key=lambda kv: (-kv[1], kv[0])
+                )[:max_cells]
+                cells = dict(kept)
+            cat_states[p] = ContingencyState(
+                cells=cells, n=n_full, capped=capped
+            )
+
+    return PartialProfile(
+        n=n, columns=cols, pairs=pairs, cat_pairs=cat_states
+    )
 
 
 def histogram_specs_of(
@@ -610,20 +714,51 @@ def merge_partials(parts: list[PartialProfile]) -> PartialProfile:
                 if part.pairs is None
                 else {k: PairState(**ps.__dict__) for k, ps in part.pairs.items()}
             )
-            first = False
-        elif (part.pairs is None) != (out.pairs is None):
-            raise ValueError(
-                "some shards carry Pearson state and some don't — profile "
-                "every shard with the same correlations= setting"
+            out.cat_pairs = (
+                None
+                if part.cat_pairs is None
+                else {
+                    k: ContingencyState(
+                        cells=dict(st.cells), n=st.n, capped=st.capped
+                    )
+                    for k, st in part.cat_pairs.items()
+                }
             )
-        elif part.pairs is not None:
-            if set(part.pairs) != set(out.pairs):
+            first = False
+        else:
+            if (part.pairs is None) != (out.pairs is None):
                 raise ValueError(
-                    "Pearson pair sets differ between shards: "
-                    f"{sorted(set(part.pairs) ^ set(out.pairs))}"
+                    "some shards carry Pearson state and some don't — "
+                    "profile every shard with the same correlations= setting"
                 )
-            for k, ps in part.pairs.items():
-                _merge_pair(out.pairs[k], ps)
+            if part.pairs is not None:
+                if set(part.pairs) != set(out.pairs):
+                    raise ValueError(
+                        "Pearson pair sets differ between shards: "
+                        f"{sorted(set(part.pairs) ^ set(out.pairs))}"
+                    )
+                for k, ps in part.pairs.items():
+                    _merge_pair(out.pairs[k], ps)
+            if (part.cat_pairs is None) != (out.cat_pairs is None):
+                raise ValueError(
+                    "some shards carry contingency state and some don't — "
+                    "profile every shard with the same categorical_pairs="
+                )
+            if part.cat_pairs is not None:
+                if set(part.cat_pairs) != set(out.cat_pairs):
+                    raise ValueError(
+                        "contingency pair sets differ between shards: "
+                        f"{sorted(set(part.cat_pairs) ^ set(out.cat_pairs))}"
+                    )
+                for k, st in part.cat_pairs.items():
+                    dst = out.cat_pairs[k]
+                    for cell, cnt in st.cells.items():
+                        dst.cells[cell] = dst.cells.get(cell, 0) + cnt
+                    dst.n += st.n
+                    # merged cell count is bounded by Σ per-shard caps
+                    # (driver memory, not a scale term) — no re-truncation,
+                    # so uncapped shards stay exact through any merge order
+                    dst.capped = dst.capped or st.capped
         out.n += part.n
         out.n_shards += part.n_shards
         for c, cs in part.columns.items():
@@ -733,6 +868,38 @@ def pearson_of(
             )
             continue
         out[(a, b)] = cov / denom
+    return out
+
+
+def cramers_v_of(
+    part: PartialProfile, bias_correction: bool = True
+) -> "dict[tuple[str, str], dict[str, Any]]":
+    """Cramér's V per declared categorical pair of a (merged) state —
+    ``{(col_a, col_b): {"v", "n", "exact"}}``. Pure driver arithmetic over
+    the mergeable integer cells through the SAME ``_cramers_from_cells``
+    the batch :func:`~pandas_profiling_personal_spark.operators.correlations.cramers_v`
+    finalizes with, so an uncapped merged state equals the batch matrix on
+    the union frame EXACTLY (pytest- and oracle-gated). ``exact=False``
+    (some shard hit ``max_cells``) means the V is computed from the kept
+    dominant cells only — an approximation whose dropped mass is
+    ``n - Σ kept``, reported rather than hidden."""
+    if part.cat_pairs is None:
+        raise ValueError(
+            "state carries no contingency pairs — profile shards with "
+            "categorical_pairs=[...]"
+        )
+    from pandas_profiling_personal_spark.operators.correlations import (
+        _cramers_from_cells,
+    )
+
+    out: "dict[tuple[str, str], dict[str, Any]]" = {}
+    for (a, b), st in part.cat_pairs.items():
+        cells = [(va, vb, n) for (va, vb), n in st.cells.items()]
+        out[(a, b)] = {
+            "v": _cramers_from_cells(cells, bias_correction),
+            "n": st.n,
+            "exact": not st.capped,
+        }
     return out
 
 

@@ -340,6 +340,96 @@ def test_mergeable_pearson_matches_batch(spark):
         merge_partials([parts[0], plain])
 
 
+def test_mergeable_cramers_v_matches_batch(spark):
+    """categorical_pairs=: contingency states merged across 3 and 5 unequal
+    shards reproduce the whole-frame cramers_v_matrix EXACTLY — integer
+    cells vector-add with zero FP merge error, so this is ==, not isclose.
+    Covers a null-bearing column (pairwise-complete n differs from the
+    frame count), the max_cells cap degrading loudly via exact=False, the
+    all-or-nothing merge discipline, JSON round trip, associativity."""
+    from pandas_profiling_personal_spark.operators.correlations import (
+        cramers_v_matrix,
+    )
+    from pandas_profiling_personal_spark.plans.incremental import (
+        PartialProfile,
+        cramers_v_of,
+        merge_partials,
+        partial_profile,
+    )
+
+    df = _load(spark).select(
+        "l_extendedprice",
+        F.floor(F.col("l_quantity") / 10).cast("string").alias("q_decile"),
+        F.pmod(F.col("l_quantity").cast("long"), F.lit(7))
+        .cast("string")
+        .alias("q_mod7"),
+        # null-bearing: pairwise-complete row set != frame row set
+        F.when(F.col("l_quantity") % 11 != 0, F.col("l_returnflag")).alias(
+            "flag_nulled"
+        ),
+    )
+    pairs = [("q_decile", "q_mod7"), ("q_mod7", "flag_nulled")]
+    batch = cramers_v_matrix(df, ["q_decile", "q_mod7", "flag_nulled"])
+    n_pairwise = df.where(
+        F.col("flag_nulled").isNotNull() & F.col("q_mod7").isNotNull()
+    ).count()
+
+    def shards(k):
+        key = F.floor(F.col("l_extendedprice")).cast("long") % k
+        return [df.where(key == i) for i in range(k)]
+
+    for k in (3, 5):
+        parts = [
+            partial_profile(s, top_m=0, categorical_pairs=pairs)
+            for s in shards(k)
+        ]
+        merged = merge_partials(parts)
+        inc = cramers_v_of(merged)
+        for p in pairs:
+            assert inc[p]["exact"] is True
+            assert inc[p]["v"] == batch[p], (k, p, inc[p], batch[p])
+        assert inc[("q_mod7", "flag_nulled")]["n"] == n_pairwise
+        assert inc[("q_decile", "q_mod7")]["n"] == df.count()
+
+    # associativity: ((a+b)+rest) == merge(all)
+    alt = merge_partials([parts[0], merge_partials(parts[1:])])
+    assert cramers_v_of(alt) == inc
+
+    # JSON round-trip carries the integer cells bit-for-bit
+    rt = merge_partials(
+        [PartialProfile.from_json(p.to_json()) for p in parts]
+    )
+    assert cramers_v_of(rt) == inc
+
+    # cap: a 2-cell budget on a 6x7 table degrades LOUDLY — exact=False,
+    # n still the full pairwise-complete count, v from the kept cells
+    capped = merge_partials(
+        [
+            partial_profile(
+                s, top_m=0, categorical_pairs=pairs, max_cells=2
+            )
+            for s in shards(3)
+        ]
+    )
+    cres = cramers_v_of(capped)[("q_decile", "q_mod7")]
+    assert cres["exact"] is False
+    assert cres["n"] == df.count()
+
+    # mixed categorical_pairs= settings refuse to merge
+    plain = partial_profile(shards(3)[0], top_m=0)
+    with pytest.raises(ValueError, match="contingency"):
+        merge_partials([parts[0], plain])
+    other = partial_profile(
+        shards(3)[0], top_m=0, categorical_pairs=[("q_decile", "q_mod7")]
+    )
+    with pytest.raises(ValueError, match="pair sets differ"):
+        merge_partials([parts[0], other])
+
+    # no state -> loud error, not an empty dict
+    with pytest.raises(ValueError, match="categorical_pairs"):
+        cramers_v_of(plain)
+
+
 def test_drift_between_partials_matches_drift_profile(spark):
     """drift_between_partials: PSI between two shard states (pure driver
     arithmetic over the mergeable histograms) equals the batch drift_profile
