@@ -133,18 +133,29 @@ def main() -> None:
     )
     timings["full_profile_events"] = round(ev_wall, 3)
 
-    def timed(run) -> float:
+    # per-query attempt lists (BENCH_FULL only — the headline stays short):
+    # r8's sweep recorded min-of-2 values but NOT the attempts, so four
+    # phantom 2-5x "regressions" still needed manual A/B adjudication
+    # (VERDICT r8 #4) — with the attempts in the artifact, a throttle window
+    # is self-evident (one slow attempt next to a normal one) and a REAL
+    # regression shows as consistently-slow attempts
+    query_attempts: dict[str, list[float]] = {}
+
+    def timed(run, name: str | None = None) -> float:
         # min-of-2 ALWAYS: this container shows 2-8 s stop-the-world pauses
         # (GC/codegen) on queries whose steady state is sub-second, so a
         # single sweep routinely reads 2-4x slow — r3's four "regressions"
         # (simhash/cosine_topk/embedding_near_dup/media_metadata) were all
         # exactly this artifact (interleaved A/B re-measurement, 7 runs each,
         # put every median at or below the r2 level; see PERFORMANCE.md).
+        tries = query_attempts.setdefault(name, []) if name else []
         elapsed = float("inf")
         for _ in range(2):
             t0 = time.time()
             run()
-            elapsed = min(elapsed, time.time() - t0)
+            el = time.time() - t0
+            tries.append(round(el, 3))
+            elapsed = min(elapsed, el)
         # rare longer pauses (10-40 s) and cold interpreted-HOF paths that
         # need TWO full-scale runs to JIT: keep re-measuring >5 s outliers
         for _ in range(2):
@@ -152,7 +163,9 @@ def main() -> None:
                 break
             t0 = time.time()
             run()
-            elapsed = min(elapsed, time.time() - t0)
+            el = time.time() - t0
+            tries.append(round(el, 3))
+            elapsed = min(elapsed, el)
         return round(elapsed, 3)
 
     qitems = list(E.queries().items())
@@ -166,7 +179,7 @@ def main() -> None:
             # mid-to-pre — a 3x+ mid/pre ratio next to a normal pre canary
             # is the throttle signature
             canary_mid = _cpu_canary()
-        timings[name] = timed(lambda: fn(spark, sf_dir).collect())
+        timings[name] = timed(lambda: fn(spark, sf_dir).collect(), name)
 
     # pipeline headliners at bench scale (not oracle-tier params): near-dup
     # detection over all documents and ANN over all embeddings
@@ -179,17 +192,20 @@ def main() -> None:
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     timings["pipeline_text_profile"] = timed(
-        lambda: TX.text_profile(docs, "text", "doc_id").count()
+        lambda: TX.text_profile(docs, "text", "doc_id").count(),
+        "pipeline_text_profile",
     )
     timings["pipeline_minhash_dedup"] = timed(
         lambda: DD.minhash_dedup(
             docs, "doc_id", "text", num_hashes=32, bands=8, hash_fn="xxhash64"
-        ).count()
+        ).count(),
+        "pipeline_minhash_dedup",
     )
     timings["pipeline_ann_lsh"] = timed(
         lambda: SIM.ann_topk_lsh(
             emb, emb.where(F.col("vec_id") < 50), dim=64, k=10
-        ).count()
+        ).count(),
+        "pipeline_ann_lsh",
     )
 
     # r6 headliner: the daily-incremental dedup round trip (store = first
@@ -207,7 +223,45 @@ def main() -> None:
             docs.where(F.col("doc_id") >= mid), store
         ).where("keep").count()
 
-    timings["pipeline_incremental_dedup"] = timed(_inc_dedup)
+    timings["pipeline_incremental_dedup"] = timed(
+        _inc_dedup, "pipeline_incremental_dedup"
+    )
+
+    # tier labels (VERDICT r8 #6): specs that deliberately run a TEST-tier
+    # plan — their sweep numbers price the parity harness, not the
+    # production path; read these before calling a number a regression
+    query_tiers = {
+        "spearman_lineitem": (
+            "oracle tier: method='window' (single-partition rank join for "
+            "cross-engine determinism); production default method='ml' "
+            "measured ~2.5x faster on the same data"
+        ),
+        "incremental_pearson_lineitem": (
+            "test harness: 3 full partial_profile passes + merge — the "
+            "Pearson increment itself rides the existing moment aggregate "
+            "(zero extra jobs; sf1 scale point in PERFORMANCE.md)"
+        ),
+        "incremental_cramers_v_lineitem": (
+            "test harness: 3 full partial_profile passes + merge — the "
+            "contingency state is one melt shuffle per shard"
+        ),
+        "incremental_drift_lineitem": (
+            "test harness: profiles BOTH shards then drifts the states; "
+            "the production mode drifts two persisted states with zero jobs"
+        ),
+        "incremental_embedding_drift_embeddings": (
+            "test harness: builds both embedding states in-spec; production "
+            "drifts persisted states"
+        ),
+        "incremental_image_dedup_documents": (
+            "full two-step store round trip by design — this IS the daily "
+            "operation being priced"
+        ),
+        "ann_lsh_recall_embeddings": (
+            "gate tier: runs the exact scan AND the LSH path to measure "
+            "recall; production ANN is ann_lsh_topk / pipeline_ann_lsh"
+        ),
+    }
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # contamination markers: cpu_canary_sec (measured BEFORE the JVM started;
@@ -220,6 +274,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "flagship_attempts": attempts,
+        "query_attempts": query_attempts,
+        "query_tiers": query_tiers,
         "sf": sf_val,
         "host_load_1m": _loadavg(),
         "cpu_canary_sec": canary,
