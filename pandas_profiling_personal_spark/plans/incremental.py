@@ -523,6 +523,46 @@ def partial_profile(
                     f"{sorted(unknown)}"
                 )
             specs = dict(histograms)
+            # refuse-loudly guard: bucket_index CLAMPS out-of-range values
+            # into the boundary buckets (stats.py:bucket_index), so a shard
+            # whose observed range lies ENTIRELY outside a column's fixed
+            # edges piles every row into one bucket — a later drift PSI
+            # against the stored state reads near-zero while the data moved
+            # completely. Partial overlap is fine (clamped tail mass is
+            # visible drift); total disjointness is a silent lie, so error.
+            idx_of = {c: i for i, c in enumerate(types)}
+            disjoint = []
+            for c, (_, lo, hi) in specs.items():
+                if c in dtt:
+                    omin = row.get(f"c{idx_of[c]}__min_ep")
+                    omax = row.get(f"c{idx_of[c]}__max_ep")
+                else:
+                    omin, omax = cols[c].min, cols[c].max
+                if omin is None or omax is None:
+                    continue  # empty/all-null shard column: nothing clamps
+                omin, omax = float(omin), float(omax)
+                if not (math.isfinite(omin) and math.isfinite(omax)):
+                    continue
+                if omin > float(hi) or omax < float(lo):
+                    disjoint.append((c, omin, omax, float(lo), float(hi)))
+            if disjoint:
+                det = "; ".join(
+                    f"{c}: observed [{a:g}, {b:g}] vs stored edges "
+                    f"[{lo:g}, {hi:g}]"
+                    for c, a, b, lo, hi in disjoint
+                )
+                raise ValueError(
+                    "histogram alignment refused — this shard's observed "
+                    f"range is entirely outside the stored edges for "
+                    f"{len(disjoint)} column(s): {det}. Every row would "
+                    "clamp into one boundary bucket and drift PSI would "
+                    "read near-zero on completely moved data. Re-edge "
+                    "instead: widen the spec to cover both ranges and "
+                    "re-profile BOTH the baseline and this shard with it, "
+                    "or fall back to the batch operators.drift.drift_"
+                    "profile over the raw frames (it derives shared edges "
+                    "from the union of the data)."
+                )
         for c, hd in H.histogram_all(df, specs).items():
             cs = cols[c]
             cs.hist_counts = [int(x) for x in hd["counts"]]

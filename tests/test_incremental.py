@@ -648,3 +648,54 @@ def test_incremental_drift_report_surface(spark):
     # must both surface in the alert banner
     assert "l_quantity" in html
     assert "EMBEDDING_NORM_DRIFT" in html or "DRIFT_" in html
+
+
+def test_align_refuses_disjoint_shard_range(spark):
+    """The --align-state honesty guard: profiling a shard against stored
+    edges that its observed range lies ENTIRELY outside must refuse loudly
+    (bucket_index clamps everything into one boundary bucket, so drift PSI
+    would read near-zero on completely moved data). Partial overlap and
+    all-null columns still align fine."""
+    from pandas_profiling_personal_spark.plans.incremental import (
+        histogram_specs_of,
+        partial_profile,
+    )
+
+    base = spark.range(0, 101).select(
+        F.col("id").cast("double").alias("x"),
+        F.col("id").cast("double").alias("y"),
+    )
+    specs = histogram_specs_of(partial_profile(base, histograms=10))
+    assert set(specs) == {"x", "y"}  # edges [0, 100]
+
+    # shard entirely above the stored edges -> loud refusal naming re-edging
+    far = spark.range(1000, 1101).select(
+        F.col("id").cast("double").alias("x"),
+        F.col("id").cast("double").alias("y"),
+    )
+    with pytest.raises(ValueError, match="[Rr]e-edge"):
+        partial_profile(far, histograms=specs)
+
+    # partial overlap: clamped tail mass is visible drift -> allowed
+    part = spark.range(50, 151).select(
+        F.col("id").cast("double").alias("x"),
+        F.col("id").cast("double").alias("y"),
+    )
+    p = partial_profile(part, histograms=specs)
+    assert sum(p.columns["x"].hist_counts) == 101
+
+    # all-null shard column: nothing clamps -> allowed, zero-count histogram
+    nul = spark.range(0, 5).select(
+        F.lit(None).cast("double").alias("x"),
+        F.col("id").cast("double").alias("y"),
+    )
+    p2 = partial_profile(nul, histograms=specs)
+    assert sum(p2.columns["x"].hist_counts) == 0
+
+    # one disjoint column among healthy ones is still named in the error
+    mix = spark.range(0, 50).select(
+        (F.col("id") + 10000).cast("double").alias("x"),
+        F.col("id").cast("double").alias("y"),
+    )
+    with pytest.raises(ValueError, match="x.*observed"):
+        partial_profile(mix, histograms=specs)
