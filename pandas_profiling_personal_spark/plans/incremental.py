@@ -943,6 +943,40 @@ def cramers_v_of(
     return out
 
 
+def phik_of(
+    part: PartialProfile, noise_correction: bool = True
+) -> "dict[tuple[str, str], dict[str, Any]]":
+    """φk per declared categorical pair of a (merged) state —
+    ``{(col_a, col_b): {"phik", "n", "exact"}}``. The same mergeable
+    contingency cells :func:`cramers_v_of` rides, finalized through the
+    SAME ``_phik_from_cells`` driver inversion the batch
+    :func:`~pandas_profiling_personal_spark.operators.correlations.phik`
+    uses (categorical×categorical φk bins variables AS their values, so
+    the state's cells ARE the batch contingency) — an uncapped merged
+    state therefore equals the batch φk on the union frame exactly.
+    Numeric pairs are out of scope: their φk needs quantile-bin edges
+    shared across shards, which the bounded cell state deliberately does
+    not carry — use the batch :func:`phik_matrix` for those."""
+    if part.cat_pairs is None:
+        raise ValueError(
+            "state carries no contingency pairs — profile shards with "
+            "categorical_pairs=[...]"
+        )
+    from pandas_profiling_personal_spark.operators.correlations import (
+        _phik_from_cells,
+    )
+
+    out: "dict[tuple[str, str], dict[str, Any]]" = {}
+    for (a, b), st in part.cat_pairs.items():
+        cells = [(va, vb, n) for (va, vb), n in st.cells.items()]
+        out[(a, b)] = {
+            "phik": _phik_from_cells(cells, noise_correction),
+            "n": st.n,
+            "exact": not st.capped,
+        }
+    return out
+
+
 def drift_between_partials(
     a: PartialProfile,
     b: PartialProfile,

@@ -699,3 +699,42 @@ def test_align_refuses_disjoint_shard_range(spark):
     )
     with pytest.raises(ValueError, match="x.*observed"):
         partial_profile(mix, histograms=specs)
+
+
+def test_mergeable_phik_matches_batch(spark):
+    """phik_of: the SAME merged contingency cells cramers_v_of rides,
+    finalized through the batch _phik_from_cells inversion — categorical
+    x categorical phik bins variables AS their values, so a 3-shard merged
+    state equals the batch phik on the whole frame exactly."""
+    from pandas_profiling_personal_spark.operators.correlations import phik
+    from pandas_profiling_personal_spark.plans.incremental import (
+        merge_partials,
+        partial_profile,
+        phik_of,
+    )
+
+    df = _load(spark).select(
+        "l_extendedprice",
+        F.floor(F.col("l_quantity") / 10).cast("string").alias("q_decile"),
+        F.pmod(F.col("l_quantity").cast("long"), F.lit(7))
+        .cast("string")
+        .alias("q_mod7"),
+    )
+    pairs = [("q_decile", "q_mod7")]
+    batch = phik(df, "q_decile", "q_mod7", a_numeric=False, b_numeric=False)
+
+    key = F.floor(F.col("l_extendedprice")).cast("long") % 3
+    parts = [
+        partial_profile(
+            df.where(key == i), top_m=0, categorical_pairs=pairs
+        )
+        for i in range(3)
+    ]
+    inc = phik_of(merge_partials(parts))[("q_decile", "q_mod7")]
+    assert inc["exact"] is True
+    assert inc["phik"] == batch
+    assert 0.0 < inc["phik"] <= 1.0  # derived pair: genuinely associated
+
+    plain = partial_profile(df.where(key == 0), top_m=0)
+    with pytest.raises(ValueError, match="categorical_pairs"):
+        phik_of(plain)
