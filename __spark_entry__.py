@@ -75,6 +75,11 @@ _SPECS: dict[str, tuple] = {
     # audio_near_dup — decodes the same RIFF payloads plus the banded
     # sweep), grouped_summary (kin numeric_summary_nation + in-window
     # grouped machinery: top_k/stratified/session).
+    #
+    # r9.1 (mid-round): in — video_metadata_documents (NEW: fake-tier video
+    # metadata through the Arrow decode pass; the real Y4M tier is
+    # pytest-gated in test_video_y4m). out — scatter_lineitem (r8-green;
+    # deterministic-sampling kin stratified_sample_documents in-window).
     "top_k_part_brand": (
         P.top_k_query("part", "p_brand", 5),
         P.top_k_sql("part", "p_brand", 5),
@@ -138,9 +143,9 @@ _SPECS: dict[str, tuple] = {
         PP.incremental_image_dedup_query(),
         PP.incremental_image_dedup_sql(),
     ),
-    "scatter_lineitem": (
-        P.scatter_query("lineitem", "l_quantity", "l_extendedprice", 16),
-        P.scatter_sql("lineitem", "l_quantity", "l_extendedprice", 16),
+    "video_metadata_documents": (
+        PP.video_metadata_query(),
+        PP.video_metadata_sql(),
     ),
     "session_stats_events": (
         P.session_stats_query("events", "user_id", "ts", 30),
@@ -425,6 +430,10 @@ _SPECS: dict[str, tuple] = {
     "embedding_drift_embeddings": (
         PP.embedding_drift_query(),
         PP.embedding_drift_sql(),
+    ),
+    "scatter_lineitem": (
+        P.scatter_query("lineitem", "l_quantity", "l_extendedprice", 16),
+        P.scatter_sql("lineitem", "l_quantity", "l_extendedprice", 16),
     ),
 }
 

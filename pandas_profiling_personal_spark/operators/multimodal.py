@@ -1480,6 +1480,121 @@ def sample_frames(
     return df.mapInPandas(extract, out_schema)
 
 
+#: metadata produced per video object
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("fps_num", T.IntegerType()),
+        T.StructField("fps_den", T.IntegerType()),
+        T.StructField("colorspace", T.StringType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("truncated", T.BooleanType()),
+        T.StructField("content_hash", T.StringType()),
+    ]
+)
+
+
+def video_metadata(
+    df: DataFrame,
+    binary_col: str,
+    decoder: str = "auto",
+) -> DataFrame:
+    """Append a ``video_meta`` struct decoded from ``binary_col`` — the
+    video third of the multimodal metadata matrix (:func:`media_metadata`
+    for images, :func:`audio_metadata` for audio). Arrow-batched
+    ``mapInPandas``; Python only at the codec seam.
+
+    Decoders: ``"auto"`` — the pure YUV4MPEG2 parser (:func:`_parse_y4m`):
+    real width/height/fps/colorspace/frame-count/duration from real bytes,
+    zero dependencies, header-walk cost only (frame payloads are strided
+    over, never decoded); non-Y4M bytes keep the magic-bytes format sniff
+    with null video fields — a metadata scan reports, it doesn't raise
+    (the :func:`sample_frames` DECODE tiers are the ones that refuse
+    compressed codecs). ``"fake"`` — deterministic md5-derived
+    pseudo-fields for ANY bytes, the engine-reproducible oracle tier
+    (an independent SQL engine recomputes every integer field from the
+    same md5 hex arithmetic)."""
+    fields = list(df.schema.fields) + [
+        T.StructField("video_meta", VIDEO_META_SCHEMA)
+    ]
+    out_schema = T.StructType(fields)
+
+    def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = []
+            for data in pdf[binary_col]:
+                if data is None:
+                    metas.append(None)
+                    continue
+                data = bytes(data)
+                md5_hex = hashlib.md5(data).hexdigest()
+                base = {"n_bytes": len(data), "content_hash": md5_hex}
+                if decoder == "fake":
+                    h = int(md5_hex[:8], 16)
+                    fps = 24 + h % 37
+                    frames = int(md5_hex[8:16], 16) % 100_000
+                    metas.append(
+                        {
+                            **base,
+                            "format": _sniff_format(data),
+                            "width": 64 + h % 1216,
+                            "height": 64 + (h >> 2) % 656,
+                            "fps_num": fps,
+                            "fps_den": 1,
+                            "colorspace": None,
+                            "n_frames": frames,
+                            "duration_s": round(frames / fps, 6),
+                            "truncated": h % 17 == 0,
+                        }
+                    )
+                    continue
+                parsed = _parse_y4m(data)
+                if parsed is not None:
+                    hdr, _ = parsed
+                    num, den = hdr["fps_num"], hdr["fps_den"]
+                    dur = (
+                        round(hdr["n_frames"] * den / num, 6)
+                        if num and den
+                        else None
+                    )
+                    metas.append(
+                        {
+                            **base,
+                            "format": "y4m",
+                            "width": hdr["width"],
+                            "height": hdr["height"],
+                            "fps_num": num,
+                            "fps_den": den,
+                            "colorspace": hdr["colorspace"],
+                            "n_frames": hdr["n_frames"],
+                            "duration_s": dur,
+                            "truncated": hdr["truncated"],
+                        }
+                    )
+                else:
+                    metas.append(
+                        {
+                            **base,
+                            "format": _sniff_format(data),
+                            "width": None,
+                            "height": None,
+                            "fps_num": None,
+                            "fps_den": None,
+                            "colorspace": None,
+                            "n_frames": None,
+                            "duration_s": None,
+                            "truncated": None,
+                        }
+                    )
+            yield pdf.assign(video_meta=metas)
+
+    return df.mapInPandas(decode_batches, out_schema)
+
+
 def video_near_duplicates(
     df: DataFrame,
     binary_col: str,

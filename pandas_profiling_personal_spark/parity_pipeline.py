@@ -1953,6 +1953,55 @@ FROM documents WHERE text IS NOT NULL
 """
 
 
+def video_metadata_query() -> QueryFn:
+    """Video plumbing (fake tier) through the Arrow-batched decode pass —
+    the md5-derived pseudo-fields are engine-reproducible integers
+    (duration_s excluded for the same rounding-tie reason as audio's)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.multimodal import (
+            video_metadata,
+        )
+
+        df = (
+            load(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull())
+            .select("doc_id", F.col("text").cast("binary").alias("blob"))
+        )
+        meta = video_metadata(df, "blob", decoder="fake")
+        return meta.select(
+            "doc_id",
+            F.col("video_meta.n_bytes").alias("n_bytes"),
+            F.col("video_meta.format").alias("format"),
+            F.col("video_meta.width").cast("long").alias("width"),
+            F.col("video_meta.height").cast("long").alias("height"),
+            F.col("video_meta.fps_num").cast("long").alias("fps_num"),
+            F.col("video_meta.n_frames").alias("n_frames"),
+            F.col("video_meta.truncated").alias("truncated"),
+        )
+
+    return fn
+
+
+def video_metadata_sql() -> str:
+    h = "CAST(('0x' || substring(md5(text), 1, 8)) AS UBIGINT)"
+    frames = "CAST(('0x' || substring(md5(text), 9, 8)) AS UBIGINT) % 100000"
+    return f"""
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       CASE WHEN text LIKE 'GIF8%' THEN 'gif'
+            WHEN text LIKE 'RIFF%' THEN 'riff'
+            WHEN text LIKE 'YUV4MPEG2%' THEN 'y4m'
+            ELSE 'unknown' END AS format,
+       CAST(64 + {h} % 1216 AS BIGINT) AS width,
+       CAST(64 + ({h} >> 2) % 656 AS BIGINT) AS height,
+       CAST(24 + {h} % 37 AS BIGINT) AS fps_num,
+       CAST({frames} AS BIGINT) AS n_frames,
+       ({h} % 17 = 0) AS truncated
+FROM documents WHERE text IS NOT NULL
+"""
+
+
 def lm_perplexity_query(
     vocab_size: int = 300, alpha: float = 0.5, ref_mod: int = 2
 ) -> QueryFn:

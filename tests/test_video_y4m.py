@@ -153,3 +153,54 @@ def test_video_near_duplicates_y4m_end_to_end(spark):
         ).collect()
     }
     assert pairs_auto == pairs
+
+
+def test_video_metadata_tiers(spark):
+    from pandas_profiling_personal_spark.operators.multimodal import (
+        video_metadata,
+    )
+
+    frames = [_blocky(s) for s in (1, 2, 3)]
+    clip = _y4m(frames, fps="30:1")
+    hdr, offs = _parse_y4m(clip)
+    cut = clip[: offs[2] + 5]  # mid-frame: 2 whole frames + damage flag
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(clip)),
+            (2, bytearray(cut)),
+            (3, bytearray(b"\x89PNG not a video")),
+            (4, None),
+        ],
+        "vid long, payload binary",
+    )
+    out = {
+        r["vid"]: r["video_meta"]
+        for r in video_metadata(df, "payload").collect()
+    }
+    m = out[1]
+    assert (m["width"], m["height"]) == (64, 48)
+    assert (m["fps_num"], m["fps_den"]) == (30, 1)
+    assert m["colorspace"] == "420"
+    assert m["n_frames"] == 3 and m["truncated"] is False
+    assert m["duration_s"] == 0.1
+    assert m["format"] == "y4m" and m["n_bytes"] == len(clip)
+    assert out[2]["n_frames"] == 2 and out[2]["truncated"] is True
+    # non-video bytes: sniffed format, null video fields — report, not raise
+    assert out[3]["format"] == "png"
+    assert out[3]["width"] is None and out[3]["n_frames"] is None
+    assert out[4] is None
+
+    # fake tier: md5-hex arithmetic, engine-reproducible
+    import hashlib
+
+    fk = {
+        r["vid"]: r["video_meta"]
+        for r in video_metadata(df, "payload", decoder="fake").collect()
+    }
+    h = int(hashlib.md5(clip).hexdigest()[:8], 16)
+    assert fk[1]["width"] == 64 + h % 1216
+    assert fk[1]["height"] == 64 + (h >> 2) % 656
+    assert fk[1]["fps_num"] == 24 + h % 37
+    assert fk[1]["n_frames"] == int(
+        hashlib.md5(clip).hexdigest()[8:16], 16
+    ) % 100_000
