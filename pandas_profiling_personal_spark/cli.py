@@ -178,9 +178,30 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="STATE_JSON",
         help="instead of a profile: profile INPUT into a state aligned to "
         "the stored state's edges and write the incremental drift report "
-        "(numeric + categorical PSI, alerts) to OUTPUT",
+        "(numeric + categorical PSI, association, alerts) to OUTPUT",
+    )
+    s.add_argument(
+        "--categorical-pairs",
+        default=None,
+        metavar="A:B[,C:D...]",
+        help="with --save-state: also carry a mergeable contingency state "
+        "per listed column pair (exact incremental Cramér's V / phik and "
+        "association drift); --align-state and --drift-against reuse the "
+        "STORED state's declared pairs automatically",
     )
     return p
+
+
+def _parse_pairs(spec: str) -> list[tuple[str, str]]:
+    pairs = []
+    for item in spec.split(","):
+        parts = item.split(":")
+        if len(parts) != 2 or not parts[0].strip() or not parts[1].strip():
+            raise SystemExit(
+                f"--categorical-pairs: bad pair {item!r} (want colA:colB)"
+            )
+        pairs.append((parts[0].strip(), parts[1].strip()))
+    return pairs
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -248,16 +269,28 @@ def main(argv: list[str] | None = None) -> int:
                 partial_profile,
             )
 
+            cat_pairs = (
+                _parse_pairs(args.categorical_pairs)
+                if args.categorical_pairs
+                else None
+            )
             if args.save_state:
                 if args.align_state:
                     with open(args.align_state, encoding="utf-8") as fh:
                         prev = PartialProfile.from_json(fh.read())
                     specs = histogram_specs_of(prev) or None
                     corr = prev.pairs is not None
+                    if cat_pairs is None and prev.cat_pairs is not None:
+                        # mergeable contingency: reuse the stored state's
+                        # declared pairs, the same contract as the edges
+                        cat_pairs = list(prev.cat_pairs)
                 else:
                     specs, corr = args.state_bins, True
                 part = partial_profile(
-                    df, histograms=specs, correlations=corr
+                    df,
+                    histograms=specs,
+                    correlations=corr,
+                    categorical_pairs=cat_pairs,
                 )
                 with open(args.save_state, "w", encoding="utf-8") as fh:
                     fh.write(part.to_json())
@@ -271,7 +304,17 @@ def main(argv: list[str] | None = None) -> int:
             with open(args.drift_against, encoding="utf-8") as fh:
                 prev = PartialProfile.from_json(fh.read())
             cur = partial_profile(
-                df, histograms=histogram_specs_of(prev) or None
+                df,
+                histograms=histogram_specs_of(prev) or None,
+                categorical_pairs=(
+                    cat_pairs
+                    if cat_pairs is not None
+                    else (
+                        list(prev.cat_pairs)
+                        if prev.cat_pairs is not None
+                        else None
+                    )
+                ),
             )
             out = args.output or (args.input.rsplit(".", 1)[0] + ".html")
             title = args.title or (

@@ -483,10 +483,12 @@ def drift_alerts(
     numeric_rows: list | None = None,
     categorical_rows: list | None = None,
     embedding_row: "dict | None" = None,
+    association_rows: list | None = None,
     psi_watch: float = 0.1,
     psi_significant: float = 0.25,
     min_centroid_cosine: float = 0.98,
     max_dim_shift: float = 3.0,
+    max_association_shift: float = 0.1,
 ) -> list[dict]:
     """Rule-based alert classification over the drift operators' outputs —
     the two-frame counterpart of ``plans/alerts.compute_alerts`` (pure
@@ -503,6 +505,12 @@ def drift_alerts(
       ``max_mean_shift`` (standardized per-dimension shift) above
       ``max_dim_shift`` sigmas -> ``EMBEDDING_DIM_SHIFT`` naming the
       dimension.
+    * association rows (incremental
+      ``association_drift_between_partials``): ``|delta_v|`` at or above
+      ``max_association_shift`` (Cramér's V lives in [0, 1], so 0.1 is a
+      tenth of the scale) -> ``DRIFT_ASSOCIATION`` naming the pair and
+      both V values; an inexact (cell-capped) comparison is flagged on
+      the alert rather than suppressed.
 
     Rows may be ``pyspark.sql.Row`` or plain dicts."""
     alerts: list[dict] = []
@@ -534,6 +542,20 @@ def drift_alerts(
 
     _classify(numeric_rows, "max_shift_bucket")
     _classify(categorical_rows, "max_shift_value")
+    for r in association_rows or []:
+        dv = _get(r, "delta_v")
+        if dv is None or abs(dv) < max_association_shift:
+            continue
+        alert = {
+            "type": "DRIFT_ASSOCIATION",
+            "column": _get(r, "column"),
+            "v_a": _get(r, "v_a"),
+            "v_b": _get(r, "v_b"),
+            "delta_v": dv,
+        }
+        if _get(r, "exact") is False:
+            alert["exact"] = False
+        alerts.append(alert)
     if embedding_row is not None:
         e = embedding_row
         npsi = _get(e, "norm_psi")
@@ -572,6 +594,7 @@ def drift_report_html(
     numeric_rows: list | None = None,
     categorical_rows: list | None = None,
     embedding_row: "dict | None" = None,
+    association_rows: list | None = None,
     title: str = "Drift report",
     **alert_thresholds,
 ) -> str:
@@ -593,6 +616,7 @@ def drift_report_html(
         numeric_rows=numeric_rows,
         categorical_rows=categorical_rows,
         embedding_row=embedding_row,
+        association_rows=association_rows,
         **alert_thresholds,
     )
     sections: list[str] = []
@@ -633,6 +657,25 @@ def drift_report_html(
 
     _psi_table(numeric_rows, "max_shift_bucket", "Numeric PSI")
     _psi_table(categorical_rows, "max_shift_value", "Categorical PSI")
+    if association_rows:
+        body = "".join(
+            "<tr><th>{c}</th><td>{na}</td><td>{nb}</td><td>{va}</td>"
+            "<td>{vb}</td><td>{dv}</td><td>{ex}</td></tr>".format(
+                c=esc(_row(r)["column"]),
+                na=_row(r)["n_a"],
+                nb=_row(r)["n_b"],
+                va=_row(r)["v_a"],
+                vb=_row(r)["v_b"],
+                dv=_row(r)["delta_v"],
+                ex=_row(r).get("exact", True),
+            )
+            for r in association_rows
+        )
+        sections.append(
+            "<h2>Association (Cramér's V)</h2><table><tr><th>pair</th>"
+            "<th>n_a</th><th>n_b</th><th>v_a</th><th>v_b</th>"
+            f"<th>delta</th><th>exact</th></tr>{body}</table>"
+        )
     if embedding_row is not None:
         sections.append("<h2>Embedding</h2>" + kv_table(_row(embedding_row)))
     return page(title, "".join(sections))

@@ -269,6 +269,7 @@ def partial_profile(
     correlations: bool = False,
     categorical_pairs: list[tuple[str, str]] | None = None,
     max_cells: int = 10_000,
+    allow_disjoint: bool = False,
 ) -> PartialProfile:
     """Profile ONE shard into a mergeable state. Three bounded actions:
     the wide scalar+sketch aggregate, the mean-shifted power-sum pass
@@ -282,7 +283,12 @@ def partial_profile(
     :func:`histogram_specs_of` of the result to every later shard so
     all states share edges and merge as vector adds). Datetime columns
     participate with epoch-second edges (``histogram_all``'s own
-    conversion), so their specs are plain floats too.
+    conversion), so their specs are plain floats too. A dict spec whose
+    edges this shard's observed range lies ENTIRELY outside raises (the
+    alignment honesty guard — everything would clamp into one boundary
+    bucket and a later drift PSI would read near-zero on completely
+    moved data); ``allow_disjoint=True`` opts back into the raw clamp
+    algebra for merge-only uses.
 
     ``correlations=True`` adds mergeable Pearson state: per numeric pair,
     six co-moment sums over the pairwise-complete rows (the row set
@@ -530,9 +536,13 @@ def partial_profile(
             # against the stored state reads near-zero while the data moved
             # completely. Partial overlap is fine (clamped tail mass is
             # visible drift); total disjointness is a silent lie, so error.
+            # allow_disjoint=True opts back into the raw clamp algebra for
+            # merge-only uses where the vector-add identity is the point
+            # and no PSI will read the result.
             idx_of = {c: i for i, c in enumerate(types)}
             disjoint = []
-            for c, (_, lo, hi) in specs.items():
+            guarded = {} if allow_disjoint else specs
+            for c, (_, lo, hi) in guarded.items():
                 if c in dtt:
                     omin = row.get(f"c{idx_of[c]}__min_ep")
                     omax = row.get(f"c{idx_of[c]}__max_ep")
@@ -973,6 +983,52 @@ def phik_of(
             "phik": _phik_from_cells(cells, noise_correction),
             "n": st.n,
             "exact": not st.capped,
+        }
+    return out
+
+
+def association_drift_between_partials(
+    a: PartialProfile,
+    b: PartialProfile,
+    round_to: int = 6,
+) -> dict[tuple[str, str], dict[str, Any]]:
+    """Association drift between two (merged) shard states — did the
+    RELATIONSHIP between two categorical columns change, not just their
+    marginals? (A corpus can keep identical language and source mixes
+    while the language×source coupling shifts completely — marginal PSI
+    reads zero, this doesn't.) Pure driver arithmetic: Cramér's V of each
+    state's mergeable contingency cells via :func:`cramers_v_of`, compared
+    per pair declared in BOTH states. Returns ``{(col_a, col_b): {v_a,
+    v_b, delta_v, n_a, n_b, exact}}``; ``exact`` is True only when
+    neither side hit the cell cap. Raises when either state carries no
+    contingency pairs or the declared sets don't intersect — silence
+    would read as "no drift"."""
+    from pandas_profiling_personal_spark.operators.drift import (
+        round_half_up,
+    )
+
+    va, vb = cramers_v_of(a), cramers_v_of(b)
+    shared = sorted(set(va) & set(vb))
+    if not shared:
+        raise ValueError(
+            "states declare disjoint categorical_pairs= sets — profile "
+            "both with the same pairs to compare association"
+        )
+    out: dict[tuple[str, str], dict[str, Any]] = {}
+    for p in shared:
+        ra, rb = va[p], vb[p]
+        delta = (
+            None
+            if ra["v"] is None or rb["v"] is None
+            else round_half_up(rb["v"] - ra["v"], round_to)
+        )
+        out[p] = {
+            "v_a": None if ra["v"] is None else round_half_up(ra["v"], round_to),
+            "v_b": None if rb["v"] is None else round_half_up(rb["v"], round_to),
+            "delta_v": delta,
+            "n_a": ra["n"],
+            "n_b": rb["n"],
+            "exact": ra["exact"] and rb["exact"],
         }
     return out
 
@@ -1515,6 +1571,14 @@ def incremental_drift_report(
             part_a, part_b
         ).items()
     ]
+    association_rows = None
+    if part_a.cat_pairs is not None and part_b.cat_pairs is not None:
+        association_rows = [
+            {"column": f"{p[0]}×{p[1]}", **d}
+            for p, d in association_drift_between_partials(
+                part_a, part_b
+            ).items()
+        ]
     embedding_row = (
         embedding_drift_between(emb_a, emb_b)
         if emb_a is not None and emb_b is not None
@@ -1524,6 +1588,7 @@ def incremental_drift_report(
         numeric_rows=numeric_rows,
         categorical_rows=categorical_rows,
         embedding_row=embedding_row,
+        association_rows=association_rows,
         title=title,
         **alert_thresholds,
     )

@@ -738,3 +738,134 @@ def test_mergeable_phik_matches_batch(spark):
     plain = partial_profile(df.where(key == 0), top_m=0)
     with pytest.raises(ValueError, match="categorical_pairs"):
         phik_of(plain)
+
+
+def test_association_drift_between_partials(spark):
+    """Association drift: the language x source coupling can shift while
+    both marginals stay identical — delta Cramér's V between states
+    catches it (pure driver arithmetic), DRIFT_ASSOCIATION fires in the
+    report, disjoint declared pair sets refuse."""
+    from pandas_profiling_personal_spark.operators.correlations import (
+        cramers_v_matrix,
+    )
+    from pandas_profiling_personal_spark.operators.drift import (
+        round_half_up,
+    )
+    from pandas_profiling_personal_spark.plans.incremental import (
+        association_drift_between_partials,
+        histogram_specs_of,
+        incremental_drift_report,
+        partial_profile,
+    )
+
+    base = _load(spark).select(
+        "l_quantity",
+        "l_extendedprice",
+        F.pmod(F.col("l_quantity").cast("long"), F.lit(5))
+        .cast("string")
+        .alias("a"),
+    )
+    # day A: b fully determined by a (V=1); day B: b derived from an
+    # unrelated column (V~0). The coupling moves — which is exactly what
+    # marginal PSI cannot see when the marginals stay similar.
+    df_a = base.withColumn("b", F.col("a"))
+    df_b = base.withColumn(
+        "b",
+        F.pmod(F.floor("l_extendedprice").cast("long"), F.lit(5))
+        .cast("string"),
+    )
+    pairs = [("a", "b")]
+    pa = partial_profile(df_a, top_m=0, categorical_pairs=pairs)
+    pb = partial_profile(df_b, top_m=0, categorical_pairs=pairs)
+
+    out = association_drift_between_partials(pa, pb)[("a", "b")]
+    batch_a = cramers_v_matrix(df_a, ["a", "b"])[("a", "b")]
+    batch_b = cramers_v_matrix(df_b, ["a", "b"])[("a", "b")]
+    assert out["v_a"] == round_half_up(batch_a, 6)
+    assert out["v_b"] == round_half_up(batch_b, 6)
+    assert out["delta_v"] == round_half_up(batch_b - batch_a, 6)
+    assert out["exact"] is True
+    assert out["v_a"] > 0.99  # b == a on day A
+    assert abs(out["delta_v"]) > 0.1  # the coupling really moved
+
+    # the one-call report surfaces it as DRIFT_ASSOCIATION
+    specs = histogram_specs_of(
+        partial_profile(df_a.select("l_quantity"), histograms=8)
+    )
+    pa2 = partial_profile(df_a, histograms=specs, top_m=0, categorical_pairs=pairs)
+    pb2 = partial_profile(df_b, histograms=specs, top_m=0, categorical_pairs=pairs)
+    html = incremental_drift_report(pa2, pb2)
+    assert "DRIFT_ASSOCIATION" in html
+    assert "Association" in html and "a×b" in html
+
+    # disjoint declared pair sets refuse rather than reading "no drift"
+    other = partial_profile(
+        df_a.withColumn("c", F.col("a")),
+        top_m=0,
+        categorical_pairs=[("a", "c")],
+    )
+    with pytest.raises(ValueError, match="disjoint"):
+        association_drift_between_partials(pa, other)
+
+
+def test_cli_categorical_pairs_state_loop(tmp_path):
+    """CLI: --categorical-pairs carries the mergeable contingency state
+    through --save-state; --align-state and --drift-against reuse the
+    STORED pairs automatically and the drift HTML gains the association
+    section."""
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    src_a = tmp_path / "day1.parquet"
+    src_b = tmp_path / "day2.parquet"
+    n = 40
+    pd.DataFrame(
+        {
+            "v": [float(i % 10) for i in range(n)],
+            "lang": [str(i % 4) for i in range(n)],
+            "src": [str(i % 4) for i in range(n)],  # coupled to lang
+        }
+    ).to_parquet(src_a)
+    pd.DataFrame(
+        {
+            "v": [float(i % 10) for i in range(n)],
+            "lang": [str(i % 4) for i in range(n)],
+            "src": [str((i // 4) % 4) for i in range(n)],  # decoupled
+        }
+    ).to_parquet(src_b)
+
+    def run(*argv):
+        proc = subprocess.run(
+            [sys.executable, "-m", "pandas_profiling_personal_spark.cli",
+             *argv, "--master", "local[2]"],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    st_a = tmp_path / "a.json"
+    st_b = tmp_path / "b.json"
+    out = tmp_path / "drift.html"
+    run(str(src_a), "--save-state", str(st_a),
+        "--categorical-pairs", "lang:src")
+    from pandas_profiling_personal_spark.plans.incremental import (
+        PartialProfile,
+        cramers_v_of,
+    )
+
+    pa = PartialProfile.from_json(st_a.read_text())
+    assert pa.cat_pairs is not None
+    assert cramers_v_of(pa)[("lang", "src")]["v"] > 0.99
+
+    # align: stored pairs reused without re-declaring them
+    run(str(src_b), "--save-state", str(st_b), "--align-state", str(st_a))
+    pb = PartialProfile.from_json(st_b.read_text())
+    assert pb.cat_pairs is not None and ("lang", "src") in pb.cat_pairs
+
+    # drift: association section + alert in the HTML
+    run(str(src_b), str(out), "--drift-against", str(st_a))
+    html = out.read_text()
+    assert "Association" in html and "lang×src" in html
+    assert "DRIFT_ASSOCIATION" in html

@@ -116,7 +116,13 @@ def test_histogram_merge_equals_batch_random(spark, vals, n_shards, bins):
     if not specs:  # constant/degenerate first shard still has lo==hi specs
         return
     parts = [p0] + [
-        partial_profile(s, columns=["x"], histograms=specs)
+        # allow_disjoint: this property deliberately exercises the raw
+        # clamp algebra for ANY values — a random shard may lie entirely
+        # outside the first shard's edges, which the default refuses
+        # (alignment honesty guard: a drift PSI over such a state lies)
+        partial_profile(
+            s, columns=["x"], histograms=specs, allow_disjoint=True
+        )
         for s in shards
         if s is not first
     ]
