@@ -286,12 +286,18 @@ def main(argv: list[str] | None = None) -> int:
                         cat_pairs = list(prev.cat_pairs)
                 else:
                     specs, corr = args.state_bins, True
-                part = partial_profile(
-                    df,
-                    histograms=specs,
-                    correlations=corr,
-                    categorical_pairs=cat_pairs,
-                )
+                try:
+                    part = partial_profile(
+                        df,
+                        histograms=specs,
+                        correlations=corr,
+                        categorical_pairs=cat_pairs,
+                    )
+                except ValueError as e:
+                    # e.g. the alignment honesty guard (shard range entirely
+                    # outside the stored edges): a named refusal, not a
+                    # traceback — the message carries the re-edging recipe
+                    raise SystemExit(f"--save-state refused: {e}")
                 with open(args.save_state, "w", encoding="utf-8") as fh:
                     fh.write(part.to_json())
                 print(json.dumps({
@@ -303,19 +309,36 @@ def main(argv: list[str] | None = None) -> int:
                 return 0
             with open(args.drift_against, encoding="utf-8") as fh:
                 prev = PartialProfile.from_json(fh.read())
-            cur = partial_profile(
-                df,
-                histograms=histogram_specs_of(prev) or None,
-                categorical_pairs=(
-                    cat_pairs
-                    if cat_pairs is not None
-                    else (
-                        list(prev.cat_pairs)
-                        if prev.cat_pairs is not None
-                        else None
-                    )
-                ),
+            stored_pairs = (
+                list(prev.cat_pairs) if prev.cat_pairs is not None else None
             )
+            if cat_pairs is not None:
+                # an explicitly requested association analysis must not
+                # silently vanish (stored state has no pairs) or die in a
+                # 'disjoint' traceback (different pairs) — refuse by name
+                if stored_pairs is None:
+                    raise SystemExit(
+                        "--categorical-pairs with --drift-against: the "
+                        f"stored state {args.drift_against} carries no "
+                        "contingency pairs — re-save the baseline with "
+                        "--categorical-pairs first"
+                    )
+                if set(cat_pairs) != set(stored_pairs):
+                    raise SystemExit(
+                        "--categorical-pairs disagrees with the stored "
+                        f"state's declared pairs {sorted(stored_pairs)} — "
+                        "association compares like with like; drop the "
+                        "flag (stored pairs are reused automatically) or "
+                        "re-save the baseline"
+                    )
+            try:
+                cur = partial_profile(
+                    df,
+                    histograms=histogram_specs_of(prev) or None,
+                    categorical_pairs=stored_pairs,
+                )
+            except ValueError as e:
+                raise SystemExit(f"--drift-against refused: {e}")
             out = args.output or (args.input.rsplit(".", 1)[0] + ".html")
             title = args.title or (
                 f"Drift: {args.drift_against} vs {args.input}"

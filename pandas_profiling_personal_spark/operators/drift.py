@@ -544,15 +544,26 @@ def drift_alerts(
     _classify(categorical_rows, "max_shift_value")
     for r in association_rows or []:
         dv = _get(r, "delta_v")
-        if dv is None or abs(dv) < max_association_shift:
+        va_, vb_ = _get(r, "v_a"), _get(r, "v_b")
+        degenerate = dv is None and (va_ is None) != (vb_ is None)
+        if dv is None and not degenerate:
+            continue  # no V on either side: nothing to compare
+        if dv is not None and abs(dv) < max_association_shift:
             continue
         alert = {
             "type": "DRIFT_ASSOCIATION",
             "column": _get(r, "column"),
-            "v_a": _get(r, "v_a"),
-            "v_b": _get(r, "v_b"),
+            "v_a": va_,
+            "v_b": vb_,
             "delta_v": dv,
         }
+        if degenerate:
+            # a V that collapsed to None on ONE side is itself an
+            # association event (a column lost enough levels to make the
+            # contingency degenerate, or gained them back) — silence here
+            # would read as "no drift" on exactly the kind of total change
+            # this surface exists to catch
+            alert["degenerate"] = True
         if _get(r, "exact") is False:
             alert["exact"] = False
         alerts.append(alert)

@@ -1518,6 +1518,15 @@ def video_metadata(
     pseudo-fields for ANY bytes, the engine-reproducible oracle tier
     (an independent SQL engine recomputes every integer field from the
     same md5 hex arithmetic)."""
+    if decoder not in ("auto", "y4m", "fake"):
+        # same validation sample_frames applies: a typo'd decoder must not
+        # silently run the parse tier when the caller expected the
+        # engine-reproducible fake fields (the oracle cross-check would
+        # mismatch with no hint why)
+        raise ValueError(
+            f"unknown decoder {decoder!r} (video_metadata tiers: 'auto' = "
+            "'y4m' header parse, 'fake' md5 pseudo-fields)"
+        )
     fields = list(df.schema.fields) + [
         T.StructField("video_meta", VIDEO_META_SCHEMA)
     ]
@@ -1661,38 +1670,56 @@ def video_near_duplicates(
     if bits is None:
         bits = 60
     K = int(n_frames)
-    # one cheap agg on the id column sizes the geometry AND bounds-checks
-    # the frame-id encoding: |id|*K + (K-1) must fit a long, else the ANSI
-    # multiply errors mid-job with a stack trace that names nothing useful
-    # (review r9) — fail fast here with the fix spelled out instead
-    n_videos, max_abs_id = df.agg(
-        F.count(F.lit(1)), F.max(F.abs(S.col(id_col).cast("long")))
-    ).first()
+    # |id|*K + (K-1) must fit a long, else the ANSI multiply errors
+    # mid-job with a stack trace that names nothing useful (review r9)
     id_bound = ((1 << 63) - 1 - (K - 1)) // K
-    if max_abs_id is not None and max_abs_id > id_bound:
-        raise ValueError(
-            f"video_near_duplicates: max |{id_col}| = {max_abs_id} exceeds "
-            f"{id_bound} = (2^63-1-(n_frames-1))/n_frames, so the encoded "
-            "frame id id*n_frames+frame_index would overflow long "
-            "arithmetic — map ids to a dense surrogate first (e.g. "
-            "zipWithIndex or row_number)"
-        )
-    frames = sample_frames(
-        df.select(id_col, binary_col), binary_col, n_frames, decoder
-    ).select(
-        (S.col(id_col).cast("long") * K + F.col("frame.frame_index")).alias(
-            "__fid"
-        ),
-        F.conv(F.substring("frame.frame_hash", 1, 15), 16, 10)
-        .cast("long")
-        .alias("__sig"),
-    )
     if key_blocks is None:
+        # auto geometry needs a sizing count anyway — ride the overflow
+        # check on the same agg for a call-time named error
+        n_videos, max_abs_id = df.agg(
+            F.count(F.lit(1)), F.max(F.abs(S.col(id_col).cast("long")))
+        ).first()
+        if max_abs_id is not None and max_abs_id > id_bound:
+            raise ValueError(
+                f"video_near_duplicates: max |{id_col}| = {max_abs_id} "
+                f"exceeds {id_bound} = (2^63-1-(n_frames-1))/n_frames, so "
+                "the encoded frame id id*n_frames+frame_index would "
+                "overflow long arithmetic — map ids to a dense surrogate "
+                "first (e.g. zipWithIndex or row_number)"
+            )
         band_bits, key_blocks = auto_band_geometry(
             n_videos * K, bits, max_hamming, band_bits
         )
     elif band_bits is None:
         band_bits = 6
+    vid = S.col(id_col).cast("long")
+    frames = sample_frames(
+        df.select(id_col, binary_col), binary_col, n_frames, decoder
+    ).select(
+        # caller-supplied geometry pays ZERO extra actions (review r9
+        # second pass: the unconditional sizing agg added a full scan to a
+        # path that previously ran none) — the bound is enforced plan-side
+        # instead, a named raise_error the moment an oversized id is seen;
+        # null ids keep their null __fid (dropped by banding, as before)
+        F.when(
+            vid.isNull() | (F.abs(vid) <= F.lit(id_bound)),
+            vid * K + F.col("frame.frame_index"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    f"video_near_duplicates: |{id_col}| exceeds "
+                    f"{id_bound} = (2^63-1-(n_frames-1))/n_frames — the "
+                    "encoded frame id would overflow; map ids to a dense "
+                    "surrogate first (e.g. zipWithIndex or row_number)"
+                )
+            ).cast("long")
+        )
+        .alias("__fid"),
+        F.conv(F.substring("frame.frame_hash", 1, 15), 16, 10)
+        .cast("long")
+        .alias("__sig"),
+    )
     pairs = banded_hamming_pairs(
         frames.repartition(S.col("__fid")), "__fid", "__sig",
         bits=bits, band_bits=band_bits,

@@ -231,16 +231,26 @@ def ann_lsh_recall(
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("__n_hit"))
     )
+    # anchor on the QUERY set, not on exact's output: a query with zero
+    # exact neighbors (degenerate corpus) must emit (id, 0, true) — a
+    # silently absent row would read as "no failure" for a recall gate
+    n_ex = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("__n_exact")
+    )
     return (
-        exact.groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
+        queries.select(F.col(id_col).alias("query_id"))
+        .join(n_ex, "query_id", "left")
         .join(hits, "query_id", "left")
         .select(
             "query_id",
-            "n_exact",
-            (F.coalesce(F.col("__n_hit"), F.lit(0)) >= min_hits).alias(
-                "recall_ok"
-            ),
+            F.coalesce(F.col("__n_exact"), F.lit(0)).alias("n_exact"),
+            (
+                F.coalesce(F.col("__n_hit"), F.lit(0))
+                >= F.least(
+                    F.lit(min_hits),
+                    F.coalesce(F.col("__n_exact"), F.lit(0)),
+                )
+            ).alias("recall_ok"),
         )
     )
 

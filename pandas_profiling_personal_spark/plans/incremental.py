@@ -532,10 +532,15 @@ def partial_profile(
             # refuse-loudly guard: bucket_index CLAMPS out-of-range values
             # into the boundary buckets (stats.py:bucket_index), so a shard
             # whose observed range lies ENTIRELY outside a column's fixed
-            # edges piles every row into one bucket — a later drift PSI
-            # against the stored state reads near-zero while the data moved
-            # completely. Partial overlap is fine (clamped tail mass is
-            # visible drift); total disjointness is a silent lie, so error.
+            # edges piles every row into ONE bucket — the histogram keeps
+            # no structure, and a later drift PSI against the stored state
+            # is an artifact of where the baseline's mass happens to sit:
+            # near-ZERO when the baseline concentrates in that boundary
+            # bucket (drift invisible), large but pointing at a boundary
+            # bucket that says nothing about where the data actually went
+            # otherwise. Partial overlap is fine (clamped tail mass is
+            # visible, localized drift); total disjointness is a lie either
+            # way, so error.
             # allow_disjoint=True opts back into the raw clamp algebra for
             # merge-only uses where the vector-add identity is the point
             # and no PSI will read the result.
@@ -565,13 +570,16 @@ def partial_profile(
                     "histogram alignment refused — this shard's observed "
                     f"range is entirely outside the stored edges for "
                     f"{len(disjoint)} column(s): {det}. Every row would "
-                    "clamp into one boundary bucket and drift PSI would "
-                    "read near-zero on completely moved data. Re-edge "
-                    "instead: widen the spec to cover both ranges and "
-                    "re-profile BOTH the baseline and this shard with it, "
-                    "or fall back to the batch operators.drift.drift_"
+                    "clamp into one boundary bucket, so the drifted "
+                    "histogram keeps no structure and any PSI against the "
+                    "stored state misleads (near-zero or unlocalized, "
+                    "depending only on the baseline's boundary mass). "
+                    "Re-edge instead: widen the spec to cover both ranges "
+                    "and re-profile BOTH the baseline and this shard with "
+                    "it, or fall back to the batch operators.drift.drift_"
                     "profile over the raw frames (it derives shared edges "
-                    "from the union of the data)."
+                    "from the union of the data). For merge-only uses "
+                    "(no PSI), pass allow_disjoint=True."
                 )
         for c, hd in H.histogram_all(df, specs).items():
             cs = cols[c]

@@ -869,3 +869,44 @@ def test_cli_categorical_pairs_state_loop(tmp_path):
     html = out.read_text()
     assert "Association" in html and "lang×src" in html
     assert "DRIFT_ASSOCIATION" in html
+
+
+def test_cli_drift_pair_flag_validation(tmp_path):
+    """Review r9 second pass: --categorical-pairs with --drift-against must
+    refuse by name when the stored baseline carries no pairs (or different
+    ones) — an explicitly requested analysis must not silently vanish."""
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    src = tmp_path / "day.parquet"
+    pd.DataFrame(
+        {"v": [1.0, 2.0], "lang": ["a", "b"], "src": ["x", "y"]}
+    ).to_parquet(src)
+    st = tmp_path / "st.json"
+    out = tmp_path / "drift.html"
+
+    def run(*argv):
+        return subprocess.run(
+            [sys.executable, "-m", "pandas_profiling_personal_spark.cli",
+             *argv, "--master", "local[2]"],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+
+    # baseline saved WITHOUT pairs
+    assert run(str(src), "--save-state", str(st)).returncode == 0
+    p = run(str(src), str(out), "--drift-against", str(st),
+            "--categorical-pairs", "lang:src")
+    assert p.returncode != 0
+    assert "carries no contingency pairs" in (p.stderr + p.stdout)
+
+    # baseline saved WITH different pairs -> named mismatch, not a traceback
+    st2 = tmp_path / "st2.json"
+    assert run(str(src), "--save-state", str(st2),
+               "--categorical-pairs", "lang:src").returncode == 0
+    p2 = run(str(src), str(out), "--drift-against", str(st2),
+             "--categorical-pairs", "v:lang")
+    assert p2.returncode != 0
+    assert "disagrees with the stored" in (p2.stderr + p2.stdout)
+    assert "Traceback" not in p2.stderr

@@ -204,3 +204,15 @@ def test_video_metadata_tiers(spark):
     assert fk[1]["n_frames"] == int(
         hashlib.md5(clip).hexdigest()[8:16], 16
     ) % 100_000
+
+
+def test_video_metadata_rejects_unknown_decoder(spark):
+    from pandas_profiling_personal_spark.operators.multimodal import (
+        video_metadata,
+    )
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "vid long, payload binary")
+    with pytest.raises(ValueError, match="decoder"):
+        video_metadata(df, "payload", decoder="Fake")
+    with pytest.raises(ValueError, match="decoder"):
+        video_metadata(df, "payload", decoder="real")
