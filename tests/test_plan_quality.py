@@ -731,3 +731,29 @@ def test_video_near_dup_decodes_once(spark):
     final = _plan(out).split("Initial Plan")[0]
     assert final.count("MapInPandas") == 1, final
     assert "ReusedExchange" in final, final
+
+
+def test_video_metadata_scan_speed_plan(spark):
+    """video_metadata: ONE Arrow-batched mapInPandas over the scan, zero
+    exchanges — the header-only metadata pass must run at scan speed like
+    its image/audio siblings (the same seam policy: Python only at the
+    codec boundary, nothing upstream forces a shuffle)."""
+    from pyspark.sql import functions as F
+
+    from pandas_profiling_personal_spark.operators.multimodal import (
+        video_metadata,
+    )
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    docs = (
+        read_parquet(spark, f"{SF_DIR}/documents.parquet")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.col("text").cast("binary").alias("blob"))
+    )
+    out = video_metadata(docs, "blob", decoder="fake")
+    p = _plan(out)
+    # formatted explain lists each node twice (tree + detail section):
+    # count in the tree block only
+    tree = p.split("\n\n")[0]
+    assert tree.count("MapInPandas") == 1, p
+    assert "Exchange" not in p, p
