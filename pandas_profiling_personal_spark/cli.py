@@ -189,6 +189,22 @@ def build_parser() -> argparse.ArgumentParser:
         "association drift); --align-state and --drift-against reuse the "
         "STORED state's declared pairs automatically",
     )
+    s.add_argument(
+        "--embedding-col",
+        default=None,
+        metavar="COL",
+        help="with --save-state: also profile this array<float> column "
+        "into a mergeable embedding state (sidecar STATE_JSON.emb) — "
+        "norm-bucket counts + per-dimension power sums; --align-state "
+        "reuses the stored sidecar's edges/dim, --drift-against picks the "
+        "sidecar up automatically and adds the EMBEDDING_* drift signals "
+        "to the report",
+    )
+    s.add_argument(
+        "--embedding-dim", type=int, default=None, metavar="N",
+        help="embedding dimensionality (default: inferred as the modal "
+        "vector size of --embedding-col)",
+    )
     return p
 
 
@@ -262,8 +278,15 @@ def main(argv: list[str] | None = None) -> int:
     try:
         df = read_table(spark, args.input)
         if args.save_state or args.drift_against:
+            import os
+
+            from pyspark.sql import functions as F
+
             from pandas_profiling_personal_spark.plans.incremental import (
+                EmbeddingState,
                 PartialProfile,
+                embedding_norm_extent,
+                embedding_partial,
                 histogram_specs_of,
                 incremental_drift_report,
                 partial_profile,
@@ -274,6 +297,30 @@ def main(argv: list[str] | None = None) -> int:
                 if args.categorical_pairs
                 else None
             )
+
+            def _load_emb_sidecar(state_path: str):
+                """(column, EmbeddingState) from STATE_PATH.emb, or None."""
+                p = state_path + ".emb"
+                if not os.path.exists(p):
+                    return None
+                with open(p, encoding="utf-8") as fh:
+                    d = json.load(fh)
+                return d["column"], EmbeddingState(**d["state"])
+
+            def _infer_dim(col: str) -> int:
+                row = (
+                    df.where(F.col(col).isNotNull())
+                    .groupBy(F.size(F.col(col)).alias("d"))
+                    .count()
+                    .orderBy(F.desc("count"), F.asc("d"))
+                    .first()
+                )
+                if row is None or row["d"] is None or row["d"] <= 0:
+                    raise SystemExit(
+                        f"--embedding-col {col!r}: no non-null vectors to "
+                        "infer a dimensionality from — pass --embedding-dim"
+                    )
+                return int(row["d"])
             if args.save_state:
                 if args.align_state:
                     with open(args.align_state, encoding="utf-8") as fh:
@@ -298,6 +345,48 @@ def main(argv: list[str] | None = None) -> int:
                     # outside the stored edges): a named refusal, not a
                     # traceback — the message carries the re-edging recipe
                     raise SystemExit(f"--save-state refused: {e}")
+                emb_out = None
+                if args.embedding_col:
+                    prev_emb = (
+                        _load_emb_sidecar(args.align_state)
+                        if args.align_state
+                        else None
+                    )
+                    if prev_emb is not None:
+                        # shared-edges contract, like the histograms: the
+                        # stored sidecar fixes column/dim/bins/norm edges
+                        ecol, pe = prev_emb
+                        if ecol != args.embedding_col:
+                            raise SystemExit(
+                                "--embedding-col disagrees with the "
+                                f"aligned state's sidecar column {ecol!r}"
+                            )
+                        dim, bins_, edges = pe.dim, pe.bins, (pe.lo, pe.hi)
+                    else:
+                        dim = args.embedding_dim or _infer_dim(
+                            args.embedding_col
+                        )
+                        edges = embedding_norm_extent(
+                            df, args.embedding_col, dim
+                        )
+                        if edges is None:
+                            raise SystemExit(
+                                f"--embedding-col {args.embedding_col!r}: "
+                                f"no valid {dim}-dim finite vectors"
+                            )
+                        bins_ = 10
+                    emb = embedding_partial(
+                        df, args.embedding_col, dim, edges, bins_
+                    )
+                    emb_out = args.save_state + ".emb"
+                    with open(emb_out, "w", encoding="utf-8") as fh:
+                        json.dump(
+                            {
+                                "column": args.embedding_col,
+                                "state": json.loads(emb.to_json()),
+                            },
+                            fh,
+                        )
                 with open(args.save_state, "w", encoding="utf-8") as fh:
                     fh.write(part.to_json())
                 print(json.dumps({
@@ -305,6 +394,7 @@ def main(argv: list[str] | None = None) -> int:
                     "n": part.n,
                     "n_columns": len(part.columns),
                     "aligned_to": args.align_state,
+                    "embedding_state": emb_out,
                 }))
                 return 0
             with open(args.drift_against, encoding="utf-8") as fh:
@@ -339,16 +429,41 @@ def main(argv: list[str] | None = None) -> int:
                 )
             except ValueError as e:
                 raise SystemExit(f"--drift-against refused: {e}")
+            emb_a = emb_b = None
+            sidecar = _load_emb_sidecar(args.drift_against)
+            if args.embedding_col and sidecar is None:
+                raise SystemExit(
+                    "--embedding-col with --drift-against: the stored "
+                    f"state {args.drift_against} has no .emb sidecar — "
+                    "re-save the baseline with --embedding-col first"
+                )
+            if sidecar is not None:
+                ecol, emb_a = sidecar
+                if args.embedding_col and args.embedding_col != ecol:
+                    raise SystemExit(
+                        "--embedding-col disagrees with the stored "
+                        f"sidecar column {ecol!r}"
+                    )
+                # the stored sidecar fixes dim/bins/edges (shared-edges
+                # contract); a norm range that moved past the stored edges
+                # clamps VISIBLY into the boundary buckets, and the
+                # per-dimension mean-shift signal is range-free either way
+                emb_b = embedding_partial(
+                    df, ecol, emb_a.dim, (emb_a.lo, emb_a.hi), emb_a.bins
+                )
             out = args.output or (args.input.rsplit(".", 1)[0] + ".html")
             title = args.title or (
                 f"Drift: {args.drift_against} vs {args.input}"
             )
             with open(out, "w", encoding="utf-8") as fh:
                 fh.write(
-                    incremental_drift_report(prev, cur, title=title)
+                    incremental_drift_report(
+                        prev, cur, emb_a, emb_b, title=title
+                    )
                 )
             print(json.dumps({
                 "output": out, "n_a": prev.n, "n_b": cur.n,
+                "embedding": sidecar is not None,
             }))
             return 0
         if args.corpus_report:

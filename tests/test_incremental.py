@@ -910,3 +910,61 @@ def test_cli_drift_pair_flag_validation(tmp_path):
     assert p2.returncode != 0
     assert "disagrees with the stored" in (p2.stderr + p2.stdout)
     assert "Traceback" not in p2.stderr
+
+
+def test_cli_embedding_state_loop(tmp_path):
+    """CLI: --embedding-col closes the last drift family in the daily
+    loop — --save-state writes a .emb sidecar (norm buckets + power sums
+    at inferred dim), --drift-against picks it up automatically, and a
+    scaled embedder surfaces EMBEDDING_* alerts in the report."""
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(0, 1, (300, 16))
+    src_a = tmp_path / "day1.parquet"
+    src_b = tmp_path / "day2.parquet"
+    pd.DataFrame(
+        {"vec_id": range(300), "embedding": [r.tolist() for r in base]}
+    ).to_parquet(src_a)
+    pd.DataFrame(
+        {"vec_id": range(300), "embedding": [(3.0 * r).tolist() for r in base]}
+    ).to_parquet(src_b)
+
+    def run(*argv):
+        proc = subprocess.run(
+            [sys.executable, "-m", "pandas_profiling_personal_spark.cli",
+             *argv, "--master", "local[2]"],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    st_a = tmp_path / "a.json"
+    out = tmp_path / "drift.html"
+    s1 = run(str(src_a), "--save-state", str(st_a),
+             "--embedding-col", "embedding")
+    assert s1["embedding_state"] == str(st_a) + ".emb"
+    side = json.loads((tmp_path / "a.json.emb").read_text())
+    assert side["column"] == "embedding"
+    assert side["state"]["dim"] == 16 and side["state"]["n"] == 300
+
+    s3 = run(str(src_b), str(out), "--drift-against", str(st_a))
+    assert s3["embedding"] is True
+    html = out.read_text()
+    assert "EMBEDDING_NORM_DRIFT" in html or "EMBEDDING_DIM_SHIFT" in html
+
+    # --embedding-col against a baseline without a sidecar: named refusal
+    st_plain = tmp_path / "plain.json"
+    run(str(src_a), "--save-state", str(st_plain))
+    p = subprocess.run(
+        [sys.executable, "-m", "pandas_profiling_personal_spark.cli",
+         str(src_b), str(out), "--drift-against", str(st_plain),
+         "--embedding-col", "embedding", "--master", "local[2]"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert p.returncode != 0
+    assert "no .emb sidecar" in (p.stderr + p.stdout)
