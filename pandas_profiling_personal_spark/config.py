@@ -84,6 +84,18 @@ class ProfileConfig:
     #: candidate column). The reference treats arrays as opaque
     #: (summary_algorithms.py:34-41); this is the explorative-tier upgrade.
     embedding_refinement: bool = False
+    #: binary-column media refinement: every BinaryType column gets a
+    #: full-data format mix + byte-size stats from ONE pure-SQL melt
+    #: aggregate (magic-byte sniff, no Python), and when one media family
+    #: (image/audio/video) dominates, header stats from a BOUNDED
+    #: deterministic sample through the real no-dependency parsers
+    #: (netpbm / RIFF-WAVE / Y4M). The reference profiles images only via
+    #: path columns (typeset file/image types); this closes the gap for
+    #: payloads stored IN the table — the 100 TB multimodal layout.
+    binary_refinement: bool = False
+    #: rows sampled for the per-modality header-stat pass (bounded cost:
+    #: the full-data tier never decodes)
+    media_sample_n: int = 512
     #: refinement tier: a categorical column with pass-1 mean_length >= this
     #: is treated as free TEXT — corpus-level language distribution + quality
     #: rollup from the text-pipeline operators attach to the variable
@@ -222,6 +234,7 @@ EXPLORATIVE = ProfileConfig(
     char_analysis=True,
     string_refinement=True,
     embedding_refinement=True,
+    binary_refinement=True,
     infer_types=True,
     top_k=25,
 )

@@ -57,6 +57,30 @@ def _sniff_format(data: bytes) -> str:
     return "unknown"
 
 
+#: netpbm magics, for the SQL sniff only (the Python parser validates the
+#: full header, so _sniff_format leaves them to _parse_netpbm)
+_SQL_MAGIC: "list[tuple[bytes, str]]" = list(_MAGIC.items()) + [
+    (b"P5", "pgm"),
+    (b"P2", "pgm"),
+    (b"P6", "ppm"),
+    (b"P3", "ppm"),
+]
+
+
+def sniff_format_expr(c) -> "F.Column":
+    """Pure-SQL twin of :func:`_sniff_format` (+ netpbm magics): a
+    magic-byte format sniff as a single when-chain over binary prefixes —
+    JVM-side, scan speed, no Python. This is what makes a FULL-DATA format
+    mix affordable on a 100 TB binary column: the payload is never decoded,
+    only its first bytes compared."""
+    expr = F.lit("unknown")
+    for magic, name in reversed(_SQL_MAGIC):
+        expr = F.when(
+            F.substring(c, 1, len(magic)) == F.lit(magic), F.lit(name)
+        ).otherwise(expr)
+    return expr
+
+
 def _fake_decode(data: bytes) -> tuple[int, int, bool]:
     """Deterministic pseudo width/height/truncation derived from the content
     hash — a stand-in with the same signature and cost profile as a real decode,

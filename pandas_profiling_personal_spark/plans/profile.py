@@ -537,6 +537,134 @@ def profile(
                     if row["dim_min"] == row["dim_max"]:
                         v["type_refined"] = "embedding"
 
+        # binary-column media refinement: payloads stored IN the table (the
+        # 100 TB multimodal layout — the reference only profiles media via
+        # PATH columns). Two tiers by design: the FULL-DATA tier is one
+        # pure-SQL melt aggregate over all binary columns (magic-byte sniff
+        # + byte length — never decodes, scan speed at any size); the
+        # header-stat tier decodes a BOUNDED deterministic sample through
+        # the real no-dependency parsers (netpbm / RIFF-WAVE / Y4M), so its
+        # cost is capped at media_sample_n rows per refined column.
+        if cfg.binary_refinement:
+            bin_cols = [c for c, vt in types.items() if vt is VT.BINARY]
+            if bin_cols:
+                from pandas_profiling_personal_spark.functions import (
+                    stats as S,
+                )
+                from pandas_profiling_personal_spark.operators import (
+                    multimodal as MM,
+                )
+
+                structs = [
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        MM.sniff_format_expr(S.col(c)).alias("fmt"),
+                        F.length(S.col(c)).alias("nb"),
+                    )
+                    for c in bin_cols
+                ]
+                rows = (
+                    df.select(F.explode(F.array(*structs)).alias("kv"))
+                    .select("kv.*")
+                    .where(F.col("nb").isNotNull())
+                    .groupBy("column", "fmt")
+                    .agg(
+                        F.count(F.lit(1)).alias("cnt"),
+                        F.min("nb").alias("min_nb"),
+                        F.max("nb").alias("max_nb"),
+                        F.sum("nb").alias("sum_nb"),
+                    )
+                    .collect()
+                )
+                per_col: dict[str, list] = {}
+                for r in rows:
+                    per_col.setdefault(r["column"], []).append(r)
+                family = {
+                    "jpeg": "image", "png": "image", "gif": "image",
+                    "pgm": "image", "ppm": "image",
+                    "riff": "audio",
+                    "y4m": "video", "mp4?": "video",
+                }
+                for cname in bin_cols:
+                    grp = per_col.get(cname)
+                    if not grp:
+                        continue  # all-null binary column
+                    n_tot = sum(r["cnt"] for r in grp)
+                    v = variables[cname]
+                    v["binary_stats"] = {
+                        "format_dist": {r["fmt"]: r["cnt"] for r in grp},
+                        "min_bytes": min(r["min_nb"] for r in grp),
+                        "max_bytes": max(r["max_nb"] for r in grp),
+                        "mean_bytes": round(
+                            sum(r["sum_nb"] for r in grp) / n_tot, 3
+                        ),
+                    }
+                    # value-asc tie rule keeps the dominant format (and
+                    # thus the sampled modality) engine-deterministic
+                    dom = max(grp, key=lambda r: (r["cnt"], r["fmt"]))
+                    fam = family.get(dom["fmt"])
+                    if fam is None or dom["cnt"] * 2 < n_tot:
+                        continue  # no media family dominates: stay Binary
+                    v["type_refined"] = fam
+                    sample = (
+                        df.select(S.col(cname).alias("payload"))
+                        .where(S.col(cname).isNotNull())
+                        .limit(cfg.media_sample_n)
+                    )
+                    if fam == "video":
+                        ms = [
+                            m.asDict()
+                            for m in MM.video_metadata(sample, "payload")
+                            .select("video_meta.*")
+                            .collect()
+                        ]
+                        parsed = [m for m in ms if m["width"] is not None]
+                        keys = {
+                            "width": "width", "height": "height",
+                            "n_frames": "n_frames",
+                            "duration_s": "duration_s",
+                        }
+                    elif fam == "audio":
+                        ms = [
+                            m.asDict()
+                            for m in MM.audio_metadata(
+                                sample, "payload", decoder="auto"
+                            )
+                            .select("audio_meta.*")
+                            .collect()
+                        ]
+                        parsed = [
+                            m for m in ms if m["sample_rate"] is not None
+                        ]
+                        keys = {
+                            "sample_rate": "sample_rate",
+                            "channels": "channels",
+                            "duration_s": "duration_s",
+                        }
+                    else:  # image
+                        dec = "real" if MM._pil_available() else "netpbm"
+                        ms = [
+                            m.asDict()
+                            for m in MM.media_metadata(
+                                sample, "payload", decoder=dec
+                            )
+                            .select("meta.*")
+                            .collect()
+                        ]
+                        parsed = [m for m in ms if m["width"] is not None]
+                        keys = {"width": "width", "height": "height"}
+                    stats: dict[str, Any] = {
+                        "n_sampled": len(ms),
+                        "n_parsed": len(parsed),
+                    }
+                    for label, k in keys.items():
+                        vals = [
+                            m[k] for m in parsed if m.get(k) is not None
+                        ]
+                        stats[f"min_{label}"] = min(vals) if vals else None
+                        stats[f"max_{label}"] = max(vals) if vals else None
+                    v["media_stats"] = stats
+
         _mark("refinement")
         # pass 3 — histograms for all numeric AND datetime columns (A11 + A16;
         # the reference has no Spark date describer at all)

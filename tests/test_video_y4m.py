@@ -216,3 +216,79 @@ def test_video_metadata_rejects_unknown_decoder(spark):
         video_metadata(df, "payload", decoder="Fake")
     with pytest.raises(ValueError, match="decoder"):
         video_metadata(df, "payload", decoder="real")
+
+
+def test_profile_binary_media_refinement(spark):
+    """profile(explorative): BinaryType columns get a full-data format mix
+    (pure-SQL magic sniff — never decodes) and, when one media family
+    dominates, REAL header stats from a bounded sample through the
+    no-dependency parsers (Y4M / netpbm here). Unknown blobs keep
+    binary_stats but no refinement."""
+    import numpy as np
+
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+
+    clips = [_y4m([_blocky(s + k) for k in range(2)]) for s in (1, 2, 3)]
+
+    def pgm(seed, w=20, h=10):
+        r = np.random.default_rng(seed)
+        raster = r.integers(0, 256, size=(h, w)).astype(np.uint8)
+        return f"P5 {w} {h} 255\n".encode() + raster.tobytes()
+
+    def wav(n=160, rate=8000):
+        import struct
+
+        data = bytes(n)  # n 8-bit samples of silence
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate, 1, 8)
+        body = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    rows = [
+        (
+            bytearray(clips[i]),
+            bytearray(pgm(i)),
+            bytearray(wav()),
+            bytearray(b"\x01\x02" * 9),
+        )
+        for i in range(3)
+    ] + [(None, None, None, None)]
+    df = spark.createDataFrame(
+        rows, "clip binary, img binary, snd binary, blob binary"
+    )
+    res = profile(
+        df,
+        ProfileConfig(
+            binary_refinement=True, correlations=(), duplicates=False,
+            media_sample_n=8,
+        ),
+    )
+
+    clip = res.variables["clip"]
+    assert clip["binary_stats"]["format_dist"] == {"y4m": 3}
+    assert clip["type_refined"] == "video"
+    assert clip["media_stats"]["n_parsed"] == 3
+    assert clip["media_stats"]["min_width"] == 64
+    assert clip["media_stats"]["max_height"] == 48
+    assert clip["media_stats"]["min_n_frames"] == 2
+
+    img = res.variables["img"]
+    assert img["binary_stats"]["format_dist"] == {"pgm": 3}
+    assert img["type_refined"] == "image"
+    assert img["media_stats"]["n_parsed"] == 3
+    assert img["media_stats"]["min_width"] == 20
+    assert img["media_stats"]["max_height"] == 10
+
+    snd = res.variables["snd"]
+    assert snd["binary_stats"]["format_dist"] == {"riff": 3}
+    assert snd["type_refined"] == "audio"
+    assert snd["media_stats"]["n_parsed"] == 3
+    assert snd["media_stats"]["min_sample_rate"] == 8000
+    assert snd["media_stats"]["max_duration_s"] == 0.02
+
+    blob = res.variables["blob"]
+    assert blob["binary_stats"]["format_dist"] == {"unknown": 3}
+    assert blob["binary_stats"]["min_bytes"] == 18
+    assert "type_refined" not in blob and "media_stats" not in blob
