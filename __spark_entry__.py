@@ -80,9 +80,14 @@ _SPECS: dict[str, tuple] = {
     # metadata through the Arrow decode pass; the real Y4M tier is
     # pytest-gated in test_video_y4m). out — scatter_lineitem (r8-green;
     # deterministic-sampling kin stratified_sample_documents in-window).
-    "top_k_part_brand": (
-        P.top_k_query("part", "p_brand", 5),
-        P.top_k_sql("part", "p_brand", 5),
+    # r9.2: in — binary_format_mix_documents (NEW: the pure-SQL magic
+    # sniff behind profile()'s binary refinement, every ASCII branch
+    # exercised via planted prefixes). out — top_k_part_brand (r8-green;
+    # frequencies-family kin value_counts_event_type + the grouped
+    # machinery stratified/hourly_rollup in-window).
+    "binary_format_mix_documents": (
+        PP.binary_format_mix_query(),
+        PP.binary_format_mix_sql(),
     ),
     "distinct_unique_lineitem": (
         P.distinct_unique_query("lineitem", LINEITEM_ALL),
@@ -434,6 +439,10 @@ _SPECS: dict[str, tuple] = {
     "scatter_lineitem": (
         P.scatter_query("lineitem", "l_quantity", "l_extendedprice", 16),
         P.scatter_sql("lineitem", "l_quantity", "l_extendedprice", 16),
+    ),
+    "top_k_part_brand": (
+        P.top_k_query("part", "p_brand", 5),
+        P.top_k_sql("part", "p_brand", 5),
     ),
 }
 

@@ -1953,6 +1953,84 @@ FROM documents WHERE text IS NOT NULL
 """
 
 
+#: (doc_id % 7 -> ASCII magic) planting rule shared by the Spark query and
+#: the oracle: every ASCII branch of the sniff when-chain fires on real
+#: prefix comparisons; residues 5-6 stay magic-free ('unknown')
+_PLANT_MAGICS = [
+    (0, "GIF8"),
+    (1, "RIFF"),
+    (2, "YUV4MPEG2 "),
+    (3, "P5 "),
+    (4, "P3"),
+]
+
+
+def binary_format_mix_query() -> QueryFn:
+    """The full-data tier of profile()'s binary-column refinement
+    (``sniff_format_expr``): magic-byte format sniff + byte-size stats as
+    ONE pure-SQL aggregate — never decodes a payload, so it holds at any
+    corpus size. Deterministic ASCII magics are planted by doc_id residue
+    so every when-chain branch is exercised, not just the 'unknown'
+    fall-through. ASCII prefixes make byte- and character-wise prefix
+    comparison coincide under UTF-8, so the oracle can compare on text."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.multimodal import (
+            sniff_format_expr,
+        )
+
+        prefix = F.lit("")
+        for res, magic in _PLANT_MAGICS:
+            prefix = F.when(
+                F.col("doc_id") % 7 == res, F.lit(magic)
+            ).otherwise(prefix)
+        df = (
+            load(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull())
+            .select(
+                F.concat(prefix, F.col("text")).cast("binary").alias("blob")
+            )
+        )
+        return df.groupBy(
+            sniff_format_expr(F.col("blob")).alias("format")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.length("blob")).alias("min_bytes"),
+            F.max(F.length("blob")).alias("max_bytes"),
+            F.sum(F.length("blob")).alias("sum_bytes"),
+        )
+
+    return fn
+
+
+def binary_format_mix_sql() -> str:
+    plant = " ".join(
+        f"WHEN doc_id % 7 = {res} THEN '{m}' || text"
+        for res, m in _PLANT_MAGICS
+    )
+    # ASCII when-chain in multimodal._SQL_MAGIC precedence order (the
+    # non-ASCII magics \xFF\xD8\xFF / \x89PNG / \x00\x00\x00 cannot prefix
+    # valid UTF-8 text, so they are unreachable on both sides here)
+    return f"""
+WITH b AS (
+  SELECT CASE {plant} ELSE text END AS s
+  FROM documents WHERE text IS NOT NULL)
+SELECT CASE WHEN substring(s, 1, 4) = 'GIF8' THEN 'gif'
+            WHEN substring(s, 1, 4) = 'RIFF' THEN 'riff'
+            WHEN substring(s, 1, 9) = 'YUV4MPEG2' THEN 'y4m'
+            WHEN substring(s, 1, 2) = 'P5' THEN 'pgm'
+            WHEN substring(s, 1, 2) = 'P2' THEN 'pgm'
+            WHEN substring(s, 1, 2) = 'P6' THEN 'ppm'
+            WHEN substring(s, 1, 2) = 'P3' THEN 'ppm'
+            ELSE 'unknown' END AS format,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(octet_length(s::BLOB)) AS BIGINT) AS min_bytes,
+       CAST(max(octet_length(s::BLOB)) AS BIGINT) AS max_bytes,
+       CAST(sum(octet_length(s::BLOB)) AS BIGINT) AS sum_bytes
+FROM b GROUP BY 1
+"""
+
+
 def video_metadata_query() -> QueryFn:
     """Video plumbing (fake tier) through the Arrow-batched decode pass —
     the md5-derived pseudo-fields are engine-reproducible integers
