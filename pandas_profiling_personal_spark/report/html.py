@@ -451,6 +451,39 @@ def _var_section(name: str, v: dict, alerts: list[dict]) -> str:
             ]),
         ))
 
+    # binary payload columns: full-data format mix + byte sizes, and the
+    # sampled per-modality header stats when a media family dominates
+    # (explorative binary refinement)
+    if v.get("binary_stats"):
+        bs = v["binary_stats"]
+        body = _kv_table([
+            ("Min bytes", bs.get("min_bytes")),
+            ("Mean bytes", bs.get("mean_bytes")),
+            ("Max bytes", bs.get("max_bytes")),
+        ])
+        dist = bs.get("format_dist") or {}
+        if dist:
+            body += _kv_table(
+                sorted(dist.items(), key=lambda kv: (-kv[1], kv[0]))
+            )
+        ms = v.get("media_stats")
+        if ms:
+            body += _kv_table(
+                [("Sampled", ms.get("n_sampled")),
+                 ("Parsed", ms.get("n_parsed"))]
+                + [
+                    (k.replace("_", " ").capitalize(), val)
+                    for k, val in sorted(ms.items())
+                    if k.startswith(("min_", "max_")) and val is not None
+                ]
+            )
+        tabs.append((
+            (v.get("type_refined") or "binary").capitalize()
+            if v.get("media_stats")
+            else "Binary",
+            body,
+        ))
+
     return (
         f"<div class='varsec' data-section='variable'"
         f" data-var-type='{html.escape(vtype)}' id='var-{html.escape(name)}'>"

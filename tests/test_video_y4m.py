@@ -292,3 +292,25 @@ def test_profile_binary_media_refinement(spark):
     assert blob["binary_stats"]["format_dist"] == {"unknown": 3}
     assert blob["binary_stats"]["min_bytes"] == 18
     assert "type_refined" not in blob and "media_stats" not in blob
+
+
+def test_binary_refinement_html_tab(spark):
+    """The HTML report renders the binary refinement: a Video tab with the
+    format mix and sampled header stats."""
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+    from pandas_profiling_personal_spark.report.html import render_html
+
+    clips = [_y4m([_blocky(s + k) for k in range(2)]) for s in (1, 2)]
+    df = spark.createDataFrame(
+        [(bytearray(c),) for c in clips], "clip binary"
+    )
+    res = profile(
+        df,
+        ProfileConfig(
+            binary_refinement=True, correlations=(), duplicates=False,
+            media_sample_n=4,
+        ),
+    )
+    html = render_html(res)
+    assert "Video" in html and "y4m" in html
+    assert "Min width" in html and "Max n frames" in html
