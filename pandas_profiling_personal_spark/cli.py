@@ -285,7 +285,6 @@ def main(argv: list[str] | None = None) -> int:
             from pandas_profiling_personal_spark.plans.incremental import (
                 EmbeddingState,
                 PartialProfile,
-                embedding_norm_extent,
                 embedding_partial,
                 histogram_specs_of,
                 incremental_drift_report,
@@ -307,20 +306,38 @@ def main(argv: list[str] | None = None) -> int:
                     d = json.load(fh)
                 return d["column"], EmbeddingState(**d["state"])
 
-            def _infer_dim(col: str) -> int:
-                row = (
-                    df.where(F.col(col).isNotNull())
-                    .groupBy(F.size(F.col(col)).alias("d"))
-                    .count()
-                    .orderBy(F.desc("count"), F.asc("d"))
-                    .first()
+            def _dim_and_extents(col: str) -> dict:
+                """ONE scan for the fresh-baseline path: per-vector-size
+                counts AND finite-norm extents (modal size = inferred dim)
+                — folding what were two separate full passes."""
+                from pandas_profiling_personal_spark.operators.similarity import (  # noqa: E501
+                    as_double,
+                    l2_norm,
                 )
-                if row is None or row["d"] is None or row["d"] <= 0:
-                    raise SystemExit(
-                        f"--embedding-col {col!r}: no non-null vectors to "
-                        "infer a dimensionality from — pass --embedding-dim"
+
+                v = as_double(F.col(col))
+                finite = F.forall(
+                    v,
+                    lambda x: x.isNotNull()
+                    & ~F.isnan(x)
+                    & ~x.isin(float("inf"), float("-inf")),
+                )
+                norm = F.when(finite, l2_norm(v))
+                rows = (
+                    df.where(F.col(col).isNotNull())
+                    .groupBy(F.size(v).alias("d"))
+                    .agg(
+                        F.count(F.lit(1)).alias("cnt"),
+                        F.min(norm).alias("lo"),
+                        F.max(norm).alias("hi"),
                     )
-                return int(row["d"])
+                    .collect()
+                )
+                return {
+                    int(r["d"]): r
+                    for r in rows
+                    if r["d"] is not None and r["d"] > 0
+                }
             if args.save_state:
                 if args.align_state:
                     with open(args.align_state, encoding="utf-8") as fh:
@@ -346,43 +363,76 @@ def main(argv: list[str] | None = None) -> int:
                     # traceback — the message carries the re-edging recipe
                     raise SystemExit(f"--save-state refused: {e}")
                 emb_out = None
-                if args.embedding_col:
-                    prev_emb = (
-                        _load_emb_sidecar(args.align_state)
-                        if args.align_state
-                        else None
-                    )
+                prev_emb = (
+                    _load_emb_sidecar(args.align_state)
+                    if args.align_state
+                    else None
+                )
+                emb_col = args.embedding_col
+                if emb_col is None and prev_emb is not None:
+                    # an aligned state's sidecar carries forward without
+                    # re-declaring the flag — the same contract as the
+                    # stored histogram edges and contingency pairs (a
+                    # forgotten flag must not silently drop embedding
+                    # tracking out of the daily loop)
+                    emb_col = prev_emb[0]
+                if emb_col:
+                    if emb_col not in df.columns:
+                        raise SystemExit(
+                            f"embedding column {emb_col!r} is not in the "
+                            f"input (columns: {sorted(df.columns)})"
+                        )
                     if prev_emb is not None:
                         # shared-edges contract, like the histograms: the
                         # stored sidecar fixes column/dim/bins/norm edges
                         ecol, pe = prev_emb
-                        if ecol != args.embedding_col:
+                        if ecol != emb_col:
                             raise SystemExit(
                                 "--embedding-col disagrees with the "
                                 f"aligned state's sidecar column {ecol!r}"
                             )
+                        if (
+                            args.embedding_dim
+                            and args.embedding_dim != pe.dim
+                        ):
+                            raise SystemExit(
+                                f"--embedding-dim {args.embedding_dim} "
+                                "disagrees with the aligned sidecar's dim "
+                                f"{pe.dim} — aligned states must share "
+                                "dim/edges; drop the flag or re-save the "
+                                "baseline at the new dimensionality"
+                            )
                         dim, bins_, edges = pe.dim, pe.bins, (pe.lo, pe.hi)
                     else:
-                        dim = args.embedding_dim or _infer_dim(
-                            args.embedding_col
-                        )
-                        edges = embedding_norm_extent(
-                            df, args.embedding_col, dim
-                        )
-                        if edges is None:
+                        by_d = _dim_and_extents(emb_col)
+                        if args.embedding_dim:
+                            dim = args.embedding_dim
+                        elif by_d:
+                            dim = sorted(
+                                by_d.items(),
+                                key=lambda kv: (-kv[1]["cnt"], kv[0]),
+                            )[0][0]
+                        else:
                             raise SystemExit(
-                                f"--embedding-col {args.embedding_col!r}: "
-                                f"no valid {dim}-dim finite vectors"
+                                f"--embedding-col {emb_col!r}: no "
+                                "non-null vectors to infer a "
+                                "dimensionality from — pass "
+                                "--embedding-dim"
                             )
+                        r = by_d.get(dim)
+                        if r is None or r["lo"] is None:
+                            raise SystemExit(
+                                f"--embedding-col {emb_col!r}: no valid "
+                                f"{dim}-dim finite vectors"
+                            )
+                        edges = (float(r["lo"]), float(r["hi"]))
                         bins_ = 10
-                    emb = embedding_partial(
-                        df, args.embedding_col, dim, edges, bins_
-                    )
+                    emb = embedding_partial(df, emb_col, dim, edges, bins_)
                     emb_out = args.save_state + ".emb"
                     with open(emb_out, "w", encoding="utf-8") as fh:
                         json.dump(
                             {
-                                "column": args.embedding_col,
+                                "column": emb_col,
                                 "state": json.loads(emb.to_json()),
                             },
                             fh,
@@ -444,6 +494,13 @@ def main(argv: list[str] | None = None) -> int:
                         "--embedding-col disagrees with the stored "
                         f"sidecar column {ecol!r}"
                     )
+                if ecol not in df.columns:
+                    raise SystemExit(
+                        "--drift-against: the stored embedding sidecar "
+                        f"column {ecol!r} is not in today's input "
+                        f"(columns: {sorted(df.columns)}) — if the column "
+                        "was renamed/dropped, re-save the baseline"
+                    )
                 # the stored sidecar fixes dim/bins/edges (shared-edges
                 # contract); a norm range that moved past the stored edges
                 # clamps VISIBLY into the boundary buckets, and the
@@ -451,6 +508,20 @@ def main(argv: list[str] | None = None) -> int:
                 emb_b = embedding_partial(
                     df, ecol, emb_a.dim, (emb_a.lo, emb_a.hi), emb_a.bins
                 )
+                if emb_b.n == 0:
+                    # zero valid vectors at the stored dim IS total drift
+                    # (e.g. a 16->32 dim migration) — the drift arithmetic
+                    # would return all-None signals and the report would
+                    # read 'no embedding drift', the worst possible answer
+                    raise SystemExit(
+                        "--drift-against refused: today's input has ZERO "
+                        f"valid finite {emb_a.dim}-dim vectors in "
+                        f"{ecol!r} (baseline n={emb_a.n}) — if the "
+                        "embedder's dimensionality changed, that is total "
+                        "drift: re-save the baseline at the new "
+                        "dimensionality rather than reading a silent "
+                        "'no embedding drift'"
+                    )
             out = args.output or (args.input.rsplit(".", 1)[0] + ".html")
             title = args.title or (
                 f"Drift: {args.drift_against} vs {args.input}"

@@ -2008,9 +2008,11 @@ def binary_format_mix_sql() -> str:
         f"WHEN doc_id % 7 = {res} THEN '{m}' || text"
         for res, m in _PLANT_MAGICS
     )
-    # ASCII when-chain in multimodal._SQL_MAGIC precedence order (the
-    # non-ASCII magics \xFF\xD8\xFF / \x89PNG / \x00\x00\x00 cannot prefix
-    # valid UTF-8 text, so they are unreachable on both sides here)
+    # when-chain in multimodal._SQL_MAGIC precedence order. \xFF\xD8\xFF
+    # and \x89PNG cannot prefix valid UTF-8 text (invalid first byte), so
+    # those two are unreachable on both sides; \x00\x00\x00 CAN — U+0000
+    # is valid UTF-8 and legal in parquet strings — so the mp4? branch is
+    # rebuilt with chr(0) rather than assumed away (review r9 third pass)
     return f"""
 WITH b AS (
   SELECT CASE {plant} ELSE text END AS s
@@ -2018,6 +2020,8 @@ WITH b AS (
 SELECT CASE WHEN substring(s, 1, 4) = 'GIF8' THEN 'gif'
             WHEN substring(s, 1, 4) = 'RIFF' THEN 'riff'
             WHEN substring(s, 1, 9) = 'YUV4MPEG2' THEN 'y4m'
+            WHEN substring(s, 1, 3) = chr(0) || chr(0) || chr(0)
+                 THEN 'mp4?'
             WHEN substring(s, 1, 2) = 'P5' THEN 'pgm'
             WHEN substring(s, 1, 2) = 'P2' THEN 'pgm'
             WHEN substring(s, 1, 2) = 'P6' THEN 'ppm'

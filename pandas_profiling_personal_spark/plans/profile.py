@@ -599,16 +599,36 @@ def profile(
                             sum(r["sum_nb"] for r in grp) / n_tot, 3
                         ),
                     }
-                    # value-asc tie rule keeps the dominant format (and
-                    # thus the sampled modality) engine-deterministic
-                    dom = max(grp, key=lambda r: (r["cnt"], r["fmt"]))
-                    fam = family.get(dom["fmt"])
-                    if fam is None or dom["cnt"] * 2 < n_tot:
+                    # dominance is per media FAMILY (40% pgm + 40% ppm IS
+                    # an 80% image column), count-desc name-asc tie rule —
+                    # deterministic and matching the documented contract
+                    fam_counts: dict[str, int] = {}
+                    for r in grp:
+                        f2 = family.get(r["fmt"])
+                        if f2 is not None:
+                            fam_counts[f2] = fam_counts.get(f2, 0) + r["cnt"]
+                    if not fam_counts:
+                        continue  # no recognizable media format at all
+                    fam, fam_n = sorted(
+                        fam_counts.items(), key=lambda kv: (-kv[1], kv[0])
+                    )[0]
+                    if fam_n * 2 < n_tot:
                         continue  # no media family dominates: stay Binary
                     v["type_refined"] = fam
+                    fam_fmts = [
+                        f for f, fm in family.items() if fm == fam
+                    ]
+                    # spend the bounded sample budget on PARSEABLE rows:
+                    # an unfiltered limit() takes the first payloads in
+                    # partition order, which on a 50% mixed column can be
+                    # entirely the non-media blobs
                     sample = (
                         df.select(S.col(cname).alias("payload"))
-                        .where(S.col(cname).isNotNull())
+                        .where(
+                            MM.sniff_format_expr(S.col(cname)).isin(
+                                fam_fmts
+                            )
+                        )
                         .limit(cfg.media_sample_n)
                     )
                     if fam == "video":

@@ -968,3 +968,73 @@ def test_cli_embedding_state_loop(tmp_path):
     )
     assert p.returncode != 0
     assert "no .emb sidecar" in (p.stderr + p.stdout)
+
+
+def test_cli_embedding_sidecar_contract(tmp_path):
+    """Review r9 third pass: --align-state carries the .emb sidecar forward
+    without re-declaring the flag (the stored-pairs contract); an explicit
+    --embedding-dim disagreeing with the sidecar refuses by name; a dim
+    migration (zero valid vectors at the stored dim) refuses rather than
+    reporting a silent 'no embedding drift'; a dropped column refuses."""
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(9)
+    v16 = rng.normal(0, 1, (60, 16))
+    src_a = tmp_path / "day1.parquet"
+    src_b = tmp_path / "day2.parquet"
+    src_c = tmp_path / "day3_migrated.parquet"
+    src_d = tmp_path / "day4_dropped.parquet"
+    pd.DataFrame(
+        {"vec_id": range(60), "emb": [r.tolist() for r in v16]}
+    ).to_parquet(src_a)
+    pd.DataFrame(
+        {"vec_id": range(60), "emb": [(1.1 * r).tolist() for r in v16]}
+    ).to_parquet(src_b)
+    pd.DataFrame(
+        {"vec_id": range(60),
+         "emb": [r.tolist() + r.tolist() for r in v16]}  # 32-dim now
+    ).to_parquet(src_c)
+    pd.DataFrame({"vec_id": range(60)}).to_parquet(src_d)
+
+    def run(*argv, ok=True):
+        proc = subprocess.run(
+            [sys.executable, "-m", "pandas_profiling_personal_spark.cli",
+             *argv, "--master", "local[2]"],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        if ok:
+            assert proc.returncode == 0, proc.stderr[-2000:]
+            return json.loads(proc.stdout.strip().splitlines()[-1])
+        assert proc.returncode != 0
+        assert "Traceback" not in proc.stderr, proc.stderr[-2000:]
+        return proc.stderr + proc.stdout
+
+    st_a, st_b = tmp_path / "a.json", tmp_path / "b.json"
+    run(str(src_a), "--save-state", str(st_a), "--embedding-col", "emb")
+
+    # align WITHOUT the flag: sidecar carries forward automatically
+    s2 = run(str(src_b), "--save-state", str(st_b),
+             "--align-state", str(st_a))
+    assert s2["embedding_state"] == str(st_b) + ".emb"
+    side = json.loads((tmp_path / "b.json.emb").read_text())
+    assert side["column"] == "emb" and side["state"]["n"] == 60
+
+    # explicit dim disagreeing with the aligned sidecar: named refusal
+    msg = run(str(src_b), "--save-state", str(tmp_path / "x.json"),
+              "--align-state", str(st_a), "--embedding-col", "emb",
+              "--embedding-dim", "32", ok=False)
+    assert "disagrees with the aligned sidecar" in msg
+
+    # dim migration at drift time: refuse, never silent no-drift
+    msg = run(str(src_c), str(tmp_path / "d.html"),
+              "--drift-against", str(st_a), ok=False)
+    assert "ZERO valid finite 16-dim" in msg
+
+    # dropped column at drift time: named refusal
+    msg = run(str(src_d), str(tmp_path / "d.html"),
+              "--drift-against", str(st_a), ok=False)
+    assert "is not in today's input" in msg

@@ -246,17 +246,28 @@ def test_profile_binary_media_refinement(spark):
         )
         return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
+    def ppm(seed, w=6, h=4):
+        r = np.random.default_rng(seed)
+        raster = r.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        return f"P6 {w} {h} 255\n".encode() + raster.tobytes()
+
+    # mixed column: pgm + ppm + unknown — the IMAGE family (2/3) dominates
+    # even though no single format reaches 50%, and the sampled pass must
+    # spend its budget on the parseable rows, not the unknown blob
+    mixed = [pgm(7), ppm(8), b"no magic here" * 4]
     rows = [
         (
             bytearray(clips[i]),
             bytearray(pgm(i)),
             bytearray(wav()),
             bytearray(b"\x01\x02" * 9),
+            bytearray(mixed[i]),
         )
         for i in range(3)
-    ] + [(None, None, None, None)]
+    ] + [(None, None, None, None, None)]
     df = spark.createDataFrame(
-        rows, "clip binary, img binary, snd binary, blob binary"
+        rows,
+        "clip binary, img binary, snd binary, blob binary, mixed binary",
     )
     res = profile(
         df,
@@ -292,6 +303,19 @@ def test_profile_binary_media_refinement(spark):
     assert blob["binary_stats"]["format_dist"] == {"unknown": 3}
     assert blob["binary_stats"]["min_bytes"] == 18
     assert "type_refined" not in blob and "media_stats" not in blob
+
+    # family-level dominance (review r9 third pass): 1 pgm + 1 ppm + 1
+    # unknown = image family 2/3, no single format at 50%; the sample is
+    # format-filtered so both image rows parse
+    mx = res.variables["mixed"]
+    assert mx["binary_stats"]["format_dist"] == {
+        "pgm": 1, "ppm": 1, "unknown": 1,
+    }
+    assert mx["type_refined"] == "image"
+    assert mx["media_stats"]["n_sampled"] == 2
+    assert mx["media_stats"]["n_parsed"] == 2
+    assert mx["media_stats"]["min_width"] == 6
+    assert mx["media_stats"]["max_width"] == 20
 
 
 def test_binary_refinement_html_tab(spark):
