@@ -264,6 +264,88 @@ def near_dup_stream_vs_store(
     return out.drop(*[f"__b{j}" for j in range(bands)])
 
 
+def hamming_dedup_stream_vs_store(
+    df: DataFrame,
+    sig_store: DataFrame,
+    sig_col: str = "signature",
+    bits: int = 64,
+    max_hamming: int = 7,
+    band_bits: int | None = None,
+) -> DataFrame:
+    """Suppress stream rows whose Hamming-space signature (perceptual image
+    phash, audio envelope signature, SimHash) is within ``max_hamming`` of
+    a PERSISTED signature store — the streaming half of
+    :func:`...operators.dedup.incremental_hamming_dedup` (same store
+    layout: one ``(id, signature)`` row per historical doc, kept or
+    dropped), completing the streaming column of the modality matrix the
+    exact and MinHash tiers already have.
+
+    Built-ins only, append-mode safe, zero state: the signature splits
+    into ``bits/band_bits`` single-block band keys — the SAME
+    shiftright+mask block rule as ``dedup._hamming_band_melt`` with
+    ``key_blocks=1``, so the stream tier and the batch engine can never
+    silently disagree — and history suppression is one stream-static LEFT
+    ANTI equi-join per block, each carrying the exact
+    ``hamming <= max_hamming`` verify as a join residual. Pigeonhole:
+    within-radius signatures agree on >= blocks - max_hamming blocks, so
+    recall is exact whenever ``blocks >= max_hamming + 1`` (guarded).
+    Single-block keys are inherent to this form — the join count scales
+    with the number of BANDS, so the wide-key geometries the batch pair
+    engine uses (``key_blocks>=2``, C(b,k) bands) are not expressible as
+    successive joins; at streaming rates the per-block bucket fan-out is
+    bounded by the STORE's bucket sizes, which is what the anti join
+    prices.
+
+    Semantics: the STREAM rule — history wins regardless of id order
+    (same as :func:`near_dup_stream_vs_store`); the batch incremental
+    drops only against lower ids, so the two agree exactly when ids
+    follow arrival order. Null signatures have no Hamming identity and
+    PASS THROUGH (every join condition is null) — route them through the
+    exact tier. WITHIN-stream near-dups are :func:`near_dup_stream`'s
+    job (custom TTL-bounded state); this operator holds no state at all.
+
+    100 TB shape: the store is re-read per micro-batch — persist it as a
+    columnar table (id + one long per doc) so each read is a bounded
+    scan; only the stream side shuffles, ``blocks`` times, on one-block
+    keys."""
+    if band_bits is None:
+        band_bits = 6 if bits % 6 == 0 else 8
+    n_blocks = bits // band_bits
+    if n_blocks < max_hamming + 1:
+        raise ValueError(
+            f"bits/band_bits={n_blocks} blocks cannot guarantee recall at "
+            f"max_hamming={max_hamming} with single-block keys; need "
+            "blocks >= max_hamming + 1 (pigeonhole)"
+        )
+
+    def block(c: Column, i: int) -> Column:
+        # dedup._hamming_band_melt's block rule, key_blocks=1
+        return F.shiftright(c, i * band_bits).bitwiseAND(
+            F.lit((1 << band_bits) - 1)
+        )
+
+    from pandas_profiling_personal_spark.operators.dedup import (
+        hamming_distance,
+    )
+
+    out = df
+    for j in range(n_blocks):
+        store_j = sig_store.select(
+            block(S.col(sig_col), j).alias("__hk"),
+            S.col(sig_col).alias("__hsig"),
+        )
+        out = out.join(
+            store_j,
+            (block(S.col(sig_col), j) == store_j["__hk"])
+            & (
+                hamming_distance(S.col(sig_col), store_j["__hsig"])
+                <= max_hamming
+            ),
+            "left_anti",
+        )
+    return out
+
+
 def minhash_dedup_foreach_batch(
     store_path: str,
     out_path: str,

@@ -2024,3 +2024,80 @@ def test_cli_corpus_report(tmp_path):
     page = out.read_text()
     assert "Language mix" in page
     assert "Segments by source" in page and "books" in page
+
+
+def test_streaming_hamming_dedup_vs_store(spark, tmp_path):
+    """hamming_dedup_stream_vs_store: a persisted bit-signature store
+    (image phash / audio envelope / SimHash) suppresses historical
+    near-duplicates via per-block stream-static anti joins with the exact
+    Hamming verify as join residual; null signatures pass through; the
+    surviving set matches the batch incremental operator on
+    arrival-ordered ids."""
+    from pandas_profiling_personal_spark.operators.dedup import (
+        incremental_hamming_dedup,
+    )
+    from pandas_profiling_personal_spark.streaming.dedup_stream import (
+        hamming_dedup_stream_vs_store,
+    )
+
+    base = 0x0123456789ABCDEF
+    other = 0x7EDCBA9876543210
+    store_rows = [(1, base), (2, other)]
+    store_path = tmp_path / "ham_store"
+    spark.createDataFrame(
+        store_rows, "doc_id bigint, signature bigint"
+    ).write.parquet(str(store_path))
+    static_store = spark.read.parquet(str(store_path))
+
+    flip3 = base ^ 0b10100001  # 3 bits away from history 1 -> suppressed
+    far = base ^ ((1 << 40) - 1)  # 40 bits away -> kept
+    rows = [
+        (10, flip3),
+        (11, other),  # exact copy of history 2 -> suppressed
+        (12, far),
+        (13, None),  # no signature: passes through (exact tier's job)
+    ]
+    src = tmp_path / "ham_src"
+    schema = "doc_id bigint, signature bigint"
+    spark.createDataFrame(rows, schema).write.parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = hamming_dedup_stream_vs_store(
+        stream, static_store, "signature", bits=64, max_hamming=7
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ham_store")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        kept = {r["doc_id"] for r in spark.table("t_ham_store").collect()}
+    finally:
+        q.stop()
+    assert kept == {12, 13}
+
+    # batch parity on the signed docs (arrival-order ids > store ids)
+    batch = {
+        r["doc_id"]: r["keep"]
+        for r in incremental_hamming_dedup(
+            spark.createDataFrame(rows, schema).where(
+                "signature IS NOT NULL"
+            ),
+            static_store,
+            bits=64,
+            max_hamming=7,
+            key_blocks=1,
+            band_bits=8,
+        ).collect()
+    }
+    assert batch == {10: False, 11: False, 12: True}
+
+    # geometry guard: too few blocks for the radius refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        hamming_dedup_stream_vs_store(
+            stream, static_store, "signature", bits=64,
+            max_hamming=7, band_bits=16,
+        )
