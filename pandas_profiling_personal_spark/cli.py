@@ -348,6 +348,23 @@ def main(argv: list[str] | None = None) -> int:
                         # mergeable contingency: reuse the stored state's
                         # declared pairs, the same contract as the edges
                         cat_pairs = list(prev.cat_pairs)
+                    elif (
+                        cat_pairs is not None
+                        and prev.cat_pairs is not None
+                        and set(cat_pairs) != set(prev.cat_pairs)
+                    ):
+                        # same contract as the --drift-against path: an
+                        # explicit flag that disagrees with the aligned
+                        # state must refuse by name HERE, not die later in
+                        # merge_partials with a bare 'pair sets differ'
+                        raise SystemExit(
+                            "--categorical-pairs disagrees with the "
+                            "aligned state's declared pairs "
+                            f"{sorted(prev.cat_pairs)} — shards merge "
+                            "like with like; drop the flag (stored pairs "
+                            "are reused automatically) or re-save the "
+                            "baseline with the new pairs"
+                        )
                 else:
                     specs, corr = args.state_bins, True
                 try:

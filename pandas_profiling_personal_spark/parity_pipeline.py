@@ -329,15 +329,20 @@ def media_metadata_query() -> QueryFn:
 
 
 def media_metadata_sql() -> str:
-    # magic-byte sniff limited to prefixes expressible in valid UTF-8 text
-    # (jpeg/png/mp4 magics cannot begin a UTF-8 string); phash is the fake
-    # tier's md5-prefix signature (multimodal._fake_hashes), 60-bit so it is
+    # magic-byte sniff mirroring the Spark tier's _sniff_format branch for
+    # branch (jpeg/png magics cannot begin a UTF-8 string; NUL-prefixed
+    # parquet strings CAN occur, so the mp4? branch is rebuilt with chr(0)
+    # like binary_format_mix_sql); phash is the fake tier's md5-prefix
+    # signature (multimodal._fake_hashes), 60-bit so it is
     # signed-BIGINT-safe in both engines
     return """
 SELECT doc_id,
        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
        CASE WHEN text LIKE 'GIF8%' THEN 'gif'
             WHEN text LIKE 'RIFF%' THEN 'riff'
+            WHEN text LIKE 'YUV4MPEG2%' THEN 'y4m'
+            WHEN substring(text, 1, 3) = chr(0) || chr(0) || chr(0)
+                 THEN 'mp4?'
             ELSE 'unknown' END AS format,
        md5(text) AS content_hash,
        CAST(('0x' || substring(md5(text), 1, 15)) AS UBIGINT)::BIGINT AS phash
@@ -1944,6 +1949,9 @@ SELECT doc_id,
        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
        CASE WHEN text LIKE 'GIF8%' THEN 'gif'
             WHEN text LIKE 'RIFF%' THEN 'riff'
+            WHEN text LIKE 'YUV4MPEG2%' THEN 'y4m'
+            WHEN substring(text, 1, 3) = chr(0) || chr(0) || chr(0)
+                 THEN 'mp4?'
             ELSE 'unknown' END AS format,
        CAST(8000 + {h} % 40000 AS BIGINT) AS sample_rate,
        CAST(1 + {h} % 2 AS BIGINT) AS channels,
@@ -2074,6 +2082,8 @@ SELECT doc_id,
        CASE WHEN text LIKE 'GIF8%' THEN 'gif'
             WHEN text LIKE 'RIFF%' THEN 'riff'
             WHEN text LIKE 'YUV4MPEG2%' THEN 'y4m'
+            WHEN substring(text, 1, 3) = chr(0) || chr(0) || chr(0)
+                 THEN 'mp4?'
             ELSE 'unknown' END AS format,
        CAST(64 + {h} % 1216 AS BIGINT) AS width,
        CAST(64 + ({h} >> 2) % 656 AS BIGINT) AS height,

@@ -621,7 +621,13 @@ def profile(
                     # spend the bounded sample budget on PARSEABLE rows:
                     # an unfiltered limit() takes the first payloads in
                     # partition order, which on a 50% mixed column can be
-                    # entirely the non-media blobs
+                    # entirely the non-media blobs. Ordering by content
+                    # hash before the limit makes the sample DETERMINISTIC
+                    # (limit alone is partition-order dependent, so min/max
+                    # header stats would wobble between runs and cluster
+                    # layouts); Catalyst plans orderBy+limit as
+                    # TakeOrderedAndProject — a bounded per-partition
+                    # top-K, no global sort shuffle
                     sample = (
                         df.select(S.col(cname).alias("payload"))
                         .where(
@@ -629,6 +635,7 @@ def profile(
                                 fam_fmts
                             )
                         )
+                        .orderBy(F.md5(F.col("payload")))
                         .limit(cfg.media_sample_n)
                     )
                     if fam == "video":
