@@ -44,50 +44,128 @@ _SPECS: dict[str, tuple] = {
     # more distinct operator families than window slots, the window holds
     # one row per family, favouring rows the driver has NEVER recorded and
     # retiring rows whose machinery is exercised by an in-window kin. Full
-    # rotation history for r7/r8 lives in git (b952a02^); every entry —
-    # window and tail — is verified by tests/test_oracle_parity.py locally
-    # every round.
+    # rotation history for r7/r8/r9 lives in git (b952a02^, f1f1c88^);
+    # every entry — window and tail — is verified by
+    # tests/test_oracle_parity.py locally every round.
     #
-    # r9 rotation (VERDICT r8 #1/#2/#3): in — the 13 stale rows whose last
-    # driver evidence was r4 (minhash_signatures, mixture_counts,
-    # mixture_upsampled, numeric_summary_nation, pii_redact, pii_summary,
-    # value_counts_event_type) or r5 (dedup_keep_list, hourly_rollup,
-    # minhash_lsh_dedup, monotonicity, split_counts, tail_sample), plus the
-    # two NEW r9 specs (incremental_cramers_v — mergeable contingency
-    # state; ann_lsh_recall — the recall gate that converts the last
-    # gateable rows-only spec into a hash-match row). out — 15 r8-green
-    # rows whose machinery stays covered by an in-window kin:
-    # numeric_summary_lineitem (kin numeric_summary_nation, same operator),
-    # pack_sequences (kin packing_stats), image_dedup_keep_list (kin
-    # incremental_image_dedup — same decode->phash->banded pipeline plus
-    # the store round trip), incremental_pearson +
-    # incremental_embedding_drift (state machinery: kin incremental_drift /
-    # incremental_cramers_v in-window; both r8-green),
-    # string_lengths (kin char_counts), corpus_funnel (its component
-    # stages quality_filter/c4/repetition/span_dedup/contamination all
-    # in-window), cramers_v_lineitem (kin incremental_cramers_v — same
-    # chi-square/bias arithmetic over the same contingency cells),
-    # path_parts (kin canonical_url), pii_scan (kin pii_summary/pii_redact
-    # rotating in), mixture_plan (kin mixture_counts/mixture_upsampled
-    # rotating in), dedup_clusters (kin minhash_lsh_dedup/dedup_keep_list
-    # rotating in), cosine_topk (kin ann_lsh_recall, which runs
-    # cosine_topk AND the LSH path internally), audio_metadata (kin
-    # audio_near_dup — decodes the same RIFF payloads plus the banded
-    # sweep), grouped_summary (kin numeric_summary_nation + in-window
-    # grouped machinery: top_k/stratified/session).
-    #
-    # r9.1 (mid-round): in — video_metadata_documents (NEW: fake-tier video
-    # metadata through the Arrow decode pass; the real Y4M tier is
-    # pytest-gated in test_video_y4m). out — scatter_lineitem (r8-green;
-    # deterministic-sampling kin stratified_sample_documents in-window).
-    # r9.2: in — binary_format_mix_documents (NEW: the pure-SQL magic
-    # sniff behind profile()'s binary refinement, every ASCII branch
-    # exercised via planted prefixes). out — top_k_part_brand (r8-green;
-    # frequencies-family kin value_counts_event_type + the grouped
-    # machinery stratified/hourly_rollup in-window).
-    "binary_format_mix_documents": (
-        PP.binary_format_mix_query(),
-        PP.binary_format_mix_sql(),
+    # r10 rotation: in — the 5 NEW temporal/time-series specs (asof_state,
+    # range_join, acf, rolling_trend, seasonal_profile — operators the
+    # reference lacks entirely, oracled against DuckDB ASOF JOIN / window
+    # frames), the 5 rows whose last driver evidence was r6
+    # (ngram_jaccard_pairs, media_metadata, embedding_stats, token_overlap,
+    # top_duplicates) and the 13 r7 rows (image_near_dup, exact_dedup,
+    # drift_psi_categorical, grouped_top_k, mad, value_counts_returnflag,
+    # phik_contingency, histogram_extendedprice, drift_psi_lineitem,
+    # incremental_minhash_dedup, url_parts, tfidf_top_terms,
+    # embedding_drift). out — 23 r9-green rows whose machinery keeps an
+    # in-window kin: binary_format_mix + video_metadata + audio_near_dup
+    # (kin media_metadata — same sniff/decode seam; Hamming banding kin
+    # incremental_image_dedup stays), date_stats + json_extract (kin
+    # canonical_url stays; time ops acf/seasonal_profile incoming),
+    # spearman + kendall (kin pearson stays + phik_contingency incoming),
+    # char_counts (kin token_overlap/text_profile), packing_stats (kin
+    # chunk_documents stays), simhash (kin ngram_jaccard incoming),
+    # semantic_dedup + ivf_topk (kin embedding_near_dup stays +
+    # ann_lsh_recall runs the exact scan), minhash_signatures +
+    # minhash_lsh_dedup + dedup_keep_list (kin incremental_minhash_dedup +
+    # exact_dedup incoming), mixture_counts (kin mixture_upsampled stays),
+    # numeric_summary_nation (kin mad/histogram incoming), pii_redact (kin
+    # pii_summary stays), value_counts_event_type (kin
+    # value_counts_returnflag incoming — same operator), hourly_rollup
+    # (kin acf/rolling_trend grid — same date_trunc aggregate),
+    # monotonicity + split_counts + tail_sample (order/sample machinery:
+    # kin stratified_sample stays, rolling_trend incoming). After this
+    # round no SQL-backed spec's driver evidence is older than r8.
+
+    "asof_state_events": (
+        P.asof_state_query(),
+        P.asof_state_sql(),
+    ),
+    "range_join_events": (
+        P.range_join_query(),
+        P.range_join_sql(),
+    ),
+    "acf_events": (
+        P.acf_query(),
+        P.acf_sql(),
+    ),
+    "rolling_trend_events": (
+        P.rolling_trend_query(),
+        P.rolling_trend_sql(),
+    ),
+    "seasonal_profile_events": (
+        P.seasonal_profile_query(),
+        P.seasonal_profile_sql(),
+    ),
+    "ngram_jaccard_pairs_documents": (
+        PP.jaccard_pairs_query(0.1),
+        PP.jaccard_pairs_sql(0.1),
+    ),
+    "media_metadata_documents": (
+        PP.media_metadata_query(),
+        PP.media_metadata_sql(),
+    ),
+    "embedding_stats_embeddings": (
+        PP.embedding_stats_query(),
+        PP.embedding_stats_sql(),
+    ),
+    "token_overlap_documents": (
+        PP.corpus_overlap_query("token"),
+        PP.corpus_overlap_sql("token"),
+    ),
+    "top_duplicates_lineitem": (
+        P.top_duplicates_query("lineitem", DUP_SUBSET, 10),
+        P.top_duplicates_sql("lineitem", DUP_SUBSET, 10),
+    ),
+    "image_near_dup_documents": (
+        PP.image_near_dup_query(),
+        PP.image_near_dup_sql(),
+    ),
+    "exact_dedup_documents": (
+        PP.exact_duplicates_query(),
+        PP.exact_duplicates_sql(),
+    ),
+    "drift_psi_categorical": (
+        P.drift_categorical_query(),
+        P.drift_categorical_sql(),
+    ),
+    "grouped_top_k_documents": (
+        P.grouped_top_k_query(),
+        P.grouped_top_k_sql(),
+    ),
+    "mad_lineitem": (
+        P.mad_query("lineitem", ["l_quantity", "l_extendedprice", "l_discount"]),
+        P.mad_sql("lineitem", ["l_quantity", "l_extendedprice", "l_discount"]),
+    ),
+    "value_counts_returnflag": (
+        P.value_counts_query("lineitem", "l_returnflag"),
+        P.value_counts_sql("lineitem", "l_returnflag"),
+    ),
+    "phik_contingency_lineitem": (
+        P.phik_contingency_query("lineitem", "l_quantity", "l_returnflag"),
+        P.phik_contingency_sql("lineitem", "l_quantity", "l_returnflag"),
+    ),
+    "histogram_extendedprice": (
+        P.histogram_query("lineitem", "l_extendedprice", 10),
+        P.histogram_sql("lineitem", "l_extendedprice", 10),
+    ),
+    "drift_psi_lineitem": (
+        P.drift_query(), P.drift_sql(),
+    ),
+    "incremental_minhash_dedup_documents": (
+        PP.incremental_minhash_dedup_query(250),
+        PP.incremental_minhash_dedup_sql(250),
+    ),
+    "url_parts_events": (
+        P.url_parts_query(), P.url_parts_sql(),
+    ),
+    "tfidf_top_terms_documents": (
+        PP.tfidf_top_terms_query(5),
+        PP.tfidf_top_terms_sql(5),
+    ),
+    "embedding_drift_embeddings": (
+        PP.embedding_drift_query(),
+        PP.embedding_drift_sql(),
     ),
     "distinct_unique_lineitem": (
         P.distinct_unique_query("lineitem", LINEITEM_ALL),
@@ -105,10 +183,6 @@ _SPECS: dict[str, tuple] = {
         P.duplicate_stats_query("orders"),
         P.duplicate_stats_sql("orders"),
     ),
-    "date_stats_orders": (
-        P.date_stats_query("orders", ["o_orderdate"]),
-        P.date_stats_sql("orders", ["o_orderdate"]),
-    ),
     "pearson_lineitem": (
         P.pearson_query(
             "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
@@ -116,21 +190,6 @@ _SPECS: dict[str, tuple] = {
         P.pearson_sql(
             "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
         ),
-    ),
-    "json_extract_events": (
-        P.json_props_query(), P.json_props_sql(),
-    ),
-    "spearman_lineitem": (
-        P.spearman_query("lineitem", ["l_quantity", "l_extendedprice", "l_discount"]),
-        P.spearman_sql("lineitem", ["l_quantity", "l_extendedprice", "l_discount"]),
-    ),
-    "kendall_customer": (
-        P.kendall_query("customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
-        P.kendall_sql("customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
-    ),
-    "char_counts_customer": (
-        P.char_counts_query("customer", "c_mktsegment"),
-        P.char_counts_sql("customer", "c_mktsegment"),
     ),
     "incremental_drift_lineitem": (
         PP.incremental_drift_query(),
@@ -148,17 +207,9 @@ _SPECS: dict[str, tuple] = {
         PP.incremental_image_dedup_query(),
         PP.incremental_image_dedup_sql(),
     ),
-    "video_metadata_documents": (
-        PP.video_metadata_query(),
-        PP.video_metadata_sql(),
-    ),
     "session_stats_events": (
         P.session_stats_query("events", "user_id", "ts", 30),
         P.session_stats_sql("events", "user_id", "ts", 30),
-    ),
-    "audio_near_dup_documents": (
-        PP.audio_near_dup_query(),
-        PP.audio_near_dup_sql(),
     ),
     "video_near_dup_documents": (
         PP.video_near_dup_query(),
@@ -174,10 +225,6 @@ _SPECS: dict[str, tuple] = {
     "quality_filter_documents": (
         PP.quality_filter_query(),
         PP.quality_filter_sql(),
-    ),
-    "packing_stats_documents": (
-        PP.packing_stats_query(256),
-        PP.packing_stats_sql(256),
     ),
     "chunk_documents": (
         PP.chunk_documents_query(64, 16),
@@ -207,20 +254,9 @@ _SPECS: dict[str, tuple] = {
         P.join_fanout_query("orders", "lineitem", ["o_orderkey"], ["l_orderkey"]),
         P.join_fanout_sql("orders", "lineitem", ["o_orderkey"], ["l_orderkey"]),
     ),
-    "simhash_documents": (
-        PP.simhash_query(32), PP.simhash_sql(32),
-    ),
-    "semantic_dedup_embeddings": (
-        PP.semantic_dedup_query(16, 0.3),
-        PP.semantic_dedup_sql(16, 0.3),
-    ),
     "embedding_near_dup_embeddings": (
         PP.embedding_near_dup_query(0.4),
         PP.embedding_near_dup_sql(0.4),
-    ),
-    "ivf_topk_embeddings": (
-        PP.ivf_topk_query(5, 5, 16, 4),
-        PP.ivf_topk_sql(5, 5, 16, 4),
     ),
     "lm_perplexity_documents": (
         PP.lm_perplexity_query(),
@@ -238,6 +274,64 @@ _SPECS: dict[str, tuple] = {
         PP.ann_lsh_recall_query(5, 5),
         PP.ann_lsh_recall_sql(5, 5),
     ),
+    "mixture_upsampled_documents": (
+        PP.mixture_upsampled_query(3.0),
+        PP.mixture_upsampled_sql(3.0),
+    ),
+    "pii_summary_documents": (
+        PP.pii_summary_query(), PP.pii_summary_sql(),
+    ),
+    # ---- entry 51+ — outside the driver's 50-row window: r8/r9-green rows
+    # sitting out under kin coverage, and rows-only-by-design queries
+    # (ann_lsh_topk: bucket membership not engine-reproducible — its recall
+    # gate ann_lsh_recall IS in-window; phik_mixed: driver-side bisection
+    # over a bivariate-normal integral, not SQL-expressible)
+    "binary_format_mix_documents": (
+        PP.binary_format_mix_query(),
+        PP.binary_format_mix_sql(),
+    ),
+    "date_stats_orders": (
+        P.date_stats_query("orders", ["o_orderdate"]),
+        P.date_stats_sql("orders", ["o_orderdate"]),
+    ),
+    "json_extract_events": (
+        P.json_props_query(), P.json_props_sql(),
+    ),
+    "spearman_lineitem": (
+        P.spearman_query("lineitem", ["l_quantity", "l_extendedprice", "l_discount"]),
+        P.spearman_sql("lineitem", ["l_quantity", "l_extendedprice", "l_discount"]),
+    ),
+    "kendall_customer": (
+        P.kendall_query("customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
+        P.kendall_sql("customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
+    ),
+    "char_counts_customer": (
+        P.char_counts_query("customer", "c_mktsegment"),
+        P.char_counts_sql("customer", "c_mktsegment"),
+    ),
+    "video_metadata_documents": (
+        PP.video_metadata_query(),
+        PP.video_metadata_sql(),
+    ),
+    "audio_near_dup_documents": (
+        PP.audio_near_dup_query(),
+        PP.audio_near_dup_sql(),
+    ),
+    "packing_stats_documents": (
+        PP.packing_stats_query(256),
+        PP.packing_stats_sql(256),
+    ),
+    "simhash_documents": (
+        PP.simhash_query(32), PP.simhash_sql(32),
+    ),
+    "semantic_dedup_embeddings": (
+        PP.semantic_dedup_query(16, 0.3),
+        PP.semantic_dedup_sql(16, 0.3),
+    ),
+    "ivf_topk_embeddings": (
+        PP.ivf_topk_query(5, 5, 16, 4),
+        PP.ivf_topk_sql(5, 5, 16, 4),
+    ),
     "minhash_signatures_documents": (
         PP.minhash_signatures_query(16),
         PP.minhash_signatures_sql(16),
@@ -246,19 +340,12 @@ _SPECS: dict[str, tuple] = {
         PP.mixture_counts_query(),
         PP.mixture_counts_sql(),
     ),
-    "mixture_upsampled_documents": (
-        PP.mixture_upsampled_query(3.0),
-        PP.mixture_upsampled_sql(3.0),
-    ),
     "numeric_summary_nation": (
         P.numeric_summary_query("nation", ["n_nationkey", "n_regionkey"]),
         P.numeric_summary_sql("nation", ["n_nationkey", "n_regionkey"]),
     ),
     "pii_redact_documents": (
         PP.pii_redact_query(), PP.pii_redact_sql(),
-    ),
-    "pii_summary_documents": (
-        PP.pii_summary_query(), PP.pii_summary_sql(),
     ),
     "value_counts_event_type": (
         P.value_counts_query("events", "event_type"),
@@ -292,11 +379,6 @@ _SPECS: dict[str, tuple] = {
             "orders", ["o_orderkey", "o_custkey", "o_totalprice"], "o_orderkey", 7
         ),
     ),
-    # ---- entry 51+ — outside the driver's 50-row window: redundant family
-    # variants, r8-green rows sitting out, and rows-only-by-design queries
-    # (ann_lsh_topk: bucket membership not engine-reproducible — its recall
-    # gate ann_lsh_recall IS in-window; phik_mixed: driver-side bisection
-    # over a bivariate-normal integral, not SQL-expressible)
     "numeric_summary_lineitem": (
         P.numeric_summary_query("lineitem", LINEITEM_NUMERIC),
         P.numeric_summary_sql("lineitem", LINEITEM_NUMERIC),
@@ -355,34 +437,6 @@ _SPECS: dict[str, tuple] = {
         PP.cosine_topk_query(5, 5),
         PP.cosine_topk_sql(5, 5),
     ),
-    "image_near_dup_documents": (
-        PP.image_near_dup_query(),
-        PP.image_near_dup_sql(),
-    ),
-    "exact_dedup_documents": (
-        PP.exact_duplicates_query(),
-        PP.exact_duplicates_sql(),
-    ),
-    "drift_psi_categorical": (
-        P.drift_categorical_query(),
-        P.drift_categorical_sql(),
-    ),
-    "grouped_top_k_documents": (
-        P.grouped_top_k_query(),
-        P.grouped_top_k_sql(),
-    ),
-    "mad_lineitem": (
-        P.mad_query("lineitem", ["l_quantity", "l_extendedprice", "l_discount"]),
-        P.mad_sql("lineitem", ["l_quantity", "l_extendedprice", "l_discount"]),
-    ),
-    "value_counts_returnflag": (
-        P.value_counts_query("lineitem", "l_returnflag"),
-        P.value_counts_sql("lineitem", "l_returnflag"),
-    ),
-    "phik_contingency_lineitem": (
-        P.phik_contingency_query("lineitem", "l_quantity", "l_returnflag"),
-        P.phik_contingency_sql("lineitem", "l_quantity", "l_returnflag"),
-    ),
     "ann_lsh_topk_embeddings": (
         PP.ann_lsh_topk_query(5, 5), None,
     ),
@@ -393,48 +447,6 @@ _SPECS: dict[str, tuple] = {
             ["l_returnflag", "l_linestatus"],
         ),
         None,
-    ),
-    "ngram_jaccard_pairs_documents": (
-        PP.jaccard_pairs_query(0.1),
-        PP.jaccard_pairs_sql(0.1),
-    ),
-    "media_metadata_documents": (
-        PP.media_metadata_query(),
-        PP.media_metadata_sql(),
-    ),
-    "embedding_stats_embeddings": (
-        PP.embedding_stats_query(),
-        PP.embedding_stats_sql(),
-    ),
-    "token_overlap_documents": (
-        PP.corpus_overlap_query("token"),
-        PP.corpus_overlap_sql("token"),
-    ),
-    "top_duplicates_lineitem": (
-        P.top_duplicates_query("lineitem", DUP_SUBSET, 10),
-        P.top_duplicates_sql("lineitem", DUP_SUBSET, 10),
-    ),
-    "histogram_extendedprice": (
-        P.histogram_query("lineitem", "l_extendedprice", 10),
-        P.histogram_sql("lineitem", "l_extendedprice", 10),
-    ),
-    "drift_psi_lineitem": (
-        P.drift_query(), P.drift_sql(),
-    ),
-    "incremental_minhash_dedup_documents": (
-        PP.incremental_minhash_dedup_query(250),
-        PP.incremental_minhash_dedup_sql(250),
-    ),
-    "url_parts_events": (
-        P.url_parts_query(), P.url_parts_sql(),
-    ),
-    "tfidf_top_terms_documents": (
-        PP.tfidf_top_terms_query(5),
-        PP.tfidf_top_terms_sql(5),
-    ),
-    "embedding_drift_embeddings": (
-        PP.embedding_drift_query(),
-        PP.embedding_drift_sql(),
     ),
     "scatter_lineitem": (
         P.scatter_query("lineitem", "l_quantity", "l_extendedprice", 16),

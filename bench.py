@@ -261,6 +261,16 @@ def main() -> None:
             "gate tier: runs the exact scan AND the LSH path to measure "
             "recall; production ANN is ann_lsh_topk / pipeline_ann_lsh"
         ),
+        "rolling_trend_events": (
+            "oracle tier: stable=True grid (exact DECIMAL bucket means) + "
+            "scaled-BIGINT window sums for cross-engine bit-equality; "
+            "production default uses plain avg (codegen, no decimals)"
+        ),
+        "asof_state_events": (
+            "spec builds the snapshot table in-query (hourly groupBy) "
+            "before the as-of itself — the union-tag window is the priced "
+            "operator"
+        ),
     }
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

@@ -1551,3 +1551,251 @@ SELECT {group_col}, {key},
 FROM {table}
 QUALIFY sample_rank <= {n}
 """
+
+
+# --------------------------------------------------------------------------------
+# temporal alignment + time-series ops (operators/temporal.py, timeseries.py):
+# as-of join / bucketized range join / grid ACF / rolling trend / seasonality.
+# The reference has none of these (single-table profiler, no window functions
+# — SURVEY.md §2.8); DuckDB's native ASOF JOIN and window frames are the
+# independent oracles.
+# --------------------------------------------------------------------------------
+
+
+def asof_state_query(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> QueryFn:
+    """Attach the latest per-user hourly state snapshot to every event via
+    asof_join (union-tag window plan: ONE shuffle on the key, no join, no
+    global sort). The snapshot table is derived in-query (hourly
+    max(value) per user) so the spec is self-contained and deterministic."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.temporal import asof_join
+
+        ev = load(spark, sf_dir, table).where(S.col(ts_col).isNotNull())
+        snaps = ev.groupBy(
+            S.col(user_col),
+            F.date_trunc("hour", S.col(ts_col)).alias(ts_col),
+        ).agg(F.max(S.col(value_col)).alias("state"))
+        out = asof_join(
+            ev.select("event_id", user_col, ts_col),
+            snaps,
+            on=ts_col,
+            by=[user_col],
+            value_cols=["state"],
+        )
+        return out.select(
+            "event_id",
+            "state",
+            F.col(f"matched_{ts_col}").cast("string").alias("matched_ts"),
+        )
+
+    return fn
+
+
+def asof_state_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    return f"""
+WITH ev AS (SELECT * FROM {table} WHERE {ts_col} IS NOT NULL),
+snaps AS (SELECT {user_col}, date_trunc('hour', {ts_col}) AS {ts_col},
+                 max({value_col}) AS state
+          FROM ev GROUP BY 1, 2)
+SELECT e.event_id, s.state, CAST(s.{ts_col} AS VARCHAR) AS matched_ts
+FROM ev e ASOF LEFT JOIN snaps s
+  ON e.{user_col} = s.{user_col} AND e.{ts_col} >= s.{ts_col}
+"""
+
+
+def range_join_query(
+    table: str = "events",
+    ts_col: str = "ts",
+    every_hours: int = 6,
+    window_minutes: int = 90,
+) -> QueryFn:
+    """Land events inside synthetic maintenance windows ([every Nth hour,
+    +M minutes)) via range_join — the bucketized equi-join plan, with the
+    exact bound predicate as a residual; the oracle is the literal
+    inequality join, so a hash match also proves the bucketing drops and
+    duplicates nothing."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.temporal import range_join
+
+        ev = load(spark, sf_dir, table).where(S.col(ts_col).isNotNull())
+        wins = (
+            ev.select(F.date_trunc("hour", S.col(ts_col)).alias("h"))
+            .where(F.hour(F.col("h")) % every_hours == 0)
+            .distinct()
+            .select(
+                F.col("h").alias("lo"),
+                (
+                    F.col("h")
+                    + F.expr(f"interval {window_minutes} minutes")
+                ).alias("hi"),
+                F.unix_micros(F.col("h")).alias("win_id"),
+            )
+        )
+        return range_join(
+            ev.select("event_id", ts_col), wins, ts_col, "lo", "hi"
+        ).select("event_id", "win_id")
+
+    return fn
+
+
+def range_join_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    every_hours: int = 6,
+    window_minutes: int = 90,
+) -> str:
+    return f"""
+WITH ev AS (SELECT * FROM {table} WHERE {ts_col} IS NOT NULL),
+wins AS (SELECT DISTINCT date_trunc('hour', {ts_col}) AS lo,
+                date_trunc('hour', {ts_col})
+                  + INTERVAL {window_minutes} MINUTE AS hi,
+                epoch_us(date_trunc('hour', {ts_col})) AS win_id
+         FROM ev
+         WHERE hour(date_trunc('hour', {ts_col})) % {every_hours} = 0)
+SELECT e.event_id, w.win_id
+FROM ev e JOIN wins w ON e.{ts_col} >= w.lo AND e.{ts_col} < w.hi
+"""
+
+
+def acf_query(
+    table: str = "events",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    lags: tuple = (1, 2, 3, 6, 12, 24),
+) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.timeseries import acf
+
+        out = acf(
+            load(spark, sf_dir, table), ts_col, value_col, list(lags)
+        )
+        return out.select(
+            "lag", "n_pairs", _r(F.col("acf_value")).alias("acf_value")
+        )
+
+    return fn
+
+
+def acf_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    lags: tuple = (1, 2, 3, 6, 12, 24),
+) -> str:
+    lag_list = ", ".join(str(int(k)) for k in lags)
+    return f"""
+WITH grid AS (SELECT date_trunc('hour', {ts_col}) AS t, avg({value_col}) AS v
+              FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1),
+g AS (SELECT * FROM grid WHERE v IS NOT NULL),
+lags AS (SELECT unnest([{lag_list}]) AS lag)
+SELECT l.lag, count(*) AS n_pairs, round(corr(a.v, b.v), 4) AS acf_value
+FROM g a JOIN lags l ON true
+JOIN g b ON epoch_us(a.t) = epoch_us(b.t) + l.lag * 3600000000
+GROUP BY 1
+"""
+
+
+def rolling_trend_query(
+    table: str = "events",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_buckets: int = 24,
+) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.timeseries import (
+            rolling_trend,
+        )
+
+        out = rolling_trend(
+            load(spark, sf_dir, table),
+            ts_col,
+            value_col,
+            window_buckets,
+            stable_sums=True,
+            stable=True,
+        )
+        # the oracle row carries trend_sum_x1e4 (window sum of the
+        # rounded grid, scaled to BIGINT — integer frame arithmetic is
+        # exact in both engines), not the double trend average, whose
+        # last ulp legitimately differs; even DECIMAL frame sums deviate
+        # in DuckDB 1.0 (measured, operators/timeseries.py). Unit tests
+        # pin the average itself.
+        return out.select(
+            F.col("t").cast("string").alias("t"),
+            _r(F.col("v")).alias("v"),
+            "n",
+            "trend_sum_x1e4",
+            "trend_support",
+        )
+
+    return fn
+
+
+def rolling_trend_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_buckets: int = 24,
+) -> str:
+    half = window_buckets // 2
+    after = window_buckets - half - 1
+    return f"""
+WITH g0 AS (SELECT date_trunc('hour', {ts_col}) AS t,
+                   CAST(sum(CAST({value_col} AS DECIMAL(30,6))) AS DOUBLE)
+                     AS s,
+                   count({value_col}) AS n
+            FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1),
+grid AS (SELECT t, CASE WHEN n > 0 THEN s / n END AS v, n,
+                CAST(CAST(round(CASE WHEN n > 0 THEN s / n END, 4)
+                          AS DECIMAL(20,4)) * 10000 AS BIGINT) AS vi
+         FROM g0)
+SELECT CAST(t AS VARCHAR) AS t, round(v, 4) AS v, n,
+       sum(vi) OVER w AS trend_sum_x1e4,
+       count(v) OVER w AS trend_support
+FROM grid
+WINDOW w AS (ORDER BY t ROWS BETWEEN {half} PRECEDING AND {after} FOLLOWING)
+"""
+
+
+def seasonal_profile_query(
+    table: str = "events", ts_col: str = "ts", value_col: str = "value"
+) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.timeseries import (
+            seasonal_profile,
+        )
+
+        out = seasonal_profile(
+            load(spark, sf_dir, table), ts_col, value_col, "hour_of_day"
+        )
+        return out.select(
+            "period",
+            "n",
+            _r(F.col("mean_value")).alias("mean_value"),
+            _r(F.col("std_value")).alias("std_value"),
+        )
+
+    return fn
+
+
+def seasonal_profile_sql(
+    table: str = "events", ts_col: str = "ts", value_col: str = "value"
+) -> str:
+    return f"""
+SELECT hour({ts_col}) AS period, count({value_col}) AS n,
+       round(avg({value_col}), 4) AS mean_value,
+       round(stddev_samp({value_col}), 4) AS std_value
+FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1
+"""

@@ -1,0 +1,270 @@
+"""Temporal alignment + time-series operators (round 10).
+
+Semantics are pinned on hand-built frames (expected values written out by
+hand); the DuckDB cross-engine rows live in parity.py specs
+(asof_state_events / range_join_events / acf_events / rolling_trend_events
+/ seasonal_profile_events). Plan gates assert the scale contracts: the
+as-of join is ONE hash exchange with no join operator at all, and the
+range join is a hash/broadcast equi-join — never BroadcastNestedLoopJoin.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_profiling_personal_spark.operators.temporal import (
+    asof_join,
+    range_join,
+)
+from pandas_profiling_personal_spark.operators.timeseries import (
+    acf,
+    resample,
+    rolling_trend,
+    seasonal_profile,
+)
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.fixture()
+def quotes(spark):
+    # per-key snapshots: key a at 01:00/02:00, key b at 05:00 only
+    return spark.createDataFrame(
+        [
+            ("a", _ts(1), 100.0),
+            ("a", _ts(2), 200.0),
+            ("b", _ts(5), 7.0),
+        ],
+        "k string, ts timestamp, px double",
+    )
+
+
+@pytest.fixture()
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            ("a", _ts(0, 30), 1),  # before any snapshot
+            ("a", _ts(1, 30), 2),  # between the two
+            ("a", _ts(2, 0), 3),   # EXACTLY on a snapshot ts (inclusive)
+            ("a", _ts(9, 0), 4),   # long after the last
+            ("b", _ts(4, 0), 5),   # before b's only snapshot
+            ("b", _ts(6, 0), 6),   # after it
+        ],
+        "k string, ts timestamp, qty int",
+    )
+
+
+def test_asof_backward_semantics(quotes, trades):
+    out = {
+        r["qty"]: (r["px"], r["matched_ts"])
+        for r in asof_join(trades, quotes, on="ts", by="k").collect()
+    }
+    assert out[1] == (None, None)
+    assert out[2] == (100.0, _ts(1))
+    assert out[3] == (200.0, _ts(2))  # equal ts matches (inclusive)
+    assert out[4] == (200.0, _ts(2))
+    assert out[5] == (None, None)
+    assert out[6] == (7.0, _ts(5))
+
+
+def test_asof_forward_and_tolerance(quotes, trades):
+    fwd = {
+        r["qty"]: r["px"]
+        for r in asof_join(
+            trades, quotes, on="ts", by="k", direction="forward"
+        ).collect()
+    }
+    assert fwd == {1: 100.0, 2: 200.0, 3: 200.0, 4: None, 5: 7.0, 6: None}
+
+    # 1h tolerance: qty=4 sits 7h after its backward match -> nulled,
+    # row SURVIVES (left-join shape); qty=2 is 30min after -> kept
+    tol = {
+        r["qty"]: r["px"]
+        for r in asof_join(
+            trades, quotes, on="ts", by="k", tolerance_s=3600
+        ).collect()
+    }
+    assert tol[2] == 100.0 and tol[3] == 200.0
+    assert tol[4] is None and 4 in tol
+
+
+def test_asof_numeric_axis_collision_and_errors(spark):
+    left = spark.createDataFrame(
+        [(1, 5, 9), (1, 11, 9)], "k int, t int, v int"
+    )
+    right = spark.createDataFrame(
+        [(1, 4, 100), (1, 10, 200)], "k int, t int, v int"
+    )
+    out = asof_join(left, right, on="t", by=["k"]).collect()
+    got = {r["t"]: r["v_right"] for r in out}  # collision -> suffixed
+    assert got == {5: 100, 11: 200}
+    # numeric tolerance is in the column's own units
+    tol = {
+        r["t"]: r["v_right"]
+        for r in asof_join(
+            left, right, on="t", by=["k"], tolerance_s=1
+        ).collect()
+    }
+    assert tol == {5: 100, 11: 200}
+
+    with pytest.raises(ValueError, match="at least one equality key"):
+        asof_join(left, right, on="t", by=[])
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(left, right, on="t", by=["k"], direction="nearest")
+    with pytest.raises(ValueError, match="lacks"):
+        asof_join(left, right, on="t", by=["k"], value_cols=["nope"])
+
+
+def test_asof_plan_one_exchange_no_join(quotes, trades):
+    """The union-tag as-of is NO join at all: one hash exchange on the key
+    feeds a window — the plan that survives any events-per-key ratio."""
+    plan = _plan(asof_join(trades, quotes, on="ts", by="k"))
+    assert "Join" not in plan, plan
+    assert "rangepartitioning" not in plan, plan  # no global sort
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "hashpartitioning(k" in plan, plan
+
+
+def test_range_join_bounds_and_left(spark):
+    pts = spark.createDataFrame(
+        [(i, float(i)) for i in range(11)], "pid int, x double"
+    )
+    ivs = spark.createDataFrame(
+        [(100, 2.0, 4.0), (200, 4.0, 7.0), (300, 9.5, 9.6)],
+        "iid int, lo double, hi double",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(pts, ivs, "x", "lo", "hi").collect()
+    )
+    assert got == [(2, 100), (3, 100), (4, 200), (5, 200), (6, 200)]
+
+    closed = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(pts, ivs, "x", "lo", "hi", closed="[]").collect()
+    )
+    assert closed == [
+        (2, 100), (3, 100), (4, 100), (4, 200), (5, 200), (6, 200), (7, 200)
+    ]
+
+    left = range_join(pts, ivs, "x", "lo", "hi", how="left")
+    rows = {r["pid"]: r["iid"] for r in left.collect()}
+    assert left.count() == 11 and rows[0] is None and rows[10] is None
+
+    # sub-bucket-width interval (300) still matches nothing silently wrong
+    hit = range_join(
+        pts.where(F.col("x") > 9.4), ivs, "x", "lo", "hi", closed="[]"
+    ).collect()
+    assert [(r["pid"], r["iid"]) for r in hit] == []
+
+
+def test_range_join_matches_bruteforce_and_guard(spark):
+    import random
+
+    rnd = random.Random(7)
+    pts = spark.createDataFrame(
+        [(i, rnd.uniform(0, 100)) for i in range(300)], "pid int, x double"
+    )
+    raw = []
+    for j in range(40):
+        lo = rnd.uniform(0, 95)
+        raw.append((j, lo, lo + rnd.uniform(0.1, 8)))
+    ivs = spark.createDataFrame(raw, "iid int, lo double, hi double")
+
+    fast = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(pts, ivs, "x", "lo", "hi").collect()
+    )
+    brute = sorted(
+        (r["pid"], r["iid"])
+        for r in pts.crossJoin(ivs)
+        .where((F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi")))
+        .collect()
+    )
+    assert fast == brute
+    # explicit narrow width also exact (intervals span many buckets)
+    fast2 = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(
+            pts, ivs, "x", "lo", "hi", bucket_width=0.5
+        ).collect()
+    )
+    assert fast2 == brute
+
+    with pytest.raises(ValueError, match="buckets of width"):
+        range_join(
+            pts, ivs, "x", "lo", "hi",
+            bucket_width=0.001, max_buckets_per_interval=100,
+        )
+    plan = _plan(range_join(pts, ivs, "x", "lo", "hi"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_resample_fill_and_acf_matches_pandas(spark):
+    # hourly series with a deliberate gap at hour 3
+    rows = [
+        (_ts(h), float(v))
+        for h, v in [(0, 1), (1, 2), (2, 4), (4, 3), (5, 5), (6, 6), (7, 4)]
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    grid = resample(df, "ts", "value", fill=True).orderBy("t").collect()
+    assert len(grid) == 8  # densified 0..7
+    assert grid[3]["v"] is None and grid[3]["n"] == 0
+
+    out = {
+        r["lag"]: (r["n_pairs"], r["acf_value"])
+        for r in acf(df, "ts", "value", lags=[1, 2]).collect()
+    }
+    # pandas-twin check: Pearson over overlapping (t, t-k) pairs, gap rows
+    # absent from the grid (not imputed)
+    import pandas as pd
+
+    s = pd.Series(
+        {h: v for h, v in [(0, 1), (1, 2), (2, 4), (4, 3), (5, 5), (6, 6), (7, 4)]},
+        dtype=float,
+    )
+    for k in (1, 2):
+        pairs = [
+            (s[h], s[h - k]) for h in s.index if (h - k) in s.index
+        ]
+        exp = pd.DataFrame(pairs).corr().iloc[0, 1]
+        n, got = out[k]
+        assert n == len(pairs)
+        assert abs(got - exp) < 1e-12
+
+
+def test_rolling_trend_and_seasonal(spark):
+    rows = [(_ts(h), float(h)) for h in range(6)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    tr = {r["t"].hour: r["trend"] for r in rolling_trend(df, "ts", "value", 4).collect()}
+    # centered window rowsBetween(-2, 1): hour 2 -> mean(0,1,2,3) = 1.5
+    assert tr[2] == pytest.approx(1.5)
+    assert tr[0] == pytest.approx(0.5)  # mean(0, 1)
+
+    sp = {
+        r["period"]: (r["n"], r["mean_value"])
+        for r in seasonal_profile(df, "ts", "value").collect()
+    }
+    assert sp[3] == (1, 3.0)
+    with pytest.raises(ValueError, match="period"):
+        seasonal_profile(df, "ts", "value", period="fortnight")
+    with pytest.raises(ValueError, match="granularity"):
+        resample(df, "ts", "value", granularity="parsec")
+    with pytest.raises(ValueError, match="lags"):
+        acf(df, "ts", "value", lags=[0])
