@@ -156,6 +156,23 @@ class ProfileConfig:
     #: Segments section in the HTML report; skipped under ``redact``.
     segment_by: str | None = None
     segment_top_n: int = 10
+    #: time-series tier (beyond the reference — its successor's tsmode is
+    #: pandas-only, sortable-index-bound): declare the event-time column
+    #: and every numeric column gets autocorrelation, calendar-seasonality
+    #: strength (exact one-way eta² over raw rows), linear trend and grid
+    #: coverage — ALL columns from ONE date_trunc grid aggregate (a single
+    #: combine-friendly shuffle over the raw table; the bounded grid
+    #: collects to the driver where the rest is exact arithmetic — the
+    #: drift-state pattern). Rendered as a Time series section; TS_*
+    #: alert rules fire on strong seasonality/trend/autocorrelation.
+    timeseries_ts_col: str | None = None
+    timeseries_lags: int = 24
+    timeseries_granularity: str = "hour"  # minute | hour | day
+    timeseries_max_cols: int = 20
+    #: TS_* alert thresholds: |acf lag-1|, |trend_r|, seasonal eta²
+    ts_autocorr_threshold: float = 0.8
+    ts_trend_threshold: float = 0.6
+    ts_seasonal_threshold: float = 0.3
 
     def with_(self, **kw) -> "ProfileConfig":
         return replace(self, **kw)

@@ -232,3 +232,164 @@ def rolling_trend(
         ).cast("long")
         cols.append(F.sum(vi).over(w).alias("trend_sum_x1e4"))
     return grid.select(*cols)
+
+
+_SEASON_OF_GRAN = {"minute": "hour_of_day", "hour": "hour_of_day",
+                   "day": "day_of_week"}
+
+
+def timeseries_profile(
+    df: DataFrame,
+    ts_col: str,
+    value_cols: list[str],
+    lags: int = 24,
+    granularity: str = "hour",
+) -> dict:
+    """Per-column time-series diagnostics for ``profile()``'s tsmode tier
+    (the reference has no time-series mode; its successor's is
+    pandas-only): autocorrelation, calendar seasonality strength, linear
+    trend, grid coverage — for EVERY numeric column from ONE grid
+    aggregate.
+
+    Scale shape: a single date_trunc groupBy computes (sum, sumsq, count)
+    for all columns in one combine-friendly shuffle — the only pass over
+    the raw table. The grid (bounded by timespan/granularity) collects to
+    the driver, where ACF/trend/seasonality are exact arithmetic over
+    bucket sums; per-column work never touches the raw rows again. This
+    is the drift-state pattern: bounded aggregate rows cross the network,
+    everything after is driver math.
+
+    Definitions (documented, deliberately simple):
+    * ``acf`` — Pearson correlation of the bucket-mean series with its
+      lag-k shift over overlapping non-empty buckets (same semantics as
+      :func:`acf`, pandas ``Series.autocorr``).
+    * ``trend_r`` — Pearson correlation of bucket means against bucket
+      time: the sign/strength of a monotone linear drift.
+    * ``seasonal_strength`` — one-way ANOVA eta²: between-calendar-period
+      sum of squares over total, computed exactly from the RAW-row sums
+      (not bucket means), so it answers "how much raw variance does the
+      calendar position explain".
+    """
+    if granularity not in _GRAN_US:
+        raise ValueError(
+            f"timeseries_profile: granularity must be one of "
+            f"{sorted(_GRAN_US)}"
+        )
+    t = F.date_trunc(granularity, F.col(ts_col).cast("timestamp"))
+    aggs = []
+    for c in value_cols:
+        v = F.col(c).cast("double")
+        ok = v.isNotNull() & ~F.isnan(v)
+        clean = F.when(ok, v)
+        aggs += [
+            F.sum(clean).alias(f"__s_{c}"),
+            F.sum(clean * clean).alias(f"__ss_{c}"),
+            F.count(clean).alias(f"__n_{c}"),
+        ]
+    rows = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(t.alias("t"))
+        .agg(*aggs)
+        .collect()
+    )
+    rows.sort(key=lambda r: r["t"])
+    season_key = _SEASON_OF_GRAN.get(granularity, "hour_of_day")
+
+    def _period(ts):
+        return ts.hour if season_key == "hour_of_day" else ts.isoweekday()
+
+    out: dict = {
+        "ts_col": ts_col,
+        "granularity": granularity,
+        "seasonal_period": season_key,
+        "n_buckets": len(rows),
+        "columns": {},
+    }
+    if not rows:
+        return out
+    span = rows[-1]["t"] - rows[0]["t"]
+    step = _GRAN_US[granularity] / 1_000_000
+    out["empty_buckets"] = max(
+        0, int(round(span.total_seconds() / step)) + 1 - len(rows)
+    )
+
+    def _corr(xs, ys):
+        n = len(xs)
+        if n < 3:
+            return None
+        mx = sum(xs) / n
+        my = sum(ys) / n
+        sxx = sum((x - mx) ** 2 for x in xs)
+        syy = sum((y - my) ** 2 for y in ys)
+        if sxx <= 0 or syy <= 0:
+            return None
+        sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+        return sxy / (sxx * syy) ** 0.5
+
+    for c in value_cols:
+        pts = [
+            (r["t"], r[f"__s_{c}"], r[f"__ss_{c}"], r[f"__n_{c}"])
+            for r in rows
+            if r[f"__n_{c}"] and r[f"__n_{c}"] > 0
+        ]
+        col: dict = {"n_buckets": len(pts)}
+        out["columns"][c] = col
+        if not pts:
+            continue
+        means = {ts: s / n for ts, s, _, n in pts}
+        ts_sorted = [p[0] for p in pts]
+        # ACF over the bucket-mean series (lag pairs via timestamp set —
+        # gaps drop out, matching acf())
+        acf_list = []
+        idx = set(means)
+        for k in range(1, lags + 1):
+            shift = _dt_shift(granularity, k)
+            pairs = [
+                (means[ts], means[ts - shift])
+                for ts in ts_sorted
+                if (ts - shift) in idx
+            ]
+            r = _corr([a for a, _ in pairs], [b for _, b in pairs])
+            acf_list.append(
+                {"lag": k, "n_pairs": len(pairs), "value": r}
+            )
+        col["acf"] = acf_list
+        col["acf1"] = acf_list[0]["value"] if acf_list else None
+        # linear trend: bucket means vs time
+        col["trend_r"] = _corr(
+            [ts.timestamp() for ts in ts_sorted],
+            [means[ts] for ts in ts_sorted],
+        )
+        # exact one-way ANOVA eta^2 over RAW rows, from bucket sums
+        S_ = sum(s for _, s, _, _ in pts)
+        SS = sum(ss for _, _, ss, _ in pts)
+        N = sum(n for _, _, _, n in pts)
+        groups: dict = {}
+        for ts, s, ss, n in pts:
+            g = groups.setdefault(_period(ts), [0.0, 0])
+            g[0] += s
+            g[1] += n
+        sst = SS - S_ * S_ / N if N > 0 else 0.0
+        ssb = (
+            sum(gs * gs / gn for gs, gn in groups.values()) - S_ * S_ / N
+            if N > 0
+            else 0.0
+        )
+        col["seasonal_strength"] = (
+            max(0.0, min(1.0, ssb / sst)) if sst > 1e-12 else None
+        )
+        col["seasonal"] = [
+            {
+                "period": p,
+                "n": gn,
+                "mean": gs / gn if gn else None,
+            }
+            for p, (gs, gn) in sorted(groups.items())
+        ]
+    return out
+
+
+def _dt_shift(granularity: str, k: int):
+    import datetime as _dt
+
+    return _dt.timedelta(microseconds=k * _GRAN_US[granularity])

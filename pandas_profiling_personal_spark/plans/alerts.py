@@ -131,4 +131,25 @@ def compute_alerts(result: "ProfileResult", cfg: ProfileConfig) -> list[dict[str
                             value=val,
                         )
                     )
+
+    # time-series rules (beyond the reference; TS_* prefix like the
+    # EMBEDDING_*/DRIFT_* families) — driver arithmetic over the bounded
+    # grid diagnostics in result.timeseries
+    for name, ts in (result.timeseries.get("columns") or {}).items():
+        strength = ts.get("seasonal_strength")
+        if strength is not None and strength >= cfg.ts_seasonal_threshold:
+            alerts.append(
+                _alert(
+                    "TS_SEASONAL",
+                    name,
+                    strength=strength,
+                    period=result.timeseries.get("seasonal_period"),
+                )
+            )
+        trend = ts.get("trend_r")
+        if trend is not None and abs(trend) >= cfg.ts_trend_threshold:
+            alerts.append(_alert("TS_TRENDING", name, trend_r=trend))
+        acf1 = ts.get("acf1")
+        if acf1 is not None and abs(acf1) >= cfg.ts_autocorr_threshold:
+            alerts.append(_alert("TS_AUTOCORRELATED", name, acf1=acf1))
     return alerts

@@ -69,6 +69,7 @@ class ProfileResult:
     analysis: dict[str, Any] = field(default_factory=dict)
     package: dict[str, Any] = field(default_factory=dict)
     segments: dict[str, Any] = field(default_factory=dict)
+    timeseries: dict[str, Any] = field(default_factory=dict)
 
     def as_dict(self) -> dict[str, Any]:
         return {
@@ -83,6 +84,7 @@ class ProfileResult:
             "alerts": self.alerts,
             "package": self.package,
             "segments": self.segments,
+            "timeseries": self.timeseries,
         }
 
     def to_json(self, **kw) -> str:
@@ -1000,6 +1002,42 @@ def profile(
                 ]
             _mark("segments")
 
+        # time-series tier (``timeseries_ts_col=``) — tsmode the reference
+        # never had and its successor only has pandas-side: ACF / calendar
+        # seasonality / trend / coverage for every numeric column from ONE
+        # grid aggregate (a single shuffle over the raw table; the bounded
+        # grid collects to the driver for exact arithmetic)
+        timeseries: dict[str, Any] = {}
+        if cfg.timeseries_ts_col:
+            tsc = cfg.timeseries_ts_col
+            if tsc not in types:
+                raise ValueError(
+                    f"timeseries_ts_col column {tsc!r} not found in "
+                    "DataFrame"
+                )
+            if types[tsc] is not VT.DATETIME:
+                raise ValueError(
+                    f"timeseries_ts_col column {tsc!r} is "
+                    f"{types[tsc].value}, not a timestamp/date column"
+                )
+            ts_num = [
+                c for c, vt in types.items()
+                if vt is VT.NUMERIC and c != tsc
+            ][: cfg.timeseries_max_cols]
+            if ts_num:
+                from pandas_profiling_personal_spark.operators.timeseries import (  # noqa: E501
+                    timeseries_profile,
+                )
+
+                timeseries = timeseries_profile(
+                    df,
+                    tsc,
+                    ts_num,
+                    lags=cfg.timeseries_lags,
+                    granularity=cfg.timeseries_granularity,
+                )
+                _mark("timeseries")
+
         result = ProfileResult(
             table=table,
             variables=variables,
@@ -1009,6 +1047,7 @@ def profile(
             duplicates=duplicates,
             scatter=scatter,
             segments=segments,
+            timeseries=timeseries,
             analysis={
                 "duration_sec": round(time.time() - t0, 3),
                 "exact": cfg.exact,

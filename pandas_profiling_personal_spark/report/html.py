@@ -560,6 +560,9 @@ def render_html(result: "Any", title: str = "Data profile") -> str:
     segments = d.get("segments") or {}
     if segments.get("segments"):
         nav_items.append(("segments", "Segments"))
+    timeseries = d.get("timeseries") or {}
+    if timeseries.get("columns"):
+        nav_items.append(("timeseries", "Time series"))
     nav = "<nav data-section='nav'>" + "".join(
         f"<a href='#{anchor}'>{label}</a>" for anchor, label in nav_items
     ) + "</nav>"
@@ -709,6 +712,63 @@ def render_html(result: "Any", title: str = "Data profile") -> str:
             _tabs(seg_tabs)
             or "<div class='card'><span class='type'>No segments.</span></div>"
         )
+
+    # time-series tier (timeseries_ts_col= config; beyond the reference):
+    # per-column ACF / trend / calendar seasonality from the bounded grid
+    if timeseries.get("columns"):
+        tsc = timeseries.get("ts_col") or ""
+        parts.append(
+            f"<h2 id='timeseries' data-section='timeseries'>Time series"
+            f" <span class='badge'>by {html.escape(str(tsc))} / "
+            f"{html.escape(str(timeseries.get('granularity') or ''))}"
+            f"</span></h2>"
+        )
+        ov_rows = []
+        season_rows = []
+        for cname, ts in timeseries["columns"].items():
+            ov_rows.append(
+                {
+                    "column": cname,
+                    "buckets": ts.get("n_buckets"),
+                    "acf_lag1": _fmt(ts.get("acf1")),
+                    "trend_r": _fmt(ts.get("trend_r")),
+                    "seasonal_strength": _fmt(
+                        ts.get("seasonal_strength")
+                    ),
+                }
+            )
+            for s in ts.get("seasonal") or []:
+                season_rows.append(
+                    {
+                        "column": cname,
+                        "period": s["period"],
+                        "n": s["n"],
+                        "mean": _fmt(s["mean"]),
+                    }
+                )
+        ts_tabs = [("Overview", _sample_table(ov_rows))]
+        acf_rows = [
+            {
+                "column": cname,
+                "lag": a["lag"],
+                "n_pairs": a["n_pairs"],
+                "acf": _fmt(a["value"]),
+            }
+            for cname, ts in timeseries["columns"].items()
+            for a in (ts.get("acf") or [])[:6]
+        ]
+        if acf_rows:
+            ts_tabs.append(("Autocorrelation", _sample_table(acf_rows)))
+        if season_rows:
+            ts_tabs.append(
+                (
+                    "Seasonality ("
+                    + str(timeseries.get("seasonal_period") or "")
+                    + ")",
+                    _sample_table(season_rows),
+                )
+            )
+        parts.append(_tabs(ts_tabs))
 
     parts.append("</div></body></html>")
     return "".join(parts)

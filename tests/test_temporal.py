@@ -11,6 +11,7 @@ range join is a hash/broadcast equi-join — never BroadcastNestedLoopJoin.
 from __future__ import annotations
 
 import datetime as dt
+import hashlib
 
 import pytest
 from pyspark.sql import functions as F
@@ -268,3 +269,91 @@ def test_rolling_trend_and_seasonal(spark):
         resample(df, "ts", "value", granularity="parsec")
     with pytest.raises(ValueError, match="lags"):
         acf(df, "ts", "value", lags=[0])
+
+
+def test_timeseries_profile_tier_and_alerts(spark):
+    """profile(timeseries_ts_col=): ACF / trend / seasonality for every
+    numeric column from ONE grid aggregate; TS_* alerts fire on the right
+    columns; JSON + HTML surfaces render; bad configs refuse by name."""
+    import json
+    import math
+
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+    from pandas_profiling_personal_spark.report.html import render_html
+
+    rows = []
+    for h in range(240):  # 10 days, hourly, 2 rows per bucket
+        ts = dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)
+        seasonal = math.sin(2 * math.pi * (h % 24) / 24) * 10.0
+        trending = float(h)
+        noise = (
+            float(int(hashlib.md5(str(h).encode()).hexdigest()[:8], 16) % 97)
+            - 48.0
+        )  # md5 pseudo-noise: no calendar or lag structure
+        for j in (0, 1):
+            rows.append((ts, seasonal + j * 0.1, trending + j, noise + j))
+    df = spark.createDataFrame(
+        rows, "ts timestamp, seasonal double, trending double, noise double"
+    )
+    cfg = ProfileConfig(
+        correlations=(), duplicates=False, timeseries_ts_col="ts",
+        timeseries_lags=25,
+    )
+    res = profile(df, cfg)
+    ts = res.timeseries
+    assert ts["ts_col"] == "ts" and ts["n_buckets"] == 240
+    assert ts["empty_buckets"] == 0
+    cols = ts["columns"]
+    assert set(cols) == {"seasonal", "trending", "noise"}
+
+    s = cols["seasonal"]
+    assert s["seasonal_strength"] > 0.99  # hour-of-day explains ~all of it
+    assert s["acf"][23]["lag"] == 24 and s["acf"][23]["value"] > 0.99
+    assert abs(s["trend_r"]) < 0.1
+    assert len(s["seasonal"]) == 24 and s["seasonal"][0]["n"] == 20
+
+    t = cols["trending"]
+    assert t["trend_r"] > 0.999
+    n = cols["noise"]
+    assert abs(n["trend_r"]) < 0.4 and (n["seasonal_strength"] or 0) < 0.3
+
+    kinds = {(a["type"], a.get("column")) for a in res.alerts}
+    assert ("TS_SEASONAL", "seasonal") in kinds
+    assert ("TS_TRENDING", "trending") in kinds
+    assert ("TS_AUTOCORRELATED", "seasonal") in kinds
+    assert not any(k.startswith("TS_") and c == "noise" for k, c in kinds)
+
+    d = json.loads(res.to_json())
+    assert d["timeseries"]["columns"]["trending"]["trend_r"] > 0.999
+    page = render_html(res)
+    assert "Time series" in page and "Seasonality" in page
+
+    with pytest.raises(ValueError, match="not found"):
+        profile(df, cfg.with_(timeseries_ts_col="nope"))
+    with pytest.raises(ValueError, match="not a timestamp"):
+        profile(df, cfg.with_(timeseries_ts_col="noise"))
+    with pytest.raises(ValueError, match="granularity"):
+        profile(df, cfg.with_(timeseries_granularity="parsec"))
+
+
+def test_timeseries_profile_gaps_and_nulls(spark):
+    """Grid gaps are counted, all-null columns survive with empty
+    diagnostics, NaN values are excluded like nulls."""
+    from pandas_profiling_personal_spark.operators.timeseries import (
+        timeseries_profile,
+    )
+
+    rows = []
+    for h in [0, 1, 2, 5, 6]:  # hours 3-4 missing
+        ts = dt.datetime(2024, 1, 1, h)
+        rows.append((ts, float(h), None, float("nan")))
+    df = spark.createDataFrame(
+        rows, "ts timestamp, v double, dead double, nans double"
+    )
+    out = timeseries_profile(df, "ts", ["v", "dead", "nans"], lags=2)
+    assert out["n_buckets"] == 5 and out["empty_buckets"] == 2
+    assert out["columns"]["v"]["n_buckets"] == 5
+    # lag-1 pairs skip the gap: (1,0),(2,1),(6,5) -> 3 pairs
+    assert out["columns"]["v"]["acf"][0]["n_pairs"] == 3
+    assert out["columns"]["dead"]["n_buckets"] == 0
+    assert out["columns"]["nans"]["n_buckets"] == 0
