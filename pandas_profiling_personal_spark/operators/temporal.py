@@ -90,6 +90,13 @@ def asof_join(
     missing = [c for c in [*by, on, *vals] if c not in right.columns]
     if missing:
         raise ValueError(f"asof_join: right side lacks {missing}")
+    reserved = {"__snap", "__side", "__ts"}
+    clash = reserved & set(left.columns) | reserved & set(vals)
+    if clash:
+        raise ValueError(
+            f"asof_join: column names {sorted(clash)} are reserved by the "
+            "union-tag plan — rename them first"
+        )
 
     # the snapshot payload rides the union as ONE struct column so the
     # window carries it forward atomically (value cols + the matched ts,
@@ -97,8 +104,14 @@ def asof_join(
     snap = F.struct(
         F.col(on).alias("__ts"), *[F.col(c) for c in vals]
     ).alias("__snap")
-    r = right.select(*[F.col(c) for c in by], F.col(on), snap).withColumn(
-        "__side", F.lit(0)
+    # null-ts rows must not participate in matching (DuckDB ASOF / pandas
+    # merge_asof semantics: a NULL comparison is no match): null-ts
+    # snapshots would sort FIRST under ascending order and be carried into
+    # every later event; null-ts left rows get their snap nulled below
+    r = (
+        right.where(F.col(on).isNotNull())
+        .select(*[F.col(c) for c in by], F.col(on), snap)
+        .withColumn("__side", F.lit(0))
     )
     l = left.withColumn("__side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
@@ -114,9 +127,11 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u.withColumn(
-        "__snap", F.last("__snap", ignorenulls=True).over(w)
-    ).where(F.col("__side") == 1)
+    filled = (
+        u.withColumn("__snap", F.last("__snap", ignorenulls=True).over(w))
+        .where(F.col("__side") == 1)
+        .withColumn("__snap", F.when(ts.isNotNull(), F.col("__snap")))
+    )
 
     if tolerance_s is not None:
         here = _as_num(filled, on)
@@ -181,12 +196,18 @@ def range_join(
     if how not in ("inner", "left"):
         raise ValueError("range_join: how must be inner|left")
     by = list(by or [])
+    if "__bucket" in left.columns or "__bucket" in right.columns:
+        raise ValueError(
+            "range_join: the column name __bucket is reserved by the "
+            "bucketized plan — rename it first"
+        )
 
     p = _as_num(left, point_col)
     lo = _as_num(right, lo_col)
     hi = _as_num(right, hi_col)
 
-    if bucket_width is None:
+    auto_width = bucket_width is None
+    if auto_width:
         row = right.agg(
             F.max(hi - lo).alias("w"), F.count(F.lit(1)).alias("n")
         ).collect()[0]
@@ -198,41 +219,60 @@ def range_join(
 
     lb = F.floor(lo / width)
     hb = F.floor(hi / width)
-    # loud guard, not a silent explosion: one huge interval at a small
-    # explicit width would fan out to millions of bucket rows
-    guard = right.agg(F.max(hb - lb).alias("m")).collect()[0]["m"]
-    if guard is not None and guard + 1 > max_buckets_per_interval:
-        raise ValueError(
-            f"range_join: an interval covers {int(guard) + 1} buckets of "
-            f"width {bucket_width} (cap {max_buckets_per_interval}) — "
-            "raise bucket_width, split the outlier interval, or raise "
-            "max_buckets_per_interval explicitly"
-        )
+    if not auto_width:
+        # loud guard, not a silent explosion: one huge interval at a small
+        # EXPLICIT width would fan out to millions of bucket rows. The
+        # auto width is the widest interval, so fan-out <= 2 by
+        # construction — no guard job needed there.
+        guard = right.agg(F.max(hb - lb).alias("m")).collect()[0]["m"]
+        if guard is not None and guard + 1 > max_buckets_per_interval:
+            raise ValueError(
+                f"range_join: an interval covers {int(guard) + 1} buckets "
+                f"of width {bucket_width} (cap {max_buckets_per_interval})"
+                " — raise bucket_width, split the outlier interval, or "
+                "raise max_buckets_per_interval explicitly"
+            )
 
     rexp = right.withColumn(
         "__bucket", F.explode(F.sequence(lb.cast("long"), hb.cast("long")))
     )
     lpt = left.withColumn("__bucket", F.floor(p / width).cast("long"))
 
-    lo_ok = p >= lo if closed[0] == "[" else p > lo
-    hi_ok = p <= hi if closed[1] == "]" else p < hi
+    def _num(dfref, base_df, col):
+        c = dfref[col]
+        if _is_ts(base_df, col):
+            return F.unix_micros(c.cast("timestamp"))
+        return c
+
+    # residual bound predicate on UNAMBIGUOUS refs (left and right may
+    # legitimately share column names)
+    pj = _num(lpt, left, point_col)
+    loj = _num(rexp, right, lo_col)
+    hij = _num(rexp, right, hi_col)
+    lo_ok = pj >= loj if closed[0] == "[" else pj > loj
+    hi_ok = pj <= hij if closed[1] == "]" else pj < hij
     cond = [lpt["__bucket"] == rexp["__bucket"]] + [
         lpt[c] == rexp[c] for c in by
     ]
     joined = lpt.join(rexp, cond, "inner").where(lo_ok & hi_ok)
 
-    rcols = [
-        c for c in right.columns if c not in by and c not in left.columns
-    ]
+    # right payload columns: collisions with left names get suffixed,
+    # never silently dropped
+    rpairs = []
+    for c in right.columns:
+        if c in by:
+            continue
+        rpairs.append((c, c + "_right" if c in left.columns else c))
     out = joined.select(
-        *[lpt[c] for c in left.columns], *[rexp[c] for c in rcols]
+        *[lpt[c] for c in left.columns],
+        *[rexp[c].alias(name) for c, name in rpairs],
     )
     if how == "left":
         matched_keys = out.select(*[F.col(c) for c in left.columns])
         unmatched = left.exceptAll(matched_keys)
-        for c in rcols:
+        for c, name in rpairs:
             unmatched = unmatched.withColumn(
-                c, F.lit(None).cast(right.schema[c].dataType)
+                name, F.lit(None).cast(right.schema[c].dataType)
             )
         out = out.unionByName(unmatched)
     return out

@@ -357,3 +357,45 @@ def test_timeseries_profile_gaps_and_nulls(spark):
     assert out["columns"]["v"]["acf"][0]["n_pairs"] == 3
     assert out["columns"]["dead"]["n_buckets"] == 0
     assert out["columns"]["nans"]["n_buckets"] == 0
+
+
+def test_asof_null_ts_semantics(spark):
+    """DuckDB/pandas contract: a NULL timestamp never matches — null-ts
+    snapshots must not be carried forward, null-ts events must match
+    nothing in EITHER direction (review r10: a null-ts snapshot sorted
+    first under asc order and leaked into every later event; a null-ts
+    event sorted last under desc order and wrongly matched forward)."""
+    left = spark.createDataFrame(
+        [("a", _ts(1), 1), ("a", None, 2)], "k string, ts timestamp, q int"
+    )
+    right = spark.createDataFrame(
+        [("a", None, 666.0), ("a", _ts(0), 100.0)],
+        "k string, ts timestamp, px double",
+    )
+    back = {r["q"]: r["px"] for r in
+            asof_join(left, right, on="ts", by="k").collect()}
+    assert back == {1: 100.0, 2: None}
+    fwd = {r["q"]: r["px"] for r in
+           asof_join(left, right, on="ts", by="k",
+                     direction="forward").collect()}
+    assert fwd == {1: None, 2: None}
+
+
+def test_reserved_and_collision_guards(spark):
+    left = spark.createDataFrame([(1, 2, 3)], "k int, t int, __snap int")
+    right = spark.createDataFrame([(1, 2, 3)], "k int, t int, v int")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, on="t", by=["k"])
+    with pytest.raises(ValueError, match="__bucket is reserved"):
+        range_join(
+            left.withColumnRenamed("__snap", "__bucket"),
+            spark.createDataFrame([(0, 5)], "lo int, hi int"),
+            "t", "lo", "hi",
+        )
+    # right payload columns colliding with left names get suffixed
+    pts = spark.createDataFrame([(1, 3.0, "L")], "pid int, x double, tag string")
+    ivs = spark.createDataFrame(
+        [(9, 2.0, 4.0, "R")], "iid int, lo double, hi double, tag string"
+    )
+    row = range_join(pts, ivs, "x", "lo", "hi").collect()[0]
+    assert row["tag"] == "L" and row["tag_right"] == "R"
