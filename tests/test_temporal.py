@@ -399,3 +399,119 @@ def test_reserved_and_collision_guards(spark):
     )
     row = range_join(pts, ivs, "x", "lo", "hi").collect()[0]
     assert row["tag"] == "L" and row["tag_right"] == "R"
+
+
+def test_range_join_stream_matches_batch(spark, tmp_path):
+    """range_join_stream: streaming points land in static intervals via
+    the stateless bucketized stream-static join; pair set equals the
+    batch operator on the same rows; guards refuse wrong-side frames."""
+    from pandas_profiling_personal_spark.streaming.temporal_stream import (
+        range_join_stream,
+    )
+
+    wins = spark.createDataFrame(
+        [(100, _ts(1), _ts(2)), (200, _ts(3), _ts(5))],
+        "win_id int, lo timestamp, hi timestamp",
+    )
+    rows = [
+        (1, _ts(0, 30)),  # before everything
+        (2, _ts(1, 30)),  # in win 100
+        (3, _ts(2, 0)),   # ON win 100's hi: [) excludes
+        (4, _ts(4, 0)),   # in win 200
+    ]
+    schema = "event_id int, ts timestamp"
+    src = tmp_path / "rj_src"
+    spark.createDataFrame(rows, schema).write.parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+
+    out = range_join_stream(stream, wins, "ts", "lo", "hi")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_rjs")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["event_id"], r["win_id"])
+            for r in spark.table("t_rjs").collect()
+        )
+    finally:
+        q.stop()
+    assert got == [(2, 100), (4, 200)]
+
+    batch = sorted(
+        (r["event_id"], r["win_id"])
+        for r in range_join(
+            spark.createDataFrame(rows, schema), wins, "ts", "lo", "hi"
+        ).collect()
+    )
+    assert got == batch
+
+    with pytest.raises(ValueError, match="must be a streaming"):
+        range_join_stream(
+            spark.createDataFrame(rows, schema), wins, "ts", "lo", "hi"
+        )
+    with pytest.raises(ValueError, match="must be STATIC"):
+        range_join_stream(stream, stream, "ts", "lo", "hi")
+
+
+def test_asof_foreach_batch_store_loop(spark, tmp_path):
+    """asof_foreach_batch: micro-batches as-of join against the parquet
+    snapshot store; missing store + schema gives the all-null-match shape
+    from batch zero; missing store without a schema fails loudly."""
+    from pandas_profiling_personal_spark.streaming.temporal_stream import (
+        asof_foreach_batch,
+    )
+
+    store_path = tmp_path / "snap_store"
+    out_path = tmp_path / "asof_out"
+    schema = "event_id int, user_id int, ts timestamp"
+    rows = [(1, 7, _ts(1, 30)), (2, 7, _ts(0, 10)), (3, 8, _ts(2))]
+    src = tmp_path / "asof_src"
+    spark.createDataFrame(rows, schema).write.parquet(str(src))
+
+    # store exists: real matches
+    spark.createDataFrame(
+        [(7, _ts(1), 100.0), (8, _ts(1), 5.0)],
+        "user_id int, ts timestamp, state double",
+    ).write.parquet(str(store_path))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        stream.writeStream.foreachBatch(
+            asof_foreach_batch(
+                str(store_path), str(out_path), "ts", ["user_id"],
+                value_cols=["state"],
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["event_id"]: r["state"]
+        for r in spark.read.parquet(f"{out_path}/batch=0").collect()
+    }
+    assert got == {1: 100.0, 2: None, 3: 5.0}
+
+    # missing store + schema -> stable null-match output; no schema -> loud
+    proc = asof_foreach_batch(
+        str(tmp_path / "no_store"), str(tmp_path / "out2"), "ts",
+        ["user_id"], value_cols=["state"],
+        store_schema="user_id int, ts timestamp, state double",
+    )
+    proc(spark.createDataFrame(rows, schema), 0)
+    empty = spark.read.parquet(str(tmp_path / "out2" / "batch=0"))
+    assert empty.count() == 3
+    assert {r["state"] for r in empty.collect()} == {None}
+
+    bad = asof_foreach_batch(
+        str(tmp_path / "no_store2"), str(tmp_path / "out3"), "ts",
+        ["user_id"], value_cols=["state"],
+    )
+    with pytest.raises(ValueError, match="store_schema"):
+        bad(spark.createDataFrame(rows, schema), 0)
