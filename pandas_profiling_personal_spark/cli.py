@@ -74,6 +74,20 @@ def build_parser() -> argparse.ArgumentParser:
         "(top segments by count), rendered as a Segments section",
     )
     p.add_argument(
+        "--timeseries-col",
+        default=None,
+        metavar="TSCOL",
+        help="time-series tier: ACF / seasonality / trend per numeric "
+        "column over the TSCOL event-time axis (one grid aggregate), "
+        "rendered as a Time series section with TS_* alerts",
+    )
+    p.add_argument(
+        "--timeseries-granularity",
+        default=None,
+        choices=["minute", "hour", "day"],
+        help="grid granularity for --timeseries-col (default hour)",
+    )
+    p.add_argument(
         "--domain-from",
         default=None,
         metavar="URLCOL",
@@ -273,6 +287,12 @@ def main(argv: list[str] | None = None) -> int:
         cfg = cfg.with_(freq_near_unique_ratio=args.near_unique_ratio)
     if args.segment_by:
         cfg = cfg.with_(segment_by=args.segment_by)
+    if args.timeseries_col:
+        cfg = cfg.with_(timeseries_ts_col=args.timeseries_col)
+    if args.timeseries_granularity:
+        cfg = cfg.with_(
+            timeseries_granularity=args.timeseries_granularity
+        )
 
     spark = get_session(app_name="spark-profile", master=args.master)
     try:

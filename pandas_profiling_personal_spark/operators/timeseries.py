@@ -355,6 +355,50 @@ def timeseries_profile(
             )
         col["acf"] = acf_list
         col["acf1"] = acf_list[0]["value"] if acf_list else None
+        # PACF via Durbin–Levinson over CLASSICAL autocorrelations (one
+        # shared mean/variance, lag covariances normalized by the full
+        # series variance — the stationarity-assuming estimator the
+        # recursion requires; documented approximation on gappy grids,
+        # where covariances use only the surviving pairs). AR(p) structure
+        # reads directly off where the PACF cuts to ~0.
+        vs = [means[ts] for ts in ts_sorted]
+        nb = len(vs)
+        if nb >= 3:
+            mu = sum(vs) / nb
+            var = sum((x - mu) ** 2 for x in vs) / nb
+            if var > 1e-300:
+                rho = [1.0]
+                for k in range(1, min(lags, nb - 1) + 1):
+                    shift = _dt_shift(granularity, k)
+                    cov = sum(
+                        (means[ts] - mu) * (means[ts - shift] - mu)
+                        for ts in ts_sorted
+                        if (ts - shift) in idx
+                    ) / nb
+                    rho.append(cov / var)
+                pacf = []
+                phi_prev: list = []
+                for k in range(1, len(rho)):
+                    if k == 1:
+                        phi_k = [rho[1]]
+                    else:
+                        num = rho[k] - sum(
+                            phi_prev[j] * rho[k - 1 - j]
+                            for j in range(k - 1)
+                        )
+                        den = 1.0 - sum(
+                            phi_prev[j] * rho[j + 1] for j in range(k - 1)
+                        )
+                        if abs(den) < 1e-12:
+                            break
+                        last = num / den
+                        phi_k = [
+                            phi_prev[j] - last * phi_prev[k - 2 - j]
+                            for j in range(k - 1)
+                        ] + [last]
+                    phi_prev = phi_k
+                    pacf.append({"lag": k, "value": phi_k[-1]})
+                col["pacf"] = pacf
         # linear trend: bucket means vs time
         col["trend_r"] = _corr(
             [ts.timestamp() for ts in ts_sorted],

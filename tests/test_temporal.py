@@ -515,3 +515,48 @@ def test_asof_foreach_batch_store_loop(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="store_schema"):
         bad(spark.createDataFrame(rows, schema), 0)
+
+
+def test_pacf_ar1_structure_and_cli_timeseries(spark, tmp_path):
+    """PACF (Durbin–Levinson over classical ACF): an AR(1) series shows
+    pacf(1) ~ rho and pacf(k>=2) ~ 0 — the cut that identifies AR order;
+    the CLI --timeseries-col flag renders the Time series section."""
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    # deterministic AR(1): x_t = 0.8 x_{t-1} + md5-noise
+    xs = [0.0]
+    for h in range(1, 400):
+        eps = (int(hashlib.md5(str(h).encode()).hexdigest()[:8], 16) % 1000) / 500.0 - 1.0
+        xs.append(0.8 * xs[-1] + eps)
+    rows = [
+        (dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), xs[h])
+        for h in range(400)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    from pandas_profiling_personal_spark.operators.timeseries import (
+        timeseries_profile,
+    )
+
+    out = timeseries_profile(df, "ts", ["v"], lags=6)
+    pacf = {p["lag"]: p["value"] for p in out["columns"]["v"]["pacf"]}
+    assert 0.6 < pacf[1] < 0.95
+    assert all(abs(pacf[k]) < 0.2 for k in (2, 3, 4, 5, 6))
+
+    # CLI surface
+    src = tmp_path / "ts.parquet"
+    pd.DataFrame(
+        {"ts": [r[0] for r in rows], "v": [r[1] for r in rows]}
+    ).to_parquet(src)
+    html_out = tmp_path / "rep.html"
+    p = subprocess.run(
+        [sys.executable, "-m", "pandas_profiling_personal_spark.cli",
+         str(src), str(html_out), "--timeseries-col", "ts",
+         "--master", "local[2]"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    page = html_out.read_text()
+    assert "Time series" in page and "Autocorrelation" in page
