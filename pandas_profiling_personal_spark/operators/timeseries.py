@@ -270,9 +270,25 @@ def timeseries_profile(
       (not bucket means), so it answers "how much raw variance does the
       calendar position explain".
     """
+    cells = grid_cells(df, ts_col, value_cols, granularity)
+    return finalize_timeseries(cells, ts_col, value_cols, lags, granularity)
+
+
+def grid_cells(
+    df: DataFrame,
+    ts_col: str,
+    value_cols: list[str],
+    granularity: str = "hour",
+) -> dict:
+    """The ONE raw-table pass behind the tsmode tier: per date_trunc
+    bucket, (sum, sumsq, count) for every column in a single
+    combine-friendly shuffle. Returns {col: [(t, s, ss, n), ...]} sorted
+    by t — plain additive cells, which is what makes the per-shard
+    time-series STATE exactly mergeable (plans/incremental.py): two
+    shards' cells merge by vector add with zero information loss."""
     if granularity not in _GRAN_US:
         raise ValueError(
-            f"timeseries_profile: granularity must be one of "
+            f"timeseries grid: granularity must be one of "
             f"{sorted(_GRAN_US)}"
         )
     t = F.date_trunc(granularity, F.col(ts_col).cast("timestamp"))
@@ -293,7 +309,29 @@ def timeseries_profile(
         .collect()
     )
     rows.sort(key=lambda r: r["t"])
+    return {
+        c: [
+            (r["t"], r[f"__s_{c}"], r[f"__ss_{c}"], r[f"__n_{c}"])
+            for r in rows
+        ]
+        for c in value_cols
+    }
+
+
+def finalize_timeseries(
+    cells: dict,
+    ts_col: str,
+    value_cols: list[str],
+    lags: int = 24,
+    granularity: str = "hour",
+) -> dict:
+    """Driver arithmetic over additive grid cells -> the tsmode dict.
+    Shared verbatim by the batch tier (:func:`timeseries_profile`) and
+    the mergeable per-shard state (plans/incremental.py), so merged
+    states finalize EXACTLY like a whole-table pass."""
     season_key = _SEASON_OF_GRAN.get(granularity, "hour_of_day")
+    all_ts = sorted({t for c in value_cols for t, *_ in cells.get(c, [])})
+    rows = all_ts
 
     def _period(ts):
         return ts.hour if season_key == "hour_of_day" else ts.isoweekday()
@@ -307,7 +345,7 @@ def timeseries_profile(
     }
     if not rows:
         return out
-    span = rows[-1]["t"] - rows[0]["t"]
+    span = rows[-1] - rows[0]
     step = _GRAN_US[granularity] / 1_000_000
     out["empty_buckets"] = max(
         0, int(round(span.total_seconds() / step)) + 1 - len(rows)
@@ -328,9 +366,9 @@ def timeseries_profile(
 
     for c in value_cols:
         pts = [
-            (r["t"], r[f"__s_{c}"], r[f"__ss_{c}"], r[f"__n_{c}"])
-            for r in rows
-            if r[f"__n_{c}"] and r[f"__n_{c}"] > 0
+            (t_, s, ss, n)
+            for t_, s, ss, n in cells.get(c, [])
+            if n and n > 0
         ]
         col: dict = {"n_buckets": len(pts)}
         out["columns"][c] = col

@@ -1600,3 +1600,129 @@ def incremental_drift_report(
         title=title,
         **alert_thresholds,
     )
+
+
+# --------------------------------------------------------------------------------
+# mergeable time-series state (r10): the tsmode tier in the daily-incremental
+# loop. Each shard pays ONE date_trunc grid aggregate (the same pass
+# operators/timeseries.grid_cells runs for profile()); the state is the
+# additive (sum, sumsq, count) cell map per column, so shards merge by
+# vector add with ZERO information loss — a merged state finalizes through
+# the SAME operators/timeseries.finalize_timeseries arithmetic and equals
+# the whole-table tsmode dict EXACTLY (pytest-gated). Grid cardinality is
+# bounded by timespan/granularity, so state size is bounded regardless of
+# shard row counts.
+# --------------------------------------------------------------------------------
+
+
+@dataclass
+class TimeseriesState:
+    """Additive per-bucket cells for the time-series tier: for every
+    column, ``{iso_bucket_ts: [sum, sumsq, count]}``. Exact-mergeable
+    (vector add per (column, bucket))."""
+
+    ts_col: str
+    granularity: str
+    columns: list[str]
+    cells: dict[str, dict[str, list]] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "ts_col": self.ts_col,
+                "granularity": self.granularity,
+                "columns": self.columns,
+                "cells": self.cells,
+            }
+        )
+
+    @classmethod
+    def from_json(cls, txt: str) -> "TimeseriesState":
+        return cls(**json.loads(txt))
+
+
+def timeseries_partial(
+    df: DataFrame,
+    ts_col: str,
+    value_cols: list[str],
+    granularity: str = "hour",
+) -> TimeseriesState:
+    """One shard's time-series state: the single grid aggregate, cells
+    keyed by isoformat bucket timestamp."""
+    from pandas_profiling_personal_spark.operators.timeseries import (
+        grid_cells,
+    )
+
+    cells = grid_cells(df, ts_col, value_cols, granularity)
+    return TimeseriesState(
+        ts_col=ts_col,
+        granularity=granularity,
+        columns=list(value_cols),
+        cells={
+            c: {
+                t.isoformat(): [s, ss, int(n)]
+                for t, s, ss, n in pts
+                if n and n > 0
+            }
+            for c, pts in cells.items()
+        },
+    )
+
+
+def merge_timeseries_states(
+    states: "list[TimeseriesState]",
+) -> TimeseriesState:
+    """Vector-add merge; mismatched specs refuse by name (merging grids
+    of different granularity or ts columns would silently compare
+    unrelated buckets)."""
+    if not states:
+        raise ValueError("merge_timeseries_states: no states")
+    head = states[0]
+    for st in states[1:]:
+        if (
+            st.ts_col != head.ts_col
+            or st.granularity != head.granularity
+            or list(st.columns) != list(head.columns)
+        ):
+            raise ValueError(
+                "merge_timeseries_states: states disagree on "
+                f"(ts_col, granularity, columns): "
+                f"({head.ts_col!r}, {head.granularity!r}, {head.columns}) "
+                f"vs ({st.ts_col!r}, {st.granularity!r}, {st.columns})"
+            )
+    merged: dict[str, dict[str, list]] = {}
+    for st in states:
+        for c, buckets in st.cells.items():
+            mc = merged.setdefault(c, {})
+            for t, (s, ss, n) in buckets.items():
+                if t in mc:
+                    old = mc[t]
+                    mc[t] = [old[0] + s, old[1] + ss, old[2] + n]
+                else:
+                    mc[t] = [s, ss, n]
+    return TimeseriesState(
+        ts_col=head.ts_col,
+        granularity=head.granularity,
+        columns=list(head.columns),
+        cells=merged,
+    )
+
+
+def timeseries_of(state: TimeseriesState, lags: int = 24) -> dict:
+    """Finalize a (merged) state through the batch tier's OWN arithmetic
+    — ACF/PACF/trend/seasonality identical to running
+    ``timeseries_profile`` over the unsharded table."""
+    from pandas_profiling_personal_spark.operators.timeseries import (
+        finalize_timeseries,
+    )
+
+    cells = {
+        c: sorted(
+            (datetime.datetime.fromisoformat(t), s, ss, n)
+            for t, (s, ss, n) in state.cells.get(c, {}).items()
+        )
+        for c in state.columns
+    }
+    return finalize_timeseries(
+        cells, state.ts_col, state.columns, lags, state.granularity
+    )

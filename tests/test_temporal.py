@@ -560,3 +560,62 @@ def test_pacf_ar1_structure_and_cli_timeseries(spark, tmp_path):
     assert p.returncode == 0, p.stderr[-2000:]
     page = html_out.read_text()
     assert "Time series" in page and "Autocorrelation" in page
+
+
+def test_mergeable_timeseries_state(spark):
+    """TimeseriesState: 3-shard merge finalizes EXACTLY like the
+    whole-table tsmode pass (additive cells, shared finalization);
+    JSON round-trips; mismatched specs refuse by name."""
+    import json as _json
+    import math
+
+    from pandas_profiling_personal_spark.operators.timeseries import (
+        timeseries_profile,
+    )
+    from pandas_profiling_personal_spark.plans.incremental import (
+        TimeseriesState,
+        merge_timeseries_states,
+        timeseries_of,
+        timeseries_partial,
+    )
+
+    rows = []
+    for h in range(120):
+        ts = dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)
+        v = math.sin(2 * math.pi * (h % 24) / 24) * 5 + (h % 7)
+        rows.append((ts, v, float(h)))
+    df = spark.createDataFrame(rows, "ts timestamp, a double, b double")
+
+    whole = timeseries_profile(df, "ts", ["a", "b"], lags=8)
+    shards = [
+        timeseries_partial(
+            df.where(F.hour("ts") % 3 == i), "ts", ["a", "b"]
+        )
+        for i in range(3)
+    ]
+    # JSON round-trip each shard before merging (the daily loop's shape)
+    shards = [
+        TimeseriesState.from_json(s.to_json()) for s in shards
+    ]
+    merged = merge_timeseries_states(shards)
+    got = timeseries_of(merged, lags=8)
+
+    assert got["n_buckets"] == whole["n_buckets"]
+    assert got["empty_buckets"] == whole["empty_buckets"]
+    for c in ("a", "b"):
+        w, g = whole["columns"][c], got["columns"][c]
+        assert g["n_buckets"] == w["n_buckets"]
+        assert abs(g["trend_r"] - w["trend_r"]) < 1e-12
+        assert abs(g["seasonal_strength"] - w["seasonal_strength"]) < 1e-12
+        for ga, wa in zip(g["acf"], w["acf"]):
+            assert ga["n_pairs"] == wa["n_pairs"]
+            assert (ga["value"] is None) == (wa["value"] is None)
+            if ga["value"] is not None:
+                assert abs(ga["value"] - wa["value"]) < 1e-12
+        for gp, wp in zip(g.get("pacf", []), w.get("pacf", [])):
+            assert abs(gp["value"] - wp["value"]) < 1e-12
+    _json.loads(merged.to_json())
+
+    other = timeseries_partial(df, "ts", ["a", "b"], granularity="day")
+    with pytest.raises(ValueError, match="disagree"):
+        merge_timeseries_states([shards[0], other])
