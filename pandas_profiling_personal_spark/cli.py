@@ -326,6 +326,27 @@ def main(argv: list[str] | None = None) -> int:
                     d = json.load(fh)
                 return d["column"], EmbeddingState(**d["state"])
 
+            def _load_ts_sidecar(state_path: str):
+                """TimeseriesState from STATE_PATH.ts, or None."""
+                from pandas_profiling_personal_spark.plans.incremental import (  # noqa: E501
+                    TimeseriesState,
+                )
+
+                p = state_path + ".ts"
+                if not os.path.exists(p):
+                    return None
+                with open(p, encoding="utf-8") as fh:
+                    return TimeseriesState.from_json(fh.read())
+
+            def _ts_numeric_cols() -> list[str]:
+                from pyspark.sql import types as T
+
+                return [
+                    f.name
+                    for f in df.schema.fields
+                    if isinstance(f.dataType, T.NumericType)
+                ][:20]
+
             def _dim_and_extents(col: str) -> dict:
                 """ONE scan for the fresh-baseline path: per-vector-size
                 counts AND finite-norm extents (modal size = inferred dim)
@@ -474,6 +495,75 @@ def main(argv: list[str] | None = None) -> int:
                             },
                             fh,
                         )
+                # time-series sidecar (STATE.ts): additive grid cells over
+                # the numeric columns — the same carry-forward contract as
+                # the embedding sidecar (an aligned state's declared
+                # ts_col/granularity/columns are reused; explicit
+                # disagreement refuses by name)
+                ts_out = None
+                prev_ts = (
+                    _load_ts_sidecar(args.align_state)
+                    if args.align_state
+                    else None
+                )
+                ts_col = args.timeseries_col
+                if ts_col is None and prev_ts is not None:
+                    ts_col = prev_ts.ts_col
+                if ts_col:
+                    from pandas_profiling_personal_spark.plans.incremental import (  # noqa: E501
+                        timeseries_partial,
+                    )
+
+                    if ts_col not in df.columns:
+                        raise SystemExit(
+                            f"--timeseries-col {ts_col!r} is not in the "
+                            f"input (columns: {sorted(df.columns)})"
+                        )
+                    gran = args.timeseries_granularity or "hour"
+                    if prev_ts is not None:
+                        if args.timeseries_col and (
+                            args.timeseries_col != prev_ts.ts_col
+                        ):
+                            raise SystemExit(
+                                "--timeseries-col disagrees with the "
+                                "aligned state's sidecar column "
+                                f"{prev_ts.ts_col!r} — structure compares "
+                                "like with like; drop the flag or re-save "
+                                "the baseline"
+                            )
+                        if args.timeseries_granularity and (
+                            args.timeseries_granularity
+                            != prev_ts.granularity
+                        ):
+                            raise SystemExit(
+                                "--timeseries-granularity disagrees with "
+                                "the aligned sidecar's granularity "
+                                f"{prev_ts.granularity!r}"
+                            )
+                        gran = prev_ts.granularity
+                        ts_cols = [
+                            c for c in prev_ts.columns if c in df.columns
+                        ]
+                        if not ts_cols:
+                            raise SystemExit(
+                                "--align-state: none of the aligned "
+                                "time-series sidecar's columns "
+                                f"{prev_ts.columns} exist in today's "
+                                "input — re-save the baseline"
+                            )
+                    else:
+                        ts_cols = [
+                            c for c in _ts_numeric_cols() if c != ts_col
+                        ]
+                        if not ts_cols:
+                            raise SystemExit(
+                                f"--timeseries-col {ts_col!r}: no numeric "
+                                "columns to track"
+                            )
+                    tstate = timeseries_partial(df, ts_col, ts_cols, gran)
+                    ts_out = args.save_state + ".ts"
+                    with open(ts_out, "w", encoding="utf-8") as fh:
+                        fh.write(tstate.to_json())
                 with open(args.save_state, "w", encoding="utf-8") as fh:
                     fh.write(part.to_json())
                 print(json.dumps({
@@ -482,6 +572,7 @@ def main(argv: list[str] | None = None) -> int:
                     "n_columns": len(part.columns),
                     "aligned_to": args.align_state,
                     "embedding_state": emb_out,
+                    "timeseries_state": ts_out,
                 }))
                 return 0
             with open(args.drift_against, encoding="utf-8") as fh:
@@ -559,6 +650,47 @@ def main(argv: list[str] | None = None) -> int:
                         "dimensionality rather than reading a silent "
                         "'no embedding drift'"
                     )
+            # time-series structure drift (STATE.ts sidecar): seasonality /
+            # trend / autocorrelation deltas, zero extra full-table passes
+            # beyond today's one grid aggregate; surfaced in the JSON
+            # summary (flagged columns by name)
+            ts_drift = None
+            ts_sidecar = _load_ts_sidecar(args.drift_against)
+            if args.timeseries_col and ts_sidecar is None:
+                raise SystemExit(
+                    "--timeseries-col with --drift-against: the stored "
+                    f"state {args.drift_against} has no .ts sidecar — "
+                    "re-save the baseline with --timeseries-col first"
+                )
+            if ts_sidecar is not None:
+                from pandas_profiling_personal_spark.plans.incremental import (  # noqa: E501
+                    timeseries_drift_between,
+                    timeseries_partial,
+                )
+
+                if args.timeseries_col and (
+                    args.timeseries_col != ts_sidecar.ts_col
+                ):
+                    raise SystemExit(
+                        "--timeseries-col disagrees with the stored "
+                        f"sidecar column {ts_sidecar.ts_col!r}"
+                    )
+                if ts_sidecar.ts_col not in df.columns:
+                    raise SystemExit(
+                        "--drift-against: the stored time-series sidecar "
+                        f"column {ts_sidecar.ts_col!r} is not in today's "
+                        "input — re-save the baseline"
+                    )
+                cols_today = [
+                    c for c in ts_sidecar.columns if c in df.columns
+                ]
+                cur_ts = timeseries_partial(
+                    df,
+                    ts_sidecar.ts_col,
+                    cols_today,
+                    ts_sidecar.granularity,
+                )
+                ts_drift = timeseries_drift_between(ts_sidecar, cur_ts)
             out = args.output or (args.input.rsplit(".", 1)[0] + ".html")
             title = args.title or (
                 f"Drift: {args.drift_against} vs {args.input}"
@@ -572,6 +704,10 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({
                 "output": out, "n_a": prev.n, "n_b": cur.n,
                 "embedding": sidecar is not None,
+                "timeseries_drift": ts_drift,
+                "timeseries_flagged": sorted(
+                    c for c, d in (ts_drift or {}).items() if d["flagged"]
+                ),
             }))
             return 0
         if args.corpus_report:

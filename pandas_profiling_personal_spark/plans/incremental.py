@@ -1726,3 +1726,51 @@ def timeseries_of(state: TimeseriesState, lags: int = 24) -> dict:
     return finalize_timeseries(
         cells, state.ts_col, state.columns, lags, state.granularity
     )
+
+
+def timeseries_drift_between(
+    state_a: TimeseriesState,
+    state_b: TimeseriesState,
+    lags: int = 24,
+    threshold: float = 0.3,
+) -> dict:
+    """Did the temporal STRUCTURE change between two snapshots — not the
+    values (numeric drift covers those), but seasonality / trend /
+    autocorrelation? Pure driver arithmetic over the two states (zero
+    rescans): per column, both sides finalize through the shared batch
+    arithmetic and the deltas of (acf1, trend_r, seasonal_strength) are
+    reported, flagged when |delta| >= ``threshold``. Mismatched specs
+    refuse via the same rule as the merge."""
+    if (
+        state_a.ts_col != state_b.ts_col
+        or state_a.granularity != state_b.granularity
+    ):
+        raise ValueError(
+            "timeseries_drift_between: states disagree on "
+            f"(ts_col, granularity): ({state_a.ts_col!r}, "
+            f"{state_a.granularity!r}) vs ({state_b.ts_col!r}, "
+            f"{state_b.granularity!r}) — structure compares like with "
+            "like; re-save the baseline"
+        )
+    shared = [c for c in state_a.columns if c in set(state_b.columns)]
+    fa = timeseries_of(state_a, lags)
+    fb = timeseries_of(state_b, lags)
+    out: dict = {}
+    for c in shared:
+        ca = fa["columns"].get(c, {})
+        cb = fb["columns"].get(c, {})
+        row: dict = {}
+        flagged = False
+        for k in ("acf1", "trend_r", "seasonal_strength"):
+            va, vb = ca.get(k), cb.get(k)
+            row[f"{k}_a"] = va
+            row[f"{k}_b"] = vb
+            delta = (
+                vb - va if va is not None and vb is not None else None
+            )
+            row[f"{k}_delta"] = delta
+            if delta is not None and abs(delta) >= threshold:
+                flagged = True
+        row["flagged"] = flagged
+        out[c] = row
+    return out

@@ -619,3 +619,72 @@ def test_mergeable_timeseries_state(spark):
     other = timeseries_partial(df, "ts", ["a", "b"], granularity="day")
     with pytest.raises(ValueError, match="disagree"):
         merge_timeseries_states([shards[0], other])
+
+
+def test_cli_timeseries_state_loop(tmp_path):
+    """CLI daily loop for the time-series sidecar: --save-state writes
+    STATE.ts; --align-state carries the stored spec forward and refuses
+    explicit disagreement; --drift-against reports structure deltas and
+    flags the column whose trend flipped."""
+    import json as _json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    def mk(path, rising):
+        ts = [dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)
+              for h in range(96)]
+        v = [float(h) if rising else float(96 - h) for h in range(96)]
+        pd.DataFrame({"ts": ts, "v": v}).to_parquet(path)
+
+    day1 = tmp_path / "d1.parquet"
+    day2 = tmp_path / "d2.parquet"
+    mk(day1, rising=True)
+    mk(day2, rising=False)  # trend reversed -> trend_r delta ~ -2
+    st = tmp_path / "st.json"
+
+    def run(*argv):
+        return subprocess.run(
+            [sys.executable, "-m", "pandas_profiling_personal_spark.cli",
+             *argv, "--master", "local[2]"],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+
+    p = run(str(day1), "--save-state", str(st), "--timeseries-col", "ts")
+    assert p.returncode == 0, p.stderr[-2000:]
+    info = _json.loads(p.stdout.strip().splitlines()[-1])
+    assert info["timeseries_state"] == str(st) + ".ts"
+
+    # align: stored spec carried forward without re-declaring the flag
+    st2 = tmp_path / "st2.json"
+    p2 = run(str(day2), "--save-state", str(st2), "--align-state", str(st))
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    assert _json.loads(
+        p2.stdout.strip().splitlines()[-1]
+    )["timeseries_state"] == str(st2) + ".ts"
+
+    # explicit disagreement refuses by name
+    p3 = run(str(day2), "--save-state", str(st2), "--align-state", str(st),
+             "--timeseries-col", "v")
+    assert p3.returncode != 0
+    assert "disagrees with the aligned state's sidecar column" in (
+        p3.stderr + p3.stdout
+    )
+
+    # drift: reversed trend flags the column
+    out = tmp_path / "drift.html"
+    p4 = run(str(day2), str(out), "--drift-against", str(st))
+    assert p4.returncode == 0, p4.stderr[-2000:]
+    summary = _json.loads(p4.stdout.strip().splitlines()[-1])
+    assert summary["timeseries_flagged"] == ["v"]
+    d = summary["timeseries_drift"]["v"]
+    assert d["trend_r_a"] > 0.99 and d["trend_r_b"] < -0.99
+
+    # drift with an explicit flag but no sidecar refuses by name
+    st3 = tmp_path / "st3.json"
+    assert run(str(day1), "--save-state", str(st3)).returncode == 0
+    p5 = run(str(day2), str(out), "--drift-against", str(st3),
+             "--timeseries-col", "ts")
+    assert p5.returncode != 0
+    assert "has no .ts sidecar" in (p5.stderr + p5.stdout)
