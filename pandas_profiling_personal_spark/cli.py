@@ -655,6 +655,7 @@ def main(argv: list[str] | None = None) -> int:
             # beyond today's one grid aggregate; surfaced in the JSON
             # summary (flagged columns by name)
             ts_drift = None
+            cur_ts = None
             ts_sidecar = _load_ts_sidecar(args.drift_against)
             if args.timeseries_col and ts_sidecar is None:
                 raise SystemExit(
@@ -698,7 +699,8 @@ def main(argv: list[str] | None = None) -> int:
             with open(out, "w", encoding="utf-8") as fh:
                 fh.write(
                     incremental_drift_report(
-                        prev, cur, emb_a, emb_b, title=title
+                        prev, cur, emb_a, emb_b,
+                        ts_a=ts_sidecar, ts_b=cur_ts, title=title,
                     )
                 )
             print(json.dumps({

@@ -484,11 +484,13 @@ def drift_alerts(
     categorical_rows: list | None = None,
     embedding_row: "dict | None" = None,
     association_rows: list | None = None,
+    timeseries_rows: list | None = None,
     psi_watch: float = 0.1,
     psi_significant: float = 0.25,
     min_centroid_cosine: float = 0.98,
     max_dim_shift: float = 3.0,
     max_association_shift: float = 0.1,
+    max_ts_structure_shift: float = 0.3,
 ) -> list[dict]:
     """Rule-based alert classification over the drift operators' outputs —
     the two-frame counterpart of ``plans/alerts.compute_alerts`` (pure
@@ -598,6 +600,24 @@ def drift_alerts(
                     "shift_sigmas": ds,
                 }
             )
+    # time-series structure rows (incremental timeseries_drift_between):
+    # which metric moved is named on the alert — "the trend flipped" and
+    # "the seasonality vanished" are different operational stories
+    for r in timeseries_rows or []:
+        moved = {
+            k: _get(r, f"{k}_delta")
+            for k in ("acf1", "trend_r", "seasonal_strength")
+            if _get(r, f"{k}_delta") is not None
+            and abs(_get(r, f"{k}_delta")) >= max_ts_structure_shift
+        }
+        if moved:
+            alerts.append(
+                {
+                    "type": "DRIFT_TS_STRUCTURE",
+                    "column": _get(r, "column"),
+                    **{f"{k}_delta": v for k, v in moved.items()},
+                }
+            )
     return alerts
 
 
@@ -606,6 +626,7 @@ def drift_report_html(
     categorical_rows: list | None = None,
     embedding_row: "dict | None" = None,
     association_rows: list | None = None,
+    timeseries_rows: list | None = None,
     title: str = "Drift report",
     **alert_thresholds,
 ) -> str:
@@ -628,6 +649,7 @@ def drift_report_html(
         categorical_rows=categorical_rows,
         embedding_row=embedding_row,
         association_rows=association_rows,
+        timeseries_rows=timeseries_rows,
         **alert_thresholds,
     )
     sections: list[str] = []
@@ -686,6 +708,28 @@ def drift_report_html(
             "<h2>Association (Cramér's V)</h2><table><tr><th>pair</th>"
             "<th>n_a</th><th>n_b</th><th>v_a</th><th>v_b</th>"
             f"<th>delta</th><th>exact</th></tr>{body}</table>"
+        )
+    if timeseries_rows:
+        body = "".join(
+            "<tr><th>{c}</th><td>{a1a}</td><td>{a1b}</td><td>{tra}</td>"
+            "<td>{trb}</td><td>{ssa}</td><td>{ssb}</td><td>{fl}</td></tr>"
+            .format(
+                c=esc(_row(r)["column"]),
+                a1a=_row(r).get("acf1_a"),
+                a1b=_row(r).get("acf1_b"),
+                tra=_row(r).get("trend_r_a"),
+                trb=_row(r).get("trend_r_b"),
+                ssa=_row(r).get("seasonal_strength_a"),
+                ssb=_row(r).get("seasonal_strength_b"),
+                fl="yes" if _row(r).get("flagged") else "",
+            )
+            for r in timeseries_rows
+        )
+        sections.append(
+            "<h2>Time-series structure</h2><table><tr><th>column</th>"
+            "<th>acf1 a</th><th>acf1 b</th><th>trend a</th><th>trend b</th>"
+            "<th>seasonal a</th><th>seasonal b</th><th>flagged</th></tr>"
+            f"{body}</table>"
         )
     if embedding_row is not None:
         sections.append("<h2>Embedding</h2>" + kv_table(_row(embedding_row)))

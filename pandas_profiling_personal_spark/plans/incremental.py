@@ -1555,6 +1555,8 @@ def incremental_drift_report(
     part_b: PartialProfile,
     emb_a: "EmbeddingState | None" = None,
     emb_b: "EmbeddingState | None" = None,
+    ts_a: "TimeseriesState | None" = None,
+    ts_b: "TimeseriesState | None" = None,
     title: str = "Incremental drift report",
     **alert_thresholds,
 ) -> str:
@@ -1592,11 +1594,18 @@ def incremental_drift_report(
         if emb_a is not None and emb_b is not None
         else None
     )
+    timeseries_rows = None
+    if ts_a is not None and ts_b is not None:
+        timeseries_rows = [
+            {"column": c, **d}
+            for c, d in timeseries_drift_between(ts_a, ts_b).items()
+        ]
     return drift_report_html(
         numeric_rows=numeric_rows,
         categorical_rows=categorical_rows,
         embedding_row=embedding_row,
         association_rows=association_rows,
+        timeseries_rows=timeseries_rows,
         title=title,
         **alert_thresholds,
     )

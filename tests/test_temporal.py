@@ -680,6 +680,9 @@ def test_cli_timeseries_state_loop(tmp_path):
     assert summary["timeseries_flagged"] == ["v"]
     d = summary["timeseries_drift"]["v"]
     assert d["trend_r_a"] > 0.99 and d["trend_r_b"] < -0.99
+    page = out.read_text()
+    assert "Time-series structure" in page
+    assert "DRIFT_TS_STRUCTURE" in page
 
     # drift with an explicit flag but no sidecar refuses by name
     st3 = tmp_path / "st3.json"
@@ -688,3 +691,40 @@ def test_cli_timeseries_state_loop(tmp_path):
              "--timeseries-col", "ts")
     assert p5.returncode != 0
     assert "has no .ts sidecar" in (p5.stderr + p5.stdout)
+
+
+def test_ts_drift_in_report_and_alerts(tmp_path):
+    """DRIFT_TS_STRUCTURE flows through drift_alerts and the drift HTML:
+    the flagged metric is named on the alert, the report renders a
+    Time-series structure table; the CLI drift HTML carries it too."""
+    from pandas_profiling_personal_spark.operators.drift import (
+        drift_alerts,
+        drift_report_html,
+    )
+
+    rows = [
+        {
+            "column": "v",
+            "acf1_a": 0.1, "acf1_b": 0.15, "acf1_delta": 0.05,
+            "trend_r_a": 0.99, "trend_r_b": -0.99, "trend_r_delta": -1.98,
+            "seasonal_strength_a": 0.0, "seasonal_strength_b": 0.05,
+            "seasonal_strength_delta": 0.05,
+            "flagged": True,
+        },
+        {
+            "column": "w",
+            "acf1_a": 0.2, "acf1_b": 0.21, "acf1_delta": 0.01,
+            "trend_r_a": 0.0, "trend_r_b": 0.02, "trend_r_delta": 0.02,
+            "seasonal_strength_a": 0.5, "seasonal_strength_b": 0.48,
+            "seasonal_strength_delta": -0.02,
+            "flagged": False,
+        },
+    ]
+    alerts = drift_alerts(timeseries_rows=rows)
+    assert len(alerts) == 1
+    a = alerts[0]
+    assert a["type"] == "DRIFT_TS_STRUCTURE" and a["column"] == "v"
+    assert "trend_r_delta" in a and "acf1_delta" not in a
+
+    page = drift_report_html(timeseries_rows=rows)
+    assert "Time-series structure" in page and "DRIFT_TS_STRUCTURE" in page
