@@ -57,8 +57,10 @@ def asof_join(
     tolerance_s: float | None = None,
     suffix: str = "_right",
 ) -> DataFrame:
-    """Attach the nearest preceding (``backward``) or following
-    (``forward``) right-side row to every left row, per ``by`` key.
+    """Attach the nearest preceding (``backward``), following
+    (``forward``), or closest-either-way (``nearest``, ties backward —
+    the pandas merge_asof rule) right-side row to every left row, per
+    ``by`` key.
 
     Contract (same as DuckDB ASOF JOIN / pandas merge_asof):
     equality on ``by``, inclusive inequality on ``on``; left rows with no
@@ -84,8 +86,10 @@ def asof_join(
             "keyless as-of would be a single-partition global sort; add "
             "a constant key explicitly if the right side is small"
         )
-    if direction not in ("backward", "forward"):
-        raise ValueError("asof_join: direction must be backward|forward")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "asof_join: direction must be backward|forward|nearest"
+        )
     vals = value_cols or [c for c in right.columns if c not in [*by, on]]
     missing = [c for c in [*by, on, *vals] if c not in right.columns]
     if missing:
@@ -117,20 +121,53 @@ def asof_join(
     u = l.unionByName(r, allowMissingColumns=True)
 
     ts = F.col(on)
-    order = (
-        [ts.asc(), F.col("__side").asc()]
-        if direction == "backward"
-        else [ts.desc(), F.col("__side").asc()]
-    )
-    w = (
-        Window.partitionBy(*[F.col(c) for c in by])
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = (
-        u.withColumn("__snap", F.last("__snap", ignorenulls=True).over(w))
-        .where(F.col("__side") == 1)
-        .withColumn("__snap", F.when(ts.isNotNull(), F.col("__snap")))
+
+    def _w(desc: bool):
+        order = (
+            [ts.desc(), F.col("__side").asc()]
+            if desc
+            else [ts.asc(), F.col("__side").asc()]
+        )
+        return (
+            Window.partitionBy(*[F.col(c) for c in by])
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    if direction in ("backward", "forward"):
+        w = _w(desc=direction == "forward")
+        filled = u.withColumn(
+            "__snap", F.last("__snap", ignorenulls=True).over(w)
+        )
+    else:
+        # nearest: both fills over the SAME hash partitioning (Catalyst
+        # reuses the exchange; the second ordering adds one sort, not a
+        # second shuffle), then pick the closer; ties go backward — the
+        # pandas merge_asof rule
+        here = _as_num(u, on)
+        back = F.last("__snap", ignorenulls=True).over(_w(desc=False))
+        fwd = F.last("__snap", ignorenulls=True).over(_w(desc=True))
+        u = u.withColumn("__b", back).withColumn("__f", fwd)
+
+        def _dist(snap_col):
+            there = (
+                F.unix_micros(snap_col["__ts"].cast("timestamp"))
+                if _is_ts(left, on)
+                else snap_col["__ts"]
+            )
+            return F.abs(here - there)
+
+        chosen = (
+            F.when(F.col("__b").isNull(), F.col("__f"))
+            .when(F.col("__f").isNull(), F.col("__b"))
+            .when(
+                _dist(F.col("__b")) <= _dist(F.col("__f")), F.col("__b")
+            )
+            .otherwise(F.col("__f"))
+        )
+        filled = u.withColumn("__snap", chosen).drop("__b", "__f")
+    filled = filled.where(F.col("__side") == 1).withColumn(
+        "__snap", F.when(ts.isNotNull(), F.col("__snap"))
     )
 
     if tolerance_s is not None:

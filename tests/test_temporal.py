@@ -123,8 +123,8 @@ def test_asof_numeric_axis_collision_and_errors(spark):
 
     with pytest.raises(ValueError, match="at least one equality key"):
         asof_join(left, right, on="t", by=[])
-    with pytest.raises(ValueError, match="backward|forward"):
-        asof_join(left, right, on="t", by=["k"], direction="nearest")
+    with pytest.raises(ValueError, match="backward|forward|nearest"):
+        asof_join(left, right, on="t", by=["k"], direction="sideways")
     with pytest.raises(ValueError, match="lacks"):
         asof_join(left, right, on="t", by=["k"], value_cols=["nope"])
 
@@ -728,3 +728,56 @@ def test_ts_drift_in_report_and_alerts(tmp_path):
 
     page = drift_report_html(timeseries_rows=rows)
     assert "Time-series structure" in page and "DRIFT_TS_STRUCTURE" in page
+
+
+def test_asof_all_directions_match_pandas(spark):
+    """Randomized equivalence against pandas.merge_asof itself for all
+    three directions (+ tolerance): 400 events x 120 snapshots over 5
+    keys, exact match of matched values including the nearest tie rule
+    (ties go backward)."""
+    import random
+
+    import pandas as pd
+
+    rnd = random.Random(42)
+    left_rows = [
+        (i, rnd.randrange(5), rnd.randrange(0, 100000))
+        for i in range(400)
+    ]
+    right_rows = [
+        (rnd.randrange(5), rnd.randrange(0, 100000) , j)
+        for j in range(120)
+    ]
+    # unique (k, t) on the right — merge_asof needs a deterministic winner
+    seen = set()
+    right_rows = [
+        (k, t, j) for k, t, j in right_rows
+        if not ((k, t) in seen or seen.add((k, t)))
+    ]
+    ldf = spark.createDataFrame(left_rows, "eid int, k int, t long")
+    rdf = spark.createDataFrame(right_rows, "k int, t long, v int")
+
+    lp = pd.DataFrame(left_rows, columns=["eid", "k", "t"]).sort_values("t")
+    rp = pd.DataFrame(right_rows, columns=["k", "t", "v"]).sort_values("t")
+    for direction, tol in [
+        ("backward", None), ("forward", None),
+        ("nearest", None), ("nearest", 500),
+    ]:
+        exp = pd.merge_asof(
+            lp, rp, on="t", by="k", direction=direction,
+            tolerance=tol,
+        ).set_index("eid")["v"]
+        got = {
+            r["eid"]: r["v"]
+            for r in asof_join(
+                ldf, rdf, on="t", by=["k"], value_cols=["v"],
+                direction=direction, tolerance_s=tol,
+            ).collect()
+        }
+        for eid, want in exp.items():
+            have = got[eid]
+            want_v = None if pd.isna(want) else int(want)
+            assert have == want_v, (
+                f"{direction} tol={tol} eid={eid}: spark={have} "
+                f"pandas={want_v}"
+            )
