@@ -140,6 +140,15 @@ def test_asof_plan_one_exchange_no_join(quotes, trades):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "hashpartitioning(k" in plan, plan
 
+    # nearest: both directional fills reuse the ONE exchange (two sorts,
+    # two windows, still zero joins)
+    near = _plan(
+        asof_join(trades, quotes, on="ts", by="k", direction="nearest")
+    )
+    assert "Join" not in near, near
+    assert len(re.findall(r"\(\d+\) Exchange", near)) == 1, near
+    assert len(re.findall(r"\(\d+\) Window", near)) == 2, near
+
 
 def test_range_join_bounds_and_left(spark):
     pts = spark.createDataFrame(
