@@ -16,7 +16,9 @@ which is quadratic and does not survive 100 TB.
   partition (no global sort), zero row explosion no matter how many
   events share a key or how many snapshots precede one event. Matches
   DuckDB/pandas ``merge_asof`` semantics: backward = latest right ts
-  <= left ts (inclusive), forward = earliest right ts >= left ts.
+  <= left ts (inclusive), forward = earliest right ts >= left ts,
+  nearest = closer of the two with ties going backward (the pandas
+  rule; both fills reuse the one exchange).
 
 * ``range_join`` — bucketize the point axis: explode each right interval
   over the fixed-width buckets it covers, equi-join on (keys..., bucket),
