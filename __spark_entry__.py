@@ -76,6 +76,11 @@ _SPECS: dict[str, tuple] = {
     # monotonicity + split_counts + tail_sample (order/sample machinery:
     # kin stratified_sample stays, rolling_trend incoming). After this
     # round no SQL-backed spec's driver evidence is older than r8.
+    # r10.1 (mid-round): in — ts_anomaly_events (NEW: grid spike/dip
+    # flags with the EXACT scaled-integer threshold — the boolean itself
+    # is the hash-matched quantity). out — contamination_documents
+    # (r9-green; its token-overlap kernel IS the incoming token_overlap
+    # spec's machinery, plus c4/span_dedup/quality in-window).
 
     "asof_state_events": (
         P.asof_state_query(),
@@ -96,6 +101,10 @@ _SPECS: dict[str, tuple] = {
     "seasonal_profile_events": (
         P.seasonal_profile_query(),
         P.seasonal_profile_sql(),
+    ),
+    "ts_anomaly_events": (
+        P.ts_anomaly_query(),
+        P.ts_anomaly_sql(),
     ),
     "ngram_jaccard_pairs_documents": (
         PP.jaccard_pairs_query(0.1),
@@ -234,10 +243,6 @@ _SPECS: dict[str, tuple] = {
         PP.c4_line_filter_query(4),
         PP.c4_line_filter_sql(4),
     ),
-    "contamination_documents": (
-        PP.contamination_query(8, 37),
-        PP.contamination_sql(8, 37),
-    ),
     "span_dedup_documents": (
         PP.span_dedup_query(10),
         PP.span_dedup_sql(10),
@@ -286,6 +291,10 @@ _SPECS: dict[str, tuple] = {
     # (ann_lsh_topk: bucket membership not engine-reproducible — its recall
     # gate ann_lsh_recall IS in-window; phik_mixed: driver-side bisection
     # over a bivariate-normal integral, not SQL-expressible)
+    "contamination_documents": (
+        PP.contamination_query(8, 37),
+        PP.contamination_sql(8, 37),
+    ),
     "binary_format_mix_documents": (
         PP.binary_format_mix_query(),
         PP.binary_format_mix_sql(),

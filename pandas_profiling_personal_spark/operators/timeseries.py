@@ -475,3 +475,80 @@ def _dt_shift(granularity: str, k: int):
     import datetime as _dt
 
     return _dt.timedelta(microseconds=k * _GRAN_US[granularity])
+
+
+def detect_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_buckets: int = 24,
+    k: float = 3.0,
+    min_support: int = 8,
+    granularity: str = "hour",
+    stable: bool = False,
+) -> DataFrame:
+    """Spike/dip detection over the resampled grid: a bucket is anomalous
+    when its mean deviates from the centered rolling baseline by more
+    than ``k`` baseline standard deviations. The baseline EXCLUDES the
+    bucket itself (two window frames, ``[-half, -1]`` and ``[1, half]``)
+    — a self-inclusive window lets a large spike inflate its own baseline
+    std and mask itself. Buckets with fewer than ``min_support`` baseline
+    neighbours get ``flagged = NULL`` (not enough evidence), never a
+    silent false.
+
+    Scale shape: the raw table pays the one resample shuffle; the frames
+    run over the bounded grid.
+
+    ``stable=True`` evaluates the threshold in EXACT integer arithmetic
+    over the 4-decimal-scaled grid (the cross-engine oracle tier):
+    ``dev² · (nw-1) · 1000  >  round(k²·1000) · nw · (nw·Σq − S²)``
+    — algebraically identical to ``|v − mean| > k·std`` with the sample
+    std, but free of float rounding, so the BOOLEAN is bit-identical in
+    every engine (DECIMAL(38)/HUGEINT headroom for the products). The
+    default tier computes the same rule in plain doubles."""
+    grid = resample(df, ts_col, value_col, granularity, stable=stable)
+    half = window_buckets // 2
+    if half < 1:
+        raise ValueError("detect_anomalies: window_buckets must be >= 2")
+    wl = Window.orderBy(F.col("t")).rowsBetween(-half, -1)
+    wr = Window.orderBy(F.col("t")).rowsBetween(1, half)
+
+    def both(agg_fn, c):
+        return F.coalesce(agg_fn(c).over(wl), F.lit(0)) + F.coalesce(
+            agg_fn(c).over(wr), F.lit(0)
+        )
+
+    if stable:
+        vi = (
+            F.round(F.col("v"), 4).cast("decimal(20,4)") * F.lit(10000)
+        ).cast("long")
+        g = grid.withColumn("__vi", vi)
+        s = both(F.sum, F.col("__vi"))
+        q = both(F.sum, F.col("__vi") * F.col("__vi"))
+        nw = both(F.count, F.col("__vi"))
+        dev = (nw * F.col("__vi") - s).cast("decimal(38,0)")
+        k2 = int(round(k * k * 1000))
+        lhs = dev * dev * (nw - 1).cast("decimal(38,0)") * F.lit(1000)
+        rhs = (
+            F.lit(k2).cast("decimal(38,0)")
+            * nw.cast("decimal(38,0)")
+            * (nw * q - s * s).cast("decimal(38,0)")
+        )
+        flagged = F.when(
+            (nw >= min_support) & F.col("__vi").isNotNull(), lhs > rhs
+        )
+        return g.select(
+            "t", "v", "n", nw.alias("baseline_n"), flagged.alias("flagged")
+        )
+    s = both(F.sum, F.col("v"))
+    q = both(F.sum, F.col("v") * F.col("v"))
+    nw = both(F.count, F.col("v"))
+    mean = s / nw
+    var = (nw * q - s * s) / (nw * (nw - 1))
+    flagged = F.when(
+        (nw >= min_support) & F.col("v").isNotNull(),
+        F.abs(F.col("v") - mean) > F.lit(k) * F.sqrt(F.greatest(var, F.lit(0.0))),
+    )
+    return grid.select(
+        "t", "v", "n", nw.alias("baseline_n"), flagged.alias("flagged")
+    )

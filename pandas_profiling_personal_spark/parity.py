@@ -1799,3 +1799,82 @@ SELECT hour({ts_col}) AS period, count({value_col}) AS n,
        round(stddev_samp({value_col}), 4) AS std_value
 FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1
 """
+
+
+def ts_anomaly_query(
+    table: str = "events",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_buckets: int = 24,
+    k: float = 3.0,
+    min_support: int = 8,
+) -> QueryFn:
+    """Grid anomaly flags through the EXACT integer threshold tier
+    (stable=True): the boolean is evaluated in scaled-integer arithmetic
+    on both engines, so the flag itself — not a rounded float — is the
+    hash-matched quantity."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.timeseries import (
+            detect_anomalies,
+        )
+
+        out = detect_anomalies(
+            load(spark, sf_dir, table),
+            ts_col,
+            value_col,
+            window_buckets,
+            k,
+            min_support,
+            stable=True,
+        )
+        return out.select(
+            F.col("t").cast("string").alias("t"),
+            _r(F.col("v")).alias("v"),
+            "baseline_n",
+            "flagged",
+        )
+
+    return fn
+
+
+def ts_anomaly_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_buckets: int = 24,
+    k: float = 3.0,
+    min_support: int = 8,
+) -> str:
+    half = window_buckets // 2
+    k2 = int(round(k * k * 1000))
+    return f"""
+WITH g0 AS (SELECT date_trunc('hour', {ts_col}) AS t,
+                   CAST(sum(CAST({value_col} AS DECIMAL(30,6))) AS DOUBLE)
+                     AS s6,
+                   count({value_col}) AS n
+            FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1),
+grid AS (SELECT t, CASE WHEN n > 0 THEN s6 / n END AS v, n,
+                CAST(CAST(round(CASE WHEN n > 0 THEN s6 / n END, 4)
+                          AS DECIMAL(20,4)) * 10000 AS BIGINT) AS vi
+         FROM g0),
+w AS (SELECT t, v, vi,
+             coalesce(sum(vi) OVER wl, 0) + coalesce(sum(vi) OVER wr, 0)
+               AS s,
+             coalesce(sum(vi * vi) OVER wl, 0)
+               + coalesce(sum(vi * vi) OVER wr, 0) AS q,
+             coalesce(count(vi) OVER wl, 0)
+               + coalesce(count(vi) OVER wr, 0) AS nw
+      FROM grid
+      WINDOW wl AS (ORDER BY t ROWS BETWEEN {half} PRECEDING
+                    AND 1 PRECEDING),
+             wr AS (ORDER BY t ROWS BETWEEN 1 FOLLOWING
+                    AND {half} FOLLOWING))
+SELECT CAST(t AS VARCHAR) AS t, round(v, 4) AS v,
+       CAST(nw AS BIGINT) AS baseline_n,
+       CASE WHEN nw >= {min_support} AND vi IS NOT NULL THEN
+            CAST(nw * vi - s AS HUGEINT) * (nw * vi - s) * (nw - 1) * 1000
+            > CAST({k2} AS HUGEINT) * nw * (nw * q - s * s)
+       END AS flagged
+FROM w
+"""

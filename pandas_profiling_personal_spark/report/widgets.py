@@ -116,6 +116,28 @@ def widget_spec(result: Any, title: str = "Data profile") -> dict:
                 "html": _rows_table(result.duplicates),
             }
         )
+    ts = getattr(result, "timeseries", None) or {}
+    if ts.get("columns"):
+        children.append(
+            {
+                "type": "html",
+                "title": f"Time series (by {ts.get('ts_col')})",
+                "html": _rows_table(
+                    [
+                        {
+                            "column": c,
+                            "buckets": d.get("n_buckets"),
+                            "acf1": d.get("acf1"),
+                            "trend_r": d.get("trend_r"),
+                            "seasonal_strength": d.get(
+                                "seasonal_strength"
+                            ),
+                        }
+                        for c, d in ts["columns"].items()
+                    ]
+                ),
+            }
+        )
     return {"type": "tab", "title": title, "children": children}
 
 

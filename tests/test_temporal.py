@@ -790,3 +790,39 @@ def test_asof_all_directions_match_pandas(spark):
                 f"{direction} tol={tol} eid={eid}: spark={have} "
                 f"pandas={want_v}"
             )
+
+
+def test_detect_anomalies_planted_spike(spark):
+    """detect_anomalies: a planted 50x spike is flagged, its neighbours
+    are not (the baseline EXCLUDES self so the spike cannot mask itself);
+    low-support edge buckets return NULL; the exact-integer stable tier
+    agrees with the float tier."""
+    from pandas_profiling_personal_spark.operators.timeseries import (
+        detect_anomalies,
+    )
+
+    rows = []
+    for h in range(48):
+        v = 10.0 + (h % 5) * 0.1  # calm series
+        if h == 24:
+            v = 500.0  # the spike
+        rows.append((dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), v))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+
+    for stable in (False, True):
+        out = {
+            r["t"].day * 100 + r["t"].hour: (r["flagged"], r["baseline_n"])
+            for r in detect_anomalies(
+                df, "ts", "value", window_buckets=12, min_support=8,
+                stable=stable,
+            ).collect()
+        }
+        flagged = {k for k, (f, _) in out.items() if f}
+        assert flagged == {200}, (stable, flagged)  # day 2 hour 0 == h 24
+        # first buckets: baseline support below min_support -> NULL
+        assert out[100][0] is None and out[100][1] < 8
+        # a calm mid-series bucket is explicitly False, not NULL
+        assert out[112][0] is False
+
+    with pytest.raises(ValueError, match="window_buckets"):
+        detect_anomalies(df, "ts", "value", window_buckets=1)
