@@ -266,6 +266,11 @@ def main() -> None:
             "scaled-BIGINT window sums for cross-engine bit-equality; "
             "production default uses plain avg (codegen, no decimals)"
         ),
+        "ts_anomaly_events": (
+            "oracle tier: stable=True grid + exact scaled-integer "
+            "threshold (the flag boolean is the hash-matched quantity); "
+            "production default computes the same rule in doubles"
+        ),
         "asof_state_events": (
             "spec builds the snapshot table in-query (hourly groupBy) "
             "before the as-of itself — the union-tag window is the priced "
