@@ -330,7 +330,19 @@ def finalize_timeseries(
     the mergeable per-shard state (plans/incremental.py), so merged
     states finalize EXACTLY like a whole-table pass."""
     season_key = _SEASON_OF_GRAN.get(granularity, "hour_of_day")
-    all_ts = sorted({t for c in value_cols for t, *_ in cells.get(c, [])})
+    # bucket coverage counts buckets with AT LEAST ONE tracked observation
+    # (n > 0 in some column) — deliberately, so the batch path and the
+    # mergeable state (which stores only n>0 cells,
+    # plans/incremental.timeseries_partial) agree by construction even on
+    # buckets whose every tracked column is null
+    all_ts = sorted(
+        {
+            t
+            for c in value_cols
+            for t, _s, _ss, n in cells.get(c, [])
+            if n and n > 0
+        }
+    )
     rows = all_ts
 
     def _period(ts):

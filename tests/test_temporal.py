@@ -826,3 +826,36 @@ def test_detect_anomalies_planted_spike(spark):
 
     with pytest.raises(ValueError, match="window_buckets"):
         detect_anomalies(df, "ts", "value", window_buckets=1)
+
+
+def test_timeseries_state_all_null_bucket_consistency(spark):
+    """A bucket whose every tracked column is null counts the same in the
+    batch tsmode pass and the merged state (review r10: the batch path
+    counted raw grid rows, the state stores only n>0 cells — coverage is
+    defined as buckets with >=1 tracked observation on BOTH paths)."""
+    from pandas_profiling_personal_spark.operators.timeseries import (
+        timeseries_profile,
+    )
+    from pandas_profiling_personal_spark.plans.incremental import (
+        merge_timeseries_states,
+        timeseries_of,
+        timeseries_partial,
+    )
+
+    rows = [
+        (_ts(0), 1.0, 2.0),
+        (_ts(1), None, None),  # ts rows exist, every value null
+        (_ts(2), 3.0, None),
+        (_ts(5), 4.0, 5.0),  # hours 3-4 truly empty
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, a double, b double")
+    whole = timeseries_profile(df, "ts", ["a", "b"], lags=2)
+    merged = merge_timeseries_states(
+        [
+            timeseries_partial(df.where(F.hour("ts") % 2 == i), "ts", ["a", "b"])
+            for i in range(2)
+        ]
+    )
+    got = timeseries_of(merged, lags=2)
+    assert whole["n_buckets"] == got["n_buckets"] == 3
+    assert whole["empty_buckets"] == got["empty_buckets"] == 3
