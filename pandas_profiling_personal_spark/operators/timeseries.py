@@ -522,6 +522,11 @@ def detect_anomalies(
     half = window_buckets // 2
     if half < 1:
         raise ValueError("detect_anomalies: window_buckets must be >= 2")
+    if min_support < 2:
+        raise ValueError(
+            "detect_anomalies: min_support must be >= 2 — a baseline "
+            "std needs at least two neighbours"
+        )
     wl = Window.orderBy(F.col("t")).rowsBetween(-half, -1)
     wr = Window.orderBy(F.col("t")).rowsBetween(1, half)
 
@@ -536,15 +541,20 @@ def detect_anomalies(
         ).cast("long")
         g = grid.withColumn("__vi", vi)
         s = both(F.sum, F.col("__vi"))
-        q = both(F.sum, F.col("__vi") * F.col("__vi"))
+        # vi² accumulates in DECIMAL so large value magnitudes widen
+        # instead of overflowing long under ANSI (exact either way; the
+        # decimal arithmetic only ever touches the bounded grid)
+        q = both(
+            F.sum, F.col("__vi").cast("decimal(38,0)") * F.col("__vi")
+        )
         nw = both(F.count, F.col("__vi"))
-        dev = (nw * F.col("__vi") - s).cast("decimal(38,0)")
+        dev = nw * F.col("__vi").cast("decimal(38,0)") - s
         k2 = int(round(k * k * 1000))
         lhs = dev * dev * (nw - 1).cast("decimal(38,0)") * F.lit(1000)
         rhs = (
             F.lit(k2).cast("decimal(38,0)")
             * nw.cast("decimal(38,0)")
-            * (nw * q - s * s).cast("decimal(38,0)")
+            * (nw * q - s.cast("decimal(38,0)") * s)
         )
         flagged = F.when(
             (nw >= min_support) & F.col("__vi").isNotNull(), lhs > rhs
