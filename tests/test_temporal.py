@@ -859,3 +859,79 @@ def test_timeseries_state_all_null_bucket_consistency(spark):
     got = timeseries_of(merged, lags=2)
     assert whole["n_buckets"] == got["n_buckets"] == 3
     assert whole["empty_buckets"] == got["empty_buckets"] == 3
+
+
+def test_asof_date_axis_and_stream_range_by_keys(spark, tmp_path):
+    """DATE on-columns work through the epoch-micros view; the streaming
+    range join honors equality keys; the CLI granularity disagreement
+    refuses by name."""
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    from pandas_profiling_personal_spark.streaming.temporal_stream import (
+        range_join_stream,
+    )
+
+    d = dt.date
+    left = spark.createDataFrame(
+        [(1, "a", d(2024, 1, 5)), (2, "a", d(2024, 1, 1))],
+        "eid int, k string, t date",
+    )
+    right = spark.createDataFrame(
+        [("a", d(2024, 1, 3), 7.0)], "k string, t date, v double"
+    )
+    got = {
+        r["eid"]: r["v"]
+        for r in asof_join(left, right, on="t", by=["k"]).collect()
+    }
+    assert got == {1: 7.0, 2: None}
+
+    # streaming range join with a by key: only same-key windows match
+    wins = spark.createDataFrame(
+        [("a", 0, 10, 100), ("b", 0, 10, 200)],
+        "k string, lo int, hi int, win_id int",
+    )
+    rows = [(1, "a", 5), (2, "b", 5), (3, "a", 50)]
+    schema = "eid int, k string, x int"
+    src = tmp_path / "rjk_src"
+    spark.createDataFrame(rows, schema).write.parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        range_join_stream(stream, wins, "x", "lo", "hi", by=["k"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_rjk")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        pairs = sorted(
+            (r["eid"], r["win_id"]) for r in spark.table("t_rjk").collect()
+        )
+    finally:
+        q.stop()
+    assert pairs == [(1, 100), (2, 200)]
+
+    # CLI: explicit granularity disagreeing with the aligned sidecar
+    day1 = tmp_path / "g1.parquet"
+    ts = [dt.datetime(2024, 1, 1) + dt.timedelta(hours=h) for h in range(30)]
+    pd.DataFrame({"ts": ts, "v": [float(h) for h in range(30)]}).to_parquet(day1)
+    st = tmp_path / "g_st.json"
+
+    def run(*argv):
+        return subprocess.run(
+            [sys.executable, "-m", "pandas_profiling_personal_spark.cli",
+             *argv, "--master", "local[2]"],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+
+    assert run(str(day1), "--save-state", str(st),
+               "--timeseries-col", "ts").returncode == 0
+    p = run(str(day1), "--save-state", str(tmp_path / "g_st2.json"),
+            "--align-state", str(st), "--timeseries-granularity", "day")
+    assert p.returncode != 0
+    assert "disagrees with the aligned sidecar's granularity" in (
+        p.stderr + p.stdout
+    )
