@@ -279,13 +279,21 @@ def grid_cells(
     ts_col: str,
     value_cols: list[str],
     granularity: str = "hour",
+    max_grid_rows: int = 200_000,
 ) -> dict:
     """The ONE raw-table pass behind the tsmode tier: per date_trunc
     bucket, (sum, sumsq, count) for every column in a single
     combine-friendly shuffle. Returns {col: [(t, s, ss, n), ...]} sorted
     by t — plain additive cells, which is what makes the per-shard
     time-series STATE exactly mergeable (plans/incremental.py): two
-    shards' cells merge by vector add with zero information loss."""
+    shards' cells merge by vector add with zero information loss.
+
+    The grid is bounded by timespan/granularity, NOT the raw row count —
+    but minute buckets over decades would still be millions of driver
+    rows × 3 cells per column, so the collect is capped: more than
+    ``max_grid_rows`` buckets refuses loudly naming the fix (coarser
+    granularity, shorter span, or a raised cap) instead of silently
+    OOMing the driver."""
     if granularity not in _GRAN_US:
         raise ValueError(
             f"timeseries grid: granularity must be one of "
@@ -306,8 +314,17 @@ def grid_cells(
         df.where(F.col(ts_col).isNotNull())
         .groupBy(t.alias("t"))
         .agg(*aggs)
+        .limit(max_grid_rows + 1)
         .collect()
     )
+    if len(rows) > max_grid_rows:
+        raise ValueError(
+            f"timeseries grid: more than {max_grid_rows} "
+            f"{granularity} buckets — the grid diagnostics are driver "
+            "arithmetic over collected cells; use a coarser granularity, "
+            "profile a narrower time span, or raise max_grid_rows "
+            "explicitly"
+        )
     rows.sort(key=lambda r: r["t"])
     return {
         c: [

@@ -935,3 +935,22 @@ def test_asof_date_axis_and_stream_range_by_keys(spark, tmp_path):
     assert "disagrees with the aligned sidecar's granularity" in (
         p.stderr + p.stdout
     )
+
+
+def test_grid_cap_refuses_loudly(spark):
+    """grid_cells refuses when the bucket count exceeds the driver-collect
+    cap, naming the fix — never a silent driver OOM."""
+    from pandas_profiling_personal_spark.operators.timeseries import (
+        grid_cells,
+    )
+
+    rows = [
+        (dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), float(m))
+        for m in range(0, 240)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    with pytest.raises(ValueError, match="coarser granularity"):
+        grid_cells(df, "ts", ["v"], "minute", max_grid_rows=100)
+    # under the cap: full result
+    cells = grid_cells(df, "ts", ["v"], "minute", max_grid_rows=240)
+    assert len(cells["v"]) == 240
