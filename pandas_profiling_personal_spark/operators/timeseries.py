@@ -497,6 +497,26 @@ def finalize_timeseries(
             }
             for p, (gs, gn) in sorted(groups.items())
         ]
+        # anomalous buckets (same rule as detect_anomalies: deviation
+        # from the self-excluding centered rolling baseline > 3 stds,
+        # >= 8 neighbours) — pure driver arithmetic over the cells the
+        # tier already collected; bounded list so the report stays small
+        vs_seq = [means[ts] for ts in ts_sorted]
+        anoms = []
+        half = 12
+        for i, ts in enumerate(ts_sorted):
+            nbrs = vs_seq[max(0, i - half):i] + vs_seq[i + 1:i + 1 + half]
+            nwn = len(nbrs)
+            if nwn < 8:
+                continue
+            mu = sum(nbrs) / nwn
+            var = sum((x - mu) ** 2 for x in nbrs) / (nwn - 1)
+            if abs(vs_seq[i] - mu) > 3.0 * var**0.5:
+                anoms.append(
+                    {"t": ts, "value": vs_seq[i], "baseline_mean": mu}
+                )
+        col["n_anomalies"] = len(anoms)
+        col["anomalies"] = anoms[:20]
     return out
 
 

@@ -152,4 +152,15 @@ def compute_alerts(result: "ProfileResult", cfg: ProfileConfig) -> list[dict[str
         acf1 = ts.get("acf1")
         if acf1 is not None and abs(acf1) >= cfg.ts_autocorr_threshold:
             alerts.append(_alert("TS_AUTOCORRELATED", name, acf1=acf1))
+        n_anom = ts.get("n_anomalies") or 0
+        if n_anom > 0:
+            first = (ts.get("anomalies") or [{}])[0].get("t")
+            alerts.append(
+                _alert(
+                    "TS_ANOMALIES",
+                    name,
+                    n=n_anom,
+                    first=str(first) if first is not None else None,
+                )
+            )
     return alerts

@@ -768,6 +768,18 @@ def render_html(result: "Any", title: str = "Data profile") -> str:
                     _sample_table(season_rows),
                 )
             )
+        anom_rows = [
+            {
+                "column": cname,
+                "t": str(a.get("t")),
+                "value": _fmt(a.get("value")),
+                "baseline_mean": _fmt(a.get("baseline_mean")),
+            }
+            for cname, ts in timeseries["columns"].items()
+            for a in (ts.get("anomalies") or [])
+        ]
+        if anom_rows:
+            ts_tabs.append(("Anomalies", _sample_table(anom_rows)))
         parts.append(_tabs(ts_tabs))
 
     parts.append("</div></body></html>")

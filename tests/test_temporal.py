@@ -330,7 +330,11 @@ def test_timeseries_profile_tier_and_alerts(spark):
     assert ("TS_SEASONAL", "seasonal") in kinds
     assert ("TS_TRENDING", "trending") in kinds
     assert ("TS_AUTOCORRELATED", "seasonal") in kinds
-    assert not any(k.startswith("TS_") and c == "noise" for k, c in kinds)
+    # no STRUCTURAL alerts on the noise column (TS_ANOMALIES may
+    # legitimately fire — random noise can contain a local 3-sigma
+    # outlier; structure alerts must not)
+    structural = {"TS_SEASONAL", "TS_TRENDING", "TS_AUTOCORRELATED"}
+    assert not any(k in structural and c == "noise" for k, c in kinds)
 
     d = json.loads(res.to_json())
     assert d["timeseries"]["columns"]["trending"]["trend_r"] > 0.999
@@ -954,3 +958,36 @@ def test_grid_cap_refuses_loudly(spark):
     # under the cap: full result
     cells = grid_cells(df, "ts", ["v"], "minute", max_grid_rows=240)
     assert len(cells["v"]) == 240
+
+
+def test_tsmode_anomalies_in_profile(spark):
+    """profile(timeseries_ts_col=) surfaces anomalous buckets: a planted
+    spike shows up in the column's anomalies list, fires TS_ANOMALIES,
+    and renders an Anomalies tab; calm columns carry none."""
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+    from pandas_profiling_personal_spark.report.html import render_html
+
+    rows = []
+    for h in range(72):
+        v = 10.0 + (h % 3) * 0.1
+        if h == 36:
+            v = 400.0
+        rows.append(
+            (dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), v, 1.0)
+        )
+    df = spark.createDataFrame(rows, "ts timestamp, spiky double, calm double")
+    res = profile(
+        df,
+        ProfileConfig(
+            correlations=(), duplicates=False, timeseries_ts_col="ts"
+        ),
+    )
+    sp = res.timeseries["columns"]["spiky"]
+    assert sp["n_anomalies"] == 1
+    assert sp["anomalies"][0]["t"].day == 2 and sp["anomalies"][0]["t"].hour == 12
+    assert res.timeseries["columns"]["calm"]["n_anomalies"] == 0
+    kinds = {(a["type"], a.get("column")) for a in res.alerts}
+    assert ("TS_ANOMALIES", "spiky") in kinds
+    assert not any(k == "TS_ANOMALIES" and c == "calm" for k, c in kinds)
+    page = render_html(res)
+    assert "Anomalies" in page and "400" in page
