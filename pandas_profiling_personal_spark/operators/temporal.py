@@ -110,12 +110,17 @@ def asof_join(
     snap = F.struct(
         F.col(on).alias("__ts"), *[F.col(c) for c in vals]
     ).alias("__snap")
-    # null-ts rows must not participate in matching (DuckDB ASOF / pandas
-    # merge_asof semantics: a NULL comparison is no match): null-ts
-    # snapshots would sort FIRST under ascending order and be carried into
-    # every later event; null-ts left rows get their snap nulled below
+    # null-ts and null-key rows must not participate in matching (DuckDB
+    # ASOF / pandas merge_asof semantics: a NULL comparison is no match,
+    # and NULL by-keys match nothing — whereas a Spark window PARTITIONS
+    # null keys together): null-ts snapshots would sort FIRST under
+    # ascending order and be carried into every later event; null-ts /
+    # null-key left rows get their snap nulled below
+    r_ok = F.col(on).isNotNull()
+    for c in by:
+        r_ok = r_ok & F.col(c).isNotNull()
     r = (
-        right.where(F.col(on).isNotNull())
+        right.where(r_ok)
         .select(*[F.col(c) for c in by], F.col(on), snap)
         .withColumn("__side", F.lit(0))
     )
@@ -168,8 +173,11 @@ def asof_join(
             .otherwise(F.col("__f"))
         )
         filled = u.withColumn("__snap", chosen).drop("__b", "__f")
+    l_ok = ts.isNotNull()
+    for c in by:
+        l_ok = l_ok & F.col(c).isNotNull()
     filled = filled.where(F.col("__side") == 1).withColumn(
-        "__snap", F.when(ts.isNotNull(), F.col("__snap"))
+        "__snap", F.when(l_ok, F.col("__snap"))
     )
 
     if tolerance_s is not None:

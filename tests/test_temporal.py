@@ -991,3 +991,20 @@ def test_tsmode_anomalies_in_profile(spark):
     assert not any(k == "TS_ANOMALIES" and c == "calm" for k, c in kinds)
     page = render_html(res)
     assert "Anomalies" in page and "400" in page
+
+
+def test_asof_null_by_key_matches_nothing(spark):
+    """NULL by-keys match nothing (pandas merge_asof / SQL equality
+    semantics) — a Spark window would otherwise PARTITION null keys
+    together and match null-key events to null-key snapshots."""
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, None, 10)], "eid int, k string, t int"
+    )
+    right = spark.createDataFrame(
+        [("a", 5, 1.0), (None, 5, 666.0)], "k string, t int, v double"
+    )
+    got = {
+        r["eid"]: r["v"]
+        for r in asof_join(left, right, on="t", by=["k"]).collect()
+    }
+    assert got == {1: 1.0, 2: None}
