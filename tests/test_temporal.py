@@ -1008,3 +1008,23 @@ def test_asof_null_by_key_matches_nothing(spark):
         for r in asof_join(left, right, on="t", by=["k"]).collect()
     }
     assert got == {1: 1.0, 2: None}
+
+
+def test_asof_composite_keys(spark):
+    """Multiple equality keys: matches require BOTH keys equal; the plan
+    still hashes once on the composite."""
+    left = spark.createDataFrame(
+        [(1, "a", 1, 10), (2, "a", 2, 10), (3, "b", 1, 10)],
+        "eid int, k1 string, k2 int, t int",
+    )
+    right = spark.createDataFrame(
+        [("a", 1, 5, 1.0), ("a", 2, 5, 2.0), ("b", 2, 5, 3.0)],
+        "k1 string, k2 int, t int, v double",
+    )
+    got = {
+        r["eid"]: r["v"]
+        for r in asof_join(
+            left, right, on="t", by=["k1", "k2"], value_cols=["v"]
+        ).collect()
+    }
+    assert got == {1: 1.0, 2: 2.0, 3: None}
