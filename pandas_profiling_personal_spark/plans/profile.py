@@ -1008,7 +1008,9 @@ def profile(
         # grid aggregate (a single shuffle over the raw table; the bounded
         # grid collects to the driver for exact arithmetic)
         timeseries: dict[str, Any] = {}
-        if cfg.timeseries_ts_col:
+        # skipped under redact, the segments rule: bucket means of
+        # single-row buckets and anomaly values ARE data values
+        if cfg.timeseries_ts_col and not cfg.redact:
             tsc = cfg.timeseries_ts_col
             if tsc not in types:
                 raise ValueError(

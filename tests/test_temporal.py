@@ -1028,3 +1028,24 @@ def test_asof_composite_keys(spark):
         ).collect()
     }
     assert got == {1: 1.0, 2: 2.0, 3: None}
+
+
+def test_tsmode_skipped_under_redact(spark):
+    """redact skips the time-series tier (the segments rule): bucket
+    means of single-row buckets and anomaly values ARE data values."""
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+
+    rows = [
+        (dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), float(h))
+        for h in range(30)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    res = profile(
+        df,
+        ProfileConfig(
+            correlations=(), duplicates=False,
+            timeseries_ts_col="ts", redact=True,
+        ),
+    )
+    assert res.timeseries == {}
+    assert not any(a["type"].startswith("TS_") for a in res.alerts)
