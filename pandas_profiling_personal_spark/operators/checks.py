@@ -1,0 +1,643 @@
+"""Declarative data-quality constraint suite — the validation (CI-gate) surface.
+
+The reference only *reports* after profiling (``model/messages.py:102`` —
+``check_table_messages`` turns computed stats into advisory messages); it has no
+way to DECLARE an expectation up front and fail a pipeline when data breaks it.
+At 100 TB that forward contract is the operation that matters: "yesterday's
+corpus had o_custkey 100% complete and o_orderkey unique — refuse today's load
+if that stopped being true". This module adds it, Spark-first, with the check /
+metric decomposition popularized by Schelter et al., *Automating Large-Scale
+Data Quality Verification* (VLDB 2018) — the implementation here is original
+and built entirely on ``pyspark.sql`` built-ins.
+
+Execution shape (the scale contract):
+
+* ALL scalar constraints (completeness / compliance ratios / aggregate-metric
+  bounds) over one table compile into ONE conditional-aggregate pass — a single
+  scan, whole-stage-codegen'd, no Python in the plan. Quantile bounds ride a
+  separate percentile aggregation joined 1-row x 1-row (the numeric_summary
+  split: mixing TypedImperativeAggregate with declarative aggs forces the whole
+  aggregate interpreted).
+* ALL uniqueness-family constraints (uniqueness / distinctness / primary_key)
+  share ONE melt -> groupBy shuffle regardless of how many key subsets are
+  declared (the contingency_all_pairs pattern from correlations.py).
+* ALL functional dependencies share ONE melt -> two-level groupBy shuffle.
+* Each foreign-key containment is a LEFT ANTI join against the DISTINCT parent
+  keys — the parent side collapses to its key cardinality before the join, so
+  AQE broadcasts real dimension tables; child rows with any NULL key column
+  pass vacuously (ANSI FK semantics).
+
+Null semantics (documented, both engines): column-predicate compliance is
+measured over NON-NULL rows only — missing data is ``completeness``'s job, not
+``in_range``'s. Uniqueness keys treat NULL as a regular (sentinel) value.
+Empty-input ratios are NULL and pass vacuously.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Mapping
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pandas_profiling_personal_spark.functions import stats as S
+
+ROUND = 4
+
+# unit-separator sentinel for NULL key components — collision-safe against any
+# printable value, identical literal on the DuckDB oracle side
+NULL_SENTINEL = "\x1fNULL\x1f"
+KEY_SEP = "\x1f"
+
+RESULT_COLUMNS = [
+    "check_name",
+    "kind",
+    "column",
+    "metric",
+    "value",
+    "lower",
+    "upper",
+    "passed",
+]
+
+
+@dataclass(frozen=True)
+class Check:
+    """One declared constraint. Build via the constructor functions below."""
+
+    kind: str
+    columns: tuple[str, ...]
+    name: str
+    params: Mapping[str, Any] = field(default_factory=dict)
+
+    def display_column(self) -> str:
+        return ",".join(self.columns)
+
+
+# ---------------------------------------------------------------------------
+# constructors — the declarative surface
+# ---------------------------------------------------------------------------
+
+
+def completeness(col: str, min_ratio: float = 1.0, name: str | None = None) -> Check:
+    """Fraction of rows where ``col`` is not NULL must be >= min_ratio."""
+    return Check("completeness", (col,), name or f"completeness({col})",
+                 {"min_ratio": float(min_ratio)})
+
+
+def satisfies(predicate_sql: str, name: str, min_ratio: float = 1.0,
+              columns: tuple[str, ...] = ()) -> Check:
+    """Fraction of ALL rows satisfying an arbitrary SQL predicate.
+
+    The predicate is evaluated row-wise over the whole frame (NULL counts as
+    not satisfied); use the typed constructors for per-column semantics.
+    """
+    return Check("satisfies", tuple(columns), name,
+                 {"predicate": predicate_sql, "min_ratio": float(min_ratio)})
+
+
+def in_range(col: str, lo: float, hi: float, min_ratio: float = 1.0,
+             name: str | None = None) -> Check:
+    """Fraction of NON-NULL values inside [lo, hi] must be >= min_ratio."""
+    return Check("in_range", (col,), name or f"in_range({col})",
+                 {"lo": float(lo), "hi": float(hi), "min_ratio": float(min_ratio)})
+
+
+def non_negative(col: str, min_ratio: float = 1.0, name: str | None = None) -> Check:
+    return Check("non_negative", (col,), name or f"non_negative({col})",
+                 {"min_ratio": float(min_ratio)})
+
+
+def is_in_set(col: str, values: list, min_ratio: float = 1.0,
+              name: str | None = None) -> Check:
+    """Fraction of NON-NULL values inside the allowed set must be >= min_ratio."""
+    return Check("is_in_set", (col,), name or f"is_in_set({col})",
+                 {"values": tuple(values), "min_ratio": float(min_ratio)})
+
+
+def matches(col: str, pattern: str, min_ratio: float = 1.0,
+            name: str | None = None) -> Check:
+    """Fraction of NON-NULL values fully matching an RE2-safe regex.
+
+    Keep the pattern to the common-subset syntax (char classes, anchors,
+    bounded repetition) so Spark's ``rlike`` and the DuckDB oracle's
+    ``regexp_matches`` agree.
+    """
+    return Check("matches", (col,), name or f"matches({col})",
+                 {"pattern": pattern, "min_ratio": float(min_ratio)})
+
+
+def _metric_bound(kind: str, col: str, lo, hi, name: str | None) -> Check:
+    return Check(kind, (col,), name or f"{kind}({col})",
+                 {"lo": None if lo is None else float(lo),
+                  "hi": None if hi is None else float(hi)})
+
+
+def mean_between(col: str, lo=None, hi=None, name: str | None = None) -> Check:
+    return _metric_bound("mean_between", col, lo, hi, name)
+
+
+def sum_between(col: str, lo=None, hi=None, name: str | None = None) -> Check:
+    return _metric_bound("sum_between", col, lo, hi, name)
+
+
+def min_between(col: str, lo=None, hi=None, name: str | None = None) -> Check:
+    return _metric_bound("min_between", col, lo, hi, name)
+
+
+def max_between(col: str, lo=None, hi=None, name: str | None = None) -> Check:
+    return _metric_bound("max_between", col, lo, hi, name)
+
+
+def stddev_between(col: str, lo=None, hi=None, name: str | None = None) -> Check:
+    return _metric_bound("stddev_between", col, lo, hi, name)
+
+
+def quantile_between(col: str, q: float, lo=None, hi=None,
+                     name: str | None = None) -> Check:
+    c = Check("quantile_between", (col,),
+              name or f"quantile_between({col},{q})",
+              {"q": float(q),
+               "lo": None if lo is None else float(lo),
+               "hi": None if hi is None else float(hi)})
+    return c
+
+
+def row_count_between(lo=None, hi=None, name: str = "row_count") -> Check:
+    return Check("row_count_between", (), name,
+                 {"lo": None if lo is None else float(lo),
+                  "hi": None if hi is None else float(hi)})
+
+
+def uniqueness(cols: list[str] | str, min_ratio: float = 1.0,
+               name: str | None = None) -> Check:
+    """Fraction of rows whose key value occurs exactly once (NULL = a value)."""
+    cols = (cols,) if isinstance(cols, str) else tuple(cols)
+    return Check("uniqueness", cols, name or f"uniqueness({','.join(cols)})",
+                 {"min_ratio": float(min_ratio)})
+
+
+def distinctness(cols: list[str] | str, min_ratio: float = 0.0,
+                 name: str | None = None) -> Check:
+    """n_distinct(key) / n_rows (NULL = a value)."""
+    cols = (cols,) if isinstance(cols, str) else tuple(cols)
+    return Check("distinctness", cols, name or f"distinctness({','.join(cols)})",
+                 {"min_ratio": float(min_ratio)})
+
+
+def primary_key(cols: list[str] | str, name: str | None = None) -> Check:
+    """Uniqueness == 1 AND no NULL key components (reported as one row)."""
+    cols = (cols,) if isinstance(cols, str) else tuple(cols)
+    return Check("primary_key", cols, name or f"primary_key({','.join(cols)})", {})
+
+
+def foreign_key(cols: list[str] | str, ref: str, ref_cols: list[str] | str,
+                max_violation_ratio: float = 0.0, name: str | None = None) -> Check:
+    """Child keys must exist in the parent: violation_ratio <= bound.
+
+    ``ref`` names a frame in ``check_suite(refs={...})``. Child rows with any
+    NULL key column pass vacuously (ANSI FK semantics). The violation ratio is
+    violations / fully-non-null child rows.
+    """
+    cols = (cols,) if isinstance(cols, str) else tuple(cols)
+    ref_cols = (ref_cols,) if isinstance(ref_cols, str) else tuple(ref_cols)
+    if len(cols) != len(ref_cols):
+        raise ValueError(
+            f"foreign_key: child key {cols} and parent key {ref_cols} "
+            "have different lengths"
+        )
+    return Check("foreign_key", cols,
+                 name or f"foreign_key({','.join(cols)}->{ref})",
+                 {"ref": ref, "ref_cols": ref_cols,
+                  "max_violation_ratio": float(max_violation_ratio)})
+
+
+def functional_dependency(determinant: list[str] | str, dependent: str,
+                          min_ratio: float = 1.0, name: str | None = None) -> Check:
+    """Determinant groups with exactly one dependent value / all groups.
+
+    ratio == 1.0 means ``determinant -> dependent`` holds exactly. NULL
+    dependents count as a value (a group with {NULL, 'x'} violates).
+    """
+    det = (determinant,) if isinstance(determinant, str) else tuple(determinant)
+    return Check("functional_dependency", det + (dependent,),
+                 name or f"fd({','.join(det)}->{dependent})",
+                 {"n_det": len(det), "min_ratio": float(min_ratio)})
+
+
+# ---------------------------------------------------------------------------
+# compilation — scalar pass
+# ---------------------------------------------------------------------------
+
+_SCALAR_KINDS = {
+    "completeness", "satisfies", "in_range", "non_negative", "is_in_set",
+    "matches", "mean_between", "sum_between", "min_between", "max_between",
+    "stddev_between", "quantile_between", "row_count_between",
+}
+_KEY_KINDS = {"uniqueness", "distinctness", "primary_key"}
+
+
+def _predicate(chk: Check) -> Column:
+    c = F.col(chk.columns[0]) if chk.columns else None
+    k = chk.kind
+    if k == "in_range":
+        return (c >= F.lit(chk.params["lo"])) & (c <= F.lit(chk.params["hi"]))
+    if k == "non_negative":
+        return c >= F.lit(0)
+    if k == "is_in_set":
+        return c.isin(*chk.params["values"])
+    if k == "matches":
+        return c.rlike(chk.params["pattern"])
+    raise AssertionError(k)
+
+
+def _ratio_row(name: str, kind: str, column: str, metric: str,
+               value: Column, lo, hi) -> Column:
+    """A result row as a struct; pass rule: NULL value passes vacuously."""
+    v = F.round(value.cast("double"), ROUND)
+    lo_c = F.lit(lo).cast("double")
+    hi_c = F.lit(hi).cast("double")
+    ok = F.lit(True)
+    if lo is not None:
+        ok = ok & (v >= lo_c)
+    if hi is not None:
+        ok = ok & (v <= hi_c)
+    return F.struct(
+        F.lit(name).alias("check_name"),
+        F.lit(kind).alias("kind"),
+        F.lit(column).alias("column"),
+        F.lit(metric).alias("metric"),
+        v.alias("value"),
+        lo_c.alias("lower"),
+        hi_c.alias("upper"),
+        F.coalesce(v.isNull() | ok, F.lit(True)).alias("passed"),
+    )
+
+
+def _scalar_rows(df: DataFrame, checks: list[Check],
+                 exact_quantiles: bool) -> DataFrame | None:
+    """ALL scalar constraints as ONE aggregate pass (+ a percentile branch)."""
+    decl: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    pct: list[Column] = []
+    rows: list[tuple[Check, str, str]] = []  # (check, value alias, metric)
+    for i, chk in enumerate(checks):
+        a = f"__v{i}"
+        k = chk.kind
+        col = chk.columns[0] if chk.columns else None
+        c = F.col(col) if col else None
+        if k == "completeness":
+            decl.append(F.count(c).alias(a))
+            rows.append((chk, a, "completeness"))
+        elif k == "satisfies":
+            decl.append(
+                F.sum(F.when(F.expr(chk.params["predicate"]), 1).otherwise(0))
+                .alias(a)
+            )
+            rows.append((chk, a, "compliance"))
+        elif k in ("in_range", "non_negative", "is_in_set", "matches"):
+            decl.append(F.sum(F.when(_predicate(chk), 1).otherwise(0)).alias(a))
+            decl.append(F.count(c).alias(a + "_d"))
+            rows.append((chk, a, "compliance"))
+        elif k == "mean_between":
+            decl.append(S.mean(c).alias(a))
+            rows.append((chk, a, "mean"))
+        elif k == "sum_between":
+            decl.append(S.stable_sum(c).alias(a))
+            rows.append((chk, a, "sum"))
+        elif k == "min_between":
+            decl.append(F.min(c).cast("double").alias(a))
+            rows.append((chk, a, "min"))
+        elif k == "max_between":
+            decl.append(F.max(c).cast("double").alias(a))
+            rows.append((chk, a, "max"))
+        elif k == "stddev_between":
+            decl.append(S.stddev(c).alias(a))
+            rows.append((chk, a, "stddev"))
+        elif k == "quantile_between":
+            pct.append(
+                S.quantile(c, chk.params["q"], exact=exact_quantiles).alias(a)
+            )
+            rows.append((chk, a, f"q{chk.params['q']}"))
+        elif k == "row_count_between":
+            rows.append((chk, "__n", "row_count"))
+        else:  # pragma: no cover
+            raise AssertionError(k)
+    if not rows:
+        return None
+    agg = df.agg(*decl)
+    if pct:
+        # separate percentile aggregation, joined 1-row x 1-row (see module doc)
+        agg = agg.join(df.agg(*pct))
+    structs = []
+    for chk, a, metric in rows:
+        p = chk.params
+        if chk.kind == "completeness":
+            val = F.try_divide(F.col(a), F.col("__n"))
+            lo, hi = p["min_ratio"], None
+        elif chk.kind == "satisfies":
+            val = F.try_divide(F.col(a), F.col("__n"))
+            lo, hi = p["min_ratio"], None
+        elif chk.kind in ("in_range", "non_negative", "is_in_set", "matches"):
+            val = F.try_divide(F.col(a), F.col(a + "_d"))
+            lo, hi = p["min_ratio"], None
+        elif chk.kind == "row_count_between":
+            val = F.col(a)
+            lo, hi = p["lo"], p["hi"]
+        else:
+            val = F.col(a)
+            lo, hi = p["lo"], p["hi"]
+        structs.append(
+            _ratio_row(chk.name, chk.kind, chk.display_column(), metric, val,
+                       lo, hi)
+        )
+    return agg.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# compilation — uniqueness family (ONE melt shuffle for every key subset)
+# ---------------------------------------------------------------------------
+
+
+def _key_expr(cols: tuple[str, ...]) -> Column:
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit(NULL_SENTINEL)) for c in cols
+    ]
+    return F.concat_ws(KEY_SEP, *parts)
+
+
+def _key_rows(df: DataFrame, checks: list[Check]) -> DataFrame | None:
+    if not checks:
+        return None
+    structs = [
+        F.struct(F.lit(i).alias("sid"), _key_expr(chk.columns).alias("key"),
+                 # NULL-component flag rides the melt for primary_key
+                 sum(
+                     (F.col(c).isNull().cast("int") for c in chk.columns),
+                     F.lit(0),
+                 ).alias("null_parts"))
+        for i, chk in enumerate(checks)
+    ]
+    melted = df.select(F.explode(F.array(*structs)).alias("kv")).select("kv.*")
+    per_key = melted.groupBy("sid", "key").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("null_parts").alias("null_parts"),
+    )
+    per_sid = per_key.groupBy("sid").agg(
+        F.sum("cnt").alias("rows"),
+        F.count(F.lit(1)).alias("groups"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("singletons"),
+        F.sum("null_parts").alias("null_parts"),
+    )
+    structs_out = []
+    whens = None
+    for i, chk in enumerate(checks):
+        if chk.kind == "uniqueness":
+            val = F.try_divide(F.col("singletons"), F.col("rows"))
+            lo, metric = chk.params["min_ratio"], "uniqueness"
+        elif chk.kind == "distinctness":
+            val = F.try_divide(F.col("groups"), F.col("rows"))
+            lo, metric = chk.params["min_ratio"], "distinctness"
+        else:  # primary_key: unique AND fully non-null
+            val = F.when(F.col("null_parts") > 0, F.lit(0.0)).otherwise(
+                F.try_divide(F.col("singletons"), F.col("rows")))
+            lo, metric = 1.0, "primary_key"
+        row = _ratio_row(chk.name, chk.kind, chk.display_column(), metric, val,
+                         lo, None)
+        whens = (F.when(F.col("sid") == i, row) if whens is None
+                 else whens.when(F.col("sid") == i, row))
+    return per_sid.select(whens.alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# compilation — functional dependencies (ONE shared melt shuffle)
+# ---------------------------------------------------------------------------
+
+
+def _fd_rows(df: DataFrame, checks: list[Check]) -> DataFrame | None:
+    if not checks:
+        return None
+    structs = []
+    for i, chk in enumerate(checks):
+        n_det = chk.params["n_det"]
+        det, dep = chk.columns[:n_det], chk.columns[n_det]
+        structs.append(
+            F.struct(
+                F.lit(i).alias("fid"),
+                _key_expr(det).alias("det"),
+                F.coalesce(F.col(dep).cast("string"),
+                           F.lit(NULL_SENTINEL)).alias("dep"),
+            )
+        )
+    melted = df.select(F.explode(F.array(*structs)).alias("kv")).select("kv.*")
+    per_group = melted.groupBy("fid", "det").agg(
+        F.count_distinct(F.col("dep")).alias("ndep")
+    )
+    per_fd = per_group.groupBy("fid").agg(
+        F.count(F.lit(1)).alias("groups"),
+        F.sum(F.when(F.col("ndep") > 1, 1).otherwise(0)).alias("violating"),
+    )
+    whens = None
+    for i, chk in enumerate(checks):
+        val = F.try_divide(F.col("groups") - F.col("violating"), F.col("groups"))
+        row = _ratio_row(chk.name, chk.kind, chk.display_column(),
+                         "dependency_ratio", val, chk.params["min_ratio"], None)
+        whens = (F.when(F.col("fid") == i, row) if whens is None
+                 else whens.when(F.col("fid") == i, row))
+    return per_fd.select(whens.alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# compilation — foreign keys (anti-join per FK, distinct-reduced parent)
+# ---------------------------------------------------------------------------
+
+
+def _fk_rows(df: DataFrame, checks: list[Check],
+             refs: Mapping[str, DataFrame]) -> DataFrame | None:
+    if not checks:
+        return None
+    out: DataFrame | None = None
+    for chk in checks:
+        ref_name = chk.params["ref"]
+        if ref_name not in refs:
+            raise ValueError(
+                f"foreign_key check {chk.name!r} references frame {ref_name!r} "
+                f"— pass it via check_suite(refs={{{ref_name!r}: df}})"
+            )
+        child_cols = list(chk.columns)
+        parent_cols = list(chk.params["ref_cols"])
+        parent = (
+            refs[ref_name]
+            .select(*[F.col(p).alias(c) for c, p in zip(child_cols, parent_cols)])
+            .distinct()
+        )
+        non_null = df
+        for c in child_cols:
+            non_null = non_null.filter(F.col(c).isNotNull())
+        child_keys = non_null.select(*child_cols)
+        agg = child_keys.join(parent, on=child_cols, how="left_anti").agg(
+            F.count(F.lit(1)).alias("violations")
+        ).join(child_keys.agg(F.count(F.lit(1)).alias("n_child")))
+        val = F.try_divide(F.col("violations"), F.col("n_child"))
+        # empty child side: 0 violations over 0 rows — vacuous pass (NULL)
+        row_df = agg.select(
+            _ratio_row(chk.name, chk.kind, chk.display_column(),
+                       "violation_ratio", val, None,
+                       chk.params["max_violation_ratio"]).alias("r")
+        ).select("r.*")
+        out = row_df if out is None else out.unionByName(row_df)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the suite
+# ---------------------------------------------------------------------------
+
+
+def check_suite(
+    df: DataFrame,
+    checks: list[Check],
+    *,
+    refs: Mapping[str, DataFrame] | None = None,
+    exact_quantiles: bool = True,
+) -> DataFrame:
+    """Run a declared suite; one row per check, ordered by check_name.
+
+    Job count is bounded by constraint FAMILIES, not constraint count:
+    scalar checks cost one scan total, uniqueness-family one shuffle total,
+    FDs one shuffle total, plus one anti-join per foreign key.
+    """
+    names = [c.name for c in checks]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        raise ValueError(f"duplicate check names: {sorted(dupes)}")
+    groups: dict[str, list[Check]] = {"scalar": [], "key": [], "fd": [], "fk": []}
+    for chk in checks:
+        if chk.kind in _SCALAR_KINDS:
+            groups["scalar"].append(chk)
+        elif chk.kind in _KEY_KINDS:
+            groups["key"].append(chk)
+        elif chk.kind == "functional_dependency":
+            groups["fd"].append(chk)
+        elif chk.kind == "foreign_key":
+            groups["fk"].append(chk)
+        else:
+            raise ValueError(f"unknown check kind: {chk.kind}")
+    parts = [
+        _scalar_rows(df, groups["scalar"], exact_quantiles),
+        _key_rows(df, groups["key"]),
+        _fd_rows(df, groups["fd"]),
+        _fk_rows(df, groups["fk"], refs or {}),
+    ]
+    out: DataFrame | None = None
+    for p in parts:
+        if p is not None:
+            out = p if out is None else out.unionByName(p)
+    if out is None:
+        raise ValueError("check_suite: empty check list")
+    return out.orderBy("check_name")
+
+
+def validation_summary(result_rows: list[dict] | DataFrame) -> dict[str, Any]:
+    """Driver-side rollup: {n_checks, n_failed, failed:[...], passed: bool}."""
+    if isinstance(result_rows, DataFrame):
+        result_rows = [r.asDict() for r in result_rows.collect()]
+    failed = [r for r in result_rows if not r["passed"]]
+    return {
+        "n_checks": len(result_rows),
+        "n_failed": len(failed),
+        "passed": not failed,
+        "failed": [
+            {
+                "check_name": r["check_name"],
+                "kind": r["kind"],
+                "column": r["column"],
+                "metric": r["metric"],
+                "value": r["value"],
+                "lower": r["lower"],
+                "upper": r["upper"],
+            }
+            for r in failed
+        ],
+    }
+
+
+def check_alerts(summary: dict[str, Any]) -> list[dict[str, Any]]:
+    """CHECK_FAILED alert rows in the plans/alerts dict shape."""
+    return [
+        {
+            "alert_type": "CHECK_FAILED",
+            "column": f["column"] or None,
+            "check_name": f["check_name"],
+            "kind": f["kind"],
+            "metric": f["metric"],
+            "value": f["value"],
+            "lower": f["lower"],
+            "upper": f["upper"],
+        }
+        for f in summary["failed"]
+    ]
+
+
+# ---------------------------------------------------------------------------
+# constraint suggestion — driver arithmetic over an existing profile
+# ---------------------------------------------------------------------------
+
+
+def suggest_checks(
+    variables: Mapping[str, Mapping[str, Any]],
+    *,
+    n_rows: int | None = None,
+    set_cardinality_cap: int = 20,
+    range_slack: float = 0.0,
+) -> list[Check]:
+    """Turn a computed profile into a declared suite (zero Spark work).
+
+    The suggestion property (pytest-pinned): every suggested check PASSES on
+    the frame it was profiled from. Numeric ranges widen by ``range_slack``
+    (fractional) so tomorrow's load has headroom; completeness floors at the
+    observed ratio rounded DOWN to 4 decimals.
+
+    Accepts ``profile(df).variables`` or ``finalize_partial(state)["variables"]``.
+    """
+    out: list[Check] = []
+    for col, v in variables.items():
+        cnt = v.get("count")
+        n_miss = v.get("n_missing")
+        if cnt is None:
+            continue
+        total = (cnt + n_miss) if n_miss is not None else n_rows
+        if total:
+            observed = cnt / total
+            floor = int(observed * 10**ROUND) / 10**ROUND
+            out.append(completeness(col, min_ratio=floor))
+        vmin, vmax = v.get("min"), v.get("max")
+        if (
+            isinstance(vmin, (int, float))
+            and isinstance(vmax, (int, float))
+            and not isinstance(vmin, bool)
+            and not isinstance(vmax, bool)
+        ):
+            span = (vmax - vmin) or abs(vmin) or 1.0
+            out.append(
+                in_range(col, vmin - range_slack * span, vmax + range_slack * span)
+            )
+        n_distinct = v.get("n_distinct")
+        n_unique = v.get("n_unique")
+        if cnt:
+            # uniqueness counts NULL keys as values, so only suggest it when
+            # the profiled column had no missing rows (else the floor is wrong)
+            if n_unique == cnt and not (n_miss or 0):
+                out.append(uniqueness(col))
+            top = v.get("top_values")
+            if (
+                n_distinct is not None
+                and n_distinct <= set_cardinality_cap
+                and top is not None
+                and len(top) >= n_distinct
+            ):
+                values = sorted(
+                    t["value"] for t in top[:n_distinct] if t["value"] is not None
+                )
+                if values:
+                    out.append(is_in_set(col, values))
+    return out

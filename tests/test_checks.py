@@ -1,0 +1,233 @@
+"""Declarative constraint suite (operators/checks.py).
+
+Semantics pinned against hand-computed values on crafted frames; the
+suggestion property (suggested checks pass on the profiled frame); plan gates
+for the one-scan / one-shuffle-per-family compilation contract."""
+
+import pytest
+
+from pandas_profiling_personal_spark.operators import checks as C
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rows = [
+        # id, val, cat, fk
+        (1, 10.0, "a", 100),
+        (2, 20.0, "b", 100),
+        (3, None, "a", 200),
+        (4, -5.0, "zzz", 999),   # out of range, out of set, dangling fk
+        (4, 40.0, "b", None),    # duplicate id; NULL fk passes vacuously
+        (6, 60.0, None, 200),
+    ]
+    return spark.createDataFrame(rows, "id int, val double, cat string, fk int")
+
+
+@pytest.fixture(scope="module")
+def parent(spark):
+    return spark.createDataFrame([(100,), (200,), (200,)], "pk int")
+
+
+def _by_name(df, refs=None):
+    return {r["check_name"]: r.asDict() for r in df.collect()}
+
+
+def test_scalar_semantics(frame):
+    res = C.check_suite(frame, [
+        C.completeness("val", 0.8, name="comp"),
+        C.in_range("val", 0, 100, name="rng"),
+        C.is_in_set("cat", ["a", "b"], name="set"),
+        C.matches("cat", "^[ab]$", name="re"),
+        C.non_negative("val", name="nn"),
+        C.mean_between("val", 20, 30, name="mean"),
+        C.sum_between("val", 125, 125, name="sum"),
+        C.min_between("val", -5, -5, name="mn"),
+        C.max_between("val", None, 60, name="mx"),
+        C.row_count_between(6, 6, name="rc"),
+        C.quantile_between("val", 0.5, 19, 21, name="med"),
+        C.satisfies("val > 0 AND id < 5", "sat", min_ratio=0.5),
+    ])
+    r = _by_name(res)
+    assert r["comp"]["value"] == pytest.approx(5 / 6, abs=1e-4)
+    assert r["comp"]["passed"]
+    # compliance over NON-NULL rows: 4/5 in range
+    assert r["rng"]["value"] == pytest.approx(4 / 5, abs=1e-4)
+    assert not r["rng"]["passed"]
+    # cat: 5 non-null, 4 in {a,b}
+    assert r["set"]["value"] == pytest.approx(4 / 5, abs=1e-4)
+    assert r["re"]["value"] == pytest.approx(4 / 5, abs=1e-4)
+    assert r["nn"]["value"] == pytest.approx(4 / 5, abs=1e-4)
+    assert r["mean"]["value"] == pytest.approx(25.0)
+    assert r["mean"]["passed"]
+    assert r["sum"]["value"] == pytest.approx(125.0)
+    assert r["sum"]["passed"]
+    assert r["mn"]["passed"] and r["mx"]["passed"]
+    assert r["rc"]["value"] == 6.0 and r["rc"]["passed"]
+    assert r["med"]["value"] == pytest.approx(20.0)
+    assert r["med"]["passed"]
+    # satisfies counts ALL rows in the denominator: rows 1,2 and the (4,40)
+    # duplicate → 3/6; NULL predicate counts as not satisfied
+    assert r["sat"]["value"] == pytest.approx(3 / 6, abs=1e-4)
+    assert r["sat"]["passed"]
+
+
+def test_key_family_semantics(frame):
+    res = C.check_suite(frame, [
+        C.uniqueness("id", name="uniq"),
+        C.distinctness("id", name="dist"),
+        C.primary_key("id", name="pk_id"),
+        C.primary_key("cat", name="pk_cat"),
+        C.uniqueness(["id", "cat"], name="uniq2"),
+    ])
+    r = _by_name(res)
+    # id: 6 rows, groups {1,2,3,4x2,6} → 4 singleton rows
+    assert r["uniq"]["value"] == pytest.approx(4 / 6, abs=1e-4)
+    assert not r["uniq"]["passed"]
+    assert r["dist"]["value"] == pytest.approx(5 / 6, abs=1e-4)
+    assert not r["pk_id"]["passed"]
+    # cat has a NULL component → primary_key forced to 0
+    assert r["pk_cat"]["value"] == 0.0 and not r["pk_cat"]["passed"]
+    # (id,cat): (4,'zzz') and (4,'b') differ → all 6 keys distinct... except
+    # none repeat → uniqueness 1.0
+    assert r["uniq2"]["value"] == 1.0 and r["uniq2"]["passed"]
+
+
+def test_foreign_key_and_fd(frame, parent):
+    res = C.check_suite(frame, [
+        C.foreign_key("fk", "parent", "pk", name="fk0"),
+        C.foreign_key("fk", "parent", "pk", max_violation_ratio=0.25, name="fk25"),
+        C.functional_dependency("id", "cat", name="fd_bad"),
+        C.functional_dependency("fk", "val", name="fd_fk"),
+    ], refs={"parent": parent})
+    r = _by_name(res)
+    # 5 non-null fk rows, 999 dangles → 1/5
+    assert r["fk0"]["value"] == pytest.approx(0.2, abs=1e-4)
+    assert not r["fk0"]["passed"]
+    assert r["fk25"]["passed"]
+    # id groups: {1,2,3,6} one cat each; {4}: {'zzz','b'} violates → 4/5
+    assert r["fd_bad"]["value"] == pytest.approx(4 / 5, abs=1e-4)
+    assert not r["fd_bad"]["passed"]
+    # fk groups: 100→{10,20}, 200→{None?,60}: val None counts as a value →
+    # 200→{NULL,60} violates; NULL fk group → {40}; 999→{-5}
+    assert r["fd_fk"]["value"] == pytest.approx(2 / 4, abs=1e-4)
+
+
+def test_fk_missing_ref_and_bad_suite(frame):
+    with pytest.raises(ValueError, match="references frame"):
+        C.check_suite(frame, [C.foreign_key("fk", "nope", "pk")])
+    with pytest.raises(ValueError, match="duplicate check names"):
+        C.check_suite(frame, [C.completeness("val"), C.completeness("val")])
+    with pytest.raises(ValueError, match="empty check list"):
+        C.check_suite(frame, [])
+    with pytest.raises(ValueError, match="different lengths"):
+        C.foreign_key(["a", "b"], "p", "pk")
+
+
+def test_empty_frame_vacuous(spark):
+    empty = spark.createDataFrame([], "id int, val double")
+    res = C.check_suite(empty, [
+        C.completeness("val", name="comp"),
+        C.in_range("val", 0, 1, name="rng"),
+        C.mean_between("val", 0, 1, name="mean"),
+        C.row_count_between(None, 0, name="rc"),
+    ])
+    r = _by_name(res)
+    # ratios over zero rows are NULL → vacuous pass; row_count is real
+    assert r["comp"]["value"] is None and r["comp"]["passed"]
+    assert r["rng"]["value"] is None and r["rng"]["passed"]
+    assert r["mean"]["value"] is None and r["mean"]["passed"]
+    assert r["rc"]["value"] == 0.0 and r["rc"]["passed"]
+
+
+def test_all_null_column_compliance_vacuous(spark):
+    df = spark.createDataFrame([(None,), (None,)], "v double")
+    r = _by_name(C.check_suite(df, [C.in_range("v", 0, 1, name="rng")]))
+    assert r["rng"]["value"] is None and r["rng"]["passed"]
+
+
+def test_summary_and_alerts(frame):
+    res = C.check_suite(frame, [
+        C.completeness("val", 1.0, name="comp"),
+        C.uniqueness("id", name="uniq"),
+    ])
+    s = C.validation_summary(res)
+    assert s["n_checks"] == 2 and s["n_failed"] == 2 and not s["passed"]
+    alerts = C.check_alerts(s)
+    assert {a["alert_type"] for a in alerts} == {"CHECK_FAILED"}
+    assert {a["check_name"] for a in alerts} == {"comp", "uniq"}
+
+
+def test_suggestion_property(spark):
+    """Every check suggested from a profile passes on the profiled frame."""
+    from pandas_profiling_personal_spark.plans.profile import profile
+
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    result = profile(df)
+    suggested = C.suggest_checks(result.variables)
+    assert suggested, "expected non-empty suggestions"
+    kinds = {c.kind for c in suggested}
+    assert {"completeness", "in_range"} <= kinds
+    res = C.check_suite(df, suggested)
+    failed = [r["check_name"] for r in res.collect() if not r["passed"]]
+    assert failed == []
+    # o_orderkey is unique → a uniqueness check must be among the suggestions
+    assert any(
+        c.kind == "uniqueness" and c.columns == ("o_orderkey",) for c in suggested
+    )
+
+
+def test_plan_scalar_single_scan_no_python(spark):
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    res = C.check_suite(df, [
+        C.completeness("o_custkey"),
+        C.in_range("o_totalprice", 0, 1e9),
+        C.is_in_set("o_orderstatus", ["F", "O", "P"]),
+        C.mean_between("o_totalprice", 0, 1e9),
+        C.row_count_between(1, None),
+    ])
+    p = _plan(res)
+    # formatted explain prints each node twice (tree + details): ONE scan
+    assert p.count("Scan parquet") == 2, "scalar suite must be a single scan"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "partial_count" in p or "partial_avg" in p
+
+
+def test_plan_key_family_one_melt_shuffle(spark):
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    res = C.check_suite(df, [
+        C.uniqueness("o_orderkey"),
+        C.distinctness("o_orderstatus"),
+        C.primary_key(["o_orderkey", "o_custkey"]),
+    ])
+    p = _plan(res)
+    assert p.count("Scan parquet") == 2, "key family shares one melt scan"
+    # one hashpartitioning exchange on (sid,key), one on sid, plus the final
+    # orderBy range exchange — no per-subset scans or joins
+    assert "Join" not in p
+    assert p.count("Arguments: hashpartitioning") == 2
+
+
+def test_plan_fk_distinct_parent_join(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    res = C.check_suite(
+        orders,
+        [C.foreign_key("o_custkey", "customer", "c_custkey")],
+        refs={"customer": customer},
+    )
+    p = _plan(res)
+    # parent side deduplicates to key cardinality before the anti join, and
+    # the child scan prunes to the key column
+    assert "LeftAnti" in p
+    assert "HashAggregate" in p
+    for line in (l for l in p.splitlines() if "ReadSchema" in l):
+        assert "o_totalprice" not in line
