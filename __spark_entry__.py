@@ -106,6 +106,26 @@ _SPECS: dict[str, tuple] = {
         P.ts_anomaly_query(),
         P.ts_anomaly_sql(),
     ),
+    # r10.2 (mid-round): in — the NEW declarative validation family
+    # (check_suite / referential_integrity / functional_dependency: the
+    # CI-gate surface, operators/checks.py). out — three 9-round-green rows
+    # under in-window kin: distinct_unique_lineitem (distinctness/uniqueness
+    # ARE check_suite constraints now, same group-size machinery),
+    # duplicate_stats_orders (kin top_duplicates_lineitem + the uniqueness
+    # constraint), embedding_near_dup_embeddings (kin embedding_drift +
+    # embedding_stats + ann_lsh_recall's exact scan).
+    "check_suite_orders": (
+        P.check_suite_query("orders"),
+        P.check_suite_sql("orders"),
+    ),
+    "referential_integrity_lineitem": (
+        P.referential_integrity_query(),
+        P.referential_integrity_sql(),
+    ),
+    "functional_dependency_lineitem": (
+        P.functional_dependency_query(),
+        P.functional_dependency_sql(),
+    ),
     "ngram_jaccard_pairs_documents": (
         PP.jaccard_pairs_query(0.1),
         PP.jaccard_pairs_sql(0.1),
@@ -176,10 +196,6 @@ _SPECS: dict[str, tuple] = {
         PP.embedding_drift_query(),
         PP.embedding_drift_sql(),
     ),
-    "distinct_unique_lineitem": (
-        P.distinct_unique_query("lineitem", LINEITEM_ALL),
-        P.distinct_unique_sql("lineitem", LINEITEM_ALL),
-    ),
     "missing_counts_events": (
         P.missing_counts_query(
             "events", ["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -187,10 +203,6 @@ _SPECS: dict[str, tuple] = {
         P.missing_counts_sql(
             "events", ["event_id", "ts", "user_id", "event_type", "value", "props"]
         ),
-    ),
-    "duplicate_stats_orders": (
-        P.duplicate_stats_query("orders"),
-        P.duplicate_stats_sql("orders"),
     ),
     "pearson_lineitem": (
         P.pearson_query(
@@ -259,10 +271,6 @@ _SPECS: dict[str, tuple] = {
         P.join_fanout_query("orders", "lineitem", ["o_orderkey"], ["l_orderkey"]),
         P.join_fanout_sql("orders", "lineitem", ["o_orderkey"], ["l_orderkey"]),
     ),
-    "embedding_near_dup_embeddings": (
-        PP.embedding_near_dup_query(0.4),
-        PP.embedding_near_dup_sql(0.4),
-    ),
     "lm_perplexity_documents": (
         PP.lm_perplexity_query(),
         PP.lm_perplexity_sql(),
@@ -294,6 +302,18 @@ _SPECS: dict[str, tuple] = {
     "contamination_documents": (
         PP.contamination_query(8, 37),
         PP.contamination_sql(8, 37),
+    ),
+    "distinct_unique_lineitem": (
+        P.distinct_unique_query("lineitem", LINEITEM_ALL),
+        P.distinct_unique_sql("lineitem", LINEITEM_ALL),
+    ),
+    "duplicate_stats_orders": (
+        P.duplicate_stats_query("orders"),
+        P.duplicate_stats_sql("orders"),
+    ),
+    "embedding_near_dup_embeddings": (
+        PP.embedding_near_dup_query(0.4),
+        PP.embedding_near_dup_sql(0.4),
     ),
     "binary_format_mix_documents": (
         PP.binary_format_mix_query(),

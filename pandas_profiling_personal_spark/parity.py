@@ -1878,3 +1878,228 @@ SELECT CAST(t AS VARCHAR) AS t, round(v, 4) AS v,
        END AS flagged
 FROM w
 """
+
+
+# --------------------------------------------------------------------------------
+# declarative data-quality checks (operators/checks.py) — the validation surface
+# the reference lacks (model/messages.py only reports AFTER profiling; these
+# DECLARE the contract up front and gate the load). Both sides are generated
+# from the same Check list so names / rounding / pass rules line up exactly.
+# --------------------------------------------------------------------------------
+
+_ORDERS_RANGE_HI = 1000000000.0
+
+
+def _orders_suite():
+    from pandas_profiling_personal_spark.operators import checks as C
+
+    return [
+        C.completeness("o_custkey"),
+        C.in_range("o_totalprice", 0.0, _ORDERS_RANGE_HI),
+        C.is_in_set("o_orderstatus", ["F", "O", "P"]),
+        C.matches("o_orderpriority", "^[1-5]-"),
+        C.mean_between("o_totalprice", 0.0, _ORDERS_RANGE_HI),
+        C.sum_between("o_totalprice", 0.0, None),
+        C.quantile_between("o_totalprice", 0.5, 0.0, _ORDERS_RANGE_HI),
+        C.row_count_between(1.0, None),
+        C.uniqueness("o_orderkey"),
+        C.distinctness("o_orderstatus"),
+        C.primary_key("o_orderkey"),
+        C.satisfies("o_totalprice > 0", "positive_total"),
+    ]
+
+
+def _sql_check_row(name: str, kind: str, column: str, metric: str,
+                   value: str, lo: float | None, hi: float | None,
+                   passed: str | None = None) -> str:
+    lo_s = "CAST(NULL AS DOUBLE)" if lo is None else f"CAST({lo!r} AS DOUBLE)"
+    hi_s = "CAST(NULL AS DOUBLE)" if hi is None else f"CAST({hi!r} AS DOUBLE)"
+    if passed is None:
+        conds = ["TRUE"]
+        if lo is not None:
+            conds.append(f"({value}) >= {lo!r}")
+        if hi is not None:
+            conds.append(f"({value}) <= {hi!r}")
+        passed = f"(({value}) IS NULL OR ({' AND '.join(conds)}))"
+    return (
+        f"SELECT '{name}' AS check_name, '{kind}' AS kind, "
+        f"'{column}' AS \"column\", "
+        f"'{metric}' AS metric, ({value}) AS value, {lo_s} AS lower, "
+        f"{hi_s} AS upper, {passed} AS passed FROM agg a, okeys k, skeys s"
+    )
+
+
+def check_suite_query(table: str = "orders") -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators import checks as C
+
+        return C.check_suite(load(spark, sf_dir, table), _orders_suite())
+
+    return fn
+
+
+def check_suite_sql(table: str = "orders") -> str:
+    hi = _ORDERS_RANGE_HI
+    rows = [
+        _sql_check_row("completeness(o_custkey)", "completeness", "o_custkey",
+                       "completeness", "round(a.comp_n / a.n, 4)", 1.0, None),
+        _sql_check_row("in_range(o_totalprice)", "in_range", "o_totalprice",
+                       "compliance", "round(a.rng_s / a.rng_d, 4)", 1.0, None),
+        _sql_check_row("is_in_set(o_orderstatus)", "is_in_set", "o_orderstatus",
+                       "compliance", "round(a.set_s / a.set_d, 4)", 1.0, None),
+        _sql_check_row("matches(o_orderpriority)", "matches", "o_orderpriority",
+                       "compliance", "round(a.re_s / a.re_d, 4)", 1.0, None),
+        _sql_check_row("mean_between(o_totalprice)", "mean_between",
+                       "o_totalprice", "mean", "round(a.mean_v, 4)", 0.0, hi),
+        _sql_check_row("sum_between(o_totalprice)", "sum_between",
+                       "o_totalprice", "sum", "round(a.sum_v, 4)", 0.0, None),
+        _sql_check_row("quantile_between(o_totalprice,0.5)", "quantile_between",
+                       "o_totalprice", "q0.5", "round(a.med_v, 4)", 0.0, hi),
+        _sql_check_row("row_count", "row_count_between", "", "row_count",
+                       "round(CAST(a.n AS DOUBLE), 4)", 1.0, None),
+        _sql_check_row("uniqueness(o_orderkey)", "uniqueness", "o_orderkey",
+                       "uniqueness", "round(k.singles_ / k.rows_, 4)", 1.0, None),
+        _sql_check_row("distinctness(o_orderstatus)", "distinctness",
+                       "o_orderstatus", "distinctness",
+                       "round(s.groups_ / s.rows_, 4)", 0.0, None),
+        _sql_check_row("primary_key(o_orderkey)", "primary_key", "o_orderkey",
+                       "primary_key",
+                       "round(CASE WHEN k.nulls_ > 0 THEN 0.0 "
+                       "ELSE k.singles_ / k.rows_ END, 4)", 1.0, None),
+        _sql_check_row("positive_total", "satisfies", "", "compliance",
+                       "round(a.sat_s / a.n, 4)", 1.0, None),
+    ]
+    selects = "\nUNION ALL ".join(rows)
+    return f"""
+WITH agg AS (
+  SELECT count(*) AS n,
+         count(o_custkey) AS comp_n,
+         sum(CASE WHEN o_totalprice >= 0.0 AND o_totalprice <= {hi!r}
+                  THEN 1 ELSE 0 END) AS rng_s,
+         count(o_totalprice) AS rng_d,
+         sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 ELSE 0 END)
+           AS set_s,
+         count(o_orderstatus) AS set_d,
+         sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                  THEN 1 ELSE 0 END) AS re_s,
+         count(o_orderpriority) AS re_d,
+         avg(o_totalprice) AS mean_v,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_v,
+         quantile_cont(o_totalprice, 0.5) AS med_v,
+         sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS sat_s
+  FROM {table}
+),
+okeys AS (
+  SELECT sum(c) AS rows_, count(*) AS groups_,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS singles_,
+         sum(nulls_) AS nulls_
+  FROM (SELECT count(*) AS c,
+               sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nulls_
+        FROM {table} GROUP BY o_orderkey)
+),
+skeys AS (
+  SELECT sum(c) AS rows_, count(*) AS groups_
+  FROM (SELECT count(*) AS c FROM {table} GROUP BY o_orderstatus)
+)
+{selects}
+ORDER BY check_name
+"""
+
+
+def referential_integrity_query() -> QueryFn:
+    """lineitem FKs: l_orderkey ⊆ orders.o_orderkey, l_partkey ⊆ part.p_partkey."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators import checks as C
+
+        lineitem = load(spark, sf_dir, "lineitem")
+        refs = {
+            "orders": load(spark, sf_dir, "orders"),
+            "part": load(spark, sf_dir, "part"),
+        }
+        return C.check_suite(
+            lineitem,
+            [
+                C.foreign_key("l_orderkey", "orders", "o_orderkey"),
+                C.foreign_key("l_partkey", "part", "p_partkey"),
+            ],
+            refs=refs,
+        )
+
+    return fn
+
+
+def referential_integrity_sql() -> str:
+    def fk(child_col: str, parent: str, parent_col: str) -> str:
+        name = f"foreign_key({child_col}->{parent})"
+        return f"""
+SELECT '{name}' AS check_name, 'foreign_key' AS kind,
+       '{child_col}' AS "column", 'violation_ratio' AS metric,
+       round(v.viol / v.n_child, 4) AS value,
+       CAST(NULL AS DOUBLE) AS lower, CAST(0.0 AS DOUBLE) AS upper,
+       (round(v.viol / v.n_child, 4) IS NULL
+        OR round(v.viol / v.n_child, 4) <= 0.0) AS passed
+FROM (
+  SELECT count(*) AS n_child,
+         sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS viol
+  FROM (SELECT {child_col} AS k FROM lineitem
+        WHERE {child_col} IS NOT NULL) c
+  LEFT JOIN (SELECT DISTINCT {parent_col} AS k FROM {parent}) p USING (k)
+) v"""
+
+    return (
+        fk("l_orderkey", "orders", "o_orderkey")
+        + "\nUNION ALL "
+        + fk("l_partkey", "part", "p_partkey")
+        + "\nORDER BY check_name"
+    )
+
+
+def functional_dependency_query() -> QueryFn:
+    """FDs inside lineitem: a holding key FD and two data-dependent ones."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators import checks as C
+
+        return C.check_suite(
+            load(spark, sf_dir, "lineitem"),
+            [
+                C.functional_dependency(["l_orderkey", "l_linenumber"],
+                                        "l_quantity"),
+                C.functional_dependency("l_orderkey", "l_returnflag"),
+                C.functional_dependency("l_partkey", "l_suppkey"),
+            ],
+        )
+
+    return fn
+
+
+def functional_dependency_sql() -> str:
+    def fd(det: list[str], dep: str) -> str:
+        name = f"fd({','.join(det)}->{dep})"
+        col = ",".join(det + [dep])
+        det_sql = ", ".join(det)
+        return f"""
+SELECT '{name}' AS check_name, 'functional_dependency' AS kind,
+       '{col}' AS "column", 'dependency_ratio' AS metric,
+       round((f.groups_ - f.viol) / f.groups_, 4) AS value,
+       CAST(1.0 AS DOUBLE) AS lower, CAST(NULL AS DOUBLE) AS upper,
+       (round((f.groups_ - f.viol) / f.groups_, 4) IS NULL
+        OR round((f.groups_ - f.viol) / f.groups_, 4) >= 1.0) AS passed
+FROM (
+  SELECT count(*) AS groups_,
+         sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS viol
+  FROM (SELECT {det_sql},
+               count(DISTINCT {dep})
+                 + max(CASE WHEN {dep} IS NULL THEN 1 ELSE 0 END) AS ndep
+        FROM lineitem GROUP BY {det_sql})
+) f"""
+
+    return (
+        fd(["l_orderkey", "l_linenumber"], "l_quantity")
+        + "\nUNION ALL "
+        + fd(["l_orderkey"], "l_returnflag")
+        + "\nUNION ALL "
+        + fd(["l_partkey"], "l_suppkey")
+        + "\nORDER BY check_name"
+    )
