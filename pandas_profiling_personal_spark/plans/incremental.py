@@ -1783,3 +1783,188 @@ def timeseries_drift_between(
         row["flagged"] = flagged
         out[c] = row
     return out
+
+
+# ----------------------------------------------------------------------------
+# Incremental validation — evaluate a declared check suite from a (merged)
+# PartialProfile with ZERO data rescans (the drift-between-states pattern
+# applied to operators/checks.py). State-expressible constraints evaluate
+# exactly; sketch-backed ones (quantile, distinctness) evaluate with
+# exact=False; everything that genuinely needs a scan refuses by name so a
+# stale state can never silently "pass" a predicate it cannot see.
+# ----------------------------------------------------------------------------
+
+
+def checks_of(
+    part: PartialProfile,
+    checks: list,
+    spark: SparkSession | None = None,
+) -> list[dict[str, Any]]:
+    """Evaluate constraints against the state; one dict per check.
+
+    Exact from state: ``completeness`` / ``row_count_between`` /
+    ``mean_between`` / ``sum_between`` / ``min_between`` / ``max_between`` /
+    ``stddev_between``. Decidable from state when ``min_ratio == 1.0``:
+    ``in_range`` / ``non_negative`` (the [state.min, state.max] interval
+    either fits the bound — compliance is exactly 1.0 — or provably does
+    not). Sketch-backed (``exact=False``, needs ``spark`` for the sketch
+    query): ``quantile_between`` from KLL, ``distinctness`` from HLL (HLL
+    counts non-null values, so the reported ratio is distinct/count — NULL
+    does not form the extra key group the batch operator counts).
+    Everything else (uniqueness / primary_key / is_in_set / matches /
+    satisfies / foreign_key / functional_dependency) raises, naming the
+    batch path — those require row or group visibility no bounded state has.
+
+    Output rows carry the batch result fields plus ``exact``; values round
+    to the same 4 decimals so a state row is directly comparable with its
+    ``check_suite`` twin.
+    """
+    _EXACT = {"completeness", "row_count_between", "mean_between",
+              "sum_between", "min_between", "max_between", "stddev_between"}
+    _DECIDABLE = {"in_range", "non_negative"}
+    _SKETCH = {"quantile_between", "distinctness"}
+
+    unsupported = [
+        c.name for c in checks
+        if c.kind not in _EXACT | _DECIDABLE | _SKETCH
+    ]
+    if unsupported:
+        raise ValueError(
+            "checks_of: not evaluable from a bounded state (needs a scan — "
+            f"run operators.checks.check_suite on the frame): {unsupported}"
+        )
+    for c in checks:
+        if c.kind == "row_count_between":
+            continue
+        col = c.columns[0]
+        if col not in part.columns:
+            raise ValueError(
+                f"checks_of: column {col!r} (check {c.name!r}) not in state"
+            )
+        if c.kind in _DECIDABLE and c.params.get("min_ratio", 1.0) != 1.0:
+            raise ValueError(
+                f"checks_of: {c.name!r} has min_ratio < 1.0 — partial "
+                "compliance is not derivable from min/max; run check_suite"
+            )
+        numeric_only = (_EXACT | _DECIDABLE | _SKETCH) - {
+            "completeness", "row_count_between", "distinctness"
+        }
+        if (
+            c.kind in numeric_only
+            and part.columns[col].type != VT.NUMERIC.value
+        ):
+            raise ValueError(
+                f"checks_of: {c.name!r} needs a NUMERIC state column, "
+                f"{col!r} is {part.columns[col].type!r}"
+            )
+
+    # one tiny sketch job for every KLL quantile / HLL estimate needed
+    sketch_vals: dict[str, Any] = {}
+    sketch_checks = [c for c in checks if c.kind in _SKETCH]
+    if sketch_checks:
+        if spark is None:
+            raise ValueError(
+                "checks_of: quantile_between/distinctness evaluate from "
+                "KLL/HLL sketches — pass the SparkSession"
+            )
+        exprs, keys = [], []
+        for c in sketch_checks:
+            col = c.columns[0]
+            cs = part.columns[col]
+            pend = part._pending.get(col) or {}
+            if c.kind == "quantile_between":
+                klls = list(pend.get("kll") or []) + (
+                    [cs.kll] if cs.kll else [])
+                if not klls:
+                    continue  # no non-null mass: vacuous
+                e = F.lit(klls[0])
+                for x in klls[1:]:
+                    e = F.kll_sketch_merge_double(e, F.lit(x))
+                exprs.append(
+                    F.kll_sketch_get_quantile_double(
+                        e, F.lit(float(c.params["q"]))
+                    ).alias(f"s_{len(keys)}")
+                )
+            else:
+                hlls = list(pend.get("hll") or []) + (
+                    [cs.hll] if cs.hll else [])
+                if not hlls:
+                    continue
+                e = F.lit(hlls[0])
+                for x in hlls[1:]:
+                    e = F.hll_union(e, F.lit(x))
+                exprs.append(F.hll_sketch_estimate(e).alias(f"s_{len(keys)}"))
+            keys.append(c.name)
+        if exprs:
+            row = spark.range(1).select(*exprs).collect()[0]
+            for i, name in enumerate(keys):
+                sketch_vals[name] = row[i]
+
+    def rnd(x):
+        return None if x is None else round(float(x), 4)
+
+    out: list[dict[str, Any]] = []
+    for c in checks:
+        p = c.params
+        cs = part.columns.get(c.columns[0]) if c.columns else None
+        exact = True
+        lo = p.get("lo")
+        hi = p.get("hi")
+        if c.kind == "completeness":
+            value = (cs.count / cs.n_rows) if cs.n_rows else None
+            lo, hi, metric = p["min_ratio"], None, "completeness"
+        elif c.kind == "row_count_between":
+            value, metric = float(part.n), "row_count"
+        elif c.kind == "mean_between":
+            value, metric = cs.m1, "mean"
+        elif c.kind == "sum_between":
+            value = cs.m1 * cs.count if cs.m1 is not None else None
+            metric = "sum"
+        elif c.kind == "min_between":
+            value, metric = cs.min, "min"
+        elif c.kind == "max_between":
+            value, metric = cs.max, "max"
+        elif c.kind == "stddev_between":
+            value = (
+                math.sqrt(max(0.0, cs.m2 / (cs.count - 1)))
+                if cs.m1 is not None and math.isfinite(cs.m1) and cs.count > 1
+                else None
+            )
+            metric = "stddev"
+        elif c.kind in _DECIDABLE:
+            b_lo = p["lo"] if c.kind == "in_range" else 0.0
+            b_hi = p["hi"] if c.kind == "in_range" else None
+            if cs.count == 0 or cs.min is None:
+                value = None  # vacuous, like the batch 0/0
+            elif cs.min >= b_lo and (b_hi is None or cs.max <= b_hi):
+                value = 1.0
+            else:
+                value = None  # ratio unknowable — but passed is decidable
+                out.append({
+                    "check_name": c.name, "kind": c.kind,
+                    "column": c.display_column(), "metric": "compliance",
+                    "value": None, "lower": 1.0, "upper": None,
+                    "passed": False, "exact": True,
+                })
+                continue
+            lo, hi, metric = 1.0, None, "compliance"
+        elif c.kind == "quantile_between":
+            value = sketch_vals.get(c.name)
+            metric, exact = f"q{p['q']}", False
+        else:  # distinctness
+            est = sketch_vals.get(c.name)
+            value = (est / cs.n_rows) if est is not None and cs.n_rows else None
+            lo, hi, metric, exact = p["min_ratio"], None, "distinctness", False
+        v = rnd(value)
+        passed = v is None or (
+            (lo is None or v >= lo) and (hi is None or v <= hi)
+        )
+        out.append({
+            "check_name": c.name, "kind": c.kind,
+            "column": c.display_column() if c.columns else "",
+            "metric": metric, "value": v,
+            "lower": None if lo is None else float(lo),
+            "upper": None if hi is None else float(hi),
+            "passed": bool(passed), "exact": exact,
+        })
+    return out

@@ -231,3 +231,99 @@ def test_plan_fk_distinct_parent_join(spark):
     assert "HashAggregate" in p
     for line in (l for l in p.splitlines() if "ReadSchema" in l):
         assert "o_totalprice" not in line
+
+
+# ---------------------------------------------------------------------------
+# incremental tier: checks_of(state) vs batch check_suite
+# ---------------------------------------------------------------------------
+
+
+def _merged_state(spark, with_hist=False):
+    from pyspark.sql import functions as F
+    from pandas_profiling_personal_spark.plans.incremental import (
+        merge_partials, partial_profile,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    shards = [orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    return orders, merge_partials([partial_profile(s) for s in shards])
+
+
+def test_checks_of_exact_kinds_match_batch(spark):
+    from pandas_profiling_personal_spark.plans.incremental import checks_of
+
+    orders, merged = _merged_state(spark)
+    suite = [
+        C.completeness("o_custkey", 1.0, name="comp"),
+        C.row_count_between(1, None, name="rc"),
+        C.mean_between("o_totalprice", 0, 1e9, name="mean"),
+        C.sum_between("o_totalprice", 0, None, name="sum"),
+        C.min_between("o_totalprice", 0, None, name="mn"),
+        C.max_between("o_totalprice", None, 1e9, name="mx"),
+        C.stddev_between("o_totalprice", 0, 1e9, name="sd"),
+    ]
+    state_rows = {r["check_name"]: r for r in checks_of(merged, suite)}
+    batch_rows = {r["check_name"]: r.asDict()
+                  for r in C.check_suite(orders, suite).collect()}
+    for name in state_rows:
+        sr, br = state_rows[name], batch_rows[name]
+        assert sr["passed"] == br["passed"], name
+        assert sr["exact"] is True
+        if br["value"] is None:
+            assert sr["value"] is None, name
+        else:
+            # sum rides m1*count (FP ~1e-12 rel); everything else identical
+            tol = abs(br["value"]) * 1e-9 + 1e-9
+            assert abs(sr["value"] - br["value"]) <= max(tol, 5e-4), name
+
+
+def test_checks_of_decidable_in_range(spark):
+    from pandas_profiling_personal_spark.plans.incremental import checks_of
+
+    _, merged = _merged_state(spark)
+    rows = {r["check_name"]: r for r in checks_of(merged, [
+        C.in_range("o_totalprice", 0, 1e9, name="fits"),
+        C.in_range("o_totalprice", 0, 100, name="breaks"),
+        C.non_negative("o_totalprice", name="nn"),
+    ])}
+    assert rows["fits"]["value"] == 1.0 and rows["fits"]["passed"]
+    assert rows["breaks"]["value"] is None and not rows["breaks"]["passed"]
+    assert rows["nn"]["passed"]
+    for r in rows.values():
+        assert r["exact"] is True
+
+
+def test_checks_of_sketch_kinds(spark):
+    from pandas_profiling_personal_spark.plans.incremental import checks_of
+
+    orders, merged = _merged_state(spark)
+    exact_med = orders.selectExpr(
+        "percentile(o_totalprice, 0.5) AS m").collect()[0]["m"]
+    n = orders.count()
+    rows = {r["check_name"]: r for r in checks_of(merged, [
+        C.quantile_between("o_totalprice", 0.5, 0, 1e9, name="med"),
+        C.distinctness("o_orderkey", 0.99, name="dist"),
+    ], spark=spark)}
+    assert rows["med"]["exact"] is False
+    assert rows["med"]["value"] == pytest.approx(exact_med, rel=0.05)
+    assert rows["med"]["passed"]
+    assert rows["dist"]["exact"] is False
+    assert rows["dist"]["value"] == pytest.approx(1.0, rel=0.05)
+    assert rows["dist"]["passed"]
+    assert n == merged.n
+
+
+def test_checks_of_refusals(spark):
+    from pandas_profiling_personal_spark.plans.incremental import checks_of
+
+    _, merged = _merged_state(spark)
+    with pytest.raises(ValueError, match="needs a scan"):
+        checks_of(merged, [C.uniqueness("o_orderkey")])
+    with pytest.raises(ValueError, match="min_ratio < 1.0"):
+        checks_of(merged, [C.in_range("o_totalprice", 0, 1e9, min_ratio=0.9)])
+    with pytest.raises(ValueError, match="not in state"):
+        checks_of(merged, [C.completeness("nope")])
+    with pytest.raises(ValueError, match="NUMERIC state column"):
+        checks_of(merged, [C.mean_between("o_orderstatus", 0, 1)])
+    with pytest.raises(ValueError, match="pass the SparkSession"):
+        checks_of(merged, [C.quantile_between("o_totalprice", 0.5, 0, 1)])
