@@ -219,6 +219,30 @@ def build_parser() -> argparse.ArgumentParser:
         help="embedding dimensionality (default: inferred as the modal "
         "vector size of --embedding-col)",
     )
+    c = p.add_argument_group("data-quality checks (validation gate)")
+    c.add_argument(
+        "--checks", default=None, metavar="SUITE_JSON",
+        help="run the declared check suite (JSON: {\"checks\": [{kind, "
+        "column, ...}]}) against the input table; prints a one-line JSON "
+        "summary and exits 4 if any check fails — the CI-gate mode",
+    )
+    c.add_argument(
+        "--checks-refs", default=None, metavar="NAME=PATH[,NAME=PATH...]",
+        help="reference tables for foreign_key checks (NAME matches the "
+        "check's 'ref' field)",
+    )
+    c.add_argument(
+        "--checks-from-state", action="store_true",
+        help="with --checks: INPUT is a saved state JSON (--save-state "
+        "output), not a table — evaluates the state-expressible subset "
+        "with zero data rescans; scan-needing checks refuse by name",
+    )
+    c.add_argument(
+        "--suggest-checks", default=None, metavar="OUT_JSON",
+        help="profile the input and write a suggested check suite (the "
+        "file --checks reads) — every suggested check passes on the "
+        "profiled data; edit thresholds, then gate tomorrow's load",
+    )
     return p
 
 
@@ -244,8 +268,12 @@ def main(argv: list[str] | None = None) -> int:
             ("--compare", args.compare is not None),
             ("--save-state", args.save_state is not None),
             ("--drift-against", args.drift_against is not None),
+            ("--checks", args.checks is not None),
+            ("--suggest-checks", args.suggest_checks is not None),
         ) if on
     ]
+    if args.checks_from_state and not args.checks:
+        parser.error("--checks-from-state needs --checks")
     if len(modes) > 1:
         parser.error(
             "choose ONE mode: " + " / ".join(modes) + " are mutually "
@@ -296,6 +324,71 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_session(app_name="spark-profile", master=args.master)
     try:
+        if args.checks:
+            from pandas_profiling_personal_spark.operators import checks as CK
+
+            with open(args.checks, encoding="utf-8") as fh:
+                spec = json.load(fh)
+            try:
+                suite = CK.checks_from_spec(spec)
+            except ValueError as e:
+                raise SystemExit(f"--checks: {e}")
+            if args.checks_from_state:
+                from pandas_profiling_personal_spark.plans.incremental import (
+                    PartialProfile, checks_of,
+                )
+
+                with open(args.input, encoding="utf-8") as fh:
+                    part = PartialProfile.from_json(fh.read())
+                try:
+                    rows = checks_of(part, suite, spark=spark)
+                except ValueError as e:
+                    raise SystemExit(f"--checks-from-state refused: {e}")
+                summary = CK.validation_summary(rows)
+            else:
+                refs = {}
+                for item in (
+                    args.checks_refs.split(",") if args.checks_refs else []
+                ):
+                    name, _, path = item.partition("=")
+                    if not name.strip() or not path.strip():
+                        raise SystemExit(
+                            f"--checks-refs: bad entry {item!r} "
+                            "(want NAME=PATH)"
+                        )
+                    refs[name.strip()] = read_table(spark, path.strip())
+                try:
+                    res = CK.check_suite(
+                        read_table(spark, args.input), suite, refs=refs
+                    )
+                except ValueError as e:
+                    raise SystemExit(f"--checks: {e}")
+                summary = CK.validation_summary(res)
+            print(json.dumps({
+                "input": args.input,
+                "suite": args.checks,
+                "from_state": bool(args.checks_from_state),
+                **summary,
+            }))
+            return 0 if summary["passed"] else 4
+        if args.suggest_checks:
+            from pandas_profiling_personal_spark.operators import checks as CK
+
+            result = profile(read_table(spark, args.input), cfg)
+            suite = CK.suggest_checks(result.variables)
+            if not suite:
+                raise SystemExit(
+                    "--suggest-checks: nothing suggestible (no profiled "
+                    "columns with counts)"
+                )
+            with open(args.suggest_checks, "w", encoding="utf-8") as fh:
+                json.dump(CK.checks_to_spec(suite), fh, indent=2, default=str)
+            print(json.dumps({
+                "output": args.suggest_checks,
+                "n_checks": len(suite),
+                "kinds": sorted({c.kind for c in suite}),
+            }))
+            return 0
         df = read_table(spark, args.input)
         if args.save_state or args.drift_against:
             import os

@@ -555,6 +555,7 @@ def validation_summary(result_rows: list[dict] | DataFrame) -> dict[str, Any]:
                 "value": r["value"],
                 "lower": r["lower"],
                 "upper": r["upper"],
+                **({"exact": r["exact"]} if "exact" in r else {}),
             }
             for r in failed
         ],
@@ -641,3 +642,95 @@ def suggest_checks(
                 if values:
                     out.append(is_in_set(col, values))
     return out
+
+
+# ---------------------------------------------------------------------------
+# suite (de)serialization — the artifact the CLI daily loop reads/writes
+# ---------------------------------------------------------------------------
+
+_CTORS = {
+    "completeness": lambda d: completeness(
+        d["column"], d.get("min_ratio", 1.0), d.get("name")),
+    "satisfies": lambda d: satisfies(
+        d["predicate"], d["name"], d.get("min_ratio", 1.0)),
+    "in_range": lambda d: in_range(
+        d["column"], d["lo"], d["hi"], d.get("min_ratio", 1.0), d.get("name")),
+    "non_negative": lambda d: non_negative(
+        d["column"], d.get("min_ratio", 1.0), d.get("name")),
+    "is_in_set": lambda d: is_in_set(
+        d["column"], d["values"], d.get("min_ratio", 1.0), d.get("name")),
+    "matches": lambda d: matches(
+        d["column"], d["pattern"], d.get("min_ratio", 1.0), d.get("name")),
+    "mean_between": lambda d: mean_between(
+        d["column"], d.get("lo"), d.get("hi"), d.get("name")),
+    "sum_between": lambda d: sum_between(
+        d["column"], d.get("lo"), d.get("hi"), d.get("name")),
+    "min_between": lambda d: min_between(
+        d["column"], d.get("lo"), d.get("hi"), d.get("name")),
+    "max_between": lambda d: max_between(
+        d["column"], d.get("lo"), d.get("hi"), d.get("name")),
+    "stddev_between": lambda d: stddev_between(
+        d["column"], d.get("lo"), d.get("hi"), d.get("name")),
+    "quantile_between": lambda d: quantile_between(
+        d["column"], d["q"], d.get("lo"), d.get("hi"), d.get("name")),
+    "row_count_between": lambda d: row_count_between(
+        d.get("lo"), d.get("hi"), d.get("name", "row_count")),
+    "uniqueness": lambda d: uniqueness(
+        d.get("columns", d.get("column")), d.get("min_ratio", 1.0),
+        d.get("name")),
+    "distinctness": lambda d: distinctness(
+        d.get("columns", d.get("column")), d.get("min_ratio", 0.0),
+        d.get("name")),
+    "primary_key": lambda d: primary_key(
+        d.get("columns", d.get("column")), d.get("name")),
+    "foreign_key": lambda d: foreign_key(
+        d.get("columns", d.get("column")), d["ref"],
+        d.get("ref_cols", d.get("ref_col")),
+        d.get("max_violation_ratio", 0.0), d.get("name")),
+    "functional_dependency": lambda d: functional_dependency(
+        d["determinant"], d["dependent"], d.get("min_ratio", 1.0),
+        d.get("name")),
+}
+
+
+def checks_from_spec(spec: dict | list) -> list[Check]:
+    """Parse ``{"checks": [{kind: ..., ...}, ...]}`` (or the bare list)."""
+    items = spec["checks"] if isinstance(spec, dict) else spec
+    out = []
+    for i, d in enumerate(items):
+        kind = d.get("kind")
+        if kind not in _CTORS:
+            raise ValueError(
+                f"checks[{i}]: unknown kind {kind!r} "
+                f"(known: {sorted(_CTORS)})"
+            )
+        try:
+            out.append(_CTORS[kind](d))
+        except KeyError as e:
+            raise ValueError(f"checks[{i}] ({kind}): missing field {e}")
+    return out
+
+
+def checks_to_spec(checks: list[Check]) -> dict:
+    """Inverse of :func:`checks_from_spec` (round-trips exactly)."""
+    items = []
+    for c in checks:
+        d: dict[str, Any] = {"kind": c.kind, "name": c.name}
+        p = dict(c.params)
+        if c.kind == "functional_dependency":
+            n_det = p.pop("n_det")
+            d["determinant"] = list(c.columns[:n_det])
+            d["dependent"] = c.columns[n_det]
+        elif c.kind == "foreign_key":
+            d["columns"] = list(c.columns)
+            d["ref"] = p.pop("ref")
+            d["ref_cols"] = list(p.pop("ref_cols"))
+        elif c.kind in _KEY_KINDS:
+            d["columns"] = list(c.columns)
+        elif c.columns:
+            d["column"] = c.columns[0]
+        if "values" in p:
+            p["values"] = list(p["values"])
+        d.update(p)
+        items.append(d)
+    return {"checks": items}

@@ -327,3 +327,88 @@ def test_checks_of_refusals(spark):
         checks_of(merged, [C.mean_between("o_orderstatus", 0, 1)])
     with pytest.raises(ValueError, match="pass the SparkSession"):
         checks_of(merged, [C.quantile_between("o_totalprice", 0.5, 0, 1)])
+
+
+# ---------------------------------------------------------------------------
+# CLI loop: suggest -> gate -> gate-from-state
+# ---------------------------------------------------------------------------
+
+
+def test_cli_checks_loop(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    src = tmp_path / "day.parquet"
+    pd.DataFrame({
+        "id": list(range(30)),
+        "price": [float(10 + i % 7) for i in range(30)],
+        "status": ["F" if i % 2 else "O" for i in range(30)],
+    }).to_parquet(src)
+
+    def run(*argv, expect=0):
+        proc = subprocess.run(
+            [sys.executable, "-m", "pandas_profiling_personal_spark.cli",
+             *argv, "--master", "local[2]"],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        assert proc.returncode == expect, (proc.returncode, proc.stderr[-2000:])
+        return proc
+
+    # 1. suggest a suite from the profile
+    suite_path = tmp_path / "suite.json"
+    out = run(str(src), "--minimal", "--suggest-checks", str(suite_path))
+    meta = json.loads(out.stdout.strip().splitlines()[-1])
+    assert meta["n_checks"] > 0 and "completeness" in meta["kinds"]
+
+    # 2. the suggested suite passes on the data it was profiled from
+    out = run(str(src), "--checks", str(suite_path))
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["passed"] and summary["n_failed"] == 0
+
+    # 3. a breaking bound exits 4 with the failure named
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"checks": [
+        {"kind": "in_range", "column": "price", "lo": 0, "hi": 5},
+    ]}))
+    out = run(str(src), "--checks", str(bad), expect=4)
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert not summary["passed"]
+    assert summary["failed"][0]["check_name"] == "in_range(price)"
+
+    # 4. foreign_key via --checks-refs
+    parent = tmp_path / "parent.parquet"
+    pd.DataFrame({"pid": list(range(25))}).to_parquet(parent)  # 25..29 dangle
+    fk = tmp_path / "fk.json"
+    fk.write_text(json.dumps({"checks": [
+        {"kind": "foreign_key", "columns": ["id"], "ref": "parent",
+         "ref_cols": ["pid"], "max_violation_ratio": 0.2},
+    ]}))
+    out = run(str(src), "--checks", str(fk),
+              "--checks-refs", f"parent={parent}")
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["passed"]  # 5/30 = 0.1667 <= 0.2
+
+    # 5. gate against a SAVED STATE with zero rescans
+    state = tmp_path / "STATE.json"
+    run(str(src), "--save-state", str(state))
+    statesuite = tmp_path / "statesuite.json"
+    statesuite.write_text(json.dumps({"checks": [
+        {"kind": "completeness", "column": "price"},
+        {"kind": "in_range", "column": "price", "lo": 0, "hi": 100},
+        {"kind": "row_count_between", "lo": 30, "hi": 30},
+    ]}))
+    out = run(str(state), "--checks", str(statesuite), "--checks-from-state")
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["passed"] and summary["from_state"]
+
+    # 6. scan-needing checks refuse by name in state mode (exit 1)
+    scs = tmp_path / "scansuite.json"
+    scs.write_text(json.dumps({"checks": [
+        {"kind": "uniqueness", "columns": ["id"]},
+    ]}))
+    proc = run(str(state), "--checks", str(scs), "--checks-from-state",
+               expect=1)
+    assert "needs a scan" in proc.stderr
