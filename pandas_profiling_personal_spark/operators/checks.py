@@ -274,9 +274,11 @@ def _ratio_row(name: str, kind: str, column: str, metric: str,
     )
 
 
-def _scalar_rows(df: DataFrame, checks: list[Check],
-                 exact_quantiles: bool) -> DataFrame | None:
-    """ALL scalar constraints as ONE aggregate pass (+ a percentile branch)."""
+def _scalar_plan(
+    checks: list[Check], exact_quantiles: bool
+) -> tuple[list[Column], list[Column], list[tuple[Check, str, str]]]:
+    """Compile scalar constraints to (declarative aggs, percentile aggs,
+    result-row specs) — shared by the batch suite and the streaming tier."""
     decl: list[Column] = [F.count(F.lit(1)).alias("__n")]
     pct: list[Column] = []
     rows: list[tuple[Check, str, str]] = []  # (check, value alias, metric)
@@ -322,12 +324,11 @@ def _scalar_rows(df: DataFrame, checks: list[Check],
             rows.append((chk, "__n", "row_count"))
         else:  # pragma: no cover
             raise AssertionError(k)
-    if not rows:
-        return None
-    agg = df.agg(*decl)
-    if pct:
-        # separate percentile aggregation, joined 1-row x 1-row (see module doc)
-        agg = agg.join(df.agg(*pct))
+    return decl, pct, rows
+
+
+def _scalar_structs(rows: list[tuple[Check, str, str]]) -> list[Column]:
+    """Result-row structs over the (windowed or global) aggregate output."""
     structs = []
     for chk, a, metric in rows:
         p = chk.params
@@ -350,6 +351,20 @@ def _scalar_rows(df: DataFrame, checks: list[Check],
             _ratio_row(chk.name, chk.kind, chk.display_column(), metric, val,
                        lo, hi)
         )
+    return structs
+
+
+def _scalar_rows(df: DataFrame, checks: list[Check],
+                 exact_quantiles: bool) -> DataFrame | None:
+    """ALL scalar constraints as ONE aggregate pass (+ a percentile branch)."""
+    decl, pct, rows = _scalar_plan(checks, exact_quantiles)
+    if not rows:
+        return None
+    agg = df.agg(*decl)
+    if pct:
+        # separate percentile aggregation, joined 1-row x 1-row (see module doc)
+        agg = agg.join(df.agg(*pct))
+    structs = _scalar_structs(rows)
     return agg.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
 
 

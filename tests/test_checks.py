@@ -412,3 +412,102 @@ def test_cli_checks_loop(tmp_path):
     proc = run(str(state), "--checks", str(scs), "--checks-from-state",
                expect=1)
     assert "needs a scan" in proc.stderr
+
+
+# ---------------------------------------------------------------------------
+# streaming tier: windowed check evaluation (stream == batch per window)
+# ---------------------------------------------------------------------------
+
+
+def test_checks_stream_batch_equivalence(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from pandas_profiling_personal_spark.streaming.checks_stream import (
+        checks_stream, failed_checks_stream,
+    )
+
+    rows = []
+    for i in range(120):
+        # window 0 (minutes 0-4): clean; window 1 (minutes 5-9): nulls + a
+        # negative outlier so completeness and in_range fail there
+        minute = i % 10
+        bad = minute >= 5
+        rows.append((
+            dt.datetime(2024, 1, 1, 0, minute, i // 10),
+            None if (bad and i % 3 == 0) else (-5.0 if (bad and i % 3 == 1)
+                                               else float(i % 7)),
+        ))
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    src = tmp_path / "checks_stream_src"
+    spark.createDataFrame(rows, schema).write.parquet(str(src))
+
+    suite = [
+        C.completeness("value", 0.95, name="comp"),
+        C.in_range("value", 0, 10, name="rng"),
+        C.mean_between("value", -10, 10, name="mean"),
+        C.row_count_between(1, None, name="rc"),
+    ]
+
+    def key(r):
+        return (str(r["window_start"]), r["check_name"])
+
+    batch = checks_stream(spark.read.parquet(str(src)), suite, "ts")
+    batch_rows = {key(r): (r["value"], r["passed"]) for r in batch.collect()}
+    assert len(batch_rows) == 2 * len(suite)  # 2 windows x 4 checks
+
+    stream_df = spark.readStream.schema(schema).parquet(str(src))
+    agg = checks_stream(stream_df, suite, "ts")
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("t_checks").start())
+    try:
+        q.processAllAvailable()
+        stream_rows = {key(r): (r["value"], r["passed"])
+                       for r in spark.table("t_checks").collect()}
+    finally:
+        q.stop()
+    assert stream_rows == batch_rows
+
+    # the bad window fails exactly comp + rng; per-window values match a
+    # batch check_suite run on that window's slice
+    from pyspark.sql import functions as F
+
+    bad_fails = {k[1] for k, v in batch_rows.items()
+                 if not v[1] and "00:05:00" in k[0]}
+    assert bad_fails == {"comp", "rng"}
+    good_fails = {k[1] for k, v in batch_rows.items()
+                  if not v[1] and "00:00:00" in k[0]}
+    assert good_fails == set()
+    sliced = spark.read.parquet(str(src)).filter(
+        F.minute("ts") >= 5)
+    sliced_rows = {r["check_name"]: (r["value"], r["passed"])
+                   for r in C.check_suite(sliced, suite).collect()}
+    for k, v in batch_rows.items():
+        if "00:05:00" in k[0]:
+            assert sliced_rows[k[1]] == v, k
+
+    # failed-only projection
+    failed = failed_checks_stream(batch).collect()
+    assert {r["check_name"] for r in failed} == {"comp", "rng"}
+
+
+def test_checks_stream_refusals(spark, tmp_path):
+    from pandas_profiling_personal_spark.streaming.checks_stream import (
+        checks_stream,
+    )
+
+    df = spark.range(5).selectExpr(
+        "timestamp'2024-01-01' as ts", "id as value")
+    with pytest.raises(ValueError, match="foreachBatch"):
+        checks_stream(df, [C.uniqueness("value")], "ts")
+    with pytest.raises(ValueError, match="foreachBatch"):
+        checks_stream(df, [C.quantile_between("value", 0.5, 0, 1)], "ts")
+    with pytest.raises(ValueError, match="empty check list"):
+        checks_stream(df, [], "ts")
+    with pytest.raises(ValueError, match="duplicate check names"):
+        checks_stream(
+            df, [C.completeness("value"), C.completeness("value")], "ts")
