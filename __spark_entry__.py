@@ -126,6 +126,15 @@ _SPECS: dict[str, tuple] = {
         P.functional_dependency_query(),
         P.functional_dependency_sql(),
     ),
+    # r10.3 (mid-round): in — benford_lineitem (first-digit forensic, the
+    # printf-decimal extraction that IS engine-identical where log10/pow
+    # arithmetic is not). out — missing_counts_events (9-round-green; its
+    # null-counting machinery is the completeness constraint in the
+    # in-window check_suite_orders and every null-aware aggregate).
+    "benford_lineitem": (
+        P.benford_query(),
+        P.benford_sql(),
+    ),
     "ngram_jaccard_pairs_documents": (
         PP.jaccard_pairs_query(0.1),
         PP.jaccard_pairs_sql(0.1),
@@ -195,14 +204,6 @@ _SPECS: dict[str, tuple] = {
     "embedding_drift_embeddings": (
         PP.embedding_drift_query(),
         PP.embedding_drift_sql(),
-    ),
-    "missing_counts_events": (
-        P.missing_counts_query(
-            "events", ["event_id", "ts", "user_id", "event_type", "value", "props"]
-        ),
-        P.missing_counts_sql(
-            "events", ["event_id", "ts", "user_id", "event_type", "value", "props"]
-        ),
     ),
     "pearson_lineitem": (
         P.pearson_query(
@@ -314,6 +315,14 @@ _SPECS: dict[str, tuple] = {
     "embedding_near_dup_embeddings": (
         PP.embedding_near_dup_query(0.4),
         PP.embedding_near_dup_sql(0.4),
+    ),
+    "missing_counts_events": (
+        P.missing_counts_query(
+            "events", ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ),
+        P.missing_counts_sql(
+            "events", ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ),
     ),
     "binary_format_mix_documents": (
         PP.binary_format_mix_query(),

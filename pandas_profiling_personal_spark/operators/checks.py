@@ -35,6 +35,7 @@ Empty-input ratios are NULL and pass vacuously.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 from typing import Any, Mapping
 
@@ -749,3 +750,110 @@ def checks_to_spec(checks: list[Check]) -> dict:
         d.update(p)
         items.append(d)
     return {"checks": items}
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit diagnostic — the fraud/corruption forensic for numeric
+# columns (complements the declared suite: you don't know the expected digit
+# mix up front, Benford's law supplies it for scale-spanning positive data)
+# ---------------------------------------------------------------------------
+
+#: P(d) = log10(1 + 1/d) — Benford's law first-digit distribution
+BENFORD_P = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def _first_digit(c: Column) -> Column:
+    """First significant digit of |value|, 1-9; NULL for null/zero/non-finite.
+
+    Extracted from the printf-rendered decimal expansion (``%.10f``) instead
+    of ``floor(x / 10^floor(log10 x))`` arithmetic: libm ``log10``/``pow``
+    differ in the last ulp across engines (e.g. 0.03/0.01 = 2.999...96 →
+    digit 2, wrong and engine-dependent), while printf renders the correctly
+    rounded decimal of the same IEEE double identically in JVM and C.
+    """
+    dec = F.format_string("%.10f", F.abs(c.cast("double")))
+    digit = F.regexp_extract(dec, "[1-9]", 0)
+    return F.when(
+        c.isNotNull() & (c.cast("double") != 0.0)
+        & ~F.isnan(c.cast("double"))
+        & (F.abs(c.cast("double")) != float("inf"))
+        & (digit != ""),
+        digit.cast("int"),
+    )
+
+
+def benford_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Observed vs Benford first-digit mix, ALL columns in ONE scan.
+
+    One conditional aggregate (9 counters per column + the eligible-value
+    count — zero shuffles), exploded to long rows ``(col_name, digit, n,
+    observed_p, expected_p)``; eligible = non-null, non-zero, finite.
+    Deviation scoring stays driver-side (:func:`benford_alerts`) — the
+    digit counts are the distributed part.
+    """
+    aggs = []
+    for i, col in enumerate(cols):
+        d = _first_digit(F.col(col))
+        aggs.append(F.count(d).alias(f"t{i}"))
+        for dig in range(1, 10):
+            aggs.append(
+                F.sum(F.when(d == dig, 1).otherwise(0)).alias(f"c{i}_{dig}")
+            )
+    agg = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(col).alias("col_name"),
+            F.lit(dig).alias("digit"),
+            F.col(f"c{i}_{dig}").cast("double").alias("n"),
+            F.round(
+                F.try_divide(F.col(f"c{i}_{dig}"), F.col(f"t{i}")), ROUND
+            ).alias("observed_p"),
+            F.lit(round(BENFORD_P[dig], ROUND)).alias("expected_p"),
+        )
+        for i, col in enumerate(cols)
+        for dig in range(1, 10)
+    ]
+    return (
+        agg.select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.*")
+        .orderBy("col_name", "digit")
+    )
+
+
+def benford_alerts(
+    rows: list[dict] | DataFrame, chi2_threshold: float = 100.0
+) -> list[dict[str, Any]]:
+    """Driver-side scoring over :func:`benford_profile` rows.
+
+    Pearson chi² against the Benford expectation per column (8 dof) plus the
+    max absolute proportion deviation; BENFORD_DEVIATION alert when chi²
+    exceeds the threshold. The default threshold is deliberately far above
+    the 8-dof critical value (~20 at α=0.01): at pipeline scale every real
+    column is "statistically" non-Benford, the alert is for FORENSIC-sized
+    deviations.
+    """
+    if isinstance(rows, DataFrame):
+        rows = [r.asDict() for r in rows.collect()]
+    by_col: dict[str, list[dict]] = {}
+    for r in rows:
+        by_col.setdefault(r["col_name"], []).append(r)
+    out = []
+    for col, rs in sorted(by_col.items()):
+        total = sum(r["n"] for r in rs)
+        if not total:
+            continue
+        chi2 = 0.0
+        max_dev = 0.0
+        for r in rs:
+            exp = BENFORD_P[r["digit"]] * total
+            chi2 += (r["n"] - exp) ** 2 / exp
+            max_dev = max(max_dev, abs(r["n"] / total - BENFORD_P[r["digit"]]))
+        if chi2 > chi2_threshold:
+            out.append({
+                "alert_type": "BENFORD_DEVIATION",
+                "column": col,
+                "chi2": round(chi2, 4),
+                "max_abs_deviation": round(max_dev, 4),
+                "n": int(total),
+            })
+    return out

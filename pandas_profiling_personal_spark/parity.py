@@ -2103,3 +2103,48 @@ FROM (
         + fd(["l_partkey"], "l_suppkey")
         + "\nORDER BY check_name"
     )
+
+
+def benford_query(table: str = "lineitem",
+                  cols: list[str] | None = None) -> QueryFn:
+    cols = cols or ["l_extendedprice", "l_quantity", "l_discount"]
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.checks import (
+            benford_profile,
+        )
+
+        return benford_profile(load(spark, sf_dir, table), cols)
+
+    return fn
+
+
+def benford_sql(table: str = "lineitem", cols: list[str] | None = None) -> str:
+    """First-digit mix via the printf decimal expansion (engine-identical
+    for IEEE doubles — the log10/pow arithmetic is NOT, see _first_digit)."""
+    cols = cols or ["l_extendedprice", "l_quantity", "l_discount"]
+    vals = "\nUNION ALL ".join(
+        f"SELECT '{c}' AS col_name, CAST(nullif(regexp_extract(printf("
+        f"'%.10f', abs(CAST({c} AS DOUBLE))), '[1-9]'), '') AS INT) AS digit "
+        f"FROM {table} WHERE {c} IS NOT NULL "
+        f"AND CAST({c} AS DOUBLE) <> 0 AND isfinite(CAST({c} AS DOUBLE))"
+        for c in cols
+    )
+    return f"""
+WITH vals AS (
+{vals}
+),
+counts AS (SELECT col_name, digit, count(*) AS n FROM vals
+           WHERE digit IS NOT NULL GROUP BY 1, 2),
+totals AS (SELECT col_name, count(*) AS t FROM vals
+           WHERE digit IS NOT NULL GROUP BY 1),
+grid AS (SELECT t.col_name, d.d AS digit, t.t
+         FROM totals t, (SELECT unnest(range(1, 10)) AS d) d)
+SELECT g.col_name AS col_name, CAST(g.digit AS INT) AS digit,
+       CAST(coalesce(c.n, 0) AS DOUBLE) AS n,
+       round(coalesce(c.n, 0) * 1.0 / g.t, 4) AS observed_p,
+       round(log10(1 + 1.0 / g.digit), 4) AS expected_p
+FROM grid g LEFT JOIN counts c
+  ON g.col_name = c.col_name AND g.digit = c.digit
+ORDER BY 1, 2
+"""

@@ -511,3 +511,43 @@ def test_checks_stream_refusals(spark, tmp_path):
     with pytest.raises(ValueError, match="duplicate check names"):
         checks_stream(
             df, [C.completeness("value"), C.completeness("value")], "ts")
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit diagnostic
+# ---------------------------------------------------------------------------
+
+
+def test_benford_profile_semantics(spark):
+    rows = [(1234.0, 0.03), (2.5, 0.03), (0.0456, None), (-70.0, 0.03),
+            (None, 0.03), (0.0, 0.03), (float("nan"), 0.03)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    res = C.benford_profile(df, ["a", "b"]).collect()
+    a = {r["digit"]: (int(r["n"]), r["observed_p"])
+         for r in res if r["col_name"] == "a"}
+    # eligible a-values: 1234 (1), 2.5 (2), 0.0456 (4), -70 (7);
+    # null/zero/NaN excluded
+    assert sorted(a) == list(range(1, 10))
+    assert a[1] == (1, 0.25) and a[2] == (1, 0.25)
+    assert a[4] == (1, 0.25) and a[7] == (1, 0.25)
+    assert a[3] == (0, 0.0) and a[9] == (0, 0.0)
+    b = {r["digit"]: int(r["n"]) for r in res if r["col_name"] == "b"}
+    assert b[3] == 6 and sum(b.values()) == 6
+    # expected_p is the Benford law value
+    exp = {r["digit"]: r["expected_p"] for r in res if r["col_name"] == "a"}
+    assert exp[1] == pytest.approx(0.301, abs=1e-4)
+    assert exp[9] == pytest.approx(0.0458, abs=1e-4)
+    # column b is a single-digit spike: far from Benford -> alert fires with
+    # a forensic threshold; column a (4 values) stays under it
+    alerts = C.benford_alerts(res, chi2_threshold=15.0)
+    assert [al["column"] for al in alerts] == ["b"]
+    assert alerts[0]["alert_type"] == "BENFORD_DEVIATION"
+    assert alerts[0]["n"] == 6
+
+
+def test_benford_single_scan_plan(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    res = C.benford_profile(df, ["l_extendedprice", "l_quantity"])
+    p = _plan(res)
+    assert p.count("Scan parquet") == 2  # formatted prints each node twice
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
