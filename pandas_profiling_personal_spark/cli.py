@@ -796,6 +796,10 @@ def main(argv: list[str] | None = None) -> int:
                         ts_a=ts_sidecar, ts_b=cur_ts, title=title,
                     )
                 )
+            from pandas_profiling_personal_spark.plans.incremental import (
+                schema_drift_between_partials,
+            )
+
             print(json.dumps({
                 "output": out, "n_a": prev.n, "n_b": cur.n,
                 "embedding": sidecar is not None,
@@ -803,6 +807,7 @@ def main(argv: list[str] | None = None) -> int:
                 "timeseries_flagged": sorted(
                     c for c, d in (ts_drift or {}).items() if d["flagged"]
                 ),
+                "schema_drift": schema_drift_between_partials(prev, cur),
             }))
             return 0
         if args.corpus_report:

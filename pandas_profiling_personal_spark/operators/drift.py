@@ -485,6 +485,7 @@ def drift_alerts(
     embedding_row: "dict | None" = None,
     association_rows: list | None = None,
     timeseries_rows: list | None = None,
+    schema_drift: "dict | None" = None,
     psi_watch: float = 0.1,
     psi_significant: float = 0.25,
     min_centroid_cosine: float = 0.98,
@@ -618,6 +619,28 @@ def drift_alerts(
                     **{f"{k}_delta": v for k, v in moved.items()},
                 }
             )
+    # schema drift (incremental schema_drift_between_partials): one alert
+    # per structural change — the value-drift tables above only cover
+    # SHARED columns, so this is the only place a rename/drop/retype shows
+    if schema_drift:
+        for c in schema_drift.get("added") or []:
+            alerts.append(
+                {"type": "DRIFT_SCHEMA", "column": c, "change": "added"}
+            )
+        for c in schema_drift.get("removed") or []:
+            alerts.append(
+                {"type": "DRIFT_SCHEMA", "column": c, "change": "removed"}
+            )
+        for tc in schema_drift.get("type_changed") or []:
+            alerts.append(
+                {
+                    "type": "DRIFT_SCHEMA",
+                    "column": tc["column"],
+                    "change": "type_changed",
+                    "type_a": tc["type_a"],
+                    "type_b": tc["type_b"],
+                }
+            )
     return alerts
 
 
@@ -627,6 +650,7 @@ def drift_report_html(
     embedding_row: "dict | None" = None,
     association_rows: list | None = None,
     timeseries_rows: list | None = None,
+    schema_drift: "dict | None" = None,
     title: str = "Drift report",
     **alert_thresholds,
 ) -> str:
@@ -650,6 +674,7 @@ def drift_report_html(
         embedding_row=embedding_row,
         association_rows=association_rows,
         timeseries_rows=timeseries_rows,
+        schema_drift=schema_drift,
         **alert_thresholds,
     )
     sections: list[str] = []
@@ -686,6 +711,25 @@ def drift_report_html(
         sections.append(
             f"<h2>{label}</h2><table><tr><th>column</th><th>n_a</th>"
             f"<th>n_b</th><th>psi</th><th>max shift</th></tr>{body}</table>"
+        )
+
+    if schema_drift and schema_drift.get("changed"):
+        body = "".join(
+            f"<tr><th>{esc(c)}</th><td>added</td><td>—</td><td>—</td></tr>"
+            for c in schema_drift.get("added") or []
+        ) + "".join(
+            f"<tr><th>{esc(c)}</th><td>removed</td><td>—</td><td>—</td></tr>"
+            for c in schema_drift.get("removed") or []
+        ) + "".join(
+            "<tr><th>{c}</th><td>type changed</td><td>{a}</td><td>{b}</td>"
+            "</tr>".format(
+                c=esc(tc["column"]), a=esc(tc["type_a"]), b=esc(tc["type_b"])
+            )
+            for tc in schema_drift.get("type_changed") or []
+        )
+        sections.append(
+            "<h2>Schema</h2><table><tr><th>column</th><th>change</th>"
+            f"<th>type a</th><th>type b</th></tr>{body}</table>"
         )
 
     _psi_table(numeric_rows, "max_shift_bucket", "Numeric PSI")

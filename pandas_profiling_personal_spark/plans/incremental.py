@@ -1606,6 +1606,7 @@ def incremental_drift_report(
         embedding_row=embedding_row,
         association_rows=association_rows,
         timeseries_rows=timeseries_rows,
+        schema_drift=schema_drift_between_partials(part_a, part_b),
         title=title,
         **alert_thresholds,
     )
@@ -1967,4 +1968,36 @@ def checks_of(
             "upper": None if hi is None else float(hi),
             "passed": bool(passed), "exact": exact,
         })
+    return out
+
+
+def schema_drift_between_partials(
+    a: PartialProfile, b: PartialProfile
+) -> dict[str, Any]:
+    """Did the SHAPE of the table change between snapshots? — the gap the
+    value-drift operators cannot see: ``drift_between_partials`` and its
+    categorical twin cover the columns both states share, so a renamed,
+    dropped, added, or re-typed column silently vanishes from every PSI
+    table. Pure driver arithmetic over the states' column maps.
+
+    Returns ``{"added": [...], "removed": [...], "type_changed":
+    [{"column", "type_a", "type_b"}], "changed": bool}`` — feed it to
+    ``drift_alerts``/``drift_report_html`` (DRIFT_SCHEMA) or read
+    ``changed`` as the refuse-early signal in a daily loop."""
+    cols_a, cols_b = set(a.columns), set(b.columns)
+    type_changed = [
+        {
+            "column": c,
+            "type_a": a.columns[c].type,
+            "type_b": b.columns[c].type,
+        }
+        for c in sorted(cols_a & cols_b)
+        if a.columns[c].type != b.columns[c].type
+    ]
+    out = {
+        "added": sorted(cols_b - cols_a),
+        "removed": sorted(cols_a - cols_b),
+        "type_changed": type_changed,
+    }
+    out["changed"] = bool(out["added"] or out["removed"] or type_changed)
     return out

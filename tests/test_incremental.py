@@ -1038,3 +1038,55 @@ def test_cli_embedding_sidecar_contract(tmp_path):
     msg = run(str(src_d), str(tmp_path / "d.html"),
               "--drift-against", str(st_a), ok=False)
     assert "is not in today's input" in msg
+
+
+def test_schema_drift_between_partials(spark):
+    """Structural change between states: the gap the value-drift tables
+    (shared-columns only) cannot see — renamed/dropped/added/re-typed
+    columns surface as DRIFT_SCHEMA, never silently vanish."""
+    from pandas_profiling_personal_spark.operators.drift import (
+        drift_alerts, drift_report_html,
+    )
+    from pandas_profiling_personal_spark.plans.incremental import (
+        partial_profile, schema_drift_between_partials,
+    )
+
+    df_a = spark.createDataFrame(
+        [(1, 1.0, "x")], "id int, val double, cat string")
+    df_b = spark.createDataFrame(
+        [(1, "one", True)], "id int, val string, extra boolean")
+    a, b = partial_profile(df_a), partial_profile(df_b)
+
+    sd = schema_drift_between_partials(a, b)
+    assert sd["added"] == ["extra"]
+    assert sd["removed"] == ["cat"]
+    assert [tc["column"] for tc in sd["type_changed"]] == ["val"]
+    assert sd["type_changed"][0]["type_a"] != sd["type_changed"][0]["type_b"]
+    assert sd["changed"]
+
+    alerts = drift_alerts(schema_drift=sd)
+    assert {(x["column"], x["change"]) for x in alerts} == {
+        ("extra", "added"), ("cat", "removed"), ("val", "type_changed")}
+    assert all(x["type"] == "DRIFT_SCHEMA" for x in alerts)
+
+    html = drift_report_html(schema_drift=sd)
+    assert "Schema" in html and "type changed" in html and "extra" in html
+
+    # identical states: no schema drift, no alert, no section
+    same = schema_drift_between_partials(a, a)
+    assert not same["changed"]
+    assert drift_alerts(schema_drift=same) == []
+    assert "Schema" not in drift_report_html(schema_drift=same).split(
+        "<h2>Alerts")[1]
+
+
+def test_incremental_drift_report_includes_schema(spark):
+    from pandas_profiling_personal_spark.plans.incremental import (
+        incremental_drift_report, partial_profile,
+    )
+
+    df_a = spark.createDataFrame([(1.0,)], "val double")
+    df_b = spark.createDataFrame([(1.0, "s")], "val double, surprise string")
+    html = incremental_drift_report(
+        partial_profile(df_a), partial_profile(df_b))
+    assert "DRIFT_SCHEMA" in html and "surprise" in html
