@@ -22,10 +22,12 @@ Execution shape (the scale contract):
   share ONE melt -> groupBy shuffle regardless of how many key subsets are
   declared (the contingency_all_pairs pattern from correlations.py).
 * ALL functional dependencies share ONE melt -> two-level groupBy shuffle.
-* Each foreign-key containment is a LEFT ANTI join against the DISTINCT parent
-  keys — the parent side collapses to its key cardinality before the join, so
-  AQE broadcasts real dimension tables; child rows with any NULL key column
-  pass vacuously (ANSI FK semantics).
+* Each foreign-key containment is ONE left join against the DISTINCT parent
+  keys with total + miss counts in the same conditional aggregate (a single
+  child scan — the anti-join formulation needs a second scan for the total);
+  the parent side collapses to its key cardinality before the join, so AQE
+  broadcasts real dimension tables; child rows with any NULL key column pass
+  vacuously (ANSI FK semantics).
 
 Null semantics (documented, both engines): column-predicate compliance is
 measured over NON-NULL rows only — missing data is ``completeness``'s job, not
@@ -485,14 +487,24 @@ def _fk_rows(df: DataFrame, checks: list[Check],
             refs[ref_name]
             .select(*[F.col(p).alias(c) for c, p in zip(child_cols, parent_cols)])
             .distinct()
+            .withColumn("__hit", F.lit(1))
         )
         non_null = df
         for c in child_cols:
             non_null = non_null.filter(F.col(c).isNotNull())
-        child_keys = non_null.select(*child_cols)
-        agg = child_keys.join(parent, on=child_cols, how="left_anti").agg(
-            F.count(F.lit(1)).alias("violations")
-        ).join(child_keys.agg(F.count(F.lit(1)).alias("n_child")))
+        # ONE scan of the child: left join against the distinct parent keys,
+        # then total + miss counts from the same conditional aggregate (an
+        # anti-join count would need a second child scan for the total)
+        agg = (
+            non_null.select(*child_cols)
+            .join(parent, on=child_cols, how="left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(
+                    F.when(F.col("__hit").isNull(), 1).otherwise(0)
+                ).alias("violations"),
+            )
+        )
         val = F.try_divide(F.col("violations"), F.col("n_child"))
         # empty child side: 0 violations over 0 rows — vacuous pass (NULL)
         row_df = agg.select(

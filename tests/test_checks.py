@@ -225,9 +225,12 @@ def test_plan_fk_distinct_parent_join(spark):
         refs={"customer": customer},
     )
     p = _plan(res)
-    # parent side deduplicates to key cardinality before the anti join, and
+    # ONE scan per side (formatted explain prints each node twice): the
+    # violation and total counts ride the same conditional aggregate over a
+    # single left join; the parent deduplicates to key cardinality first and
     # the child scan prunes to the key column
-    assert "LeftAnti" in p
+    assert p.count("Scan parquet") == 4
+    assert p.count("Join type: LeftOuter") == 1
     assert "HashAggregate" in p
     for line in (l for l in p.splitlines() if "ReadSchema" in l):
         assert "o_totalprice" not in line
