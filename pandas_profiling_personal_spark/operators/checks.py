@@ -626,7 +626,11 @@ def suggest_checks(
     (fractional) so tomorrow's load has headroom; completeness floors at the
     observed ratio rounded DOWN to 4 decimals.
 
-    Accepts ``profile(df).variables`` or ``finalize_partial(state)["variables"]``.
+    Accepts ``profile(df).variables`` or ``finalize_partial(state)["variables"]``
+    (the state shape carries tuple-shaped top values, no ``n_unique``, and
+    only an APPROXIMATE distinct count — so a state suggests the
+    completeness / range family but never uniqueness or is_in_set, which
+    need exact group visibility the sketch cannot give).
     """
     out: list[Check] = []
     for col, v in variables.items():
@@ -659,14 +663,18 @@ def suggest_checks(
                 out.append(uniqueness(col))
             top = v.get("top_values")
             if (
-                n_distinct is not None
+                n_distinct is not None  # exact only — never n_distinct_approx
                 and n_distinct <= set_cardinality_cap
                 and top is not None
                 and len(top) >= n_distinct
             ):
-                values = sorted(
-                    t["value"] for t in top[:n_distinct] if t["value"] is not None
-                )
+                # profile() top_values are {"value","count"} dicts; the
+                # state shape is (value, count) tuples
+                raw = [
+                    t["value"] if isinstance(t, dict) else t[0]
+                    for t in top[:n_distinct]
+                ]
+                values = sorted(x for x in raw if x is not None)
                 if values:
                     out.append(is_in_set(col, values))
     return out

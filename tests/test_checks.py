@@ -554,3 +554,22 @@ def test_benford_single_scan_plan(spark):
     p = _plan(res)
     assert p.count("Scan parquet") == 2  # formatted prints each node twice
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_suggestion_from_state_property(spark):
+    """Checks suggested from a MERGED STATE pass on the original frame —
+    and the state shape (approx distinct, tuple tops, no n_unique) never
+    suggests the exact-visibility kinds (uniqueness / is_in_set)."""
+    from pandas_profiling_personal_spark.plans.incremental import (
+        finalize_partial,
+    )
+
+    orders, merged = _merged_state(spark)
+    variables = finalize_partial(merged, spark)["variables"]
+    suggested = C.suggest_checks(variables)
+    kinds = {c.kind for c in suggested}
+    assert {"completeness", "in_range"} <= kinds
+    assert "uniqueness" not in kinds and "is_in_set" not in kinds
+    res = C.check_suite(orders, suggested)
+    failed = [r["check_name"] for r in res.collect() if not r["passed"]]
+    assert failed == []
