@@ -172,6 +172,25 @@ def row_count_between(lo=None, hi=None, name: str = "row_count") -> Check:
                   "hi": None if hi is None else float(hi)})
 
 
+def approx_distinct_between(col: str, lo=None, hi=None, rsd: float = 0.05,
+                            name: str | None = None) -> Check:
+    """HLL-estimated distinct count within bounds (±rsd relative error).
+
+    The approximate member of the scalar family: one declarative aggregate,
+    so it runs in the single-scan batch pass, the windowed STREAMING tier,
+    and from a saved state's HLL sketch alike — size the bounds with the
+    rsd slack in mind (a bound tighter than ±rsd of the truth will flap).
+    Deliberately NOT oracle-backed: DuckDB's approx_count_distinct is a
+    different HLL implementation; the pytest pin is tolerance vs the exact
+    count. For an exact distinctness contract use :func:`distinctness`.
+    """
+    return Check("approx_distinct_between", (col,),
+                 name or f"approx_distinct_between({col})",
+                 {"lo": None if lo is None else float(lo),
+                  "hi": None if hi is None else float(hi),
+                  "rsd": float(rsd)})
+
+
 def uniqueness(cols: list[str] | str, min_ratio: float = 1.0,
                name: str | None = None) -> Check:
     """Fraction of rows whose key value occurs exactly once (NULL = a value)."""
@@ -236,6 +255,7 @@ _SCALAR_KINDS = {
     "completeness", "satisfies", "in_range", "non_negative", "is_in_set",
     "matches", "mean_between", "sum_between", "min_between", "max_between",
     "stddev_between", "quantile_between", "row_count_between",
+    "approx_distinct_between",
 }
 _KEY_KINDS = {"uniqueness", "distinctness", "primary_key"}
 
@@ -323,6 +343,11 @@ def _scalar_plan(
                 S.quantile(c, chk.params["q"], exact=exact_quantiles).alias(a)
             )
             rows.append((chk, a, f"q{chk.params['q']}"))
+        elif k == "approx_distinct_between":
+            decl.append(
+                F.approx_count_distinct(c, chk.params["rsd"]).alias(a)
+            )
+            rows.append((chk, a, "approx_distinct"))
         elif k == "row_count_between":
             rows.append((chk, "__n", "row_count"))
         else:  # pragma: no cover
@@ -711,6 +736,9 @@ _CTORS = {
         d["column"], d["q"], d.get("lo"), d.get("hi"), d.get("name")),
     "row_count_between": lambda d: row_count_between(
         d.get("lo"), d.get("hi"), d.get("name", "row_count")),
+    "approx_distinct_between": lambda d: approx_distinct_between(
+        d["column"], d.get("lo"), d.get("hi"), d.get("rsd", 0.05),
+        d.get("name")),
     "uniqueness": lambda d: uniqueness(
         d.get("columns", d.get("column")), d.get("min_ratio", 1.0),
         d.get("name")),

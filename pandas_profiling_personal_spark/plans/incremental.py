@@ -1823,7 +1823,8 @@ def checks_of(
     _EXACT = {"completeness", "row_count_between", "mean_between",
               "sum_between", "min_between", "max_between", "stddev_between"}
     _DECIDABLE = {"in_range", "non_negative"}
-    _SKETCH = {"quantile_between", "distinctness"}
+    _SKETCH = {"quantile_between", "distinctness",
+               "approx_distinct_between"}
 
     unsupported = [
         c.name for c in checks
@@ -1848,7 +1849,8 @@ def checks_of(
                 "compliance is not derivable from min/max; run check_suite"
             )
         numeric_only = (_EXACT | _DECIDABLE | _SKETCH) - {
-            "completeness", "row_count_between", "distinctness"
+            "completeness", "row_count_between", "distinctness",
+            "approx_distinct_between",
         }
         if (
             c.kind in numeric_only
@@ -1952,6 +1954,9 @@ def checks_of(
         elif c.kind == "quantile_between":
             value = sketch_vals.get(c.name)
             metric, exact = f"q{p['q']}", False
+        elif c.kind == "approx_distinct_between":
+            value = sketch_vals.get(c.name)
+            metric, exact = "approx_distinct", False
         else:  # distinctness
             est = sketch_vals.get(c.name)
             value = (est / cs.n_rows) if est is not None and cs.n_rows else None

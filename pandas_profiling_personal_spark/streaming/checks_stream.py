@@ -83,3 +83,43 @@ def checks_stream(
 def failed_checks_stream(result: DataFrame) -> DataFrame:
     """Alert projection: only the failing rows (the sink most gates want)."""
     return result.filter(~F.col("passed"))
+
+
+def checks_foreach_batch(
+    checks: list[Check],
+    out_path: str,
+    ref_paths: dict[str, str] | None = None,
+):
+    """``foreachBatch`` processor: the FULL batch suite per micro-batch.
+
+    The per-batch tier for the kinds the windowed aggregation refuses —
+    uniqueness / primary keys / quantiles / foreign keys / functional
+    dependencies — with the honest contract stated: each batch is gated in
+    ISOLATION (a key that repeats across two micro-batches is unique inside
+    each; cross-history dedup is the signature-store operators' job, not a
+    per-batch check). Reference frames for foreign keys load fresh from
+    ``ref_paths`` (parquet) every batch, so a growing dimension is picked
+    up; result rows land in ``out_path/batch=<id>`` with overwrite (a
+    retried micro-batch replaces its own output — the asof_foreach_batch
+    arrival contract). Wire it up::
+
+        q = (stream.writeStream
+             .foreachBatch(checks_foreach_batch(suite, out,
+                                                {"customer": cust_path}))
+             .option("checkpointLocation", ckpt).start())
+    """
+    from pandas_profiling_personal_spark.operators.checks import check_suite
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        refs = {
+            name: spark.read.parquet(path)
+            for name, path in (ref_paths or {}).items()
+        }
+        (
+            check_suite(batch_df, checks, refs=refs)
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/batch={batch_id}")
+        )
+
+    return process

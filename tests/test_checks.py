@@ -573,3 +573,75 @@ def test_suggestion_from_state_property(spark):
     res = C.check_suite(orders, suggested)
     failed = [r["check_name"] for r in res.collect() if not r["passed"]]
     assert failed == []
+
+
+def test_approx_distinct_between_all_tiers(spark):
+    """The approximate member of the scalar family runs in the batch scan,
+    the streaming window, and from a saved state's HLL — same check object."""
+    from pandas_profiling_personal_spark.plans.incremental import checks_of
+    from pandas_profiling_personal_spark.streaming.checks_stream import (
+        checks_stream,
+    )
+
+    orders, merged = _merged_state(spark)
+    n = orders.count()
+    chk = C.approx_distinct_between("o_orderkey", n * 0.9, n * 1.1,
+                                    name="adist")
+    # batch: rides the single-scan pass
+    r = _by_name(C.check_suite(orders, [chk]))["adist"]
+    assert r["passed"] and r["value"] == pytest.approx(n, rel=0.1)
+    # spec roundtrip
+    assert C.checks_from_spec(C.checks_to_spec([chk])) == [chk]
+    # state: HLL estimate with exact=False
+    sr = {x["check_name"]: x for x in checks_of(merged, [chk], spark=spark)}
+    assert sr["adist"]["exact"] is False
+    assert sr["adist"]["value"] == pytest.approx(n, rel=0.1)
+    assert sr["adist"]["passed"]
+    # streaming: accepted by the windowed tier (declarative aggregate)
+    df = orders.selectExpr("timestamp'2024-01-01' as ts", "o_orderkey")
+    wr = checks_stream(df, [chk], "ts").collect()
+    assert len(wr) == 1 and wr[0]["passed"]
+
+
+def test_checks_foreach_batch_gate(spark, tmp_path):
+    """Per-micro-batch full-suite gate: real file stream, per-batch
+    visibility, FK refs re-read per batch, batch=<id> overwrite layout."""
+    from pyspark.sql import types as T
+
+    from pandas_profiling_personal_spark.streaming.checks_stream import (
+        checks_foreach_batch,
+    )
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("fk", T.LongType()),
+    ])
+    src = tmp_path / "src"
+    # one file => one micro-batch: ids unique inside, one dangling fk
+    spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 999)], schema).write.parquet(str(src))
+    parent = tmp_path / "parent.parquet"
+    spark.createDataFrame([(100,)], "pid long").write.parquet(str(parent))
+
+    suite = [
+        C.uniqueness("id", name="uniq"),
+        C.foreign_key("fk", "parent", "pid", max_violation_ratio=0.5,
+                      name="fk"),
+    ]
+    out = tmp_path / "out"
+    q = (
+        spark.readStream.schema(schema).parquet(str(src))
+        .writeStream.foreachBatch(
+            checks_foreach_batch(suite, str(out), {"parent": str(parent)}))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["check_name"]: r.asDict()
+            for r in spark.read.parquet(f"{out}/batch=0").collect()}
+    assert rows["uniq"]["passed"] and rows["uniq"]["value"] == 1.0
+    assert rows["fk"]["value"] == pytest.approx(1 / 3, abs=1e-4)
+    assert rows["fk"]["passed"]  # 0.3333 <= 0.5
