@@ -274,6 +274,8 @@ def main(argv: list[str] | None = None) -> int:
     ]
     if args.checks_from_state and not args.checks:
         parser.error("--checks-from-state needs --checks")
+    if args.checks_refs and not args.checks:
+        parser.error("--checks-refs needs --checks")
     if len(modes) > 1:
         parser.error(
             "choose ONE mode: " + " / ".join(modes) + " are mutually "

@@ -276,15 +276,21 @@ def _predicate(chk: Check) -> Column:
 
 def _ratio_row(name: str, kind: str, column: str, metric: str,
                value: Column, lo, hi) -> Column:
-    """A result row as a struct; pass rule: NULL value passes vacuously."""
-    v = F.round(value.cast("double"), ROUND)
+    """A result row as a struct; pass rule: NULL value passes vacuously.
+
+    ``passed`` compares the UNROUNDED metric against the bounds — the
+    reported ``value`` rounds to 4 decimals for display/oracle stability,
+    but a gate declared at min_ratio=1.0 must not accept 0.99996 because
+    it rounds to 1.0 (at 10^6 rows that's ~40 silent violations)."""
+    raw = value.cast("double")
+    v = F.round(raw, ROUND)
     lo_c = F.lit(lo).cast("double")
     hi_c = F.lit(hi).cast("double")
     ok = F.lit(True)
     if lo is not None:
-        ok = ok & (v >= lo_c)
+        ok = ok & (raw >= lo_c)
     if hi is not None:
-        ok = ok & (v <= hi_c)
+        ok = ok & (raw <= hi_c)
     return F.struct(
         F.lit(name).alias("check_name"),
         F.lit(kind).alias("kind"),
@@ -293,7 +299,7 @@ def _ratio_row(name: str, kind: str, column: str, metric: str,
         v.alias("value"),
         lo_c.alias("lower"),
         hi_c.alias("upper"),
-        F.coalesce(v.isNull() | ok, F.lit(True)).alias("passed"),
+        F.coalesce(raw.isNull() | ok, F.lit(True)).alias("passed"),
     )
 
 
@@ -420,14 +426,27 @@ def _key_rows(df: DataFrame, checks: list[Check]) -> DataFrame | None:
                  ).alias("null_parts"))
         for i, chk in enumerate(checks)
     ]
-    melted = df.select(F.explode(F.array(*structs)).alias("kv")).select("kv.*")
-    per_key = melted.groupBy("sid", "key").agg(
-        F.count(F.lit(1)).alias("cnt"),
+    melted = (
+        df.select(F.explode(F.array(*structs)).alias("kv"))
+        .select("kv.*")
+        .withColumn("dummy", F.lit(0))
+    )
+    # one marker row per subset keeps the aggregate TOTAL on an empty input
+    # (a bare groupBy would emit zero rows and the check would silently
+    # vanish from the gate); its key is NULL — unreachable by real keys,
+    # which concat_ws never renders as NULL — and every count conditions
+    # the marker away, so an empty frame yields NULL ratios (vacuous pass)
+    marker = df.sparkSession.createDataFrame(
+        [(i, None, 0, 1) for i in range(len(checks))],
+        "sid int, key string, null_parts int, dummy int",
+    )
+    per_key = melted.unionByName(marker).groupBy("sid", "key").agg(
+        F.sum(F.lit(1) - F.col("dummy")).alias("cnt"),
         F.sum("null_parts").alias("null_parts"),
     )
     per_sid = per_key.groupBy("sid").agg(
         F.sum("cnt").alias("rows"),
-        F.count(F.lit(1)).alias("groups"),
+        F.sum(F.when(F.col("cnt") > 0, 1).otherwise(0)).alias("groups"),
         F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("singletons"),
         F.sum("null_parts").alias("null_parts"),
     )
@@ -472,11 +491,18 @@ def _fd_rows(df: DataFrame, checks: list[Check]) -> DataFrame | None:
             )
         )
     melted = df.select(F.explode(F.array(*structs)).alias("kv")).select("kv.*")
-    per_group = melted.groupBy("fid", "det").agg(
+    # the _key_rows marker pattern: one NULL-det row per FD keeps the
+    # aggregate total on an empty input (real dets are never NULL); its
+    # dep is NULL so count_distinct sees an empty group
+    marker = df.sparkSession.createDataFrame(
+        [(i, None, None) for i in range(len(checks))],
+        "fid int, det string, dep string",
+    )
+    per_group = melted.unionByName(marker).groupBy("fid", "det").agg(
         F.count_distinct(F.col("dep")).alias("ndep")
     )
     per_fd = per_group.groupBy("fid").agg(
-        F.count(F.lit(1)).alias("groups"),
+        F.sum(F.when(F.col("ndep") > 0, 1).otherwise(0)).alias("groups"),
         F.sum(F.when(F.col("ndep") > 1, 1).otherwise(0)).alias("violating"),
     )
     whens = None
@@ -674,6 +700,10 @@ def suggest_checks(
             and isinstance(vmax, (int, float))
             and not isinstance(vmin, bool)
             and not isinstance(vmax, bool)
+            # NaN/inf extremes: span arithmetic poisons both bounds to NaN
+            # and the suggested in_range would FAIL on the profiled frame
+            and math.isfinite(vmin)
+            and math.isfinite(vmax)
         ):
             span = (vmax - vmin) or abs(vmin) or 1.0
             out.append(
@@ -713,7 +743,8 @@ _CTORS = {
     "completeness": lambda d: completeness(
         d["column"], d.get("min_ratio", 1.0), d.get("name")),
     "satisfies": lambda d: satisfies(
-        d["predicate"], d["name"], d.get("min_ratio", 1.0)),
+        d["predicate"], d["name"], d.get("min_ratio", 1.0),
+        tuple(d.get("columns", ()))),
     "in_range": lambda d: in_range(
         d["column"], d["lo"], d["hi"], d.get("min_ratio", 1.0), d.get("name")),
     "non_negative": lambda d: non_negative(
@@ -772,6 +803,10 @@ def checks_from_spec(spec: dict | list) -> list[Check]:
             out.append(_CTORS[kind](d))
         except KeyError as e:
             raise ValueError(f"checks[{i}] ({kind}): missing field {e}")
+        except TypeError as e:
+            # e.g. uniqueness with neither "columns" nor "column" — the
+            # ctor sees None; surface the named spec error, not a traceback
+            raise ValueError(f"checks[{i}] ({kind}): bad or missing field ({e})")
     return out
 
 
@@ -789,8 +824,9 @@ def checks_to_spec(checks: list[Check]) -> dict:
             d["columns"] = list(c.columns)
             d["ref"] = p.pop("ref")
             d["ref_cols"] = list(p.pop("ref_cols"))
-        elif c.kind in _KEY_KINDS:
-            d["columns"] = list(c.columns)
+        elif c.kind in _KEY_KINDS or c.kind == "satisfies":
+            if c.columns:
+                d["columns"] = list(c.columns)
         elif c.columns:
             d["column"] = c.columns[0]
         if "values" in p:
@@ -813,13 +849,18 @@ BENFORD_P = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
 def _first_digit(c: Column) -> Column:
     """First significant digit of |value|, 1-9; NULL for null/zero/non-finite.
 
-    Extracted from the printf-rendered decimal expansion (``%.10f``) instead
-    of ``floor(x / 10^floor(log10 x))`` arithmetic: libm ``log10``/``pow``
+    Extracted from the printf-rendered SCIENTIFIC form (``%.9e`` — the
+    leading character is the first significant digit for any finite
+    non-zero double, so sub-1e-10 magnitudes bin correctly where a fixed
+    ``%f`` width would render them as all zeros) instead of
+    ``floor(x / 10^floor(log10 x))`` arithmetic: libm ``log10``/``pow``
     differ in the last ulp across engines (e.g. 0.03/0.01 = 2.999...96 →
-    digit 2, wrong and engine-dependent), while printf renders the correctly
-    rounded decimal of the same IEEE double identically in JVM and C.
+    digit 2, wrong and engine-dependent), while printf renders the
+    correctly rounded decimal of the same IEEE double identically in JVM
+    and C. Residual boundary: a value within half an ulp of ten 9s
+    (9.999999999xe+k) rounds up and bins as 1 — measure-zero in practice.
     """
-    dec = F.format_string("%.10f", F.abs(c.cast("double")))
+    dec = F.format_string("%.9e", F.abs(c.cast("double")))
     digit = F.regexp_extract(dec, "[1-9]", 0)
     return F.when(
         c.isNotNull() & (c.cast("double") != 0.0)

@@ -1910,21 +1910,21 @@ def _orders_suite():
 
 
 def _sql_check_row(name: str, kind: str, column: str, metric: str,
-                   value: str, lo: float | None, hi: float | None,
-                   passed: str | None = None) -> str:
+                   raw: str, lo: float | None, hi: float | None) -> str:
+    """One result row; ``passed`` compares the UNROUNDED metric (the
+    engine's _ratio_row rule), ``value`` reports round(raw, 4)."""
     lo_s = "CAST(NULL AS DOUBLE)" if lo is None else f"CAST({lo!r} AS DOUBLE)"
     hi_s = "CAST(NULL AS DOUBLE)" if hi is None else f"CAST({hi!r} AS DOUBLE)"
-    if passed is None:
-        conds = ["TRUE"]
-        if lo is not None:
-            conds.append(f"({value}) >= {lo!r}")
-        if hi is not None:
-            conds.append(f"({value}) <= {hi!r}")
-        passed = f"(({value}) IS NULL OR ({' AND '.join(conds)}))"
+    conds = ["TRUE"]
+    if lo is not None:
+        conds.append(f"({raw}) >= {lo!r}")
+    if hi is not None:
+        conds.append(f"({raw}) <= {hi!r}")
+    passed = f"(({raw}) IS NULL OR ({' AND '.join(conds)}))"
     return (
         f"SELECT '{name}' AS check_name, '{kind}' AS kind, "
         f"'{column}' AS \"column\", "
-        f"'{metric}' AS metric, ({value}) AS value, {lo_s} AS lower, "
+        f"'{metric}' AS metric, round(({raw}), 4) AS value, {lo_s} AS lower, "
         f"{hi_s} AS upper, {passed} AS passed FROM agg a, okeys k, skeys s"
     )
 
@@ -1942,32 +1942,32 @@ def check_suite_sql(table: str = "orders") -> str:
     hi = _ORDERS_RANGE_HI
     rows = [
         _sql_check_row("completeness(o_custkey)", "completeness", "o_custkey",
-                       "completeness", "round(a.comp_n / a.n, 4)", 1.0, None),
+                       "completeness", "a.comp_n / a.n", 1.0, None),
         _sql_check_row("in_range(o_totalprice)", "in_range", "o_totalprice",
-                       "compliance", "round(a.rng_s / a.rng_d, 4)", 1.0, None),
+                       "compliance", "a.rng_s / a.rng_d", 1.0, None),
         _sql_check_row("is_in_set(o_orderstatus)", "is_in_set", "o_orderstatus",
-                       "compliance", "round(a.set_s / a.set_d, 4)", 1.0, None),
+                       "compliance", "a.set_s / a.set_d", 1.0, None),
         _sql_check_row("matches(o_orderpriority)", "matches", "o_orderpriority",
-                       "compliance", "round(a.re_s / a.re_d, 4)", 1.0, None),
+                       "compliance", "a.re_s / a.re_d", 1.0, None),
         _sql_check_row("mean_between(o_totalprice)", "mean_between",
-                       "o_totalprice", "mean", "round(a.mean_v, 4)", 0.0, hi),
+                       "o_totalprice", "mean", "a.mean_v", 0.0, hi),
         _sql_check_row("sum_between(o_totalprice)", "sum_between",
-                       "o_totalprice", "sum", "round(a.sum_v, 4)", 0.0, None),
+                       "o_totalprice", "sum", "a.sum_v", 0.0, None),
         _sql_check_row("quantile_between(o_totalprice,0.5)", "quantile_between",
-                       "o_totalprice", "q0.5", "round(a.med_v, 4)", 0.0, hi),
+                       "o_totalprice", "q0.5", "a.med_v", 0.0, hi),
         _sql_check_row("row_count", "row_count_between", "", "row_count",
-                       "round(CAST(a.n AS DOUBLE), 4)", 1.0, None),
+                       "CAST(a.n AS DOUBLE)", 1.0, None),
         _sql_check_row("uniqueness(o_orderkey)", "uniqueness", "o_orderkey",
-                       "uniqueness", "round(k.singles_ / k.rows_, 4)", 1.0, None),
+                       "uniqueness", "k.singles_ / k.rows_", 1.0, None),
         _sql_check_row("distinctness(o_orderstatus)", "distinctness",
                        "o_orderstatus", "distinctness",
-                       "round(s.groups_ / s.rows_, 4)", 0.0, None),
+                       "s.groups_ / s.rows_", 0.0, None),
         _sql_check_row("primary_key(o_orderkey)", "primary_key", "o_orderkey",
                        "primary_key",
-                       "round(CASE WHEN k.nulls_ > 0 THEN 0.0 "
-                       "ELSE k.singles_ / k.rows_ END, 4)", 1.0, None),
+                       "CASE WHEN k.nulls_ > 0 THEN 0.0 "
+                       "ELSE k.singles_ / k.rows_ END", 1.0, None),
         _sql_check_row("positive_total", "satisfies", "", "compliance",
-                       "round(a.sat_s / a.n, 4)", 1.0, None),
+                       "a.sat_s / a.n", 1.0, None),
     ]
     selects = "\nUNION ALL ".join(rows)
     return f"""
@@ -2037,8 +2037,8 @@ SELECT '{name}' AS check_name, 'foreign_key' AS kind,
        '{child_col}' AS "column", 'violation_ratio' AS metric,
        round(v.viol / v.n_child, 4) AS value,
        CAST(NULL AS DOUBLE) AS lower, CAST(0.0 AS DOUBLE) AS upper,
-       (round(v.viol / v.n_child, 4) IS NULL
-        OR round(v.viol / v.n_child, 4) <= 0.0) AS passed
+       ((v.viol / v.n_child) IS NULL
+        OR (v.viol / v.n_child) <= 0.0) AS passed
 FROM (
   SELECT count(*) AS n_child,
          sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS viol
@@ -2084,8 +2084,8 @@ SELECT '{name}' AS check_name, 'functional_dependency' AS kind,
        '{col}' AS "column", 'dependency_ratio' AS metric,
        round((f.groups_ - f.viol) / f.groups_, 4) AS value,
        CAST(1.0 AS DOUBLE) AS lower, CAST(NULL AS DOUBLE) AS upper,
-       (round((f.groups_ - f.viol) / f.groups_, 4) IS NULL
-        OR round((f.groups_ - f.viol) / f.groups_, 4) >= 1.0) AS passed
+       (((f.groups_ - f.viol) / f.groups_) IS NULL
+        OR ((f.groups_ - f.viol) / f.groups_) >= 1.0) AS passed
 FROM (
   SELECT count(*) AS groups_,
          sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS viol
@@ -2120,12 +2120,12 @@ def benford_query(table: str = "lineitem",
 
 
 def benford_sql(table: str = "lineitem", cols: list[str] | None = None) -> str:
-    """First-digit mix via the printf decimal expansion (engine-identical
+    """First-digit mix via the printf scientific form (engine-identical
     for IEEE doubles — the log10/pow arithmetic is NOT, see _first_digit)."""
     cols = cols or ["l_extendedprice", "l_quantity", "l_discount"]
     vals = "\nUNION ALL ".join(
         f"SELECT '{c}' AS col_name, CAST(nullif(regexp_extract(printf("
-        f"'%.10f', abs(CAST({c} AS DOUBLE))), '[1-9]'), '') AS INT) AS digit "
+        f"'%.9e', abs(CAST({c} AS DOUBLE))), '[1-9]'), '') AS INT) AS digit "
         f"FROM {table} WHERE {c} IS NOT NULL "
         f"AND CAST({c} AS DOUBLE) <> 0 AND isfinite(CAST({c} AS DOUBLE))"
         for c in cols

@@ -1826,6 +1826,12 @@ def checks_of(
     _SKETCH = {"quantile_between", "distinctness",
                "approx_distinct_between"}
 
+    names = [c.name for c in checks]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        # check_suite/checks_stream refuse these too; here a duplicate name
+        # would silently overwrite the other's sketch value
+        raise ValueError(f"duplicate check names: {sorted(dupes)}")
     unsupported = [
         c.name for c in checks
         if c.kind not in _EXACT | _DECIDABLE | _SKETCH
@@ -1959,6 +1965,8 @@ def checks_of(
             metric, exact = "approx_distinct", False
         else:  # distinctness
             est = sketch_vals.get(c.name)
+            if est is not None and cs.n_missing > 0:
+                est = est + 1  # the NULL key group the batch operator counts
             value = (est / cs.n_rows) if est is not None and cs.n_rows else None
             lo, hi, metric, exact = p["min_ratio"], None, "distinctness", False
         v = rnd(value)

@@ -645,3 +645,90 @@ def test_checks_foreach_batch_gate(spark, tmp_path):
     assert rows["uniq"]["passed"] and rows["uniq"]["value"] == 1.0
     assert rows["fk"]["value"] == pytest.approx(1 / 3, abs=1e-4)
     assert rows["fk"]["passed"]  # 0.3333 <= 0.5
+
+
+# ---------------------------------------------------------------------------
+# review fixes: empty-frame totality, rounding-vs-pass, spec errors, benford
+# sub-1e-10, state distinctness null group
+# ---------------------------------------------------------------------------
+
+
+def test_key_and_fd_checks_survive_empty_frame(spark):
+    """An empty day's load must still emit one row per declared check —
+    a vanished row would make the CI gate pass with n_checks=0."""
+    empty = spark.createDataFrame([], "id int, cat string")
+    res = C.check_suite(empty, [
+        C.uniqueness("id", name="uniq"),
+        C.distinctness("id", name="dist"),
+        C.primary_key("id", name="pk"),
+        C.functional_dependency("id", "cat", name="fd"),
+    ])
+    r = _by_name(res)
+    assert sorted(r) == ["dist", "fd", "pk", "uniq"]
+    for row in r.values():
+        assert row["value"] is None and row["passed"], row
+
+
+def test_pass_rule_uses_unrounded_ratio(spark):
+    """40k rows with one violation: the ratio ROUNDS to 1.0 but the
+    min_ratio=1.0 gate must still fail — rounding is display-only."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(40000).select(
+        F.when(F.col("id") == 0, -1.0).otherwise(1.0).alias("v"))
+    r = _by_name(C.check_suite(df, [C.in_range("v", 0, 1, name="rng")]))
+    assert r["rng"]["value"] == 1.0       # rounded display value
+    assert not r["rng"]["passed"]         # unrounded 0.999975 < 1.0
+
+
+def test_spec_errors_are_named(spark):
+    with pytest.raises(ValueError, match="bad or missing field"):
+        C.checks_from_spec({"checks": [{"kind": "uniqueness"}]})
+    with pytest.raises(ValueError, match="missing field"):
+        C.checks_from_spec({"checks": [{"kind": "in_range", "column": "x"}]})
+    with pytest.raises(ValueError, match="unknown kind"):
+        C.checks_from_spec({"checks": [{"kind": "nope"}]})
+    # satisfies with columns round-trips (column attribution survives)
+    chk = C.satisfies("a > 0", "pos", columns=("a",))
+    assert C.checks_from_spec(C.checks_to_spec([chk])) == [chk]
+
+
+def test_benford_sub_1e10_magnitudes(spark):
+    df = spark.createDataFrame(
+        [(7e-11,), (4e-11,), (2.5e-300,)], "x double")
+    rows = {r["digit"]: int(r["n"])
+            for r in C.benford_profile(df, ["x"]).collect()}
+    assert rows[7] == 1 and rows[4] == 1 and rows[2] == 1
+    assert sum(rows.values()) == 3
+
+
+def test_suggest_checks_skips_nonfinite_extremes(spark):
+    suggested = C.suggest_checks({
+        "inf_col": {"count": 3, "n_missing": 0, "min": 1.0,
+                    "max": float("inf")},
+        "nan_col": {"count": 3, "n_missing": 0, "min": float("nan"),
+                    "max": 2.0},
+        "ok_col": {"count": 3, "n_missing": 0, "min": 1.0, "max": 2.0},
+    })
+    ranged = {c.columns[0] for c in suggested if c.kind == "in_range"}
+    assert ranged == {"ok_col"}
+
+
+def test_checks_of_distinctness_counts_null_group(spark):
+    """State distinctness mirrors the batch NULL-as-a-value rule."""
+    from pandas_profiling_personal_spark.plans.incremental import (
+        checks_of, partial_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), ("b",), (None,), (None,)], "k string")
+    state = partial_profile(df)
+    sr = checks_of(state, [C.distinctness("k", 0.0, name="d")],
+                   spark=spark)[0]
+    # batch: groups {a, b, NULL} / 4 rows = 0.75
+    batch = _by_name(C.check_suite(df, [C.distinctness("k", 0.0, name="d")]))
+    assert batch["d"]["value"] == pytest.approx(0.75)
+    assert sr["value"] == pytest.approx(0.75, rel=0.05)
+    with pytest.raises(ValueError, match="duplicate check names"):
+        checks_of(state, [C.completeness("k", name="x"),
+                          C.row_count_between(0, None, name="x")])
