@@ -135,6 +135,15 @@ _SPECS: dict[str, tuple] = {
         P.benford_query(),
         P.benford_sql(),
     ),
+    # r10.4 (mid-round): in — grouped_checks_documents (the per-segment
+    # gate: the scalar suite per lang in ONE grouped pass — the contract a
+    # mixture pipeline declares per segment). out — text_profile_documents
+    # (9-round-green; its text-stat machinery keeps in-window kin
+    # quality_filter + c4_line_filter + repetition_profile).
+    "grouped_checks_documents": (
+        P.grouped_checks_query(),
+        P.grouped_checks_sql(),
+    ),
     "ngram_jaccard_pairs_documents": (
         PP.jaccard_pairs_query(0.1),
         PP.jaccard_pairs_sql(0.1),
@@ -241,9 +250,6 @@ _SPECS: dict[str, tuple] = {
         P.complex_stats_query("lineitem"),
         P.complex_stats_sql("lineitem"),
     ),
-    "text_profile_documents": (
-        PP.text_profile_query(), PP.text_profile_sql(),
-    ),
     "quality_filter_documents": (
         PP.quality_filter_query(),
         PP.quality_filter_sql(),
@@ -323,6 +329,9 @@ _SPECS: dict[str, tuple] = {
         P.missing_counts_sql(
             "events", ["event_id", "ts", "user_id", "event_type", "value", "props"]
         ),
+    ),
+    "text_profile_documents": (
+        PP.text_profile_query(), PP.text_profile_sql(),
     ),
     "binary_format_mix_documents": (
         PP.binary_format_mix_query(),

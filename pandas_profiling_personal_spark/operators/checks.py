@@ -946,3 +946,56 @@ def benford_alerts(
                 "n": int(total),
             })
     return out
+
+
+def check_suite_by(
+    df: DataFrame,
+    checks: list[Check],
+    by: list[str] | str,
+    *,
+    exact_quantiles: bool = True,
+) -> DataFrame:
+    """Per-segment gate: the scalar suite evaluated PER VALUE of ``by``.
+
+    "completeness per language >= 0.99" — the contract a mixture pipeline
+    declares per segment, not per table. One grouped conditional aggregate
+    for the whole suite (quantile bounds ride a second grouped aggregation
+    joined on the keys, the usual split); output is the batch result schema
+    prefixed with the ``by`` columns, one row per (segment, check); a NULL
+    segment value is a real group. Only the scalar family is segmentable
+    here — a per-segment uniqueness IS ``uniqueness([*by, *cols])`` on the
+    whole table, declare that instead (the refusal names this rewrite).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    if not checks:
+        raise ValueError("check_suite_by: empty check list")
+    names = [c.name for c in checks]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        raise ValueError(f"duplicate check names: {sorted(dupes)}")
+    unsupported = [c.name for c in checks if c.kind not in _SCALAR_KINDS]
+    if unsupported:
+        raise ValueError(
+            "check_suite_by: only scalar constraints segment (per-segment "
+            "uniqueness is uniqueness([by + cols]) on the whole table; FK/FD "
+            f"gate the table, not a slice): {unsupported}"
+        )
+    decl, pct, rows = _scalar_plan(checks, exact_quantiles)
+    agg = df.groupBy(*by).agg(*decl)
+    if pct:
+        # null-safe join: a NULL segment value is a real group and a plain
+        # equality join would silently drop its quantile rows
+        pagg = df.groupBy(*by).agg(*pct)
+        cond = None
+        for c in by:
+            eq = agg[c].eqNullSafe(pagg[c])
+            cond = eq if cond is None else cond & eq
+        agg = agg.join(pagg, cond)
+        for c in by:
+            agg = agg.drop(pagg[c])
+    structs = _scalar_structs(rows)
+    return (
+        agg.select(*by, F.explode(F.array(*structs)).alias("r"))
+        .select(*by, "r.*")
+        .orderBy(*by, "check_name")
+    )

@@ -2148,3 +2148,73 @@ FROM grid g LEFT JOIN counts c
   ON g.col_name = c.col_name AND g.digit = c.digit
 ORDER BY 1, 2
 """
+
+
+def grouped_checks_query(table: str = "documents",
+                         by: str = "lang") -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators import checks as C
+
+        suite = [
+            C.completeness("text"),
+            C.in_range("n_chars", 0.0, 1000000000.0),
+            C.mean_between("n_chars", 0.0, 1000000000.0),
+            C.quantile_between("n_chars", 0.5, 0.0, 1000000000.0),
+            C.row_count_between(1.0, None),
+            C.satisfies("n_chars >= 0", "nonneg_chars"),
+        ]
+        return C.check_suite_by(load(spark, sf_dir, table), suite, by)
+
+    return fn
+
+
+def grouped_checks_sql(table: str = "documents", by: str = "lang") -> str:
+    hi = 1000000000.0
+
+    def row(name, kind, column, metric, raw, lo, hi_):
+        lo_s = ("CAST(NULL AS DOUBLE)" if lo is None
+                else f"CAST({lo!r} AS DOUBLE)")
+        hi_s = ("CAST(NULL AS DOUBLE)" if hi_ is None
+                else f"CAST({hi_!r} AS DOUBLE)")
+        conds = ["TRUE"]
+        if lo is not None:
+            conds.append(f"({raw}) >= {lo!r}")
+        if hi_ is not None:
+            conds.append(f"({raw}) <= {hi_!r}")
+        passed = f"(({raw}) IS NULL OR ({' AND '.join(conds)}))"
+        return (
+            f"SELECT {by}, '{name}' AS check_name, '{kind}' AS kind, "
+            f"'{column}' AS \"column\", '{metric}' AS metric, "
+            f"round(({raw}), 4) AS value, {lo_s} AS lower, {hi_s} AS upper, "
+            f"{passed} AS passed FROM agg"
+        )
+
+    rows = [
+        row("completeness(text)", "completeness", "text", "completeness",
+            "comp_n / n", 1.0, None),
+        row("in_range(n_chars)", "in_range", "n_chars", "compliance",
+            "rng_s / rng_d", 1.0, None),
+        row("mean_between(n_chars)", "mean_between", "n_chars", "mean",
+            "mean_v", 0.0, hi),
+        row("quantile_between(n_chars,0.5)", "quantile_between", "n_chars",
+            "q0.5", "med_v", 0.0, hi),
+        row("row_count", "row_count_between", "", "row_count",
+            "CAST(n AS DOUBLE)", 1.0, None),
+        row("nonneg_chars", "satisfies", "", "compliance",
+            "sat_s / n", 1.0, None),
+    ]
+    selects = "\nUNION ALL ".join(rows)
+    return f"""
+WITH agg AS (
+  SELECT {by}, count(*) AS n, count(text) AS comp_n,
+         sum(CASE WHEN n_chars >= 0.0 AND n_chars <= {hi!r}
+                  THEN 1 ELSE 0 END) AS rng_s,
+         count(n_chars) AS rng_d,
+         avg(n_chars) AS mean_v,
+         quantile_cont(n_chars, 0.5) AS med_v,
+         sum(CASE WHEN n_chars >= 0 THEN 1 ELSE 0 END) AS sat_s
+  FROM {table} GROUP BY {by}
+)
+{selects}
+ORDER BY {by} NULLS FIRST, check_name
+"""

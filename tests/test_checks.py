@@ -732,3 +732,33 @@ def test_checks_of_distinctness_counts_null_group(spark):
     with pytest.raises(ValueError, match="duplicate check names"):
         checks_of(state, [C.completeness("k", name="x"),
                           C.row_count_between(0, None, name="x")])
+
+
+def test_check_suite_by_segments(spark):
+    rows = [
+        ("en", 10.0), ("en", 20.0), ("en", None),
+        ("de", 5.0), ("de", -1.0),
+        (None, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "lang string, v double")
+    res = C.check_suite_by(df, [
+        C.completeness("v", 1.0, name="comp"),
+        C.non_negative("v", name="nn"),
+        C.row_count_between(1, None, name="rc"),
+        C.quantile_between("v", 0.5, 0, 100, name="med"),
+    ], by="lang")
+    out = {(r["lang"], r["check_name"]): r.asDict() for r in res.collect()}
+    assert len(out) == 12  # 3 segments x 4 checks; NULL lang is a group
+    assert out[("en", "comp")]["value"] == pytest.approx(2 / 3, abs=1e-4)
+    assert not out[("en", "comp")]["passed"]
+    assert out[("de", "comp")]["passed"]
+    assert out[("de", "nn")]["value"] == pytest.approx(0.5)
+    assert not out[("de", "nn")]["passed"]
+    assert out[(None, "rc")]["value"] == 1.0
+    assert out[("en", "med")]["value"] == pytest.approx(15.0)
+    with pytest.raises(ValueError, match="uniqueness"):
+        C.check_suite_by(df, [C.uniqueness("v")], by="lang")
+    # ONE grouped pass for the declarative suite
+    p = _plan(C.check_suite_by(df, [C.completeness("v"), C.non_negative("v")],
+                               by="lang"))
+    assert "Join" not in p
