@@ -365,11 +365,19 @@ def main(argv: list[str] | None = None) -> int:
                     )
                 except ValueError as e:
                     raise SystemExit(f"--checks: {e}")
-                summary = CK.validation_summary(res)
+                rows = [r.asDict() for r in res.collect()]
+                summary = CK.validation_summary(rows)
+            if args.output:
+                with open(args.output, "w", encoding="utf-8") as fh:
+                    fh.write(CK.validation_report_html(
+                        rows,
+                        title=args.title or f"Validation: {args.input}",
+                    ))
             print(json.dumps({
                 "input": args.input,
                 "suite": args.checks,
                 "from_state": bool(args.checks_from_state),
+                "output": args.output,
                 **summary,
             }))
             return 0 if summary["passed"] else 4

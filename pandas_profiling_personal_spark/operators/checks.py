@@ -999,3 +999,57 @@ def check_suite_by(
         .select(*by, "r.*")
         .orderBy(*by, "check_name")
     )
+
+
+def validation_report_html(
+    result_rows: list[dict] | DataFrame,
+    title: str = "Validation report",
+) -> str:
+    """Standalone single-file HTML for a check-suite result — the render
+    surface the drift report has (drift_report_html), applied to the gate:
+    failure banner first, then the full result table; driver-side rendering
+    of already-collected rows, no Spark jobs."""
+    from pandas_profiling_personal_spark.report.htmlbits import esc, page
+
+    summary = validation_summary(result_rows)
+    if isinstance(result_rows, DataFrame):
+        result_rows = [r.asDict() for r in result_rows.collect()]
+    sections: list[str] = []
+    if summary["passed"]:
+        sections.append(
+            f"<h2>PASSED</h2><p>{summary['n_checks']} checks, 0 failed</p>"
+        )
+    else:
+        items = "".join(
+            f"<li><b>{esc(f['check_name'])}</b>"
+            + (f" — {esc(f['column'])}" if f.get("column") else "")
+            + f" {esc(f['metric'])}={esc(f['value'])}"
+            + (f" &lt; {esc(f['lower'])}" if f.get("lower") is not None
+               and f.get("value") is not None
+               and f["value"] < f["lower"] else "")
+            + (f" &gt; {esc(f['upper'])}" if f.get("upper") is not None
+               and f.get("value") is not None
+               and f["value"] > f["upper"] else "")
+            + "</li>"
+            for f in summary["failed"]
+        )
+        sections.append(
+            f"<h2>FAILED ({summary['n_failed']} of "
+            f"{summary['n_checks']})</h2><ul>{items}</ul>"
+        )
+    body = "".join(
+        "<tr><th>{n}</th><td>{k}</td><td>{c}</td><td>{m}</td><td>{v}</td>"
+        "<td>{lo}</td><td>{hi}</td><td>{p}</td></tr>".format(
+            n=esc(r["check_name"]), k=esc(r["kind"]), c=esc(r["column"]),
+            m=esc(r["metric"]), v=esc(r["value"]), lo=esc(r["lower"]),
+            hi=esc(r["upper"]),
+            p="pass" if r["passed"] else "<b>FAIL</b>",
+        )
+        for r in result_rows
+    )
+    sections.append(
+        "<h2>Checks</h2><table><tr><th>check</th><th>kind</th><th>column</th>"
+        "<th>metric</th><th>value</th><th>lower</th><th>upper</th>"
+        f"<th>status</th></tr>{body}</table>"
+    )
+    return page(title, "".join(sections))

@@ -762,3 +762,39 @@ def test_check_suite_by_segments(spark):
     p = _plan(C.check_suite_by(df, [C.completeness("v"), C.non_negative("v")],
                                by="lang"))
     assert "Join" not in p
+
+
+def test_validation_report_html(frame):
+    res = C.check_suite(frame, [
+        C.completeness("val", 1.0, name="comp"),
+        C.max_between("val", None, 100, name="mx"),
+    ])
+    html = C.validation_report_html(res, title="gate")
+    assert "FAILED (1 of 2)" in html and "comp" in html
+    assert "<b>FAIL</b>" in html and "pass" in html
+    ok = C.check_suite(frame, [C.max_between("val", None, 100, name="mx")])
+    assert "PASSED" in C.validation_report_html(ok)
+
+
+def test_cli_checks_html_output(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    src = tmp_path / "d.parquet"
+    pd.DataFrame({"x": [1.0, 2.0, None]}).to_parquet(src)
+    suite = tmp_path / "s.json"
+    suite.write_text(json.dumps({"checks": [
+        {"kind": "completeness", "column": "x"},
+    ]}))
+    out = tmp_path / "gate.html"
+    proc = subprocess.run(
+        [sys.executable, "-m", "pandas_profiling_personal_spark.cli",
+         str(src), str(out), "--checks", str(suite), "--master", "local[2]"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 4, proc.stderr[-1500:]
+    html = out.read_text()
+    assert "FAILED (1 of 1)" in html and "completeness(x)" in html
