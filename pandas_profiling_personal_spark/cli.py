@@ -799,17 +799,21 @@ def main(argv: list[str] | None = None) -> int:
             title = args.title or (
                 f"Drift: {args.drift_against} vs {args.input}"
             )
+            from pandas_profiling_personal_spark.plans.incremental import (
+                schema_drift_between_partials,
+            )
+
+            # computed ONCE: the HTML report and the JSON summary must
+            # read the same schema diff
+            schema_changes = schema_drift_between_partials(prev, cur)
             with open(out, "w", encoding="utf-8") as fh:
                 fh.write(
                     incremental_drift_report(
                         prev, cur, emb_a, emb_b,
                         ts_a=ts_sidecar, ts_b=cur_ts, title=title,
+                        schema_drift=schema_changes,
                     )
                 )
-            from pandas_profiling_personal_spark.plans.incremental import (
-                schema_drift_between_partials,
-            )
-
             print(json.dumps({
                 "output": out, "n_a": prev.n, "n_b": cur.n,
                 "embedding": sidecar is not None,
@@ -817,7 +821,7 @@ def main(argv: list[str] | None = None) -> int:
                 "timeseries_flagged": sorted(
                     c for c, d in (ts_drift or {}).items() if d["flagged"]
                 ),
-                "schema_drift": schema_drift_between_partials(prev, cur),
+                "schema_drift": schema_changes,
             }))
             return 0
         if args.corpus_report:

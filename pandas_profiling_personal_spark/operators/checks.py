@@ -426,22 +426,18 @@ def _key_rows(df: DataFrame, checks: list[Check]) -> DataFrame | None:
                  ).alias("null_parts"))
         for i, chk in enumerate(checks)
     ]
-    melted = (
-        df.select(F.explode(F.array(*structs)).alias("kv"))
-        .select("kv.*")
-        .withColumn("dummy", F.lit(0))
-    )
+    melted = df.select(F.explode(F.array(*structs)).alias("kv")).select("kv.*")
     # one marker row per subset keeps the aggregate TOTAL on an empty input
     # (a bare groupBy would emit zero rows and the check would silently
     # vanish from the gate); its key is NULL — unreachable by real keys,
-    # which concat_ws never renders as NULL — and every count conditions
-    # the marker away, so an empty frame yields NULL ratios (vacuous pass)
+    # which concat_ws never renders as NULL — so count("key") excludes it
+    # and an empty frame yields NULL ratios (vacuous pass)
     marker = df.sparkSession.createDataFrame(
-        [(i, None, 0, 1) for i in range(len(checks))],
-        "sid int, key string, null_parts int, dummy int",
+        [(i, None, 0) for i in range(len(checks))],
+        "sid int, key string, null_parts int",
     )
     per_key = melted.unionByName(marker).groupBy("sid", "key").agg(
-        F.sum(F.lit(1) - F.col("dummy")).alias("cnt"),
+        F.count("key").alias("cnt"),
         F.sum("null_parts").alias("null_parts"),
     )
     per_sid = per_key.groupBy("sid").agg(
@@ -1011,25 +1007,33 @@ def validation_report_html(
     of already-collected rows, no Spark jobs."""
     from pandas_profiling_personal_spark.report.htmlbits import esc, page
 
-    summary = validation_summary(result_rows)
+    # collect ONCE: validation_summary on the DataFrame would re-execute
+    # the whole suite for the second render collect below
     if isinstance(result_rows, DataFrame):
         result_rows = [r.asDict() for r in result_rows.collect()]
+    summary = validation_summary(result_rows)
     sections: list[str] = []
     if summary["passed"]:
         sections.append(
             f"<h2>PASSED</h2><p>{summary['n_checks']} checks, 0 failed</p>"
         )
     else:
+        def _why(f):
+            # direction from the ROUNDED display value; a failure whose
+            # rounded value sits exactly on the bound violated it below
+            # rounding precision (passed compares the unrounded metric)
+            v = f.get("value")
+            if v is not None and f.get("lower") is not None and v < f["lower"]:
+                return f" &lt; {esc(f['lower'])}"
+            if v is not None and f.get("upper") is not None and v > f["upper"]:
+                return f" &gt; {esc(f['upper'])}"
+            return " (bound violated below rounding precision)"
+
         items = "".join(
             f"<li><b>{esc(f['check_name'])}</b>"
             + (f" — {esc(f['column'])}" if f.get("column") else "")
             + f" {esc(f['metric'])}={esc(f['value'])}"
-            + (f" &lt; {esc(f['lower'])}" if f.get("lower") is not None
-               and f.get("value") is not None
-               and f["value"] < f["lower"] else "")
-            + (f" &gt; {esc(f['upper'])}" if f.get("upper") is not None
-               and f.get("value") is not None
-               and f["value"] > f["upper"] else "")
+            + _why(f)
             + "</li>"
             for f in summary["failed"]
         )

@@ -485,6 +485,7 @@ def drift_alerts(
     embedding_row: "dict | None" = None,
     association_rows: list | None = None,
     timeseries_rows: list | None = None,
+    *,
     schema_drift: "dict | None" = None,
     psi_watch: float = 0.1,
     psi_significant: float = 0.25,
@@ -650,6 +651,7 @@ def drift_report_html(
     embedding_row: "dict | None" = None,
     association_rows: list | None = None,
     timeseries_rows: list | None = None,
+    *,
     schema_drift: "dict | None" = None,
     title: str = "Drift report",
     **alert_thresholds,

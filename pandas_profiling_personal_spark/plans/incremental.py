@@ -1558,6 +1558,7 @@ def incremental_drift_report(
     ts_a: "TimeseriesState | None" = None,
     ts_b: "TimeseriesState | None" = None,
     title: str = "Incremental drift report",
+    schema_drift: dict | None = None,
     **alert_thresholds,
 ) -> str:
     """One-call drift surface for the daily-incremental mode: numeric +
@@ -1606,7 +1607,9 @@ def incremental_drift_report(
         embedding_row=embedding_row,
         association_rows=association_rows,
         timeseries_rows=timeseries_rows,
-        schema_drift=schema_drift_between_partials(part_a, part_b),
+        schema_drift=(schema_drift
+                      if schema_drift is not None
+                      else schema_drift_between_partials(part_a, part_b)),
         title=title,
         **alert_thresholds,
     )
@@ -1809,9 +1812,10 @@ def checks_of(
     ``in_range`` / ``non_negative`` (the [state.min, state.max] interval
     either fits the bound — compliance is exactly 1.0 — or provably does
     not). Sketch-backed (``exact=False``, needs ``spark`` for the sketch
-    query): ``quantile_between`` from KLL, ``distinctness`` from HLL (HLL
-    counts non-null values, so the reported ratio is distinct/count — NULL
-    does not form the extra key group the batch operator counts).
+    query): ``quantile_between`` from KLL, ``distinctness`` from HLL
+    (mirroring the batch NULL-as-a-value rule: the HLL estimate of the
+    non-null values, plus the one NULL key group when the state saw
+    missing rows, over n_rows).
     Everything else (uniqueness / primary_key / is_in_set / matches /
     satisfies / foreign_key / functional_dependency) raises, naming the
     batch path — those require row or group visibility no bounded state has.
@@ -1969,9 +1973,13 @@ def checks_of(
                 est = est + 1  # the NULL key group the batch operator counts
             value = (est / cs.n_rows) if est is not None and cs.n_rows else None
             lo, hi, metric, exact = p["min_ratio"], None, "distinctness", False
+        # pass rule on the UNROUNDED metric (the batch _ratio_row rule —
+        # a min_ratio=1.0 gate must not accept 0.999975 via rounding);
+        # the reported value rounds for display/comparability
+        raw = None if value is None else float(value)
         v = rnd(value)
-        passed = v is None or (
-            (lo is None or v >= lo) and (hi is None or v <= hi)
+        passed = raw is None or (
+            (lo is None or raw >= lo) and (hi is None or raw <= hi)
         )
         out.append({
             "check_name": c.name, "kind": c.kind,

@@ -798,3 +798,20 @@ def test_cli_checks_html_output(tmp_path):
     assert proc.returncode == 4, proc.stderr[-1500:]
     html = out.read_text()
     assert "FAILED (1 of 1)" in html and "completeness(x)" in html
+
+
+def test_checks_of_pass_rule_unrounded(spark):
+    """The state tier gates on the unrounded metric exactly like the batch
+    engine — 39999/40000 completeness rounds to 1.0 but must fail."""
+    from pyspark.sql import functions as F
+
+    from pandas_profiling_personal_spark.plans.incremental import (
+        checks_of, partial_profile,
+    )
+
+    df = spark.range(40000).select(
+        F.when(F.col("id") == 0, None).otherwise(F.col("id"))
+        .cast("double").alias("v"))
+    state = partial_profile(df)
+    r = checks_of(state, [C.completeness("v", 1.0, name="comp")])[0]
+    assert r["value"] == 1.0 and not r["passed"]
