@@ -238,6 +238,15 @@ def build_parser() -> argparse.ArgumentParser:
         "with zero data rescans; scan-needing checks refuse by name",
     )
     c.add_argument(
+        "--checks-log", default=None, metavar="JSONL",
+        help="with --checks: metric history file — today's result rows "
+        "append as one JSONL line after gating, and once the file holds "
+        "enough runs, values deviating from their OWN history (>3 sigma) "
+        "are reported as CHECK_METRIC_ANOMALY in the summary (the "
+        "complement of fixed bounds: a drop from the usual 0.99 to 0.97 "
+        "flags even when the declared floor is 0.95)",
+    )
+    c.add_argument(
         "--suggest-checks", default=None, metavar="OUT_JSON",
         help="profile the input and write a suggested check suite (the "
         "file --checks reads) — every suggested check passes on the "
@@ -276,6 +285,8 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("--checks-from-state needs --checks")
     if args.checks_refs and not args.checks:
         parser.error("--checks-refs needs --checks")
+    if args.checks_log and not args.checks:
+        parser.error("--checks-log needs --checks")
     if len(modes) > 1:
         parser.error(
             "choose ONE mode: " + " / ".join(modes) + " are mutually "
@@ -367,17 +378,34 @@ def main(argv: list[str] | None = None) -> int:
                     raise SystemExit(f"--checks: {e}")
                 rows = [r.asDict() for r in res.collect()]
                 summary = CK.validation_summary(rows)
+            if args.checks_from_state:
+                rows = [dict(r) for r in rows]
             if args.output:
                 with open(args.output, "w", encoding="utf-8") as fh:
                     fh.write(CK.validation_report_html(
                         rows,
                         title=args.title or f"Validation: {args.input}",
                     ))
+            anomalies = None
+            if args.checks_log:
+                import os
+
+                history = []
+                if os.path.exists(args.checks_log):
+                    with open(args.checks_log, encoding="utf-8") as fh:
+                        history = [
+                            json.loads(line)
+                            for line in fh if line.strip()
+                        ]
+                anomalies = CK.metric_anomalies(history, rows)
+                with open(args.checks_log, "a", encoding="utf-8") as fh:
+                    fh.write(json.dumps(rows, default=str) + "\n")
             print(json.dumps({
                 "input": args.input,
                 "suite": args.checks,
                 "from_state": bool(args.checks_from_state),
                 "output": args.output,
+                "metric_anomalies": anomalies,
                 **summary,
             }))
             return 0 if summary["passed"] else 4

@@ -1057,3 +1057,63 @@ def validation_report_html(
         f"<th>status</th></tr>{body}</table>"
     )
     return page(title, "".join(sections))
+
+
+# ---------------------------------------------------------------------------
+# metric history — anomaly detection over the gate's own time series
+# ---------------------------------------------------------------------------
+
+
+def metric_anomalies(
+    history: list[list[dict]] | list[dict],
+    today: list[dict] | DataFrame,
+    k: float = 3.0,
+    min_history: int = 5,
+) -> list[dict[str, Any]]:
+    """Flag today's metric values that deviate from their OWN history.
+
+    The complement of fixed bounds (Deequ's metric-repository idea): a
+    completeness that is always ~0.97 should not alert at a 0.95 floor,
+    but a drop from its usual 0.99 to 0.97 should. ``history`` is a list
+    of prior result-row lists (one per run, oldest first — the shape the
+    CLI ``--checks-log`` JSONL accumulates); per check_name the history
+    values form the baseline (mean/std over runs where the value was
+    non-null) and today's value flags when |today − mean| > k·std (std
+    floored at 1e-12 so a constant history flags ANY change). Checks with
+    fewer than ``min_history`` prior non-null values are skipped —
+    insufficient evidence must not read as "no anomaly". Pure driver
+    arithmetic; returns CHECK_METRIC_ANOMALY alert dicts.
+    """
+    if isinstance(today, DataFrame):
+        today = [r.asDict() for r in today.collect()]
+    if history and isinstance(history[0], dict):
+        history = [history]  # a single prior run
+    series: dict[str, list[float]] = {}
+    for run in history:
+        for r in run:
+            if r.get("value") is not None:
+                series.setdefault(r["check_name"], []).append(
+                    float(r["value"])
+                )
+    out = []
+    for r in today:
+        vals = series.get(r["check_name"], [])
+        if len(vals) < min_history or r.get("value") is None:
+            continue
+        mean = sum(vals) / len(vals)
+        var = sum((v - mean) ** 2 for v in vals) / len(vals)
+        std = max(math.sqrt(var), 1e-12)
+        dev = abs(float(r["value"]) - mean) / std
+        if dev > k:
+            out.append({
+                "alert_type": "CHECK_METRIC_ANOMALY",
+                "check_name": r["check_name"],
+                "column": r.get("column") or None,
+                "metric": r.get("metric"),
+                "value": r["value"],
+                "history_mean": round(mean, ROUND),
+                "history_std": round(std, ROUND),
+                "deviation_sigmas": round(dev, 2),
+                "n_history": len(vals),
+            })
+    return out

@@ -815,3 +815,66 @@ def test_checks_of_pass_rule_unrounded(spark):
     state = partial_profile(df)
     r = checks_of(state, [C.completeness("v", 1.0, name="comp")])[0]
     assert r["value"] == 1.0 and not r["passed"]
+
+
+def test_metric_anomalies_unit():
+    history = [
+        [{"check_name": "comp", "column": "x", "metric": "completeness",
+          "value": 0.99 + 0.001 * (i % 2)}] for i in range(6)
+    ]
+    today_ok = [{"check_name": "comp", "column": "x",
+                 "metric": "completeness", "value": 0.9905}]
+    assert C.metric_anomalies(history, today_ok) == []
+    today_bad = [{"check_name": "comp", "column": "x",
+                  "metric": "completeness", "value": 0.97}]
+    out = C.metric_anomalies(history, today_bad)
+    assert len(out) == 1
+    a = out[0]
+    assert a["alert_type"] == "CHECK_METRIC_ANOMALY"
+    assert a["check_name"] == "comp" and a["n_history"] == 6
+    assert a["deviation_sigmas"] > 3
+    # constant history: std floors, ANY change flags
+    const = [[{"check_name": "rc", "value": 100.0}]] * 5
+    assert C.metric_anomalies(const, [{"check_name": "rc", "value": 101.0}])
+    # short history: insufficient evidence is NOT "no anomaly" — skipped
+    assert C.metric_anomalies(history[:3], today_bad) == []
+    # null today value: vacuous
+    assert C.metric_anomalies(history, [{"check_name": "comp",
+                                         "value": None}]) == []
+
+
+def test_cli_checks_log_history_loop(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    suite = tmp_path / "s.json"
+    suite.write_text(json.dumps({"checks": [
+        {"kind": "completeness", "column": "x", "min_ratio": 0.9},
+    ]}))
+    log = tmp_path / "metrics.jsonl"
+
+    def run(vals, expect=0):
+        src = tmp_path / "day.parquet"
+        pd.DataFrame({"x": vals}).to_parquet(src)
+        proc = subprocess.run(
+            [sys.executable, "-m", "pandas_profiling_personal_spark.cli",
+             str(src), "--checks", str(suite), "--checks-log", str(log),
+             "--master", "local[2]"],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        assert proc.returncode == expect, proc.stderr[-1500:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    # five clean days build the history (completeness 1.0 each run)
+    for _ in range(5):
+        out = run([1.0, 2.0, 3.0, 4.0])
+        assert out["passed"]
+    # day six: completeness drops to 0.95 — above the declared 0.9 floor
+    # (gate passes) but anomalous vs its own constant-1.0 history
+    out = run([float(i) for i in range(19)] + [None])
+    assert out["passed"]
+    assert out["metric_anomalies"], out
+    assert out["metric_anomalies"][0]["check_name"] == "completeness(x)"
