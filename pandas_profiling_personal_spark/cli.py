@@ -281,8 +281,8 @@ def main(argv: list[str] | None = None) -> int:
             ("--suggest-checks", args.suggest_checks is not None),
         ) if on
     ]
-    if args.checks_from_state and not args.checks:
-        parser.error("--checks-from-state needs --checks")
+    if args.checks_from_state and not (args.checks or args.suggest_checks):
+        parser.error("--checks-from-state needs --checks or --suggest-checks")
     if args.checks_refs and not args.checks:
         parser.error("--checks-refs needs --checks")
     if args.checks_log and not args.checks:
@@ -412,8 +412,21 @@ def main(argv: list[str] | None = None) -> int:
         if args.suggest_checks:
             from pandas_profiling_personal_spark.operators import checks as CK
 
-            result = profile(read_table(spark, args.input), cfg)
-            suite = CK.suggest_checks(result.variables)
+            if args.checks_from_state:
+                # suggest from a saved state with zero rescans: the state
+                # shape suggests the completeness/range family only (no
+                # exact group visibility — see suggest_checks docstring)
+                from pandas_profiling_personal_spark.plans.incremental import (
+                    PartialProfile, finalize_partial,
+                )
+
+                with open(args.input, encoding="utf-8") as fh:
+                    part = PartialProfile.from_json(fh.read())
+                variables = finalize_partial(part, spark)["variables"]
+                suite = CK.suggest_checks(variables)
+            else:
+                result = profile(read_table(spark, args.input), cfg)
+                suite = CK.suggest_checks(result.variables)
             if not suite:
                 raise SystemExit(
                     "--suggest-checks: nothing suggestible (no profiled "

@@ -878,3 +878,39 @@ def test_cli_checks_log_history_loop(tmp_path):
     assert out["passed"]
     assert out["metric_anomalies"], out
     assert out["metric_anomalies"][0]["check_name"] == "completeness(x)"
+
+
+def test_cli_suggest_from_state(tmp_path):
+    """suggest a suite from a SAVED STATE (zero rescans), then the suite
+    passes when gated against both the state and the original data."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    src = tmp_path / "day.parquet"
+    pd.DataFrame({"x": [float(i) for i in range(40)],
+                  "s": ["a" if i % 2 else "b" for i in range(40)]}
+                 ).to_parquet(src)
+
+    def run(*argv, expect=0):
+        proc = subprocess.run(
+            [sys.executable, "-m", "pandas_profiling_personal_spark.cli",
+             *argv, "--master", "local[2]"],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        assert proc.returncode == expect, (proc.returncode, proc.stderr[-1500:])
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    state = tmp_path / "STATE.json"
+    run(str(src), "--save-state", str(state))
+    suite = tmp_path / "suite.json"
+    meta = run(str(state), "--suggest-checks", str(suite),
+               "--checks-from-state")
+    assert meta["n_checks"] > 0
+    assert set(meta["kinds"]) <= {"completeness", "in_range"}
+    out = run(str(state), "--checks", str(suite), "--checks-from-state")
+    assert out["passed"]
+    out = run(str(src), "--checks", str(suite))
+    assert out["passed"]
