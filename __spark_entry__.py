@@ -81,30 +81,116 @@ _SPECS: dict[str, tuple] = {
     # is the hash-matched quantity). out — contamination_documents
     # (r9-green; its token-overlap kernel IS the incoming token_overlap
     # spec's machinery, plus c4/span_dedup/quality in-window).
+    # r11 rotation: in — the 17 rows whose last driver evidence was r8
+    # (audio_metadata, corpus_funnel, cosine_topk, cramers_v,
+    # dedup_clusters, grouped_summary, image_dedup_keep_list,
+    # incremental_embedding_drift, incremental_pearson, mixture_plan,
+    # numeric_summary_lineitem, pack_sequences, path_parts, pii_scan,
+    # scatter, string_lengths, top_k_part_brand — VERDICT r10 #3) plus the
+    # NEW phik_mixed_contingency_lineitem (the hash gate for the formerly
+    # rows-only mixed φk: per-pair χ² + geometry, the exact inversion
+    # inputs). rolling_trend stays to land its post-HUGEINT-fix green.
+    # out (18, all r10-green, each under in-window or incoming kin):
+    # asof_state + range_join + acf + seasonal_profile + ts_anomaly
+    # (rolling_trend keeps the ts grid/window machinery in-window; all
+    # five were recorded green this past round), referential_integrity +
+    # functional_dependency + benford + grouped_checks (check_suite_orders
+    # stays as the checks-family row — and re-verifies this round's NaN
+    # gate change), phik_contingency (kin: incoming phik_mixed_contingency
+    # — same exact-edges binning + contingency), drift_psi_lineitem (kin
+    # incremental_drift_lineitem shares drift_sql verbatim),
+    # embedding_drift (kin incoming incremental_embedding_drift shares
+    # embedding_drift_sql), exact_dedup (kin incremental_exact_dedup
+    # in-window), media_metadata (sniff/decode seam kept by image/video
+    # _near_dup in-window + incoming audio_metadata), top_duplicates +
+    # value_counts_returnflag (frequency/top-K machinery: incoming
+    # top_k_part_brand + in-window grouped_top_k), url_parts (kin
+    # canonical_url in-window + incoming path_parts), mad_lineitem (kin
+    # incoming numeric_summary_lineitem — same exact-percentile tier).
+    # After this round no SQL-backed spec's driver evidence is older
+    # than r9.
 
-    "asof_state_events": (
-        P.asof_state_query(),
-        P.asof_state_sql(),
-    ),
-    "range_join_events": (
-        P.range_join_query(),
-        P.range_join_sql(),
-    ),
-    "acf_events": (
-        P.acf_query(),
-        P.acf_sql(),
-    ),
     "rolling_trend_events": (
         P.rolling_trend_query(),
         P.rolling_trend_sql(),
     ),
-    "seasonal_profile_events": (
-        P.seasonal_profile_query(),
-        P.seasonal_profile_sql(),
+    "phik_mixed_contingency_lineitem": (
+        P.phik_mixed_contingency_query(
+            "lineitem",
+            ["l_quantity", "l_extendedprice"],
+            ["l_returnflag", "l_linestatus"],
+        ),
+        P.phik_mixed_contingency_sql(
+            "lineitem",
+            ["l_quantity", "l_extendedprice"],
+            ["l_returnflag", "l_linestatus"],
+        ),
     ),
-    "ts_anomaly_events": (
-        P.ts_anomaly_query(),
-        P.ts_anomaly_sql(),
+    "numeric_summary_lineitem": (
+        P.numeric_summary_query("lineitem", LINEITEM_NUMERIC),
+        P.numeric_summary_sql("lineitem", LINEITEM_NUMERIC),
+    ),
+    "string_lengths_customer": (
+        P.string_lengths_query("customer", CUSTOMER_STRINGS),
+        P.string_lengths_sql("customer", CUSTOMER_STRINGS),
+    ),
+    "cramers_v_lineitem": (
+        P.cramers_v_query("lineitem", "l_returnflag", "l_linestatus"),
+        P.cramers_v_sql("lineitem", "l_returnflag", "l_linestatus"),
+    ),
+    "scatter_lineitem": (
+        P.scatter_query("lineitem", "l_quantity", "l_extendedprice", 16),
+        P.scatter_sql("lineitem", "l_quantity", "l_extendedprice", 16),
+    ),
+    "top_k_part_brand": (
+        P.top_k_query("part", "p_brand", 5),
+        P.top_k_sql("part", "p_brand", 5),
+    ),
+    "path_parts_events": (
+        P.path_parts_query(), P.path_parts_sql(),
+    ),
+    "grouped_summary_lineitem": (
+        P.grouped_summary_query(),
+        P.grouped_summary_sql(),
+    ),
+    "incremental_pearson_lineitem": (
+        PP.incremental_pearson_query(),
+        PP.incremental_pearson_sql(),
+    ),
+    "corpus_funnel_documents": (
+        PP.corpus_funnel_query(),
+        PP.corpus_funnel_sql(),
+    ),
+    "pii_scan_documents": (
+        PP.pii_scan_query(), PP.pii_scan_sql(),
+    ),
+    "mixture_plan_documents": (
+        PP.mixture_plan_query(),
+        PP.mixture_plan_sql(),
+    ),
+    "dedup_clusters_documents": (
+        PP.dedup_clusters_query(0.1),
+        PP.dedup_clusters_sql(0.1),
+    ),
+    "image_dedup_keep_list_documents": (
+        PP.image_dedup_keep_list_query(),
+        PP.image_dedup_keep_list_sql(),
+    ),
+    "pack_sequences_documents": (
+        PP.pack_sequences_query(),
+        PP.pack_sequences_sql(),
+    ),
+    "audio_metadata_documents": (
+        PP.audio_metadata_query(),
+        PP.audio_metadata_sql(),
+    ),
+    "incremental_embedding_drift_embeddings": (
+        PP.incremental_embedding_drift_query(),
+        PP.embedding_drift_sql(),
+    ),
+    "cosine_topk_embeddings": (
+        PP.cosine_topk_query(5, 5),
+        PP.cosine_topk_sql(5, 5),
     ),
     # r10.2 (mid-round): in — the NEW declarative validation family
     # (check_suite / referential_integrity / functional_dependency: the
@@ -118,39 +204,19 @@ _SPECS: dict[str, tuple] = {
         P.check_suite_query("orders"),
         P.check_suite_sql("orders"),
     ),
-    "referential_integrity_lineitem": (
-        P.referential_integrity_query(),
-        P.referential_integrity_sql(),
-    ),
-    "functional_dependency_lineitem": (
-        P.functional_dependency_query(),
-        P.functional_dependency_sql(),
-    ),
     # r10.3 (mid-round): in — benford_lineitem (first-digit forensic, the
     # printf-decimal extraction that IS engine-identical where log10/pow
     # arithmetic is not). out — missing_counts_events (9-round-green; its
     # null-counting machinery is the completeness constraint in the
     # in-window check_suite_orders and every null-aware aggregate).
-    "benford_lineitem": (
-        P.benford_query(),
-        P.benford_sql(),
-    ),
     # r10.4 (mid-round): in — grouped_checks_documents (the per-segment
     # gate: the scalar suite per lang in ONE grouped pass — the contract a
     # mixture pipeline declares per segment). out — text_profile_documents
     # (9-round-green; its text-stat machinery keeps in-window kin
     # quality_filter + c4_line_filter + repetition_profile).
-    "grouped_checks_documents": (
-        P.grouped_checks_query(),
-        P.grouped_checks_sql(),
-    ),
     "ngram_jaccard_pairs_documents": (
         PP.jaccard_pairs_query(0.1),
         PP.jaccard_pairs_sql(0.1),
-    ),
-    "media_metadata_documents": (
-        PP.media_metadata_query(),
-        PP.media_metadata_sql(),
     ),
     "embedding_stats_embeddings": (
         PP.embedding_stats_query(),
@@ -160,17 +226,9 @@ _SPECS: dict[str, tuple] = {
         PP.corpus_overlap_query("token"),
         PP.corpus_overlap_sql("token"),
     ),
-    "top_duplicates_lineitem": (
-        P.top_duplicates_query("lineitem", DUP_SUBSET, 10),
-        P.top_duplicates_sql("lineitem", DUP_SUBSET, 10),
-    ),
     "image_near_dup_documents": (
         PP.image_near_dup_query(),
         PP.image_near_dup_sql(),
-    ),
-    "exact_dedup_documents": (
-        PP.exact_duplicates_query(),
-        PP.exact_duplicates_sql(),
     ),
     "drift_psi_categorical": (
         P.drift_categorical_query(),
@@ -180,39 +238,17 @@ _SPECS: dict[str, tuple] = {
         P.grouped_top_k_query(),
         P.grouped_top_k_sql(),
     ),
-    "mad_lineitem": (
-        P.mad_query("lineitem", ["l_quantity", "l_extendedprice", "l_discount"]),
-        P.mad_sql("lineitem", ["l_quantity", "l_extendedprice", "l_discount"]),
-    ),
-    "value_counts_returnflag": (
-        P.value_counts_query("lineitem", "l_returnflag"),
-        P.value_counts_sql("lineitem", "l_returnflag"),
-    ),
-    "phik_contingency_lineitem": (
-        P.phik_contingency_query("lineitem", "l_quantity", "l_returnflag"),
-        P.phik_contingency_sql("lineitem", "l_quantity", "l_returnflag"),
-    ),
     "histogram_extendedprice": (
         P.histogram_query("lineitem", "l_extendedprice", 10),
         P.histogram_sql("lineitem", "l_extendedprice", 10),
-    ),
-    "drift_psi_lineitem": (
-        P.drift_query(), P.drift_sql(),
     ),
     "incremental_minhash_dedup_documents": (
         PP.incremental_minhash_dedup_query(250),
         PP.incremental_minhash_dedup_sql(250),
     ),
-    "url_parts_events": (
-        P.url_parts_query(), P.url_parts_sql(),
-    ),
     "tfidf_top_terms_documents": (
         PP.tfidf_top_terms_query(5),
         PP.tfidf_top_terms_sql(5),
-    ),
-    "embedding_drift_embeddings": (
-        PP.embedding_drift_query(),
-        PP.embedding_drift_sql(),
     ),
     "pearson_lineitem": (
         P.pearson_query(
@@ -309,6 +345,76 @@ _SPECS: dict[str, tuple] = {
     "contamination_documents": (
         PP.contamination_query(8, 37),
         PP.contamination_sql(8, 37),
+    ),
+    "asof_state_events": (
+        P.asof_state_query(),
+        P.asof_state_sql(),
+    ),
+    "range_join_events": (
+        P.range_join_query(),
+        P.range_join_sql(),
+    ),
+    "acf_events": (
+        P.acf_query(),
+        P.acf_sql(),
+    ),
+    "seasonal_profile_events": (
+        P.seasonal_profile_query(),
+        P.seasonal_profile_sql(),
+    ),
+    "ts_anomaly_events": (
+        P.ts_anomaly_query(),
+        P.ts_anomaly_sql(),
+    ),
+    "referential_integrity_lineitem": (
+        P.referential_integrity_query(),
+        P.referential_integrity_sql(),
+    ),
+    "functional_dependency_lineitem": (
+        P.functional_dependency_query(),
+        P.functional_dependency_sql(),
+    ),
+    "benford_lineitem": (
+        P.benford_query(),
+        P.benford_sql(),
+    ),
+    "grouped_checks_documents": (
+        P.grouped_checks_query(),
+        P.grouped_checks_sql(),
+    ),
+    "phik_contingency_lineitem": (
+        P.phik_contingency_query("lineitem", "l_quantity", "l_returnflag"),
+        P.phik_contingency_sql("lineitem", "l_quantity", "l_returnflag"),
+    ),
+    "drift_psi_lineitem": (
+        P.drift_query(), P.drift_sql(),
+    ),
+    "embedding_drift_embeddings": (
+        PP.embedding_drift_query(),
+        PP.embedding_drift_sql(),
+    ),
+    "exact_dedup_documents": (
+        PP.exact_duplicates_query(),
+        PP.exact_duplicates_sql(),
+    ),
+    "media_metadata_documents": (
+        PP.media_metadata_query(),
+        PP.media_metadata_sql(),
+    ),
+    "top_duplicates_lineitem": (
+        P.top_duplicates_query("lineitem", DUP_SUBSET, 10),
+        P.top_duplicates_sql("lineitem", DUP_SUBSET, 10),
+    ),
+    "value_counts_returnflag": (
+        P.value_counts_query("lineitem", "l_returnflag"),
+        P.value_counts_sql("lineitem", "l_returnflag"),
+    ),
+    "url_parts_events": (
+        P.url_parts_query(), P.url_parts_sql(),
+    ),
+    "mad_lineitem": (
+        P.mad_query("lineitem", ["l_quantity", "l_extendedprice", "l_discount"]),
+        P.mad_sql("lineitem", ["l_quantity", "l_extendedprice", "l_discount"]),
     ),
     "distinct_unique_lineitem": (
         P.distinct_unique_query("lineitem", LINEITEM_ALL),
@@ -426,64 +532,6 @@ _SPECS: dict[str, tuple] = {
             "orders", ["o_orderkey", "o_custkey", "o_totalprice"], "o_orderkey", 7
         ),
     ),
-    "numeric_summary_lineitem": (
-        P.numeric_summary_query("lineitem", LINEITEM_NUMERIC),
-        P.numeric_summary_sql("lineitem", LINEITEM_NUMERIC),
-    ),
-    "image_dedup_keep_list_documents": (
-        PP.image_dedup_keep_list_query(),
-        PP.image_dedup_keep_list_sql(),
-    ),
-    "pack_sequences_documents": (
-        PP.pack_sequences_query(),
-        PP.pack_sequences_sql(),
-    ),
-    "incremental_pearson_lineitem": (
-        PP.incremental_pearson_query(),
-        PP.incremental_pearson_sql(),
-    ),
-    "string_lengths_customer": (
-        P.string_lengths_query("customer", CUSTOMER_STRINGS),
-        P.string_lengths_sql("customer", CUSTOMER_STRINGS),
-    ),
-    "cramers_v_lineitem": (
-        P.cramers_v_query("lineitem", "l_returnflag", "l_linestatus"),
-        P.cramers_v_sql("lineitem", "l_returnflag", "l_linestatus"),
-    ),
-    "corpus_funnel_documents": (
-        PP.corpus_funnel_query(),
-        PP.corpus_funnel_sql(),
-    ),
-    "grouped_summary_lineitem": (
-        P.grouped_summary_query(),
-        P.grouped_summary_sql(),
-    ),
-    "path_parts_events": (
-        P.path_parts_query(), P.path_parts_sql(),
-    ),
-    "pii_scan_documents": (
-        PP.pii_scan_query(), PP.pii_scan_sql(),
-    ),
-    "mixture_plan_documents": (
-        PP.mixture_plan_query(),
-        PP.mixture_plan_sql(),
-    ),
-    "dedup_clusters_documents": (
-        PP.dedup_clusters_query(0.1),
-        PP.dedup_clusters_sql(0.1),
-    ),
-    "audio_metadata_documents": (
-        PP.audio_metadata_query(),
-        PP.audio_metadata_sql(),
-    ),
-    "incremental_embedding_drift_embeddings": (
-        PP.incremental_embedding_drift_query(),
-        PP.embedding_drift_sql(),
-    ),
-    "cosine_topk_embeddings": (
-        PP.cosine_topk_query(5, 5),
-        PP.cosine_topk_sql(5, 5),
-    ),
     "ann_lsh_topk_embeddings": (
         PP.ann_lsh_topk_query(5, 5), None,
     ),
@@ -494,14 +542,6 @@ _SPECS: dict[str, tuple] = {
             ["l_returnflag", "l_linestatus"],
         ),
         None,
-    ),
-    "scatter_lineitem": (
-        P.scatter_query("lineitem", "l_quantity", "l_extendedprice", 16),
-        P.scatter_sql("lineitem", "l_quantity", "l_extendedprice", 16),
-    ),
-    "top_k_part_brand": (
-        P.top_k_query("part", "p_brand", 5),
-        P.top_k_sql("part", "p_brand", 5),
     ),
 }
 

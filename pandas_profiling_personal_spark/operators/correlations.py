@@ -300,6 +300,34 @@ def phik(
     )
 
 
+def chi2_of_contingency(
+    cells: "list[tuple]",
+) -> "tuple[float, int, int, float, list[float], list[float]] | None":
+    """Pearson χ² of a contingency cell list over the DENSE ra×kb matrix
+    (absent combinations count as observed 0), plus the table geometry and
+    marginals — the exact pre-inversion quantities φk consumes. Split out of
+    :func:`_phik_from_cells` so the SQL-expressible part of the mixed-type φk
+    has its own oracle gate (parity.py ``phik_mixed_contingency_*``) while the
+    bisection stays rows-only. Returns
+    ``(chi2, n_bins_a, n_bins_b, n, row_p, col_p)`` or None on empty input."""
+    m = _obs_matrix(cells)
+    if m is None:
+        return None
+    obs, n = m
+    ra, kb = len(obs), len(obs[0])
+    if n <= 0:
+        return None
+    row_p = [sum(row) / n for row in obs]
+    col_p = [sum(obs[i][j] for i in range(ra)) / n for j in range(kb)]
+    chi2_obs = 0.0
+    for i in range(ra):
+        for j in range(kb):
+            e = row_p[i] * col_p[j] * n
+            if e > 0:
+                chi2_obs += (obs[i][j] - e) ** 2 / e
+    return chi2_obs, ra, kb, n, row_p, col_p
+
+
 def _phik_from_cells(
     cells: "list[tuple]", noise_correction: bool = True
 ) -> float | None:
@@ -319,21 +347,12 @@ def _phik_from_cells(
         norm_ppf,
     )
 
-    m = _obs_matrix(cells)
-    if m is None:
+    stats = chi2_of_contingency(cells)
+    if stats is None:
         return None
-    obs, n = m
-    ra, kb = len(obs), len(obs[0])
-    if ra < 2 or kb < 2 or n <= 0:
+    chi2_obs, ra, kb, n, row_p, col_p = stats
+    if ra < 2 or kb < 2:
         return None
-    row_p = [sum(row) / n for row in obs]
-    col_p = [sum(obs[i][j] for i in range(ra)) / n for j in range(kb)]
-    chi2_obs = 0.0
-    for i in range(ra):
-        for j in range(kb):
-            e = row_p[i] * col_p[j] * n
-            if e > 0:
-                chi2_obs += (obs[i][j] - e) ** 2 / e
     if noise_correction:
         chi2_obs = max(0.0, chi2_obs - (ra - 1) * (kb - 1))
 

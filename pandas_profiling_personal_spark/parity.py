@@ -683,6 +683,113 @@ def phik_mixed_query(
     return fn
 
 
+def phik_mixed_contingency_query(
+    table: str, num_cols: list[str], cat_cols: list[str], bins: int = 10
+) -> QueryFn:
+    """Hash gate for the mixed-type φk matrix (C5): per pair, the Pearson χ²
+    over the dense binned contingency plus its geometry — the EXACT inputs the
+    driver-side bisection consumes (``chi2_corrected`` = the noise-corrected
+    χ² that is inverted, Baak et al. §3.3). Exercises the real operator path:
+    one exact-edges pass (:func:`quantile_bin_exprs`), ONE all-pairs
+    contingency shuffle (:func:`contingency_all_pairs`), then
+    :func:`chi2_of_contingency` — the same code φk itself runs up to the
+    inversion (reference mixed-type semantics: correlations.py:423-521). The
+    inversion stays rows-only in ``phik_mixed_lineitem`` by documented design;
+    this row pins everything distributed about it."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.correlations import (
+            chi2_of_contingency,
+            contingency_all_pairs,
+            quantile_bin_exprs,
+        )
+
+        df = load(spark, sf_dir, table)
+        exprs = quantile_bin_exprs(df, num_cols, bins, exact=True)
+        for c in cat_cols:
+            exprs[c] = S.col(c).cast("string")
+        pairs = list(combinations([*num_cols, *cat_cols], 2))
+        tables = contingency_all_pairs(df, exprs, pairs)
+        rows = []
+        for a, b in pairs:
+            stats = chi2_of_contingency(tables[(a, b)])
+            if stats is None:
+                continue
+            chi2, ra, kb, n, _, _ = stats
+            corrected = max(0.0, chi2 - (ra - 1) * (kb - 1))
+            rows.append((a, b, int(n), ra, kb, chi2, corrected))
+        raw = spark.createDataFrame(
+            rows,
+            "col_a string, col_b string, n_pairs bigint, n_bins_a bigint,"
+            " n_bins_b bigint, chi2 double, chi2_corrected double",
+        )
+        return raw.select(
+            "col_a",
+            "col_b",
+            "n_pairs",
+            "n_bins_a",
+            "n_bins_b",
+            _r(F.col("chi2")).alias("chi2"),
+            _r(F.col("chi2_corrected")).alias("chi2_corrected"),
+        )
+
+    return fn
+
+
+def phik_mixed_contingency_sql(
+    table: str, num_cols: list[str], cat_cols: list[str], bins: int = 10
+) -> str:
+    """Dense-matrix χ² via the identity Σ_present n²·N/(rn·cn) − N (absent
+    cells contribute their expectation, which the identity absorbs), with the
+    same strictly-below-edge bucket definition as ``quantile_bin_exprs``.
+    All window sums feed arithmetic only — outputs are CAST to BIGINT/DOUBLE
+    (DuckDB types integer sums as HUGEINT, which breaks the driver hash)."""
+    qs = ", ".join(str(i / bins) for i in range(1, bins))
+    edge_ctes = ",\n".join(
+        f"e{i} AS (SELECT DISTINCT unnest(quantile_cont({c}, [{qs}])) AS e"
+        f" FROM {table} WHERE {c} IS NOT NULL)"
+        for i, c in enumerate(num_cols)
+    )
+    bucket_exprs = [
+        f"CASE WHEN {c} IS NULL THEN NULL ELSE CAST("
+        f"(SELECT count(*) FROM e{i} WHERE e < t.{c}) AS VARCHAR) END AS c{i}"
+        for i, c in enumerate(num_cols)
+    ]
+    bucket_exprs += [
+        f"CAST({c} AS VARCHAR) AS c{len(num_cols) + j}"
+        for j, c in enumerate(cat_cols)
+    ]
+    cols = [*num_cols, *cat_cols]
+    pair_selects = []
+    for i, j in combinations(range(len(cols)), 2):
+        pair_selects.append(
+            f"SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b,"
+            f" c{i} AS va, c{j} AS vb, count(*) AS n FROM b"
+            f" WHERE c{i} IS NOT NULL AND c{j} IS NOT NULL GROUP BY 3, 4"
+        )
+    union = "\nUNION ALL\n".join(pair_selects)
+    return f"""
+WITH {edge_ctes},
+b AS (SELECT {', '.join(bucket_exprs)} FROM {table} t),
+ct AS ({union}),
+m AS (
+  SELECT col_a, col_b, va, vb, CAST(n AS DOUBLE) AS n,
+         CAST(sum(n) OVER (PARTITION BY col_a, col_b) AS DOUBLE) AS tot,
+         CAST(sum(n) OVER (PARTITION BY col_a, col_b, va) AS DOUBLE) AS rn,
+         CAST(sum(n) OVER (PARTITION BY col_a, col_b, vb) AS DOUBLE) AS cn
+  FROM ct)
+SELECT col_a, col_b,
+       CAST(max(tot) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT va) AS BIGINT) AS n_bins_a,
+       CAST(count(DISTINCT vb) AS BIGINT) AS n_bins_b,
+       round(sum(n * n * tot / (rn * cn)) - max(tot), 4) AS chi2,
+       round(greatest(0.0, sum(n * n * tot / (rn * cn)) - max(tot)
+             - (count(DISTINCT va) - 1) * (count(DISTINCT vb) - 1)), 4)
+         AS chi2_corrected
+FROM m GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------------
 # Spearman rank correlation (C2) — average ranks via windows, then Pearson
 # --------------------------------------------------------------------------------
@@ -1762,7 +1869,7 @@ grid AS (SELECT t, CASE WHEN n > 0 THEN s / n END AS v, n,
                           AS DECIMAL(20,4)) * 10000 AS BIGINT) AS vi
          FROM g0)
 SELECT CAST(t AS VARCHAR) AS t, round(v, 4) AS v, n,
-       sum(vi) OVER w AS trend_sum_x1e4,
+       CAST(sum(vi) OVER w AS BIGINT) AS trend_sum_x1e4,
        count(v) OVER w AS trend_support
 FROM grid
 WINDOW w AS (ORDER BY t ROWS BETWEEN {half} PRECEDING AND {after} FOLLOWING)

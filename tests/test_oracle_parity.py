@@ -24,6 +24,26 @@ def test_query_matches_oracle(spark, duck, name):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
+@pytest.mark.parametrize("name", sorted(E.oracle_sql().keys()))
+def test_oracle_has_no_hugeint_columns(duck, name):
+    """DuckDB types sum(BIGINT)/sum(INT) as HUGEINT, which fetchdf() coerces
+    to float64 — the driver then hashes "5419399.0" against Spark's "5419399"
+    and reports a value-identical spec as red (r10: rolling_trend_events).
+    Guard every oracle's output schema so no future SQL regresses the same
+    way; fix is a CAST(... AS BIGINT) on the offending expression."""
+    sql = E.oracle_sql()[name]
+    rows = duck.execute(f"DESCRIBE SELECT * FROM ({sql}) q").fetchall()
+    bad = [
+        (col, typ)
+        for col, typ, *_ in rows
+        if typ.upper() in ("HUGEINT", "UHUGEINT", "UBIGINT")
+    ]
+    assert not bad, (
+        f"{name}: oracle emits {bad} — fetchdf() coerces these to float64 "
+        "and breaks the driver's value hash; CAST to BIGINT in the SQL"
+    )
+
+
 def test_entry_smoke(spark):
     df = E.entry(spark)
     rows = df.collect()
