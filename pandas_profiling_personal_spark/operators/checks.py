@@ -47,10 +47,17 @@ from pandas_profiling_personal_spark.functions import stats as S
 
 ROUND = 4
 
-# unit-separator sentinel for NULL key components — collision-safe against any
-# printable value, identical literal on the DuckDB oracle side
-NULL_SENTINEL = "\x1fNULL\x1f"
+# Composite-key encoding: components are escaped (ESC doubled, SEP prefixed
+# with ESC) then joined on the raw unit separator, so the raw SEP appears
+# ONLY at component boundaries; the NULL sentinel is ESC+'N' — a sequence no
+# escaped value can produce (ESC in escaped output is always followed by ESC
+# or SEP). The encoding is injective for ANY string values, control
+# characters included — two distinct key tuples can never merge, and a value
+# equal to the sentinel can never alias a NULL. The DuckDB oracles group by
+# the actual columns, so exact tuple equality is precisely the contract.
 KEY_SEP = "\x1f"
+KEY_ESC = "\x1e"
+NULL_SENTINEL = KEY_ESC + "N"
 
 RESULT_COLUMNS = [
     "check_name",
@@ -281,7 +288,13 @@ def _ratio_row(name: str, kind: str, column: str, metric: str,
     ``passed`` compares the UNROUNDED metric against the bounds — the
     reported ``value`` rounds to 4 decimals for display/oracle stability,
     but a gate declared at min_ratio=1.0 must not accept 0.99996 because
-    it rounds to 1.0 (at 10^6 rows that's ~40 silent violations)."""
+    it rounds to 1.0 (at 10^6 rows that's ~40 silent violations).
+
+    A NaN metric FAILS any bounded check: Spark orders NaN above every
+    numeric, so on a NaN-poisoned column ``raw >= lo`` would evaluate TRUE
+    and a lower-bound-only gate (sum_between(col, 0, None)) would silently
+    pass — and diverge from the state path, where ``checks_of`` compares in
+    Python (NaN >= lo is False). NULL stays vacuous; NaN is a failure."""
     raw = value.cast("double")
     v = F.round(raw, ROUND)
     lo_c = F.lit(lo).cast("double")
@@ -291,6 +304,8 @@ def _ratio_row(name: str, kind: str, column: str, metric: str,
         ok = ok & (raw >= lo_c)
     if hi is not None:
         ok = ok & (raw <= hi_c)
+    if lo is not None or hi is not None:
+        ok = ok & ~F.isnan(raw)
     return F.struct(
         F.lit(name).alias("check_name"),
         F.lit(kind).alias("kind"),
@@ -333,7 +348,19 @@ def _scalar_plan(
             decl.append(S.mean(c).alias(a))
             rows.append((chk, a, "mean"))
         elif k == "sum_between":
-            decl.append(S.stable_sum(c).alias(a))
+            # stable_sum's decimal accumulation silently NULLs out NaN cells
+            # (cast NaN -> decimal is NULL), which would understate the sum
+            # and let a poisoned column pass a bound it should fail — surface
+            # NaN poisoning as a NaN metric, which _ratio_row fails (and the
+            # state path's moment arithmetic reproduces)
+            poisoned = (
+                F.sum(F.when(F.isnan(c.cast("double")), 1).otherwise(0)) > 0
+            )
+            decl.append(
+                F.when(poisoned, F.lit(float("nan")))
+                .otherwise(S.stable_sum(c))
+                .alias(a)
+            )
             rows.append((chk, a, "sum"))
         elif k == "min_between":
             decl.append(F.min(c).cast("double").alias(a))
@@ -407,9 +434,20 @@ def _scalar_rows(df: DataFrame, checks: list[Check],
 # ---------------------------------------------------------------------------
 
 
+def _esc_component(c: Column) -> Column:
+    """Escape one key component (see the KEY_SEP/KEY_ESC contract above):
+    double every ESC, then prefix every SEP with ESC — injective, and the
+    output never contains a raw SEP or the NULL sentinel."""
+    s = c.cast("string")
+    s = F.replace(s, F.lit(KEY_ESC), F.lit(KEY_ESC + KEY_ESC))
+    s = F.replace(s, F.lit(KEY_SEP), F.lit(KEY_ESC + KEY_SEP))
+    return s
+
+
 def _key_expr(cols: tuple[str, ...]) -> Column:
     parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit(NULL_SENTINEL)) for c in cols
+        F.coalesce(_esc_component(F.col(c)), F.lit(NULL_SENTINEL))
+        for c in cols
     ]
     return F.concat_ws(KEY_SEP, *parts)
 
@@ -482,7 +520,7 @@ def _fd_rows(df: DataFrame, checks: list[Check]) -> DataFrame | None:
             F.struct(
                 F.lit(i).alias("fid"),
                 _key_expr(det).alias("det"),
-                F.coalesce(F.col(dep).cast("string"),
+                F.coalesce(_esc_component(F.col(dep)),
                            F.lit(NULL_SENTINEL)).alias("dep"),
             )
         )

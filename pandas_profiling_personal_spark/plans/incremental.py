@@ -1889,7 +1889,10 @@ def checks_of(
                 klls = list(pend.get("kll") or []) + (
                     [cs.kll] if cs.kll else [])
                 if not klls:
-                    continue  # no non-null mass: vacuous
+                    # no non-null mass: vacuous — batch-equivalent (the batch
+                    # percentile of an all-null column is NULL, which
+                    # _ratio_row also passes vacuously)
+                    continue
                 e = F.lit(klls[0])
                 for x in klls[1:]:
                     e = F.kll_sketch_merge_double(e, F.lit(x))
@@ -1902,6 +1905,13 @@ def checks_of(
                 hlls = list(pend.get("hll") or []) + (
                     [cs.hll] if cs.hll else [])
                 if not hlls:
+                    # zero non-null mass → no HLL was ever built, but the
+                    # batch gate still yields a concrete value on an all-null
+                    # column (approx_count_distinct = 0; distinctness counts
+                    # the NULL key group via the n_missing bump below) — a
+                    # None here would pass vacuously where batch FAILS a
+                    # declared lower bound
+                    sketch_vals[c.name] = 0
                     continue
                 e = F.lit(hlls[0])
                 for x in hlls[1:]:

@@ -681,6 +681,91 @@ def test_pass_rule_uses_unrounded_ratio(spark):
     assert not r["rng"]["passed"]         # unrounded 0.999975 < 1.0
 
 
+def test_nan_metric_fails_bounded_checks_batch_and_state(spark):
+    """A NaN aggregate must FAIL a lower-bound-only gate: Spark orders NaN
+    above every numeric, so `raw >= lo` alone would silently PASS — and
+    diverge from the state path, which compares in Python (NaN >= lo is
+    False). NULL stays vacuous; NaN is a failure, in BOTH modes."""
+    from pyspark.sql import functions as F
+
+    from pandas_profiling_personal_spark.plans.incremental import (
+        checks_of, partial_profile,
+    )
+
+    df = spark.range(3).select(
+        F.when(F.col("id") == 0, float("nan")).otherwise(1.0).alias("v"))
+    chks = [C.mean_between("v", 0.0, None, name="m"),
+            C.sum_between("v", 0.0, None, name="s")]
+    batch = _by_name(C.check_suite(df, chks))
+    assert not batch["m"]["passed"]
+    assert not batch["s"]["passed"]
+    state = {r["check_name"]: r for r in checks_of(partial_profile(df), chks)}
+    assert batch["m"]["passed"] == state["m"]["passed"]
+    assert batch["s"]["passed"] == state["s"]["passed"]
+    # NULL aggregate (empty column) still passes vacuously
+    empty = spark.createDataFrame([], "v double")
+    vac = _by_name(C.check_suite(empty, [C.mean_between("v", 0.0, None,
+                                                        name="m")]))
+    assert vac["m"]["passed"] and vac["m"]["value"] is None
+
+
+def test_all_null_column_state_matches_batch(spark):
+    """Sketch-backed kinds on an all-null column: no KLL/HLL exists in the
+    state, but the batch gate yields concrete values (approx distinct 0;
+    distinctness counts the NULL key group) — the state path must synthesize
+    the same instead of passing vacuously."""
+    from pandas_profiling_personal_spark.plans.incremental import (
+        checks_of, partial_profile,
+    )
+
+    df = spark.createDataFrame([(None,), (None,), (None,)], "v double")
+    chks = [C.approx_distinct_between("v", 1, None, name="ad"),
+            C.distinctness("v", 0.5, name="d")]
+    batch = _by_name(C.check_suite(df, chks))
+    state = {r["check_name"]: r
+             for r in checks_of(partial_profile(df), chks, spark=spark)}
+    # batch: approx_count_distinct = 0 fails lo=1; distinctness 1/3 fails 0.5
+    assert not batch["ad"]["passed"] and batch["ad"]["value"] == 0.0
+    assert not batch["d"]["passed"]
+    assert state["ad"]["passed"] == batch["ad"]["passed"]
+    assert state["ad"]["value"] == batch["ad"]["value"]
+    assert state["d"]["passed"] == batch["d"]["passed"]
+    assert state["d"]["value"] == pytest.approx(batch["d"]["value"])
+    # quantile on all-null: NULL in batch, vacuous in both modes
+    q = [C.quantile_between("v", 0.5, 0.0, None, name="q")]
+    bq = _by_name(C.check_suite(df, q))
+    sq = checks_of(partial_profile(df), q, spark=spark)[0]
+    assert bq["q"]["passed"] and bq["q"]["value"] is None
+    assert sq["passed"] and sq["value"] is None
+
+
+def test_key_encoding_injective_on_control_characters(spark):
+    """Values containing the key separator (\\x1f), the escape (\\x1e), or
+    the literal NULL sentinel must not merge or split composite keys."""
+    rows = [
+        ("a\x1fb", "c"),       # separator inside a value
+        ("a", "b\x1fc"),       # same concat bytes pre-escape, different tuple
+        ("\x1eN", "x"),        # component equal to the NULL sentinel literal
+        (None, "x"),           # a real NULL — must differ from the row above
+        ("p\x1eq", "r"),       # escape char round-trips
+        ("p\x1eq", "r"),       # true duplicate tuple
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = _by_name(C.check_suite(df, [
+        C.uniqueness(["a", "b"], name="u"),
+        C.distinctness(["a", "b"], name="d"),
+    ]))
+    # 5 distinct tuples over 6 rows: 4 singletons / 6 rows
+    assert r["u"]["value"] == pytest.approx(4 / 6, abs=1e-4)
+    assert r["d"]["value"] == pytest.approx(5 / 6, abs=1e-4)
+    # FD: dependent equal to the sentinel differs from a NULL dependent
+    fd = spark.createDataFrame(
+        [("k", "\x1eN"), ("k", None)], "det string, dep string")
+    fr = _by_name(C.check_suite(fd, [
+        C.functional_dependency("det", "dep", name="fd")]))
+    assert fr["fd"]["value"] == 0.0   # 1 group, 2 distinct dep values
+
+
 def test_spec_errors_are_named(spark):
     with pytest.raises(ValueError, match="bad or missing field"):
         C.checks_from_spec({"checks": [{"kind": "uniqueness"}]})
