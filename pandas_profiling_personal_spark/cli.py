@@ -112,6 +112,43 @@ def build_parser() -> argparse.ArgumentParser:
         "profile",
     )
     p.add_argument("--title", default=None)
+    p.add_argument(
+        "--description",
+        default=None,
+        help="dataset description rendered on the overview Dataset card "
+        "and kept in the JSON metadata (reference dataset.description)",
+    )
+    p.add_argument(
+        "--dataset-url",
+        default=None,
+        help="dataset source URL for the overview Dataset card",
+    )
+    p.add_argument(
+        "--var-description",
+        action="append",
+        default=None,
+        metavar="COL=TEXT",
+        help="per-variable description caption (repeatable; reference "
+        "variables.descriptions)",
+    )
+    p.add_argument(
+        "--primary-color",
+        default=None,
+        help="report accent color (reference html.style.primary_color)",
+    )
+    p.add_argument(
+        "--logo",
+        default=None,
+        help="logo URL or data: URI beside the report title",
+    )
+    p.add_argument(
+        "--no-navbar", action="store_true", help="hide the sticky nav"
+    )
+    p.add_argument(
+        "--full-width",
+        action="store_true",
+        help="stretch the layout (reference html.full_width)",
+    )
     p.add_argument("--master", default=None, help="spark master (default local[N])")
     g = p.add_argument_group("corpus preparation (training-data pipeline)")
     g.add_argument(
@@ -334,6 +371,32 @@ def main(argv: list[str] | None = None) -> int:
         cfg = cfg.with_(
             timeseries_granularity=args.timeseries_granularity
         )
+    if args.title:
+        cfg = cfg.with_(title=args.title)
+    if args.description:
+        cfg = cfg.with_(dataset_description=args.description)
+    if args.dataset_url:
+        cfg = cfg.with_(dataset_url=args.dataset_url)
+    if args.var_description:
+        pairs = []
+        for item in args.var_description:
+            col, sep, text = item.partition("=")
+            if not sep or not col:
+                raise SystemExit(
+                    f"--var-description expects COL=TEXT, got {item!r}"
+                )
+            pairs.append((col, text))
+        cfg = cfg.with_(
+            variable_descriptions=cfg.variable_descriptions + tuple(pairs)
+        )
+    if args.primary_color:
+        cfg = cfg.with_(html_primary_color=args.primary_color)
+    if args.logo:
+        cfg = cfg.with_(html_logo=args.logo)
+    if args.no_navbar:
+        cfg = cfg.with_(html_navbar=False)
+    if args.full_width:
+        cfg = cfg.with_(html_full_width=True)
 
     spark = get_session(app_name="spark-profile", master=args.master)
     try:

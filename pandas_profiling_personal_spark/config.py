@@ -143,6 +143,34 @@ class ProfileConfig:
     correlation_threshold: float = 0.9
     duplicates_threshold: float = 0.01  # >1% duplicate rows -> DUPLICATES alert
 
+    # --- report metadata (reference: config_default.yaml:1-17,
+    # report/structure/overview.py:73-114 render dataset.{description,
+    # creator, author, copyright_holder, copyright_year, url} as an overview
+    # "Dataset" tab and variables.descriptions as per-variable captions) ----
+    title: str = "Data profile"
+    dataset_description: str = ""
+    dataset_creator: str = ""
+    dataset_author: str = ""
+    dataset_copyright_holder: str = ""
+    dataset_copyright_year: str = ""
+    dataset_url: str = ""
+    #: (column, description) pairs — a dict in from_dict/YAML is coerced;
+    #: stored as a tuple so the frozen config stays hashable
+    variable_descriptions: tuple[tuple[str, str], ...] = ()
+    #: render the description on each variable section, not just the
+    #: overview (reference: show_variable_description, config_default.yaml:17)
+    show_variable_description: bool = True
+
+    # --- report style (reference: config_default.yaml:172-194 html.style.
+    # {primary_color, logo, full_width} + navbar_show) ----------------------
+    #: accent color for nav/headers/bars; None keeps the built-in palette
+    html_primary_color: str | None = None
+    #: logo image URL or data: URI rendered beside the title
+    html_logo: str | None = None
+    html_navbar: bool = True
+    #: stretch the layout instead of the 1150px centered column
+    html_full_width: bool = False
+
     # --- misc ---------------------------------------------------------------------
     seed: int = 42
     #: persist the input before the multi-pass profile (reference persists an
@@ -204,10 +232,15 @@ class ProfileConfig:
             raise ValueError(
                 f"Config parameter(s) {sorted(unknown)} do not exist"
             )
-        # YAML lists arrive as lists; tuple-typed fields need coercion
+        # YAML lists arrive as lists; tuple-typed fields need coercion.
+        # variable_descriptions additionally accepts a {column: text}
+        # mapping (the reference's variables.descriptions shape).
         for k, v in list(d.items()):
             if isinstance(v, list):
-                d[k] = tuple(v)
+                d[k] = tuple(tuple(x) if isinstance(x, list) else x
+                             for x in v)
+            elif k == "variable_descriptions" and isinstance(v, dict):
+                d[k] = tuple(sorted((str(c), str(t)) for c, t in v.items()))
         return base.with_(**d)
 
     @classmethod

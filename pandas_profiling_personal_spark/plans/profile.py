@@ -70,10 +70,16 @@ class ProfileResult:
     package: dict[str, Any] = field(default_factory=dict)
     segments: dict[str, Any] = field(default_factory=dict)
     timeseries: dict[str, Any] = field(default_factory=dict)
+    #: user-supplied dataset metadata + variable descriptions (reference:
+    #: config_default.yaml:5-17, report/structure/overview.py:73-114):
+    #: {"title", "dataset": {...}, "variable_descriptions": {...},
+    #:  "show_variable_description": bool} — only non-empty keys stored
+    metadata: dict[str, Any] = field(default_factory=dict)
 
     def as_dict(self) -> dict[str, Any]:
         return {
             "analysis": self.analysis,
+            "metadata": self.metadata,
             "table": self.table,
             "variables": self.variables,
             "correlations": self.correlations,
@@ -1040,9 +1046,53 @@ def profile(
                 )
                 _mark("timeseries")
 
+        dataset_meta = {
+            k: v
+            for k, v in {
+                "description": cfg.dataset_description,
+                "creator": cfg.dataset_creator,
+                "author": cfg.dataset_author,
+                "copyright_holder": cfg.dataset_copyright_holder,
+                "copyright_year": cfg.dataset_copyright_year,
+                "url": cfg.dataset_url,
+            }.items()
+            if v
+        }
+        var_desc = {
+            c: t for c, t in (cfg.variable_descriptions or ()) if t
+        }
+        unknown_desc = sorted(set(var_desc) - set(variables))
+        metadata: dict[str, Any] = {"title": cfg.title}
+        if dataset_meta:
+            metadata["dataset"] = dataset_meta
+        if var_desc:
+            metadata["variable_descriptions"] = var_desc
+            metadata["show_variable_description"] = (
+                cfg.show_variable_description
+            )
+        if unknown_desc:
+            # surfaced, not fatal: a stale description map shouldn't kill a
+            # multi-hour profile, but it shouldn't vanish either
+            metadata["unknown_variable_descriptions"] = unknown_desc
+        style = {
+            k: v
+            for k, v in {
+                "primary_color": cfg.html_primary_color,
+                "logo": cfg.html_logo,
+            }.items()
+            if v
+        }
+        if not cfg.html_navbar:
+            style["navbar"] = False
+        if cfg.html_full_width:
+            style["full_width"] = True
+        if style:
+            metadata["style"] = style
+
         result = ProfileResult(
             table=table,
             variables=variables,
+            metadata=metadata,
             correlations=correlations,
             missing=missing,
             sample=sample,

@@ -51,6 +51,8 @@ color:#41516b;margin-right:2px}
 .tabs .pane{display:none;border:1px solid #e3e6eb;border-radius:0 6px 6px 6px;
 padding:12px;background:#fff}
 svg.chart{background:#fbfcfe;border:1px solid #eef1f5;border-radius:4px}
+.vardesc{color:#41516b;font-size:12.5px;font-style:italic;margin:4px 0}
+h1 img.logo{height:28px;vertical-align:middle;margin-right:10px}
 """
 
 # each tab group needs its panes toggled by its own radio set; generated rules
@@ -293,7 +295,9 @@ _CAT_STATS = [("Max length", "max_length"), ("Mean length", "mean_length"),
               ("Date-like", "date_like"), ("χ² (uniformity)", "chi_squared")]
 
 
-def _var_section(name: str, v: dict, alerts: list[dict]) -> str:
+def _var_section(
+    name: str, v: dict, alerts: list[dict], description: "str | None" = None
+) -> str:
     vtype = str(v.get("type"))
     own_alerts = "".join(
         f"<span class='alert{' info' if a['type'] in ('UNIQUE', 'UNIFORM') else ''}'>"
@@ -484,12 +488,18 @@ def _var_section(name: str, v: dict, alerts: list[dict]) -> str:
             body,
         ))
 
+    desc_html = (
+        f"<p class='vardesc' data-section='description'>"
+        f"{html.escape(description)}</p>"
+        if description
+        else ""
+    )
     return (
         f"<div class='varsec' data-section='variable'"
         f" data-var-type='{html.escape(vtype)}' id='var-{html.escape(name)}'>"
         f"<h3>{html.escape(name)}<span class='badge'>{html.escape(vtype)}"
         f"</span></h3><div class='type'>n={_fmt(v.get('n'))}"
-        f" · missing={_fmt(v.get('n_missing'))}</div>{own_alerts}"
+        f" · missing={_fmt(v.get('n_missing'))}</div>{desc_html}{own_alerts}"
         f"<div class='vargrid'><div>{overview}</div><div>{_tabs(tabs)}</div>"
         f"</div></div>"
     )
@@ -538,8 +548,14 @@ def _sample_table(rows: list[dict]) -> str:
     )
 
 
-def render_html(result: "Any", title: str = "Data profile") -> str:
-    """ProfileResult (or its as_dict()) -> standalone HTML string."""
+def render_html(result: "Any", title: "str | None" = None) -> str:
+    """ProfileResult (or its as_dict()) -> standalone HTML string.
+
+    ``title`` falls back to ``metadata["title"]`` (the config's ``title``
+    field). Dataset metadata, per-variable descriptions, and the style
+    surface (``html_primary_color`` / ``html_logo`` / ``html_navbar`` /
+    ``html_full_width``) ride ``metadata`` — reference:
+    config_default.yaml:1-17,172-194, report/structure/overview.py:73-114."""
     d = result.as_dict() if hasattr(result, "as_dict") else result
     table = d["table"]
     variables = d["variables"]
@@ -547,6 +563,15 @@ def render_html(result: "Any", title: str = "Data profile") -> str:
     missing = d.get("missing") or {}
     scatter = d.get("scatter") or {}
     duplicates = d.get("duplicates") or []
+    meta = d.get("metadata") or {}
+    style = meta.get("style") or {}
+    if title is None:
+        title = str(meta.get("title") or "Data profile")
+    var_desc = (
+        (meta.get("variable_descriptions") or {})
+        if meta.get("show_variable_description", True)
+        else {}
+    )
 
     nav_items = [("overview", "Overview"), ("alerts", "Alerts"),
                  ("variables", "Variables")]
@@ -563,15 +588,44 @@ def render_html(result: "Any", title: str = "Data profile") -> str:
     timeseries = d.get("timeseries") or {}
     if timeseries.get("columns"):
         nav_items.append(("timeseries", "Time series"))
-    nav = "<nav data-section='nav'>" + "".join(
-        f"<a href='#{anchor}'>{label}</a>" for anchor, label in nav_items
-    ) + "</nav>"
+    nav = (
+        "<nav data-section='nav'>" + "".join(
+            f"<a href='#{anchor}'>{label}</a>" for anchor, label in nav_items
+        ) + "</nav>"
+        if style.get("navbar", True)
+        else ""
+    )
+
+    # style overrides appended AFTER the base sheet so they win on equal
+    # specificity (reference html.style.{primary_color, full_width},
+    # config_default.yaml:176-186)
+    extra_css = ""
+    color = style.get("primary_color")
+    if color:
+        c = html.escape(str(color))
+        # chrome only — chart rects keep their per-cell computed fills
+        # (a blanket svg rect{fill:} rule would override the scatter
+        # heatmap's presentation attributes)
+        extra_css += (
+            f"nav a{{color:{c}}}.alert.info{{color:{c}}}"
+            f"h2{{border-bottom-color:{c}}}"
+        )
+    if style.get("full_width"):
+        extra_css += ".wrap{max-width:none}"
+    logo = style.get("logo")
+    logo_html = (
+        f"<img class='logo' src='{html.escape(str(logo), quote=True)}'"
+        f" alt='logo'>"
+        if logo
+        else ""
+    )
 
     parts = [
         "<!doctype html><html><head><meta charset='utf-8'>",
-        f"<title>{html.escape(title)}</title><style>{_CSS}</style></head>",
+        f"<title>{html.escape(title)}</title>"
+        f"<style>{_CSS}{extra_css}</style></head>",
         f"<body>{nav}<div class='wrap'>",
-        f"<h1>{html.escape(title)}</h1>",
+        f"<h1>{logo_html}{html.escape(title)}</h1>",
         # overview (reference: get_dataset_overview, report.py:40-90)
         "<h2 id='overview' data-section='overview'>Overview</h2>"
         "<div class='cards'><div class='card'><h3>Dataset statistics</h3>",
@@ -593,8 +647,42 @@ def render_html(result: "Any", title: str = "Data profile") -> str:
              ("Duration (s)", (d.get("analysis") or {}).get("duration_sec")),
              ("Exact tier", (d.get("analysis") or {}).get("exact"))]
         ),
-        "</div></div>",
+        "</div>",
     ]
+
+    # user-supplied dataset metadata (reference: get_dataset_schema,
+    # report/structure/overview.py:73-114 — Description/Creator/Author/
+    # URL/Copyright as an overview "Dataset" card)
+    ds = meta.get("dataset") or {}
+    if ds:
+        rows: list[tuple] = [
+            (key.capitalize(), ds[key])
+            for key in ("description", "creator", "author")
+            if ds.get(key)
+        ]
+        if ds.get("url"):
+            u = html.escape(str(ds["url"]), quote=True)
+            rows.append(
+                ("URL", f"<a href='{u}'>{u}</a>")
+            )
+        if ds.get("copyright_holder"):
+            holder = str(ds["copyright_holder"])
+            year = str(ds.get("copyright_year") or "")
+            rows.append(
+                ("Copyright", f"(c) {holder} {year}".rstrip())
+            )
+        # the URL row is pre-escaped markup; _fmt escapes the rest
+        body = "".join(
+            f"<tr><td>{html.escape(str(k))}</td><td>"
+            + (v if k == "URL" else _fmt(v))
+            + "</td></tr>"
+            for k, v in rows
+        )
+        parts.append(
+            "<div class='card' data-section='dataset'><h3>Dataset</h3>"
+            f"<table class='kv'>{body}</table></div>"
+        )
+    parts.append("</div>")
 
     # alerts (reference: get_dataset_warnings)
     parts.append("<h2 id='alerts' data-section='alerts'>Alerts"
@@ -614,7 +702,7 @@ def render_html(result: "Any", title: str = "Data profile") -> str:
     # variables — one full section per column with per-type detail tabs
     parts.append("<h2 id='variables' data-section='variables'>Variables</h2>")
     for name, v in variables.items():
-        parts.append(_var_section(name, v, alerts))
+        parts.append(_var_section(name, v, alerts, var_desc.get(name)))
 
     # interactions (reference: get_interactions; aggregate-then-plot)
     if scatter:
@@ -810,7 +898,7 @@ def minify_html(page: str) -> str:
 def to_file(
     result: "Any",
     path: str,
-    title: str = "Data profile",
+    title: "str | None" = None,
     minify: bool = False,
     assets_dir: "str | None" = None,
 ) -> None:

@@ -677,6 +677,64 @@ def test_html_json_serialize_roundtrip(spark, tmp_path):
         SER.loads(blob, "wrong")
 
 
+def test_dataset_metadata_and_style_surface(spark, tmp_path):
+    """Reference parity: dataset.{description,creator,author,url,copyright}
+    + variables.descriptions render in the report and survive the JSON
+    roundtrip (config_default.yaml:5-17, overview.py:73-114); the style
+    knobs (primary_color / logo / navbar / full_width,
+    config_default.yaml:172-194) reach the page."""
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+    from pandas_profiling_personal_spark.report import html as H
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, s string")
+    cfg = ProfileConfig(
+        exact=True,
+        title="Ti<tle>",
+        dataset_description="Synthetic <rows>",
+        dataset_creator="QA",
+        dataset_url="https://example.com/ds?a=1&b=2",
+        dataset_copyright_holder="ACME",
+        dataset_copyright_year="2026",
+        variable_descriptions=(("k", "the key"), ("ghost", "gone")),
+        html_primary_color="#aa0000",
+        html_logo="data:image/png;base64,AAAA",
+        html_full_width=True,
+    )
+    r = profile(df, cfg)
+    meta = r.metadata
+    assert meta["dataset"]["description"] == "Synthetic <rows>"
+    assert meta["variable_descriptions"] == {"k": "the key", "ghost": "gone"}
+    assert meta["unknown_variable_descriptions"] == ["ghost"]
+    assert meta["style"]["primary_color"] == "#aa0000"
+
+    page = H.render_html(r)  # title comes from metadata
+    assert "Ti&lt;tle&gt;" in page
+    assert "Synthetic &lt;rows&gt;" in page and "(c) ACME 2026" in page
+    assert "https://example.com/ds?a=1&amp;b=2" in page
+    assert "the key" in page and "data-section='dataset'" in page
+    assert "#aa0000" in page and "img class='logo'" in page
+    assert ".wrap{max-width:none}" in page
+    assert H.render_html(r, title="Override")  # explicit arg still wins
+
+    j = json.loads(r.to_json())
+    assert j["metadata"]["dataset"]["creator"] == "QA"
+
+    # navbar off drops the sticky nav; show_variable_description=False
+    # drops captions but keeps the overview map
+    r2 = profile(df, cfg.with_(html_navbar=False,
+                               show_variable_description=False))
+    page2 = H.render_html(r2)
+    assert "data-section='nav'" not in page2
+    assert "class='vardesc'" not in page2
+
+    # from_dict accepts the reference's mapping shape
+    c3 = ProfileConfig.from_dict(
+        {"variable_descriptions": {"s": "text col"}, "title": "X"})
+    assert c3.variable_descriptions == (("s", "text col"),)
+    assert c3.title == "X"
+
+
 def test_report_sections_every_variable_type(spark):
     """VERDICT r2 #2: the report must carry the reference's full section
     structure (report/structure/report.py:229-314) — nav, overview, alerts,
@@ -858,6 +916,16 @@ def test_cli_end_to_end(tmp_path):
             "--minimal",
             "--master",
             "local[2]",
+            "--title",
+            "CLI Meta",
+            "--description",
+            "fifty rows",
+            "--dataset-url",
+            "https://example.com/src",
+            "--var-description",
+            "a=row index",
+            "--primary-color",
+            "#123456",
         ],
         capture_output=True,
         text=True,
@@ -868,6 +936,9 @@ def test_cli_end_to_end(tmp_path):
     status = json.loads(proc.stdout.strip().splitlines()[-1])
     assert status["n_rows"] == 50 and status["n_vars"] == 2
     assert out.stat().st_size > 500
+    page = out.read_text(encoding="utf-8")
+    assert "CLI Meta" in page and "fifty rows" in page
+    assert "row index" in page and "#123456" in page
 
 
 def test_read_binary_files(spark, tmp_path):
