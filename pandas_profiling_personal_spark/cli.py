@@ -284,6 +284,13 @@ def build_parser() -> argparse.ArgumentParser:
         "flags even when the declared floor is 0.95)",
     )
     c.add_argument(
+        "--fail-on-anomaly", action="store_true",
+        help="with --checks-log: exit 5 when metric-history anomalies are "
+        "detected even though every declared bound passed — turns the "
+        "history gate into a real CI gate instead of an annotation "
+        "(bound failures still exit 4, which takes precedence)",
+    )
+    c.add_argument(
         "--suggest-checks", default=None, metavar="OUT_JSON",
         help="profile the input and write a suggested check suite (the "
         "file --checks reads) — every suggested check passes on the "
@@ -320,6 +327,8 @@ def main(argv: list[str] | None = None) -> int:
     ]
     if args.checks_from_state and not (args.checks or args.suggest_checks):
         parser.error("--checks-from-state needs --checks or --suggest-checks")
+    if args.fail_on_anomaly and not args.checks_log:
+        parser.error("--fail-on-anomaly needs --checks-log")
     if args.checks_refs and not args.checks:
         parser.error("--checks-refs needs --checks")
     if args.checks_log and not args.checks:
@@ -471,7 +480,11 @@ def main(argv: list[str] | None = None) -> int:
                 "metric_anomalies": anomalies,
                 **summary,
             }))
-            return 0 if summary["passed"] else 4
+            if not summary["passed"]:
+                return 4
+            if args.fail_on_anomaly and anomalies:
+                return 5
+            return 0
         if args.suggest_checks:
             from pandas_profiling_personal_spark.operators import checks as CK
 

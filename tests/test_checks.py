@@ -941,13 +941,14 @@ def test_cli_checks_log_history_loop(tmp_path):
     ]}))
     log = tmp_path / "metrics.jsonl"
 
-    def run(vals, expect=0):
+    def run(vals, expect=0, extra=(), log_path=None):
         src = tmp_path / "day.parquet"
         pd.DataFrame({"x": vals}).to_parquet(src)
         proc = subprocess.run(
             [sys.executable, "-m", "pandas_profiling_personal_spark.cli",
-             str(src), "--checks", str(suite), "--checks-log", str(log),
-             "--master", "local[2]"],
+             str(src), "--checks", str(suite),
+             "--checks-log", str(log_path or log),
+             *extra, "--master", "local[2]"],
             capture_output=True, text=True, timeout=300, cwd="/root/repo",
         )
         assert proc.returncode == expect, proc.stderr[-1500:]
@@ -957,12 +958,29 @@ def test_cli_checks_log_history_loop(tmp_path):
     for _ in range(5):
         out = run([1.0, 2.0, 3.0, 4.0])
         assert out["passed"]
+    # the anomalous day runs against a pristine COPY of the history so both
+    # exit modes see identical five-clean-day context (each run appends
+    # its own rows to its log)
+    import shutil
+
+    anomalous = [float(i) for i in range(19)] + [None]
+    log2 = tmp_path / "metrics2.jsonl"
+    shutil.copy(log, log2)
     # day six: completeness drops to 0.95 — above the declared 0.9 floor
-    # (gate passes) but anomalous vs its own constant-1.0 history
-    out = run([float(i) for i in range(19)] + [None])
+    # (gate passes, exit 0) but anomalous vs its own constant-1.0 history
+    out = run(anomalous)
     assert out["passed"]
     assert out["metric_anomalies"], out
     assert out["metric_anomalies"][0]["check_name"] == "completeness(x)"
+    # same day with --fail-on-anomaly: the history gate becomes a real CI
+    # gate — exit 5 even though every declared bound passed
+    out = run(anomalous, expect=5, extra=("--fail-on-anomaly",),
+              log_path=log2)
+    assert out["passed"] and out["metric_anomalies"]
+    # a clean day with the flag still exits 0
+    out = run([1.0, 2.0, 3.0, 4.0], extra=("--fail-on-anomaly",),
+              log_path=log2)
+    assert out["passed"]
 
 
 def test_cli_suggest_from_state(tmp_path):
