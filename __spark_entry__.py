@@ -346,6 +346,21 @@ _SPECS: dict[str, tuple] = {
         PP.contamination_query(8, 37),
         PP.contamination_sql(8, 37),
     ),
+    # NEW r11 (tail for now; window is full this round): layout-advisor
+    # inputs — per-column cardinality/null/skew in one melt, the numbers
+    # suggest_layout's partition/bucket/salt rules consume
+    "layout_stats_lineitem": (
+        P.layout_stats_query(
+            "lineitem",
+            ["l_returnflag", "l_linestatus", "l_orderkey",
+             "l_partkey", "l_shipdate"],
+        ),
+        P.layout_stats_sql(
+            "lineitem",
+            ["l_returnflag", "l_linestatus", "l_orderkey",
+             "l_partkey", "l_shipdate"],
+        ),
+    ),
     "asof_state_events": (
         P.asof_state_query(),
         P.asof_state_sql(),

@@ -37,6 +37,10 @@ from pandas_profiling_personal_spark.report.compare import (
     comparison_to_html,
 )
 from pandas_profiling_personal_spark.report.html import render_html, to_file
+from pandas_profiling_personal_spark.operators.layout import (
+    layout_stats,
+    suggest_layout,
+)
 from pandas_profiling_personal_spark.report.notebook import to_notebook_iframe
 from pandas_profiling_personal_spark.report.widgets import to_widgets, widget_spec
 from pandas_profiling_personal_spark.types import VariableType, variable_types
@@ -56,6 +60,8 @@ __all__ = [
     "finalize_partial",
     "merge_partials",
     "partial_profile",
+    "layout_stats",
+    "suggest_layout",
     "profile",
     "profile_column",
     "VariableType",

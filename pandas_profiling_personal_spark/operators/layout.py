@@ -1,0 +1,256 @@
+"""Data-layout advisor: turn profile statistics into partition / bucket /
+salt recommendations for writing this table at scale.
+
+The reference stops at describing data (its report never says what to DO
+with a 100 TB table); every number this module consumes is exactly what the
+profiler already measures — cardinality, null fraction, group skew — so the
+advice tier costs ONE melt exchange for any number of candidate columns
+(:func:`layout_stats`, the same shape as the all-column value_counts pass,
+reference Spark path: model/summary_spark.py describe loop) and the rules
+themselves are driver arithmetic over one row per column
+(:func:`suggest_layout`).
+
+Rule rationale (each is a documented scale failure mode):
+
+* **partitionBy** wants a LOW-cardinality, rarely-null, unskewed column:
+  every distinct value becomes a directory, so 10^6 distinct values is
+  10^6 directories of tiny files (the small-file problem), nulls land in a
+  default partition, and a dominant value makes one directory hold the
+  table. Candidates are ranked by distance from an ideal partition count.
+* **bucketBy** wants a HIGH-cardinality equi-join/groupBy key: bucketing
+  pre-shuffles the table once at write time so later joins on that key are
+  exchange-free; a low-cardinality key leaves buckets empty or lumpy.
+  Bucket counts are powers of two sized from a target rows-per-bucket.
+* **salting** is advised when a declared join key's max group outweighs the
+  mean by more than ``salt_threshold``: under hash partitioning the hottest
+  key's rows all land on one task, and AQE's skew-join split only rescues
+  sort-merge joins — pre-salting (key, salt % N) is the portable fix.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from pandas_profiling_personal_spark.functions import stats as S
+
+
+def layout_stats(
+    df: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """Per-column layout diagnostics in ONE exchange for ALL columns:
+    ``(column, n_rows, n_null, n_distinct, max_group, mean_group,
+    skew_ratio, top_share)``.
+
+    ``n_distinct``/``max_group`` cover NON-NULL groups (nulls are reported
+    separately — a partition column's nulls become the default partition,
+    which the advisor penalizes explicitly). ``skew_ratio`` = max group /
+    mean non-null group (1.0 = uniform); ``top_share`` = hottest value's
+    fraction of non-null rows. All-null columns yield NULL skew fields
+    rather than division errors.
+
+    Shape: one explode melt (column_id, value) -> groupBy count with
+    map-side combine — the value_counts exchange (operators/frequencies.py
+    A1), reused because the advisor's inputs ARE frequency statistics —
+    then a per-column rollup whose exchange carries only partial aggregates
+    (|cols| keys, bytes not data). Exact counts by design: layout advice
+    flips on order-of-magnitude boundaries, not ulps, but the oracle tier
+    needs determinism and the data exchange is combine-friendly either
+    way."""
+    cols = columns if columns is not None else list(df.columns)
+    if not cols:
+        raise ValueError("layout_stats: no columns")
+    structs = [
+        F.struct(
+            F.lit(i).alias("cid"),
+            S.col(c).cast("string").alias("v"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    per_value = (
+        df.select(F.explode(F.array(*structs)).alias("kv"))
+        .select("kv.cid", "kv.v")
+        .groupBy("cid", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_col = per_value.groupBy("cid").agg(
+        F.sum("c").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), F.col("c")).otherwise(0)).alias(
+            "n_null"
+        ),
+        F.count(F.when(F.col("v").isNotNull(), 1)).alias("n_distinct"),
+        F.max(F.when(F.col("v").isNotNull(), F.col("c"))).alias("max_group"),
+    )
+    name_expr = F.element_at(
+        F.array(*[F.lit(c) for c in cols]), F.col("cid") + 1
+    )
+    nn = F.col("n_rows") - F.col("n_null")
+    mean_group = F.when(
+        F.col("n_distinct") > 0, nn / F.col("n_distinct")
+    )
+    return per_col.select(
+        name_expr.cast("string").alias("column"),
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        "max_group",
+        F.round(mean_group, 4).alias("mean_group"),
+        # divide before multiplying (the key_skew overflow note): max_group
+        # * n_distinct can exceed long range exactly on the corpora this
+        # diagnostic exists for
+        F.round(
+            F.col("max_group") / nn * F.col("n_distinct"), 4
+        ).alias("skew_ratio"),
+        F.round(F.col("max_group") / nn, 4).alias("top_share"),
+    )
+
+
+def _pow2_clamp(x: float, lo: int, hi: int) -> int:
+    if x <= lo:
+        return lo
+    return int(min(hi, 2 ** round(math.log2(max(x, 1)))))
+
+
+def suggest_layout(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    join_keys: list[str] | None = None,
+    *,
+    ideal_partitions: int = 1000,
+    max_partitions: int = 10_000,
+    partition_null_frac_max: float = 0.10,
+    partition_skew_max: float = 10.0,
+    target_rows_per_bucket: int = 1_000_000,
+    min_buckets: int = 4,
+    max_buckets: int = 4096,
+    salt_threshold: float = 4.0,
+    max_salt: int = 64,
+) -> dict:
+    """Actionable write-layout advice from ONE :func:`layout_stats` pass
+    (bounded driver transfer: one row per candidate column).
+
+    Returns ``{"n_rows", "partition_by": [{column, n_distinct, null_frac,
+    skew_ratio, reason}...], "rejected_partition": [...], "bucket_by":
+    {column, n_buckets, reason} | None, "salt": [{column, skew_ratio,
+    salt_factor, reason}...], "stats": [...], "notes": [...]}``.
+
+    The rules are deterministic and documented (module docstring); the
+    result is a recommendation artifact, not a side effect — feed it to
+    ``sources.writers.write_table(partition_by=..., bucket_by=...)``."""
+    rows = [r.asDict() for r in layout_stats(df, columns).collect()]
+    rows.sort(key=lambda r: r["column"])
+    n_rows = max((r["n_rows"] for r in rows), default=0)
+    join_keys = list(join_keys or [])
+    known = {r["column"] for r in rows}
+    missing = [k for k in join_keys if k not in known]
+    if missing:
+        raise ValueError(
+            f"suggest_layout: join_keys not in profiled columns: {missing}"
+        )
+
+    candidates, rejected = [], []
+    for r in rows:
+        nn = r["n_rows"] - r["n_null"]
+        null_frac = (r["n_null"] / r["n_rows"]) if r["n_rows"] else None
+        nd = r["n_distinct"]
+        why = None
+        if nn == 0 or nd == 0:
+            why = "all null"
+        elif nd < 2:
+            why = "constant"
+        elif nd > max_partitions:
+            why = (
+                f"{nd} distinct values -> {nd} directories "
+                f"(> max_partitions={max_partitions}: small-file problem)"
+            )
+        elif null_frac is not None and null_frac > partition_null_frac_max:
+            why = (
+                f"{null_frac:.1%} null -> oversized default partition"
+            )
+        elif (r["skew_ratio"] or 0) > partition_skew_max:
+            why = (
+                f"skew_ratio {r['skew_ratio']} -> dominant value owns "
+                "one directory"
+            )
+        entry = {
+            "column": r["column"],
+            "n_distinct": nd,
+            "null_frac": round(null_frac, 4) if null_frac is not None else None,
+            "skew_ratio": r["skew_ratio"],
+        }
+        if why is None:
+            entry["reason"] = (
+                f"{nd} distinct, {entry['null_frac']:.1%} null, "
+                f"skew {r['skew_ratio']}"
+            )
+            candidates.append(entry)
+        else:
+            entry["reason"] = why
+            rejected.append(entry)
+    # rank by closeness (in decades) to the ideal partition count
+    candidates.sort(
+        key=lambda e: (
+            abs(math.log10(e["n_distinct"]) - math.log10(ideal_partitions)),
+            e["column"],
+        )
+    )
+
+    bucket = None
+    bucket_pool = join_keys or [
+        r["column"]
+        for r in rows
+        if r["n_distinct"] and r["n_distinct"] >= 100
+    ]
+    bucket_rows = [r for r in rows if r["column"] in bucket_pool]
+    # highest-cardinality key buckets best (ties: name, for determinism)
+    bucket_rows.sort(key=lambda r: (-(r["n_distinct"] or 0), r["column"]))
+    if bucket_rows and (bucket_rows[0]["n_distinct"] or 0) >= min_buckets:
+        b = bucket_rows[0]
+        n_buckets = _pow2_clamp(
+            n_rows / target_rows_per_bucket, min_buckets, max_buckets
+        )
+        bucket = {
+            "column": b["column"],
+            "n_buckets": n_buckets,
+            "reason": (
+                f"{b['n_distinct']} distinct"
+                + (" (declared join key)" if join_keys else "")
+                + f"; {n_rows} rows / {target_rows_per_bucket}/bucket "
+                f"-> {n_buckets} buckets (pow2): equi-joins on it become "
+                "exchange-free"
+            ),
+        }
+
+    salts = []
+    for k in join_keys:
+        r = next(x for x in rows if x["column"] == k)
+        sr = r["skew_ratio"]
+        if sr is not None and sr > salt_threshold:
+            factor = int(min(max_salt, max(2, math.ceil(sr))))
+            salts.append({
+                "column": k,
+                "skew_ratio": sr,
+                "salt_factor": factor,
+                "reason": (
+                    f"hottest key x{sr} the mean group: shuffle on "
+                    f"(key, rand % {factor}) + two-phase aggregate, or "
+                    "rely on AQE skew-join for sort-merge joins"
+                ),
+            })
+
+    notes = [
+        "enable spark.sql.adaptive.enabled (AQE) — runtime coalescing "
+        "fixes partition-count estimates this advice gets wrong",
+        "target 128-1024 MiB per written file "
+        "(spark.sql.files.maxRecordsPerFile caps rows per file)",
+    ]
+    return {
+        "n_rows": n_rows,
+        "partition_by": candidates,
+        "rejected_partition": rejected,
+        "bucket_by": bucket,
+        "salt": salts,
+        "stats": rows,
+        "notes": notes,
+    }

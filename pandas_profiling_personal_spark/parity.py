@@ -1570,6 +1570,58 @@ FROM s, t
 """
 
 
+def layout_stats_query(table: str, cols: list[str]) -> QueryFn:
+    """Layout-advisor inputs (operators/layout.py): per-column cardinality /
+    null mass / group skew for ALL candidate columns in ONE melt exchange.
+    The driver row certifies exactly the numbers suggest_layout's
+    partition/bucket/salt rules consume. (The reference computes none of
+    this; its Spark describe loop is per-column jobs —
+    model/summary_spark.py.)"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.layout import (
+            layout_stats,
+        )
+
+        out = layout_stats(load(spark, sf_dir, table), cols)
+        # "column" needs quoting as a DuckDB identifier — neutral alias
+        return out.select(
+            F.col("column").alias("col_name"),
+            "n_rows",
+            "n_null",
+            "n_distinct",
+            "max_group",
+            "mean_group",
+            "skew_ratio",
+            "top_share",
+        )
+
+    return fn
+
+
+def layout_stats_sql(table: str, cols: list[str]) -> str:
+    per_col = []
+    for c in cols:
+        per_col.append(f"""
+SELECT '{c}' AS col_name,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN v IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_null,
+       count(CASE WHEN v IS NOT NULL THEN 1 END) AS n_distinct,
+       max(CASE WHEN v IS NOT NULL THEN c END) AS max_group,
+       round((sum(c) - sum(CASE WHEN v IS NULL THEN c ELSE 0 END)) * 1.0
+             / nullif(count(CASE WHEN v IS NOT NULL THEN 1 END), 0), 4)
+         AS mean_group,
+       round(max(CASE WHEN v IS NOT NULL THEN c END) * 1.0
+             / nullif(sum(c) - sum(CASE WHEN v IS NULL THEN c ELSE 0 END), 0)
+             * count(CASE WHEN v IS NOT NULL THEN 1 END), 4) AS skew_ratio,
+       round(max(CASE WHEN v IS NOT NULL THEN c END) * 1.0
+             / nullif(sum(c) - sum(CASE WHEN v IS NULL THEN c ELSE 0 END), 0),
+             4) AS top_share
+FROM (SELECT CAST({c} AS VARCHAR) AS v, count(*) AS c
+      FROM {table} GROUP BY 1)""")
+    return "\nUNION ALL\n".join(per_col)
+
+
 def join_fanout_query(
     left_table: str,
     right_table: str,

@@ -1,0 +1,108 @@
+"""Layout advisor (operators/layout.py): stats semantics on crafted frames,
+the partition/bucket/salt rules, and the one-exchange plan gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_profiling_personal_spark.operators.layout import (
+    layout_stats,
+    suggest_layout,
+)
+
+
+def _by_col(df):
+    return {r["column"]: r.asDict() for r in df.collect()}
+
+
+def test_layout_stats_semantics(spark):
+    rows = [
+        ("a", 1, None),
+        ("a", 2, None),
+        ("a", 3, None),
+        ("b", 4, None),
+        (None, 5, None),
+    ]
+    df = spark.createDataFrame(rows, "cat string, id int, dead string")
+    s = _by_col(layout_stats(df))
+    cat = s["cat"]
+    # 4 non-null rows, groups {a:3, b:1}
+    assert cat["n_rows"] == 5 and cat["n_null"] == 1
+    assert cat["n_distinct"] == 2 and cat["max_group"] == 3
+    assert cat["mean_group"] == pytest.approx(2.0)
+    assert cat["skew_ratio"] == pytest.approx(1.5)   # 3 / (4/2)
+    assert cat["top_share"] == pytest.approx(0.75)
+    uid = s["id"]
+    assert uid["n_distinct"] == 5 and uid["skew_ratio"] == pytest.approx(1.0)
+    # all-null column: NULL skew fields, no division error
+    dead = s["dead"]
+    assert dead["n_null"] == 5 and dead["n_distinct"] == 0
+    assert dead["max_group"] is None and dead["skew_ratio"] is None
+
+
+def test_layout_stats_single_exchange_plan(spark):
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("g"),
+        F.col("id").cast("string").alias("s"))
+    plan = layout_stats(df)._jdf.queryExecution().executedPlan().toString()
+    # one DATA exchange keyed (cid, v) + the per-column rollup exchange
+    # (carries |cols| partial-aggregate rows, not data)
+    assert plan.count("Exchange") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_suggest_layout_rules(spark):
+    import pandas as pd
+
+    n = 5000
+    pdf = pd.DataFrame({
+        # good partition column: 10 distinct, uniform, never null
+        "region": [f"r{i % 10}" for i in range(n)],
+        # high-cardinality join key with one hot value (50% of rows)
+        "user_id": [0 if i % 2 == 0 else i for i in range(n)],
+        # unique key — partition-rejected (small files), best bucket
+        "row_id": list(range(n)),
+        # constant — rejected
+        "const": ["x"] * n,
+        # nullable beyond the threshold — rejected
+        "half_null": [None if i % 2 == 0 else f"v{i % 3}" for i in range(n)],
+    })
+    df = spark.createDataFrame(pdf)
+    adv = suggest_layout(
+        df, join_keys=["user_id"],
+        max_partitions=100, target_rows_per_bucket=500,
+    )
+    assert adv["n_rows"] == n
+    part_cols = [e["column"] for e in adv["partition_by"]]
+    assert part_cols == ["region"]
+    rej = {e["column"]: e["reason"] for e in adv["rejected_partition"]}
+    assert "small-file problem" in rej["row_id"]
+    assert rej["const"] == "constant"
+    assert "null" in rej["half_null"]
+    assert "user_id" in rej  # hot high-cardinality key is no partition col
+    # a skewed-but-partition-sized column is rejected on skew specifically
+    # skew_ratio = 500 / (510/11) = 10.8 > the default 10.0 gate
+    skew_df = spark.createDataFrame(
+        [("hot",)] * 500 + [(f"v{i}",) for i in range(10)], "k string")
+    adv_skew = suggest_layout(skew_df)
+    srej = {e["column"]: e["reason"]
+            for e in adv_skew["rejected_partition"]}
+    assert "dominant value" in srej["k"]
+    # declared join key wins the bucket slot even though row_id has more
+    # distinct values; 5000/500 -> 8 buckets (pow2)
+    assert adv["bucket_by"]["column"] == "user_id"
+    assert adv["bucket_by"]["n_buckets"] == 8
+    # the hot key triggers salting advice: skew = 2500 / (5000/2501)
+    assert adv["salt"] and adv["salt"][0]["column"] == "user_id"
+    assert adv["salt"][0]["salt_factor"] >= 2
+    assert any("adaptive" in note for note in adv["notes"])
+
+    # without declared join keys, bucket falls to the highest-cardinality
+    # column and no salt advice is issued
+    adv2 = suggest_layout(df, target_rows_per_bucket=500)
+    assert adv2["bucket_by"]["column"] == "row_id"
+    assert adv2["salt"] == []
+
+    with pytest.raises(ValueError, match="join_keys"):
+        suggest_layout(df, join_keys=["nope"])
+    with pytest.raises(ValueError, match="no columns"):
+        layout_stats(df.select())
