@@ -40,6 +40,7 @@ from pandas_profiling_personal_spark.report.html import render_html, to_file
 from pandas_profiling_personal_spark.operators.layout import (
     layout_stats,
     suggest_layout,
+    suggest_layout_from_profile,
 )
 from pandas_profiling_personal_spark.report.notebook import to_notebook_iframe
 from pandas_profiling_personal_spark.report.widgets import to_widgets, widget_spec
@@ -62,6 +63,7 @@ __all__ = [
     "partial_profile",
     "layout_stats",
     "suggest_layout",
+    "suggest_layout_from_profile",
     "profile",
     "profile_column",
     "VariableType",

@@ -137,9 +137,89 @@ def suggest_layout(
 
     The rules are deterministic and documented (module docstring); the
     result is a recommendation artifact, not a side effect — feed it to
-    ``sources.writers.write_table(partition_by=..., bucket_by=...)``."""
+    ``sources.writers.write_table(partition_by=..., bucket_by=...)``.
+
+    Already profiled the table? :func:`suggest_layout_from_profile` runs
+    the same rules over a ``ProfileResult`` with ZERO additional scans."""
     rows = [r.asDict() for r in layout_stats(df, columns).collect()]
-    rows.sort(key=lambda r: r["column"])
+    return _advise(
+        rows,
+        join_keys,
+        ideal_partitions=ideal_partitions,
+        max_partitions=max_partitions,
+        partition_null_frac_max=partition_null_frac_max,
+        partition_skew_max=partition_skew_max,
+        target_rows_per_bucket=target_rows_per_bucket,
+        min_buckets=min_buckets,
+        max_buckets=max_buckets,
+        salt_threshold=salt_threshold,
+        max_salt=max_salt,
+    )
+
+
+def suggest_layout_from_profile(
+    result,
+    join_keys: list[str] | None = None,
+    **thresholds,
+) -> dict:
+    """The same advice rules over an existing ``ProfileResult`` — ZERO
+    additional Spark jobs: the profile already measured cardinality
+    (``n_distinct``), null mass (``n_missing``), and the hottest group
+    (``top_values[0].count`` — top-K is sorted by count, so its head IS the
+    max group). Columns whose profile withholds top values (redact tier,
+    or the near-unique frequency gate) get ``skew_ratio=None``; they are
+    near-unique or redacted, so the partition rules reject or accept them
+    on cardinality/nulls alone and the limitation is confined to columns
+    that could not be partition keys anyway."""
+    d = result.as_dict() if hasattr(result, "as_dict") else result
+    n_rows = int(d["table"].get("n") or 0)
+    rows = []
+    for name, v in d["variables"].items():
+        n_missing = int(v.get("n_missing") or 0)
+        nn = n_rows - n_missing
+        nd = v.get("n_distinct")
+        top = v.get("top_values") or []
+        max_group = None
+        if top and top[0].get("count") is not None:
+            max_group = int(top[0]["count"])
+        rows.append({
+            "column": name,
+            "n_rows": n_rows,
+            "n_null": n_missing,
+            "n_distinct": int(nd) if nd is not None else None,
+            "max_group": max_group,
+            "mean_group": (
+                round(nn / nd, 4) if nd else None
+            ),
+            "skew_ratio": (
+                round(max_group / nn * nd, 4)
+                if max_group is not None and nd and nn
+                else None
+            ),
+            "top_share": (
+                round(max_group / nn, 4)
+                if max_group is not None and nn
+                else None
+            ),
+        })
+    return _advise(rows, join_keys, **thresholds)
+
+
+def _advise(
+    rows: list[dict],
+    join_keys: list[str] | None,
+    *,
+    ideal_partitions: int = 1000,
+    max_partitions: int = 10_000,
+    partition_null_frac_max: float = 0.10,
+    partition_skew_max: float = 10.0,
+    target_rows_per_bucket: int = 1_000_000,
+    min_buckets: int = 4,
+    max_buckets: int = 4096,
+    salt_threshold: float = 4.0,
+    max_salt: int = 64,
+) -> dict:
+    rows = sorted(rows, key=lambda r: r["column"])
     n_rows = max((r["n_rows"] for r in rows), default=0)
     join_keys = list(join_keys or [])
     known = {r["column"] for r in rows}
@@ -155,7 +235,9 @@ def suggest_layout(
         null_frac = (r["n_null"] / r["n_rows"]) if r["n_rows"] else None
         nd = r["n_distinct"]
         why = None
-        if nn == 0 or nd == 0:
+        if nd is None:
+            why = "cardinality unavailable"
+        elif nn == 0 or nd == 0:
             why = "all null"
         elif nd < 2:
             why = "constant"

@@ -106,3 +106,36 @@ def test_suggest_layout_rules(spark):
         suggest_layout(df, join_keys=["nope"])
     with pytest.raises(ValueError, match="no columns"):
         layout_stats(df.select())
+
+
+def test_suggest_layout_from_profile_zero_jobs(spark):
+    """The same rules over an existing ProfileResult cost ZERO Spark jobs
+    and agree with the scan-based advisor on the exact tier (where
+    n_distinct and top_values are exact)."""
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+    from pandas_profiling_personal_spark.operators.layout import (
+        suggest_layout_from_profile,
+    )
+
+    rows = [(f"r{i % 10}", i, "x") for i in range(200)]
+    df = spark.createDataFrame(rows, "region string, id int, const string")
+    r = profile(df, ProfileConfig(exact=True))
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    adv = suggest_layout_from_profile(r, join_keys=["id"],
+                                      target_rows_per_bucket=50,
+                                      max_partitions=100)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before  # pure driver arithmetic
+    assert [e["column"] for e in adv["partition_by"]] == ["region"]
+    rej = {e["column"]: e["reason"] for e in adv["rejected_partition"]}
+    assert rej["const"] == "constant" and "small-file" in rej["id"]
+    assert adv["bucket_by"]["column"] == "id"
+    assert adv["salt"] == []  # id is uniform
+
+    scan = suggest_layout(df, join_keys=["id"],
+                          target_rows_per_bucket=50, max_partitions=100)
+    assert ([e["column"] for e in scan["partition_by"]]
+            == [e["column"] for e in adv["partition_by"]])
+    assert scan["bucket_by"]["n_buckets"] == adv["bucket_by"]["n_buckets"]
