@@ -38,6 +38,7 @@ from pandas_profiling_personal_spark.report.compare import (
 )
 from pandas_profiling_personal_spark.report.html import render_html, to_file
 from pandas_profiling_personal_spark.operators.layout import (
+    apply_layout,
     layout_stats,
     suggest_layout,
     suggest_layout_from_profile,
@@ -61,6 +62,7 @@ __all__ = [
     "finalize_partial",
     "merge_partials",
     "partial_profile",
+    "apply_layout",
     "layout_stats",
     "suggest_layout",
     "suggest_layout_from_profile",

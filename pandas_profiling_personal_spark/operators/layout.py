@@ -336,3 +336,71 @@ def _advise(
         "stats": rows,
         "notes": notes,
     }
+
+
+def apply_layout(
+    df: DataFrame,
+    advice: dict,
+    *,
+    path: str | None = None,
+    table: str | None = None,
+    fmt: str = "parquet",
+    mode: str = "error",
+    **options,
+) -> dict:
+    """Execute a :func:`suggest_layout` recommendation: the glue between the
+    advisor artifact and the scale-aware writers.
+
+    Exactly one of ``path`` / ``table`` must be given — bucketing metadata
+    only exists for catalog tables (``saveAsTable``), so a ``table``
+    destination applies BOTH the partition and bucket advice while a
+    ``path`` destination applies the partition advice only (and says so in
+    the returned summary, rather than silently dropping the bucket half).
+    Salting advice is never auto-applied: it rewrites the key column, which
+    is a query-side contract the caller must opt into.
+
+    Returns ``{"destination", "partition_by", "bucket_by", "n_buckets",
+    "skipped"}`` — the layout actually written."""
+    from pandas_profiling_personal_spark.sources.writers import (
+        write_bucketed_table,
+        write_table,
+    )
+
+    if (path is None) == (table is None):
+        raise ValueError("apply_layout: give exactly one of path= / table=")
+    part = [advice["partition_by"][0]["column"]] if advice.get(
+        "partition_by") else None
+    bucket = advice.get("bucket_by")
+    skipped: list[str] = []
+    if advice.get("salt"):
+        skipped.append(
+            "salt advice for "
+            + ", ".join(s["column"] for s in advice["salt"])
+            + " (rewrites the key column — apply in the consuming query)"
+        )
+    if table is not None:
+        if bucket:
+            write_bucketed_table(
+                df, table, [bucket["column"]], bucket["n_buckets"],
+                sort_by=[bucket["column"]], fmt=fmt, mode=mode,
+                partition_by=part, **options,
+            )
+        else:
+            df.write.format(fmt).mode(mode).partitionBy(
+                *(part or [])).saveAsTable(table, **options)
+        return {
+            "destination": table, "partition_by": part,
+            "bucket_by": [bucket["column"]] if bucket else None,
+            "n_buckets": bucket["n_buckets"] if bucket else None,
+            "skipped": skipped,
+        }
+    if bucket:
+        skipped.append(
+            f"bucket advice ({bucket['column']} x {bucket['n_buckets']}) — "
+            "bucketing needs a catalog table; pass table= to apply it"
+        )
+    write_table(df, path, fmt=fmt, mode=mode, partition_by=part, **options)
+    return {
+        "destination": path, "partition_by": part,
+        "bucket_by": None, "n_buckets": None, "skipped": skipped,
+    }

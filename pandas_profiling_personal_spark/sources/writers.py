@@ -69,6 +69,7 @@ def write_bucketed_table(
     sort_by: list[str] | None = None,
     fmt: str = "parquet",
     mode: str = "error",
+    partition_by: list[str] | None = None,
     **options,
 ) -> None:
     """Persist ``df`` as a Hive-bucketed table (``bucketBy`` + optional
@@ -92,13 +93,18 @@ def write_bucketed_table(
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     # one output task per bucket: without this every task writes a file per
-    # bucket it sees — n_tasks x n_buckets small files
-    out = df.repartition(n_buckets, *[S.col(c) for c in bucket_by])
+    # bucket it sees — n_tasks x n_buckets small files. With directory
+    # partitions on top, cluster by (partitions, buckets) so a task owns one
+    # (directory, bucket) cell.
+    cluster = [S.col(c) for c in (*(partition_by or ()), *bucket_by)]
+    out = df.repartition(n_buckets, *cluster)
     writer = (
         out.write.format(fmt)
         .mode(mode)
         .bucketBy(n_buckets, *bucket_by)
     )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
     if sort_by:
         writer = writer.sortBy(*sort_by)
     for k, v in options.items():

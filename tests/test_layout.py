@@ -139,3 +139,47 @@ def test_suggest_layout_from_profile_zero_jobs(spark):
     assert ([e["column"] for e in scan["partition_by"]]
             == [e["column"] for e in adv["partition_by"]])
     assert scan["bucket_by"]["n_buckets"] == adv["bucket_by"]["n_buckets"]
+
+
+def test_apply_layout_path_and_table(spark, tmp_path):
+    """apply_layout executes the advice: path -> partitioned directories
+    (bucket half reported as skipped), table -> bucketed catalog table."""
+    import os
+
+    from pandas_profiling_personal_spark.operators.layout import apply_layout
+
+    rows = [(f"r{i % 4}", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "region string, id int")
+    adv = suggest_layout(df, join_keys=["id"], max_partitions=50,
+                         target_rows_per_bucket=25)
+    assert adv["partition_by"][0]["column"] == "region"
+    assert adv["bucket_by"]["column"] == "id"
+
+    out = str(tmp_path / "t1")
+    applied = apply_layout(df, adv, path=out)
+    assert applied["partition_by"] == ["region"]
+    assert applied["bucket_by"] is None
+    assert any("bucketing needs a catalog table" in s
+               for s in applied["skipped"])
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("region=")
+    ) == [f"region=r{i}" for i in range(4)]
+    assert spark.read.parquet(out).count() == 100
+
+    tbl = "layout_apply_test_tbl"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        applied = apply_layout(df, adv, table=tbl, mode="overwrite")
+        assert applied["bucket_by"] == ["id"]
+        assert applied["n_buckets"] == adv["bucket_by"]["n_buckets"]
+        desc = spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
+        txt = "\n".join(f"{r.col_name} {r.data_type}" for r in desc)
+        assert "id" in txt and "Bucket" in txt
+        assert spark.table(tbl).count() == 100
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+    with pytest.raises(ValueError, match="exactly one"):
+        apply_layout(df, adv)
+    with pytest.raises(ValueError, match="exactly one"):
+        apply_layout(df, adv, path="x", table="y")
