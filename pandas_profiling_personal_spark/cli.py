@@ -111,6 +111,16 @@ def build_parser() -> argparse.ArgumentParser:
         "report (INPUT = baseline, INPUT2 = candidate) instead of a single "
         "profile",
     )
+    p.add_argument(
+        "--layout-advice", action="store_true",
+        help="attach write-layout advice (partition/bucket/salt "
+        "recommendations) to the report and JSON — zero extra Spark jobs",
+    )
+    p.add_argument(
+        "--join-keys", default=None, metavar="COL[,COL...]",
+        help="declared join/groupBy keys for the layout advisor's bucket "
+        "and salting rules (implies --layout-advice)",
+    )
     p.add_argument("--title", default=None)
     p.add_argument(
         "--description",
@@ -379,6 +389,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.timeseries_granularity:
         cfg = cfg.with_(
             timeseries_granularity=args.timeseries_granularity
+        )
+    if args.layout_advice or args.join_keys:
+        cfg = cfg.with_(
+            layout_advice=True,
+            layout_join_keys=tuple(
+                k.strip() for k in (args.join_keys or "").split(",")
+                if k.strip()
+            ),
         )
     if args.title:
         cfg = cfg.with_(title=args.title)

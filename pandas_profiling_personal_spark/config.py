@@ -171,6 +171,16 @@ class ProfileConfig:
     #: stretch the layout instead of the 1150px centered column
     html_full_width: bool = False
 
+    # --- layout advice (beyond the reference: operators/layout.py) ---------
+    #: attach write-layout advice (partition/bucket/salt recommendations)
+    #: to the result and report — ZERO extra Spark jobs, the rules run over
+    #: stats the profile already measured (suggest_layout_from_profile)
+    layout_advice: bool = False
+    #: declared equi-join/groupBy keys for the bucket + salting rules;
+    #: names not present in the profiled columns are ignored (the profile
+    #: may be column-scoped)
+    layout_join_keys: tuple[str, ...] = ()
+
     # --- misc ---------------------------------------------------------------------
     seed: int = 42
     #: persist the input before the multi-pass profile (reference persists an

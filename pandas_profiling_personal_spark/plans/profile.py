@@ -75,6 +75,9 @@ class ProfileResult:
     #: {"title", "dataset": {...}, "variable_descriptions": {...},
     #:  "show_variable_description": bool} — only non-empty keys stored
     metadata: dict[str, Any] = field(default_factory=dict)
+    #: write-layout advice (config layout_advice=True): the
+    #: suggest_layout_from_profile artifact — zero extra Spark jobs
+    layout: dict[str, Any] = field(default_factory=dict)
 
     def as_dict(self) -> dict[str, Any]:
         return {
@@ -91,6 +94,7 @@ class ProfileResult:
             "package": self.package,
             "segments": self.segments,
             "timeseries": self.timeseries,
+            "layout": self.layout,
         }
 
     def to_json(self, **kw) -> str:
@@ -1111,6 +1115,17 @@ def profile(
             },
         )
         result.alerts = compute_alerts(result, cfg)
+        if cfg.layout_advice:
+            from pandas_profiling_personal_spark.operators.layout import (
+                suggest_layout_from_profile,
+            )
+
+            # keys absent from the profiled columns are dropped, not fatal
+            # (the profile may be column-scoped); zero Spark jobs
+            jk = [k for k in cfg.layout_join_keys if k in variables]
+            result.layout = suggest_layout_from_profile(
+                result, join_keys=jk or None
+            )
         return result
     finally:
         if persisted:

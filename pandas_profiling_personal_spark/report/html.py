@@ -588,6 +588,9 @@ def render_html(result: "Any", title: "str | None" = None) -> str:
     timeseries = d.get("timeseries") or {}
     if timeseries.get("columns"):
         nav_items.append(("timeseries", "Time series"))
+    layout = d.get("layout") or {}
+    if layout:
+        nav_items.append(("layout", "Layout"))
     nav = (
         "<nav data-section='nav'>" + "".join(
             f"<a href='#{anchor}'>{label}</a>" for anchor, label in nav_items
@@ -869,6 +872,55 @@ def render_html(result: "Any", title: "str | None" = None) -> str:
         if anom_rows:
             ts_tabs.append(("Anomalies", _sample_table(anom_rows)))
         parts.append(_tabs(ts_tabs))
+
+    # write-layout advice (layout_advice= config; operators/layout.py —
+    # zero extra jobs, derived from the stats above)
+    if layout:
+        parts.append(
+            "<h2 id='layout' data-section='layout'>Layout advice</h2>"
+        )
+        lay_tabs: list[tuple[str, str]] = []
+        cand_rows = [
+            {"column": e.get("column"), "n_distinct": e.get("n_distinct"),
+             "null_frac": _fmt(e.get("null_frac")),
+             "skew_ratio": _fmt(e.get("skew_ratio")),
+             "reason": e.get("reason")}
+            for e in (layout.get("partition_by") or [])
+        ]
+        rej_rows = [
+            {"column": e.get("column"), "reason": e.get("reason")}
+            for e in (layout.get("rejected_partition") or [])
+        ]
+        lay_tabs.append((
+            "Partition",
+            (_sample_table(cand_rows)
+             or "<span class='type'>No partition candidates.</span>")
+            + (("<h3>Rejected</h3>" + _sample_table(rej_rows))
+               if rej_rows else ""),
+        ))
+        bucket = layout.get("bucket_by")
+        salt = layout.get("salt") or []
+        bk_body = (
+            _kv_table([("Column", bucket["column"]),
+                       ("Buckets", bucket["n_buckets"]),
+                       ("Why", bucket["reason"])])
+            if bucket
+            else "<span class='type'>No bucket recommendation.</span>"
+        )
+        if salt:
+            bk_body += "<h3>Skewed join keys</h3>" + _sample_table([
+                {"column": s["column"], "skew_ratio": _fmt(s["skew_ratio"]),
+                 "salt_factor": s["salt_factor"], "reason": s["reason"]}
+                for s in salt
+            ])
+        lay_tabs.append(("Bucket & salt", bk_body))
+        if layout.get("notes"):
+            lay_tabs.append((
+                "Notes",
+                "".join(f"<p class='type'>{html.escape(str(n))}</p>"
+                        for n in layout["notes"]),
+            ))
+        parts.append(_tabs(lay_tabs))
 
     parts.append("</div></body></html>")
     return "".join(parts)

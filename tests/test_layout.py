@@ -183,3 +183,32 @@ def test_apply_layout_path_and_table(spark, tmp_path):
         apply_layout(df, adv)
     with pytest.raises(ValueError, match="exactly one"):
         apply_layout(df, adv, path="x", table="y")
+
+
+def test_layout_advice_in_profile_and_report(spark):
+    """layout_advice=True attaches the zero-scan advice to the result and
+    the HTML gains a Layout section; absent join keys are dropped."""
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+    from pandas_profiling_personal_spark.report.html import render_html
+
+    rows = [(f"r{i % 5}", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "region string, id int")
+    r = profile(df, ProfileConfig(
+        exact=True, layout_advice=True,
+        layout_join_keys=("id", "ghost_col")))
+    # both qualify; id (100 distinct) ranks closer to the 1000-partition
+    # ideal than region (5 distinct)
+    assert ([e["column"] for e in r.layout["partition_by"]]
+            == ["id", "region"])
+    assert r.layout["bucket_by"]["column"] == "id"
+    page = render_html(r)
+    assert "data-section='layout'" in page and "Layout advice" in page
+    assert "region" in page and "adaptive" in page
+
+    j = __import__("json").loads(r.to_json())
+    assert j["layout"]["bucket_by"]["column"] == "id"
+
+    # default: off, no section
+    r2 = profile(df, ProfileConfig(exact=True))
+    assert r2.layout == {}
+    assert "data-section='layout'" not in render_html(r2)
