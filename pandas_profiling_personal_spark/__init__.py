@@ -42,6 +42,7 @@ from pandas_profiling_personal_spark.operators.layout import (
     layout_stats,
     suggest_layout,
     suggest_layout_from_profile,
+    suggest_layout_from_state,
 )
 from pandas_profiling_personal_spark.report.notebook import to_notebook_iframe
 from pandas_profiling_personal_spark.report.widgets import to_widgets, widget_spec
@@ -66,6 +67,7 @@ __all__ = [
     "layout_stats",
     "suggest_layout",
     "suggest_layout_from_profile",
+    "suggest_layout_from_state",
     "profile",
     "profile_column",
     "VariableType",

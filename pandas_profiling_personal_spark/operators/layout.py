@@ -122,6 +122,7 @@ def suggest_layout(
     partition_null_frac_max: float = 0.10,
     partition_skew_max: float = 10.0,
     target_rows_per_bucket: int = 1_000_000,
+    target_bucket_mb: float | None = None,
     min_buckets: int = 4,
     max_buckets: int = 4096,
     salt_threshold: float = 4.0,
@@ -129,6 +130,13 @@ def suggest_layout(
 ) -> dict:
     """Actionable write-layout advice from ONE :func:`layout_stats` pass
     (bounded driver transfer: one row per candidate column).
+
+    ``target_bucket_mb`` sizes buckets by BYTES instead of rows — the unit
+    that actually matters for file sizing at 100 TB (a 10-column table and
+    a 500-column table at the same row count differ 50x in bytes/row):
+    bytes-per-row comes free from Catalyst's optimizer statistics
+    (:func:`...order_stats.size_estimate`, column-pruning aware, zero
+    jobs). Falls back to the row target when the estimate is unavailable.
 
     Returns ``{"n_rows", "partition_by": [{column, n_distinct, null_frac,
     skew_ratio, reason}...], "rejected_partition": [...], "bucket_by":
@@ -140,8 +148,21 @@ def suggest_layout(
     ``sources.writers.write_table(partition_by=..., bucket_by=...)``.
 
     Already profiled the table? :func:`suggest_layout_from_profile` runs
-    the same rules over a ``ProfileResult`` with ZERO additional scans."""
+    the same rules over a ``ProfileResult`` with ZERO additional scans;
+    :func:`suggest_layout_from_state` over a saved ``PartialProfile``."""
     rows = [r.asDict() for r in layout_stats(df, columns).collect()]
+    if target_bucket_mb is not None:
+        from pandas_profiling_personal_spark.operators.order_stats import (
+            size_estimate,
+        )
+
+        n_rows = max((r["n_rows"] for r in rows), default=0)
+        total = size_estimate(df)
+        if total and n_rows:
+            bytes_per_row = total / n_rows
+            target_rows_per_bucket = max(
+                1, int(target_bucket_mb * 1024 * 1024 / bytes_per_row)
+            )
     return _advise(
         rows,
         join_keys,
@@ -191,6 +212,86 @@ def suggest_layout_from_profile(
             "mean_group": (
                 round(nn / nd, 4) if nd else None
             ),
+            "skew_ratio": (
+                round(max_group / nn * nd, 4)
+                if max_group is not None and nd and nn
+                else None
+            ),
+            "top_share": (
+                round(max_group / nn, 4)
+                if max_group is not None and nn
+                else None
+            ),
+        })
+    return _advise(rows, join_keys, **thresholds)
+
+
+def suggest_layout_from_state(
+    part,
+    join_keys: list[str] | None = None,
+    spark=None,
+    **thresholds,
+) -> dict:
+    """The advice rules over a saved ``PartialProfile`` — completes the
+    advisor's operating-mode matrix (scan / profile / STATE, the checks_of
+    pattern): yesterday's persisted state prices today's write layout
+    without touching the data.
+
+    Cardinality comes from each column's HLL sketch (one tiny ``spark``
+    job over sketch literals, rows never rescanned; columns without a
+    sketch fall back to ``len(top_values)`` as a lower bound when the
+    tracked top list is the whole support, else unknown). ``max_group``
+    is the head of the state's mergeable ``top_values`` — approximate
+    after merges (a shard-local tail value can be undercounted), which
+    only softens the skew gates, never the cardinality/null gates."""
+    sketch_cols = [
+        c for c, cs in part.columns.items()
+        if cs.hll or (part._pending.get(c) or {}).get("hll")
+    ]
+    estimates: dict[str, float] = {}
+    if sketch_cols:
+        if spark is None:
+            raise ValueError(
+                "suggest_layout_from_state: cardinality evaluates from "
+                "HLL sketches — pass the SparkSession"
+            )
+        exprs = []
+        for i, c in enumerate(sketch_cols):
+            cs = part.columns[c]
+            hlls = list((part._pending.get(c) or {}).get("hll") or [])
+            if cs.hll:
+                hlls.append(cs.hll)
+            e = F.lit(hlls[0])
+            for x in hlls[1:]:
+                e = F.hll_union(e, F.lit(x))
+            exprs.append(F.hll_sketch_estimate(e).alias(f"s{i}"))
+        row = spark.range(1).select(*exprs).collect()[0]
+        estimates = {c: row[i] for i, c in enumerate(sketch_cols)}
+    rows = []
+    for name, cs in part.columns.items():
+        nn = cs.count
+        nd = estimates.get(name)
+        if nd is None:
+            # no sketch: an all-null column has 0 distinct; a tracked top
+            # list that accounts for EVERY non-null row is the complete
+            # support, so its length is the exact count (the
+            # drift_between_partials completeness rule) — anything else
+            # stays unknown rather than guessing a lower bound
+            nd = 0 if nn == 0 else (
+                len(cs.top_values)
+                if cs.top_values and sum(cs.top_values.values()) == nn
+                else None
+            )
+        else:
+            nd = int(round(nd))
+        max_group = max(cs.top_values.values()) if cs.top_values else None
+        rows.append({
+            "column": name,
+            "n_rows": cs.n_rows,
+            "n_null": cs.n_missing,
+            "n_distinct": nd,
+            "max_group": max_group,
+            "mean_group": round(nn / nd, 4) if nd else None,
             "skew_ratio": (
                 round(max_group / nn * nd, 4)
                 if max_group is not None and nd and nn

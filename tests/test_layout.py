@@ -212,3 +212,53 @@ def test_layout_advice_in_profile_and_report(spark):
     r2 = profile(df, ProfileConfig(exact=True))
     assert r2.layout == {}
     assert "data-section='layout'" not in render_html(r2)
+
+
+def test_suggest_layout_byte_sized_buckets(spark):
+    """target_bucket_mb sizes buckets from Catalyst's bytes-per-row
+    estimate instead of a row count."""
+    df = spark.range(10000).select(
+        F.col("id"), F.concat(F.lit("x" * 200),
+                              F.col("id").cast("string")).alias("payload"))
+    adv = suggest_layout(df, join_keys=["id"], target_bucket_mb=0.25)
+    # ~210 bytes/row x 10k rows ≈ 2 MiB -> ~8 buckets at 0.25 MiB each;
+    # the Catalyst estimate is approximate, so pin the pow2 range not the
+    # exact value — and that it differs from the row-target default (4)
+    assert adv["bucket_by"]["column"] == "id"
+    assert adv["bucket_by"]["n_buckets"] in (4, 8, 16, 32)
+    row_default = suggest_layout(df, join_keys=["id"])
+    assert row_default["bucket_by"]["n_buckets"] == 4  # min_buckets floor
+
+
+def test_suggest_layout_from_state(spark):
+    """The advisor's state mode: yesterday's PartialProfile prices today's
+    layout with no data rescans (one sketch-literal job for cardinality)."""
+    from pandas_profiling_personal_spark.operators.layout import (
+        suggest_layout_from_state,
+    )
+    from pandas_profiling_personal_spark.plans.incremental import (
+        partial_profile,
+    )
+
+    rows = [(f"r{i % 6}", i, None) for i in range(300)]
+    df = spark.createDataFrame(rows, "region string, id int, dead string")
+    part = partial_profile(df)
+
+    adv = suggest_layout_from_state(part, join_keys=["id"], spark=spark,
+                                    max_partitions=50,
+                                    target_rows_per_bucket=100)
+    part_cols = [e["column"] for e in adv["partition_by"]]
+    assert part_cols == ["region"]
+    rej = {e["column"]: e["reason"] for e in adv["rejected_partition"]}
+    assert "dead" in rej and rej["dead"] == "all null"
+    assert "id" in rej  # ~300 distinct > max_partitions=50
+    assert adv["bucket_by"]["column"] == "id"
+
+    # stats carry the state's skew view: categorical has a max_group from
+    # top_values, numeric skew is unknown (no top list) — documented
+    by = {r["column"]: r for r in adv["stats"]}
+    assert by["region"]["max_group"] == 50
+    assert by["id"]["max_group"] is None
+
+    with pytest.raises(ValueError, match="SparkSession"):
+        suggest_layout_from_state(part, spark=None)
