@@ -349,6 +349,12 @@ _SPECS: dict[str, tuple] = {
     # NEW r11 (tail for now; window is full this round): layout-advisor
     # inputs — per-column cardinality/null/skew in one melt, the numbers
     # suggest_layout's partition/bucket/salt rules consume
+    # NEW r11 (tail): row-level violation sampling — WHICH values break a
+    # gate, the limit-heaviest per check (Deequ row-level results)
+    "check_violations_lineitem": (
+        P.check_violations_query(),
+        P.check_violations_sql(),
+    ),
     "layout_stats_lineitem": (
         P.layout_stats_query(
             "lineitem",

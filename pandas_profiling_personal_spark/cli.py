@@ -294,6 +294,13 @@ def build_parser() -> argparse.ArgumentParser:
         "flags even when the declared floor is 0.95)",
     )
     c.add_argument(
+        "--violations", type=int, default=0, metavar="N",
+        help="with --checks: when the gate fails, also report the N "
+        "heaviest violating values per FAILED row-level check (one "
+        "bounded job per failed check — the debugging surface behind "
+        "the ratio)",
+    )
+    c.add_argument(
         "--fail-on-anomaly", action="store_true",
         help="with --checks-log: exit 5 when metric-history anomalies are "
         "detected even though every declared bound passed — turns the "
@@ -476,6 +483,27 @@ def main(argv: list[str] | None = None) -> int:
                         rows,
                         title=args.title or f"Validation: {args.input}",
                     ))
+            violations = None
+            if (
+                args.violations > 0
+                and not summary["passed"]
+                and not args.checks_from_state
+            ):
+                failed_names = {f["check_name"] for f in summary["failed"]}
+                eligible = [
+                    c for c in suite
+                    if c.name in failed_names
+                    and c.kind in CK._VIOLATION_KINDS
+                    and not (c.kind == "satisfies" and not c.columns)
+                ]
+                if eligible:
+                    violations = [
+                        r.asDict()
+                        for r in CK.check_violations(
+                            read_table(spark, args.input), eligible,
+                            refs=refs, limit=args.violations,
+                        ).collect()
+                    ]
             anomalies = None
             if args.checks_log:
                 import os
@@ -496,6 +524,7 @@ def main(argv: list[str] | None = None) -> int:
                 "from_state": bool(args.checks_from_state),
                 "output": args.output,
                 "metric_anomalies": anomalies,
+                "violations": violations,
                 **summary,
             }))
             if not summary["passed"]:

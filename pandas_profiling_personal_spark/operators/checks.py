@@ -650,6 +650,194 @@ def check_suite(
     return out.orderBy("check_name")
 
 
+#: kinds with a row-level violation concept (check_violations); metric
+#: bounds (mean/sum/.../quantile/row_count/approx_distinct) and
+#: distinctness describe aggregates, not rows — they refuse by name
+_VIOLATION_KINDS = {
+    "in_range", "non_negative", "is_in_set", "matches", "satisfies",
+    "completeness", "uniqueness", "primary_key", "foreign_key",
+    "functional_dependency",
+}
+
+
+def check_violations(
+    df: DataFrame,
+    checks: list[Check],
+    *,
+    refs: Mapping[str, DataFrame] | None = None,
+    limit: int = 10,
+) -> DataFrame:
+    """WHICH values break a gate — the debugging surface behind a failed
+    :func:`check_suite` row (Deequ's row-level results idea, Schelter et
+    al. VLDB'18 §4.3; the reference has no validation surface at all).
+
+    One row per offending VALUE (not per offending row — at 100 TB the
+    violating rows may be billions; the distinct values with counts are the
+    actionable artifact): ``(check_name, kind, column, violation,
+    n_rows)``, the ``limit`` heaviest violations per check, deterministic
+    (count desc, value asc — TakeOrderedAndProject per check, never a
+    global sort). Kind semantics:
+
+    * predicate kinds (in_range / non_negative / is_in_set / matches):
+      distinct non-null values failing the predicate
+    * completeness: the single NULL "value" with its count
+    * satisfies: distinct value tuples of the check's declared ``columns``
+      over rows failing the predicate (a satisfies check without declared
+      columns refuses — there is nothing to display)
+    * uniqueness / primary_key: key tuples occurring more than once (plus,
+      for primary_key, keys with NULL components)
+    * foreign_key: distinct dangling child keys
+    * functional_dependency: determinant values mapping to >1 dependent
+      (n_rows = number of distinct dependents)
+
+    This is a DIAGNOSTIC tier, deliberately separate from the gate: the
+    gate stays one-scan-per-family; this pays one bounded job per check,
+    and you run it on the handful of checks that failed, not the suite."""
+    if limit <= 0:
+        raise ValueError(f"limit must be positive, got {limit}")
+    bad = [c.name for c in checks if c.kind not in _VIOLATION_KINDS]
+    if bad:
+        raise ValueError(
+            "check_violations: no row-level violation concept for "
+            f"aggregate-metric checks: {bad}"
+        )
+    refs = refs or {}
+    out: DataFrame | None = None
+    for chk in checks:
+        k = chk.kind
+        if k in ("in_range", "non_negative", "is_in_set", "matches"):
+            c = F.col(chk.columns[0])
+            viol = (
+                df.where(c.isNotNull() & ~_predicate(chk))
+                .groupBy(c.cast("string").alias("violation"))
+                .agg(F.count(F.lit(1)).alias("n_rows"))
+            )
+        elif k == "completeness":
+            c = F.col(chk.columns[0])
+            viol = (
+                df.where(c.isNull())
+                .groupBy(F.lit("NULL").alias("violation"))
+                .agg(F.count(F.lit(1)).alias("n_rows"))
+            )
+        elif k == "satisfies":
+            if not chk.columns:
+                raise ValueError(
+                    f"check_violations: satisfies check {chk.name!r} "
+                    "declares no columns — pass columns=(...) to the "
+                    "constructor so violations have a display value"
+                )
+            disp = F.concat_ws(
+                ",",
+                *[
+                    F.coalesce(F.col(c_).cast("string"), F.lit("NULL"))
+                    for c_ in chk.columns
+                ],
+            )
+            viol = (
+                df.where(
+                    ~F.coalesce(F.expr(chk.params["predicate"]), F.lit(False))
+                )
+                .groupBy(disp.alias("violation"))
+                .agg(F.count(F.lit(1)).alias("n_rows"))
+            )
+        elif k in ("uniqueness", "primary_key"):
+            disp = F.concat_ws(
+                ",",
+                *[
+                    F.coalesce(F.col(c_).cast("string"), F.lit("NULL"))
+                    for c_ in chk.columns
+                ],
+            )
+            null_any = None
+            for c_ in chk.columns:
+                e = F.col(c_).isNull()
+                null_any = e if null_any is None else (null_any | e)
+            grouped = df.groupBy(
+                _key_expr(chk.columns).alias("__k"),
+                disp.alias("violation"),
+            ).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.max(null_any.cast("int")).alias("__has_null"),
+            )
+            cond = F.col("n_rows") > 1
+            if k == "primary_key":
+                cond = cond | (F.col("__has_null") == 1)
+            viol = grouped.where(cond).select("violation", "n_rows")
+        elif k == "foreign_key":
+            ref_df = refs.get(chk.params["ref"])
+            if ref_df is None:
+                raise ValueError(
+                    f"check_violations: foreign_key {chk.name!r} needs "
+                    f"refs[{chk.params['ref']!r}]"
+                )
+            ref_cols = chk.params["ref_cols"]
+            child = df
+            nn = None
+            for c_ in chk.columns:
+                e = F.col(c_).isNotNull()
+                nn = e if nn is None else (nn & e)
+            child = child.where(nn)
+            parent = ref_df.select(
+                *[
+                    F.col(rc).alias(f"__p{i}")
+                    for i, rc in enumerate(ref_cols)
+                ]
+            ).distinct()
+            cond = None
+            for i, c_ in enumerate(chk.columns):
+                e = F.col(c_) == F.col(f"__p{i}")
+                cond = e if cond is None else (cond & e)
+            disp = F.concat_ws(
+                ",", *[F.col(c_).cast("string") for c_ in chk.columns]
+            )
+            # distinct-reduced parent; AQE picks broadcast when it fits —
+            # forcing it would break on dimension tables that do not
+            viol = (
+                child.join(parent, cond, "left_anti")
+                .groupBy(disp.alias("violation"))
+                .agg(F.count(F.lit(1)).alias("n_rows"))
+            )
+        else:  # functional_dependency
+            n_det = chk.params["n_det"]
+            det, dep = chk.columns[:n_det], chk.columns[n_det]
+            disp = F.concat_ws(
+                ",",
+                *[
+                    F.coalesce(F.col(c_).cast("string"), F.lit("NULL"))
+                    for c_ in det
+                ],
+            )
+            viol = (
+                df.groupBy(
+                    _key_expr(det).alias("__k"), disp.alias("violation")
+                )
+                .agg(
+                    F.count_distinct(
+                        F.coalesce(
+                            _esc_component(F.col(dep)), F.lit(NULL_SENTINEL)
+                        )
+                    ).alias("n_rows")
+                )
+                .where(F.col("n_rows") > 1)
+                .select("violation", "n_rows")
+            )
+        top = (
+            viol.orderBy(F.desc("n_rows"), F.asc("violation"))
+            .limit(limit)
+            .select(
+                F.lit(chk.name).alias("check_name"),
+                F.lit(k).alias("kind"),
+                F.lit(chk.display_column()).alias("column"),
+                "violation",
+                "n_rows",
+            )
+        )
+        out = top if out is None else out.unionByName(top)
+    if out is None:
+        raise ValueError("check_violations: empty check list")
+    return out
+
+
 def validation_summary(result_rows: list[dict] | DataFrame) -> dict[str, Any]:
     """Driver-side rollup: {n_checks, n_failed, failed:[...], passed: bool}."""
     if isinstance(result_rows, DataFrame):

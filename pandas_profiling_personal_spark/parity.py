@@ -2165,6 +2165,72 @@ ORDER BY check_name
 """
 
 
+def check_violations_query(table: str = "lineitem", limit: int = 10) -> QueryFn:
+    """Row-level violation sampling (operators/checks.py:check_violations —
+    Deequ's row-level results, VLDB'18 §4.3): WHICH values break each gate,
+    the `limit` heaviest per check, deterministic (count desc, value asc).
+    Exercises the predicate, uniqueness, and FD violation paths."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators import checks as C
+
+        df = load(spark, sf_dir, table)
+        return C.check_violations(
+            df,
+            [
+                C.in_range("l_quantity", 1, 45, name="qty_range"),
+                C.is_in_set("l_returnflag", ["A", "N"], name="flag_set"),
+                C.uniqueness("l_linenumber", name="line_unique"),
+                C.functional_dependency(
+                    ["l_orderkey"], "l_linestatus", name="order_status_fd"
+                ),
+            ],
+            limit=limit,
+        )
+
+    return fn
+
+
+def check_violations_sql(table: str = "lineitem", limit: int = 10) -> str:
+    return f"""
+SELECT * FROM (
+  SELECT 'qty_range' AS check_name, 'in_range' AS kind,
+         'l_quantity' AS "column",
+         CAST(l_quantity AS VARCHAR) AS violation, count(*) AS n_rows
+  FROM {table}
+  WHERE l_quantity IS NOT NULL
+    AND NOT (l_quantity >= 1.0 AND l_quantity <= 45.0)
+  GROUP BY 4 ORDER BY n_rows DESC, violation ASC LIMIT {limit})
+UNION ALL
+SELECT * FROM (
+  SELECT 'flag_set', 'is_in_set', 'l_returnflag',
+         CAST(l_returnflag AS VARCHAR), count(*) AS n_rows
+  FROM {table}
+  WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A', 'N')
+  GROUP BY 4 ORDER BY n_rows DESC, 4 ASC LIMIT {limit})
+UNION ALL
+SELECT * FROM (
+  SELECT 'line_unique', 'uniqueness', 'l_linenumber',
+         violation, n_rows FROM (
+    SELECT coalesce(CAST(l_linenumber AS VARCHAR), 'NULL') AS violation,
+           count(*) AS n_rows
+    FROM {table} GROUP BY l_linenumber)
+  WHERE n_rows > 1
+  ORDER BY n_rows DESC, violation ASC LIMIT {limit})
+UNION ALL
+SELECT * FROM (
+  SELECT 'order_status_fd', 'functional_dependency',
+         'l_orderkey,l_linestatus',
+         violation, n_rows FROM (
+    SELECT coalesce(CAST(l_orderkey AS VARCHAR), 'NULL') AS violation,
+           count(DISTINCT coalesce(CAST(l_linestatus AS VARCHAR),
+                                   chr(30) || 'N')) AS n_rows
+    FROM {table} GROUP BY l_orderkey)
+  WHERE n_rows > 1
+  ORDER BY n_rows DESC, violation ASC LIMIT {limit})
+"""
+
+
 def referential_integrity_query() -> QueryFn:
     """lineitem FKs: l_orderkey ⊆ orders.o_orderkey, l_partkey ⊆ part.p_partkey."""
 

@@ -1017,3 +1017,84 @@ def test_cli_suggest_from_state(tmp_path):
     assert out["passed"]
     out = run(str(src), "--checks", str(suite))
     assert out["passed"]
+
+
+def test_check_violations_semantics(spark, frame, parent):
+    """Row-level violation sampling: which VALUES break each gate."""
+    res = C.check_violations(frame, [
+        C.in_range("val", 0, 100, name="rng"),
+        C.is_in_set("cat", ["a", "b"], name="set"),
+        C.completeness("val", name="comp"),
+        C.satisfies("val > 0 AND id < 5", "sat", columns=("id", "val")),
+        C.uniqueness("id", name="uniq"),
+        C.primary_key("cat", name="pk"),
+        C.foreign_key("fk", "parents", "pk", name="fkc"),
+        C.functional_dependency("fk", "cat", name="fd"),
+    ], refs={"parents": parent}, limit=5)
+    rows = {}
+    for r in res.collect():
+        rows.setdefault(r["check_name"], []).append(
+            (r["violation"], r["n_rows"]))
+    assert rows["rng"] == [("-5.0", 1)]
+    assert rows["set"] == [("zzz", 1)]
+    assert rows["comp"] == [("NULL", 1)]
+    # violating sat rows: id=3 (val NULL), id=4 twice (-5 / id>=5? no:
+    # id=4 val=-5 fails val>0; id=4 val=40 passes both... id<5 ok) — and
+    # id=6 (id<5 false). Ties broken by violation string asc.
+    assert ("3,NULL", 1) in rows["sat"] and ("4,-5.0", 1) in rows["sat"]
+    assert ("6,60.0", 1) in rows["sat"]
+    assert rows["uniq"] == [("4", 2)]        # id=4 occurs twice
+    # pk on cat: 'a' occurs 2x (dupe) and NULL component (1 row)
+    assert ("a", 2) in rows["pk"] and ("NULL", 1) in rows["pk"]
+    assert rows["fkc"] == [("999", 1)]       # dangling fk; NULL fk vacuous
+    # fd: fk=100 -> {a, b}, fk=200 -> {a, NULL}: both 2 distinct dependents
+    assert rows["fd"] == [("100", 2), ("200", 2)]
+
+    # determinism + limit: heaviest first, ties by value asc
+    big = spark.createDataFrame(
+        [("x", 1)] * 5 + [("y", 1)] * 3 + [("z", 1)] * 3 + [("ok", 99)],
+        "v string, n int")
+    out = C.check_violations(
+        big, [C.is_in_set("v", ["ok"], name="s")], limit=2).collect()
+    assert [(r["violation"], r["n_rows"]) for r in out] == [
+        ("x", 5), ("y", 3)]
+
+    with pytest.raises(ValueError, match="aggregate-metric"):
+        C.check_violations(frame, [C.mean_between("val", 0, 1, name="m")])
+    with pytest.raises(ValueError, match="declares no columns"):
+        C.check_violations(frame, [C.satisfies("val > 0", "s2")])
+    with pytest.raises(ValueError, match="refs"):
+        C.check_violations(frame, [C.foreign_key("fk", "nope", "pk")])
+    with pytest.raises(ValueError, match="limit"):
+        C.check_violations(frame, [C.completeness("val")], limit=0)
+
+
+def test_cli_checks_violations(tmp_path):
+    """--violations N: a failed gate also reports the heaviest violating
+    values per failed row-level check."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    src = tmp_path / "d.parquet"
+    pd.DataFrame({"x": [1.0, 2.0, -3.0, -3.0, 50.0]}).to_parquet(src)
+    suite = tmp_path / "s.json"
+    suite.write_text(json.dumps({"checks": [
+        {"kind": "in_range", "column": "x", "lo": 0, "hi": 10,
+         "name": "rng"},
+        {"kind": "completeness", "column": "x", "name": "comp"},
+    ]}))
+    proc = subprocess.run(
+        [sys.executable, "-m", "pandas_profiling_personal_spark.cli",
+         str(src), "--checks", str(suite), "--violations", "5",
+         "--master", "local[2]"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 4, proc.stderr[-1500:]   # gate failed
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    v = {(r["check_name"], r["violation"]): r["n_rows"]
+         for r in out["violations"]}
+    # only the FAILED check (rng) is sampled; comp passed
+    assert v == {("rng", "-3.0"): 2, ("rng", "50.0"): 1}
