@@ -349,6 +349,12 @@ _SPECS: dict[str, tuple] = {
     # NEW r11 (tail for now; window is full this round): layout-advisor
     # inputs — per-column cardinality/null/skew in one melt, the numbers
     # suggest_layout's partition/bucket/salt rules consume
+    # NEW r11 (tail): classical additive decomposition on the bounded grid
+    # (v = trend + seasonal + resid) — per-period exact-integer invariants
+    "seasonal_decompose_events": (
+        P.seasonal_decompose_query(),
+        P.seasonal_decompose_sql(),
+    ),
     # NEW r11 (tail): row-level violation sampling — WHICH values break a
     # gate, the limit-heaviest per check (Deequ row-level results)
     "check_violations_lineitem": (

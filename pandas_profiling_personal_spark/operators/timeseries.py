@@ -234,6 +234,82 @@ def rolling_trend(
     return grid.select(*cols)
 
 
+#: calendar-position extractors shared by the decomposition (the
+#: seasonal_profile keys, as column functions over the grid's t)
+_PERIODS = {
+    "hour_of_day": F.hour,
+    "day_of_week": F.dayofweek,
+    "day_of_month": F.dayofmonth,
+    "month": F.month,
+}
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_buckets: int = 24,
+    granularity: str = "hour",
+    period: str = "hour_of_day",
+    stable: bool = False,
+    stable_sums: bool = False,
+) -> DataFrame:
+    """Classical additive decomposition on the bounded grid:
+    ``v = trend + seasonal + resid`` per bucket — the explanatory layer on
+    top of :func:`rolling_trend` / :func:`seasonal_profile` (which report
+    the components in isolation; this reconciles them per bucket so the
+    residual is inspectable, e.g. by :func:`detect_anomalies` semantics).
+
+    * ``trend``: centered moving average over ``window_buckets`` grid rows
+      (:func:`rolling_trend` — the window runs over the BOUNDED grid,
+      never the raw table)
+    * ``seasonal``: per-``period`` mean of the detrended series, centered
+      so the period effects sum to zero (the classical moving-average
+      decomposition; an uncentered mean would leak level into seasonality)
+    * ``resid``: what neither explains — the anomaly surface
+
+    Scale shape: the raw table pays the one resample shuffle; everything
+    after runs on the grid (window + one tiny per-period aggregate joined
+    back — at most |period positions| rows, broadcast by AQE).
+
+    ``stable``/``stable_sums`` are the cross-engine oracle tiers of the
+    underlying grid (exact DECIMAL bucket means; scaled-BIGINT window
+    sums — see :func:`rolling_trend`); production default stays double
+    ``avg`` end-to-end."""
+    if period not in _PERIODS:
+        raise ValueError(
+            f"seasonal_decompose: period must be one of {sorted(_PERIODS)}"
+        )
+    base = rolling_trend(
+        df, ts_col, value_col, window_buckets, granularity,
+        stable_sums=stable_sums, stable=stable,
+    )
+    pos = _PERIODS[period](F.col("t")).alias("period_pos")
+    base = base.select("*", pos)
+    det = (F.col("v") - F.col("trend")).alias("detrended")
+    per_pos = base.select("period_pos", det).groupBy("period_pos").agg(
+        F.avg("detrended").alias("__s_raw"),
+        F.count("detrended").alias("seasonal_support"),
+    )
+    # center the period effects: seasonal must sum to ~0 across positions
+    # (unweighted over positions, the classical convention)
+    center = per_pos.agg(F.avg("__s_raw").alias("__c"))
+    seasonal = per_pos.crossJoin(center).select(
+        "period_pos",
+        (F.col("__s_raw") - F.col("__c")).alias("seasonal"),
+        "seasonal_support",
+    )
+    out = base.join(seasonal, "period_pos", "left")
+    keep = [
+        "t", "v", "n", "period_pos", "trend", "trend_support",
+        "seasonal", "seasonal_support",
+        (F.col("v") - F.col("trend") - F.col("seasonal")).alias("resid"),
+    ]
+    if stable_sums:
+        keep.append(F.col("trend_sum_x1e4"))
+    return out.select(*keep)
+
+
 _SEASON_OF_GRAN = {"minute": "hour_of_day", "hour": "hour_of_day",
                    "day": "day_of_week"}
 

@@ -1928,6 +1928,73 @@ WINDOW w AS (ORDER BY t ROWS BETWEEN {half} PRECEDING AND {after} FOLLOWING)
 """
 
 
+def seasonal_decompose_query(
+    table: str = "events",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_buckets: int = 24,
+) -> QueryFn:
+    """Per-period exact-integer invariants of the classical decomposition
+    (operators/timeseries.py:seasonal_decompose): the grid, the scaled
+    window sums, and the period grouping are pinned bit-exactly; the
+    double seasonal/resid values derive from these by rational arithmetic
+    (unit tests pin the identity v = trend + seasonal + resid)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.timeseries import (
+            seasonal_decompose,
+        )
+
+        out = seasonal_decompose(
+            load(spark, sf_dir, table), ts_col, value_col, window_buckets,
+            stable=True, stable_sums=True,
+        )
+        vi = (
+            F.round(F.col("v"), 4).cast("decimal(20,4)") * F.lit(10000)
+        ).cast("long")
+        return out.groupBy("period_pos").agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(vi).alias("v_sum_x1e4"),
+            F.sum("trend_sum_x1e4").alias("trend_win_sum_x1e4"),
+            F.sum("trend_support").alias("trend_support_sum"),
+        )
+
+    return fn
+
+
+def seasonal_decompose_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_buckets: int = 24,
+) -> str:
+    half = window_buckets // 2
+    after = window_buckets - half - 1
+    return f"""
+WITH g0 AS (SELECT date_trunc('hour', {ts_col}) AS t,
+                   CAST(sum(CAST({value_col} AS DECIMAL(30,6))) AS DOUBLE)
+                     AS s,
+                   count({value_col}) AS n
+            FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1),
+grid AS (SELECT t, CASE WHEN n > 0 THEN s / n END AS v,
+                CAST(CAST(round(CASE WHEN n > 0 THEN s / n END, 4)
+                          AS DECIMAL(20,4)) * 10000 AS BIGINT) AS vi
+         FROM g0),
+w AS (SELECT t, vi,
+             sum(vi) OVER fr AS tsum,
+             count(vi) OVER fr AS tsupp
+      FROM grid
+      WINDOW fr AS (ORDER BY t
+                    ROWS BETWEEN {half} PRECEDING AND {after} FOLLOWING))
+SELECT hour(t) AS period_pos,
+       count(*) AS n_buckets,
+       CAST(sum(vi) AS BIGINT) AS v_sum_x1e4,
+       CAST(sum(tsum) AS BIGINT) AS trend_win_sum_x1e4,
+       CAST(sum(tsupp) AS BIGINT) AS trend_support_sum
+FROM w GROUP BY 1
+"""
+
+
 def seasonal_profile_query(
     table: str = "events", ts_col: str = "ts", value_col: str = "value"
 ) -> QueryFn:

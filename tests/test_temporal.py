@@ -1049,3 +1049,50 @@ def test_tsmode_skipped_under_redact(spark):
     )
     assert res.timeseries == {}
     assert not any(a["type"].startswith("TS_") for a in res.alerts)
+
+
+def test_seasonal_decompose_identity_and_centering(spark):
+    """v = trend + seasonal + resid holds per bucket; the period effects
+    are centered (sum ~0); a planted diurnal pattern over a linear level
+    lands in the seasonal component, not the residual."""
+    from pandas_profiling_personal_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    # 8 days hourly: linear trend + a deterministic hour-of-day effect
+    rows = []
+    for h in range(24 * 8):
+        t = dt.datetime(2024, 3, 1) + dt.timedelta(hours=h)
+        season = 10.0 if (h % 24) == 12 else 0.0
+        rows.append((t, 0.05 * h + season))
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = seasonal_decompose(df, "ts", "v", window_buckets=24)
+    got = {r["t"]: r.asDict() for r in out.collect()}
+    assert len(got) == 24 * 8
+    for r in got.values():
+        assert r["resid"] == pytest.approx(
+            r["v"] - r["trend"] - r["seasonal"], abs=1e-9)
+    # period effects centered
+    by_pos = {}
+    for r in got.values():
+        by_pos[r["period_pos"]] = r["seasonal"]
+    assert sum(by_pos.values()) == pytest.approx(0.0, abs=1e-9)
+    # the planted noon spike dominates the seasonal component and the
+    # mid-series (full-window) residuals stay small
+    assert by_pos[12] == pytest.approx(10.0 - 10.0 / 24, abs=0.2)
+    mid = [
+        r for r in got.values()
+        if r["trend_support"] == 24 and r["period_pos"] != 12
+    ]
+    assert mid and max(abs(r["resid"]) for r in mid) < 1.0
+
+    # constant series: seasonal and resid are ~0 everywhere
+    const = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 1) + dt.timedelta(hours=h), 5.0)
+         for h in range(48)], "ts timestamp, v double")
+    for r in seasonal_decompose(const, "ts", "v", 24).collect():
+        assert r["seasonal"] == pytest.approx(0.0, abs=1e-9)
+        assert r["resid"] == pytest.approx(0.0, abs=1e-9)
+
+    with pytest.raises(ValueError, match="period must be one of"):
+        seasonal_decompose(df, "ts", "v", period="fortnight")
