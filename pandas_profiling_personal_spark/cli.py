@@ -477,12 +477,6 @@ def main(argv: list[str] | None = None) -> int:
                 summary = CK.validation_summary(rows)
             if args.checks_from_state:
                 rows = [dict(r) for r in rows]
-            if args.output:
-                with open(args.output, "w", encoding="utf-8") as fh:
-                    fh.write(CK.validation_report_html(
-                        rows,
-                        title=args.title or f"Validation: {args.input}",
-                    ))
             violations = None
             if (
                 args.violations > 0
@@ -504,6 +498,13 @@ def main(argv: list[str] | None = None) -> int:
                             refs=refs, limit=args.violations,
                         ).collect()
                     ]
+            if args.output:
+                with open(args.output, "w", encoding="utf-8") as fh:
+                    fh.write(CK.validation_report_html(
+                        rows,
+                        title=args.title or f"Validation: {args.input}",
+                        violations=violations,
+                    ))
             anomalies = None
             if args.checks_log:
                 import os

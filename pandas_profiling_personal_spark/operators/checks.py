@@ -1226,11 +1226,14 @@ def check_suite_by(
 def validation_report_html(
     result_rows: list[dict] | DataFrame,
     title: str = "Validation report",
+    violations: list[dict] | None = None,
 ) -> str:
     """Standalone single-file HTML for a check-suite result — the render
     surface the drift report has (drift_report_html), applied to the gate:
     failure banner first, then the full result table; driver-side rendering
-    of already-collected rows, no Spark jobs."""
+    of already-collected rows, no Spark jobs. ``violations`` (the collected
+    :func:`check_violations` rows) renders a per-check offending-values
+    section under the banner."""
     from pandas_profiling_personal_spark.report.htmlbits import esc, page
 
     # collect ONCE: validation_summary on the DataFrame would re-execute
@@ -1266,6 +1269,18 @@ def validation_report_html(
         sections.append(
             f"<h2>FAILED ({summary['n_failed']} of "
             f"{summary['n_checks']})</h2><ul>{items}</ul>"
+        )
+    if violations:
+        vrows = "".join(
+            "<tr><th>{n}</th><td>{v}</td><td>{c}</td></tr>".format(
+                n=esc(r["check_name"]), v=esc(r["violation"]),
+                c=esc(r["n_rows"]),
+            )
+            for r in violations
+        )
+        sections.append(
+            "<h2>Violating values</h2><table><tr><th>check</th>"
+            f"<th>value</th><th>rows</th></tr>{vrows}</table>"
         )
     body = "".join(
         "<tr><th>{n}</th><td>{k}</td><td>{c}</td><td>{m}</td><td>{v}</td>"

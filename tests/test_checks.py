@@ -1098,3 +1098,14 @@ def test_cli_checks_violations(tmp_path):
          for r in out["violations"]}
     # only the FAILED check (rng) is sampled; comp passed
     assert v == {("rng", "-3.0"): 2, ("rng", "50.0"): 1}
+    # the HTML report renders the violating values
+    html_out = tmp_path / "v.html"
+    proc = subprocess.run(
+        [sys.executable, "-m", "pandas_profiling_personal_spark.cli",
+         str(src), str(html_out), "--checks", str(suite),
+         "--violations", "5", "--master", "local[2]"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 4, proc.stderr[-1500:]
+    page = html_out.read_text(encoding="utf-8")
+    assert "Violating values" in page and "-3.0" in page
