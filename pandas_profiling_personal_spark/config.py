@@ -59,6 +59,11 @@ class ProfileConfig:
     interactions: bool = False
     interactions_max_cols: int = 10
     interactions_bins: int = 24
+    #: restrict interaction pairs to those involving these columns
+    #: (reference interactions.targets, config_default.yaml:103-105):
+    #: with T targets over N columns the quadratic explode drops to ~T·N,
+    #: which is how interactions stay affordable on wide tables
+    interactions_targets: tuple[str, ...] = ()
 
     # --- histograms ---------------------------------------------------------------
     #: 0 = auto bins via Freedman-Diaconis/Sturges on the driver
@@ -132,6 +137,11 @@ class ProfileConfig:
     #: dropped (reference: typeset_relations.py:39-101)
     infer_types: bool = False
     low_categorical_threshold: int = 5
+    #: with infer_types: string columns fully castable to timestamp
+    #: reclassify as DATETIME (reference vars.cat.coerce_str_to_date,
+    #: config_default.yaml:45 — opt-in there too; NUMERIC wins ties so
+    #: year-only strings stay numeric)
+    coerce_str_to_date: bool = False
 
     # --- alert thresholds (reference: config_default.yaml:30-44) -----------------
     skewness_threshold: float = 20.0

@@ -44,6 +44,7 @@ def scatter_all(
     df: DataFrame,
     ranges: dict[str, tuple[float, float]],
     bins: int = 24,
+    targets: list[str] | None = None,
 ) -> dict[tuple[str, str], list[dict]]:
     """Bucketed 2-D densities for EVERY pair of the given columns in ONE shuffle.
 
@@ -55,6 +56,12 @@ def scatter_all(
     the exchange. Row expansion is quadratic in column count — callers cap the
     column list (config.interactions_max_cols).
 
+    ``targets`` restricts pairs to those involving a target column
+    (reference ``interactions.targets``, config_default.yaml:103-105):
+    with T targets over N columns the expansion drops from N²/2 to ~T·N —
+    the practical way to keep interactions on for wide tables when only a
+    label/score column's relationships matter.
+
     Returns {(x, y): [{x_bucket, y_bucket, cnt}, ...]} for x < y; driver
     transfer ≤ pairs·bins²."""
     from itertools import combinations
@@ -62,6 +69,7 @@ def scatter_all(
     cols = list(ranges)
     if len(cols) < 2:
         return {}
+    tset = set(targets or ())
     # bucket_index collapses a degenerate lo==hi range to bucket 0
     # unconditionally and floors NaN into bucket 0, so missing/NaN rows must be
     # masked to NULL *here* — the post-explode filter drops NULL buckets, and
@@ -87,7 +95,10 @@ def scatter_all(
             F.col(f"__b_{j}").alias("yb"),
         )
         for (i, a), (j, b) in combinations(enumerate(cols), 2)
+        if not tset or a in tset or b in tset
     ]
+    if not structs:
+        return {}
     grid = (
         proj.select(F.explode(F.array(*structs)).alias("kv"))
         .select("kv.*")

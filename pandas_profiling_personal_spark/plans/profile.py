@@ -142,7 +142,8 @@ def profile(
         types = variable_types(df)
         if cfg.infer_types:
             inferred = infer_variable_types(
-                df, types, cfg.low_categorical_threshold
+                df, types, cfg.low_categorical_threshold,
+                coerce_str_to_date=cfg.coerce_str_to_date,
             )
             # materialize the reclassifications as typed columns — every later
             # pass aggregates by variable type, and a raw string column posing
@@ -869,7 +870,8 @@ def profile(
                     if math.isfinite(lo) and math.isfinite(hi):
                         ranges[c] = (lo, hi)
             for (a, b), grid in IX.scatter_all(
-                df, ranges, cfg.interactions_bins
+                df, ranges, cfg.interactions_bins,
+                targets=list(cfg.interactions_targets) or None,
             ).items():
                 scatter.setdefault(a, {})[b] = {
                     "x_range": list(ranges[a]),

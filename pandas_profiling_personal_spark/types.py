@@ -93,6 +93,7 @@ def infer_variable_types(
     df: DataFrame,
     base: dict[str, VariableType],
     low_categorical_threshold: int = 5,
+    coerce_str_to_date: bool = False,
 ) -> dict[str, VariableType]:
     """Content-based refinement in ONE aggregation pass over the table.
 
@@ -100,6 +101,11 @@ def infer_variable_types(
     (reference: typeset_relations.py:39-101):
       * string col whose non-null values are all boolean-ish tokens -> BOOLEAN
       * string col fully castable to double -> NUMERIC
+      * string col fully castable to timestamp -> DATETIME (opt-in
+        ``coerce_str_to_date``, the reference's vars.cat.coerce_str_to_date,
+        config_default.yaml:45 — opt-in there too; numeric wins over date so
+        a year-only column like "2023" stays NUMERIC, since Spark casts bare
+        years to Jan-1 timestamps)
       * numeric col with 1 <= n_distinct <= low_categorical_threshold -> CATEGORICAL
 
     All checks are aggregate expressions folded into a single ``df.agg`` so the cost
@@ -118,6 +124,11 @@ def infer_variable_types(
             )
             exprs.append(all_bool.alias(f"c{i}__all_bool"))
             exprs.append(all_num.alias(f"c{i}__all_num"))
+            if coerce_str_to_date:
+                all_date = (F.count(c) > 0) & (
+                    F.count(c.try_cast("timestamp")) == F.count(c)
+                )
+                exprs.append(all_date.alias(f"c{i}__all_date"))
         elif vt is VariableType.NUMERIC:
             exprs.append(
                 F.approx_count_distinct(c).alias(f"c{i}__n_distinct_approx")
@@ -132,6 +143,8 @@ def infer_variable_types(
                 out[name] = VariableType.BOOLEAN
             elif row.get(f"c{i}__all_num"):
                 out[name] = VariableType.NUMERIC
+            elif row.get(f"c{i}__all_date"):
+                out[name] = VariableType.DATETIME
             else:
                 out[name] = vt
         elif vt is VariableType.NUMERIC:
@@ -182,6 +195,9 @@ def apply_inferred_types(
             changed = True
         elif b is VariableType.CATEGORICAL and v is VariableType.NUMERIC:
             c = c.try_cast("double").alias(name)
+            changed = True
+        elif b is VariableType.CATEGORICAL and v is VariableType.DATETIME:
+            c = c.try_cast("timestamp").alias(name)
             changed = True
         elif b is VariableType.NUMERIC and v is VariableType.CATEGORICAL:
             c = c.cast("string").alias(name)

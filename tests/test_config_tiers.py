@@ -191,3 +191,55 @@ def test_explorative_embedding_refinement(spark):
     # default tier: off (the gate mirrors string_refinement)
     r3 = profile(emb.select("embedding"))
     assert "embedding_stats" not in r3.variables["embedding"]
+
+
+def test_interactions_targets_restrict_pairs(spark):
+    """Reference interactions.targets: only pairs involving a target are
+    computed — the quadratic explode drops to ~T·N."""
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+
+    rows = [(float(i), float(i * 2), float(i % 7), float(50 - i))
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "a double, b double, c double, d double")
+    full = profile(df, ProfileConfig(exact=True, interactions=True))
+    pairs_full = {(x, y) for x, inner in full.scatter.items() for y in inner}
+    assert len(pairs_full) == 6  # all C(4,2) pairs
+
+    tgt = profile(df, ProfileConfig(
+        exact=True, interactions=True, interactions_targets=("a",)))
+    pairs_tgt = {(x, y) for x, inner in tgt.scatter.items() for y in inner}
+    assert pairs_tgt == {("a", "b"), ("a", "c"), ("a", "d")}
+    # an unknown target restricts to nothing rather than falling back
+    none = profile(df, ProfileConfig(
+        exact=True, interactions=True, interactions_targets=("ghost",)))
+    assert none.scatter == {}
+
+
+def test_coerce_str_to_date_inference(spark):
+    """Reference vars.cat.coerce_str_to_date: date-like string columns
+    reclassify to DATETIME (opt-in); numeric wins over date; junk stays
+    categorical."""
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+
+    rows = [
+        ("2024-01-0%d" % (i % 9 + 1), str(2000 + i), "x%d" % i,
+         "2024-01-01 10:0%d:00" % (i % 10))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "d string, y string, junk string, ts string")
+    r = profile(df, ProfileConfig(
+        exact=True, infer_types=True, coerce_str_to_date=True,
+        correlations=(), duplicates=False))
+    assert r.variables["d"]["type"] == "DateTime"
+    assert r.variables["ts"]["type"] == "DateTime"
+    assert r.variables["y"]["type"] == "Numeric"     # numeric wins
+    assert r.variables["junk"]["type"] == "Categorical"
+    # date stats flow through the DATETIME describer
+    assert r.variables["d"]["min"] is not None
+
+    # off by default: everything stays as the base classification
+    r2 = profile(df, ProfileConfig(
+        exact=True, infer_types=True,
+        correlations=(), duplicates=False))
+    assert r2.variables["d"]["type"] == "Categorical"
