@@ -142,6 +142,10 @@ def build_parser() -> argparse.ArgumentParser:
         "variables.descriptions)",
     )
     p.add_argument(
+        "--theme", default=None, choices=["dark"],
+        help="report theme (reference html.style.theme); default light",
+    )
+    p.add_argument(
         "--primary-color",
         default=None,
         help="report accent color (reference html.style.primary_color)",
@@ -423,6 +427,8 @@ def main(argv: list[str] | None = None) -> int:
         cfg = cfg.with_(
             variable_descriptions=cfg.variable_descriptions + tuple(pairs)
         )
+    if args.theme:
+        cfg = cfg.with_(html_theme=args.theme)
     if args.primary_color:
         cfg = cfg.with_(html_primary_color=args.primary_color)
     if args.logo:

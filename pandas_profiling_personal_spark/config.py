@@ -173,6 +173,9 @@ class ProfileConfig:
 
     # --- report style (reference: config_default.yaml:172-194 html.style.
     # {primary_color, logo, full_width} + navbar_show) ----------------------
+    #: report theme: None (light default) or "dark" — the dependency-free
+    #: analogue of the reference's bootswatch html.style.theme
+    html_theme: str | None = None
     #: accent color for nav/headers/bars; None keeps the built-in palette
     html_primary_color: str | None = None
     #: logo image URL or data: URI rendered beside the title

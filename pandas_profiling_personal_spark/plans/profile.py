@@ -1083,6 +1083,7 @@ def profile(
         style = {
             k: v
             for k, v in {
+                "theme": cfg.html_theme,
                 "primary_color": cfg.html_primary_color,
                 "logo": cfg.html_logo,
             }.items()

@@ -55,6 +55,28 @@ svg.chart{background:#fbfcfe;border:1px solid #eef1f5;border-radius:4px}
 h1 img.logo{height:28px;vertical-align:middle;margin-right:10px}
 """
 
+# dark theme (html_theme="dark"): same structure, inverted surfaces — the
+# dependency-free analogue of the reference's bootswatch themes
+# (config_default.yaml:176-178). Appended after the base sheet, so every
+# rule here shadows its light counterpart at equal specificity.
+_DARK_CSS = """
+body{background:#14181f;color:#d7dce4}
+nav{background:#1b212b;border-bottom-color:#2a3342}
+nav a{color:#7aa7e8}
+h2{border-bottom-color:#2a3342}
+.card,.varsec,.tabs .pane{background:#1b212b;border-color:#2a3342}
+.tabs>label{background:#222a37;border-color:#2a3342;color:#9aa6b8}
+.tabs>input:checked+label{background:#1b212b;color:#d7dce4}
+table.kv td,table.kv th{border-bottom-color:#242c39}
+.alert{background:#3a1d1d;color:#f1a0a0}
+.alert.info{background:#1d2a3f;color:#8ab4f8}
+.type{color:#8b96a8}
+.badge{background:#242c39;color:#9aa6b8}
+.vardesc{color:#9aa6b8}
+svg.chart{background:#171c25;border-color:#242c39}
+.bar{background:#2b3a52}
+"""
+
 # each tab group needs its panes toggled by its own radio set; generated rules
 _TAB_RULE = (
     ".tabs>input:nth-of-type({i}):checked~.pane:nth-of-type({i})"
@@ -600,9 +622,16 @@ def render_html(result: "Any", title: "str | None" = None) -> str:
     )
 
     # style overrides appended AFTER the base sheet so they win on equal
-    # specificity (reference html.style.{primary_color, full_width},
+    # specificity (reference html.style.{theme, primary_color, full_width},
     # config_default.yaml:176-186)
     extra_css = ""
+    theme = style.get("theme")
+    if theme not in (None, "", "dark"):
+        raise ValueError(
+            f"unknown html theme {theme!r}; supported: None (light), 'dark'"
+        )
+    if theme == "dark":
+        extra_css += _DARK_CSS
     color = style.get("primary_color")
     if color:
         c = html.escape(str(color))

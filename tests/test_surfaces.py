@@ -734,6 +734,14 @@ def test_dataset_metadata_and_style_surface(spark, tmp_path):
     assert c3.variable_descriptions == (("s", "text col"),)
     assert c3.title == "X"
 
+    # dark theme (reference html.style.theme): inverted surfaces appended
+    # after the base sheet; unknown themes refuse by name
+    dark = profile(df, cfg.with_(html_theme="dark"))
+    pd_ = H.render_html(dark)
+    assert "background:#14181f" in pd_
+    with pytest.raises(ValueError, match="unknown html theme"):
+        H.render_html(profile(df, cfg.with_(html_theme="solarized")))
+
 
 def test_report_sections_every_variable_type(spark):
     """VERDICT r2 #2: the report must carry the reference's full section
