@@ -1741,6 +1741,73 @@ def timeseries_of(state: TimeseriesState, lags: int = 24) -> dict:
     )
 
 
+def seasonal_decompose_of(
+    state: TimeseriesState,
+    column: str,
+    window_buckets: int = 24,
+    period: str = "hour_of_day",
+) -> list[dict]:
+    """Classical additive decomposition from a saved (merged) state —
+    ZERO Spark jobs: the state's per-bucket ``[sum, sumsq, count]`` cells
+    hold the exact grid the batch :func:`...timeseries.seasonal_decompose`
+    aggregates, so trend / centered seasonal / residual are pure driver
+    arithmetic with the batch operator's own rules (centered row-window
+    over the present buckets; per-period mean of the detrended series,
+    centered over positions; Spark day-of-week numbering so the two modes
+    agree bucket-for-bucket). Returns one dict per bucket with the batch
+    columns (t, v, n, period_pos, trend, trend_support, seasonal,
+    seasonal_support, resid), ordered by t."""
+    if column not in state.cells:
+        raise ValueError(
+            f"seasonal_decompose_of: column {column!r} not in state "
+            f"(has {sorted(state.cells)})"
+        )
+    pos_of = {
+        "hour_of_day": lambda t: t.hour,
+        # Spark dayofweek: 1 = Sunday .. 7 = Saturday
+        "day_of_week": lambda t: t.isoweekday() % 7 + 1,
+        "day_of_month": lambda t: t.day,
+        "month": lambda t: t.month,
+    }
+    if period not in pos_of:
+        raise ValueError(
+            f"seasonal_decompose_of: period must be one of "
+            f"{sorted(pos_of)}"
+        )
+    pts = sorted(
+        (datetime.datetime.fromisoformat(t), s, n)
+        for t, (s, _ss, n) in state.cells[column].items()
+        if n and n > 0
+    )
+    if not pts:
+        return []
+    half = window_buckets // 2
+    n_pts = len(pts)
+    v = [s / n for _, s, n in pts]
+    rows: list[dict] = []
+    for i, (t, _s, n) in enumerate(pts):
+        lo = max(0, i - half)
+        hi = min(n_pts, i + (window_buckets - half - 1) + 1)
+        win = v[lo:hi]
+        rows.append({
+            "t": t, "v": v[i], "n": int(n),
+            "period_pos": pos_of[period](t),
+            "trend": sum(win) / len(win),
+            "trend_support": len(win),
+        })
+    by_pos: dict[int, list[float]] = {}
+    for r in rows:
+        by_pos.setdefault(r["period_pos"], []).append(r["v"] - r["trend"])
+    raw = {p: sum(d) / len(d) for p, d in by_pos.items()}
+    center = sum(raw.values()) / len(raw)
+    for r in rows:
+        p = r["period_pos"]
+        r["seasonal"] = raw[p] - center
+        r["seasonal_support"] = len(by_pos[p])
+        r["resid"] = r["v"] - r["trend"] - r["seasonal"]
+    return rows
+
+
 def timeseries_drift_between(
     state_a: TimeseriesState,
     state_b: TimeseriesState,

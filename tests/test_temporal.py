@@ -1096,3 +1096,48 @@ def test_seasonal_decompose_identity_and_centering(spark):
 
     with pytest.raises(ValueError, match="period must be one of"):
         seasonal_decompose(df, "ts", "v", period="fortnight")
+
+
+def test_seasonal_decompose_of_state_matches_batch(spark):
+    """The state-mode decomposition equals the batch operator bucket for
+    bucket — including when the state was built from merged shards — and
+    costs zero Spark jobs."""
+    from pandas_profiling_personal_spark.plans.incremental import (
+        merge_timeseries_states, seasonal_decompose_of, timeseries_partial,
+    )
+    from pandas_profiling_personal_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    rows = [
+        (dt.datetime(2024, 3, 1) + dt.timedelta(hours=h),
+         0.05 * h + (7.0 if h % 24 == 9 else 0.0))
+        for h in range(24 * 6)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    batch = {r["t"]: r.asDict()
+             for r in seasonal_decompose(df, "ts", "v", 24).collect()}
+
+    # two shards split mid-series, merged
+    cut = dt.datetime(2024, 3, 4)
+    st = merge_timeseries_states([
+        timeseries_partial(df.where(F.col("ts") < cut), "ts", ["v"]),
+        timeseries_partial(df.where(F.col("ts") >= cut), "ts", ["v"]),
+    ])
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    state_rows = seasonal_decompose_of(st, "v", 24)
+    assert len(tracker.getJobIdsForGroup(None) or []) == before
+    assert len(state_rows) == len(batch)
+    for r in state_rows:
+        b = batch[r["t"]]
+        assert r["period_pos"] == b["period_pos"]
+        assert r["n"] == b["n"]
+        for k in ("v", "trend", "seasonal", "resid"):
+            assert r[k] == pytest.approx(b[k], abs=1e-9), (r["t"], k)
+        assert r["trend_support"] == b["trend_support"]
+
+    with pytest.raises(ValueError, match="not in state"):
+        seasonal_decompose_of(st, "ghost")
+    with pytest.raises(ValueError, match="period must be"):
+        seasonal_decompose_of(st, "v", period="fortnight")
