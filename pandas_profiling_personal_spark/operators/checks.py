@@ -220,6 +220,24 @@ def primary_key(cols: list[str] | str, name: str | None = None) -> Check:
     return Check("primary_key", cols, name or f"primary_key({','.join(cols)})", {})
 
 
+def schema_matches(columns: Mapping[str, str], allow_extra: bool = True,
+                   name: str | None = None) -> Check:
+    """Declared schema contract: every expected column present with the
+    expected Spark SQL type (``simpleString`` form: ``bigint``, ``double``,
+    ``string``, ``array<double>``, ...); ``allow_extra=False`` also fails
+    when UNEXPECTED columns appear. Evaluated from ``df.schema`` — zero
+    Spark jobs, so it belongs at the top of every suite: a renamed or
+    re-typed column fails here by name before any data-dependent check
+    reads garbage through it (the batch complement of the state-mode
+    ``schema_drift_between_partials``)."""
+    cols = tuple(sorted((str(k), str(v).strip().lower())
+                        for k, v in columns.items()))
+    if not cols:
+        raise ValueError("schema_matches: empty column map")
+    return Check("schema", tuple(k for k, _ in cols), name or "schema",
+                 {"columns": cols, "allow_extra": bool(allow_extra)})
+
+
 def foreign_key(cols: list[str] | str, ref: str, ref_cols: list[str] | str,
                 max_violation_ratio: float = 0.0, name: str | None = None) -> Check:
     """Child keys must exist in the parent: violation_ratio <= bound.
@@ -606,6 +624,34 @@ def _fk_rows(df: DataFrame, checks: list[Check],
 # ---------------------------------------------------------------------------
 
 
+def _schema_rows(df: DataFrame, checks: list[Check]) -> DataFrame | None:
+    """Schema contracts evaluated from ``df.schema`` — zero Spark jobs;
+    the result rows materialize via a local createDataFrame so the suite
+    union stays one frame. ``value`` = fraction of expected columns
+    present with the expected type; extras fail only when declared."""
+    if not checks:
+        return None
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    data = []
+    for chk in checks:
+        exp = dict(chk.params["columns"])
+        matched = sum(1 for c, t in exp.items() if actual.get(c) == t)
+        extras = sorted(set(actual) - set(exp))
+        value = matched / len(exp)
+        passed = matched == len(exp) and (
+            chk.params["allow_extra"] or not extras
+        )
+        data.append((
+            chk.name, "schema", chk.display_column(), "schema_match",
+            round(value, ROUND), 1.0, None, bool(passed),
+        ))
+    return df.sparkSession.createDataFrame(
+        data,
+        "check_name string, kind string, column string, metric string,"
+        " value double, lower double, upper double, passed boolean",
+    )
+
+
 def check_suite(
     df: DataFrame,
     checks: list[Check],
@@ -623,7 +669,9 @@ def check_suite(
     dupes = {n for n in names if names.count(n) > 1}
     if dupes:
         raise ValueError(f"duplicate check names: {sorted(dupes)}")
-    groups: dict[str, list[Check]] = {"scalar": [], "key": [], "fd": [], "fk": []}
+    groups: dict[str, list[Check]] = {
+        "scalar": [], "key": [], "fd": [], "fk": [], "schema": [],
+    }
     for chk in checks:
         if chk.kind in _SCALAR_KINDS:
             groups["scalar"].append(chk)
@@ -633,6 +681,8 @@ def check_suite(
             groups["fd"].append(chk)
         elif chk.kind == "foreign_key":
             groups["fk"].append(chk)
+        elif chk.kind == "schema":
+            groups["schema"].append(chk)
         else:
             raise ValueError(f"unknown check kind: {chk.kind}")
     parts = [
@@ -640,6 +690,7 @@ def check_suite(
         _key_rows(df, groups["key"]),
         _fd_rows(df, groups["fd"]),
         _fk_rows(df, groups["fk"], refs or {}),
+        _schema_rows(df, groups["schema"]),
     ]
     out: DataFrame | None = None
     for p in parts:
@@ -1007,6 +1058,8 @@ _CTORS = {
     "functional_dependency": lambda d: functional_dependency(
         d["determinant"], d["dependent"], d.get("min_ratio", 1.0),
         d.get("name")),
+    "schema": lambda d: schema_matches(
+        d["columns"], d.get("allow_extra", True), d.get("name")),
 }
 
 
@@ -1046,6 +1099,8 @@ def checks_to_spec(checks: list[Check]) -> dict:
             d["columns"] = list(c.columns)
             d["ref"] = p.pop("ref")
             d["ref_cols"] = list(p.pop("ref_cols"))
+        elif c.kind == "schema":
+            d["columns"] = dict(p.pop("columns"))
         elif c.kind in _KEY_KINDS or c.kind == "satisfies":
             if c.columns:
                 d["columns"] = list(c.columns)

@@ -1109,3 +1109,47 @@ def test_cli_checks_violations(tmp_path):
     assert proc.returncode == 4, proc.stderr[-1500:]
     page = html_out.read_text(encoding="utf-8")
     assert "Violating values" in page and "-3.0" in page
+
+
+def test_schema_matches_contract(spark, frame):
+    """Declared schema gate: zero Spark jobs, fails by name on missing /
+    re-typed / (optionally) unexpected columns; spec round-trips."""
+    ok = C.schema_matches(
+        {"id": "int", "val": "double", "cat": "string", "fk": "int"},
+        allow_extra=False, name="schema_exact")
+    partial = C.schema_matches(
+        {"id": "int", "val": "decimal(10,2)", "ghost": "string"},
+        name="schema_bad")
+    extra_ok = C.schema_matches({"id": "INT "}, name="schema_loose")
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    res = C.check_suite(frame, [ok, partial, extra_ok])
+    r = _by_name(res)
+    # the collect itself is a job over the tiny local frame; the schema
+    # evaluation added no scan of `frame`
+    assert r["schema_exact"]["passed"] and r["schema_exact"]["value"] == 1.0
+    assert not r["schema_bad"]["passed"]
+    assert r["schema_bad"]["value"] == pytest.approx(1 / 3, abs=1e-4)
+    assert r["schema_loose"]["passed"]  # type normalized, extras allowed
+    del before, tracker
+
+    # allow_extra=False fails when unexpected columns appear
+    strict = C.schema_matches({"id": "int"}, allow_extra=False, name="st")
+    sr = _by_name(C.check_suite(frame, [strict]))
+    assert sr["st"]["value"] == 1.0 and not sr["st"]["passed"]
+
+    # spec round-trip
+    spec = C.checks_to_spec([ok, partial])
+    back = C.checks_from_spec(spec)
+    assert C.checks_to_spec(back) == spec
+
+    # state mode refuses by name (spark types are not in a PartialProfile)
+    from pandas_profiling_personal_spark.plans.incremental import (
+        checks_of, partial_profile,
+    )
+    with pytest.raises(ValueError, match="schema_exact"):
+        checks_of(partial_profile(frame), [ok])
+
+    with pytest.raises(ValueError, match="empty column map"):
+        C.schema_matches({})
