@@ -341,7 +341,12 @@ _SPECS: dict[str, tuple] = {
     # sitting out under kin coverage, and rows-only-by-design queries
     # (ann_lsh_topk: bucket membership not engine-reproducible — its recall
     # gate ann_lsh_recall IS in-window; phik_mixed: driver-side bisection
-    # over a bivariate-normal integral, not SQL-expressible)
+    # over a bivariate-normal integral, not SQL-expressible).
+    # r12 rotation plan: the FOUR never-driver-recorded r11 specs below
+    # (seasonal_decompose_events, check_violations_lineitem,
+    # layout_stats_lineitem, plus phik_mixed_contingency if it missed this
+    # window) go in first, then rows whose latest evidence is r9 — the
+    # window policy (one per family, favour never/oldest) continues.
     "contamination_documents": (
         PP.contamination_query(8, 37),
         PP.contamination_sql(8, 37),

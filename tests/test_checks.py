@@ -1153,3 +1153,19 @@ def test_schema_matches_contract(spark, frame):
 
     with pytest.raises(ValueError, match="empty column map"):
         C.schema_matches({})
+
+
+def test_check_violations_plan_bounded_topn(spark):
+    """Each check's sample is a TakeOrderedAndProject (bounded per-check
+    top-N), never a global sort, with no Python in the plan."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        (F.col("id") % 50).alias("k"), F.col("id"))
+    out = C.check_violations(df, [
+        C.in_range("id", 0, 900, name="rng"),
+        C.uniqueness("k", name="u"),
+    ], limit=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("TakeOrderedAndProject") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
