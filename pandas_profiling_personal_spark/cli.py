@@ -555,8 +555,14 @@ def main(argv: list[str] | None = None) -> int:
                 variables = finalize_partial(part, spark)["variables"]
                 suite = CK.suggest_checks(variables)
             else:
-                result = profile(read_table(spark, args.input), cfg)
-                suite = CK.suggest_checks(result.variables)
+                df_in = read_table(spark, args.input)
+                result = profile(df_in, cfg)
+                # batch path has the real Spark schema — the suggested
+                # suite gates renames/re-types from day one (the state
+                # path cannot: VariableType carries no Spark types)
+                suite = CK.suggest_checks(
+                    result.variables, spark_schema=df_in.schema
+                )
             if not suite:
                 raise SystemExit(
                     "--suggest-checks: nothing suggestible (no profiled "

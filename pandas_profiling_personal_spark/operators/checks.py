@@ -942,6 +942,7 @@ def suggest_checks(
     n_rows: int | None = None,
     set_cardinality_cap: int = 20,
     range_slack: float = 0.0,
+    spark_schema=None,
 ) -> list[Check]:
     """Turn a computed profile into a declared suite (zero Spark work).
 
@@ -955,8 +956,22 @@ def suggest_checks(
     only an APPROXIMATE distinct count — so a state suggests the
     completeness / range family but never uniqueness or is_in_set, which
     need exact group visibility the sketch cannot give).
+
+    ``spark_schema`` (the frame's ``df.schema``) prepends a
+    :func:`schema_matches` contract over the profiled columns, so the
+    suggested suite also gates renames/re-types from day one — a
+    VariableType alone cannot say ``bigint`` vs ``double``, hence the
+    explicit schema argument rather than an inference.
     """
     out: list[Check] = []
+    if spark_schema is not None:
+        typed = {
+            f.name: f.dataType.simpleString()
+            for f in spark_schema.fields
+            if f.name in variables
+        }
+        if typed:
+            out.append(schema_matches(typed, name="schema"))
     for col, v in variables.items():
         cnt = v.get("count")
         n_miss = v.get("n_missing")

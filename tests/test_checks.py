@@ -183,6 +183,18 @@ def test_suggestion_property(spark):
     assert any(
         c.kind == "uniqueness" and c.columns == ("o_orderkey",) for c in suggested
     )
+    # with the frame's schema, a schema contract leads the suite and the
+    # suggestion property still holds on the profiled frame
+    with_schema = C.suggest_checks(result.variables, spark_schema=df.schema)
+    assert with_schema[0].kind == "schema"
+    rows2 = C.check_suite(df, with_schema).collect()
+    assert all(r["passed"] for r in rows2)
+    # the contract actually bites: a re-typed column fails it
+    retyped = df.withColumn(
+        "o_orderkey", df["o_orderkey"].cast("string"))
+    r3 = {r["check_name"]: r for r in
+          C.check_suite(retyped, [with_schema[0]]).collect()}
+    assert not r3["schema"]["passed"]
 
 
 def test_plan_scalar_single_scan_no_python(spark):
