@@ -261,6 +261,15 @@ def main() -> None:
         _inc_dedup, "pipeline_incremental_dedup"
     )
 
+    # end-of-sweep canary: the pre-JVM canary dates the host at start and
+    # the mid-loop canary at the query-map midpoint, but the pipeline
+    # headliners above run AFTER both — r11 observed a throttle window
+    # opening exactly there (late documents-family numbers 2x their
+    # steady state while both recorded canaries read fast). A third
+    # sample brackets the whole sweep so a late window is self-evident
+    # from the artifact.
+    canary_end = _cpu_canary()
+
     # tier labels (VERDICT r8 #6): specs that deliberately run a TEST-tier
     # plan — their sweep numbers price the parity harness, not the
     # production path; read these before calling a number a regression
@@ -329,6 +338,7 @@ def main() -> None:
         "host_load_1m": _loadavg(),
         "cpu_canary_sec": canary,
         "cpu_canary_mid_sec": canary_mid,
+        "cpu_canary_end_sec": canary_end,
         "throttle": throttle_info,
     }
     # the full 60+-query map makes one very long line that the driver's tail
@@ -366,6 +376,7 @@ def main() -> None:
         "host_load_1m": _loadavg(),
         "cpu_canary_sec": canary,
         "cpu_canary_mid_sec": canary_mid,
+        "cpu_canary_end_sec": canary_end,
         "throttled": throttle_info["throttled"],
         "flagship_rerun": flagship_rerun,
         "full_map": "BENCH_FULL.json",
