@@ -319,6 +319,25 @@ def main() -> None:
             "before the as-of itself — the union-tag window is the priced "
             "operator"
         ),
+        "phik_mixed_contingency_lineitem": (
+            "oracle tier: EXACT decile edges (F.percentile) for "
+            "cross-engine bit-equality; production phik_matrix uses GK "
+            "approx edges on the same one-shuffle contingency"
+        ),
+        "seasonal_decompose_events": (
+            "oracle tier: stable DECIMAL grid + scaled-BIGINT window "
+            "sums, aggregated per period for the hash gate; production "
+            "decomposition is plain doubles on the same bounded grid "
+            "(sf1 point: flat, PERFORMANCE.md)"
+        ),
+        "check_violations_lineitem": (
+            "diagnostic tier by design: one bounded TakeOrderedAndProject "
+            "job per check — run on the failed handful, not the suite "
+            "(the gate itself stays one-scan-per-family)"
+        ),
+        "numeric_summary_nation": (
+            "25-row table: wall is pure fixed overhead, not operator cost"
+        ),
     }
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
