@@ -354,6 +354,13 @@ _SPECS: dict[str, tuple] = {
     # NEW r11 (tail for now; window is full this round): layout-advisor
     # inputs — per-column cardinality/null/skew in one melt, the numbers
     # suggest_layout's partition/bucket/salt rules consume
+    # NEW r11 (tail): score-proportional deterministic sampling — the
+    # quality/temperature row-level sampler (keep_prob ∝ w^(1/T), md5
+    # uniforms, one 1-row scale aggregate)
+    "weighted_sample_documents": (
+        PP.weighted_sample_query(),
+        PP.weighted_sample_sql(),
+    ),
     # NEW r11 (tail): classical additive decomposition on the bounded grid
     # (v = trend + seasonal + resid) — per-period exact-integer invariants
     "seasonal_decompose_events": (

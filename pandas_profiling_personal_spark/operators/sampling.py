@@ -105,6 +105,74 @@ def deterministic_split(
     return df.withColumn(out_col, label)
 
 
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    target_fraction: float,
+    temperature: float = 1.0,
+    granularity: int = 1_000_000,
+) -> DataFrame:
+    """Score-proportional deterministic sampling — the row-level
+    complement of source-level mixture planning: keep each row with
+    probability ∝ ``weight^(1/temperature)``, scaled so the EXPECTED kept
+    fraction is ``target_fraction`` (the quality/temperature sampling of
+    LLM data-mixing recipes: T=1 proportional, T→∞ uniform, T<1 sharpens
+    toward the highest scores).
+
+    Deterministic end to end: the per-row uniform is md5(key) (the
+    :func:`deterministic_split` convention — re-runs, engines, and
+    partitionings keep the same rows), and the scale constant
+    ``c = target_fraction · n / Σ w^(1/T)`` is ONE 1-row aggregate.
+    ``p = min(1, c·w^(1/T))`` is rounded to 9 decimals so the compare is
+    engine-stable; rows with NULL or non-positive weight are never kept
+    (a log-domain weight should be exponentiated by the caller). When
+    high-weight rows saturate at p=1 the realized fraction falls below
+    the target rather than redistributing mass — a single-pass choice,
+    stated here: exact redistribution needs iterative waterfilling.
+
+    Returns the KEPT rows with a ``keep_prob`` audit column. Scale shape:
+    one tiny aggregate crossJoined as a literal-like 1-row plan, then one
+    codegen'd filter — no shuffle of the data itself."""
+    if not 0.0 < target_fraction <= 1.0:
+        raise ValueError(
+            f"target_fraction must be in (0, 1], got {target_fraction}"
+        )
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    w = S.col(weight_col).cast("double")
+    wt = F.when(
+        w.isNotNull() & (w > 0) & ~F.isnan(w),
+        F.pow(w, F.lit(1.0 / temperature)),
+    )
+    totals = df.agg(
+        F.sum(wt).alias("__wsum"), F.count(wt).alias("__n")
+    )
+    u = (
+        F.conv(F.substring(F.md5(S.col(key).cast("string")), 1, 8), 16, 10)
+        .cast("long") % granularity
+    ) / F.lit(float(granularity))
+    # the wt.isNotNull guard is load-bearing: Spark's least() SKIPS nulls,
+    # so least(1.0, NULL) is 1.0 and an invalid-weight row would sail
+    # through at probability 1 without it
+    p = F.when(
+        wt.isNotNull(),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(target_fraction) * F.col("__n") / F.col("__wsum") * wt,
+            ),
+            9,
+        ),
+    )
+    return (
+        df.crossJoin(totals)
+        .select("*", p.alias("keep_prob"), u.alias("__u"))
+        .where(F.col("keep_prob").isNotNull() & (F.col("__u") < F.col("keep_prob")))
+        .drop("__wsum", "__n", "__u")
+    )
+
+
 def split_counts(
     df: DataFrame,
     key: str,

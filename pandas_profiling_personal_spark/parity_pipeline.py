@@ -1209,6 +1209,60 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
 
+def weighted_sample_query(
+    target_fraction: float = 0.3, temperature: float = 2.0
+) -> QueryFn:
+    """Score-proportional deterministic sampling (operators/sampling.py:
+    weighted_sample — the quality/temperature row-level sampler of LLM
+    data-mixing recipes): keep_prob ∝ n_chars^(1/T), scaled to the target
+    expected fraction by ONE 1-row aggregate; the per-row uniform is the
+    md5(key) idiom every dedup oracle already proves cross-engine. The
+    9-decimal keep_prob rounding makes the comparison engine-stable (the
+    double pow/sum differ in the last ulp between engines)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.sampling import (
+            weighted_sample,
+        )
+
+        docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        out = weighted_sample(
+            docs, "doc_id", "n_chars", target_fraction, temperature
+        )
+        return out.select(
+            "doc_id", F.round(F.col("keep_prob"), 4).alias("keep_prob")
+        )
+
+    return fn
+
+
+def weighted_sample_sql(
+    target_fraction: float = 0.3, temperature: float = 2.0
+) -> str:
+    inv_t = repr(1.0 / temperature)
+    u = (
+        "(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+        " AS UBIGINT) % 1000000) / 1000000.0"
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN n_chars IS NOT NULL AND n_chars > 0
+              THEN pow(CAST(n_chars AS DOUBLE), {inv_t}) END AS wt
+  FROM documents),
+tot AS (SELECT sum(wt) AS wsum, count(wt) AS n FROM w),
+sel AS (
+  SELECT doc_id,
+         CASE WHEN wt IS NOT NULL THEN
+           round(least(1.0, {target_fraction!r} * tot.n / tot.wsum * wt), 9)
+         END AS keep_prob,
+         {u} AS u
+  FROM w, tot)
+SELECT doc_id, round(keep_prob, 4) AS keep_prob
+FROM sel WHERE keep_prob IS NOT NULL AND u < keep_prob
+"""
+
+
 def mixture_upsampled_query(max_repeats: float = 3.0) -> QueryFn:
     """Upsampling tier: zh/fr/de may repeat up to ``max_repeats`` epochs, so
     the small languages stop being the binding constraint on the mixture."""

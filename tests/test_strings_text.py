@@ -797,3 +797,46 @@ def test_chunk_documents_coverage_invariants(spark):
                 assert c[:overlap] == rebuilt[-overlap:] if overlap else True
                 rebuilt.extend(c[overlap:])
             assert rebuilt == toks, (n, chunk, overlap)
+
+
+def test_weighted_sample_semantics(spark):
+    """Expected fraction hits the target; low temperature sharpens toward
+    high scores; T→∞ approaches uniform; null/zero weights never kept;
+    the selection is deterministic across runs."""
+    from pandas_profiling_personal_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    n = 4000
+    rows = [(i, float((i % 10) + 1)) for i in range(n)]
+    rows += [(n, None), (n + 1, 0.0), (n + 2, float("nan"))]
+    df = spark.createDataFrame(rows, "id bigint, w double")
+
+    kept = weighted_sample(df, "id", "w", 0.3).collect()
+    ids = {r["id"] for r in kept}
+    assert not {n, n + 1, n + 2} & ids           # null/zero/NaN dropped
+    assert 0.25 * n < len(kept) < 0.35 * n       # expected fraction ~0.3
+    # proportional (T=1): weight-10 rows kept ~10x the rate of weight-1
+    by_w = {}
+    for r in kept:
+        by_w[r["w"]] = by_w.get(r["w"], 0) + 1
+    assert by_w[10.0] > 5 * by_w.get(1.0, 1)
+    # audit column present, in (0, 1]
+    assert all(0 < r["keep_prob"] <= 1 for r in kept)
+
+    # T large: approaches uniform — per-weight keep counts even out
+    flat = weighted_sample(df, "id", "w", 0.3, temperature=1e9).collect()
+    fw = {}
+    for r in flat:
+        fw[r["w"]] = fw.get(r["w"], 0) + 1
+    assert max(fw.values()) < 2.5 * min(fw.values())
+
+    # deterministic: identical row set on a re-run
+    again = {r["id"] for r in weighted_sample(df, "id", "w", 0.3).collect()}
+    assert again == ids
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="target_fraction"):
+        weighted_sample(df, "id", "w", 0.0)
+    with _pt.raises(ValueError, match="temperature"):
+        weighted_sample(df, "id", "w", 0.5, temperature=0)
