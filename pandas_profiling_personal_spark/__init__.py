@@ -36,6 +36,10 @@ from pandas_profiling_personal_spark.report.compare import (
     compare_profiles,
     comparison_to_html,
 )
+from pandas_profiling_personal_spark.report.card import (
+    card_to_file,
+    dataset_card,
+)
 from pandas_profiling_personal_spark.report.html import render_html, to_file
 from pandas_profiling_personal_spark.operators.layout import (
     apply_layout,
@@ -64,6 +68,8 @@ __all__ = [
     "merge_partials",
     "partial_profile",
     "apply_layout",
+    "card_to_file",
+    "dataset_card",
     "layout_stats",
     "suggest_layout",
     "suggest_layout_from_profile",

@@ -1109,6 +1109,15 @@ def main(argv: list[str] | None = None) -> int:
         if out.endswith(".json"):
             with open(out, "w", encoding="utf-8") as fh:
                 fh.write(result.to_json(indent=2))
+        elif out.endswith(".md"):
+            # Markdown dataset card — the committable artifact a published
+            # training set ships with (metadata + stats + variables +
+            # alerts + layout advice)
+            from pandas_profiling_personal_spark.report.card import (
+                card_to_file,
+            )
+
+            card_to_file(result, out)
         else:
             html_report.to_file(result, out, title)
         print(json.dumps({"output": out, "n_rows": result.table["n"],

@@ -2180,3 +2180,47 @@ def test_streaming_hamming_dedup_vs_store(spark, tmp_path):
             stream, static_store, "signature", bits=64,
             max_hamming=7, band_bits=16,
         )
+
+
+def test_dataset_card_markdown(spark, tmp_path):
+    """The Markdown dataset card carries metadata, stats, variables with
+    descriptions, alerts, and layout advice; CLI writes it for .md
+    outputs; pipes in values stay table-safe."""
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    from pandas_profiling_personal_spark import (
+        ProfileConfig, dataset_card, profile,
+    )
+
+    df = spark.createDataFrame(
+        [(f"r{i % 4}", i, "x") for i in range(40)],
+        "region string, id int, `pi|ped` string")
+    r = profile(df, ProfileConfig(
+        exact=True, title="Card T", dataset_description="Desc here",
+        dataset_url="https://example.com",
+        variable_descriptions=(("id", "row id | key"),),
+        layout_advice=True, layout_join_keys=("id",),
+        correlations=(), duplicates=False))
+    card = dataset_card(r)
+    assert card.startswith("# Card T")
+    assert "Desc here" in card and "https://example.com" in card
+    assert "| id |" in card and "row id \\| key" in card
+    assert "pi\\|ped" in card                 # pipe escaping in names
+    assert "## Suggested write layout" in card
+    assert "bucketBy" in card
+
+    src = tmp_path / "d.parquet"
+    pd.DataFrame({"x": range(30)}).to_parquet(src)
+    out = tmp_path / "card.md"
+    proc = subprocess.run(
+        [sys.executable, "-m", "pandas_profiling_personal_spark.cli",
+         str(src), str(out), "--minimal", "--title", "CLI Card",
+         "--master", "local[2]"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    text = out.read_text(encoding="utf-8")
+    assert text.startswith("# CLI Card") and "| x |" in text
