@@ -354,6 +354,13 @@ _SPECS: dict[str, tuple] = {
     # NEW r11 (tail for now; window is full this round): layout-advisor
     # inputs — per-column cardinality/null/skew in one melt, the numbers
     # suggest_layout's partition/bucket/salt rules consume
+    # NEW r11 (tail): feature-vs-target relevance ranking — |Pearson| for
+    # numeric features in one agg, correlation ratio η² for categoricals
+    # in one melt (the target analysis the reference lacks)
+    "target_relevance_lineitem": (
+        P.target_relevance_query(),
+        P.target_relevance_sql(),
+    ),
     # NEW r11 (tail): score-proportional deterministic sampling — the
     # quality/temperature row-level sampler (keep_prob ∝ w^(1/T), md5
     # uniforms, one 1-row scale aggregate)

@@ -462,6 +462,201 @@ def phik_matrix(
     return {p: _phik_from_cells(tables[p], noise_correction) for p in pairs}
 
 
+def correlation_ratio_all(
+    df: DataFrame, numeric_col: str, categorical_cols: list[str]
+) -> "dict[str, float | None]":
+    """Correlation ratio η² (eta-squared) of a numeric column against EVERY
+    categorical column in ONE melt exchange: 1 − SS_within / SS_total over
+    rows where both sides are non-null. η² is the natural mixed-type
+    association for a profiler's target analysis — 0 when category means
+    are identical, 1 when the category determines the value.
+
+    Shape: explode (feature_id, category, y) structs, groupBy with map-side
+    combine to per-(feature, category) [n, Σy, Σy²] cells — the contingency
+    melt (A1) carrying three numbers per cell instead of one — then a
+    bounded per-feature collapse. Σ within-group Σy² identities avoid a
+    second pass: SS_total = Σy² − (Σy)²/n, SS_within = Σ_g (Σy²_g −
+    (Σy_g)²/n_g). Columns with < 2 categories or zero variance yield None."""
+    if not categorical_cols:
+        return {}
+    y = S.col(numeric_col).cast("double")
+    structs = [
+        F.struct(
+            F.lit(i).alias("fid"),
+            S.col(c).cast("string").alias("g"),
+            y.alias("y"),
+        )
+        for i, c in enumerate(categorical_cols)
+    ]
+    return _eta2_from_structs(df, structs, categorical_cols)
+
+
+def _eta2_from_structs(
+    df: DataFrame, structs: list, names: list[str]
+) -> "dict[str, float | None]":
+    """Shared η² kernel: melt -> per-(feature, group) [n, Σy, Σy²] cells
+    (map-side combined) -> bounded per-feature collapse -> driver algebra."""
+    cells = (
+        df.select(F.explode(F.array(*structs)).alias("kv"))
+        .select("kv.fid", "kv.g", "kv.y")
+        .where(F.col("g").isNotNull() & F.col("y").isNotNull()
+               & ~F.isnan(F.col("y")))
+        .groupBy("fid", "g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("s"),
+            F.sum(F.col("y") * F.col("y")).alias("ss"),
+        )
+    )
+    per_f = cells.groupBy("fid").agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("ss").alias("ss"),
+        F.sum(F.col("ss") - F.col("s") * F.col("s") / F.col("n")).alias(
+            "ss_within"
+        ),
+        F.count(F.lit(1)).alias("n_groups"),
+    ).collect()
+    out: "dict[str, float | None]" = {c: None for c in names}
+    for r in per_f:
+        ss_total = r["ss"] - (r["s"] * r["s"] / r["n"] if r["n"] else 0.0)
+        if r["n_groups"] >= 2 and ss_total > 0:
+            out[names[r["fid"]]] = max(
+                0.0, min(1.0, 1.0 - r["ss_within"] / ss_total)
+            )
+    return out
+
+
+def correlation_ratio_by_group(
+    df: DataFrame, group_col: str, numeric_cols: list[str]
+) -> "dict[str, float | None]":
+    """η² of EVERY numeric column against ONE categorical grouping in ONE
+    melt exchange — the transpose of :func:`correlation_ratio_all` (same
+    cell algebra; structs carry (feature_id, group, y_i) so many numerics
+    share the single shuffle)."""
+    if not numeric_cols:
+        return {}
+    g = S.col(group_col).cast("string")
+    structs = [
+        F.struct(
+            F.lit(i).alias("fid"),
+            g.alias("g"),
+            S.col(c).cast("double").alias("y"),
+        )
+        for i, c in enumerate(numeric_cols)
+    ]
+    return _eta2_from_structs(df, structs, numeric_cols)
+
+
+def target_relevance(
+    df: DataFrame,
+    target: str,
+    features: list[str] | None = None,
+    numeric_cols: list[str] | None = None,
+    categorical_cols: list[str] | None = None,
+    max_categories: int = 100,
+) -> "list[dict]":
+    """Rank every feature by its association with a declared target — the
+    feature-relevance read the reference's successors attach to
+    ``interactions.targets``, computed with the engine's batched kernels
+    (never a per-feature job loop):
+
+    * numeric target × numeric feature → |Pearson| (ONE agg for all)
+    * numeric target × categorical feature → η² (ONE melt,
+      :func:`correlation_ratio_all`)
+    * categorical target × numeric feature → η² with roles swapped
+    * categorical target × categorical feature → Cramér's V (ONE
+      contingency shuffle, :func:`cramers_v_matrix` kernel)
+
+    ``numeric_cols``/``categorical_cols`` declare the typing (the profile
+    knows it; pass ``features`` alone to infer from the Spark schema:
+    numeric types → numeric, everything else stringly-categorical).
+    Categorical features beyond ``max_categories`` distinct values are
+    skipped with a reason (the reference's
+    categorical_maximum_correlation_distinct gate). Returns
+    ``[{feature, method, score}]`` sorted by score desc (None scores
+    last), score rounded to 4 decimals."""
+    from pyspark.sql import types as T
+
+    if numeric_cols is None and categorical_cols is None:
+        feats = features if features is not None else [
+            c for c in df.columns if c != target
+        ]
+        num_types = (T.NumericType,)
+        by_type = {f.name: f.dataType for f in df.schema.fields}
+        numeric_cols = [
+            c for c in feats if isinstance(by_type.get(c), num_types)
+        ]
+        categorical_cols = [c for c in feats if c not in numeric_cols]
+    numeric_cols = [c for c in (numeric_cols or []) if c != target]
+    categorical_cols = [c for c in (categorical_cols or []) if c != target]
+    if not numeric_cols and not categorical_cols:
+        raise ValueError("target_relevance: no features")
+
+    from pyspark.sql import types as T2
+    target_numeric = isinstance(
+        df.schema[target].dataType, T2.NumericType
+    )
+
+    # cardinality gate for categorical features (one agg)
+    skipped: "dict[str, str]" = {}
+    if categorical_cols:
+        card = df.agg(*[
+            F.approx_count_distinct(S.col(c)).alias(f"c{i}")
+            for i, c in enumerate(categorical_cols)
+        ]).collect()[0]
+        kept = []
+        for i, c in enumerate(categorical_cols):
+            if card[f"c{i}"] > max_categories:
+                skipped[c] = (
+                    f"~{card[f'c{i}']} categories > "
+                    f"max_categories={max_categories}"
+                )
+            else:
+                kept.append(c)
+        categorical_cols = kept
+
+    rows: "list[dict]" = []
+    if target_numeric:
+        if numeric_cols:
+            m = pearson_matrix(df, [target, *numeric_cols])
+            for c in numeric_cols:
+                v = m.get((target, c), m.get((c, target)))
+                rows.append({
+                    "feature": c, "method": "pearson_abs",
+                    "score": None if v is None else round(abs(v), 4),
+                })
+        for c, v in correlation_ratio_all(
+            df, target, categorical_cols
+        ).items():
+            rows.append({
+                "feature": c, "method": "eta_squared",
+                "score": None if v is None else round(v, 4),
+            })
+    else:
+        for c, v in correlation_ratio_by_group(
+            df, target, numeric_cols
+        ).items():
+            rows.append({
+                "feature": c, "method": "eta_squared",
+                "score": None if v is None else round(v, 4),
+            })
+        if categorical_cols:
+            m = cramers_v_matrix(df, [target, *categorical_cols])
+            for c in categorical_cols:
+                v = m.get((target, c), m.get((c, target)))
+                rows.append({
+                    "feature": c, "method": "cramers_v",
+                    "score": None if v is None else round(v, 4),
+                })
+    for c, why in skipped.items():
+        rows.append({"feature": c, "method": "skipped", "score": None,
+                     "reason": why})
+    rows.sort(key=lambda r: (r["score"] is None, -(r["score"] or 0),
+                             r["feature"]))
+    return rows
+
+
 def kendall_tau_b(x, y) -> float:
     """Kendall's tau-b with tie corrections, O(n log n) (Knight's algorithm:
     sort by (x, y), count discordant pairs as merge-sort inversions of y).

@@ -683,6 +683,62 @@ def phik_mixed_query(
     return fn
 
 
+def target_relevance_query(
+    table: str = "lineitem",
+    target: str = "l_extendedprice",
+    num_feats: tuple[str, ...] = ("l_quantity", "l_discount", "l_tax"),
+    cat_feats: tuple[str, ...] = ("l_returnflag", "l_linestatus"),
+) -> QueryFn:
+    """Feature-vs-target relevance ranking (operators/correlations.py:
+    target_relevance): |Pearson| for numeric features in ONE agg, η²
+    (correlation ratio) for categorical features in ONE melt — never a
+    per-feature job loop. The reference's successors attach this to
+    interactions.targets; the reference itself has no target analysis."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.correlations import (
+            target_relevance,
+        )
+
+        rows = target_relevance(
+            load(spark, sf_dir, table), target,
+            numeric_cols=list(num_feats),
+            categorical_cols=list(cat_feats),
+        )
+        return spark.createDataFrame(
+            [(r["feature"], r["method"], r["score"]) for r in rows],
+            "feature string, method string, score double",
+        )
+
+    return fn
+
+
+def target_relevance_sql(
+    table: str = "lineitem",
+    target: str = "l_extendedprice",
+    num_feats: tuple[str, ...] = ("l_quantity", "l_discount", "l_tax"),
+    cat_feats: tuple[str, ...] = ("l_returnflag", "l_linestatus"),
+) -> str:
+    parts = [
+        f"SELECT '{c}' AS feature, 'pearson_abs' AS method,"
+        f" round(abs(corr({target}, {c})), 4) AS score FROM {table}"
+        for c in num_feats
+    ]
+    for c in cat_feats:
+        parts.append(f"""
+SELECT '{c}' AS feature, 'eta_squared' AS method,
+       round(greatest(0.0, least(1.0, 1.0 - sw / st)), 4) AS score
+FROM (
+  SELECT sum(ssg - sg * sg / ng) AS sw,
+         sum(ssg) - sum(sg) * sum(sg) / sum(ng) AS st
+  FROM (
+    SELECT count(*) AS ng, sum(y) AS sg, sum(y * y) AS ssg
+    FROM (SELECT {c} AS g, CAST({target} AS DOUBLE) AS y FROM {table}
+          WHERE {c} IS NOT NULL AND {target} IS NOT NULL)
+    GROUP BY g))""")
+    return "\nUNION ALL\n".join(parts)
+
+
 def phik_mixed_contingency_query(
     table: str, num_cols: list[str], cat_cols: list[str], bins: int = 10
 ) -> QueryFn:

@@ -982,3 +982,47 @@ def test_stratified_sample(spark):
         s2.setdefault(r["grp"], set()).add(r["k"])
     for g, v in s2.items():
         assert v <= got[g]
+
+
+def test_target_relevance_ranking(spark):
+    """Feature-vs-target association: a determining categorical scores
+    eta^2 ~1, a correlated numeric |pearson| ~1, noise ~0; categorical
+    targets use Cramer's V + swapped eta^2; high-cardinality features
+    skip with a reason; ranking is score-desc."""
+    import random
+
+    from pandas_profiling_personal_spark.operators.correlations import (
+        target_relevance,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(2000):
+        grp = "abc"[i % 3]
+        y = {"a": 10.0, "b": 50.0, "c": 90.0}[grp] + rng.gauss(0, 1)
+        rows.append((y, 2.0 * y + rng.gauss(0, 1), rng.gauss(0, 5),
+                     grp, f"u{i}", "xy"[i % 2]))
+    df = spark.createDataFrame(
+        rows, "y double, lin double, noise double, grp string,"
+        " uniq string, coin string")
+
+    rel = target_relevance(df, "y", max_categories=100)
+    by = {r["feature"]: r for r in rel}
+    assert by["lin"]["method"] == "pearson_abs" and by["lin"]["score"] > 0.99
+    assert by["grp"]["method"] == "eta_squared" and by["grp"]["score"] > 0.99
+    assert by["noise"]["score"] < 0.1
+    assert by["coin"]["score"] < 0.1
+    assert by["uniq"]["method"] == "skipped" and "categories" in by["uniq"]["reason"]
+    # ranked: the two strong features lead
+    assert {rel[0]["feature"], rel[1]["feature"]} == {"lin", "grp"}
+
+    # categorical target: grp vs numeric y -> eta^2; grp vs coin -> Cramer's V
+    rel2 = target_relevance(
+        df, "grp", numeric_cols=["y", "noise"], categorical_cols=["coin"])
+    b2 = {r["feature"]: r for r in rel2}
+    assert b2["y"]["method"] == "eta_squared" and b2["y"]["score"] > 0.99
+    assert b2["coin"]["method"] == "cramers_v" and b2["coin"]["score"] < 0.1
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="no features"):
+        target_relevance(df.select("y"), "y")
