@@ -112,6 +112,11 @@ def build_parser() -> argparse.ArgumentParser:
         "profile",
     )
     p.add_argument(
+        "--relevance-target", default=None, metavar="COL",
+        help="rank every other column's association with this target "
+        "(|Pearson| / eta-squared / Cramér's V) as a report section",
+    )
+    p.add_argument(
         "--layout-advice", action="store_true",
         help="attach write-layout advice (partition/bucket/salt "
         "recommendations) to the report and JSON — zero extra Spark jobs",
@@ -401,6 +406,8 @@ def main(argv: list[str] | None = None) -> int:
         cfg = cfg.with_(
             timeseries_granularity=args.timeseries_granularity
         )
+    if args.relevance_target:
+        cfg = cfg.with_(relevance_target=args.relevance_target)
     if args.layout_advice or args.join_keys:
         cfg = cfg.with_(
             layout_advice=True,

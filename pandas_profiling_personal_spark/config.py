@@ -64,6 +64,10 @@ class ProfileConfig:
     #: with T targets over N columns the quadratic explode drops to ~T·N,
     #: which is how interactions stay affordable on wide tables
     interactions_targets: tuple[str, ...] = ()
+    #: rank every other column's association with this target
+    #: (|Pearson| / eta-squared / Cramér's V, batched kernels — see
+    #: operators/correlations.target_relevance) as a report section
+    relevance_target: str | None = None
 
     # --- histograms ---------------------------------------------------------------
     #: 0 = auto bins via Freedman-Diaconis/Sturges on the driver

@@ -78,6 +78,9 @@ class ProfileResult:
     #: write-layout advice (config layout_advice=True): the
     #: suggest_layout_from_profile artifact — zero extra Spark jobs
     layout: dict[str, Any] = field(default_factory=dict)
+    #: feature-vs-target association ranking (config relevance_target=):
+    #: [{feature, method, score, reason?}] sorted score-desc
+    relevance: list[dict[str, Any]] = field(default_factory=list)
 
     def as_dict(self) -> dict[str, Any]:
         return {
@@ -95,6 +98,7 @@ class ProfileResult:
             "segments": self.segments,
             "timeseries": self.timeseries,
             "layout": self.layout,
+            "relevance": self.relevance,
         }
 
     def to_json(self, **kw) -> str:
@@ -1052,6 +1056,38 @@ def profile(
                 )
                 _mark("timeseries")
 
+        # target-relevance ranking (relevance_target= config; beyond the
+        # reference): every other column's association with the declared
+        # target via the batched kernels — skipped under redact (scores
+        # are aggregates, but the section invites value-level follow-ups
+        # and segments/ts make the same call)
+        relevance: list[dict[str, Any]] = []
+        if cfg.relevance_target and not cfg.redact:
+            tgt = cfg.relevance_target
+            if tgt not in types:
+                raise ValueError(
+                    f"relevance_target column {tgt!r} not in the profiled "
+                    f"columns"
+                )
+            from pandas_profiling_personal_spark.operators.correlations import (  # noqa: E501
+                target_relevance,
+            )
+
+            num_f = [c for c, vt in types.items()
+                     if vt is VT.NUMERIC and c != tgt]
+            cat_f = [
+                c for c, vt in types.items()
+                if vt in (VT.CATEGORICAL, VT.BOOLEAN) and c != tgt
+            ]
+            if num_f or cat_f:
+                relevance = target_relevance(
+                    df, tgt, numeric_cols=num_f, categorical_cols=cat_f,
+                    max_categories=(
+                        cfg.categorical_maximum_correlation_distinct
+                    ),
+                )
+            _mark("target_relevance")
+
         dataset_meta = {
             k: v
             for k, v in {
@@ -1100,6 +1136,7 @@ def profile(
             table=table,
             variables=variables,
             metadata=metadata,
+            relevance=relevance,
             correlations=correlations,
             missing=missing,
             sample=sample,

@@ -613,6 +613,9 @@ def render_html(result: "Any", title: "str | None" = None) -> str:
     layout = d.get("layout") or {}
     if layout:
         nav_items.append(("layout", "Layout"))
+    relevance = d.get("relevance") or []
+    if relevance:
+        nav_items.append(("relevance", "Target relevance"))
     nav = (
         "<nav data-section='nav'>" + "".join(
             f"<a href='#{anchor}'>{label}</a>" for anchor, label in nav_items
@@ -901,6 +904,20 @@ def render_html(result: "Any", title: "str | None" = None) -> str:
         if anom_rows:
             ts_tabs.append(("Anomalies", _sample_table(anom_rows)))
         parts.append(_tabs(ts_tabs))
+
+    # feature-vs-target relevance (relevance_target= config)
+    if relevance:
+        parts.append(
+            "<h2 id='relevance' data-section='relevance'>"
+            "Target relevance</h2><div class='card'>"
+        )
+        parts.append(_sample_table([
+            {"feature": r.get("feature"), "method": r.get("method"),
+             "score": _fmt(r.get("score")),
+             **({"reason": r["reason"]} if r.get("reason") else {})}
+            for r in relevance
+        ]))
+        parts.append("</div>")
 
     # write-layout advice (layout_advice= config; operators/layout.py —
     # zero extra jobs, derived from the stats above)

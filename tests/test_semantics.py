@@ -1026,3 +1026,33 @@ def test_target_relevance_ranking(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="no features"):
         target_relevance(df.select("y"), "y")
+
+
+def test_relevance_target_profile_section(spark):
+    """relevance_target= attaches the ranking to the result and report;
+    redact skips it; an unknown target refuses by name."""
+    import pytest as _pt
+
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+    from pandas_profiling_personal_spark.report.html import render_html
+
+    rows = [(float(i), 2.0 * i, "ab"[i % 2]) for i in range(200)]
+    df = spark.createDataFrame(rows, "y double, lin double, c string")
+    r = profile(df, ProfileConfig(
+        exact=True, relevance_target="y",
+        correlations=(), duplicates=False))
+    by = {x["feature"]: x for x in r.relevance}
+    assert by["lin"]["score"] > 0.99 and by["lin"]["method"] == "pearson_abs"
+    assert by["c"]["method"] == "eta_squared"
+    page = render_html(r)
+    assert "Target relevance" in page and "pearson_abs" in page
+    import json as _json
+    assert _json.loads(r.to_json())["relevance"][0]["feature"] == "lin"
+
+    r2 = profile(df, ProfileConfig(
+        exact=True, relevance_target="y", redact=True,
+        correlations=(), duplicates=False))
+    assert r2.relevance == []
+    with _pt.raises(ValueError, match="relevance_target"):
+        profile(df, ProfileConfig(relevance_target="ghost",
+                                  correlations=(), duplicates=False))
