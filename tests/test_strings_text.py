@@ -840,3 +840,22 @@ def test_weighted_sample_semantics(spark):
         weighted_sample(df, "id", "w", 0.0)
     with _pt.raises(ValueError, match="temperature"):
         weighted_sample(df, "id", "w", 0.5, temperature=0)
+
+
+def test_weighted_sample_no_data_shuffle_plan(spark):
+    """The sampler's only exchanges carry the 1-row scale aggregate; the
+    data side is scan -> broadcast-join -> codegen filter."""
+    df = spark.range(5000).selectExpr(
+        "id", "cast(id % 7 + 1 as double) as w")
+    from pandas_profiling_personal_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    plan = weighted_sample(df, "id", "w", 0.3)._jdf.queryExecution(
+    ).executedPlan().toString()
+    import re
+    # aggregate rollup + its single-partition side only — no
+    # hash-partitioned exchange of the data rows
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
