@@ -637,7 +637,13 @@ def _schema_rows(df: DataFrame, checks: list[Check]) -> DataFrame | None:
         exp = dict(chk.params["columns"])
         matched = sum(1 for c, t in exp.items() if actual.get(c) == t)
         extras = sorted(set(actual) - set(exp))
-        value = matched / len(exp)
+        # metric must reconstruct the verdict against lower=1.0 like every
+        # other family's rows: with allow_extra=False, unexpected columns
+        # dilute the denominator so value<1.0 exactly when extras exist
+        if chk.params["allow_extra"]:
+            value = matched / len(exp)
+        else:
+            value = matched / max(len(exp), len(actual))
         passed = matched == len(exp) and (
             chk.params["allow_extra"] or not extras
         )

@@ -594,22 +594,44 @@ def target_relevance(
         raise ValueError("target_relevance: no features")
 
     from pyspark.sql import types as T2
-    target_numeric = isinstance(
-        df.schema[target].dataType, T2.NumericType
-    )
+    target_type = df.schema[target].dataType
+    target_numeric = isinstance(target_type, T2.NumericType)
+    if not target_numeric and isinstance(
+        target_type, (T2.DateType, T2.TimestampType, T2.TimestampNTZType)
+    ):
+        raise ValueError(
+            f"target_relevance: target {target!r} has temporal type "
+            f"{target_type.simpleString()}; bucket it (e.g. date_trunc) "
+            "to a categorical or cast to a numeric epoch first"
+        )
 
-    # cardinality gate for categorical features (one agg)
+    # cardinality gate for categorical features AND a categorical target
+    # (one agg). An ungated id-like target would make eta-squared
+    # degenerate toward 1 (group-per-row) and the Cramer's V contingency
+    # collect unbounded, so the target is gated hard, not skipped.
     skipped: "dict[str, str]" = {}
-    if categorical_cols:
+    gate_cols = list(categorical_cols or [])
+    if not target_numeric:
+        gate_cols = [target, *gate_cols]
+    if gate_cols:
         card = df.agg(*[
             F.approx_count_distinct(S.col(c)).alias(f"c{i}")
-            for i, c in enumerate(categorical_cols)
+            for i, c in enumerate(gate_cols)
         ]).collect()[0]
+        by_col = {c: card[f"c{i}"] for i, c in enumerate(gate_cols)}
+        if not target_numeric and by_col[target] > max_categories:
+            raise ValueError(
+                f"target_relevance: categorical target {target!r} has "
+                f"~{by_col[target]} distinct values > "
+                f"max_categories={max_categories}; relevance scores "
+                "against an id-like target are meaningless — pick a "
+                "bounded label column or raise max_categories deliberately"
+            )
         kept = []
-        for i, c in enumerate(categorical_cols):
-            if card[f"c{i}"] > max_categories:
+        for c in categorical_cols:
+            if by_col[c] > max_categories:
                 skipped[c] = (
-                    f"~{card[f'c{i}']} categories > "
+                    f"~{by_col[c]} categories > "
                     f"max_categories={max_categories}"
                 )
             else:

@@ -363,9 +363,17 @@ def _advise(
             "skew_ratio": r["skew_ratio"],
         }
         if why is None:
+            # skew_ratio is None on the profile path when top_values were
+            # withheld/redacted — still a candidate (documented limitation)
+            # but say so instead of rendering a misleading "skew None"
+            skew_note = (
+                "skew unknown (top values withheld)"
+                if r["skew_ratio"] is None
+                else f"skew {r['skew_ratio']}"
+            )
             entry["reason"] = (
                 f"{nd} distinct, {entry['null_frac']:.1%} null, "
-                f"skew {r['skew_ratio']}"
+                f"{skew_note}"
             )
             candidates.append(entry)
         else:

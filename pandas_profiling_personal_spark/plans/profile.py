@@ -111,6 +111,20 @@ def profile(
     columns: list[str] | None = None,
 ) -> ProfileResult:
     cfg = config or ProfileConfig()
+    # fail-fast config validation BEFORE any Spark pass runs: a typo'd
+    # relevance_target (or an unknown html_theme that would only raise at
+    # render time) must not waste a multi-pass profile of a 100 TB table
+    _profiled_cols = columns if columns is not None else df.columns
+    if cfg.relevance_target and cfg.relevance_target not in _profiled_cols:
+        raise ValueError(
+            f"relevance_target column {cfg.relevance_target!r} not in the "
+            f"profiled columns {list(_profiled_cols)}"
+        )
+    if cfg.html_theme not in (None, "", "dark"):
+        raise ValueError(
+            f"unknown html theme {cfg.html_theme!r}; "
+            "supported: None (light), 'dark'"
+        )
     t0 = time.time()
     # per-pass wall clock, surfaced in analysis["pass_durations_sec"] so a
     # slow profile is attributable without external tooling (the reference

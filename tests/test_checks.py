@@ -1146,10 +1146,14 @@ def test_schema_matches_contract(spark, frame):
     assert r["schema_loose"]["passed"]  # type normalized, extras allowed
     del before, tracker
 
-    # allow_extra=False fails when unexpected columns appear
+    # allow_extra=False fails when unexpected columns appear, and the
+    # metric reconstructs the verdict: extras dilute the denominator so
+    # value < lower=1.0 exactly when passed is False (r11 ADVICE)
     strict = C.schema_matches({"id": "int"}, allow_extra=False, name="st")
     sr = _by_name(C.check_suite(frame, [strict]))
-    assert sr["st"]["value"] == 1.0 and not sr["st"]["passed"]
+    n_actual = len(frame.columns)
+    assert sr["st"]["value"] == pytest.approx(1 / n_actual, abs=1e-4)
+    assert not sr["st"]["passed"] and sr["st"]["value"] < 1.0
 
     # spec round-trip
     spec = C.checks_to_spec([ok, partial])

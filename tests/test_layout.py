@@ -140,6 +140,18 @@ def test_suggest_layout_from_profile_zero_jobs(spark):
             == [e["column"] for e in adv["partition_by"]])
     assert scan["bucket_by"]["n_buckets"] == adv["bucket_by"]["n_buckets"]
 
+    # r11 ADVICE (low): a redacted profile withholds top_values, so the
+    # candidate's skew is UNKNOWN — still accepted (documented limitation)
+    # but the reason says so instead of interpolating "skew None"
+    rr = profile(df, ProfileConfig(exact=True, redact=True))
+    adv_r = suggest_layout_from_profile(rr, join_keys=["id"],
+                                        target_rows_per_bucket=50,
+                                        max_partitions=100)
+    cand = {e["column"]: e for e in adv_r["partition_by"]}
+    assert cand["region"]["skew_ratio"] is None
+    assert "skew unknown (top values withheld)" in cand["region"]["reason"]
+    assert "None" not in cand["region"]["reason"]
+
 
 def test_apply_layout_path_and_table(spark, tmp_path):
     """apply_layout executes the advice: path -> partitioned directories

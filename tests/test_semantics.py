@@ -1027,6 +1027,21 @@ def test_target_relevance_ranking(spark):
     with _pt.raises(ValueError, match="no features"):
         target_relevance(df.select("y"), "y")
 
+    # r11 ADVICE (medium): the TARGET itself is cardinality-gated — an
+    # id-like categorical target would make eta^2 degenerate toward 1
+    # (group per row) and the contingency collect unbounded
+    with _pt.raises(ValueError, match="id-like target"):
+        target_relevance(
+            df, "uniq", numeric_cols=["y"], categorical_cols=["coin"],
+            max_categories=100)
+    # temporal targets are rejected by type, not routed to the
+    # categorical path
+    df_ts = df.selectExpr(
+        "y", "lin", "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,"
+        " cast(y as int)) as t")
+    with _pt.raises(ValueError, match="temporal type"):
+        target_relevance(df_ts, "t", numeric_cols=["y", "lin"])
+
 
 def test_relevance_target_profile_section(spark):
     """relevance_target= attaches the ranking to the result and report;
@@ -1056,3 +1071,17 @@ def test_relevance_target_profile_section(spark):
     with _pt.raises(ValueError, match="relevance_target"):
         profile(df, ProfileConfig(relevance_target="ghost",
                                   correlations=(), duplicates=False))
+
+    # r11 ADVICE (low): config typos fail BEFORE any Spark pass — a typo'd
+    # target or unknown theme must not waste a multi-pass profile run
+    tracker = df.sparkSession.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    with _pt.raises(ValueError, match="relevance_target"):
+        profile(df, ProfileConfig(relevance_target="ghost"))
+    with _pt.raises(ValueError, match="unknown html theme"):
+        profile(df, ProfileConfig(html_theme="solarized"))
+    # a subset profile that drops the target also refuses up front
+    with _pt.raises(ValueError, match="relevance_target"):
+        profile(df, ProfileConfig(relevance_target="y"), columns=["lin"])
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "fail-fast validation ran Spark jobs"
