@@ -91,6 +91,19 @@ def main() -> None:
             el = time.time() - t0
             attempts[name].append(round(el, 3))
             best = min(best, el)
+        # VERDICT r11 #3: a >2x attempt spread IS a throttle signature even
+        # when the canaries stayed fast through it (r11 recorded [10.9,
+        # 43.4, 10.6] with throttled:false) — take up to two extra attempts
+        # so the min includes post-window executions; the outlier stays in
+        # the recorded list and sets the per-flagship marker below
+        while (
+            max(attempts[name]) > 2.0 * min(attempts[name])
+            and len(attempts[name]) < n + 2
+        ):
+            t0 = time.time()
+            run()
+            attempts[name].append(round(time.time() - t0, 3))
+            best = min(best, attempts[name][-1])
         return best
 
     df = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
@@ -165,6 +178,14 @@ def main() -> None:
             n_: round(max(a_) / min(a_), 2)
             for n_, a_ in attempts.items() if a_ and min(a_) > 0
         },
+        # per-flagship throttle marker fired by SPREAD alone (VERDICT r11
+        # #3): true when a >2x outlier sits in the attempt list even though
+        # the canaries read fast — the min is post-window (extra attempts
+        # above), the marker says the window happened
+        "flagship_throttled_by_spread": {
+            n_: bool(max(a_) > 2.0 * min(a_))
+            for n_, a_ in attempts.items() if a_ and min(a_) > 0
+        },
     }
 
     # per-query attempt lists (BENCH_FULL only — the headline stays short):
@@ -175,6 +196,28 @@ def main() -> None:
     # regression shows as consistently-slow attempts
     query_attempts: dict[str, list[float]] = {}
 
+    # specs whose plan crosses the Arrow/Python-worker boundary
+    # (mapInPandas codec decode in operators/multimodal.py, applyInPandas
+    # Kendall kernels in operators/correlations.py). The sf0.01 warm-up at
+    # sweep start does touch them, but ~60 queries later the Python worker
+    # pool has gone cold again and the FIRST timed attempt eats an ~8 s
+    # spin-up while the second is still warming (r11 media_metadata
+    # recorded [7.75, 4.25] against a ~0.7-0.9 s steady state) — so these
+    # get one untimed full-scale execution immediately before timing
+    # (VERDICT r11 #2)
+    ARROW_WARM = {
+        "media_metadata_documents",
+        "audio_metadata_documents",
+        "video_metadata_documents",
+        "binary_format_mix_documents",
+        "image_near_dup_documents",
+        "audio_near_dup_documents",
+        "video_near_dup_documents",
+        "image_dedup_keep_list_documents",
+        "incremental_image_dedup_documents",
+        "kendall_customer",
+    }
+
     def timed(run, name: str | None = None) -> float:
         # min-of-2 ALWAYS: this container shows 2-8 s stop-the-world pauses
         # (GC/codegen) on queries whose steady state is sub-second, so a
@@ -183,6 +226,8 @@ def main() -> None:
         # exactly this artifact (interleaved A/B re-measurement, 7 runs each,
         # put every median at or below the r2 level; see PERFORMANCE.md).
         tries = query_attempts.setdefault(name, []) if name else []
+        if name in ARROW_WARM:
+            run()  # untimed: absorb the Python-worker/Arrow spin-up
         elapsed = float("inf")
         for _ in range(2):
             t0 = time.time()
@@ -190,10 +235,14 @@ def main() -> None:
             el = time.time() - t0
             tries.append(round(el, 3))
             elapsed = min(elapsed, el)
-        # rare longer pauses (10-40 s) and cold interpreted-HOF paths that
-        # need TWO full-scale runs to JIT: keep re-measuring >5 s outliers
+        # rare longer pauses (10-40 s), cold interpreted-HOF paths that
+        # need TWO full-scale runs to JIT, and >2x attempt disagreement
+        # (min-of-2 never reached steady state — VERDICT r11 #2): keep
+        # re-measuring up to two extra attempts
         for _ in range(2):
-            if elapsed <= 5.0:
+            if elapsed <= 5.0 and (
+                not tries or max(tries) <= 2.0 * min(tries)
+            ):
                 break
             t0 = time.time()
             run()
@@ -338,6 +387,23 @@ def main() -> None:
         "numeric_summary_nation": (
             "25-row table: wall is pure fixed overhead, not operator cost"
         ),
+        "numeric_summary_lineitem": (
+            "oracle tier: exact percentiles (sort-based F.percentile second "
+            "scan) + exact distincts for cross-engine bit-equality; the "
+            "production default tier is GK approx_percentile + HLL riding "
+            "the single scalar scan"
+        ),
+        "benford_lineitem": (
+            "oracle tier: printf-decimal first-digit extraction (string "
+            "arithmetic chosen because it is engine-identical where "
+            "log10/pow float arithmetic is not); spread has always been "
+            "~2x on this container (GC-adjacent)"
+        ),
+        "embedding_drift_embeddings": (
+            "test harness: builds BOTH halves' embedding profiles in-spec "
+            "before drifting them; production drifts two persisted states "
+            "with zero rescans (kin incremental_embedding_drift)"
+        ),
     }
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -397,6 +463,9 @@ def main() -> None:
         "cpu_canary_mid_sec": canary_mid,
         "cpu_canary_end_sec": canary_end,
         "throttled": throttle_info["throttled"],
+        "flagship_throttled_by_spread": any(
+            throttle_info["flagship_throttled_by_spread"].values()
+        ),
         "flagship_rerun": flagship_rerun,
         "full_map": "BENCH_FULL.json",
     }

@@ -2402,6 +2402,71 @@ FROM agg, rk
 """
 
 
+def incremental_target_relevance_query(
+    n_shards: int = 3,
+    target: str = "l_extendedprice",
+    num_feats: tuple = ("l_quantity", "l_discount", "l_tax"),
+    cat_feats: tuple = ("l_returnflag", "l_linestatus"),
+) -> QueryFn:
+    """State-mode target relevance (VERDICT r11 #5): split lineitem into
+    ``n_shards`` disjoint shards, profile each with the mergeable kernels
+    the ranking needs — Pearson pair states riding the moment pass plus
+    the NEW per-category [n, Σy, Σy²] group-moment melt — merge, finalize
+    with ``target_relevance_of`` (plans/incremental.py): ZERO rescans of
+    any shard. The oracle computes the batch ranking (|Pearson| + η²)
+    over the UNSHARDED frame, so a hash-match proves the merged ranking
+    equals the batch ``target_relevance`` across an arbitrary split —
+    completing the batch/state matrix the other correlation families have
+    (reference has no target analysis at all; successors' interactions.
+    targets is batch-only)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.plans.incremental import (
+            merge_partials,
+            partial_profile,
+            target_relevance_of,
+        )
+
+        li = load(spark, sf_dir, "lineitem").select(
+            target, *num_feats, *cat_feats
+        )
+        key = F.col(target).cast("long") % n_shards
+        parts = [
+            partial_profile(
+                li.where(key == i),
+                top_m=0,
+                correlations=True,
+                group_pairs=[(c, target) for c in cat_feats],
+            )
+            for i in range(n_shards)
+        ]
+        rows = target_relevance_of(
+            merge_partials(parts), target,
+            numeric_cols=list(num_feats),
+            categorical_cols=list(cat_feats),
+        )
+        return spark.createDataFrame(
+            [(r["feature"], r["method"], r["score"]) for r in rows],
+            "feature string, method string, score double",
+        )
+
+    return fn
+
+
+def incremental_target_relevance_sql(
+    target: str = "l_extendedprice",
+    num_feats: tuple = ("l_quantity", "l_discount", "l_tax"),
+    cat_feats: tuple = ("l_returnflag", "l_linestatus"),
+) -> str:
+    # the state ranking must equal the BATCH ranking on the union frame —
+    # same oracle as target_relevance_lineitem by construction
+    from pandas_profiling_personal_spark.parity import target_relevance_sql
+
+    return target_relevance_sql(
+        "lineitem", target, num_feats, cat_feats
+    )
+
+
 # --------------------------------------------------------------------------------
 # Audio perceptual near-dup (operators/multimodal.py audio_near_duplicates) —
 # fake tier vs an all-pairs SQL Hamming rebuild, the image_near_dup pattern: a

@@ -133,6 +133,23 @@ class ContingencyState:
 
 
 @dataclass
+class GroupMomentState:
+    """Mergeable per-(category) numeric moments for ONE declared
+    (categorical, numeric) pair: ``category_value -> [n, Σy, Σy²]`` over
+    rows where both sides are non-null and y is non-NaN (the row set the
+    batch η² kernel ``_eta2_from_structs`` filters to). These three sums
+    are everything the correlation ratio needs — SS_total = Σy² − (Σy)²/N
+    from the totals, SS_within = Σ_g (Σy²_g − (Σy_g)²/n_g) per cell — so
+    uncapped states vector-add and finalize to the batch η² exactly (up
+    to FP addition order). ``capped`` records per-shard truncation at
+    ``max_groups`` cells (count desc, value asc), the ContingencyState
+    honesty pattern."""
+
+    cells: dict[str, tuple[int, float, float]] = field(default_factory=dict)
+    capped: bool = False
+
+
+@dataclass
 class PartialProfile:
     n: int
     columns: dict[str, ColumnState]
@@ -145,6 +162,10 @@ class PartialProfile:
     #: mergeable contingency states for DECLARED categorical pairs (the
     #: incremental Cramér's V tier); same all-or-nothing merge discipline
     cat_pairs: dict[tuple[str, str], ContingencyState] | None = None
+    #: mergeable per-category [n, Σy, Σy²] cells for DECLARED
+    #: (categorical, numeric) pairs — the incremental η² / state-mode
+    #: target-relevance tier; same all-or-nothing merge discipline
+    group_pairs: dict[tuple[str, str], GroupMomentState] | None = None
     #: sketch binaries pending a union (merging defers the Spark-side sketch
     #: union until finalize so merge_partials stays pure driver arithmetic)
     _pending: dict[str, dict[str, list[bytes]]] = field(default_factory=dict)
@@ -192,6 +213,22 @@ class PartialProfile:
                             st.capped,
                         ]
                         for (a, b), st in self.cat_pairs.items()
+                    ]
+                ),
+                "group_pairs": (
+                    None
+                    if self.group_pairs is None
+                    else [
+                        [
+                            a,
+                            b,
+                            [
+                                [g, n, s, ss]
+                                for g, (n, s, ss) in st.cells.items()
+                            ],
+                            st.capped,
+                        ]
+                        for (a, b), st in self.group_pairs.items()
                     ]
                 ),
                 "pending": {
@@ -250,6 +287,20 @@ class PartialProfile:
                     for a, b, cells, n_total, capped in d["cat_pairs"]
                 }
             ),
+            group_pairs=(
+                None
+                if d.get("group_pairs") is None
+                else {
+                    (a, b): GroupMomentState(
+                        cells={
+                            g: (int(n), float(s), float(ss))
+                            for g, n, s, ss in cells
+                        },
+                        capped=bool(capped),
+                    )
+                    for a, b, cells, capped in d["group_pairs"]
+                }
+            ),
         )
         out._pending = {
             c: {
@@ -270,6 +321,8 @@ def partial_profile(
     categorical_pairs: list[tuple[str, str]] | None = None,
     max_cells: int = 10_000,
     allow_disjoint: bool = False,
+    group_pairs: list[tuple[str, str]] | None = None,
+    max_groups: int = 10_000,
 ) -> PartialProfile:
     """Profile ONE shard into a mergeable state. Three bounded actions:
     the wide scalar+sketch aggregate, the mean-shifted power-sum pass
@@ -309,7 +362,17 @@ def partial_profile(
     ``cramers_v_matrix`` — integer cells vector-add with zero FP error.
     Declare pairs over bounded-cardinality columns (the same
     cardinality gate the batch operator's caller applies); a high-
-    cardinality pair degrades loudly via ``exact=False``, never silently."""
+    cardinality pair degrades loudly via ``exact=False``, never silently.
+
+    ``group_pairs`` adds mergeable η² state for DECLARED (categorical,
+    numeric) pairs (one extra melt+groupBy — the batch
+    ``_eta2_from_structs`` cell shuffle): per pair, per category value,
+    the ``[n, Σy, Σy²]`` sums over rows where both sides are non-null and
+    y is non-NaN. Merged uncapped states finalize (:func:`eta_squared_of`
+    / :func:`target_relevance_of`) to the batch ``correlation_ratio_all``
+    exactly (vector-added sums through the same driver algebra); per-shard
+    truncation at ``max_groups`` cells sets ``capped`` and degrades to
+    ``exact=False`` loudly, like the contingency tier."""
     types = variable_types(df)
     if columns is not None:
         types = {c: t for c, t in types.items() if c in columns}
@@ -649,8 +712,66 @@ def partial_profile(
                 cells=cells, n=n_full, capped=capped
             )
 
+    # optional pass 5 — per-category [n, Σy, Σy²] cells for declared
+    # (categorical, numeric) pairs: ONE melt shuffle for all pairs — the
+    # batch η² kernel's cell aggregation (_eta2_from_structs), with the
+    # exchange carrying category counts, never data rows
+    grp_states: dict[tuple[str, str], GroupMomentState] | None = None
+    if group_pairs is not None:
+        plist2 = [tuple(p) for p in group_pairs]
+        missing2 = sorted({c for p in plist2 for c in p} - set(df.columns))
+        if missing2:
+            raise ValueError(
+                f"group_pairs name columns not in the frame: {missing2}"
+            )
+        structs = []
+        for k, (gc, yc) in enumerate(plist2):
+            y = S.col(yc).cast("double")
+            structs.append(
+                F.struct(
+                    F.lit(k).alias("pid"),
+                    S.col(gc).cast("string").alias("g"),
+                    y.alias("y"),
+                )
+            )
+        cell_rows = (
+            df.select(F.explode(F.array(*structs)).alias("kv"))
+            .select("kv.pid", "kv.g", "kv.y")
+            .where(
+                F.col("g").isNotNull()
+                & F.col("y").isNotNull()
+                & ~F.isnan(F.col("y"))
+            )
+            .groupBy("pid", "g")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("y").alias("s"),
+                F.sum(F.col("y") * F.col("y")).alias("ss"),
+            )
+            .collect()
+        )
+        grp_states = {p: GroupMomentState() for p in plist2}
+        by_pid: dict[int, list] = {}
+        for r in cell_rows:
+            by_pid.setdefault(r["pid"], []).append(r)
+        for k, p in enumerate(plist2):
+            rs = by_pid.get(k, [])
+            capped = len(rs) > max_groups
+            if capped:
+                # deterministic truncation: heaviest cells first, value-
+                # ascending ties — the kept mass dominates both sums
+                rs = sorted(rs, key=lambda r: (-r["n"], r["g"]))[:max_groups]
+            grp_states[p] = GroupMomentState(
+                cells={
+                    r["g"]: (int(r["n"]), float(r["s"]), float(r["ss"]))
+                    for r in rs
+                },
+                capped=capped,
+            )
+
     return PartialProfile(
-        n=n, columns=cols, pairs=pairs, cat_pairs=cat_states
+        n=n, columns=cols, pairs=pairs, cat_pairs=cat_states,
+        group_pairs=grp_states,
     )
 
 
@@ -782,6 +903,16 @@ def merge_partials(parts: list[PartialProfile]) -> PartialProfile:
                     for k, st in part.cat_pairs.items()
                 }
             )
+            out.group_pairs = (
+                None
+                if part.group_pairs is None
+                else {
+                    k: GroupMomentState(
+                        cells=dict(st.cells), capped=st.capped
+                    )
+                    for k, st in part.group_pairs.items()
+                }
+            )
             first = False
         else:
             if (part.pairs is None) != (out.pairs is None):
@@ -816,6 +947,23 @@ def merge_partials(parts: list[PartialProfile]) -> PartialProfile:
                     # merged cell count is bounded by Σ per-shard caps
                     # (driver memory, not a scale term) — no re-truncation,
                     # so uncapped shards stay exact through any merge order
+                    dst.capped = dst.capped or st.capped
+            if (part.group_pairs is None) != (out.group_pairs is None):
+                raise ValueError(
+                    "some shards carry group-moment state and some don't — "
+                    "profile every shard with the same group_pairs="
+                )
+            if part.group_pairs is not None:
+                if set(part.group_pairs) != set(out.group_pairs):
+                    raise ValueError(
+                        "group-moment pair sets differ between shards: "
+                        f"{sorted(set(part.group_pairs) ^ set(out.group_pairs))}"
+                    )
+                for k, st in part.group_pairs.items():
+                    dst = out.group_pairs[k]
+                    for g, (gn, gs, gss) in st.cells.items():
+                        an, as_, ass = dst.cells.get(g, (0, 0.0, 0.0))
+                        dst.cells[g] = (an + gn, as_ + gs, ass + gss)
                     dst.capped = dst.capped or st.capped
         out.n += part.n
         out.n_shards += part.n_shards
@@ -993,6 +1141,148 @@ def phik_of(
             "exact": not st.capped,
         }
     return out
+
+
+def eta_squared_of(
+    part: PartialProfile,
+) -> "dict[tuple[str, str], dict[str, Any]]":
+    """Correlation ratio η² per declared (categorical, numeric) pair of a
+    (merged) state — ``{(cat, num): {"eta2", "n", "n_groups", "exact"}}``.
+    Pure driver arithmetic over the mergeable ``[n, Σy, Σy²]`` cells
+    through the SAME algebra the batch ``_eta2_from_structs`` finalizes
+    with (SS_total = Σy² − (Σy)²/N, SS_within summed per group, clamped
+    to [0, 1]); an uncapped merged state equals the batch
+    ``correlation_ratio_all`` on the union frame. ``eta2`` is None when
+    < 2 groups or zero variance (the batch None semantics)."""
+    if part.group_pairs is None:
+        raise ValueError(
+            "state carries no group-moment pairs — profile shards with "
+            "group_pairs=[...]"
+        )
+    out: "dict[tuple[str, str], dict[str, Any]]" = {}
+    for (gc, yc), st in part.group_pairs.items():
+        n = sum(c[0] for c in st.cells.values())
+        s = sum(c[1] for c in st.cells.values())
+        ss = sum(c[2] for c in st.cells.values())
+        ss_within = sum(
+            css - cs * cs / cn for cn, cs, css in st.cells.values() if cn
+        )
+        ss_total = ss - (s * s / n if n else 0.0)
+        eta2 = None
+        if len(st.cells) >= 2 and ss_total > 0:
+            eta2 = max(0.0, min(1.0, 1.0 - ss_within / ss_total))
+        out[(gc, yc)] = {
+            "eta2": eta2,
+            "n": n,
+            "n_groups": len(st.cells),
+            "exact": not st.capped,
+        }
+    return out
+
+
+def target_relevance_of(
+    part: PartialProfile,
+    target: str,
+    numeric_cols: list[str] | None = None,
+    categorical_cols: list[str] | None = None,
+) -> "list[dict]":
+    """State-mode feature-vs-target relevance ranking — the zero-rescan
+    twin of the batch
+    :func:`~pandas_profiling_personal_spark.operators.correlations.target_relevance`
+    (same methods, row shape, 4-decimal rounding, and sort order), over a
+    (merged) :class:`PartialProfile`. The state must carry the kernels
+    each pairing needs, declared at ``partial_profile`` time:
+
+    * numeric target × numeric feature → ``pairs`` (``correlations=True``)
+      finalized by :func:`pearson_of`
+    * numeric target × categorical feature → ``group_pairs=[(feat,
+      target)]`` finalized by :func:`eta_squared_of`
+    * categorical target × numeric feature → ``group_pairs=[(target,
+      feat)]`` (roles swapped)
+    * categorical target × categorical feature →
+      ``categorical_pairs=[(target, feat)]`` finalized by
+      :func:`cramers_v_of`
+
+    A missing kernel raises by name rather than silently dropping the
+    feature. Target typing comes from the state itself (the shard's
+    variable type), so batch and state mode route identically."""
+    numeric_cols = [c for c in (numeric_cols or []) if c != target]
+    categorical_cols = [c for c in (categorical_cols or []) if c != target]
+    if not numeric_cols and not categorical_cols:
+        raise ValueError("target_relevance_of: no features")
+    if target not in part.columns:
+        raise ValueError(
+            f"target_relevance_of: target {target!r} not in the state"
+        )
+    target_numeric = part.columns[target].type == VT.NUMERIC.value
+
+    def _pair_get(d, a, b):
+        return d.get((a, b), d.get((b, a)))
+
+    rows: "list[dict]" = []
+    if target_numeric:
+        if numeric_cols:
+            mat = pearson_of(part)
+            for c in numeric_cols:
+                v = _pair_get(mat, target, c)
+                if (target, c) not in mat and (c, target) not in mat:
+                    raise ValueError(
+                        f"state carries no Pearson pair for ({target!r}, "
+                        f"{c!r}) — profile shards with correlations=True"
+                    )
+                rows.append({
+                    "feature": c, "method": "pearson_abs",
+                    "score": None if v is None else round(abs(v), 4),
+                })
+        if categorical_cols:
+            etas = eta_squared_of(part)
+            for c in categorical_cols:
+                e = _pair_get(etas, c, target)
+                if e is None:
+                    raise ValueError(
+                        f"state carries no group-moment pair for ({c!r}, "
+                        f"{target!r}) — profile shards with "
+                        f"group_pairs=[({c!r}, {target!r})]"
+                    )
+                v = e["eta2"]
+                rows.append({
+                    "feature": c, "method": "eta_squared",
+                    "score": None if v is None else round(v, 4),
+                })
+    else:
+        if numeric_cols:
+            etas = eta_squared_of(part)
+            for c in numeric_cols:
+                e = _pair_get(etas, target, c)
+                if e is None:
+                    raise ValueError(
+                        f"state carries no group-moment pair for "
+                        f"({target!r}, {c!r}) — profile shards with "
+                        f"group_pairs=[({target!r}, {c!r})]"
+                    )
+                v = e["eta2"]
+                rows.append({
+                    "feature": c, "method": "eta_squared",
+                    "score": None if v is None else round(v, 4),
+                })
+        if categorical_cols:
+            vs = cramers_v_of(part)
+            for c in categorical_cols:
+                e = _pair_get(vs, target, c)
+                if e is None:
+                    raise ValueError(
+                        f"state carries no contingency pair for "
+                        f"({target!r}, {c!r}) — profile shards with "
+                        f"categorical_pairs=[({target!r}, {c!r})]"
+                    )
+                v = e["v"]
+                rows.append({
+                    "feature": c, "method": "cramers_v",
+                    "score": None if v is None else round(v, 4),
+                })
+    rows.sort(key=lambda r: (r["score"] is None, -(r["score"] or 0),
+                             r["feature"]))
+    return rows
 
 
 def association_drift_between_partials(

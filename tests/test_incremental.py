@@ -1090,3 +1090,120 @@ def test_incremental_drift_report_includes_schema(spark):
     html = incremental_drift_report(
         partial_profile(df_a), partial_profile(df_b))
     assert "DRIFT_SCHEMA" in html and "surprise" in html
+
+
+def test_mergeable_eta_squared_and_target_relevance(spark):
+    """group_pairs=: per-category [n, Σy, Σy²] states merged across
+    unequal shards reproduce the whole-frame correlation_ratio_all within
+    FP-addition rounding, and target_relevance_of(merged state) equals the
+    batch target_relevance ranking exactly at its 4-decimal contract —
+    ZERO rescans (VERDICT r11 #5). Covers both target roles, the
+    max_groups cap degrading loudly, merge discipline, JSON round trip."""
+    from pandas_profiling_personal_spark.operators.correlations import (
+        correlation_ratio_all,
+        target_relevance,
+    )
+    from pandas_profiling_personal_spark.plans.incremental import (
+        PartialProfile,
+        eta_squared_of,
+        merge_partials,
+        partial_profile,
+        target_relevance_of,
+    )
+
+    df = _load(spark).select(
+        "l_extendedprice", "l_quantity", "l_discount",
+        "l_returnflag", "l_linestatus",
+    )
+    target = "l_extendedprice"
+    num_f = ["l_quantity", "l_discount"]
+    cat_f = ["l_returnflag", "l_linestatus"]
+    gpairs = [(c, target) for c in cat_f]
+
+    batch_rank = target_relevance(
+        df, target, numeric_cols=num_f, categorical_cols=cat_f)
+    batch_eta = correlation_ratio_all(df, target, cat_f)
+
+    key = F.floor(F.col(target)).cast("long") % 3
+    parts = [
+        partial_profile(
+            df.where(key == i), top_m=0, correlations=True,
+            group_pairs=gpairs,
+        )
+        for i in range(3)
+    ]
+    merged = merge_partials(parts)
+
+    # η² itself: merged sums through the same driver algebra
+    etas = eta_squared_of(merged)
+    for c in cat_f:
+        e = etas[(c, target)]
+        assert e["exact"] is True
+        assert e["eta2"] == pytest.approx(batch_eta[c], abs=1e-9)
+
+    # the full ranking: same rows, same order, same 4-decimal scores
+    state_rank = target_relevance_of(
+        merged, target, numeric_cols=num_f, categorical_cols=cat_f)
+    assert state_rank == batch_rank
+
+    # JSON round trip + associativity preserve the ranking
+    rt = merge_partials(
+        [PartialProfile.from_json(p.to_json()) for p in parts])
+    assert target_relevance_of(
+        rt, target, numeric_cols=num_f, categorical_cols=cat_f
+    ) == batch_rank
+    alt = merge_partials([parts[0], merge_partials(parts[1:])])
+    assert target_relevance_of(
+        alt, target, numeric_cols=num_f, categorical_cols=cat_f
+    ) == batch_rank
+
+    # categorical target: numeric features via swapped-role η², categorical
+    # features via the contingency state — equals the batch routing
+    tgt2 = "l_returnflag"
+    batch2 = target_relevance(
+        df, tgt2, numeric_cols=["l_quantity"],
+        categorical_cols=["l_linestatus"])
+    parts2 = [
+        partial_profile(
+            df.where(key == i), top_m=0,
+            group_pairs=[(tgt2, "l_quantity")],
+            categorical_pairs=[(tgt2, "l_linestatus")],
+        )
+        for i in range(3)
+    ]
+    state2 = target_relevance_of(
+        merge_partials(parts2), tgt2, numeric_cols=["l_quantity"],
+        categorical_cols=["l_linestatus"])
+    assert state2 == batch2
+
+    # cap degrades loudly: a 2-group budget on a 6-value column
+    capped = merge_partials([
+        partial_profile(
+            df.where(key == i), top_m=0, group_pairs=gpairs, max_groups=2)
+        for i in range(3)
+    ])
+    ce = eta_squared_of(capped)[("l_returnflag", target)]
+    assert ce["exact"] is False and ce["n_groups"] <= 6
+
+    # merge discipline: mixed group_pairs= settings refuse
+    plain = partial_profile(df.where(key == 0), top_m=0)
+    no_groups = partial_profile(
+        df.where(key == 0), top_m=0, correlations=True)
+    with pytest.raises(ValueError, match="group-moment"):
+        merge_partials([parts[0], no_groups])
+    other = partial_profile(
+        df.where(key == 0), top_m=0, correlations=True,
+        group_pairs=[("l_returnflag", target)])
+    with pytest.raises(ValueError, match="pair sets differ"):
+        merge_partials([parts[0], other])
+
+    # missing kernels raise by name, never silently drop a feature
+    with pytest.raises(ValueError, match="group_pairs"):
+        eta_squared_of(plain)
+    with pytest.raises(ValueError, match="correlations=True"):
+        target_relevance_of(
+            merge_partials(parts2), target, numeric_cols=["l_quantity"])
+    with pytest.raises(ValueError, match="no features"):
+        target_relevance_of(merged, target)
+    with pytest.raises(ValueError, match="not in the state"):
+        target_relevance_of(merged, "ghost", numeric_cols=num_f)
