@@ -13,6 +13,26 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import time
+
+
+def _progress_renderer(args):
+    """``--verbose`` progress hook for :func:`profile` — renders
+    ``[i/n] stage (elapsed s)`` lines to stderr as each pass completes
+    (the reference's ``progress_bar``, tqdm-free). ``--quiet`` wins;
+    default is silent (stdout stays machine-parseable either way)."""
+    if args.quiet or not args.verbose:
+        return None
+    t0 = time.time()
+
+    def cb(stage: str, i: int, n: int) -> None:
+        print(
+            f"[{i}/{n}] {stage} ({time.time() - t0:.1f}s)",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    return cb
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -167,6 +187,17 @@ def build_parser() -> argparse.ArgumentParser:
         "--full-width",
         action="store_true",
         help="stretch the layout (reference html.full_width)",
+    )
+    p.add_argument(
+        "--verbose",
+        action="store_true",
+        help="render per-pass progress to stderr ([i/n] stage, elapsed) — "
+        "the reference's progress_bar surface without a tqdm dependency",
+    )
+    p.add_argument(
+        "--quiet",
+        action="store_true",
+        help="suppress progress output (wins over --verbose)",
     )
     p.add_argument("--master", default=None, help="spark master (default local[N])")
     g = p.add_argument_group("corpus preparation (training-data pipeline)")
@@ -1087,7 +1118,7 @@ def main(argv: list[str] | None = None) -> int:
                 flags.unpersist()
             print(json.dumps({"output": args.prepare_corpus, **rep}))
             return 0
-        result = profile(df, cfg)
+        result = profile(df, cfg, progress=_progress_renderer(args))
         out = args.output or (args.input.rsplit(".", 1)[0] + ".html")
         if args.compare:
             from pandas_profiling_personal_spark.report.compare import (

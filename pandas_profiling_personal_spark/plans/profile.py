@@ -105,11 +105,38 @@ class ProfileResult:
         return json.dumps(self.as_dict(), default=_json_default, **kw)
 
 
+#: the always-run passes of a default-tier profile, in execution order —
+#: the progress-callback plan (optional stages append per config below)
+_CORE_STAGES = (
+    "setup_types",
+    "pass1_scalars",
+    "pass2_frequencies",
+    "refinement",
+    "pass3_histograms",
+    "pass4_mad",
+    "pass5_duplicates",
+    "correlations_interactions",
+    "missing_structure",
+    "sample_head",
+    "sample_random",
+    "missing_samples",
+)
+
+
 def profile(
     df: DataFrame,
     config: ProfileConfig | None = None,
     columns: list[str] | None = None,
+    progress: "Callable[[str, int, int], None] | None" = None,
 ) -> ProfileResult:
+    """``progress`` is the reference's ``progress_bar`` surface
+    (config_default.yaml, driven in model/describe.py:100-190) without the
+    tqdm dependency: a ``(stage, i, n)`` callback fired as each pass
+    COMPLETES — ``stage`` the pass name, ``i`` 1-based completion count,
+    ``n`` the planned total for this config. On a 100 TB table this is how
+    a caller tells a 10-minute stage from a hang; the CLI renders it under
+    ``--verbose``. Callback exceptions propagate (a monitoring hook that
+    raises should stop the run, not be swallowed)."""
     cfg = config or ProfileConfig()
     # fail-fast config validation BEFORE any Spark pass runs: a typo'd
     # relevance_target (or an unknown html_theme that would only raise at
@@ -132,10 +159,22 @@ def profile(
     _passes: dict[str, float] = {}
     _last = [t0]
 
+    _planned = list(_CORE_STAGES)
+    if cfg.segment_by and not cfg.redact:
+        _planned.append("segments")
+    if cfg.timeseries_ts_col and not cfg.redact:
+        _planned.append("timeseries")
+    if cfg.relevance_target and not cfg.redact:
+        _planned.append("target_relevance")
+    _done: list[str] = []
+
     def _mark(name: str) -> None:
         now = time.time()
         _passes[name] = round(_passes.get(name, 0.0) + now - _last[0], 3)
         _last[0] = now
+        if progress is not None and name not in _done:
+            _done.append(name)
+            progress(name, len(_done), len(_planned))
     # ``None`` means "all columns"; an explicit empty list means "no columns"
     # (empty result), never a silent fall-through to the full table — the
     # near-unique gate made gate-everything -> [] -> full-table-melt reachable.

@@ -2224,3 +2224,74 @@ def test_dataset_card_markdown(spark, tmp_path):
     assert proc.returncode == 0, proc.stderr[-1500:]
     text = out.read_text(encoding="utf-8")
     assert text.startswith("# CLI Card") and "| x |" in text
+
+
+def test_profile_progress_callback(spark):
+    """The (stage, i, n) progress hook (reference progress_bar,
+    config_default.yaml + model/describe.py:100-190): events fire in
+    execution order with 1-based i up to the planned n; optional stages
+    extend the plan; a raising callback propagates (VERDICT r11 #6)."""
+    import pytest as _pt
+
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+    from pandas_profiling_personal_spark.plans.profile import _CORE_STAGES
+
+    rows = [(float(i), f"v{i % 4}") for i in range(100)]
+    df = spark.createDataFrame(rows, "x double, c string")
+
+    events = []
+    profile(df, ProfileConfig(exact=True),
+            progress=lambda s, i, n: events.append((s, i, n)))
+    stages = [e[0] for e in events]
+    assert stages == list(_CORE_STAGES)
+    assert [e[1] for e in events] == list(range(1, len(events) + 1))
+    assert all(e[2] == len(_CORE_STAGES) for e in events)
+
+    # optional stages extend the plan: relevance_target adds its pass
+    events2 = []
+    profile(df, ProfileConfig(exact=True, relevance_target="x"),
+            progress=lambda s, i, n: events2.append((s, i, n)))
+    assert events2[-1][0] == "target_relevance"
+    assert events2[-1][1] == events2[-1][2] == len(_CORE_STAGES) + 1
+
+    # a monitoring hook that raises stops the run, not swallowed
+    def boom(s, i, n):
+        raise RuntimeError("hook failure")
+
+    with _pt.raises(RuntimeError, match="hook failure"):
+        profile(df, ProfileConfig(exact=True), progress=boom)
+
+
+def test_cli_verbose_progress(tmp_path):
+    """--verbose renders [i/n] stage lines to stderr (stdout stays the
+    machine-parseable status line); --quiet suppresses them."""
+    import re
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    src = tmp_path / "data.parquet"
+    pd.DataFrame({"a": range(30)}).to_parquet(src)
+    out = tmp_path / "r.html"
+    base = [
+        sys.executable, "-m", "pandas_profiling_personal_spark.cli",
+        str(src), str(out), "--minimal", "--master", "local[2]",
+    ]
+    proc = subprocess.run(
+        base + ["--verbose"], capture_output=True, text=True,
+        timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = re.findall(r"\[(\d+)/(\d+)\] (\w+)", proc.stderr)
+    assert lines, proc.stderr[-1000:]
+    assert lines[0][2] == "setup_types"
+    assert [int(i) for i, _, _ in lines] == list(range(1, len(lines) + 1))
+    json.loads(proc.stdout.strip().splitlines()[-1])  # stdout intact
+
+    proc2 = subprocess.run(
+        base + ["--verbose", "--quiet"], capture_output=True, text=True,
+        timeout=300, cwd="/root/repo",
+    )
+    assert proc2.returncode == 0
+    assert not re.findall(r"\[\d+/\d+\]", proc2.stderr)
