@@ -16,6 +16,7 @@ from __future__ import annotations
 import datetime as _dt
 import html
 import itertools as _itertools
+import math
 import warnings as _warnings
 from typing import Any
 
@@ -242,6 +243,72 @@ def _svg_scatter(grid: list[dict], bins: int, size: int = 170) -> str:
 # --------------------------------------------------------------------------------
 
 
+#: categorical palette for the composition donut — chosen to read on both
+#: the light and dark theme surfaces (like the fixed #5b8def mark color)
+_PIE_COLORS = [
+    "#5b8def", "#e8743b", "#19a979", "#945ecf", "#13a4b4",
+    "#d82c6b", "#6c8893", "#e0b500", "#2f6497", "#bd49c6",
+]
+
+#: the reference renders a pie for categoricals with at most this many
+#: distinct values (config_default.yaml plot.pie.max_unique: 10,
+#: visualisation/plot.py:191-216); beyond it only the frequency table
+_PIE_MAX_UNIQUE = 10
+
+
+def _svg_pie(v: dict, size: int = 130, legend_w: int = 220) -> str:
+    """Composition donut for a low-cardinality column: one slice per
+    value from ``top_values`` (complete when n_distinct ≤ the gate) plus
+    a muted missing slice, with a value/percent legend. Pure SVG circle
+    strokes — no plotting dependency."""
+    top = v.get("top_values") or []
+    n_missing = v.get("n_missing") or 0
+    count = v.get("count") or 0
+    total = count + n_missing
+    if not top or not total:
+        return ""
+    slices = [(str(t["value"]), int(t["count"])) for t in top]
+    covered = sum(c for _, c in slices)
+    if count - covered > 0:  # defensive: truncated top list
+        slices.append(("(Other)", count - covered))
+    if n_missing:
+        slices.append(("(Missing)", n_missing))
+    r = size * 0.32
+    cx = cy = size / 2
+    circ = 2 * math.pi * r
+    parts, cum = [], 0.0
+    height = max(size, 16 * len(slices) + 8)
+    for i, (label, cnt) in enumerate(slices):
+        frac = cnt / total
+        color = (
+            "#98a2b3" if label == "(Missing)"
+            else _PIE_COLORS[i % len(_PIE_COLORS)]
+        )
+        parts.append(
+            f"<circle r='{r:.1f}' cx='{cx}' cy='{cy}' fill='none'"
+            f" stroke='{color}' stroke-width='{size * 0.18:.1f}'"
+            f" stroke-dasharray='{frac * circ:.2f} {circ:.2f}'"
+            f" stroke-dashoffset='{-cum * circ:.2f}'"
+            f" transform='rotate(-90 {cx} {cy})'>"
+            f"<title>{html.escape(label)[:60]}: {cnt:,}</title></circle>"
+        )
+        ly = 12 + 16 * i
+        parts.append(
+            f"<rect x='{size + 8}' y='{ly - 8}' width='9' height='9'"
+            f" fill='{color}'/>"
+            f"<text x='{size + 22}' y='{ly}' font-size='11'"
+            f" fill='#667085'>{html.escape(label)[:24]}"
+            f" — {100 * frac:.1f}%</text>"
+        )
+        cum += frac
+    width = size + legend_w
+    return (
+        f"<svg class='chart' data-chart='pie' width='{width}'"
+        f" height='{height}' viewBox='0 0 {width} {height}'"
+        f" xmlns='http://www.w3.org/2000/svg'>{''.join(parts)}</svg>"
+    )
+
+
 def _freq_table(v: dict, max_rows: int = 10) -> str:
     top = v.get("top_values") or []
     count = v.get("count") or 0
@@ -358,6 +425,12 @@ def _var_section(
             tabs.append(("Maximum values", _extreme_table(ext["max"])))
     elif vtype == "Categorical":
         tabs.append(("Common values", _freq_table(v)))
+        # compact composition donut for low-cardinality columns (reference
+        # plot.pie.max_unique gate) — top_values is complete under the gate
+        if 0 < (v.get("n_distinct") or 0) <= _PIE_MAX_UNIQUE:
+            pie = _svg_pie(v)
+            if pie:
+                tabs.append(("Composition", pie))
         tabs.append((
             "Length & content",
             _kv_table([(lbl, v.get(k)) for lbl, k in _CAT_STATS
@@ -428,7 +501,8 @@ def _var_section(
         tabs.append((
             "Values",
             _kv_table([("True", v.get("n_true")), ("False", v.get("n_false"))])
-            + _freq_table(v),
+            + _freq_table(v)
+            + _svg_pie(v),
         ))
     elif vtype == "DateTime":
         tabs.append((

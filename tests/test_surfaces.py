@@ -2295,3 +2295,32 @@ def test_cli_verbose_progress(tmp_path):
     )
     assert proc2.returncode == 0
     assert not re.findall(r"\[\d+/\d+\]", proc2.stderr)
+
+
+def test_pie_chart_for_low_cardinality(spark):
+    """Composition donut (reference plot.pie.max_unique: 10,
+    visualisation/plot.py:191-216): data-chart='pie' renders for a
+    low-cardinality categorical and a boolean, NOT for a high-cardinality
+    one; slices cover values + missing; both themes (VERDICT r11 #7)."""
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+    from pandas_profiling_personal_spark.report.html import render_html
+
+    rows = [
+        ("abc"[i % 3] if i % 7 else None, f"id{i}", i % 2 == 0)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "low string, high string, flag boolean")
+    r = profile(df, ProfileConfig(exact=True))
+    page = render_html(r)
+    # one pie for `low`, one for `flag`, none for the 120-distinct `high`
+    assert page.count("data-chart='pie'") == 2
+    assert "(Missing)" in page
+    lowsec = page.split("data-chart='pie'")[1]
+    assert "— " in lowsec and "%" in lowsec  # legend with percents
+
+    r_dark = profile(df, ProfileConfig(exact=True, html_theme="dark"))
+    assert "data-chart='pie'" in render_html(r_dark)
+
+    # high-cardinality only -> no pie anywhere
+    r2 = profile(df.select("high"), ProfileConfig(exact=True))
+    assert "data-chart='pie'" not in render_html(r2)
