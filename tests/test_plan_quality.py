@@ -757,3 +757,67 @@ def test_video_metadata_scan_speed_plan(spark):
     tree = p.split("\n\n")[0]
     assert tree.count("MapInPandas") == 1, p
     assert "Exchange" not in p, p
+
+
+def test_group_pairs_melt_single_exchange_no_python(spark):
+    """partial_profile(group_pairs=): the per-category [n, Σy, Σy²] cell
+    pass is ONE melt whose exchange carries category cells (map-side
+    combined), never data rows — exactly one extra job over the base
+    profile, a single shuffle in its plan, and no Python evaluation."""
+    from pyspark.sql import functions as F
+
+    from pandas_profiling_personal_spark.functions import stats as S
+    from pandas_profiling_personal_spark.plans.incremental import (
+        partial_profile,
+    )
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    li = read_parquet(spark, f"{SF_DIR}/lineitem.parquet").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    pairs = [("l_returnflag", "l_extendedprice"),
+             ("l_linestatus", "l_extendedprice")]
+    sc = spark.sparkContext
+    jobs = {}
+    for flag in (False, True):
+        group = f"group-pairs-{flag}"
+        sc.setJobGroup(group, "group-moment pass job growth")
+        try:
+            part = partial_profile(
+                li, top_m=0, group_pairs=pairs if flag else None
+            )
+        finally:
+            sc.setJobGroup(None, None)
+        assert (part.group_pairs is not None) == flag
+        jobs[flag] = len(sc.statusTracker().getJobIdsForGroup(group))
+    # ONE collect over the melt; AQE materializes its shuffle map stage as
+    # its own job, so the pass reads as <=2 job ids — the invariant that
+    # matters (a per-pair loop would add 2 jobs PER PAIR) is that the count
+    # is independent of len(pairs), pinned by the single-exchange plan gate
+    assert jobs[True] - jobs[False] <= 2, (
+        f"group_pairs added {jobs[True] - jobs[False]} jobs: {jobs}"
+    )
+
+    # the melt plan itself: one shuffle, no Python (mirror the operator's
+    # construction — explode -> filter -> groupBy agg)
+    structs = [
+        F.struct(
+            F.lit(k).alias("pid"),
+            S.col(gc).cast("string").alias("g"),
+            S.col(yc).cast("double").alias("y"),
+        )
+        for k, (gc, yc) in enumerate(pairs)
+    ]
+    cells = (
+        li.select(F.explode(F.array(*structs)).alias("kv"))
+        .select("kv.pid", "kv.g", "kv.y")
+        .where(F.col("g").isNotNull() & F.col("y").isNotNull()
+               & ~F.isnan(F.col("y")))
+        .groupBy("pid", "g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("s"),
+             F.sum(F.col("y") * F.col("y")).alias("ss"))
+    )
+    plan = _plan(cells)
+    assert plan.count("Exchange hashpartitioning") <= 2  # tree + details
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
