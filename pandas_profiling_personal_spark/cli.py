@@ -291,6 +291,25 @@ def build_parser() -> argparse.ArgumentParser:
         "STORED state's declared pairs automatically",
     )
     s.add_argument(
+        "--group-pairs",
+        default=None,
+        metavar="CAT:NUM[,CAT:NUM...]",
+        help="with --save-state: also carry mergeable per-category "
+        "[n, sum y, sum y^2] cells per listed (categorical, numeric) pair "
+        "(exact incremental eta-squared / state-mode target relevance); "
+        "--align-state reuses the STORED state's declared pairs "
+        "automatically",
+    )
+    s.add_argument(
+        "--relevance-from-state",
+        default=None,
+        metavar="TARGET",
+        help="instead of a profile: INPUT is a saved state JSON — rank "
+        "every feature the state carries kernels for (Pearson pairs, "
+        "group-moment cells, contingency pairs) against TARGET and write "
+        "the ranking JSON to OUTPUT (stdout if omitted). ZERO Spark jobs",
+    )
+    s.add_argument(
         "--embedding-col",
         default=None,
         metavar="COL",
@@ -356,13 +375,15 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _parse_pairs(spec: str) -> list[tuple[str, str]]:
+def _parse_pairs(
+    spec: str, flag: str = "--categorical-pairs"
+) -> list[tuple[str, str]]:
     pairs = []
     for item in spec.split(","):
         parts = item.split(":")
         if len(parts) != 2 or not parts[0].strip() or not parts[1].strip():
             raise SystemExit(
-                f"--categorical-pairs: bad pair {item!r} (want colA:colB)"
+                f"{flag}: bad pair {item!r} (want colA:colB)"
             )
         pairs.append((parts[0].strip(), parts[1].strip()))
     return pairs
@@ -380,6 +401,7 @@ def main(argv: list[str] | None = None) -> int:
             ("--drift-against", args.drift_against is not None),
             ("--checks", args.checks is not None),
             ("--suggest-checks", args.suggest_checks is not None),
+            ("--relevance-from-state", args.relevance_from_state is not None),
         ) if on
     ]
     if args.checks_from_state and not (args.checks or args.suggest_checks):
@@ -395,6 +417,27 @@ def main(argv: list[str] | None = None) -> int:
             "choose ONE mode: " + " / ".join(modes) + " are mutually "
             "exclusive (each writes a different artifact)"
         )
+    if args.relevance_from_state:
+        # pure driver arithmetic over the saved cells — no Spark session
+        from pandas_profiling_personal_spark.plans.incremental import (
+            PartialProfile, target_relevance_of,
+        )
+
+        with open(args.input, encoding="utf-8") as fh:
+            part = PartialProfile.from_json(fh.read())
+        try:
+            ranking = target_relevance_of(part, args.relevance_from_state)
+        except ValueError as e:
+            raise SystemExit(f"--relevance-from-state refused: {e}")
+        payload = json.dumps(
+            {"target": args.relevance_from_state, "relevance": ranking},
+            indent=1,
+        )
+        if args.output:
+            with open(args.output, "w", encoding="utf-8") as fh:
+                fh.write(payload + "\n")
+        print(payload)
+        return 0
     from pandas_profiling_personal_spark import ProfileConfig, profile
     from pandas_profiling_personal_spark.config import MINIMAL
     from pandas_profiling_personal_spark.report import html as html_report
@@ -634,6 +677,11 @@ def main(argv: list[str] | None = None) -> int:
                 if args.categorical_pairs
                 else None
             )
+            grp_pairs = (
+                _parse_pairs(args.group_pairs, "--group-pairs")
+                if args.group_pairs
+                else None
+            )
 
             def _load_emb_sidecar(state_path: str):
                 """(column, EmbeddingState) from STATE_PATH.emb, or None."""
@@ -724,6 +772,23 @@ def main(argv: list[str] | None = None) -> int:
                             "are reused automatically) or re-save the "
                             "baseline with the new pairs"
                         )
+                    if grp_pairs is None and prev.group_pairs is not None:
+                        # mergeable eta^2 cells: stored pairs carry
+                        # forward, same contract as the contingency pairs
+                        grp_pairs = list(prev.group_pairs)
+                    elif (
+                        grp_pairs is not None
+                        and prev.group_pairs is not None
+                        and set(grp_pairs) != set(prev.group_pairs)
+                    ):
+                        raise SystemExit(
+                            "--group-pairs disagrees with the aligned "
+                            "state's declared pairs "
+                            f"{sorted(prev.group_pairs)} — shards merge "
+                            "like with like; drop the flag (stored pairs "
+                            "are reused automatically) or re-save the "
+                            "baseline with the new pairs"
+                        )
                 else:
                     specs, corr = args.state_bins, True
                 try:
@@ -732,6 +797,7 @@ def main(argv: list[str] | None = None) -> int:
                         histograms=specs,
                         correlations=corr,
                         categorical_pairs=cat_pairs,
+                        group_pairs=grp_pairs,
                     )
                 except ValueError as e:
                     # e.g. the alignment honesty guard (shard range entirely

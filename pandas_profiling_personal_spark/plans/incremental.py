@@ -1205,16 +1205,40 @@ def target_relevance_of(
 
     A missing kernel raises by name rather than silently dropping the
     feature. Target typing comes from the state itself (the shard's
-    variable type), so batch and state mode route identically."""
-    numeric_cols = [c for c in (numeric_cols or []) if c != target]
-    categorical_cols = [c for c in (categorical_cols or []) if c != target]
-    if not numeric_cols and not categorical_cols:
-        raise ValueError("target_relevance_of: no features")
+    variable type), so batch and state mode route identically. Passing
+    NEITHER feature list derives both from the kernels the state actually
+    carries (every Pearson/group-moment/contingency pair involving the
+    target) — the CLI ``--relevance-from-state`` path."""
     if target not in part.columns:
         raise ValueError(
             f"target_relevance_of: target {target!r} not in the state"
         )
     target_numeric = part.columns[target].type == VT.NUMERIC.value
+    if numeric_cols is None and categorical_cols is None:
+        if target_numeric:
+            numeric_cols = sorted({
+                a if b == target else b
+                for (a, b) in (part.pairs or {})
+                if target in (a, b)
+            })
+            categorical_cols = sorted({
+                gc for (gc, yc) in (part.group_pairs or {})
+                if yc == target
+            })
+        else:
+            numeric_cols = sorted({
+                yc for (gc, yc) in (part.group_pairs or {})
+                if gc == target
+            })
+            categorical_cols = sorted({
+                a if b == target else b
+                for (a, b) in (part.cat_pairs or {})
+                if target in (a, b)
+            })
+    numeric_cols = [c for c in (numeric_cols or []) if c != target]
+    categorical_cols = [c for c in (categorical_cols or []) if c != target]
+    if not numeric_cols and not categorical_cols:
+        raise ValueError("target_relevance_of: no features")
 
     def _pair_get(d, a, b):
         return d.get((a, b), d.get((b, a)))

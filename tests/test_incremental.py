@@ -1203,7 +1203,93 @@ def test_mergeable_eta_squared_and_target_relevance(spark):
     with pytest.raises(ValueError, match="correlations=True"):
         target_relevance_of(
             merge_partials(parts2), target, numeric_cols=["l_quantity"])
+    # derive-from-state: no explicit lists -> every kernel involving the
+    # target becomes a feature, matching the explicit-list ranking
+    derived = target_relevance_of(merged, target)
+    explicit = target_relevance_of(
+        merged, target,
+        numeric_cols=["l_quantity", "l_discount"], categorical_cols=cat_f)
+    assert derived == explicit
+    # a kernel-less state has nothing to derive -> loud, not empty
     with pytest.raises(ValueError, match="no features"):
-        target_relevance_of(merged, target)
+        target_relevance_of(plain, target)
     with pytest.raises(ValueError, match="not in the state"):
         target_relevance_of(merged, "ghost", numeric_cols=num_f)
+
+
+def test_cli_group_pairs_and_relevance_from_state(tmp_path):
+    """CLI daily loop for state-mode target relevance: --group-pairs
+    carries the mergeable eta^2 cells through --save-state, --align-state
+    reuses the STORED pairs automatically (and a disagreeing flag refuses
+    by name), and --relevance-from-state ranks from the merged state with
+    NO Spark session — the JSON artifact matches target_relevance_of."""
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    src_a = tmp_path / "day1.parquet"
+    src_b = tmp_path / "day2.parquet"
+    n = 60
+    pd.DataFrame({
+        "y": [10.0 * (i % 3) + 0.01 * i for i in range(n)],
+        "lin": [2.0 * i for i in range(n)],
+        "grp": ["abc"[i % 3] for i in range(n)],
+    }).to_parquet(src_a)
+    pd.DataFrame({
+        "y": [10.0 * (i % 3) + 0.01 * i + 0.005 for i in range(n)],
+        "lin": [2.0 * i + 1.0 for i in range(n)],
+        "grp": ["abc"[(i + 1) % 3] for i in range(n)],
+    }).to_parquet(src_b)
+
+    def run(*argv, expect=0):
+        proc = subprocess.run(
+            [sys.executable, "-m", "pandas_profiling_personal_spark.cli",
+             *argv, "--master", "local[2]"],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        assert proc.returncode == expect, (
+            proc.returncode, proc.stderr[-2000:])
+        return proc
+
+    st_a = tmp_path / "a.json"
+    st_b = tmp_path / "b.json"
+    run(str(src_a), "--save-state", str(st_a), "--group-pairs", "grp:y")
+    from pandas_profiling_personal_spark.plans.incremental import (
+        PartialProfile,
+        merge_partials,
+        target_relevance_of,
+    )
+
+    pa = PartialProfile.from_json(st_a.read_text())
+    assert pa.group_pairs is not None and ("grp", "y") in pa.group_pairs
+
+    # align: stored group pairs carry forward without re-declaring
+    run(str(src_b), "--save-state", str(st_b), "--align-state", str(st_a))
+    pb = PartialProfile.from_json(st_b.read_text())
+    assert pb.group_pairs is not None and ("grp", "y") in pb.group_pairs
+
+    # a disagreeing flag refuses by name, not a merge-time traceback
+    bad = run(str(src_b), "--save-state", str(tmp_path / "c.json"),
+              "--align-state", str(st_a), "--group-pairs", "grp:lin",
+              expect=1)
+    assert "--group-pairs disagrees" in bad.stderr
+
+    # merged state -> ranking JSON with ZERO Spark (no session started)
+    merged = tmp_path / "merged.json"
+    merged.write_text(
+        merge_partials([pa, pb]).to_json(), encoding="utf-8")
+    out = tmp_path / "rank.json"
+    proc = run(str(merged), str(out), "--relevance-from-state", "y")
+    assert "SparkSession" not in proc.stderr  # never started a JVM
+    payload = json.loads(out.read_text())
+    assert payload["target"] == "y"
+    expected = target_relevance_of(merge_partials([pa, pb]), "y")
+    assert payload["relevance"] == expected
+    by = {r["feature"]: r for r in payload["relevance"]}
+    assert by["lin"]["method"] == "pearson_abs"
+    assert by["grp"]["method"] == "eta_squared"
+
+    # a target the state has no kernels for refuses by name
+    bad2 = run(str(merged), "--relevance-from-state", "ghost", expect=1)
+    assert "refused" in bad2.stderr and "ghost" in bad2.stderr
