@@ -1293,3 +1293,118 @@ def test_cli_group_pairs_and_relevance_from_state(tmp_path):
     # a target the state has no kernels for refuses by name
     bad2 = run(str(merged), "--relevance-from-state", "ghost", expect=1)
     assert "refused" in bad2.stderr and "ghost" in bad2.stderr
+
+
+def test_relevance_stream_batch_equivalence(spark, tmp_path):
+    """Streaming target relevance: per closed window the ONE-aggregation
+    ranking equals the batch target_relevance on that window's slice when
+    the declared domains cover the values; undeclared values pool into the
+    residual group (documented lower bound — exercised); a categorical
+    target refuses toward relevance_foreach_batch, which writes the full
+    batch ranking per micro-batch."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F, types as T
+
+    from pandas_profiling_personal_spark.operators.correlations import (
+        target_relevance,
+    )
+    from pandas_profiling_personal_spark.streaming.relevance_stream import (
+        relevance_foreach_batch,
+        relevance_stream,
+    )
+
+    rows = []
+    for i in range(240):
+        minute = i % 10
+        grp = "abc"[i % 3]
+        # window 0: grp determines y strongly; window 1: y is noise-like
+        if minute < 5:
+            y = {"a": 10.0, "b": 50.0, "c": 90.0}[grp] + 0.01 * i
+        else:
+            y = float((i * 7) % 23)
+        rows.append((
+            dt.datetime(2024, 1, 1, 0, minute, i // 10 % 60),
+            y, 2.0 * y + 1.0, grp,
+        ))
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("y", T.DoubleType()),
+        T.StructField("lin", T.DoubleType()),
+        T.StructField("grp", T.StringType()),
+    ])
+    src = tmp_path / "rel_stream_src"
+    spark.createDataFrame(rows, schema).write.parquet(str(src))
+
+    args = dict(
+        numeric_cols=["lin"],
+        categorical_domains={"grp": ["a", "b", "c"]},
+    )
+    batch = relevance_stream(
+        spark.read.parquet(str(src)), "y", "ts", **args)
+    brows = {(str(r["window_start"]), r["feature"]): r["score"]
+             for r in batch.collect()}
+    assert len(brows) == 2 * 2  # 2 windows x 2 features
+
+    stream_df = spark.readStream.schema(schema).parquet(str(src))
+    q = (relevance_stream(stream_df, "y", "ts", **args)
+         .writeStream.outputMode("complete").format("memory")
+         .queryName("t_rel").start())
+    try:
+        q.processAllAvailable()
+        srows = {(str(r["window_start"]), r["feature"]): r["score"]
+                 for r in spark.table("t_rel").collect()}
+    finally:
+        q.stop()
+    assert srows == brows
+
+    # per-window scores == batch target_relevance on that window's slice
+    for wmin, pred in ((0, F.minute("ts") < 5), (5, F.minute("ts") >= 5)):
+        sliced = spark.read.parquet(str(src)).filter(pred)
+        expect = {r["feature"]: r["score"] for r in target_relevance(
+            sliced, "y", numeric_cols=["lin"], categorical_cols=["grp"])}
+        got = {k[1]: v for k, v in brows.items()
+               if f"00:0{wmin}:00" in k[0]}
+        assert got == expect, wmin
+    # the determining window reads ~1, the noise window low
+    strong = [v for k, v in brows.items()
+              if k[1] == "grp" and "00:00:00" in k[0]][0]
+    weak = [v for k, v in brows.items()
+            if k[1] == "grp" and "00:05:00" in k[0]][0]
+    assert strong > 0.99 and weak < 0.2
+
+    # undeclared values pool into the residual group: declaring only
+    # {a} pools b+c, lowering (never raising) the determining window's η²
+    pooled = relevance_stream(
+        spark.read.parquet(str(src)).filter(F.minute("ts") < 5),
+        "y", "ts", categorical_domains={"grp": ["a"]})
+    pv = [r["score"] for r in pooled.collect() if r["feature"] == "grp"][0]
+    assert pv <= strong and pv > 0  # still associated, lower-bounded
+
+    # refusals
+    import pytest as _pt
+    with _pt.raises(ValueError, match="no features"):
+        relevance_stream(spark.read.parquet(str(src)), "y", "ts")
+    with _pt.raises(ValueError, match="empty domain"):
+        relevance_stream(spark.read.parquet(str(src)), "y", "ts",
+                         categorical_domains={"grp": []})
+
+    # foreachBatch tier: full batch ranking per micro-batch, batch=<id>
+    out = tmp_path / "rel_fb"
+    ckpt = tmp_path / "rel_ck"
+    proc = relevance_foreach_batch(
+        "y", str(out), numeric_cols=["lin"], categorical_cols=["grp"])
+    q2 = (spark.readStream.schema(schema).parquet(str(src))
+          .writeStream.foreachBatch(proc)
+          .option("checkpointLocation", str(ckpt)).start())
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    fb = spark.read.parquet(str(out / "batch=0"))
+    fbrows = {r["feature"]: r for r in fb.collect()}
+    whole = {r["feature"]: r for r in target_relevance(
+        spark.read.parquet(str(src)), "y",
+        numeric_cols=["lin"], categorical_cols=["grp"])}
+    assert fbrows["lin"]["score"] == whole["lin"]["score"]
+    assert fbrows["grp"]["score"] == whole["grp"]["score"]
