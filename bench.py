@@ -61,10 +61,19 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.01"
     try:
         profile(read_parquet(spark, f"{warm_dir}/lineitem.parquet"))
-        for fn in E.queries().values():
-            fn(spark, warm_dir).collect()
     except Exception:
         pass
+    # NOTE (r12): the old warm-up ran EVERY query here, up front — but
+    # Spark's generated-class cache holds 100 entries (CodeGenerator
+    # LRU), so with 105 specs the early warm-ups were EVICTED before the
+    # sweep reached their specs, which then recompiled + re-JIT'd inside
+    # their timed attempts (r12 first sweep: histogram 1.0 s steady read
+    # 4.6 s, hourly_rollup 0.57 -> 4.0, dedup_keep_list 2.5 -> 9.3, all
+    # with consistent attempt lists — a cache artifact, not a plan
+    # change; isolated re-runs matched r11). Each spec now warms at
+    # sf0.01 immediately before ITS timed attempts (in the query loop),
+    # so the generated classes are compiled and cached when timing
+    # starts, exactly like steady-state production.
 
     # flagship: full default-tier profile of lineitem (approx estimators — the
     # configuration that scales; exact tier is for the oracle gate)
@@ -262,6 +271,14 @@ def main() -> None:
             # mid-to-pre — a 3x+ mid/pre ratio next to a normal pre canary
             # is the throttle signature
             canary_mid = _cpu_canary()
+        try:
+            # per-spec warm-up at sf0.01: compiles + caches THIS spec's
+            # generated classes (and spins the Python worker pool for
+            # Arrow specs) right before its timed attempts — see the
+            # codegen-cache eviction note at the old warm loop's site
+            fn(spark, warm_dir).collect()
+        except Exception:
+            pass
         timings[name] = timed(lambda: fn(spark, sf_dir).collect(), name)
 
     # pipeline headliners at bench scale (not oracle-tier params): near-dup
@@ -336,6 +353,12 @@ def main() -> None:
         "incremental_cramers_v_lineitem": (
             "test harness: 3 full partial_profile passes + merge — the "
             "contingency state is one melt shuffle per shard"
+        ),
+        "incremental_target_relevance_lineitem": (
+            "test harness: 3 full partial_profile passes (correlations + "
+            "group-moment cells) + merge + finalize — the production mode "
+            "ranks from persisted daily states with zero jobs (sf1 point "
+            "flat, PERFORMANCE.md r12)"
         ),
         "incremental_drift_lineitem": (
             "test harness: profiles BOTH shards then drifts the states; "
