@@ -52,10 +52,12 @@ _SPECS: dict[str, tuple] = {
     # git (b952a02^, f1f1c88^, 987d95d^); every entry — window and tail —
     # is verified by tests/test_oracle_parity.py locally every round.
     #
-    # r12 window: the 6 never-driver-recorded specs (the five r11 tail
-    # specs + the NEW incremental_target_relevance), all 29 rows whose
-    # latest evidence is r9, and 15 of the 18 r10 rows. Tail: the 3
-    # r10 rows with in-window kin (mad_lineitem ~ numeric_summary_nation,
+    # r12 window: the 7 never-driver-recorded specs (the five r11 tail
+    # specs + the NEW incremental_target_relevance and fd_discovery), all
+    # 29 rows whose latest evidence is r9, and 14 of the 18 r10 rows.
+    # Tail: the 4 r10 rows with in-window kin (ts_anomaly_events ~
+    # seasonal_decompose_events, same stable-grid scaled-integer
+    # machinery; mad_lineitem ~ numeric_summary_nation,
     # same exact-percentile tier; value_counts_returnflag ~
     # value_counts_event_type, same operator; seasonal_profile_events ~
     # seasonal_decompose_events + hourly_rollup_events, same bounded
@@ -99,6 +101,16 @@ _SPECS: dict[str, tuple] = {
     "incremental_target_relevance_lineitem": (
         PP.incremental_target_relevance_query(),
         PP.incremental_target_relevance_sql(),
+    ),
+    # NEW r12: FD DISCOVERY — the relationship-mining step before
+    # functional_dependency declares a contract: explicit candidate pairs
+    # (production enumerates + HLL-prunes) through the shared one-melt
+    # two-level-groupBy kernel; displaces ts_anomaly_events to the tail
+    # under its KIN_EXCEPTIONS entry (seasonal_decompose_events shares
+    # the stable-grid scaled-integer machinery)
+    "fd_discovery_lineitem": (
+        P.fd_discovery_query(),
+        P.fd_discovery_sql(),
     ),
 
     # ---- latest driver evidence r9 ---------------------------------------
@@ -236,10 +248,6 @@ _SPECS: dict[str, tuple] = {
         P.acf_query(),
         P.acf_sql(),
     ),
-    "ts_anomaly_events": (
-        P.ts_anomaly_query(),
-        P.ts_anomaly_sql(),
-    ),
     "referential_integrity_lineitem": (
         P.referential_integrity_query(),
         P.referential_integrity_sql(),
@@ -297,6 +305,10 @@ _SPECS: dict[str, tuple] = {
     "seasonal_profile_events": (
         P.seasonal_profile_query(),
         P.seasonal_profile_sql(),
+    ),
+    "ts_anomaly_events": (
+        P.ts_anomaly_query(),
+        P.ts_anomaly_sql(),
     ),
     # r11-green rows (all recorded hash-matched last round):
     "rolling_trend_events": (

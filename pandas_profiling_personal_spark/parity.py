@@ -2453,6 +2453,80 @@ FROM (
     )
 
 
+#: fd_discovery candidates: a derived exact FD (qty_int -> qty_bucket,
+#: bucket is a function of the integer quantity), its failing inverse,
+#: a failing derived pair, and a partial real-column pair — both verdicts
+#: and the full ratio range exercised
+_FD_DISC_PAIRS = [
+    ("qty_int", "qty_bucket"),
+    ("qty_bucket", "qty_int"),
+    ("qty_mod7", "qty_bucket"),
+    ("l_returnflag", "l_linestatus"),
+]
+
+
+def _fd_disc_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        S.col("l_quantity").cast("int").alias("qty_int"),
+        F.floor(S.col("l_quantity") / 10).cast("int").alias("qty_bucket"),
+        F.pmod(S.col("l_quantity").cast("long"), F.lit(7))
+        .cast("int")
+        .alias("qty_mod7"),
+    )
+
+
+def fd_discovery_query() -> QueryFn:
+    """FD DISCOVERY (operators/checks.py:discover_fds — the relationship
+    mining step before functional_dependency declares a contract): score
+    explicit candidate pairs (the deterministic oracle tier; production
+    enumerates + HLL-prunes the quadratic space) through the shared
+    one-melt two-level-groupBy kernel."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.checks import (
+            discover_fds,
+        )
+
+        return discover_fds(
+            _fd_disc_frame(spark, sf_dir), candidates=_FD_DISC_PAIRS
+        )
+
+    return fn
+
+
+def fd_discovery_sql() -> str:
+    derived = (
+        "SELECT l_returnflag, l_linestatus,"
+        " CAST(l_quantity AS INT) AS qty_int,"
+        " CAST(floor(l_quantity / 10) AS INT) AS qty_bucket,"
+        " CAST(CAST(l_quantity AS BIGINT) % 7 AS INT) AS qty_mod7"
+        " FROM lineitem"
+    )
+
+    def pair(a: str, b: str) -> str:
+        return f"""
+SELECT '{a}' AS determinant, '{b}' AS dependent,
+       round((f.g - f.v) / f.g, 4) AS dependency_ratio,
+       f.v = 0 AS holds,
+       CAST(f.g AS BIGINT) AS n_groups, CAST(f.v AS BIGINT) AS n_violating,
+       TRUE AS exact
+FROM (
+  SELECT count(*) AS g, sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS v
+  FROM (SELECT {a},
+               count(DISTINCT {b})
+                 + max(CASE WHEN {b} IS NULL THEN 1 ELSE 0 END) AS ndep
+        FROM t GROUP BY {a})
+) f"""
+
+    body = "\nUNION ALL ".join(pair(a, b) for a, b in _FD_DISC_PAIRS)
+    return (
+        f"WITH t AS ({derived})\n" + body
+        + "\nORDER BY dependency_ratio DESC, determinant, dependent"
+    )
+
+
 def benford_query(table: str = "lineitem",
                   cols: list[str] | None = None) -> QueryFn:
     cols = cols or ["l_extendedprice", "l_quantity", "l_discount"]

@@ -41,6 +41,10 @@ KIN_EXCEPTIONS: dict[str, str] = {
     "value_counts_returnflag": "value_counts_event_type",
     # same bounded date_trunc grid machinery (period aggregation)
     "seasonal_profile_events": "seasonal_decompose_events",
+    # same stable-grid + scaled-integer window machinery (the anomaly
+    # threshold rides the decomposition's residual surface); displaced
+    # mid-r12 to admit the new fd_discovery spec
+    "ts_anomaly_events": "seasonal_decompose_events",
 }
 
 

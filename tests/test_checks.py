@@ -1185,3 +1185,84 @@ def test_check_violations_plan_bounded_topn(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("TakeOrderedAndProject") == 2, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_discover_fds(spark):
+    """FD discovery: the relationship-mining step before a declared
+    functional_dependency — holds/fails verdicts with the declared
+    check's dependency_ratio metric, HLL pruning (near-unique and
+    constant determinants out, cardinality necessary condition), NULL
+    semantics (NULL determinant is a group; NULL dependent is a value),
+    named refusals, and an all-built-in two-exchange plan."""
+    rows = [
+        (i, f"city{i % 6}", f"country{(i % 6) % 3}", "const",
+         None if i % 5 == 0 else f"v{i % 2}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, city string, country string, c string, nul string")
+
+    got = {(r["determinant"], r["dependent"]): r
+           for r in C.discover_fds(
+               df, max_determinant_distinct=20).collect()}
+    # city -> country holds (6 cities map to 3 countries); inverse pruned
+    # by the cardinality necessary condition (3 < 0.9*6)
+    assert got[("city", "country")]["holds"]
+    assert got[("city", "country")]["dependency_ratio"] == 1.0
+    assert got[("city", "country")]["n_groups"] == 6
+    assert got[("city", "country")]["exact"] is True
+    assert ("country", "city") not in got
+    # HLL-screened definite violators keep a row — holds=False,
+    # exact=False, NULL ratio (never melted); a held FD with a NULL
+    # determinant group survives the screen (struct-cardinality, not
+    # NULL-dropping count)
+    assert got[("city", "nul")]["exact"] is False
+    assert got[("city", "nul")]["holds"] is False
+    assert got[("city", "nul")]["dependency_ratio"] is None
+    assert got[("nul", "c")]["exact"] is True and got[("nul", "c")]["holds"]
+    assert got[("nul", "c")]["n_groups"] == 3  # NULL det is a group
+    # near-unique id determinant pruned; constant determinant pruned;
+    # id as DEPENDENT is still scored (and fails from any determinant)
+    assert not any(d == "id" for d, _ in got)
+    assert not any(d == "c" for d, _ in got)
+    assert ("city", "id") not in got  # 6 < 0.9*60: cannot hold exactly
+    # prune=False scores the necessary-condition failures too
+    allpairs = {(r["determinant"], r["dependent"]): r
+                for r in C.discover_fds(
+                    df, prune=False,
+                    columns=["city", "country"]).collect()}
+    assert not allpairs[("country", "city")]["holds"]
+    assert allpairs[("country", "city")]["n_violating"] == 3
+
+    # NULL semantics: NULL determinant is its own group; a NULL dependent
+    # counts as a distinct value (a {NULL, 'x'} group violates)
+    byhand = C.discover_fds(df, candidates=[("nul", "c"), ("city", "nul")])
+    r = {(x["determinant"], x["dependent"]): x for x in byhand.collect()}
+    assert r[("nul", "c")]["holds"]       # every nul-group maps to 'const'
+    assert r[("nul", "c")]["n_groups"] == 3   # v0, v1, NULL
+    assert not r[("city", "nul")]["holds"]    # cities mix NULL + values
+
+    # ratio agrees with the declared check on the same pair
+    declared = C.check_suite(
+        df, [C.functional_dependency("city", "country", name="d")]
+    ).collect()[0]
+    assert declared["value"] == got[("city", "country")]["dependency_ratio"]
+
+    # refusals
+    with pytest.raises(ValueError, match="not in frame"):
+        C.discover_fds(df, columns=["city", "ghost"])
+    with pytest.raises(ValueError, match="at least 2"):
+        C.discover_fds(df, columns=["city"])
+    with pytest.raises(ValueError, match="self-pair"):
+        C.discover_fds(df, candidates=[("city", "city")])
+    with pytest.raises(ValueError, match="no candidate pairs"):
+        C.discover_fds(df.select("c", "id"), max_determinant_distinct=5)
+
+    # plan: one melt -> two-level groupBy, no Python, bounded exchanges
+    plan = C.discover_fds(
+        df, candidates=[("city", "country"), ("country", "city")]
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 4  # 2 levels x2 print
