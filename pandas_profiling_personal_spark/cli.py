@@ -291,6 +291,13 @@ def build_parser() -> argparse.ArgumentParser:
         "STORED state's declared pairs automatically",
     )
     s.add_argument(
+        "--discover-fds",
+        action="store_true",
+        help="with --suggest-checks: also MINE single-column functional "
+        "dependencies (HLL prune + screen, exact melt verification) and "
+        "declare every exact hold as a functional_dependency check",
+    )
+    s.add_argument(
         "--group-pairs",
         default=None,
         metavar="CAT:NUM[,CAT:NUM...]",
@@ -406,6 +413,8 @@ def main(argv: list[str] | None = None) -> int:
     ]
     if args.checks_from_state and not (args.checks or args.suggest_checks):
         parser.error("--checks-from-state needs --checks or --suggest-checks")
+    if args.discover_fds and not args.suggest_checks:
+        parser.error("--discover-fds needs --suggest-checks")
     if args.fail_on_anomaly and not args.checks_log:
         parser.error("--fail-on-anomaly needs --checks-log")
     if args.checks_refs and not args.checks:
@@ -649,12 +658,29 @@ def main(argv: list[str] | None = None) -> int:
                     "--suggest-checks: nothing suggestible (no profiled "
                     "columns with counts)"
                 )
+            discovered_fds = 0
+            if args.discover_fds:
+                if args.checks_from_state:
+                    raise SystemExit(
+                        "--discover-fds needs the raw table (the melt "
+                        "verification scans it) — not available with "
+                        "--checks-from-state"
+                    )
+                # mined relationships become DECLARED contracts: every
+                # exact-verified hold joins the suggested suite
+                for r in CK.discover_fds(df_in).collect():
+                    if r["holds"] and r["exact"]:
+                        suite.append(CK.functional_dependency(
+                            r["determinant"], r["dependent"],
+                        ))
+                        discovered_fds += 1
             with open(args.suggest_checks, "w", encoding="utf-8") as fh:
                 json.dump(CK.checks_to_spec(suite), fh, indent=2, default=str)
             print(json.dumps({
                 "output": args.suggest_checks,
                 "n_checks": len(suite),
                 "kinds": sorted({c.kind for c in suite}),
+                "discovered_fds": discovered_fds,
             }))
             return 0
         df = read_table(spark, args.input)

@@ -1266,3 +1266,53 @@ def test_discover_fds(spark):
             "formatted"))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") <= 4  # 2 levels x2 print
+
+
+def test_cli_discover_fds_into_suggested_suite(tmp_path):
+    """--discover-fds with --suggest-checks: mined exact holds become
+    declared functional_dependency checks in the emitted suite, and the
+    suite then passes on the data it was mined from; flag misuse refuses
+    by name."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    src = tmp_path / "t.parquet"
+    pd.DataFrame({
+        "city": [f"c{i % 6}" for i in range(60)],
+        "country": [f"n{(i % 6) % 3}" for i in range(60)],
+        "price": [float(i % 9) for i in range(60)],
+    }).to_parquet(src)
+
+    def run(*argv, expect=0):
+        proc = subprocess.run(
+            [sys.executable, "-m", "pandas_profiling_personal_spark.cli",
+             *argv, "--master", "local[2]"],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        assert proc.returncode == expect, (proc.returncode, proc.stderr[-2000:])
+        return proc
+
+    suite_path = tmp_path / "suite.json"
+    out = run(str(src), "--minimal", "--suggest-checks", str(suite_path),
+              "--discover-fds")
+    meta = json.loads(out.stdout.strip().splitlines()[-1])
+    assert meta["discovered_fds"] >= 1
+    assert "functional_dependency" in meta["kinds"]
+    spec = json.loads(suite_path.read_text())
+    fds = [(c["determinant"], c["dependent"]) for c in spec["checks"]
+           if c["kind"] == "functional_dependency"]
+    assert (["city"], "country") in fds
+    # the inverse (country -> city) must NOT be declared
+    assert (["country"], "city") not in fds
+
+    # mined contracts pass on the data they were mined from
+    out = run(str(src), "--checks", str(suite_path))
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["passed"]
+
+    # refusals: needs --suggest-checks; state mode has no raw table
+    bad = run(str(src), "--discover-fds", expect=2)
+    assert "--discover-fds needs --suggest-checks" in bad.stderr
