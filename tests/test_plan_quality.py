@@ -821,3 +821,28 @@ def test_group_pairs_melt_single_exchange_no_python(spark):
     assert plan.count("Exchange hashpartitioning") <= 2  # tree + details
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_relevance_stream_single_aggregation_no_python(spark):
+    """relevance_stream: the whole per-window ranking rides ONE
+    aggregation (two-phase partial/final HashAggregate over the window
+    key — no per-feature jobs, no second aggregation for eta^2 thanks to
+    the declared-domain conditional sums) with no Python evaluation."""
+    import datetime as dt
+
+    from pandas_profiling_personal_spark.streaming.relevance_stream import (
+        relevance_stream,
+    )
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 0, i % 10), float(i), 2.0 * i,
+          "ab"[i % 2]) for i in range(40)],
+        "ts timestamp, y double, lin double, g string",
+    )
+    out = relevance_stream(
+        df, "y", "ts", numeric_cols=["lin"],
+        categorical_domains={"g": ["a", "b"]})
+    plan = _plan(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one exchange on the window key (tree + details print it twice)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
