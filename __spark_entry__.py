@@ -53,9 +53,11 @@ _SPECS: dict[str, tuple] = {
     # is verified by tests/test_oracle_parity.py locally every round.
     #
     # r12 window: the 7 never-driver-recorded specs (the five r11 tail
-    # specs + the NEW incremental_target_relevance and fd_discovery), all
-    # 29 rows whose latest evidence is r9, and 14 of the 18 r10 rows.
-    # Tail: the 4 r10 rows with in-window kin (ts_anomaly_events ~
+    # specs + the NEW incremental_target_relevance, fd_discovery and
+    # fk_discovery), all 29 rows whose latest evidence is r9, and 13 of
+    # the 18 r10 rows. Tail: the 5 r10 rows with in-window kin
+    # (referential_integrity_lineitem ~ fk_discovery_orders_customer,
+    # same distinct-reduced anti-join; ts_anomaly_events ~
     # seasonal_decompose_events, same stable-grid scaled-integer
     # machinery; mad_lineitem ~ numeric_summary_nation,
     # same exact-percentile tier; value_counts_returnflag ~
@@ -111,6 +113,16 @@ _SPECS: dict[str, tuple] = {
     "fd_discovery_lineitem": (
         P.fd_discovery_query(),
         P.fd_discovery_sql(),
+    ),
+    # NEW r12: inclusion-dependency / FK discovery — the cross-table
+    # complement of fd_discovery: candidate (child, parent) pairs through
+    # ONE distinct-values anti join (the declared foreign_key machinery
+    # generalized to every pair); displaces referential_integrity to the
+    # tail under its KIN_EXCEPTIONS entry (this spec exercises the same
+    # distinct-reduced anti-join)
+    "fk_discovery_orders_customer": (
+        P.fk_discovery_query(),
+        P.fk_discovery_sql(),
     ),
 
     # ---- latest driver evidence r9 ---------------------------------------
@@ -248,10 +260,6 @@ _SPECS: dict[str, tuple] = {
         P.acf_query(),
         P.acf_sql(),
     ),
-    "referential_integrity_lineitem": (
-        P.referential_integrity_query(),
-        P.referential_integrity_sql(),
-    ),
     "functional_dependency_lineitem": (
         P.functional_dependency_query(),
         P.functional_dependency_sql(),
@@ -309,6 +317,10 @@ _SPECS: dict[str, tuple] = {
     "ts_anomaly_events": (
         P.ts_anomaly_query(),
         P.ts_anomaly_sql(),
+    ),
+    "referential_integrity_lineitem": (
+        P.referential_integrity_query(),
+        P.referential_integrity_sql(),
     ),
     # r11-green rows (all recorded hash-matched last round):
     "rolling_trend_events": (

@@ -298,6 +298,16 @@ def build_parser() -> argparse.ArgumentParser:
         "declare every exact hold as a functional_dependency check",
     )
     s.add_argument(
+        "--discover-fks",
+        default=None,
+        metavar="NAME=PATH[,NAME=PATH...]",
+        help="with --suggest-checks: MINE inclusion dependencies from the "
+        "input into each named parent table (min/max+HLL screen, exact "
+        "distinct-values anti-join) and declare every contained pair as a "
+        "foreign_key check referencing NAME — gate later with "
+        "--checks --checks-refs NAME=PATH",
+    )
+    s.add_argument(
         "--group-pairs",
         default=None,
         metavar="CAT:NUM[,CAT:NUM...]",
@@ -415,6 +425,8 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("--checks-from-state needs --checks or --suggest-checks")
     if args.discover_fds and not args.suggest_checks:
         parser.error("--discover-fds needs --suggest-checks")
+    if args.discover_fks and not args.suggest_checks:
+        parser.error("--discover-fks needs --suggest-checks")
     if args.fail_on_anomaly and not args.checks_log:
         parser.error("--fail-on-anomaly needs --checks-log")
     if args.checks_refs and not args.checks:
@@ -674,6 +686,37 @@ def main(argv: list[str] | None = None) -> int:
                             r["determinant"], r["dependent"],
                         ))
                         discovered_fds += 1
+            discovered_fks = 0
+            if args.discover_fks:
+                if args.checks_from_state:
+                    raise SystemExit(
+                        "--discover-fks needs the raw table (the anti-join "
+                        "verification scans it) — not available with "
+                        "--checks-from-state"
+                    )
+                for item in args.discover_fks.split(","):
+                    ref_name, _, ref_path = item.partition("=")
+                    if not ref_name.strip() or not ref_path.strip():
+                        raise SystemExit(
+                            f"--discover-fks: bad entry {item!r} "
+                            "(want NAME=PATH)"
+                        )
+                    ref_name, ref_path = ref_name.strip(), ref_path.strip()
+                    parent_df = read_table(spark, ref_path)
+                    # a contained reference becomes a declared contract
+                    # gated later via --checks-refs NAME=PATH
+                    for r in CK.discover_inclusions(
+                        df_in, parent_df
+                    ).collect():
+                        if (r["contained"] and r["exact"]
+                                and (r["n_child_distinct"] or 0) > 0):
+                            suite.append(CK.foreign_key(
+                                r["child_column"], ref_name,
+                                r["parent_column"],
+                                name=(f"fk({r['child_column']}->"
+                                      f"{ref_name}.{r['parent_column']})"),
+                            ))
+                            discovered_fks += 1
             with open(args.suggest_checks, "w", encoding="utf-8") as fh:
                 json.dump(CK.checks_to_spec(suite), fh, indent=2, default=str)
             print(json.dumps({
@@ -681,6 +724,7 @@ def main(argv: list[str] | None = None) -> int:
                 "n_checks": len(suite),
                 "kinds": sorted({c.kind for c in suite}),
                 "discovered_fds": discovered_fds,
+                "discovered_fks": discovered_fks,
             }))
             return 0
         df = read_table(spark, args.input)

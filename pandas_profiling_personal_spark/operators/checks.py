@@ -456,6 +456,214 @@ def discover_fds(
     )
 
 
+def discover_inclusions(
+    child: DataFrame,
+    parent: DataFrame,
+    child_cols: list[str] | None = None,
+    parent_cols: list[str] | None = None,
+    candidates: "list[tuple[str, str]] | None" = None,
+    prune: bool = True,
+) -> DataFrame:
+    """DISCOVER unary inclusion dependencies ``child.a ⊆ parent.b`` —
+    the cross-table complement of :func:`discover_fds` and the mining
+    step before :func:`foreign_key` declares a reference (SPIDER/Binder's
+    unary tier, bounded to two frames). One row per candidate pair with
+    ``contained`` (every non-NULL distinct child value appears in the
+    parent — NULL children are vacuous, ANSI FK semantics),
+    ``containment_ratio`` = contained distinct child VALUES / all
+    distinct child values (value-level, so one pathological hot key
+    can't mask a broken reference), distinct/missing counts, ordered
+    (ratio desc, child, parent).
+
+    Scale shape, three tiers like FD discovery:
+
+    * tier 1 (``prune=True``): ONE agg per frame — min/max/HLL per
+      column — drops pairs failing the inclusion necessary conditions
+      (type-compatible; ``nd(a) <= 1.1 * nd(b)``; child min/max inside
+      parent min/max for orderable types). Screened-out pairs keep a row
+      (``contained=False, exact=False``, NULL counts): definite
+      non-inclusions, never verified.
+    * tier 2: survivors share ONE distinct-reduced anti join — both
+      sides melt to ``(pair_id, canonical value)``, distinct, then a
+      single left_anti — the declared :func:`foreign_key` check's
+      distinct-parent machinery generalized to every pair at once; the
+      join carries distinct VALUES, never rows.
+
+    Explicit ``candidates`` skip pruning (the deterministic oracle
+    tier)."""
+    c_cols = list(child_cols if child_cols is not None else child.columns)
+    p_cols = list(parent_cols if parent_cols is not None else parent.columns)
+    missing = sorted(set(c_cols) - set(child.columns))
+    missing += sorted(set(p_cols) - set(parent.columns))
+    if missing:
+        raise ValueError(
+            f"discover_inclusions: columns not in frame: {missing}"
+        )
+    c_types = {f.name: f.dataType for f in child.schema.fields}
+    p_types = {f.name: f.dataType for f in parent.schema.fields}
+
+    def _family(dt) -> str:
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.NumericType):
+            return "num"
+        if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+            return "time"
+        return dt.simpleString()
+
+    screened_out: "list[tuple[str, str]]" = []
+    if candidates is None:
+        pairs = [
+            (a, b) for a in c_cols for b in p_cols
+            if _family(c_types[a]) == _family(p_types[b])
+        ]
+        if not pairs:
+            raise ValueError(
+                "discover_inclusions: no type-compatible candidate pairs"
+            )
+        if prune:
+            def _stats(df, cols, tag):
+                aggs = []
+                for i, c in enumerate(cols):
+                    col = F.col(c)
+                    aggs += [
+                        F.approx_count_distinct(col).alias(f"{tag}{i}_nd"),
+                        F.min(col).alias(f"{tag}{i}_mn"),
+                        F.max(col).alias(f"{tag}{i}_mx"),
+                    ]
+                row = df.agg(*aggs).collect()[0]
+                return {
+                    c: (row[f"{tag}{i}_nd"], row[f"{tag}{i}_mn"],
+                        row[f"{tag}{i}_mx"])
+                    for i, c in enumerate(cols)
+                }
+
+            cs = _stats(child, sorted({a for a, _ in pairs}), "c")
+            ps = _stats(parent, sorted({b for _, b in pairs}), "p")
+            survivors = []
+            for a, b in pairs:
+                nd_a, mn_a, mx_a = cs[a]
+                nd_b, mn_b, mx_b = ps[b]
+                ok = nd_a <= 1.1 * nd_b
+                if ok and mn_a is not None and mn_b is not None:
+                    try:
+                        ok = mn_a >= mn_b and mx_a <= mx_b
+                    except TypeError:  # cross-type ordering edge
+                        pass
+                if ok:
+                    survivors.append((a, b))
+                else:
+                    screened_out.append((a, b))
+            pairs = survivors
+        if not pairs and not screened_out:
+            raise ValueError(
+                "discover_inclusions: nothing to score"
+            )
+    else:
+        pairs = [tuple(p) for p in candidates]
+        bad = sorted({a for a, _ in pairs} - set(child.columns))
+        bad += sorted({b for _, b in pairs} - set(parent.columns))
+        if bad:
+            raise ValueError(
+                f"discover_inclusions: candidate columns not in frame: {bad}"
+            )
+
+    out_schema = (
+        "child_column string, parent_column string,"
+        " containment_ratio double, contained boolean,"
+        " n_child_distinct long, n_missing_distinct long, exact boolean"
+    )
+    exact_df = None
+    if pairs:
+        # canonical string form so one melt carries every type family;
+        # numeric families normalize through double (int 5 == bigint 5)
+        def _canon(col, dt):
+            from pyspark.sql import types as T
+
+            if isinstance(dt, T.NumericType):
+                return col.cast("double").cast("string")
+            return col.cast("string")
+
+        c_structs = [
+            F.struct(
+                F.lit(i).alias("pid"),
+                _canon(F.col(a), c_types[a]).alias("val"),
+            )
+            for i, (a, _) in enumerate(pairs)
+        ]
+        p_structs = [
+            F.struct(
+                F.lit(i).alias("pid"),
+                _canon(F.col(b), p_types[b]).alias("val"),
+            )
+            for i, (_, b) in enumerate(pairs)
+        ]
+        c_vals = (
+            child.select(F.explode(F.array(*c_structs)).alias("kv"))
+            .select("kv.*").where(F.col("val").isNotNull()).distinct()
+        )
+        p_vals = (
+            parent.select(F.explode(F.array(*p_structs)).alias("kv"))
+            .select("kv.*").where(F.col("val").isNotNull()).distinct()
+        )
+        dangling = c_vals.join(p_vals, ["pid", "val"], "left_anti")
+        # anchor every pid: an ALL-NULL child column melts to zero rows
+        # and would vanish — it is vacuously contained (ANSI FK), kept
+        # with n_child=0 and a NULL ratio
+        pid_frame = child.sparkSession.createDataFrame(
+            [(i,) for i in range(len(pairs))], "pid int"
+        )
+        per_pair = (
+            pid_frame.join(
+                c_vals.groupBy("pid").agg(
+                    F.count(F.lit(1)).alias("n_child")
+                ),
+                "pid",
+                "left",
+            )
+            .join(
+                dangling.groupBy("pid").agg(
+                    F.count(F.lit(1)).alias("n_missing")
+                ),
+                "pid",
+                "left",
+            )
+            .na.fill({"n_child": 0, "n_missing": 0})
+        )
+        cmap, pmap = None, None
+        for i, (a, b) in enumerate(pairs):
+            cmap = (F.when(F.col("pid") == i, a) if cmap is None
+                    else cmap.when(F.col("pid") == i, a))
+            pmap = (F.when(F.col("pid") == i, b) if pmap is None
+                    else pmap.when(F.col("pid") == i, b))
+        ratio = F.round(
+            F.try_divide(F.col("n_child") - F.col("n_missing"),
+                         F.col("n_child")),
+            ROUND,
+        )
+        exact_df = per_pair.select(
+            cmap.alias("child_column"),
+            pmap.alias("parent_column"),
+            ratio.alias("containment_ratio"),
+            (F.col("n_missing") == 0).alias("contained"),
+            F.col("n_child").cast("long").alias("n_child_distinct"),
+            F.col("n_missing").cast("long").alias("n_missing_distinct"),
+            F.lit(True).alias("exact"),
+        )
+    out = exact_df
+    if screened_out:
+        screened_df = child.sparkSession.createDataFrame(
+            [(a, b, None, False, None, None, False)
+             for a, b in screened_out],
+            out_schema,
+        )
+        out = screened_df if out is None else out.unionByName(screened_df)
+    return out.orderBy(
+        F.desc_nulls_last("containment_ratio"), F.col("child_column"),
+        F.col("parent_column"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # compilation — scalar pass
 # ---------------------------------------------------------------------------

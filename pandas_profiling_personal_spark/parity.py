@@ -2527,6 +2527,60 @@ FROM (
     )
 
 
+#: fk_discovery candidates: a holding reference (every order names a
+#: customer) and a failing same-family pair (order keys are not customer
+#: keys) — both verdicts + a real fractional ratio
+_IND_PAIRS = [
+    ("o_custkey", "c_custkey"),
+    ("o_orderkey", "c_custkey"),
+]
+
+
+def fk_discovery_query() -> QueryFn:
+    """Inclusion-dependency / FK discovery (operators/checks.py:
+    discover_inclusions — the cross-table complement of discover_fds):
+    explicit candidate pairs (production generates + min/max/HLL-screens
+    the type-compatible space) through the shared distinct-values
+    anti-join — the declared foreign_key check's machinery generalized
+    to every pair in ONE join."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.checks import (
+            discover_inclusions,
+        )
+
+        return discover_inclusions(
+            load(spark, sf_dir, "orders"),
+            load(spark, sf_dir, "customer"),
+            candidates=_IND_PAIRS,
+        )
+
+    return fn
+
+
+def fk_discovery_sql() -> str:
+    def pair(a: str, b: str) -> str:
+        return f"""
+SELECT '{a}' AS child_column, '{b}' AS parent_column,
+       round((c.n - m.miss) / c.n, 4) AS containment_ratio,
+       m.miss = 0 AS contained,
+       CAST(c.n AS BIGINT) AS n_child_distinct,
+       CAST(m.miss AS BIGINT) AS n_missing_distinct,
+       TRUE AS exact
+FROM (SELECT count(DISTINCT {a}) AS n FROM orders WHERE {a} IS NOT NULL) c,
+     (SELECT count(*) AS miss FROM
+        (SELECT DISTINCT {a} AS cv FROM orders WHERE {a} IS NOT NULL) c2
+        LEFT JOIN (SELECT DISTINCT {b} AS pv FROM customer) p2
+          ON c2.cv = p2.pv
+      WHERE p2.pv IS NULL) m"""
+
+    body = "\nUNION ALL ".join(pair(a, b) for a, b in _IND_PAIRS)
+    return (
+        body
+        + "\nORDER BY containment_ratio DESC, child_column, parent_column"
+    )
+
+
 def benford_query(table: str = "lineitem",
                   cols: list[str] | None = None) -> QueryFn:
     cols = cols or ["l_extendedprice", "l_quantity", "l_discount"]

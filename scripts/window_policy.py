@@ -45,6 +45,11 @@ KIN_EXCEPTIONS: dict[str, str] = {
     # threshold rides the decomposition's residual surface); displaced
     # mid-r12 to admit the new fd_discovery spec
     "ts_anomaly_events": "seasonal_decompose_events",
+    # the same distinct-reduced anti-join FK machinery, generalized: the
+    # discovery spec verifies containment through the identical join
+    # shape the declared check gates on; displaced mid-r12 to admit the
+    # new fk_discovery spec
+    "referential_integrity_lineitem": "fk_discovery_orders_customer",
 }
 
 

@@ -1316,3 +1316,89 @@ def test_cli_discover_fds_into_suggested_suite(tmp_path):
     # refusals: needs --suggest-checks; state mode has no raw table
     bad = run(str(src), "--discover-fds", expect=2)
     assert "--discover-fds needs --suggest-checks" in bad.stderr
+
+    # cross-table mining: --discover-fks declares contained references
+    parent = tmp_path / "countries.parquet"
+    pd.DataFrame({"code": [f"n{k}" for k in range(5)]}).to_parquet(parent)
+    suite2 = tmp_path / "suite2.json"
+    out = run(str(src), "--minimal", "--suggest-checks", str(suite2),
+              "--discover-fks", f"countries={parent}")
+    meta2 = json.loads(out.stdout.strip().splitlines()[-1])
+    assert meta2["discovered_fks"] >= 1
+    spec2 = json.loads(suite2.read_text())
+    fks = [(c["columns"], c["ref"], c["ref_cols"])
+           for c in spec2["checks"] if c["kind"] == "foreign_key"]
+    assert (["country"], "countries", ["code"]) in fks
+    # the mined reference gates with --checks-refs
+    out = run(str(src), "--checks", str(suite2),
+              "--checks-refs", f"countries={parent}")
+    assert json.loads(out.stdout.strip().splitlines()[-1])["passed"]
+    bad2 = run(str(src), "--suggest-checks", str(suite2),
+               "--discover-fks", "nopath", expect=1)
+    assert "bad entry" in bad2.stderr
+
+
+def test_discover_inclusions(spark):
+    """Unary inclusion-dependency discovery — the cross-table FK miner:
+    containment verdicts over distinct VALUES, type-family candidate
+    generation, min/max + HLL screening with screened rows kept, NULL
+    child vacuity, numeric canonicalization across int widths, named
+    refusals, and a values-not-rows anti-join plan."""
+    child = spark.createDataFrame(
+        [(i % 20, float(i % 20), f"u{i}", None) for i in range(100)],
+        "fk int, fkd double, uid string, dead int")
+    parent = spark.createDataFrame(
+        [(int(k), f"p{k}") for k in range(25)],
+        "pk bigint, name string")
+
+    got = {(r["child_column"], r["parent_column"]): r
+           for r in C.discover_inclusions(child, parent).collect()}
+    # fk in {0..19} is contained in pk {0..24}; int vs bigint canonical
+    r = got[("fk", "pk")]
+    assert r["contained"] and r["exact"]
+    assert r["containment_ratio"] == 1.0 and r["n_child_distinct"] == 20
+    # double 0.0..19.0 also matches through the numeric canonical form
+    assert got[("fkd", "pk")]["contained"]
+    # uid (100 distinct strings) vs name (25): screened by cardinality
+    assert got[("uid", "name")]["exact"] is False
+    assert not got[("uid", "name")]["contained"]
+    assert got[("uid", "name")]["containment_ratio"] is None
+    # an ALL-NULL child column is vacuously contained, NULL ratio
+    d = got[("dead", "pk")]
+    assert d["contained"] and d["n_child_distinct"] == 0
+    assert d["containment_ratio"] is None
+    # no string/int cross-family candidates were generated
+    assert ("fk", "name") not in got and ("uid", "pk") not in got
+
+    # the reverse direction fails by value, not by screen: pk {0..24}
+    # vs fk {0..19} — survives cardinality (25 <= 1.1*20 false → actually
+    # screened; use explicit candidates for the exact reverse check)
+    rev = C.discover_inclusions(
+        parent, child, candidates=[("pk", "fk")]).collect()[0]
+    assert rev["exact"] and not rev["contained"]
+    assert rev["n_missing_distinct"] == 5
+    assert rev["containment_ratio"] == pytest.approx(20 / 25, abs=1e-4)
+
+    # refusals
+    with pytest.raises(ValueError, match="not in frame"):
+        C.discover_inclusions(child, parent, child_cols=["ghost"])
+    with pytest.raises(ValueError, match="candidate columns"):
+        C.discover_inclusions(child, parent, candidates=[("fk", "ghost")])
+    with pytest.raises(ValueError, match="no type-compatible"):
+        C.discover_inclusions(child.select("uid"), parent.select("pk"))
+
+    # plan: distinct values ride the anti join, never raw rows — both
+    # sides aggregate to distinct (pid, val) before the join; no Python
+    plan = C.discover_inclusions(
+        child, parent, candidates=[("fk", "pk"), ("fkd", "pk")]
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "LeftAnti" in plan
+
+    # the declared check agrees: a contained pair passes foreign_key
+    suite = C.check_suite(
+        child, [C.foreign_key("fk", "parent", "pk", name="fk")],
+        refs={"parent": parent})
+    assert suite.collect()[0]["passed"]
