@@ -293,9 +293,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument(
         "--discover-fds",
         action="store_true",
-        help="with --suggest-checks: also MINE single-column functional "
-        "dependencies (HLL prune + screen, exact melt verification) and "
-        "declare every exact hold as a functional_dependency check",
+        help="MINE single-column functional dependencies (HLL prune + "
+        "screen, exact melt verification): on a profile run, attach them "
+        "as a Relationships section; with --suggest-checks, declare every "
+        "exact hold as a functional_dependency check",
     )
     s.add_argument(
         "--discover-fks",
@@ -423,8 +424,6 @@ def main(argv: list[str] | None = None) -> int:
     ]
     if args.checks_from_state and not (args.checks or args.suggest_checks):
         parser.error("--checks-from-state needs --checks or --suggest-checks")
-    if args.discover_fds and not args.suggest_checks:
-        parser.error("--discover-fds needs --suggest-checks")
     if args.discover_fks and not args.suggest_checks:
         parser.error("--discover-fks needs --suggest-checks")
     if args.fail_on_anomaly and not args.checks_log:
@@ -503,6 +502,8 @@ def main(argv: list[str] | None = None) -> int:
         )
     if args.relevance_target:
         cfg = cfg.with_(relevance_target=args.relevance_target)
+    if args.discover_fds:
+        cfg = cfg.with_(discover_fds=True)
     if args.layout_advice or args.join_keys:
         cfg = cfg.with_(
             layout_advice=True,

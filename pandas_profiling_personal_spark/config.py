@@ -197,6 +197,12 @@ class ProfileConfig:
     #: names not present in the profiled columns are ignored (the profile
     #: may be column-scoped)
     layout_join_keys: tuple[str, ...] = ()
+    #: mine single-column functional dependencies into the result and a
+    #: Relationships report section (operators/checks.discover_fds: HLL
+    #: prune + screen, exact melt verification — opt-in, the melt is an
+    #: extra pass). Rows carry only column names and group counts, no
+    #: data values, so the section renders under redact too
+    discover_fds: bool = False
 
     # --- misc ---------------------------------------------------------------------
     seed: int = 42

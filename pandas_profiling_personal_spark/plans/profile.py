@@ -81,6 +81,9 @@ class ProfileResult:
     #: feature-vs-target association ranking (config relevance_target=):
     #: [{feature, method, score, reason?}] sorted score-desc
     relevance: list[dict[str, Any]] = field(default_factory=list)
+    #: mined single-column functional dependencies (config
+    #: discover_fds=True): discover_fds rows as dicts, ratio-desc
+    relationships: list[dict[str, Any]] = field(default_factory=list)
 
     def as_dict(self) -> dict[str, Any]:
         return {
@@ -99,6 +102,7 @@ class ProfileResult:
             "timeseries": self.timeseries,
             "layout": self.layout,
             "relevance": self.relevance,
+            "relationships": self.relationships,
         }
 
     def to_json(self, **kw) -> str:
@@ -166,6 +170,8 @@ def profile(
         _planned.append("timeseries")
     if cfg.relevance_target and not cfg.redact:
         _planned.append("target_relevance")
+    if cfg.discover_fds:
+        _planned.append("fd_discovery")
     _done: list[str] = []
 
     def _mark(name: str) -> None:
@@ -1141,6 +1147,38 @@ def profile(
                 )
             _mark("target_relevance")
 
+        # relationship mining (``discover_fds=True``, beyond the
+        # reference): single-column FDs via the HLL prune + screen +
+        # exact-melt tiers (operators/checks.py:discover_fds). Rows carry
+        # column names and group counts only — no data values — so the
+        # section is redact-safe. The cardinality gate reuses the
+        # profile's correlation-distinct ceiling.
+        relationships: list[dict[str, Any]] = []
+        if cfg.discover_fds:
+            from pandas_profiling_personal_spark.operators.checks import (
+                discover_fds,
+            )
+
+            fd_cols = [
+                c for c, vt in types.items()
+                if vt in (VT.NUMERIC, VT.CATEGORICAL, VT.BOOLEAN,
+                          VT.DATETIME)
+            ]
+            if len(fd_cols) >= 2:
+                try:
+                    relationships = [
+                        r.asDict()
+                        for r in discover_fds(
+                            df, columns=fd_cols,
+                            max_determinant_distinct=(
+                                cfg.categorical_maximum_correlation_distinct
+                            ),
+                        ).collect()
+                    ]
+                except ValueError:
+                    relationships = []  # nothing survives the prune
+            _mark("fd_discovery")
+
         dataset_meta = {
             k: v
             for k, v in {
@@ -1190,6 +1228,7 @@ def profile(
             variables=variables,
             metadata=metadata,
             relevance=relevance,
+            relationships=relationships,
             correlations=correlations,
             missing=missing,
             sample=sample,

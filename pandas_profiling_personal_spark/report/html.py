@@ -690,6 +690,9 @@ def render_html(result: "Any", title: "str | None" = None) -> str:
     relevance = d.get("relevance") or []
     if relevance:
         nav_items.append(("relevance", "Target relevance"))
+    relationships = d.get("relationships") or []
+    if relationships:
+        nav_items.append(("relationships", "Relationships"))
     nav = (
         "<nav data-section='nav'>" + "".join(
             f"<a href='#{anchor}'>{label}</a>" for anchor, label in nav_items
@@ -990,6 +993,23 @@ def render_html(result: "Any", title: "str | None" = None) -> str:
              "score": _fmt(r.get("score")),
              **({"reason": r["reason"]} if r.get("reason") else {})}
             for r in relevance
+        ]))
+        parts.append("</div>")
+
+    # mined functional dependencies (discover_fds= config) — column
+    # names and group counts only, so redact-safe
+    if relationships:
+        parts.append(
+            "<h2 id='relationships' data-section='relationships'>"
+            "Relationships</h2><div class='card'>"
+        )
+        parts.append(_sample_table([
+            {"determinant": r.get("determinant"),
+             "dependent": r.get("dependent"),
+             "ratio": _fmt(r.get("dependency_ratio")),
+             "holds": r.get("holds"),
+             "tier": "exact" if r.get("exact") else "screened"}
+            for r in relationships
         ]))
         parts.append("</div>")
 

@@ -1313,9 +1313,12 @@ def test_cli_discover_fds_into_suggested_suite(tmp_path):
     summary = json.loads(out.stdout.strip().splitlines()[-1])
     assert summary["passed"]
 
-    # refusals: needs --suggest-checks; state mode has no raw table
-    bad = run(str(src), "--discover-fds", expect=2)
-    assert "--discover-fds needs --suggest-checks" in bad.stderr
+    # standalone --discover-fds is the PROFILE mode: the report gains the
+    # Relationships section with the mined holds
+    html_out = tmp_path / "rep.html"
+    run(str(src), str(html_out), "--minimal", "--discover-fds")
+    page = html_out.read_text(encoding="utf-8")
+    assert "Relationships" in page and "city" in page
 
     # cross-table mining: --discover-fks declares contained references
     parent = tmp_path / "countries.parquet"
@@ -1402,3 +1405,36 @@ def test_discover_inclusions(spark):
         child, [C.foreign_key("fk", "parent", "pk", name="fk")],
         refs={"parent": parent})
     assert suite.collect()[0]["passed"]
+
+
+def test_profile_relationships_section(spark):
+    """discover_fds=True on profile(): mined FDs attach as
+    ProfileResult.relationships, ride the JSON, render a Relationships
+    section (redact-safe: names + counts only), and the progress plan
+    grows by the fd_discovery stage."""
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+    from pandas_profiling_personal_spark.report.html import render_html
+
+    rows = [(f"c{i % 6}", f"n{(i % 6) % 3}", float(i % 9))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "city string, country string, v double")
+
+    events = []
+    r = profile(df, ProfileConfig(exact=True, discover_fds=True),
+                progress=lambda s, i, n: events.append((s, i, n)))
+    byp = {(x["determinant"], x["dependent"]): x for x in r.relationships}
+    assert byp[("city", "country")]["holds"]
+    assert events[-1][0] == "fd_discovery"
+    import json as _json
+    assert _json.loads(r.to_json())["relationships"]
+
+    page = render_html(r)
+    assert "Relationships" in page and "data-section='relationships'" in page
+
+    # redact keeps the section (no data values in it)
+    r2 = profile(df, ProfileConfig(exact=True, discover_fds=True,
+                                   redact=True))
+    assert r2.relationships
+    # default off
+    r3 = profile(df, ProfileConfig(exact=True))
+    assert r3.relationships == []
