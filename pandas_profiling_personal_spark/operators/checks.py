@@ -272,55 +272,126 @@ def functional_dependency(determinant: list[str] | str, dependent: str,
                  {"n_det": len(det), "min_ratio": float(min_ratio)})
 
 
+def _score_fd_pairs(df: DataFrame, pairs: "list[tuple[tuple, str]]"):
+    """Exact FD verification for ``[(determinant_tuple, dependent)]``
+    pairs — the shared one-melt two-level-groupBy kernel (composite
+    determinants through the declared check's escaped key expression).
+    Returns the lazy result frame; determinant renders comma-joined."""
+    structs = [
+        F.struct(
+            F.lit(i).alias("fid"),
+            _key_expr(list(det)).alias("det"),
+            F.coalesce(_esc_component(F.col(dep)),
+                       F.lit(NULL_SENTINEL)).alias("dep"),
+        )
+        for i, (det, dep) in enumerate(pairs)
+    ]
+    melted = df.select(
+        F.explode(F.array(*structs)).alias("kv")
+    ).select("kv.*")
+    marker = df.sparkSession.createDataFrame(
+        [(i, None, None) for i in range(len(pairs))],
+        "fid int, det string, dep string",
+    )
+    per_group = melted.unionByName(marker).groupBy("fid", "det").agg(
+        F.count_distinct(F.col("dep")).alias("ndep")
+    )
+    per_fd = per_group.groupBy("fid").agg(
+        F.sum(F.when(F.col("ndep") > 0, 1).otherwise(0)).alias("n_groups"),
+        F.sum(F.when(F.col("ndep") > 1, 1).otherwise(0)).alias(
+            "n_violating"
+        ),
+    )
+    det_map, dep_map = None, None
+    for i, (det, dep) in enumerate(pairs):
+        dname = ",".join(det)
+        det_map = (F.when(F.col("fid") == i, dname) if det_map is None
+                   else det_map.when(F.col("fid") == i, dname))
+        dep_map = (F.when(F.col("fid") == i, dep) if dep_map is None
+                   else dep_map.when(F.col("fid") == i, dep))
+    ratio = F.round(
+        F.try_divide(F.col("n_groups") - F.col("n_violating"),
+                     F.col("n_groups")),
+        ROUND,
+    )
+    return per_fd.select(
+        det_map.alias("determinant"),
+        dep_map.alias("dependent"),
+        ratio.alias("dependency_ratio"),
+        (F.col("n_violating") == 0).alias("holds"),
+        F.col("n_groups").cast("long").alias("n_groups"),
+        F.col("n_violating").cast("long").alias("n_violating"),
+        F.lit(True).alias("exact"),
+    )
+
+
+_FD_OUT_SCHEMA = (
+    "determinant string, dependent string, dependency_ratio double,"
+    " holds boolean, n_groups long, n_violating long, exact boolean"
+)
+
+
 def discover_fds(
     df: DataFrame,
     columns: list[str] | None = None,
-    candidates: "list[tuple[str, str]] | None" = None,
+    candidates: "list[tuple] | None" = None,
     max_determinant_distinct: int = 100_000,
     prune: bool = True,
+    max_arity: int = 1,
+    max_level2_candidates: int = 2000,
 ) -> DataFrame:
-    """DISCOVER single-column functional dependencies — the step before
+    """DISCOVER functional dependencies — the step before
     :func:`functional_dependency` declares one (the reference only turns
     computed stats into messages after the fact; classical FD discovery à
-    la TANE/Metanome is profiling's relationship surface, here bounded to
-    ordered column pairs). One row per candidate ``determinant ->
-    dependent`` pair with the SAME metric the declared check gates on:
-    ``dependency_ratio`` = determinant groups with exactly one dependent
-    value / all groups (1.0 = holds exactly), plus group/violation counts,
-    ordered (ratio desc, determinant, dependent).
+    la TANE/Metanome is profiling's relationship surface). One row per
+    candidate ``determinant -> dependent`` pair with the SAME metric the
+    declared check gates on: ``dependency_ratio`` = determinant groups
+    with exactly one dependent value / all groups (1.0 = holds exactly),
+    plus group/violation counts, ordered (ratio desc, determinant,
+    dependent). Composite determinants render comma-joined.
 
-    Scale shape: ONE cardinality aggregate (HLL per column) prunes the
-    quadratic candidate space, then ALL surviving pairs share ONE
-    melt -> two-level groupBy — the :func:`_fd_rows` kernel with pair ids
-    instead of declared checks; the exchange carries (pair, determinant
-    value) groups, never raw rows x pairs beyond the melt. Pruning
-    (``prune=True``) applies two classical necessary/sanity conditions:
+    Scale shape, three tiers:
 
-    * a near-unique determinant (``> max_determinant_distinct`` distinct)
-      is skipped — every FD from a key holds trivially and the groupBy
-      would shuffle a group per row;
-    * exact FDs require ``n_distinct(det) >= n_distinct(dep)`` — pairs
-      failing it (with 0.9 HLL slack) cannot hold exactly and are
-      dropped; pass ``prune=False`` (or explicit ``candidates``) to score
-      them anyway, e.g. for approximate-FD mining.
+    * tier 1 (``prune=True``): ONE cardinality aggregate (HLL per column)
+      prunes the quadratic candidate space — a near-unique determinant
+      (``> max_determinant_distinct`` distinct) is dropped (every FD from
+      a key holds trivially and the groupBy would shuffle a group per
+      row), and exact FDs require ``n_distinct(det) >= n_distinct(dep)``
+      (0.9 HLL slack); ``prune=False`` scores everything, e.g. for
+      approximate-FD mining.
+    * tier 2: an HLL SCREEN — FD ``a -> b`` holds exactly iff
+      ``n_distinct(a, b) == n_distinct(a)``, so ONE scan of per-pair
+      ``approx_count_distinct(struct(...))`` (struct on BOTH sides so
+      NULL determinants count as groups, matching the melt kernel's
+      sentinel) proves most violating pairs violate before the melt pays
+      for them. Screened-out pairs keep a row (``holds=False``,
+      ``exact=False``, NULL ratio/counts) so the output covers the
+      candidate space. Measured on lineitem (7 columns, 21 surviving
+      pairs, 6.0M rows): screen+verify cut the all-melt cost ~6x.
+    * tier 3: survivors share ONE melt -> two-level groupBy — the
+      :func:`_fd_rows` kernel with pair ids; the exchange carries
+      (pair, determinant value) groups, never raw rows x pairs beyond
+      the melt.
 
-    Explicit ``candidates`` are scored verbatim (no pruning or
-    screening) — the deterministic tier the oracle spec uses. NULL
-    determinants are their own group (the declared check's NULL-sentinel
-    semantics); NULL dependents count as a value.
+    ``max_arity=2`` adds the composite-determinant lattice level (TANE's
+    level 2), pruned the classical way: ``{a, b} -> c`` is generated only
+    when NEITHER ``a -> c`` nor ``b -> c`` held exactly at level 1 (an
+    implied composite is noise), both components pass the determinant
+    gate, and the COMBINED key survives the same near-unique gate and
+    HLL screen (tier-2 struct cardinalities, one extra scan) before one
+    extra melt. The level-2 lattice is capped at
+    ``max_level2_candidates`` and refuses loudly above it — narrow
+    ``columns`` rather than silently sampling the lattice.
 
-    Second prune tier (``prune=True``, enumeration path): an HLL SCREEN —
-    FD ``a -> b`` holds exactly iff ``n_distinct(a, b) == n_distinct(a)``,
-    so ONE scan of per-pair ``approx_count_distinct(struct(a, b))``
-    (partial-aggregated, no shuffle beyond the 1-row collapse) proves
-    most violating pairs violate before the melt pays for them; only
-    survivors (within HLL error of equality) reach the exact kernel.
-    Screened-out pairs still get a row — ``holds=False``, ``exact=False``,
-    NULL ratio/counts (definite violators, ratio not measured) — so the
-    output always covers the candidate space; exact-verified rows carry
-    ``exact=True``. Measured on lineitem (7 columns, 21 surviving pairs,
-    6.0M rows): screen+verify cut the all-melt cost ~6x."""
+    Explicit ``candidates`` (``(det, dep)`` with ``det`` a name or a
+    tuple of names) are scored verbatim — the deterministic oracle tier.
+    NULL determinants are their own group (the declared check's
+    NULL-sentinel semantics); NULL dependents count as a value."""
+    if max_arity not in (1, 2):
+        raise ValueError("discover_fds: max_arity must be 1 or 2")
     screened_out: "list[tuple[str, str]]" = []
+    nd: "dict[str, int]" = {}
+    cols: list[str] = []
     if candidates is None:
         cols = list(columns if columns is not None else df.columns)
         missing = sorted(set(cols) - set(df.columns))
@@ -328,7 +399,7 @@ def discover_fds(
             raise ValueError(f"discover_fds: columns not in frame: {missing}")
         if len(cols) < 2:
             raise ValueError("discover_fds: need at least 2 columns")
-        pairs = [(a, b) for a in cols for b in cols if a != b]
+        pairs = [((a,), b) for a in cols for b in cols if a != b]
         if prune:
             card = df.agg(*[
                 F.approx_count_distinct(F.col(c)).alias(f"c{i}")
@@ -336,42 +407,12 @@ def discover_fds(
             ]).collect()[0]
             nd = {c: card[f"c{i}"] for i, c in enumerate(cols)}
             pairs = [
-                (a, b) for a, b in pairs
-                if 2 <= nd[a] <= max_determinant_distinct
-                and nd[a] >= 0.9 * nd[b]
+                (det, b) for det, b in pairs
+                if 2 <= nd[det[0]] <= max_determinant_distinct
+                and nd[det[0]] >= 0.9 * nd[b]
             ]
-            if pairs:
-                # HLL screen: one scan, per-pair distinct(struct(a, b))
-                # vs distinct(struct(a)) — struct on BOTH sides so a NULL
-                # determinant counts as a group exactly like the melt
-                # kernel's NULL sentinel (bare approx_count_distinct
-                # ignores NULLs and would false-screen held FDs whose
-                # determinant has NULL groups)
-                dets = sorted({a for a, _ in pairs})
-                det_aggs = [
-                    F.approx_count_distinct(
-                        F.struct(F.col(a))
-                    ).alias(f"d{di}")
-                    for di, a in enumerate(dets)
-                ]
-                pair_aggs = [
-                    F.approx_count_distinct(
-                        F.struct(F.col(a), F.col(b))
-                    ).alias(f"p{k}")
-                    for k, (a, b) in enumerate(pairs)
-                ]
-                cardrow = df.agg(*det_aggs, *pair_aggs).collect()[0]
-                det_card = {a: cardrow[f"d{di}"]
-                            for di, a in enumerate(dets)}
-                survivors = []
-                for k, (a, b) in enumerate(pairs):
-                    # default rsd 0.05 on both sides: equality within a
-                    # combined ~1.15 factor survives to exact verification
-                    if cardrow[f"p{k}"] <= 1.15 * det_card[a]:
-                        survivors.append((a, b))
-                    else:
-                        screened_out.append((a, b))
-                pairs = survivors
+            pairs, scr = _fd_screen(df, pairs)
+            screened_out.extend(scr)
         if not pairs and not screened_out:
             raise ValueError(
                 "discover_fds: no candidate pairs survive the cardinality "
@@ -380,80 +421,134 @@ def discover_fds(
                 "pass candidates=[...] or prune=False to score anyway"
             )
     else:
-        pairs = [tuple(p) for p in candidates]
-        missing = sorted({c for p in pairs for c in p} - set(df.columns))
+        pairs = []
+        for det, dep in candidates:
+            det_t = (det,) if isinstance(det, str) else tuple(det)
+            pairs.append((det_t, dep))
+        missing = sorted(
+            {c for det, dep in pairs for c in (*det, dep)}
+            - set(df.columns)
+        )
         if missing:
             raise ValueError(
                 f"discover_fds: candidate columns not in frame: {missing}"
             )
-        if any(a == b for a, b in pairs):
+        if any(dep in det for det, dep in pairs):
             raise ValueError("discover_fds: self-pair candidate")
 
-    out_schema = (
-        "determinant string, dependent string, dependency_ratio double,"
-        " holds boolean, n_groups long, n_violating long, exact boolean"
-    )
-    exact_df = None
-    if pairs:
-        structs = [
-            F.struct(
-                F.lit(i).alias("fid"),
-                _key_expr([a]).alias("det"),
-                F.coalesce(_esc_component(F.col(b)),
-                           F.lit(NULL_SENTINEL)).alias("dep"),
+    if max_arity == 1 or candidates is not None:
+        out = _score_fd_pairs(df, pairs) if pairs else None
+        if screened_out:
+            screened_df = df.sparkSession.createDataFrame(
+                [(d, b, None, False, None, None, False)
+                 for d, b in screened_out],
+                _FD_OUT_SCHEMA,
             )
-            for i, (a, b) in enumerate(pairs)
-        ]
-        melted = df.select(
-            F.explode(F.array(*structs)).alias("kv")
-        ).select("kv.*")
-        marker = df.sparkSession.createDataFrame(
-            [(i, None, None) for i in range(len(pairs))],
-            "fid int, det string, dep string",
+            out = (screened_df if out is None
+                   else out.unionByName(screened_df))
+        return out.orderBy(
+            F.desc_nulls_last("dependency_ratio"), F.col("determinant"),
+            F.col("dependent"),
         )
-        per_group = melted.unionByName(marker).groupBy("fid", "det").agg(
-            F.count_distinct(F.col("dep")).alias("ndep")
+
+    # ---- max_arity == 2, enumeration path: eager level-by-level ----------
+    rows: list[tuple] = []
+    unary_holds: "set[tuple[str, str]]" = set()
+    if pairs:
+        for r in _score_fd_pairs(df, pairs).collect():
+            rows.append(tuple(r))
+            if r["holds"]:
+                unary_holds.add((r["determinant"], r["dependent"]))
+    if not nd:  # prune=False still needs cardinalities for the det gate
+        card = df.agg(*[
+            F.approx_count_distinct(F.col(c)).alias(f"c{i}")
+            for i, c in enumerate(cols)
+        ]).collect()[0]
+        nd = {c: card[f"c{i}"] for i, c in enumerate(cols)}
+    from itertools import combinations as _comb
+
+    elig = sorted(
+        c for c in cols if 2 <= nd[c] <= max_determinant_distinct
+    )
+    lvl2 = [
+        ((a, b), dep)
+        for a, b in _comb(elig, 2)
+        for dep in cols
+        if dep not in (a, b)
+        and (a, dep) not in unary_holds      # TANE: implied by a -> dep
+        and (b, dep) not in unary_holds
+    ]
+    if len(lvl2) > max_level2_candidates:
+        raise ValueError(
+            f"discover_fds: {len(lvl2)} level-2 candidates exceed "
+            f"max_level2_candidates={max_level2_candidates} — narrow "
+            "columns= (or raise the cap deliberately); the lattice is "
+            "never silently sampled"
         )
-        per_fd = per_group.groupBy("fid").agg(
-            F.sum(F.when(F.col("ndep") > 0, 1).otherwise(0)).alias(
-                "n_groups"
-            ),
-            F.sum(F.when(F.col("ndep") > 1, 1).otherwise(0)).alias(
-                "n_violating"
-            ),
+    if lvl2:
+        # combined-key near-unique gate + screen in ONE scan: the det
+        # struct cardinality is both the triviality gate and the screen
+        # baseline
+        lvl2, scr2, dropped = _fd_screen(
+            df, lvl2, max_det=max_determinant_distinct, return_dropped=True
         )
-        det_map, dep_map = None, None
-        for i, (a, b) in enumerate(pairs):
-            det_map = (F.when(F.col("fid") == i, a) if det_map is None
-                       else det_map.when(F.col("fid") == i, a))
-            dep_map = (F.when(F.col("fid") == i, b) if dep_map is None
-                       else dep_map.when(F.col("fid") == i, b))
-        ratio = F.round(
-            F.try_divide(F.col("n_groups") - F.col("n_violating"),
-                         F.col("n_groups")),
-            ROUND,
-        )
-        exact_df = per_fd.select(
-            det_map.alias("determinant"),
-            dep_map.alias("dependent"),
-            ratio.alias("dependency_ratio"),
-            (F.col("n_violating") == 0).alias("holds"),
-            F.col("n_groups").cast("long").alias("n_groups"),
-            F.col("n_violating").cast("long").alias("n_violating"),
-            F.lit(True).alias("exact"),
-        )
-    out = exact_df
-    if screened_out:
-        screened_df = df.sparkSession.createDataFrame(
-            [(a, b, None, False, None, None, False)
-             for a, b in screened_out],
-            out_schema,
-        )
-        out = screened_df if out is None else out.unionByName(screened_df)
-    return out.orderBy(
+        screened_out.extend(scr2)
+        del dropped  # near-unique composites: dropped like tier 1
+        for r in (_score_fd_pairs(df, lvl2).collect() if lvl2 else []):
+            rows.append(tuple(r))
+    all_rows = rows + [
+        (d, b, None, False, None, None, False) for d, b in screened_out
+    ]
+    return df.sparkSession.createDataFrame(
+        all_rows, _FD_OUT_SCHEMA
+    ).orderBy(
         F.desc_nulls_last("dependency_ratio"), F.col("determinant"),
         F.col("dependent"),
     )
+
+
+def _fd_screen(
+    df: DataFrame,
+    pairs: "list[tuple[tuple, str]]",
+    max_det: int | None = None,
+    return_dropped: bool = False,
+):
+    """Tier-2 HLL screen shared by both lattice levels: ONE scan of
+    ``approx_count_distinct(struct(det...))`` and ``struct(det..., dep)``
+    per pair; survivors satisfy ``nd(det, dep) <= 1.15 * nd(det)``
+    (default rsd 0.05 on both sides). With ``max_det``, determinants
+    whose combined key reads near-unique (``> max_det``) or constant are
+    DROPPED (trivial, like tier 1), not screened. Returns
+    ``(survivors, screened_names[, dropped])``."""
+    if not pairs:
+        return ([], [], []) if return_dropped else ([], [])
+    dets = sorted({det for det, _ in pairs})
+    det_aggs = [
+        F.approx_count_distinct(
+            F.struct(*[F.col(c) for c in det])
+        ).alias(f"d{di}")
+        for di, det in enumerate(dets)
+    ]
+    pair_aggs = [
+        F.approx_count_distinct(
+            F.struct(*[F.col(c) for c in det], F.col(dep))
+        ).alias(f"p{k}")
+        for k, (det, dep) in enumerate(pairs)
+    ]
+    cardrow = df.agg(*det_aggs, *pair_aggs).collect()[0]
+    det_card = {det: cardrow[f"d{di}"] for di, det in enumerate(dets)}
+    survivors, screened, dropped = [], [], []
+    for k, (det, dep) in enumerate(pairs):
+        dc = det_card[det]
+        if max_det is not None and not (2 <= dc <= max_det):
+            dropped.append((det, dep))
+        elif cardrow[f"p{k}"] <= 1.15 * dc:
+            survivors.append((det, dep))
+        else:
+            screened.append((",".join(det), dep))
+    if return_dropped:
+        return survivors, screened, dropped
+    return survivors, screened
 
 
 def discover_inclusions(

@@ -1438,3 +1438,62 @@ def test_profile_relationships_section(spark):
     # default off
     r3 = profile(df, ProfileConfig(exact=True))
     assert r3.relationships == []
+
+
+def test_discover_fds_composite_level(spark):
+    """max_arity=2: the composite lattice level with TANE pruning — a
+    genuinely 2-ary FD ((a, b) -> c where neither column alone
+    determines c) is found; composites implied by a held unary FD are
+    NOT generated; near-unique combined keys are dropped like tier 1;
+    the lattice cap refuses loudly; composite candidates= score through
+    the same kernel as the declared composite check."""
+    rows = []
+    for i in range(180):
+        a, b = i % 6, (i // 6) % 5
+        rows.append((
+            f"a{a}", f"b{b}",
+            float(a * 10 + b),          # c = f(a, b): 2-ary FD
+            f"n{a % 3}",                # d = f(a): unary FD from a
+            f"u{i}",                    # near-unique
+        ))
+    df = spark.createDataFrame(rows, "a string, b string, c double,"
+                               " d string, u string")
+
+    res = C.discover_fds(df, columns=["a", "b", "c", "d"],
+                         max_determinant_distinct=40, max_arity=2)
+    got = {(r["determinant"], r["dependent"]): r for r in res.collect()}
+    comp = got[("a,b", "c")]
+    assert comp["holds"] and comp["exact"]
+    assert comp["n_groups"] == 30 and comp["dependency_ratio"] == 1.0
+    # TANE prune: a -> d holds at level 1, so (a, b) -> d is implied and
+    # must not be generated
+    assert got[("a", "d")]["holds"]
+    assert ("a,b", "d") not in got
+    # every generated level-2 candidate is accounted for: scored exact or
+    # screened, never silently lost — (b, d) -> c does not hold and must
+    # appear with a verdict either way
+    assert ("b,d", "c") in got and not got[("b,d", "c")]["holds"]
+    # the declared composite check agrees with the mined ratio
+    declared = C.check_suite(
+        df, [C.functional_dependency(["a", "b"], "c", name="x")]
+    ).collect()[0]
+    assert declared["value"] == comp["dependency_ratio"]
+
+    # composite candidates= (tuple determinant) score verbatim
+    byhand = C.discover_fds(
+        df, candidates=[(("a", "b"), "c"), (("b",), "c")])
+    r2 = {(x["determinant"], x["dependent"]): x for x in byhand.collect()}
+    assert r2[("a,b", "c")]["holds"] and not r2[("b", "c")]["holds"]
+
+    # lattice cap refuses loudly, never samples
+    with pytest.raises(ValueError, match="level-2 candidates exceed"):
+        C.discover_fds(df, columns=["a", "b", "c", "d"],
+                       max_determinant_distinct=40, max_arity=2,
+                       max_level2_candidates=1)
+    with pytest.raises(ValueError, match="max_arity"):
+        C.discover_fds(df, columns=["a", "b"], max_arity=3)
+
+    # near-unique composite determinants are dropped (no row), like the
+    # unary tier-1 gate: (a, b) x u pairs would be key-like — u itself is
+    # already out via the unary gate, and no "u" determinant appears
+    assert not any("u" in k[0].split(",") for k in got)
