@@ -47,261 +47,18 @@ _SPECS: dict[str, tuple] = {
     # whose machinery an in-window spec exercises. The policy is CODE, not
     # this comment: scripts/window_policy.py computes evidence ages from
     # CORRECTNESS_r*.json and tests/test_window_policy.py FAILS the suite
-    # if a never-recorded spec sits outside the window while a fresher row
-    # sits inside (VERDICT r11 #4). Rotation history for r7-r11 lives in
-    # git (b952a02^, f1f1c88^, 987d95d^); every entry — window and tail —
-    # is verified by tests/test_oracle_parity.py locally every round.
+    # if the window violates it (VERDICT r11 #4). Rotation history for
+    # r7-r12 lives in git; every entry — window and tail — is verified by
+    # tests/test_oracle_parity.py locally every round.
     #
-    # r12 window: the 7 never-driver-recorded specs (the five r11 tail
-    # specs + the NEW incremental_target_relevance, fd_discovery and
-    # fk_discovery), all 29 rows whose latest evidence is r9, and 13 of
-    # the 18 r10 rows. Tail: the 5 r10 rows with in-window kin
-    # (referential_integrity_lineitem ~ fk_discovery_orders_customer,
-    # same distinct-reduced anti-join; ts_anomaly_events ~
-    # seasonal_decompose_events, same stable-grid scaled-integer
-    # machinery; mad_lineitem ~ numeric_summary_nation,
-    # same exact-percentile tier; value_counts_returnflag ~
-    # value_counts_event_type, same operator; seasonal_profile_events ~
-    # seasonal_decompose_events + hourly_rollup_events, same bounded
-    # date_trunc grid), all 50 r11-green rows, and the 2 rows-only-by-
-    # design specs. After this round no spec's driver evidence is older
-    # than r10.
+    # r13 window: the 5 rows whose latest evidence is r10 (oldest first),
+    # then 45 of the 50 r11-green rows. The 5 remaining r11 rows tie at
+    # age r11 with the newest in-window evidence (ties may sit either
+    # side); the 50 r12-green rows and the 2 rows-only-by-design specs
+    # fill the tail. After this round no spec's driver evidence is older
+    # than r11.
 
-    # ---- never driver-recorded (r11 tail + new r12) -----------------------
-    "target_relevance_lineitem": (
-        P.target_relevance_query(),
-        P.target_relevance_sql(),
-    ),
-    "weighted_sample_documents": (
-        PP.weighted_sample_query(),
-        PP.weighted_sample_sql(),
-    ),
-    "seasonal_decompose_events": (
-        P.seasonal_decompose_query(),
-        P.seasonal_decompose_sql(),
-    ),
-    "check_violations_lineitem": (
-        P.check_violations_query(),
-        P.check_violations_sql(),
-    ),
-    "layout_stats_lineitem": (
-        P.layout_stats_query(
-            "lineitem",
-            ["l_returnflag", "l_linestatus", "l_orderkey",
-             "l_partkey", "l_shipdate"],
-        ),
-        P.layout_stats_sql(
-            "lineitem",
-            ["l_returnflag", "l_linestatus", "l_orderkey",
-             "l_partkey", "l_shipdate"],
-        ),
-    ),
-    # NEW r12: state-mode target relevance — mergeable per-category
-    # [n, Σy, Σy²] cells (group_pairs) + Pearson pair states, merged across
-    # 3 shards and finalized with ZERO rescans; oracle = the batch ranking
-    # over the unsharded frame (VERDICT r11 #5)
-    "incremental_target_relevance_lineitem": (
-        PP.incremental_target_relevance_query(),
-        PP.incremental_target_relevance_sql(),
-    ),
-    # NEW r12: FD DISCOVERY — the relationship-mining step before
-    # functional_dependency declares a contract: explicit candidate pairs
-    # (production enumerates + HLL-prunes) through the shared one-melt
-    # two-level-groupBy kernel; displaces ts_anomaly_events to the tail
-    # under its KIN_EXCEPTIONS entry (seasonal_decompose_events shares
-    # the stable-grid scaled-integer machinery)
-    "fd_discovery_lineitem": (
-        P.fd_discovery_query(),
-        P.fd_discovery_sql(),
-    ),
-    # NEW r12: inclusion-dependency / FK discovery — the cross-table
-    # complement of fd_discovery: candidate (child, parent) pairs through
-    # ONE distinct-values anti join (the declared foreign_key machinery
-    # generalized to every pair); displaces referential_integrity to the
-    # tail under its KIN_EXCEPTIONS entry (this spec exercises the same
-    # distinct-reduced anti-join)
-    "fk_discovery_orders_customer": (
-        P.fk_discovery_query(),
-        P.fk_discovery_sql(),
-    ),
-
-    # ---- latest driver evidence r9 ---------------------------------------
-    "contamination_documents": (
-        PP.contamination_query(8, 37),
-        PP.contamination_sql(8, 37),
-    ),
-    "distinct_unique_lineitem": (
-        P.distinct_unique_query("lineitem", LINEITEM_ALL),
-        P.distinct_unique_sql("lineitem", LINEITEM_ALL),
-    ),
-    "duplicate_stats_orders": (
-        P.duplicate_stats_query("orders"),
-        P.duplicate_stats_sql("orders"),
-    ),
-    "embedding_near_dup_embeddings": (
-        PP.embedding_near_dup_query(0.4),
-        PP.embedding_near_dup_sql(0.4),
-    ),
-    "missing_counts_events": (
-        P.missing_counts_query(
-            "events", ["event_id", "ts", "user_id", "event_type", "value", "props"]
-        ),
-        P.missing_counts_sql(
-            "events", ["event_id", "ts", "user_id", "event_type", "value", "props"]
-        ),
-    ),
-    "text_profile_documents": (
-        PP.text_profile_query(), PP.text_profile_sql(),
-    ),
-    "binary_format_mix_documents": (
-        PP.binary_format_mix_query(),
-        PP.binary_format_mix_sql(),
-    ),
-    "date_stats_orders": (
-        P.date_stats_query("orders", ["o_orderdate"]),
-        P.date_stats_sql("orders", ["o_orderdate"]),
-    ),
-    "json_extract_events": (
-        P.json_props_query(), P.json_props_sql(),
-    ),
-    "spearman_lineitem": (
-        P.spearman_query("lineitem", ["l_quantity", "l_extendedprice", "l_discount"]),
-        P.spearman_sql("lineitem", ["l_quantity", "l_extendedprice", "l_discount"]),
-    ),
-    "kendall_customer": (
-        P.kendall_query("customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
-        P.kendall_sql("customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
-    ),
-    "char_counts_customer": (
-        P.char_counts_query("customer", "c_mktsegment"),
-        P.char_counts_sql("customer", "c_mktsegment"),
-    ),
-    "video_metadata_documents": (
-        PP.video_metadata_query(),
-        PP.video_metadata_sql(),
-    ),
-    "audio_near_dup_documents": (
-        PP.audio_near_dup_query(),
-        PP.audio_near_dup_sql(),
-    ),
-    "packing_stats_documents": (
-        PP.packing_stats_query(256),
-        PP.packing_stats_sql(256),
-    ),
-    "simhash_documents": (
-        PP.simhash_query(32), PP.simhash_sql(32),
-    ),
-    "semantic_dedup_embeddings": (
-        PP.semantic_dedup_query(16, 0.3),
-        PP.semantic_dedup_sql(16, 0.3),
-    ),
-    "ivf_topk_embeddings": (
-        PP.ivf_topk_query(5, 5, 16, 4),
-        PP.ivf_topk_sql(5, 5, 16, 4),
-    ),
-    "minhash_signatures_documents": (
-        PP.minhash_signatures_query(16),
-        PP.minhash_signatures_sql(16),
-    ),
-    "mixture_counts_documents": (
-        PP.mixture_counts_query(),
-        PP.mixture_counts_sql(),
-    ),
-    "numeric_summary_nation": (
-        P.numeric_summary_query("nation", ["n_nationkey", "n_regionkey"]),
-        P.numeric_summary_sql("nation", ["n_nationkey", "n_regionkey"]),
-    ),
-    "pii_redact_documents": (
-        PP.pii_redact_query(), PP.pii_redact_sql(),
-    ),
-    "value_counts_event_type": (
-        P.value_counts_query("events", "event_type"),
-        P.value_counts_sql("events", "event_type"),
-    ),
-    "dedup_keep_list_documents": (
-        PP.dedup_keep_list_query(0.1),
-        PP.dedup_keep_list_sql(0.1),
-    ),
-    "hourly_rollup_events": (
-        P.time_rollup_query("events", "ts", "event_type", "value"),
-        P.time_rollup_sql("events", "ts", "event_type", "value"),
-    ),
-    "minhash_lsh_dedup_documents": (
-        PP.minhash_dedup_query(16, 4, 0.5),
-        PP.minhash_dedup_sql(16, 4, 0.5),
-    ),
-    "monotonicity_orders": (
-        P.monotonicity_query("orders", "o_totalprice", "o_orderkey"),
-        P.monotonicity_sql("orders", "o_totalprice", "o_orderkey"),
-    ),
-    "split_counts_orders": (
-        P.split_counts_query("orders", "o_orderkey", "o_orderstatus"),
-        P.split_counts_sql("orders", "o_orderkey", "o_orderstatus"),
-    ),
-    "tail_sample_orders": (
-        P.tail_sample_query(
-            "orders", ["o_orderkey", "o_custkey", "o_totalprice"], "o_orderkey", 7
-        ),
-        P.tail_sample_sql(
-            "orders", ["o_orderkey", "o_custkey", "o_totalprice"], "o_orderkey", 7
-        ),
-    ),
-
-    # ---- latest driver evidence r10 ---------------------------------------
-    "asof_state_events": (
-        P.asof_state_query(),
-        P.asof_state_sql(),
-    ),
-    "range_join_events": (
-        P.range_join_query(),
-        P.range_join_sql(),
-    ),
-    "acf_events": (
-        P.acf_query(),
-        P.acf_sql(),
-    ),
-    "functional_dependency_lineitem": (
-        P.functional_dependency_query(),
-        P.functional_dependency_sql(),
-    ),
-    "benford_lineitem": (
-        P.benford_query(),
-        P.benford_sql(),
-    ),
-    "grouped_checks_documents": (
-        P.grouped_checks_query(),
-        P.grouped_checks_sql(),
-    ),
-    "phik_contingency_lineitem": (
-        P.phik_contingency_query("lineitem", "l_quantity", "l_returnflag"),
-        P.phik_contingency_sql("lineitem", "l_quantity", "l_returnflag"),
-    ),
-    "drift_psi_lineitem": (
-        P.drift_query(), P.drift_sql(),
-    ),
-    "embedding_drift_embeddings": (
-        PP.embedding_drift_query(),
-        PP.embedding_drift_sql(),
-    ),
-    "exact_dedup_documents": (
-        PP.exact_duplicates_query(),
-        PP.exact_duplicates_sql(),
-    ),
-    "media_metadata_documents": (
-        PP.media_metadata_query(),
-        PP.media_metadata_sql(),
-    ),
-    "top_duplicates_lineitem": (
-        P.top_duplicates_query("lineitem", DUP_SUBSET, 10),
-        P.top_duplicates_sql("lineitem", DUP_SUBSET, 10),
-    ),
-    "url_parts_events": (
-        P.url_parts_query(), P.url_parts_sql(),
-    ),
-
-    # ---- entry 51+ — outside the driver's 50-row window --------------------
-    # r10-green rows with in-window kin (the explicit KIN_EXCEPTIONS map in
-    # scripts/window_policy.py documents each):
+    # ---- latest driver evidence r10 (oldest — window head) ----------------
     "mad_lineitem": (
         P.mad_query("lineitem", ["l_quantity", "l_extendedprice", "l_discount"]),
         P.mad_sql("lineitem", ["l_quantity", "l_extendedprice", "l_discount"]),
@@ -322,7 +79,8 @@ _SPECS: dict[str, tuple] = {
         P.referential_integrity_query(),
         P.referential_integrity_sql(),
     ),
-    # r11-green rows (all recorded hash-matched last round):
+
+    # ---- latest driver evidence r11 (window) -------------------------------
     "rolling_trend_events": (
         P.rolling_trend_query(),
         P.rolling_trend_sql(),
@@ -513,6 +271,10 @@ _SPECS: dict[str, tuple] = {
         PP.lm_perplexity_query(),
         PP.lm_perplexity_sql(),
     ),
+
+    # ---- entry 51+ — outside the driver 50-row window ----------------------
+    # r11-green rows tying the newest in-window evidence (ties are legal
+    # either side of the boundary per scripts/window_policy.py):
     "canonical_url_events": (
         PP.canonical_url_query(),
         PP.canonical_url_sql(),
@@ -532,6 +294,219 @@ _SPECS: dict[str, tuple] = {
     "pii_summary_documents": (
         PP.pii_summary_query(), PP.pii_summary_sql(),
     ),
+
+    # r12-green rows (recorded hash-matched last round):
+    "target_relevance_lineitem": (
+        P.target_relevance_query(),
+        P.target_relevance_sql(),
+    ),
+    "weighted_sample_documents": (
+        PP.weighted_sample_query(),
+        PP.weighted_sample_sql(),
+    ),
+    "seasonal_decompose_events": (
+        P.seasonal_decompose_query(),
+        P.seasonal_decompose_sql(),
+    ),
+    "check_violations_lineitem": (
+        P.check_violations_query(),
+        P.check_violations_sql(),
+    ),
+    "layout_stats_lineitem": (
+        P.layout_stats_query(
+            "lineitem",
+            ["l_returnflag", "l_linestatus", "l_orderkey",
+             "l_partkey", "l_shipdate"],
+        ),
+        P.layout_stats_sql(
+            "lineitem",
+            ["l_returnflag", "l_linestatus", "l_orderkey",
+             "l_partkey", "l_shipdate"],
+        ),
+    ),
+    "incremental_target_relevance_lineitem": (
+        PP.incremental_target_relevance_query(),
+        PP.incremental_target_relevance_sql(),
+    ),
+    "fd_discovery_lineitem": (
+        P.fd_discovery_query(),
+        P.fd_discovery_sql(),
+    ),
+    "fk_discovery_orders_customer": (
+        P.fk_discovery_query(),
+        P.fk_discovery_sql(),
+    ),
+    "contamination_documents": (
+        PP.contamination_query(8, 37),
+        PP.contamination_sql(8, 37),
+    ),
+    "distinct_unique_lineitem": (
+        P.distinct_unique_query("lineitem", LINEITEM_ALL),
+        P.distinct_unique_sql("lineitem", LINEITEM_ALL),
+    ),
+    "duplicate_stats_orders": (
+        P.duplicate_stats_query("orders"),
+        P.duplicate_stats_sql("orders"),
+    ),
+    "embedding_near_dup_embeddings": (
+        PP.embedding_near_dup_query(0.4),
+        PP.embedding_near_dup_sql(0.4),
+    ),
+    "missing_counts_events": (
+        P.missing_counts_query(
+            "events", ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ),
+        P.missing_counts_sql(
+            "events", ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ),
+    ),
+    "text_profile_documents": (
+        PP.text_profile_query(), PP.text_profile_sql(),
+    ),
+    "binary_format_mix_documents": (
+        PP.binary_format_mix_query(),
+        PP.binary_format_mix_sql(),
+    ),
+    "date_stats_orders": (
+        P.date_stats_query("orders", ["o_orderdate"]),
+        P.date_stats_sql("orders", ["o_orderdate"]),
+    ),
+    "json_extract_events": (
+        P.json_props_query(), P.json_props_sql(),
+    ),
+    "spearman_lineitem": (
+        P.spearman_query("lineitem", ["l_quantity", "l_extendedprice", "l_discount"]),
+        P.spearman_sql("lineitem", ["l_quantity", "l_extendedprice", "l_discount"]),
+    ),
+    "kendall_customer": (
+        P.kendall_query("customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
+        P.kendall_sql("customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
+    ),
+    "char_counts_customer": (
+        P.char_counts_query("customer", "c_mktsegment"),
+        P.char_counts_sql("customer", "c_mktsegment"),
+    ),
+    "video_metadata_documents": (
+        PP.video_metadata_query(),
+        PP.video_metadata_sql(),
+    ),
+    "audio_near_dup_documents": (
+        PP.audio_near_dup_query(),
+        PP.audio_near_dup_sql(),
+    ),
+    "packing_stats_documents": (
+        PP.packing_stats_query(256),
+        PP.packing_stats_sql(256),
+    ),
+    "simhash_documents": (
+        PP.simhash_query(32), PP.simhash_sql(32),
+    ),
+    "semantic_dedup_embeddings": (
+        PP.semantic_dedup_query(16, 0.3),
+        PP.semantic_dedup_sql(16, 0.3),
+    ),
+    "ivf_topk_embeddings": (
+        PP.ivf_topk_query(5, 5, 16, 4),
+        PP.ivf_topk_sql(5, 5, 16, 4),
+    ),
+    "minhash_signatures_documents": (
+        PP.minhash_signatures_query(16),
+        PP.minhash_signatures_sql(16),
+    ),
+    "mixture_counts_documents": (
+        PP.mixture_counts_query(),
+        PP.mixture_counts_sql(),
+    ),
+    "numeric_summary_nation": (
+        P.numeric_summary_query("nation", ["n_nationkey", "n_regionkey"]),
+        P.numeric_summary_sql("nation", ["n_nationkey", "n_regionkey"]),
+    ),
+    "pii_redact_documents": (
+        PP.pii_redact_query(), PP.pii_redact_sql(),
+    ),
+    "value_counts_event_type": (
+        P.value_counts_query("events", "event_type"),
+        P.value_counts_sql("events", "event_type"),
+    ),
+    "dedup_keep_list_documents": (
+        PP.dedup_keep_list_query(0.1),
+        PP.dedup_keep_list_sql(0.1),
+    ),
+    "hourly_rollup_events": (
+        P.time_rollup_query("events", "ts", "event_type", "value"),
+        P.time_rollup_sql("events", "ts", "event_type", "value"),
+    ),
+    "minhash_lsh_dedup_documents": (
+        PP.minhash_dedup_query(16, 4, 0.5),
+        PP.minhash_dedup_sql(16, 4, 0.5),
+    ),
+    "monotonicity_orders": (
+        P.monotonicity_query("orders", "o_totalprice", "o_orderkey"),
+        P.monotonicity_sql("orders", "o_totalprice", "o_orderkey"),
+    ),
+    "split_counts_orders": (
+        P.split_counts_query("orders", "o_orderkey", "o_orderstatus"),
+        P.split_counts_sql("orders", "o_orderkey", "o_orderstatus"),
+    ),
+    "tail_sample_orders": (
+        P.tail_sample_query(
+            "orders", ["o_orderkey", "o_custkey", "o_totalprice"], "o_orderkey", 7
+        ),
+        P.tail_sample_sql(
+            "orders", ["o_orderkey", "o_custkey", "o_totalprice"], "o_orderkey", 7
+        ),
+    ),
+    "asof_state_events": (
+        P.asof_state_query(),
+        P.asof_state_sql(),
+    ),
+    "range_join_events": (
+        P.range_join_query(),
+        P.range_join_sql(),
+    ),
+    "acf_events": (
+        P.acf_query(),
+        P.acf_sql(),
+    ),
+    "functional_dependency_lineitem": (
+        P.functional_dependency_query(),
+        P.functional_dependency_sql(),
+    ),
+    "benford_lineitem": (
+        P.benford_query(),
+        P.benford_sql(),
+    ),
+    "grouped_checks_documents": (
+        P.grouped_checks_query(),
+        P.grouped_checks_sql(),
+    ),
+    "phik_contingency_lineitem": (
+        P.phik_contingency_query("lineitem", "l_quantity", "l_returnflag"),
+        P.phik_contingency_sql("lineitem", "l_quantity", "l_returnflag"),
+    ),
+    "drift_psi_lineitem": (
+        P.drift_query(), P.drift_sql(),
+    ),
+    "embedding_drift_embeddings": (
+        PP.embedding_drift_query(),
+        PP.embedding_drift_sql(),
+    ),
+    "exact_dedup_documents": (
+        PP.exact_duplicates_query(),
+        PP.exact_duplicates_sql(),
+    ),
+    "media_metadata_documents": (
+        PP.media_metadata_query(),
+        PP.media_metadata_sql(),
+    ),
+    "top_duplicates_lineitem": (
+        P.top_duplicates_query("lineitem", DUP_SUBSET, 10),
+        P.top_duplicates_sql("lineitem", DUP_SUBSET, 10),
+    ),
+    "url_parts_events": (
+        P.url_parts_query(), P.url_parts_sql(),
+    ),
+
     # rows-only by design (ann_lsh_topk: bucket membership not engine-
     # reproducible — its recall gate ann_lsh_recall is SQL-backed;
     # phik_mixed: driver-side bisection over a bivariate-normal integral,
