@@ -680,8 +680,14 @@ def main(argv: list[str] | None = None) -> int:
                         "--checks-from-state"
                     )
                 # mined relationships become DECLARED contracts: every
-                # exact-verified hold joins the suggested suite
-                for r in CK.discover_fds(df_in).collect():
+                # exact-verified hold joins the suggested suite. "Nothing
+                # survives the prune" (all columns near-unique ids) is
+                # zero discovered contracts, not a traceback (ADVICE r12)
+                try:
+                    fd_rows = CK.discover_fds(df_in).collect()
+                except ValueError:
+                    fd_rows = []
+                for r in fd_rows:
                     if r["holds"] and r["exact"]:
                         suite.append(CK.functional_dependency(
                             r["determinant"], r["dependent"],
@@ -705,10 +711,16 @@ def main(argv: list[str] | None = None) -> int:
                     ref_name, ref_path = ref_name.strip(), ref_path.strip()
                     parent_df = read_table(spark, ref_path)
                     # a contained reference becomes a declared contract
-                    # gated later via --checks-refs NAME=PATH
-                    for r in CK.discover_inclusions(
-                        df_in, parent_df
-                    ).collect():
+                    # gated later via --checks-refs NAME=PATH; no
+                    # type-compatible pairs = zero contracts, not a
+                    # traceback (ADVICE r12)
+                    try:
+                        fk_rows = CK.discover_inclusions(
+                            df_in, parent_df
+                        ).collect()
+                    except ValueError:
+                        fk_rows = []
+                    for r in fk_rows:
                         if (r["contained"] and r["exact"]
                                 and (r["n_child_distinct"] or 0) > 0):
                             suite.append(CK.foreign_key(

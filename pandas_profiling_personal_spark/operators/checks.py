@@ -364,9 +364,12 @@ def discover_fds(
       ``approx_count_distinct(struct(...))`` (struct on BOTH sides so
       NULL determinants count as groups, matching the melt kernel's
       sentinel) proves most violating pairs violate before the melt pays
-      for them. Screened-out pairs keep a row (``holds=False``,
-      ``exact=False``, NULL ratio/counts) so the output covers the
-      candidate space. Measured on lineitem (7 columns, 21 surviving
+      for them. Screened-out pairs keep a row (``holds=NULL`` —
+      "not verified", NEVER "refuted": the screen is probabilistic and a
+      ~3-sigma HLL deviation can screen a true FD — ``exact=False``,
+      NULL ratio/counts) so the output covers the candidate space.
+      Consumers must treat only ``holds AND exact`` as a verified hold
+      (the CLI does). Measured on lineitem (7 columns, 21 surviving
       pairs, 6.0M rows): screen+verify cut the all-melt cost ~6x.
     * tier 3: survivors share ONE melt -> two-level groupBy — the
       :func:`_fd_rows` kernel with pair ids; the exchange carries
@@ -440,7 +443,7 @@ def discover_fds(
         out = _score_fd_pairs(df, pairs) if pairs else None
         if screened_out:
             screened_df = df.sparkSession.createDataFrame(
-                [(d, b, None, False, None, None, False)
+                [(d, b, None, None, None, None, False)
                  for d, b in screened_out],
                 _FD_OUT_SCHEMA,
             )
@@ -497,7 +500,7 @@ def discover_fds(
         for r in (_score_fd_pairs(df, lvl2).collect() if lvl2 else []):
             rows.append(tuple(r))
     all_rows = rows + [
-        (d, b, None, False, None, None, False) for d, b in screened_out
+        (d, b, None, None, None, None, False) for d, b in screened_out
     ]
     return df.sparkSession.createDataFrame(
         all_rows, _FD_OUT_SCHEMA
@@ -549,6 +552,251 @@ def _fd_screen(
     if return_dropped:
         return survivors, screened, dropped
     return survivors, screened
+
+
+_UCC_OUT_SCHEMA = (
+    "key string, arity int, n_rows long, n_groups long,"
+    " uniqueness_ratio double, null_free boolean, is_key boolean,"
+    " exact boolean"
+)
+
+
+def _score_uccs(df: DataFrame, keysets: "list[tuple[str, ...]]"):
+    """Exact unique-column-combination verification for a list of column
+    tuples — the declared ``uniqueness``/``primary_key`` checks' one-melt
+    two-level-groupBy kernel (:func:`_key_rows`) returning discovery rows
+    instead of gate rows. NULL key components are sentinel values (a
+    {NULL} group is a group); ``null_free`` rides the melt so a verified
+    key is primary-key-eligible without a second scan."""
+    structs = [
+        F.struct(
+            F.lit(i).alias("sid"),
+            _key_expr(ks).alias("key"),
+            sum(
+                (F.col(c).isNull().cast("int") for c in ks),
+                F.lit(0),
+            ).alias("null_parts"),
+        )
+        for i, ks in enumerate(keysets)
+    ]
+    melted = df.select(
+        F.explode(F.array(*structs)).alias("kv")
+    ).select("kv.*")
+    marker = df.sparkSession.createDataFrame(
+        [(i, None, 0) for i in range(len(keysets))],
+        "sid int, key string, null_parts int",
+    )
+    per_key = melted.unionByName(marker).groupBy("sid", "key").agg(
+        F.count("key").alias("cnt"),
+        F.sum("null_parts").alias("null_parts"),
+    )
+    per_sid = per_key.groupBy("sid").agg(
+        F.sum("cnt").alias("rows"),
+        F.sum(F.when(F.col("cnt") > 0, 1).otherwise(0)).alias("groups"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias(
+            "singletons"
+        ),
+        F.sum("null_parts").alias("null_parts"),
+    )
+    kmap, amap = None, None
+    for i, ks in enumerate(keysets):
+        nm = ",".join(ks)
+        kmap = (F.when(F.col("sid") == i, nm) if kmap is None
+                else kmap.when(F.col("sid") == i, nm))
+        amap = (F.when(F.col("sid") == i, len(ks)) if amap is None
+                else amap.when(F.col("sid") == i, len(ks)))
+    empty = F.col("rows") == 0
+    return per_sid.select(
+        kmap.alias("key"),
+        amap.cast("int").alias("arity"),
+        F.col("rows").cast("long").alias("n_rows"),
+        F.col("groups").cast("long").alias("n_groups"),
+        F.round(
+            F.try_divide(F.col("singletons"), F.col("rows")), ROUND
+        ).alias("uniqueness_ratio"),
+        (F.col("null_parts") == 0).alias("null_free"),
+        F.when(empty, F.lit(None).cast("boolean")).otherwise(
+            F.col("groups") == F.col("rows")
+        ).alias("is_key"),
+        F.lit(True).alias("exact"),
+    )
+
+
+def discover_keys(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    candidates: "list | None" = None,
+    max_arity: int = 2,
+    max_candidates: int = 2000,
+    prune: bool = True,
+) -> DataFrame:
+    """DISCOVER unique column combinations (candidate keys) — the third
+    member of the relationship-mining triad next to :func:`discover_fds`
+    and :func:`discover_inclusions` (TANE/HyUCC's UCC tier, bounded to
+    arity 2; the reference only alerts per-column UNIQUE after the fact,
+    ``model/messages.py:204-257``). One row per candidate column set with
+    ``is_key`` (every key tuple occurs exactly once; NULLs are sentinel
+    values, the declared :func:`uniqueness` semantics),
+    ``uniqueness_ratio`` (the declared check's metric: rows whose key
+    occurs exactly once / all rows), ``null_free`` (primary-key
+    eligible), ordered (ratio desc, arity, key).
+
+    Scale shape, three tiers like FD discovery:
+
+    * tier 1 (``prune=True``): ONE scan — ``count(*)`` + NULL-adjusted
+      HLL per column — screens every column whose cardinality reads
+      below ``0.85 * n_rows`` (~3 sigma under the default rsd 0.05: a
+      true key essentially never screens out). Screened rows are kept
+      with ``is_key=NULL`` ("not verified", NEVER "refuted" — the screen
+      is probabilistic) and ``exact=False``.
+    * level 2 (``max_arity=2``): pairs are generated TANE-style — a pair
+      containing an exactly-verified unary key is a non-minimal
+      superset, never generated — then pruned arithmetically (the
+      product bound ``nd(a) * nd(b) < 0.85 * n`` cannot be a key; zero
+      extra cost, the per-column HLLs are already in hand) and screened
+      by ONE extra scan of pair-struct HLLs. The lattice is capped at
+      ``max_candidates`` and refuses loudly above it — narrow
+      ``columns`` rather than silently sampling.
+    * tier 3: every surviving set — both arities — shares ONE melt ->
+      two-level groupBy (:func:`_score_uccs`, the declared uniqueness
+      check's kernel): the exchange carries (set, key value) groups,
+      never rows x sets beyond the melt.
+
+    Explicit ``candidates`` (names or tuples of names) are scored
+    verbatim — the deterministic oracle tier. Verified keys feed
+    ``suggest_checks`` as declared :func:`primary_key` /
+    :func:`uniqueness` contracts (CLI ``--discover-keys``)."""
+    if max_arity not in (1, 2):
+        raise ValueError("discover_keys: max_arity must be 1 or 2")
+    screened: "list[tuple[str, ...]]" = []
+    if candidates is not None:
+        keysets = [
+            (ks,) if isinstance(ks, str) else tuple(ks) for ks in candidates
+        ]
+        if not keysets:
+            raise ValueError("discover_keys: empty candidates")
+        missing = sorted(
+            {c for ks in keysets for c in ks} - set(df.columns)
+        )
+        if missing:
+            raise ValueError(
+                f"discover_keys: candidate columns not in frame: {missing}"
+            )
+        if any(len(set(ks)) != len(ks) for ks in keysets):
+            raise ValueError("discover_keys: duplicate column in candidate")
+        verify = keysets
+    else:
+        cols = list(columns if columns is not None else df.columns)
+        missing = sorted(set(cols) - set(df.columns))
+        if missing:
+            raise ValueError(
+                f"discover_keys: columns not in frame: {missing}"
+            )
+        if not cols:
+            raise ValueError("discover_keys: need at least 1 column")
+        MARGIN = 0.85
+        # ONE scan: row count + NULL-adjusted HLL per column (HLL drops
+        # NULLs but uniqueness counts NULL as a sentinel value, so a
+        # has-null column gets +1)
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for i, c in enumerate(cols):
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"c{i}"))
+            aggs.append(
+                F.max(F.col(c).isNull().cast("int")).alias(f"h{i}")
+            )
+        row = df.agg(*aggs).collect()[0]
+        n = row["n"]
+        nd = {
+            c: row[f"c{i}"] + (row[f"h{i}"] or 0)
+            for i, c in enumerate(cols)
+        }
+        unary = []
+        if not prune or n == 0:
+            unary = [(c,) for c in cols]
+        else:
+            for c in cols:
+                (unary if nd[c] >= MARGIN * n else screened).append((c,))
+        if max_arity == 1:
+            verify = unary
+        else:
+            # eager level-by-level (the discover_fds arity-2 shape):
+            # exact unary keys prune their supersets from the lattice
+            # (TANE minimality — a superset of a key is non-minimal noise)
+            rows: list[tuple] = []
+            unary_keys: "set[str]" = set()
+            if unary:
+                for r in _score_uccs(df, unary).collect():
+                    rows.append(tuple(r))
+                    if r["is_key"]:
+                        unary_keys.add(r["key"])
+            from itertools import combinations as _comb
+
+            lvl2 = [
+                (a, b) for a, b in _comb(sorted(cols), 2)
+                if a not in unary_keys and b not in unary_keys
+            ] if n > 0 else []
+            if len(lvl2) > max_candidates:
+                raise ValueError(
+                    f"discover_keys: {len(lvl2)} level-2 candidates "
+                    f"exceed max_candidates={max_candidates} — narrow "
+                    "columns= (or raise the cap deliberately); the "
+                    "lattice is never silently sampled"
+                )
+            lvl2_verify: "list[tuple[str, ...]]" = []
+            if prune:
+                # arithmetic product bound from the HLLs already in
+                # hand: nd(a) * nd(b) < margin * n cannot be a key
+                arith = [
+                    p for p in lvl2 if nd[p[0]] * nd[p[1]] >= MARGIN * n
+                ]
+                arith_set = set(arith)
+                screened.extend(p for p in lvl2 if p not in arith_set)
+                if arith:
+                    # ONE extra scan: pair-struct HLL screen (struct is
+                    # never NULL, so NULL tuples count — the sentinel
+                    # semantics for free)
+                    prow = df.agg(*[
+                        F.approx_count_distinct(
+                            F.struct(F.col(a), F.col(b))
+                        ).alias(f"p{k}")
+                        for k, (a, b) in enumerate(arith)
+                    ]).collect()[0]
+                    for k, p in enumerate(arith):
+                        (lvl2_verify if prow[f"p{k}"] >= MARGIN * n
+                         else screened).append(p)
+            else:
+                lvl2_verify = lvl2
+            if lvl2_verify:
+                rows += [
+                    tuple(r) for r in _score_uccs(df, lvl2_verify).collect()
+                ]
+            all_rows = rows + [
+                (",".join(ks), len(ks), None, None, None, None, None,
+                 False)
+                for ks in screened
+            ]
+            if not all_rows:
+                raise ValueError("discover_keys: nothing to score")
+            return df.sparkSession.createDataFrame(
+                all_rows, _UCC_OUT_SCHEMA
+            ).orderBy(
+                F.desc_nulls_last("uniqueness_ratio"), F.col("arity"),
+                F.col("key"),
+            )
+
+    out = _score_uccs(df, verify) if verify else None
+    if screened:
+        screened_df = df.sparkSession.createDataFrame(
+            [(",".join(ks), len(ks), None, None, None, None, None, False)
+             for ks in screened],
+            _UCC_OUT_SCHEMA,
+        )
+        out = screened_df if out is None else out.unionByName(screened_df)
+    if out is None:
+        raise ValueError("discover_keys: nothing to score")
+    return out.orderBy(
+        F.desc_nulls_last("uniqueness_ratio"), F.col("arity"), F.col("key")
+    )
 
 
 def discover_inclusions(
@@ -670,13 +918,36 @@ def discover_inclusions(
     )
     exact_df = None
     if pairs:
-        # canonical string form so one melt carries every type family;
-        # numeric families normalize through double (int 5 == bigint 5)
+        # canonical string form so one melt carries every type family.
+        # LOSSLESS for integral values (ADVICE r12): 64-bit ids above
+        # 2^53 must not collide through a double round-trip, so integral
+        # types render via decimal(38,0); fractional types render the
+        # integral-VALUED rows the same way (int 5 == double 5.0 == "5")
+        # and only genuinely fractional values through double. The time
+        # family gets ONE rendering (timestamp_ntz) so a date genuinely
+        # contained in a timestamp column matches.
         def _canon(col, dt):
             from pyspark.sql import types as T
 
             if isinstance(dt, T.NumericType):
-                return col.cast("double").cast("string")
+                integral = isinstance(
+                    dt,
+                    (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+                ) or (isinstance(dt, T.DecimalType) and dt.scale == 0)
+                exact = col.cast("decimal(38,0)").cast("string")
+                if integral:
+                    return exact
+                d = col.cast("double")
+                return F.when(
+                    d.isNotNull()
+                    & (d == F.round(d))
+                    & (F.abs(d) < F.lit(1e38)),
+                    exact,
+                ).otherwise(d.cast("string"))
+            if isinstance(
+                dt, (T.DateType, T.TimestampType, T.TimestampNTZType)
+            ):
+                return col.cast("timestamp_ntz").cast("string")
             return col.cast("string")
 
         c_structs = [

@@ -151,6 +151,21 @@ def profile(
             f"relevance_target column {cfg.relevance_target!r} not in the "
             f"profiled columns {list(_profiled_cols)}"
         )
+    if cfg.relevance_target and cfg.relevance_target in set(df.columns):
+        # the temporal-target refusal needs only the schema — surface it
+        # here, not after every other pass has paid for its scan
+        from pyspark.sql import types as _T
+
+        _tgt_dt = df.schema[cfg.relevance_target].dataType
+        if isinstance(
+            _tgt_dt, (_T.DateType, _T.TimestampType, _T.TimestampNTZType)
+        ):
+            raise ValueError(
+                f"relevance_target {cfg.relevance_target!r} has temporal "
+                f"type {_tgt_dt.simpleString()}; bucket it (e.g. "
+                "date_trunc) to a categorical or cast to a numeric epoch "
+                "first"
+            )
     if cfg.html_theme not in (None, "", "dark"):
         raise ValueError(
             f"unknown html theme {cfg.html_theme!r}; "
@@ -1113,7 +1128,10 @@ def profile(
                     lags=cfg.timeseries_lags,
                     granularity=cfg.timeseries_granularity,
                 )
-                _mark("timeseries")
+            # mark unconditionally: the stage is planned whenever the
+            # ts col is set, so a no-numeric frame must still advance
+            # the progress plan (ADVICE r12)
+            _mark("timeseries")
 
         # target-relevance ranking (relevance_target= config; beyond the
         # reference): every other column's association with the declared
@@ -1139,12 +1157,23 @@ def profile(
                 if vt in (VT.CATEGORICAL, VT.BOOLEAN) and c != tgt
             ]
             if num_f or cat_f:
-                relevance = target_relevance(
-                    df, tgt, numeric_cols=num_f, categorical_cols=cat_f,
-                    max_categories=(
-                        cfg.categorical_maximum_correlation_distinct
-                    ),
-                )
+                try:
+                    relevance = target_relevance(
+                        df, tgt, numeric_cols=num_f,
+                        categorical_cols=cat_f,
+                        max_categories=(
+                            cfg.categorical_maximum_correlation_distinct
+                        ),
+                    )
+                except ValueError as e:
+                    # the id-like-target cardinality gate needs a scan, so
+                    # it can only fire here — degrade to a recorded skip
+                    # instead of losing the whole multi-pass profile
+                    # (ADVICE r12)
+                    relevance = [{
+                        "feature": tgt, "method": "skipped",
+                        "score": None, "reason": str(e),
+                    }]
             _mark("target_relevance")
 
         # relationship mining (``discover_fds=True``, beyond the

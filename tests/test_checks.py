@@ -1212,12 +1212,12 @@ def test_discover_fds(spark):
     assert got[("city", "country")]["n_groups"] == 6
     assert got[("city", "country")]["exact"] is True
     assert ("country", "city") not in got
-    # HLL-screened definite violators keep a row — holds=False,
-    # exact=False, NULL ratio (never melted); a held FD with a NULL
-    # determinant group survives the screen (struct-cardinality, not
-    # NULL-dropping count)
+    # HLL-screened rows keep a row — holds=NULL ("not verified", never
+    # "refuted": the screen is probabilistic, ADVICE r12), exact=False,
+    # NULL ratio (never melted); a held FD with a NULL determinant group
+    # survives the screen (struct-cardinality, not NULL-dropping count)
     assert got[("city", "nul")]["exact"] is False
-    assert got[("city", "nul")]["holds"] is False
+    assert got[("city", "nul")]["holds"] is None
     assert got[("city", "nul")]["dependency_ratio"] is None
     assert got[("nul", "c")]["exact"] is True and got[("nul", "c")]["holds"]
     assert got[("nul", "c")]["n_groups"] == 3  # NULL det is a group
@@ -1340,6 +1340,28 @@ def test_cli_discover_fds_into_suggested_suite(tmp_path):
                "--discover-fks", "nopath", expect=1)
     assert "bad entry" in bad2.stderr
 
+    # r12 ADVICE (low): "nothing survives the prune" (all columns
+    # near-unique ids) is ZERO discovered contracts and a clean exit,
+    # not a raw ValueError traceback
+    ids = tmp_path / "ids.parquet"
+    pd.DataFrame({
+        "id_a": list(range(400)),
+        "id_b": [i * 7 for i in range(400)],
+    }).to_parquet(ids)
+    suite3 = tmp_path / "suite3.json"
+    out3 = run(str(ids), "--minimal", "--suggest-checks", str(suite3),
+               "--discover-fds")
+    meta3 = json.loads(out3.stdout.strip().splitlines()[-1])
+    assert meta3["discovered_fds"] == 0
+    # no type-compatible cross-table pairs: same graceful zero
+    strp = tmp_path / "strs.parquet"
+    pd.DataFrame({"name": [f"s{i}" for i in range(10)]}).to_parquet(strp)
+    suite4 = tmp_path / "suite4.json"
+    out4 = run(str(ids), "--minimal", "--suggest-checks", str(suite4),
+               "--discover-fks", f"strs={strp}")
+    meta4 = json.loads(out4.stdout.strip().splitlines()[-1])
+    assert meta4["discovered_fks"] == 0
+
 
 def test_discover_inclusions(spark):
     """Unary inclusion-dependency discovery — the cross-table FK miner:
@@ -1405,6 +1427,53 @@ def test_discover_inclusions(spark):
         child, [C.foreign_key("fk", "parent", "pk", name="fk")],
         refs={"parent": parent})
     assert suite.collect()[0]["passed"]
+
+
+def test_discover_inclusions_lossless_canon(spark):
+    """ADVICE r12 (medium): the value canonicalization must be lossless
+    for 64-bit integer keys above 2^53 (snowflake-style ids collide after
+    a double round-trip) and must give the time family ONE rendering so a
+    date genuinely contained in a timestamp column matches."""
+    import datetime as dt
+
+    base = 2**53  # 9007199254740992: +1 is unrepresentable as a double
+    child = spark.createDataFrame(
+        [(base + 1,), (base + 3,)], "id bigint")
+    parent = spark.createDataFrame(
+        [(base,), (base + 2,), (base + 4,)], "pk bigint")
+    # every child id is ABSENT from the parent; the double round-trip
+    # collapses all five values to 9007199254740992.0 and reports a
+    # dangling reference as contained=True
+    r = C.discover_inclusions(
+        child, parent, candidates=[("id", "pk")]).collect()[0]
+    assert r["exact"] and not r["contained"]
+    assert r["n_missing_distinct"] == 2 and r["containment_ratio"] == 0.0
+
+    # int 5 == bigint 5 == double 5.0 still canonicalize together, and
+    # fractional doubles stay distinct from their floor
+    c2 = spark.createDataFrame([(5, 5.0), (6, 6.5)], "i int, d double")
+    p2 = spark.createDataFrame([(5,), (6,)], "pk bigint")
+    got = {(r["child_column"], r["parent_column"]): r
+           for r in C.discover_inclusions(
+               c2, p2, candidates=[("i", "pk"), ("d", "pk")]).collect()}
+    assert got[("i", "pk")]["contained"]
+    d = got[("d", "pk")]
+    assert not d["contained"] and d["n_missing_distinct"] == 1  # 6.5
+
+    # date-in-timestamp: genuinely contained must report contained=True
+    dchild = spark.createDataFrame(
+        [(dt.date(2024, 1, 2),), (dt.date(2024, 1, 3),)], "d date")
+    tparent = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 2),), (dt.datetime(2024, 1, 3),),
+         (dt.datetime(2024, 1, 4, 5, 0),)], "ts timestamp")
+    row = C.discover_inclusions(
+        dchild, tparent, candidates=[("d", "ts")]).collect()[0]
+    assert row["contained"] and row["exact"]
+    # and a timestamp with a time-of-day is NOT contained in dates
+    rev = C.discover_inclusions(
+        tparent, dchild, candidates=[("ts", "d")]).collect()[0]
+    assert rev["exact"] and not rev["contained"]
+    assert rev["n_missing_distinct"] == 1  # only the 05:00 row dangles
 
 
 def test_profile_relationships_section(spark):

@@ -1085,3 +1085,27 @@ def test_relevance_target_profile_section(spark):
         profile(df, ProfileConfig(relevance_target="y"), columns=["lin"])
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before, "fail-fast validation ran Spark jobs"
+
+    # r12 ADVICE (low): a temporal target refuses BEFORE any pass too —
+    # the type check needs only the schema
+    df_ts = df.selectExpr(
+        "y", "lin", "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,"
+        " cast(y as int)) as t")
+    before2 = len(tracker.getJobIdsForGroup(None) or [])
+    with _pt.raises(ValueError, match="temporal type"):
+        profile(df_ts, ProfileConfig(relevance_target="t"))
+    assert len(tracker.getJobIdsForGroup(None) or []) == before2
+
+    # r12 ADVICE (low): an id-like categorical target (cardinality gate
+    # needs a scan, so it can only fire late) degrades to a recorded
+    # skip instead of throwing away the whole multi-pass profile
+    df_id = df.selectExpr("y", "lin", "uuid() as uid")
+    r3 = profile(df_id, ProfileConfig(
+        exact=True, relevance_target="uid",
+        correlations=(), duplicates=False,
+        categorical_maximum_correlation_distinct=50))
+    assert len(r3.relevance) == 1
+    skip = r3.relevance[0]
+    assert skip["method"] == "skipped" and skip["score"] is None
+    assert "id-like target" in skip["reason"]
+    assert r3.variables  # the rest of the profile survived

@@ -2254,6 +2254,18 @@ def test_profile_progress_callback(spark):
     assert events2[-1][0] == "target_relevance"
     assert events2[-1][1] == events2[-1][2] == len(_CORE_STAGES) + 1
 
+    # r12 ADVICE (low): timeseries marks even on a NO-NUMERIC frame —
+    # the stage is planned whenever the ts col is set, so progress must
+    # reach i == n rather than looking permanently stuck one short
+    df_ts = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00")], "c string, t string"
+    ).selectExpr("c", "cast(t as timestamp) as t")
+    events3 = []
+    profile(df_ts, ProfileConfig(exact=True, timeseries_ts_col="t"),
+            progress=lambda s, i, n: events3.append((s, i, n)))
+    assert events3[-1][0] == "timeseries"
+    assert events3[-1][1] == events3[-1][2]
+
     # a monitoring hook that raises stops the run, not swallowed
     def boom(s, i, n):
         raise RuntimeError("hook failure")
