@@ -58,6 +58,17 @@ _SPECS: dict[str, tuple] = {
     # fill the tail. After this round no spec's driver evidence is older
     # than r11.
 
+    # ---- never driver-recorded (NEW r13) -----------------------------------
+    # KEY DISCOVERY — unique-column-combination mining completing the
+    # FD/inclusion relationship triad (VERDICT r12 #2): explicit candidate
+    # sets (production enumerates the bounded lattice with TANE minimality
+    # + HLL screens) through the declared uniqueness check's one-melt
+    # kernel; NULL components exercised via the derived cust_n column
+    "key_discovery_orders": (
+        P.key_discovery_query(),
+        P.key_discovery_sql(),
+    ),
+
     # ---- latest driver evidence r10 (oldest — window head) ----------------
     "mad_lineitem": (
         P.mad_query("lineitem", ["l_quantity", "l_extendedprice", "l_discount"]),

@@ -296,7 +296,28 @@ def build_parser() -> argparse.ArgumentParser:
         help="MINE single-column functional dependencies (HLL prune + "
         "screen, exact melt verification): on a profile run, attach them "
         "as a Relationships section; with --suggest-checks, declare every "
-        "exact hold as a functional_dependency check",
+        "exact hold as a functional_dependency check; with "
+        "--checks-from-state, SCREEN candidates from the state's "
+        "--fd-pairs sketches with zero rescans (ranked in the output; "
+        "verify survivors with a later raw-table --discover-fds run)",
+    )
+    s.add_argument(
+        "--fd-pairs",
+        default=None,
+        metavar="A:B[,A:B...]",
+        help="with --save-state: also carry pair-tuple HLL sketches for "
+        "the listed unordered column pairs (the state-mode FD-discovery "
+        "screen tier — rank candidates later with --discover-fds "
+        "--checks-from-state, zero rescans); --align-state reuses the "
+        "stored state's declared pairs automatically",
+    )
+    s.add_argument(
+        "--discover-keys",
+        action="store_true",
+        help="with --suggest-checks: MINE unique column combinations "
+        "(candidate keys, unary + binary, HLL screens + exact melt "
+        "verification) and declare every verified null-free key as a "
+        "primary_key check (nullable keys as uniqueness)",
     )
     s.add_argument(
         "--discover-fks",
@@ -426,6 +447,8 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("--checks-from-state needs --checks or --suggest-checks")
     if args.discover_fks and not args.suggest_checks:
         parser.error("--discover-fks needs --suggest-checks")
+    if args.discover_keys and not args.suggest_checks:
+        parser.error("--discover-keys needs --suggest-checks")
     if args.fail_on_anomaly and not args.checks_log:
         parser.error("--fail-on-anomaly needs --checks-log")
     if args.checks_refs and not args.checks:
@@ -672,19 +695,30 @@ def main(argv: list[str] | None = None) -> int:
                     "columns with counts)"
                 )
             discovered_fds = 0
+            fd_candidates: "list[dict] | None" = None
             if args.discover_fds:
                 if args.checks_from_state:
-                    raise SystemExit(
-                        "--discover-fds needs the raw table (the melt "
-                        "verification scans it) — not available with "
-                        "--checks-from-state"
+                    # the SCREEN tier: rank candidates from the persisted
+                    # sketches with zero rescans (VERDICT r12 #3); no
+                    # contract is declared without the verification melt
+                    # — survivors feed a later plain --discover-fds run
+                    from pandas_profiling_personal_spark.plans.incremental import (  # noqa: E501
+                        discover_fds_of,
                     )
+
+                    try:
+                        fd_candidates = discover_fds_of(part, spark)
+                    except ValueError as e:
+                        raise SystemExit(f"--discover-fds refused: {e}")
                 # mined relationships become DECLARED contracts: every
                 # exact-verified hold joins the suggested suite. "Nothing
                 # survives the prune" (all columns near-unique ids) is
                 # zero discovered contracts, not a traceback (ADVICE r12)
                 try:
-                    fd_rows = CK.discover_fds(df_in).collect()
+                    fd_rows = (
+                        [] if args.checks_from_state
+                        else CK.discover_fds(df_in).collect()
+                    )
                 except ValueError:
                     fd_rows = []
                 for r in fd_rows:
@@ -693,6 +727,34 @@ def main(argv: list[str] | None = None) -> int:
                             r["determinant"], r["dependent"],
                         ))
                         discovered_fds += 1
+            discovered_keys = 0
+            if args.discover_keys:
+                if args.checks_from_state:
+                    raise SystemExit(
+                        "--discover-keys needs the raw table (the melt "
+                        "verification scans it) — not available with "
+                        "--checks-from-state"
+                    )
+                try:
+                    key_rows = CK.discover_keys(df_in).collect()
+                except ValueError:
+                    key_rows = []
+                have = {(c.kind, c.columns) for c in suite}
+                for r in key_rows:
+                    if not (r["is_key"] and r["exact"]):
+                        continue
+                    cols_t = tuple(r["key"].split(","))
+                    # a column name containing a comma would split wrong —
+                    # skip rather than declare a bogus contract
+                    if not all(c in df_in.columns for c in cols_t):
+                        continue
+                    chk = (CK.primary_key(list(cols_t))
+                           if r["null_free"]
+                           else CK.uniqueness(list(cols_t)))
+                    if (chk.kind, chk.columns) not in have:
+                        suite.append(chk)
+                        have.add((chk.kind, chk.columns))
+                        discovered_keys += 1
             discovered_fks = 0
             if args.discover_fks:
                 if args.checks_from_state:
@@ -732,13 +794,17 @@ def main(argv: list[str] | None = None) -> int:
                             discovered_fks += 1
             with open(args.suggest_checks, "w", encoding="utf-8") as fh:
                 json.dump(CK.checks_to_spec(suite), fh, indent=2, default=str)
-            print(json.dumps({
+            meta_out = {
                 "output": args.suggest_checks,
                 "n_checks": len(suite),
                 "kinds": sorted({c.kind for c in suite}),
                 "discovered_fds": discovered_fds,
+                "discovered_keys": discovered_keys,
                 "discovered_fks": discovered_fks,
-            }))
+            }
+            if fd_candidates is not None:
+                meta_out["fd_candidates"] = fd_candidates
+            print(json.dumps(meta_out))
             return 0
         df = read_table(spark, args.input)
         if args.save_state or args.drift_against:
@@ -763,6 +829,11 @@ def main(argv: list[str] | None = None) -> int:
             grp_pairs = (
                 _parse_pairs(args.group_pairs, "--group-pairs")
                 if args.group_pairs
+                else None
+            )
+            fd_prs = (
+                _parse_pairs(args.fd_pairs, "--fd-pairs")
+                if args.fd_pairs
                 else None
             )
 
@@ -872,6 +943,23 @@ def main(argv: list[str] | None = None) -> int:
                             "are reused automatically) or re-save the "
                             "baseline with the new pairs"
                         )
+                    if fd_prs is None and prev.pair_hlls is not None:
+                        # fd-pair sketches carry forward, same contract
+                        fd_prs = list(prev.pair_hlls)
+                    elif (
+                        fd_prs is not None
+                        and prev.pair_hlls is not None
+                        and {tuple(sorted(p)) for p in fd_prs}
+                        != set(prev.pair_hlls)
+                    ):
+                        raise SystemExit(
+                            "--fd-pairs disagrees with the aligned "
+                            "state's declared pairs "
+                            f"{sorted(prev.pair_hlls)} — shards merge "
+                            "like with like; drop the flag (stored pairs "
+                            "are reused automatically) or re-save the "
+                            "baseline with the new pairs"
+                        )
                 else:
                     specs, corr = args.state_bins, True
                 try:
@@ -881,6 +969,7 @@ def main(argv: list[str] | None = None) -> int:
                         correlations=corr,
                         categorical_pairs=cat_pairs,
                         group_pairs=grp_pairs,
+                        fd_pairs=fd_prs,
                     )
                 except ValueError as e:
                     # e.g. the alignment honesty guard (shard range entirely

@@ -339,6 +339,7 @@ def discover_fds(
     prune: bool = True,
     max_arity: int = 1,
     max_level2_candidates: int = 2000,
+    precomputed: "Mapping[str, Any] | None" = None,
 ) -> DataFrame:
     """DISCOVER functional dependencies — the step before
     :func:`functional_dependency` declares one (the reference only turns
@@ -389,7 +390,17 @@ def discover_fds(
     Explicit ``candidates`` (``(det, dep)`` with ``det`` a name or a
     tuple of names) are scored verbatim — the deterministic oracle tier.
     NULL determinants are their own group (the declared check's
-    NULL-sentinel semantics); NULL dependents count as a value."""
+    NULL-sentinel semantics); NULL dependents count as a value.
+
+    ``precomputed`` (enumeration path, level 1 only) replaces BOTH
+    screen scans with cardinalities a caller already holds — the
+    in-profile rider: ``profile(discover_fds=True)`` folds the pair-
+    struct ``approx_count_distinct`` expressions into its existing
+    pass-1 wide aggregate, so discovery pays only the survivors' melt
+    (VERDICT r12 #8). Shape: ``{"nd": {col: distinct_non_null},
+    "has_null": {col: bool}, "pair_nd": {(a, b) sorted: distinct
+    struct count}}``; a pair missing from ``pair_nd`` is VERIFIED
+    rather than screened (the safe direction)."""
     if max_arity not in (1, 2):
         raise ValueError("discover_fds: max_arity must be 1 or 2")
     screened_out: "list[tuple[str, str]]" = []
@@ -404,18 +415,44 @@ def discover_fds(
             raise ValueError("discover_fds: need at least 2 columns")
         pairs = [((a,), b) for a in cols for b in cols if a != b]
         if prune:
-            card = df.agg(*[
-                F.approx_count_distinct(F.col(c)).alias(f"c{i}")
-                for i, c in enumerate(cols)
-            ]).collect()[0]
-            nd = {c: card[f"c{i}"] for i, c in enumerate(cols)}
+            if precomputed is not None:
+                nd = dict(precomputed["nd"])
+                missing_nd = sorted(set(cols) - set(nd))
+                if missing_nd:
+                    raise ValueError(
+                        "discover_fds: precomputed cardinalities missing "
+                        f"for columns: {missing_nd}"
+                    )
+            else:
+                card = df.agg(*[
+                    F.approx_count_distinct(F.col(c)).alias(f"c{i}")
+                    for i, c in enumerate(cols)
+                ]).collect()[0]
+                nd = {c: card[f"c{i}"] for i, c in enumerate(cols)}
             pairs = [
                 (det, b) for det, b in pairs
                 if 2 <= nd[det[0]] <= max_determinant_distinct
                 and nd[det[0]] >= 0.9 * nd[b]
             ]
-            pairs, scr = _fd_screen(df, pairs)
-            screened_out.extend(scr)
+            if precomputed is not None:
+                # screen from the caller's pair-struct cardinalities —
+                # zero scans here; the unary det struct cardinality is
+                # exactly distinct-non-null + (1 if the column has NULLs)
+                has_null = precomputed.get("has_null") or {}
+                pair_nd = precomputed.get("pair_nd") or {}
+                survivors = []
+                for det, b in pairs:
+                    a = det[0]
+                    pnd = pair_nd.get((a, b) if a <= b else (b, a))
+                    det_nd = nd[a] + (1 if has_null.get(a) else 0)
+                    if pnd is None or pnd <= 1.15 * det_nd:
+                        survivors.append((det, b))
+                    else:
+                        screened_out.append((a, b))
+                pairs = survivors
+            else:
+                pairs, scr = _fd_screen(df, pairs)
+                screened_out.extend(scr)
         if not pairs and not screened_out:
             raise ValueError(
                 "discover_fds: no candidate pairs survive the cardinality "

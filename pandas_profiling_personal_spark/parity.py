@@ -2581,6 +2581,88 @@ FROM (SELECT count(DISTINCT {a}) AS n FROM orders WHERE {a} IS NOT NULL) c,
     )
 
 
+#: key_discovery candidates: a unary key, a repeating non-key, a
+#: NULL-bearing non-key (NULL keys are sentinel VALUES), a null-bearing
+#: composite KEY (null_free=false — unique but not primary-key
+#: eligible), and a tiny-ratio categorical pair — both verdicts, the
+#: full ratio range, and the NULL-component path all exercised
+_KEY_DISC_SETS = [
+    ("o_orderkey",),
+    ("o_custkey",),
+    ("cust_n",),
+    ("cust_n", "o_orderkey"),
+    ("o_orderstatus", "o_orderpriority"),
+]
+
+
+def _key_disc_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.when(S.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(S.col("o_custkey"))
+        .alias("cust_n"),
+    )
+
+
+def key_discovery_query() -> QueryFn:
+    """KEY DISCOVERY (operators/checks.py:discover_keys — the
+    unique-column-combination miner completing the FD/inclusion triad;
+    the reference only alerts per-column UNIQUE after the fact,
+    model/messages.py:204-257): score explicit candidate column sets
+    (the deterministic oracle tier; production enumerates the
+    bounded lattice with TANE minimality pruning + HLL screens) through
+    the declared uniqueness check's one-melt two-level-groupBy kernel."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.checks import (
+            discover_keys,
+        )
+
+        return discover_keys(
+            _key_disc_frame(spark, sf_dir), candidates=_KEY_DISC_SETS
+        )
+
+    return fn
+
+
+def key_discovery_sql() -> str:
+    derived = (
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,"
+        " CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END"
+        " AS cust_n FROM orders"
+    )
+
+    def keyset(cols: "tuple[str, ...]") -> str:
+        name = ",".join(cols)
+        grp = ", ".join(cols)
+        nulls = " + ".join(
+            f"(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)" for c in cols
+        )
+        return f"""
+SELECT '{name}' AS key, CAST({len(cols)} AS INT) AS arity,
+       CAST(t.n AS BIGINT) AS n_rows,
+       CAST(g.groups AS BIGINT) AS n_groups,
+       round(g.singles / t.n, 4) AS uniqueness_ratio,
+       t.null_parts = 0 AS null_free,
+       g.groups = t.n AS is_key,
+       TRUE AS exact
+FROM (SELECT count(*) AS n, coalesce(sum({nulls}), 0) AS null_parts
+      FROM t) t,
+     (SELECT count(*) AS groups,
+             sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS singles
+      FROM (SELECT count(*) AS cnt FROM t GROUP BY {grp})) g"""
+
+    body = "\nUNION ALL ".join(keyset(ks) for ks in _KEY_DISC_SETS)
+    return (
+        f"WITH t AS ({derived})\n" + body
+        + "\nORDER BY uniqueness_ratio DESC, arity, key"
+    )
+
+
 def benford_query(table: str = "lineitem",
                   cols: list[str] | None = None) -> QueryFn:
     cols = cols or ["l_extendedprice", "l_quantity", "l_discount"]

@@ -166,9 +166,19 @@ class PartialProfile:
     #: (categorical, numeric) pairs — the incremental η² / state-mode
     #: target-relevance tier; same all-or-nothing merge discipline
     group_pairs: dict[tuple[str, str], GroupMomentState] | None = None
+    #: pair-tuple HLL sketches for DECLARED unordered column pairs (keyed
+    #: sorted) — the state-mode FD-discovery screen tier
+    #: (:func:`discover_fds_of` ranks candidates from these with ZERO
+    #: data rescans); None when a pair contributed no rows. Same
+    #: all-or-nothing merge discipline as the other pair families.
+    pair_hlls: dict[tuple[str, str], bytes | None] | None = None
     #: sketch binaries pending a union (merging defers the Spark-side sketch
     #: union until finalize so merge_partials stays pure driver arithmetic)
     _pending: dict[str, dict[str, list[bytes]]] = field(default_factory=dict)
+    #: pair-sketch binaries pending a union — the pair_hlls analogue
+    _pending_pair_hlls: dict[tuple[str, str], list[bytes]] = field(
+        default_factory=dict
+    )
 
     def to_json(self) -> str:
         def enc(cs: ColumnState) -> dict:
@@ -231,6 +241,20 @@ class PartialProfile:
                         for (a, b), st in self.group_pairs.items()
                     ]
                 ),
+                "pair_hlls": (
+                    None
+                    if self.pair_hlls is None
+                    else [
+                        [a, b,
+                         None if sk is None
+                         else base64.b64encode(sk).decode()]
+                        for (a, b), sk in self.pair_hlls.items()
+                    ]
+                ),
+                "pending_pair_hlls": [
+                    [a, b, [base64.b64encode(x).decode() for x in v]]
+                    for (a, b), v in self._pending_pair_hlls.items()
+                ],
                 "pending": {
                     c: {
                         k: [base64.b64encode(x).decode() for x in v]
@@ -301,6 +325,14 @@ class PartialProfile:
                     for a, b, cells, capped in d["group_pairs"]
                 }
             ),
+            pair_hlls=(
+                None
+                if d.get("pair_hlls") is None
+                else {
+                    (a, b): (None if sk is None else base64.b64decode(sk))
+                    for a, b, sk in d["pair_hlls"]
+                }
+            ),
         )
         out._pending = {
             c: {
@@ -308,6 +340,10 @@ class PartialProfile:
                 for k, v in kinds.items()
             }
             for c, kinds in (d.get("pending") or {}).items()
+        }
+        out._pending_pair_hlls = {
+            (a, b): [base64.b64decode(x) for x in v]
+            for a, b, v in (d.get("pending_pair_hlls") or [])
         }
         return out
 
@@ -323,6 +359,7 @@ def partial_profile(
     allow_disjoint: bool = False,
     group_pairs: list[tuple[str, str]] | None = None,
     max_groups: int = 10_000,
+    fd_pairs: "list[tuple[str, str]] | None" = None,
 ) -> PartialProfile:
     """Profile ONE shard into a mergeable state. Three bounded actions:
     the wide scalar+sketch aggregate, the mean-shifted power-sum pass
@@ -372,7 +409,17 @@ def partial_profile(
     / :func:`target_relevance_of`) to the batch ``correlation_ratio_all``
     exactly (vector-added sums through the same driver algebra); per-shard
     truncation at ``max_groups`` cells sets ``capped`` and degrades to
-    ``exact=False`` loudly, like the contingency tier."""
+    ``exact=False`` loudly, like the contingency tier.
+
+    ``fd_pairs`` adds pair-tuple HLL sketches for DECLARED unordered
+    column pairs, RIDING THE SAME wide aggregate (zero extra jobs — the
+    sketch is one more expression on the single scan). The tuple is
+    key-encoded with the declared checks' injective escape (NULL
+    components are sentinel values), so :func:`discover_fds_of` can
+    screen FD candidates in BOTH directions of each pair from persisted
+    states alone — zero data rescans; one verification melt only for
+    survivors the caller asks :func:`~.operators.checks.discover_fds`
+    to verify (VERDICT r12 #3)."""
     types = variable_types(df)
     if columns is not None:
         types = {c: t for c, t in types.items() if c in columns}
@@ -427,6 +474,31 @@ def partial_profile(
                     F.min(S.epoch_seconds(col)).alias(f"{p}__min_ep"),
                     F.max(S.epoch_seconds(col)).alias(f"{p}__max_ep"),
                 ]
+    # fd-pair sketches ride the SAME aggregate — zero extra jobs; the
+    # tuple is the declared checks' injective key encoding, so NULL
+    # components are sentinel values exactly like the batch screen's
+    # struct() and the melt kernel's NULL_SENTINEL
+    fd_plist: "list[tuple[str, str]] | None" = None
+    if fd_pairs is not None:
+        from pandas_profiling_personal_spark.operators.checks import (
+            _key_expr,
+        )
+
+        fd_plist = sorted({tuple(sorted((a, b))) for a, b in fd_pairs})
+        missing3 = sorted({c for p in fd_plist for c in p} - set(df.columns))
+        if missing3:
+            raise ValueError(
+                f"fd_pairs name columns not in the frame: {missing3}"
+            )
+        if any(a == b for a, b in fd_plist):
+            raise ValueError("fd_pairs: self-pair")
+        for k, p in enumerate(fd_plist):
+            aggs.append(
+                F.hll_sketch_agg(_key_expr(p), F.lit(_HLL_LGK)).alias(
+                    f"fd{k}__hll"
+                )
+            )
+
     row = df.agg(*aggs).collect()[0].asDict()
     n = int(row["__n"])
 
@@ -769,9 +841,20 @@ def partial_profile(
                 capped=capped,
             )
 
+    pair_sketches: "dict[tuple[str, str], bytes | None] | None" = None
+    if fd_plist is not None:
+        pair_sketches = {
+            p: (
+                bytes(row[f"fd{k}__hll"])
+                if n > 0 and row.get(f"fd{k}__hll")
+                else None
+            )
+            for k, p in enumerate(fd_plist)
+        }
+
     return PartialProfile(
         n=n, columns=cols, pairs=pairs, cat_pairs=cat_states,
-        group_pairs=grp_states,
+        group_pairs=grp_states, pair_hlls=pair_sketches,
     )
 
 
@@ -913,6 +996,10 @@ def merge_partials(parts: list[PartialProfile]) -> PartialProfile:
                     for k, st in part.group_pairs.items()
                 }
             )
+            out.pair_hlls = (
+                None if part.pair_hlls is None
+                else {k: None for k in part.pair_hlls}
+            )
             first = False
         else:
             if (part.pairs is None) != (out.pairs is None):
@@ -965,8 +1052,27 @@ def merge_partials(parts: list[PartialProfile]) -> PartialProfile:
                         an, as_, ass = dst.cells.get(g, (0, 0.0, 0.0))
                         dst.cells[g] = (an + gn, as_ + gs, ass + gss)
                     dst.capped = dst.capped or st.capped
+            if (part.pair_hlls is None) != (out.pair_hlls is None):
+                raise ValueError(
+                    "some shards carry fd-pair sketches and some don't — "
+                    "profile every shard with the same fd_pairs="
+                )
+            if part.pair_hlls is not None:
+                if set(part.pair_hlls) != set(out.pair_hlls):
+                    raise ValueError(
+                        "fd-pair sets differ between shards: "
+                        f"{sorted(set(part.pair_hlls) ^ set(out.pair_hlls))}"
+                    )
         out.n += part.n
         out.n_shards += part.n_shards
+        # pair sketches defer their union to estimate time, like the
+        # per-column sketches below
+        if part.pair_hlls is not None:
+            for p, sk in part.pair_hlls.items():
+                pendp = out._pending_pair_hlls.setdefault(p, [])
+                if sk:
+                    pendp.append(sk)
+                pendp.extend(part._pending_pair_hlls.get(p) or [])
         for c, cs in part.columns.items():
             pend = out._pending.setdefault(c, {"hll": [], "kll": []})
             if cs.hll:
@@ -1436,6 +1542,108 @@ def drift_between_partials(
                 abs(ca.m1 - cb.m1) / (pooled + bins_eps), round_to
             )
         out[c] = row
+    return out
+
+
+def discover_fds_of(
+    part: PartialProfile,
+    spark: SparkSession,
+    max_determinant_distinct: int = 100_000,
+    margin: float = 1.15,
+) -> "list[dict[str, Any]]":
+    """State-mode FD-discovery SCREEN: rank candidate dependencies from a
+    (merged) state's sketches with ZERO data rescans (VERDICT r12 #3).
+
+    Both directions of every stored fd-pair (``partial_profile(
+    fd_pairs=...)``) pass the batch :func:`~.operators.checks.
+    discover_fds` tier-1 gate (``2 <= nd(det) <= max_determinant_
+    distinct``, ``nd(det) >= 0.9 * nd(dep)``) and its tier-2 screen
+    ``nd(det, dep) <= margin * nd(det)`` — entirely from the persisted
+    sketches (per-column HLLs + the pair-tuple HLL; the screen's det side
+    adjusts by the exact has-NULL flag the state carries, since a NULL
+    determinant is its own group). Runs ONE tiny Spark job over sketch
+    literals — a select over binary literals, never a data scan.
+
+    Returns candidates ranked best-first: ``{"determinant", "dependent",
+    "screen_ratio"`` (``nd(det,dep) / nd(det)`` — ~1.0 reads "likely
+    holds"), ``"survives_screen", "exact": False, "holds": None}``. The
+    screen NEVER refutes (sketches are probabilistic — the batch tier's
+    holds=NULL semantics): survivors are what a caller feeds
+    ``discover_fds(df, candidates=[...])`` for the ONE verification melt
+    it chooses to pay for. The CLI loop: profile shards with
+    ``--save-state --fd-pairs``, screen any time with ``--discover-fds
+    --checks-from-state`` (zero rescans), verify survivors against the
+    raw table with a plain ``--discover-fds`` run."""
+    if part.pair_hlls is None:
+        raise ValueError(
+            "state carries no fd-pair sketches — profile shards with "
+            "fd_pairs=[...]"
+        )
+    exprs, keys = [], []
+    cols_needed = sorted({c for p in part.pair_hlls for c in p})
+    for c in cols_needed:
+        cs = part.columns.get(c)
+        if cs is None:
+            raise ValueError(f"state has no column {c!r}")
+        pend = (part._pending.get(c) or {}).get("hll") or []
+        hlls = list(pend) + ([cs.hll] if cs.hll else [])
+        if hlls:
+            e = F.lit(hlls[0])
+            for x in hlls[1:]:
+                e = F.hll_union(e, F.lit(x))
+            exprs.append(F.hll_sketch_estimate(e).alias(f"s_{len(keys)}"))
+            keys.append(("c", c))
+    for p in sorted(part.pair_hlls):
+        hlls = list(part._pending_pair_hlls.get(p) or [])
+        if part.pair_hlls[p]:
+            hlls.append(part.pair_hlls[p])
+        if hlls:
+            e = F.lit(hlls[0])
+            for x in hlls[1:]:
+                e = F.hll_union(e, F.lit(x))
+            exprs.append(F.hll_sketch_estimate(e).alias(f"s_{len(keys)}"))
+            keys.append(("p", p))
+    est: dict[tuple, float] = {}
+    if exprs:
+        row = spark.range(1).select(*exprs).collect()[0]
+        for i, key in enumerate(keys):
+            est[key] = float(row[i])
+
+    out: list[dict[str, Any]] = []
+    for a, b in sorted(part.pair_hlls):
+        pnd = est.get(("p", (a, b)))
+        if pnd is None:
+            continue  # no shard contributed rows: nothing to rank
+        for det, dep in ((a, b), (b, a)):
+            nd_det = est.get(("c", det), 0.0)
+            nd_dep = est.get(("c", dep), 0.0)
+            # the batch tier-1 gate, verbatim (NULL-dropped estimates)
+            if not (2 <= nd_det <= max_determinant_distinct):
+                continue
+            if nd_det < 0.9 * nd_dep:
+                continue
+            # the batch tier-2 screen: the det side of nd(det, dep) is a
+            # tuple count, so adjust the column estimate by the exact
+            # has-NULL flag (a NULL determinant is its own group)
+            det_tuple_nd = nd_det + (
+                1 if part.columns[det].n_missing else 0
+            )
+            ratio = pnd / det_tuple_nd if det_tuple_nd else None
+            out.append({
+                "determinant": det,
+                "dependent": dep,
+                "screen_ratio": (
+                    None if ratio is None else round(ratio, 4)
+                ),
+                "survives_screen": pnd <= margin * det_tuple_nd,
+                "exact": False,
+                "holds": None,
+            })
+    out.sort(key=lambda r: (
+        not r["survives_screen"],
+        r["screen_ratio"] if r["screen_ratio"] is not None else 1e18,
+        r["determinant"], r["dependent"],
+    ))
     return out
 
 

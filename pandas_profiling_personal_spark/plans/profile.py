@@ -269,6 +269,27 @@ def profile(
                 f"(count({q}) > 0) AND "
                 f"(count(try_cast({q} as date)) = count({q}))"
             )
+        # FD-discovery rider (VERDICT r12 #8): the tier-2 screen's
+        # pair-struct approx_count_distincts are just more expressions —
+        # fold them into the SAME pass-1 aggregate so discovery pays zero
+        # extra scans (only the survivors' melt). The fold is quadratic in
+        # eligible columns, so beyond the cap the late discover_fds call
+        # falls back to its own two screen scans.
+        fd_rider_pairs: list[tuple[str, str]] = []
+        if cfg.discover_fds:
+            _fd_elig = [
+                c for c, vt in types.items()
+                if vt in (VT.NUMERIC, VT.CATEGORICAL, VT.BOOLEAN,
+                          VT.DATETIME)
+            ]
+            if 2 <= len(_fd_elig) <= 16:
+                fd_rider_pairs = [
+                    tuple(sorted(p)) for p in _comb(_fd_elig, 2)
+                ]
+                for k, (a, b) in enumerate(fd_rider_pairs):
+                    extra[f"fdpair_{k}"] = (
+                        f"approx_count_distinct(struct({_sq(a)}, {_sq(b)}))"
+                    )
 
         _mark("setup_types")
         variables, extras = SU.scalar_summary(df, cfg, types, extra_exprs=extra)
@@ -1194,6 +1215,33 @@ def profile(
                           VT.DATETIME)
             ]
             if len(fd_cols) >= 2:
+                # the rider's precomputed cardinalities (pass-1 pair-struct
+                # HLLs + per-column distincts + exact null flags) replace
+                # both of discover_fds' screen scans; any missing piece
+                # falls back to the operator's own scans
+                pre = None
+                if fd_rider_pairs:
+                    nd_map: dict[str, int] = {}
+                    complete = True
+                    for c in fd_cols:
+                        ndv = variables[c].get("n_distinct")
+                        if ndv is None:
+                            complete = False
+                            break
+                        nd_map[c] = int(ndv)
+                    if complete:
+                        pre = {
+                            "nd": nd_map,
+                            "has_null": {
+                                c: bool(variables[c].get("n_missing"))
+                                for c in fd_cols
+                            },
+                            "pair_nd": {
+                                p: int(extras[f"fdpair_{k}"])
+                                for k, p in enumerate(fd_rider_pairs)
+                                if extras.get(f"fdpair_{k}") is not None
+                            },
+                        }
                 try:
                     relationships = [
                         r.asDict()
@@ -1202,6 +1250,7 @@ def profile(
                             max_determinant_distinct=(
                                 cfg.categorical_maximum_correlation_distinct
                             ),
+                            precomputed=pre,
                         ).collect()
                     ]
                 except ValueError:

@@ -1,0 +1,78 @@
+"""Bench-artifact invariants (VERDICT r12 #5): the ">3 s => labeled or
+declared production shape" rule is CODE, not a review convention.
+
+bench.py re-derives ``slow_unlabeled`` every sweep and records it in
+BENCH_FULL.json; this test asserts the committed artifact satisfies the
+rule, and re-derives the classification independently from the artifact's
+own fields so a bench.py bug can't self-certify.
+"""
+
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_full():
+    path = os.path.join(REPO, "BENCH_FULL.json")
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def test_slow_rows_labeled_or_production():
+    full = _load_full()
+    if "slow_unlabeled" not in full:
+        import pytest
+
+        pytest.skip("committed BENCH_FULL.json predates the invariant "
+                    "fields; the next sweep records them")
+    # independent re-derivation from the artifact's own fields — always
+    # enforced: a bench.py bug must not self-certify
+    thr = full["slow_threshold_sec"]
+    tiers = set(full["query_tiers"])
+    prod = set(full["production_shapes"])
+    rederived = sorted(
+        q for q, t in full["queries"].items()
+        if isinstance(t, (int, float)) and t > thr
+        and q not in tiers and q not in prod
+    )
+    assert rederived == full["slow_unlabeled"]
+    # the empty-list rule is calibrated for a CLEAN sf0.1 sweep — a
+    # loaded host inflates absolute wall times across the board, which
+    # the artifact's own contamination markers witness; those sweeps
+    # record the list honestly but are not a labeling violation
+    sf = full.get("sf")
+    clean = (
+        isinstance(sf, (int, float)) and sf >= 0.1
+        and not (full.get("throttle") or {}).get("throttled")
+        and (full.get("host_load_1m") or 0) <= 12
+    )
+    if not clean:
+        import pytest
+
+        pytest.skip("committed artifact is not a clean sf>=0.1 sweep; "
+                    "self-consistency asserted above")
+    assert full["slow_unlabeled"] == [], (
+        "bench rows exceeded the slow threshold without a query_tiers "
+        f"label or a PRODUCTION_SHAPES entry: {full['slow_unlabeled']}"
+    )
+
+
+def test_production_shapes_and_tiers_name_real_specs():
+    """Every label/production entry names a spec that exists (or a bench-
+    only synthetic like full_profile_*): a renamed spec must not leave a
+    stale label behind that silently re-opens the rule."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    import bench
+    import __spark_entry__ as E
+
+    specs = set(E.queries())
+    bench_only = {q for q in bench.PRODUCTION_SHAPES if
+                  q.startswith(("full_profile", "pipeline_"))}
+    for q in bench.PRODUCTION_SHAPES:
+        assert q in specs or q in bench_only, q
+    full = _load_full()
+    for q in full.get("query_tiers", {}):
+        assert q in specs or q.startswith(("full_profile", "pipeline_")), q

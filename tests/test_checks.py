@@ -1340,13 +1340,37 @@ def test_cli_discover_fds_into_suggested_suite(tmp_path):
                "--discover-fks", "nopath", expect=1)
     assert "bad entry" in bad2.stderr
 
-    # r12 ADVICE (low): "nothing survives the prune" (all columns
-    # near-unique ids) is ZERO discovered contracts and a clean exit,
-    # not a raw ValueError traceback
+    # --discover-keys: mined unique column combinations become declared
+    # primary_key (null-free) contracts and the suite still passes on
+    # the data it was mined from
+    kdata = tmp_path / "k.parquet"
+    pd.DataFrame({
+        "ka": [i % 10 for i in range(100)],
+        "kb": [i // 10 for i in range(100)],
+        "payload": [f"p{i % 4}" for i in range(100)],
+    }).to_parquet(kdata)
+    suitek = tmp_path / "suitek.json"
+    outk = run(str(kdata), "--minimal", "--suggest-checks", str(suitek),
+               "--discover-keys")
+    metak = json.loads(outk.stdout.strip().splitlines()[-1])
+    assert metak["discovered_keys"] >= 1
+    speck = json.loads(suitek.read_text())
+    pks = [c["columns"] for c in speck["checks"]
+           if c["kind"] == "primary_key"]
+    assert ["ka", "kb"] in pks
+    outk2 = run(str(kdata), "--checks", str(suitek))
+    assert json.loads(outk2.stdout.strip().splitlines()[-1])["passed"]
+    # flag misuse refuses by name
+    badk = run(str(kdata), "--discover-keys", expect=2)
+    assert "--discover-keys needs --suggest-checks" in badk.stderr
+
+    # r12 ADVICE (low): "nothing survives the prune" (every determinant
+    # constant — nd < 2 fails the cardinality gate) is ZERO discovered
+    # contracts and a clean exit, not a raw ValueError traceback
     ids = tmp_path / "ids.parquet"
     pd.DataFrame({
-        "id_a": list(range(400)),
-        "id_b": [i * 7 for i in range(400)],
+        "id_a": [1] * 400,
+        "id_b": [2] * 400,
     }).to_parquet(ids)
     suite3 = tmp_path / "suite3.json"
     out3 = run(str(ids), "--minimal", "--suggest-checks", str(suite3),
@@ -1361,6 +1385,177 @@ def test_cli_discover_fds_into_suggested_suite(tmp_path):
                "--discover-fks", f"strs={strp}")
     meta4 = json.loads(out4.stdout.strip().splitlines()[-1])
     assert meta4["discovered_fks"] == 0
+
+
+def test_discover_fds_precomputed_rider(spark):
+    """VERDICT r12 #8: precomputed cardinalities replace BOTH screen
+    scans — discover_fds(precomputed=...) runs exactly the job count of
+    the survivors' melt, returns the same rows as the self-scanning
+    path, and profile(discover_fds=True) folds the pair-struct HLLs
+    into pass 1 so in-profile discovery costs zero extra scans."""
+    rows = [(f"c{i % 6}", f"n{(i % 6) % 3}", float(i % 9), i)
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "city string, country string,"
+                                     " price double, id int")
+    cols = ["city", "country", "price"]
+
+    base = {(r["determinant"], r["dependent"]): r
+            for r in C.discover_fds(df, columns=cols).collect()}
+
+    # hand-build the precomputed map the way profile() does
+    from pyspark.sql import functions as F2
+    from itertools import combinations as _comb
+    agg = [F2.count(F2.lit(1)).alias("n")]
+    for i, c in enumerate(cols):
+        agg.append(F2.approx_count_distinct(F2.col(c)).alias(f"c{i}"))
+        agg.append(F2.max(F2.col(c).isNull().cast("int")).alias(f"h{i}"))
+    pairs = [tuple(sorted(p)) for p in _comb(cols, 2)]
+    for k, (a, b) in enumerate(pairs):
+        agg.append(F2.approx_count_distinct(
+            F2.struct(F2.col(a), F2.col(b))).alias(f"p{k}"))
+    row = df.agg(*agg).collect()[0]
+    pre = {
+        "nd": {c: row[f"c{i}"] for i, c in enumerate(cols)},
+        "has_null": {c: bool(row[f"h{i}"]) for i, c in enumerate(cols)},
+        "pair_nd": {p: row[f"p{k}"] for k, p in enumerate(pairs)},
+    }
+
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs() -> int:
+        return len(tracker.getJobIdsForGroup(None) or [])
+
+    j0 = jobs()
+    got = {(r["determinant"], r["dependent"]): r
+           for r in C.discover_fds(
+               df, columns=cols, precomputed=pre).collect()}
+    melt_jobs = jobs() - j0
+    # same verdicts/rows as the self-scanning path
+    assert set(got) == set(base)
+    for k, r in got.items():
+        assert (r["holds"], r["exact"], r["dependency_ratio"]) == (
+            base[k]["holds"], base[k]["exact"],
+            base[k]["dependency_ratio"]), k
+    # the only Spark work is the survivors' melt itself: identical job
+    # count to scoring the surviving candidates directly
+    survivors = [(k[0], k[1]) for k, r in got.items() if r["exact"]]
+    j1 = jobs()
+    C.discover_fds(df, candidates=survivors).collect()
+    assert melt_jobs == jobs() - j1
+    # incomplete precomputed refuses by name
+    with pytest.raises(ValueError, match="precomputed"):
+        C.discover_fds(df, columns=cols,
+                       precomputed={"nd": {"city": 6}})
+
+    # in-profile: the rider produces the same relationships as the
+    # standalone operator on the same frame
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+    r = profile(df, ProfileConfig(exact=True, discover_fds=True,
+                                  correlations=(), duplicates=False))
+    mined = {(x["determinant"], x["dependent"]):
+             (x["holds"], x["exact"]) for x in r.relationships}
+    want = {(r2["determinant"], r2["dependent"]):
+            (r2["holds"], r2["exact"])
+            for r2 in C.discover_fds(
+                df, columns=cols + ["id"],
+                max_determinant_distinct=100).collect()}
+    assert mined == want
+
+
+def test_discover_keys(spark):
+    """Unique-column-combination discovery — the key miner completing
+    the FD/inclusion triad: unary + composite keys, TANE minimality
+    (supersets of verified keys never generated), HLL screen tiers with
+    is_key=NULL on screened rows, NULL-sentinel semantics, refusals,
+    and agreement with the declared uniqueness check."""
+    rows = [
+        (i, i % 7, f"u{i}", None if i % 3 == 0 else f"g{i // 2}", i // 2)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, m int, uid string, g string, half int")
+
+    got = {r["key"]: r for r in C.discover_keys(df).collect()}
+    # unary keys found and exactly verified
+    for k in ("id", "uid"):
+        assert got[k]["is_key"] and got[k]["exact"]
+        assert got[k]["uniqueness_ratio"] == 1.0
+        assert got[k]["null_free"] and got[k]["n_groups"] == 100
+    # composite key found: (half, m) is a key (i = 7*(i//7)+i%7 style
+    # decomposition: half in 0..49, m in 0..6 — each (half, m) unique)
+    assert got["half,m"]["is_key"] and got["half,m"]["exact"]
+    # TANE minimality: no pair containing a verified unary key appears
+    assert not any("," in k and ("id" in k.split(",") or
+                                 "uid" in k.split(",")) for k in got)
+    # (g, half) survives the HLL screens but is exactly refuted
+    gh = got["g,half"]
+    assert gh["exact"] and gh["is_key"] is False
+    assert gh["null_free"] is False  # g has NULLs
+    # low-cardinality singles are screened: is_key=NULL means "not
+    # verified", never "refuted" (the FD screen's ADVICE r12 semantics)
+    for k in ("m", "half", "g"):
+        assert got[k]["exact"] is False and got[k]["is_key"] is None
+        assert got[k]["uniqueness_ratio"] is None
+    # the product bound pruned (g, m): nd ~34 * 7 < 0.85 * 100... holds
+    # only if small; (g,m) has 34*7=238 >= 85 so it reaches the struct
+    # screen and is screened there (69 distinct pairs < 85)
+    assert got["g,m"]["exact"] is False and got["g,m"]["is_key"] is None
+
+    # NULL keys are sentinel VALUES: a column of 50 distinct non-null +
+    # repeated NULLs is not a key; a column where every value including
+    # one NULL appears once IS a key
+    df2 = spark.createDataFrame(
+        [(None if i == 7 else i,) for i in range(40)], "x int")
+    r2 = C.discover_keys(df2).collect()[0]
+    assert r2["is_key"] and not r2["null_free"]  # key, but not PK-able
+
+    # candidates path: scored verbatim, including non-minimal supersets
+    cand = {r["key"]: r for r in C.discover_keys(
+        df, candidates=["m", ("id", "m"), ("g", "half")]).collect()}
+    assert cand["m"]["exact"] and cand["m"]["is_key"] is False
+    assert cand["id,m"]["is_key"]  # superset of a key: scored as asked
+    assert cand["g,half"]["is_key"] is False
+
+    # agreement with the declared uniqueness check's metric
+    declared = C.check_suite(
+        df, [C.uniqueness(["g", "half"], name="u")]).collect()[0]
+    assert declared["value"] == cand["g,half"]["uniqueness_ratio"]
+
+    # empty frame: vacuous — NULL ratio and NULL is_key
+    empty = spark.createDataFrame([], "a int, b int")
+    for r in C.discover_keys(empty).collect():
+        assert r["is_key"] is None and r["uniqueness_ratio"] is None
+
+    # refusals, loud and named
+    with pytest.raises(ValueError, match="not in frame"):
+        C.discover_keys(df, columns=["ghost"])
+    with pytest.raises(ValueError, match="candidate columns"):
+        C.discover_keys(df, candidates=[("id", "ghost")])
+    with pytest.raises(ValueError, match="duplicate column"):
+        C.discover_keys(df, candidates=[("id", "id")])
+    with pytest.raises(ValueError, match="max_arity"):
+        C.discover_keys(df, max_arity=3)
+    with pytest.raises(ValueError, match="never silently sampled"):
+        C.discover_keys(df, max_candidates=1)
+
+    # prune=False scores every set exactly — the screen tiers are an
+    # optimization, not a semantics change
+    full = {r["key"]: r for r in C.discover_keys(
+        df, columns=["m", "half"], prune=False).collect()}
+    assert all(r["exact"] for r in full.values())
+    assert full["half,m"]["is_key"] and full["m"]["is_key"] is False
+
+    # plan: one melt, no Python eval nodes
+    plan = C.discover_keys(
+        df, candidates=["id", ("m", "half")]
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re as _re
+    # ONE explode melt for all sets (formatted explain numbers each
+    # physical node exactly once in the detail section)
+    assert len(_re.findall(r"\(\d+\) Generate", plan)) == 1
 
 
 def test_discover_inclusions(spark):

@@ -1408,3 +1408,173 @@ def test_relevance_stream_batch_equivalence(spark, tmp_path):
         numeric_cols=["lin"], categorical_cols=["grp"])}
     assert fbrows["lin"]["score"] == whole["lin"]["score"]
     assert fbrows["grp"]["score"] == whole["grp"]["score"]
+
+
+def test_state_mode_fd_discovery_screen(spark):
+    """VERDICT r12 #3: fd_pairs= adds pair-tuple HLL sketches that RIDE
+    the single wide aggregate; discover_fds_of ranks FD candidates from
+    persisted/merged states with zero data rescans, its survivor set
+    covers the batch screen's on the same data, survivors verify through
+    ONE discover_fds melt, and the merge discipline refuses mismatched
+    shard configs by name."""
+    from pandas_profiling_personal_spark.operators.checks import (
+        discover_fds,
+    )
+    from pandas_profiling_personal_spark.plans.incremental import (
+        PartialProfile,
+        discover_fds_of,
+        merge_partials,
+        partial_profile,
+    )
+
+    rows = [
+        (f"c{i % 6}", f"n{(i % 6) % 3}", float(i % 9),
+         None if i % 5 == 0 else f"g{i % 4}", i)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "city string, country string, price double,"
+              " nul string, id int")
+    pairs = [("city", "country"), ("city", "price"),
+             ("country", "price"), ("nul", "country")]
+
+    # the sketches ride the SAME aggregate: job count with fd_pairs ==
+    # job count without (zero extra jobs)
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs() -> int:
+        return len(tracker.getJobIdsForGroup(None) or [])
+
+    j0 = jobs()
+    partial_profile(df, correlations=False)
+    base_jobs = jobs() - j0
+    j1 = jobs()
+    part_all = partial_profile(df, correlations=False, fd_pairs=pairs)
+    assert jobs() - j1 == base_jobs
+
+    # 3-shard split -> merge -> JSON round trip keeps the sketches
+    shards = [df.where(f"id % 3 = {k}") for k in range(3)]
+    parts = [partial_profile(s, fd_pairs=pairs) for s in shards]
+    merged = PartialProfile.from_json(merge_partials(parts).to_json())
+    cand = discover_fds_of(merged, spark)
+    got = {(c["determinant"], c["dependent"]): c for c in cand}
+    # never refutes: every row is holds=None / exact=False
+    assert all(c["holds"] is None and c["exact"] is False for c in cand)
+    # the true FDs survive the screen with ratio ~1
+    for k in (("city", "country"), ("price", "country")):
+        assert got[k]["survives_screen"], k
+        assert got[k]["screen_ratio"] <= 1.15
+    # a violating direction reads a big ratio and is screened out
+    assert not got[("price", "city")]["survives_screen"]
+    # the single-shard state screens identically to the merged one
+    got1 = {(c["determinant"], c["dependent"]): c["survives_screen"]
+            for c in discover_fds_of(part_all, spark)}
+    assert got1 == {k: c["survives_screen"] for k, c in got.items()}
+
+    # survivor set covers the batch tier-2 screen's on the same data:
+    # every pair the batch screen lets through to the melt (and that the
+    # state declared) is a state survivor too
+    batch = {(r["determinant"], r["dependent"]): r
+             for r in discover_fds(
+                 df, columns=["city", "country", "price", "nul"]).collect()}
+    declared = {tuple(sorted(p)) for p in pairs}
+    for (det, dep), r in batch.items():
+        if r["exact"] and tuple(sorted((det, dep))) in declared:
+            assert got[(det, dep)]["survives_screen"], (det, dep)
+
+    # survivors verify through one melt and agree with the batch verdict
+    survivors = [(c["determinant"], c["dependent"]) for c in cand
+                 if c["survives_screen"]]
+    ver = {(r["determinant"], r["dependent"]): r["holds"]
+           for r in discover_fds(df, candidates=survivors).collect()}
+    for k, holds in ver.items():
+        if k in batch and batch[k]["exact"]:
+            assert holds == batch[k]["holds"], k
+
+    # refusals: no sketches; mismatched shard configs
+    bare = partial_profile(df.select("city", "country"))
+    with pytest.raises(ValueError, match="fd_pairs"):
+        discover_fds_of(bare, spark)
+    bare_full = partial_profile(shards[1])
+    with pytest.raises(ValueError, match="some shards carry fd-pair"):
+        merge_partials([parts[0], bare_full])
+    other = partial_profile(shards[1], fd_pairs=[("city", "price")])
+    with pytest.raises(ValueError, match="fd-pair sets differ"):
+        merge_partials([parts[0], other])
+    with pytest.raises(ValueError, match="not in the frame"):
+        partial_profile(df, fd_pairs=[("city", "ghost")])
+    with pytest.raises(ValueError, match="self-pair"):
+        partial_profile(df, fd_pairs=[("city", "city")])
+
+
+def test_cli_fd_pairs_state_screen_loop(tmp_path):
+    """CLI loop for the state-mode FD screen: --fd-pairs carries the
+    pair sketches through --save-state, --align-state reuses the stored
+    pairs (a disagreeing flag refuses by name), and --suggest-checks
+    --checks-from-state --discover-fds ranks candidates from the merged
+    state — zero raw-table rescans, no contracts declared unverified."""
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    src_a = tmp_path / "day1.parquet"
+    src_b = tmp_path / "day2.parquet"
+    n = 90
+    pd.DataFrame({
+        "city": [f"c{i % 6}" for i in range(n)],
+        "country": [f"n{(i % 6) % 3}" for i in range(n)],
+        "price": [float(i % 9) for i in range(n)],
+    }).to_parquet(src_a)
+    pd.DataFrame({
+        "city": [f"c{(i + 2) % 6}" for i in range(n)],
+        "country": [f"n{((i + 2) % 6) % 3}" for i in range(n)],
+        "price": [float((i + 1) % 9) for i in range(n)],
+    }).to_parquet(src_b)
+
+    def run(*argv, expect=0):
+        proc = subprocess.run(
+            [sys.executable, "-m", "pandas_profiling_personal_spark.cli",
+             *argv, "--master", "local[2]"],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        assert proc.returncode == expect, (
+            proc.returncode, proc.stderr[-2000:])
+        return proc
+
+    st_a = tmp_path / "a.json"
+    st_b = tmp_path / "b.json"
+    run(str(src_a), "--save-state", str(st_a),
+        "--fd-pairs", "city:country,city:price")
+    from pandas_profiling_personal_spark.plans.incremental import (
+        PartialProfile,
+        merge_partials,
+    )
+
+    pa = PartialProfile.from_json(st_a.read_text())
+    assert pa.pair_hlls is not None and ("city", "country") in pa.pair_hlls
+
+    # align: stored fd pairs carry forward without re-declaring
+    run(str(src_b), "--save-state", str(st_b), "--align-state", str(st_a))
+    pb = PartialProfile.from_json(st_b.read_text())
+    assert set(pb.pair_hlls) == set(pa.pair_hlls)
+    bad = run(str(src_b), "--save-state", str(tmp_path / "c.json"),
+              "--align-state", str(st_a), "--fd-pairs", "city:price",
+              expect=1)
+    assert "--fd-pairs disagrees" in bad.stderr
+
+    merged = tmp_path / "merged.json"
+    merged.write_text(merge_partials([pa, pb]).to_json(), encoding="utf-8")
+    suite = tmp_path / "suite.json"
+    out = run(str(merged), "--suggest-checks", str(suite),
+              "--checks-from-state", "--discover-fds")
+    meta = json.loads(out.stdout.strip().splitlines()[-1])
+    cands = meta["fd_candidates"]
+    surv = {(c["determinant"], c["dependent"])
+            for c in cands if c["survives_screen"]}
+    assert ("city", "country") in surv
+    # screen-only: nothing declared as a functional_dependency contract
+    assert meta["discovered_fds"] == 0
+    spec = json.loads(suite.read_text())
+    assert not [c for c in spec["checks"]
+                if c["kind"] == "functional_dependency"]
