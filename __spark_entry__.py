@@ -68,6 +68,14 @@ _SPECS: dict[str, tuple] = {
         P.key_discovery_query(),
         P.key_discovery_sql(),
     ),
+    # CATALOG FK DISCOVERY — the N-table warehouse hunt (VERDICT r12 #4):
+    # every ordered pair of three TPC-H tables mined in one call; one
+    # stats scan per TABLE in production, prune=False here so every row
+    # is exact-verified and the DuckDB oracle rebuilds the whole catalog
+    "fk_catalog_tpch": (
+        P.fk_catalog_query(),
+        P.fk_catalog_sql(),
+    ),
 
     # ---- latest driver evidence r10 (oldest — window head) ----------------
     "mad_lineitem": (

@@ -312,6 +312,27 @@ def build_parser() -> argparse.ArgumentParser:
         "stored state's declared pairs automatically",
     )
     s.add_argument(
+        "--fd-min-ratio",
+        type=float,
+        default=None,
+        metavar="R",
+        help="with --suggest-checks --discover-fds: ALSO declare near-FDs "
+        "whose measured dependency_ratio >= R as functional_dependency "
+        "contracts with min_ratio = the measured ratio floored to 4 "
+        "decimals (learn the current level, gate regressions); exact "
+        "holds stay min_ratio=1",
+    )
+    s.add_argument(
+        "--fks-catalog",
+        default=None,
+        metavar="NAME=PATH[,NAME=PATH...]",
+        help="catalog-level inclusion/FK REPORT: mine every ordered pair "
+        "of {the input table + the named tables} in one call (one stats "
+        "scan per table, batched distinct-values anti-joins) and print "
+        "the ranked containments as JSON — a report, not declared "
+        "contracts (use --discover-fks with --suggest-checks for those)",
+    )
+    s.add_argument(
         "--discover-keys",
         action="store_true",
         help="with --suggest-checks: MINE unique column combinations "
@@ -449,6 +470,13 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("--discover-fks needs --suggest-checks")
     if args.discover_keys and not args.suggest_checks:
         parser.error("--discover-keys needs --suggest-checks")
+    if args.fd_min_ratio is not None:
+        if not (args.suggest_checks and args.discover_fds):
+            parser.error(
+                "--fd-min-ratio needs --suggest-checks --discover-fds"
+            )
+        if not (0.0 < args.fd_min_ratio <= 1.0):
+            parser.error("--fd-min-ratio must be in (0, 1]")
     if args.fail_on_anomaly and not args.checks_log:
         parser.error("--fail-on-anomaly needs --checks-log")
     if args.checks_refs and not args.checks:
@@ -566,6 +594,36 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_session(app_name="spark-profile", master=args.master)
     try:
+        if args.fks_catalog:
+            from pandas_profiling_personal_spark.operators.checks import (
+                discover_inclusions_catalog,
+            )
+
+            tabs = {"input": read_table(spark, args.input)}
+            for item in args.fks_catalog.split(","):
+                nm, _, path = item.partition("=")
+                if not nm.strip() or not path.strip():
+                    raise SystemExit(
+                        f"--fks-catalog: bad entry {item!r} (want NAME=PATH)"
+                    )
+                tabs[nm.strip()] = read_table(spark, path.strip())
+            try:
+                rows = [
+                    r.asDict()
+                    for r in discover_inclusions_catalog(tabs).collect()
+                ]
+            except ValueError as e:
+                raise SystemExit(f"--fks-catalog refused: {e}")
+            print(json.dumps({
+                "tables": sorted(tabs),
+                "n_candidates": len(rows),
+                "contained": [
+                    r for r in rows if r["contained"] and r["exact"]
+                    and (r["n_child_distinct"] or 0) > 0
+                ],
+                "candidates": rows,
+            }, default=str))
+            return 0
         if args.checks:
             from pandas_profiling_personal_spark.operators import checks as CK
 
@@ -714,17 +772,56 @@ def main(argv: list[str] | None = None) -> int:
                 # exact-verified hold joins the suggested suite. "Nothing
                 # survives the prune" (all columns near-unique ids) is
                 # zero discovered contracts, not a traceback (ADVICE r12)
+                # approximate-FD mining needs a wider screen band: a
+                # pair holding at ratio R carries ~1 + (1-R) extra
+                # (det, dep) combinations per det, which the exact-FD
+                # screen (1.15) would filter before the melt measures it
+                margin = (
+                    max(1.15, 1.0 + 2.0 * (1.0 - args.fd_min_ratio))
+                    if args.fd_min_ratio is not None
+                    else 1.15
+                )
                 try:
                     fd_rows = (
                         [] if args.checks_from_state
-                        else CK.discover_fds(df_in).collect()
+                        else CK.discover_fds(
+                            df_in, screen_margin=margin
+                        ).collect()
                     )
                 except ValueError:
                     fd_rows = []
                 for r in fd_rows:
-                    if r["holds"] and r["exact"]:
+                    if not r["exact"]:
+                        continue
+                    if r["holds"]:
                         suite.append(CK.functional_dependency(
                             r["determinant"], r["dependent"],
+                        ))
+                        discovered_fds += 1
+                    elif (
+                        args.fd_min_ratio is not None
+                        and r["dependency_ratio"] is not None
+                        and r["dependency_ratio"] >= args.fd_min_ratio
+                    ):
+                        # approximate-FD tier (VERDICT r12 #7): learn the
+                        # measured level, gate regressions. The bound
+                        # floors the EXACT (n_groups - n_violating) /
+                        # n_groups ratio — dependency_ratio is rounded
+                        # HALF-UP, so flooring the rounded value could
+                        # exceed the true ratio the declared check gates
+                        # on and fail on the very frame it was mined from
+                        import math as _math
+
+                        exact_ratio = (
+                            (r["n_groups"] - r["n_violating"])
+                            / r["n_groups"]
+                        )
+                        floor = max(0.0, _math.floor(
+                            exact_ratio * 10**4 - 1e-9
+                        ) / 10**4)
+                        suite.append(CK.functional_dependency(
+                            r["determinant"], r["dependent"],
+                            min_ratio=floor,
                         ))
                         discovered_fds += 1
             discovered_keys = 0

@@ -340,6 +340,7 @@ def discover_fds(
     max_arity: int = 1,
     max_level2_candidates: int = 2000,
     precomputed: "Mapping[str, Any] | None" = None,
+    screen_margin: float = 1.15,
 ) -> DataFrame:
     """DISCOVER functional dependencies — the step before
     :func:`functional_dependency` declares one (the reference only turns
@@ -365,7 +366,13 @@ def discover_fds(
       ``approx_count_distinct(struct(...))`` (struct on BOTH sides so
       NULL determinants count as groups, matching the melt kernel's
       sentinel) proves most violating pairs violate before the melt pays
-      for them. Screened-out pairs keep a row (``holds=NULL`` —
+      for them. ``screen_margin`` (default 1.15 — rsd 0.05 on both
+      sides) is the screen's pass band: APPROXIMATE-FD mining must widen
+      it to ``~1 + 2*(1 - min_ratio)`` so pairs holding at ratio >=
+      min_ratio still reach the melt (each violating group adds at least
+      one extra (det, dep) combination; a single many-valued violating
+      group can still exceed the widened band — the CLI documents that
+      prune=False scores everything when the miss matters). Screened-out pairs keep a row (``holds=NULL`` —
       "not verified", NEVER "refuted": the screen is probabilistic and a
       ~3-sigma HLL deviation can screen a true FD — ``exact=False``,
       NULL ratio/counts) so the output covers the candidate space.
@@ -445,13 +452,13 @@ def discover_fds(
                     a = det[0]
                     pnd = pair_nd.get((a, b) if a <= b else (b, a))
                     det_nd = nd[a] + (1 if has_null.get(a) else 0)
-                    if pnd is None or pnd <= 1.15 * det_nd:
+                    if pnd is None or pnd <= screen_margin * det_nd:
                         survivors.append((det, b))
                     else:
                         screened_out.append((a, b))
                 pairs = survivors
             else:
-                pairs, scr = _fd_screen(df, pairs)
+                pairs, scr = _fd_screen(df, pairs, margin=screen_margin)
                 screened_out.extend(scr)
         if not pairs and not screened_out:
             raise ValueError(
@@ -530,7 +537,8 @@ def discover_fds(
         # struct cardinality is both the triviality gate and the screen
         # baseline
         lvl2, scr2, dropped = _fd_screen(
-            df, lvl2, max_det=max_determinant_distinct, return_dropped=True
+            df, lvl2, max_det=max_determinant_distinct,
+            return_dropped=True, margin=screen_margin,
         )
         screened_out.extend(scr2)
         del dropped  # near-unique composites: dropped like tier 1
@@ -552,6 +560,7 @@ def _fd_screen(
     pairs: "list[tuple[tuple, str]]",
     max_det: int | None = None,
     return_dropped: bool = False,
+    margin: float = 1.15,
 ):
     """Tier-2 HLL screen shared by both lattice levels: ONE scan of
     ``approx_count_distinct(struct(det...))`` and ``struct(det..., dep)``
@@ -582,7 +591,7 @@ def _fd_screen(
         dc = det_card[det]
         if max_det is not None and not (2 <= dc <= max_det):
             dropped.append((det, dep))
-        elif cardrow[f"p{k}"] <= 1.15 * dc:
+        elif cardrow[f"p{k}"] <= margin * dc:
             survivors.append((det, dep))
         else:
             screened.append((",".join(det), dep))
@@ -836,6 +845,94 @@ def discover_keys(
     )
 
 
+def _inclusion_stats(df: DataFrame, cols: list[str]) -> dict:
+    """ONE aggregate: ``{col: (approx_nd, min, max)}`` — the inclusion
+    necessary-condition screen's per-table inputs (shared by the
+    two-frame miner and the catalog sweep, which computes it once per
+    TABLE rather than once per table pair)."""
+    aggs = []
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        aggs += [
+            F.approx_count_distinct(col).alias(f"s{i}_nd"),
+            F.min(col).alias(f"s{i}_mn"),
+            F.max(col).alias(f"s{i}_mx"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    return {
+        c: (row[f"s{i}_nd"], row[f"s{i}_mn"], row[f"s{i}_mx"])
+        for i, c in enumerate(cols)
+    }
+
+
+def discover_inclusions_catalog(
+    tables: "Mapping[str, DataFrame]",
+    prune: bool = True,
+) -> DataFrame:
+    """Catalog-level inclusion/FK mining over N tables (the warehouse
+    hunt: :func:`discover_inclusions` generalized from one (child,
+    parent) frame pair to every ordered pair of a table map). One row
+    per candidate ``child_table.child_column ⊆ parent_table.
+    parent_column``, ordered (ratio desc, child table/column, parent
+    table/column).
+
+    Scale shape: ONE min/max/HLL stats aggregate per TABLE (N scans —
+    not N² as a naive per-pair loop would pay), then the per-pair
+    batched distinct-values anti-join for survivors only; table pairs
+    with no type-compatible columns contribute nothing. The result is a
+    single lazy union — collecting it runs the survivors' joins
+    together. Self-pairs are skipped (within-table dependencies are
+    :func:`discover_fds`' job)."""
+    names = sorted(tables)
+    if len(names) < 2:
+        raise ValueError(
+            "discover_inclusions_catalog: need at least 2 tables"
+        )
+    stats: dict[str, dict] = {}
+    if prune:
+        for nm in names:
+            t = tables[nm]
+            stats[nm] = _inclusion_stats(t, list(t.columns))
+    outs = []
+    for c_nm in names:
+        for p_nm in names:
+            if c_nm == p_nm:
+                continue
+            try:
+                d = discover_inclusions(
+                    tables[c_nm], tables[p_nm], prune=prune,
+                    precomputed_stats=(
+                        (stats[c_nm], stats[p_nm]) if prune else None
+                    ),
+                )
+            except ValueError:
+                continue  # no type-compatible pairs for this table pair
+            outs.append(d.select(
+                F.lit(c_nm).alias("child_table"),
+                F.col("child_column"),
+                F.lit(p_nm).alias("parent_table"),
+                F.col("parent_column"),
+                F.col("containment_ratio"),
+                F.col("contained"),
+                F.col("n_child_distinct"),
+                F.col("n_missing_distinct"),
+                F.col("exact"),
+            ))
+    if not outs:
+        raise ValueError(
+            "discover_inclusions_catalog: no type-compatible candidate "
+            "pairs anywhere in the catalog"
+        )
+    out = outs[0]
+    for d in outs[1:]:
+        out = out.unionByName(d)
+    return out.orderBy(
+        F.desc_nulls_last("containment_ratio"),
+        F.col("child_table"), F.col("child_column"),
+        F.col("parent_table"), F.col("parent_column"),
+    )
+
+
 def discover_inclusions(
     child: DataFrame,
     parent: DataFrame,
@@ -843,6 +940,7 @@ def discover_inclusions(
     parent_cols: list[str] | None = None,
     candidates: "list[tuple[str, str]] | None" = None,
     prune: bool = True,
+    precomputed_stats: "tuple[Mapping, Mapping] | None" = None,
 ) -> DataFrame:
     """DISCOVER unary inclusion dependencies ``child.a ⊆ parent.b`` —
     the cross-table complement of :func:`discover_fds` and the mining
@@ -870,7 +968,10 @@ def discover_inclusions(
       join carries distinct VALUES, never rows.
 
     Explicit ``candidates`` skip pruning (the deterministic oracle
-    tier)."""
+    tier). ``precomputed_stats`` = ``(child_stats, parent_stats)``, each
+    ``{col: (nd, min, max)}``, replaces the two tier-1 stat aggregates —
+    the catalog sweep computes ONE stats pass per TABLE instead of one
+    per table PAIR (:func:`discover_inclusions_catalog`)."""
     c_cols = list(child_cols if child_cols is not None else child.columns)
     p_cols = list(parent_cols if parent_cols is not None else parent.columns)
     missing = sorted(set(c_cols) - set(child.columns))
@@ -902,24 +1003,19 @@ def discover_inclusions(
                 "discover_inclusions: no type-compatible candidate pairs"
             )
         if prune:
-            def _stats(df, cols, tag):
-                aggs = []
-                for i, c in enumerate(cols):
-                    col = F.col(c)
-                    aggs += [
-                        F.approx_count_distinct(col).alias(f"{tag}{i}_nd"),
-                        F.min(col).alias(f"{tag}{i}_mn"),
-                        F.max(col).alias(f"{tag}{i}_mx"),
-                    ]
-                row = df.agg(*aggs).collect()[0]
-                return {
-                    c: (row[f"{tag}{i}_nd"], row[f"{tag}{i}_mn"],
-                        row[f"{tag}{i}_mx"])
-                    for i, c in enumerate(cols)
-                }
-
-            cs = _stats(child, sorted({a for a, _ in pairs}), "c")
-            ps = _stats(parent, sorted({b for _, b in pairs}), "p")
+            if precomputed_stats is not None:
+                cs, ps = precomputed_stats
+                need = sorted(
+                    {a for a, _ in pairs} - set(cs)
+                ) + sorted({b for _, b in pairs} - set(ps))
+                if need:
+                    raise ValueError(
+                        "discover_inclusions: precomputed_stats missing "
+                        f"columns: {need}"
+                    )
+            else:
+                cs = _inclusion_stats(child, sorted({a for a, _ in pairs}))
+                ps = _inclusion_stats(parent, sorted({b for _, b in pairs}))
             survivors = []
             for a, b in pairs:
                 nd_a, mn_a, mx_a = cs[a]

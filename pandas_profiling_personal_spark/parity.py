@@ -2581,6 +2581,71 @@ FROM (SELECT count(DISTINCT {a}) AS n FROM orders WHERE {a} IS NOT NULL) c,
     )
 
 
+#: fk_catalog tables: narrow integer-key projections of three TPC-H
+#: tables — prune=False keeps EVERY type-compatible ordered pair
+#: exact-verified (the HLL screen is not oracle-reproducible), so the
+#: whole catalog result is SQL-rebuildable
+_FK_CATALOG_TABLES = {
+    "nation": ["n_nationkey", "n_regionkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "orders": ["o_custkey"],
+}
+
+
+def fk_catalog_query() -> QueryFn:
+    """Catalog-level inclusion/FK mining (operators/checks.py:
+    discover_inclusions_catalog — the N-table warehouse hunt, VERDICT
+    r12 #4): every ordered pair of three TPC-H tables in ONE call; one
+    stats scan per table in the pruned production path (prune=False
+    here so every row is exact and the DuckDB oracle can rebuild it)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pandas_profiling_personal_spark.operators.checks import (
+            discover_inclusions_catalog,
+        )
+
+        tabs = {
+            nm: load(spark, sf_dir, nm).select(*cols)
+            for nm, cols in _FK_CATALOG_TABLES.items()
+        }
+        return discover_inclusions_catalog(tabs, prune=False)
+
+    return fn
+
+
+def fk_catalog_sql() -> str:
+    def pair(ct: str, a: str, pt: str, b: str) -> str:
+        return f"""
+SELECT '{ct}' AS child_table, '{a}' AS child_column,
+       '{pt}' AS parent_table, '{b}' AS parent_column,
+       round((c.n - m.miss) / c.n, 4) AS containment_ratio,
+       m.miss = 0 AS contained,
+       CAST(c.n AS BIGINT) AS n_child_distinct,
+       CAST(m.miss AS BIGINT) AS n_missing_distinct,
+       TRUE AS exact
+FROM (SELECT count(DISTINCT {a}) AS n FROM {ct} WHERE {a} IS NOT NULL) c,
+     (SELECT count(*) AS miss FROM
+        (SELECT DISTINCT {a} AS cv FROM {ct} WHERE {a} IS NOT NULL) c2
+        LEFT JOIN (SELECT DISTINCT {b} AS pv FROM {pt}) p2
+          ON c2.cv = p2.pv
+      WHERE p2.pv IS NULL) m"""
+
+    blocks = []
+    names = sorted(_FK_CATALOG_TABLES)
+    for ct in names:
+        for pt in names:
+            if ct == pt:
+                continue
+            for a in _FK_CATALOG_TABLES[ct]:
+                for b in _FK_CATALOG_TABLES[pt]:
+                    blocks.append(pair(ct, a, pt, b))
+    return (
+        "\nUNION ALL ".join(blocks)
+        + "\nORDER BY containment_ratio DESC, child_table, child_column,"
+          " parent_table, parent_column"
+    )
+
+
 #: key_discovery candidates: a unary key, a repeating non-key, a
 #: NULL-bearing non-key (NULL keys are sentinel VALUES), a null-bearing
 #: composite KEY (null_free=false — unique but not primary-key

@@ -1340,6 +1340,53 @@ def test_cli_discover_fds_into_suggested_suite(tmp_path):
                "--discover-fks", "nopath", expect=1)
     assert "bad entry" in bad2.stderr
 
+    # --fd-min-ratio (VERDICT r12 #7): a near-FD lands in the suite with
+    # its measured bound; exact holds stay min_ratio=1
+    near = tmp_path / "near.parquet"
+    ncity = [f"c{i % 6}" for i in range(100)]
+    ncountry = [f"n{(i % 6) % 3}" for i in range(100)]
+    # poison ONE city group with a second country: 5/6 groups clean
+    ncountry[0] = "nX"
+    pd.DataFrame({
+        "city": ncity, "country": ncountry,
+        "price": [float(i % 9) for i in range(100)],
+    }).to_parquet(near)
+    suiten = tmp_path / "suiten.json"
+    outn = run(str(near), "--minimal", "--suggest-checks", str(suiten),
+               "--discover-fds", "--fd-min-ratio", "0.8")
+    metan = json.loads(outn.stdout.strip().splitlines()[-1])
+    specn = json.loads(suiten.read_text())
+    fdsn = {(tuple(c["determinant"]), c["dependent"]): c["min_ratio"]
+            for c in specn["checks"]
+            if c["kind"] == "functional_dependency"}
+    # the poisoned pair is declared at its measured level (5/6 = 0.8333)
+    assert fdsn[(("city",), "country")] == pytest.approx(0.8333)
+    assert metan["discovered_fds"] >= 1
+    # and the learned suite passes on the frame it was mined from
+    outn2 = run(str(near), "--checks", str(suiten))
+    assert json.loads(outn2.stdout.strip().splitlines()[-1])["passed"]
+    # flag misuse refuses by name
+    badn = run(str(near), "--fd-min-ratio", "0.8", expect=2)
+    assert "--fd-min-ratio needs" in badn.stderr
+    badn2 = run(str(near), "--minimal", "--suggest-checks", str(suiten),
+                "--discover-fds", "--fd-min-ratio", "1.5", expect=2)
+    assert "must be in (0, 1]" in badn2.stderr
+
+    # --fks-catalog: the N-table report mode prints ranked containments
+    # without declaring contracts
+    cat_parent = tmp_path / "countries2.parquet"
+    pd.DataFrame({"code": [f"n{k}" for k in range(5)] + ["nX"]}
+                 ).to_parquet(cat_parent)
+    outc = run(str(near), "--fks-catalog", f"countries={cat_parent}")
+    metac = json.loads(outc.stdout.strip().splitlines()[-1])
+    assert set(metac["tables"]) == {"input", "countries"}
+    contained = {(r["child_table"], r["child_column"],
+                  r["parent_table"], r["parent_column"])
+                 for r in metac["contained"]}
+    assert ("input", "country", "countries", "code") in contained
+    badc = run(str(near), "--fks-catalog", "nopath", expect=1)
+    assert "bad entry" in badc.stderr
+
     # --discover-keys: mined unique column combinations become declared
     # primary_key (null-free) contracts and the suite still passes on
     # the data it was mined from
@@ -1622,6 +1669,66 @@ def test_discover_inclusions(spark):
         child, [C.foreign_key("fk", "parent", "pk", name="fk")],
         refs={"parent": parent})
     assert suite.collect()[0]["passed"]
+
+
+def test_discover_inclusions_catalog(spark):
+    """VERDICT r12 #4: the warehouse hunt — N tables in ONE call, one
+    stats scan per TABLE (not per pair), both true TPC-H references
+    mined, self-pairs skipped, incompatible table pairs skipped, and
+    the precomputed-stats contract refuses missing columns by name."""
+    from pandas_profiling_personal_spark.sources.readers import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    tabs = {
+        t: read_parquet(spark, f"{sf}/{t}.parquet")
+        for t in ("orders", "customer", "nation")
+    }
+    rows = C.discover_inclusions_catalog(tabs).collect()
+    got = {
+        (r["child_table"], r["child_column"],
+         r["parent_table"], r["parent_column"]): r
+        for r in rows
+    }
+    # both genuine foreign keys mined in the one call
+    fk1 = got[("orders", "o_custkey", "customer", "c_custkey")]
+    fk2 = got[("customer", "c_nationkey", "nation", "n_nationkey")]
+    for fk in (fk1, fk2):
+        assert fk["contained"] and fk["exact"]
+        assert fk["containment_ratio"] == 1.0
+    # a cardinality-impossible direction is screened, kept as a row
+    # (150 customer keys cannot live inside 25 nation keys)
+    scr = got[("customer", "c_custkey", "nation", "n_nationkey")]
+    assert scr["exact"] is False and not scr["contained"]
+    assert scr["containment_ratio"] is None
+    # self-pairs never generated
+    assert not any(k[0] == k[2] for k in got)
+    # every row carries table context and the exact/screened split
+    assert all(r["exact"] in (True, False) for r in rows)
+
+    # one stats scan per table: the job count scales with N tables,
+    # not N^2 pairs — count jobs for the prune stage only
+    tracker = spark.sparkContext.statusTracker()
+    j0 = len(tracker.getJobIdsForGroup(None) or [])
+    C.discover_inclusions_catalog(tabs)  # lazy: only the stats collect runs
+    stats_jobs = len(tracker.getJobIdsForGroup(None) or []) - j0
+    # AQE may split one aggregate into 2 jobs; the invariant is
+    # N-proportional (3 tables), NOT pair-proportional (6 ordered pairs
+    # x 2 per-frame stats = 12 the naive loop would pay)
+    assert stats_jobs <= 2 * len(tabs)
+
+    # refusals
+    with pytest.raises(ValueError, match="at least 2 tables"):
+        C.discover_inclusions_catalog({"one": tabs["orders"]})
+    with pytest.raises(ValueError, match="precomputed_stats missing"):
+        C.discover_inclusions(
+            tabs["orders"], tabs["customer"],
+            precomputed_stats=({}, {}),
+        )
+    # a catalog with NO type-compatible pair anywhere refuses by name
+    s1 = spark.createDataFrame([("x",)], "a string")
+    s2 = spark.createDataFrame([(1,)], "b int")
+    with pytest.raises(ValueError, match="anywhere in the catalog"):
+        C.discover_inclusions_catalog({"s1": s1, "s2": s2})
 
 
 def test_discover_inclusions_lossless_canon(spark):
