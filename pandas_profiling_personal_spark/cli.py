@@ -335,9 +335,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument(
         "--discover-keys",
         action="store_true",
-        help="with --suggest-checks: MINE unique column combinations "
-        "(candidate keys, unary + binary, HLL screens + exact melt "
-        "verification) and declare every verified null-free key as a "
+        help="MINE unique column combinations (candidate keys, unary + "
+        "binary, HLL screens + exact melt verification): on a profile "
+        "run, attach them to the Relationships section; with "
+        "--suggest-checks, declare every verified null-free key as a "
         "primary_key check (nullable keys as uniqueness)",
     )
     s.add_argument(
@@ -468,8 +469,6 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("--checks-from-state needs --checks or --suggest-checks")
     if args.discover_fks and not args.suggest_checks:
         parser.error("--discover-fks needs --suggest-checks")
-    if args.discover_keys and not args.suggest_checks:
-        parser.error("--discover-keys needs --suggest-checks")
     if args.fd_min_ratio is not None:
         if not (args.suggest_checks and args.discover_fds):
             parser.error(
@@ -555,6 +554,8 @@ def main(argv: list[str] | None = None) -> int:
         cfg = cfg.with_(relevance_target=args.relevance_target)
     if args.discover_fds:
         cfg = cfg.with_(discover_fds=True)
+    if args.discover_keys:
+        cfg = cfg.with_(discover_keys=True)
     if args.layout_advice or args.join_keys:
         cfg = cfg.with_(
             layout_advice=True,

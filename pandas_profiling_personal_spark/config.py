@@ -203,6 +203,12 @@ class ProfileConfig:
     #: extra pass). Rows carry only column names and group counts, no
     #: data values, so the section renders under redact too
     discover_fds: bool = False
+    #: mine unique column combinations (candidate keys) into the result
+    #: and the Relationships report section (operators/checks.
+    #: discover_keys: NULL-adjusted HLL screen + TANE level-2 lattice +
+    #: one shared melt — opt-in, the melt is an extra pass). Rows carry
+    #: only column names and counts, no data values: redact-safe
+    discover_keys: bool = False
 
     # --- misc ---------------------------------------------------------------------
     seed: int = 42

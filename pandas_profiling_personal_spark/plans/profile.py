@@ -84,6 +84,9 @@ class ProfileResult:
     #: mined single-column functional dependencies (config
     #: discover_fds=True): discover_fds rows as dicts, ratio-desc
     relationships: list[dict[str, Any]] = field(default_factory=list)
+    #: mined unique column combinations (config discover_keys=True):
+    #: discover_keys rows as dicts, ratio-desc — names + counts only
+    key_candidates: list[dict[str, Any]] = field(default_factory=list)
 
     def as_dict(self) -> dict[str, Any]:
         return {
@@ -103,6 +106,7 @@ class ProfileResult:
             "layout": self.layout,
             "relevance": self.relevance,
             "relationships": self.relationships,
+            "key_candidates": self.key_candidates,
         }
 
     def to_json(self, **kw) -> str:
@@ -187,6 +191,8 @@ def profile(
         _planned.append("target_relevance")
     if cfg.discover_fds:
         _planned.append("fd_discovery")
+    if cfg.discover_keys:
+        _planned.append("key_discovery")
     _done: list[str] = []
 
     def _mark(name: str) -> None:
@@ -1257,6 +1263,32 @@ def profile(
                     relationships = []  # nothing survives the prune
             _mark("fd_discovery")
 
+        # key-candidate mining (``discover_keys=True``, beyond the
+        # reference): unique column combinations via the HLL screen +
+        # TANE lattice + one shared uniqueness melt (operators/checks.py:
+        # discover_keys). Rows carry column names and counts only —
+        # redact-safe like the FD section.
+        key_candidates: list[dict[str, Any]] = []
+        if cfg.discover_keys:
+            from pandas_profiling_personal_spark.operators.checks import (
+                discover_keys,
+            )
+
+            kd_cols = [
+                c for c, vt in types.items() if vt is not VT.BINARY
+            ]
+            if kd_cols:
+                try:
+                    key_candidates = [
+                        r.asDict()
+                        for r in discover_keys(
+                            df, columns=kd_cols
+                        ).collect()
+                    ]
+                except ValueError:
+                    key_candidates = []  # nothing to score
+            _mark("key_discovery")
+
         dataset_meta = {
             k: v
             for k, v in {
@@ -1307,6 +1339,7 @@ def profile(
             metadata=metadata,
             relevance=relevance,
             relationships=relationships,
+            key_candidates=key_candidates,
             correlations=correlations,
             missing=missing,
             sample=sample,

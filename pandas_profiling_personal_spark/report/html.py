@@ -691,7 +691,8 @@ def render_html(result: "Any", title: "str | None" = None) -> str:
     if relevance:
         nav_items.append(("relevance", "Target relevance"))
     relationships = d.get("relationships") or []
-    if relationships:
+    key_candidates = d.get("key_candidates") or []
+    if relationships or key_candidates:
         nav_items.append(("relationships", "Relationships"))
     nav = (
         "<nav data-section='nav'>" + "".join(
@@ -996,13 +997,16 @@ def render_html(result: "Any", title: "str | None" = None) -> str:
         ]))
         parts.append("</div>")
 
-    # mined functional dependencies (discover_fds= config) — column
-    # names and group counts only, so redact-safe
-    if relationships:
+    # mined functional dependencies (discover_fds= config) and key
+    # candidates (discover_keys= config) — column names and counts only,
+    # so redact-safe
+    if relationships or key_candidates:
         parts.append(
             "<h2 id='relationships' data-section='relationships'>"
-            "Relationships</h2><div class='card'>"
+            "Relationships</h2>"
         )
+    if relationships:
+        parts.append("<div class='card'>")
         parts.append(_sample_table([
             {"determinant": r.get("determinant"),
              "dependent": r.get("dependent"),
@@ -1010,6 +1014,21 @@ def render_html(result: "Any", title: "str | None" = None) -> str:
              "holds": r.get("holds"),
              "tier": "exact" if r.get("exact") else "screened"}
             for r in relationships
+        ]))
+        parts.append("</div>")
+    if key_candidates:
+        parts.append(
+            "<h3 data-section='key-candidates'>Key candidates</h3>"
+            "<div class='card'>"
+        )
+        parts.append(_sample_table([
+            {"key": r.get("key"),
+             "arity": r.get("arity"),
+             "uniqueness": _fmt(r.get("uniqueness_ratio")),
+             "is_key": r.get("is_key"),
+             "null_free": r.get("null_free"),
+             "tier": "exact" if r.get("exact") else "screened"}
+            for r in key_candidates
         ]))
         parts.append("</div>")
 

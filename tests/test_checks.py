@@ -1314,11 +1314,14 @@ def test_cli_discover_fds_into_suggested_suite(tmp_path):
     assert summary["passed"]
 
     # standalone --discover-fds is the PROFILE mode: the report gains the
-    # Relationships section with the mined holds
+    # Relationships section with the mined holds; --discover-keys adds
+    # the key-candidates table to the same section
     html_out = tmp_path / "rep.html"
-    run(str(src), str(html_out), "--minimal", "--discover-fds")
+    run(str(src), str(html_out), "--minimal", "--discover-fds",
+        "--discover-keys")
     page = html_out.read_text(encoding="utf-8")
     assert "Relationships" in page and "city" in page
+    assert "Key candidates" in page
 
     # cross-table mining: --discover-fks declares contained references
     parent = tmp_path / "countries.parquet"
@@ -1407,9 +1410,6 @@ def test_cli_discover_fds_into_suggested_suite(tmp_path):
     assert ["ka", "kb"] in pks
     outk2 = run(str(kdata), "--checks", str(suitek))
     assert json.loads(outk2.stdout.strip().splitlines()[-1])["passed"]
-    # flag misuse refuses by name
-    badk = run(str(kdata), "--discover-keys", expect=2)
-    assert "--discover-keys needs --suggest-checks" in badk.stderr
 
     # r12 ADVICE (low): "nothing survives the prune" (every determinant
     # constant — nd < 2 fails the cardinality gate) is ZERO discovered
@@ -1809,6 +1809,40 @@ def test_profile_relationships_section(spark):
     # default off
     r3 = profile(df, ProfileConfig(exact=True))
     assert r3.relationships == []
+
+
+def test_profile_key_candidates_section(spark):
+    """discover_keys=True on profile(): mined unique column combinations
+    attach as ProfileResult.key_candidates, ride the JSON, render under
+    the Relationships section (redact-safe: names + counts only), and
+    the progress plan grows by the key_discovery stage."""
+    from pandas_profiling_personal_spark import ProfileConfig, profile
+    from pandas_profiling_personal_spark.report.html import render_html
+
+    rows = [(i, f"c{i % 6}", float(i % 9)) for i in range(120)]
+    df = spark.createDataFrame(rows, "id int, city string, v double")
+
+    events = []
+    r = profile(df, ProfileConfig(exact=True, discover_keys=True),
+                progress=lambda s, i, n: events.append((s, i, n)))
+    byk = {x["key"]: x for x in r.key_candidates}
+    assert byk["id"]["is_key"] and byk["id"]["null_free"]
+    # TANE minimality: no pair containing the verified id key
+    assert not any("," in k and "id" in k.split(",") for k in byk)
+    assert events[-1][0] == "key_discovery"
+    import json as _json
+    assert _json.loads(r.to_json())["key_candidates"]
+
+    page = render_html(r)
+    assert "Key candidates" in page
+    assert "data-section='key-candidates'" in page
+
+    # redact keeps the section (no data values in it); default off
+    r2 = profile(df, ProfileConfig(exact=True, discover_keys=True,
+                                   redact=True))
+    assert r2.key_candidates
+    r3 = profile(df, ProfileConfig(exact=True))
+    assert r3.key_candidates == []
 
 
 def test_discover_fds_composite_level(spark):
