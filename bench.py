@@ -451,6 +451,13 @@ def main() -> None:
             "before drifting them; production drifts two persisted states "
             "with zero rescans (kin incremental_embedding_drift)"
         ),
+        "fk_catalog_tpch": (
+            "oracle tier: prune=False so EVERY type-compatible pair "
+            "(16 anti-joins across 3 tables) verifies exactly for the "
+            "DuckDB catalog rebuild; production prunes with one "
+            "min/max/HLL stats scan per table and anti-joins survivors "
+            "only"
+        ),
         "drift_psi_lineitem": (
             "test harness: builds BOTH the baseline and the shifted "
             "candidate profile in-spec before the PSI compare (the same "

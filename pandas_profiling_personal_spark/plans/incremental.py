@@ -1647,6 +1647,90 @@ def discover_fds_of(
     return out
 
 
+def discover_keys_of(
+    part: PartialProfile,
+    spark: SparkSession,
+    margin: float = 0.85,
+) -> "list[dict[str, Any]]":
+    """State-mode KEY-candidate SCREEN: rank unique-column-combination
+    candidates from a (merged) state's sketches with ZERO data rescans —
+    the :func:`~.operators.checks.discover_keys` screen tier over
+    persisted states, completing the key miner's operating-mode matrix
+    the way :func:`discover_fds_of` does for FDs.
+
+    Every profiled column is screened from its per-column HLL (adjusted
+    by the exact has-NULL flag — NULL keys are sentinel VALUES) against
+    the state's exact row count; every stored fd-pair
+    (``partial_profile(fd_pairs=...)`` — the SAME sketches serve both
+    miners) is screened from its pair-tuple HLL. ``nd >= margin * n``
+    (default 0.85, ~3 sigma at rsd 0.05) reads "likely a key". Runs ONE
+    select over sketch literals.
+
+    Returns candidates ranked best-first: ``{"key", "arity",
+    "screen_ratio"`` (``nd / n`` — ~1.0 reads "likely key"),
+    ``"survives_screen", "exact": False, "is_key": None}`` — the screen
+    NEVER decides (sketches are probabilistic): survivors are what a
+    caller feeds ``discover_keys(df, candidates=[...])`` for the one
+    verification melt."""
+    n = part.n
+    exprs, keys = [], []
+    pair_list = sorted(part.pair_hlls or {})
+    for c, cs in part.columns.items():
+        pend = (part._pending.get(c) or {}).get("hll") or []
+        hlls = list(pend) + ([cs.hll] if cs.hll else [])
+        if hlls:
+            e = F.lit(hlls[0])
+            for x in hlls[1:]:
+                e = F.hll_union(e, F.lit(x))
+            exprs.append(F.hll_sketch_estimate(e).alias(f"s_{len(keys)}"))
+            keys.append(("c", c))
+    for p in pair_list:
+        hlls = list(part._pending_pair_hlls.get(p) or [])
+        if part.pair_hlls[p]:
+            hlls.append(part.pair_hlls[p])
+        if hlls:
+            e = F.lit(hlls[0])
+            for x in hlls[1:]:
+                e = F.hll_union(e, F.lit(x))
+            exprs.append(F.hll_sketch_estimate(e).alias(f"s_{len(keys)}"))
+            keys.append(("p", p))
+    est: dict[tuple, float] = {}
+    if exprs:
+        row = spark.range(1).select(*exprs).collect()[0]
+        for i, key in enumerate(keys):
+            est[key] = float(row[i])
+
+    out: list[dict[str, Any]] = []
+
+    def _emit(name: str, arity: int, nd: float) -> None:
+        ratio = nd / n if n else None
+        out.append({
+            "key": name,
+            "arity": arity,
+            "screen_ratio": None if ratio is None else round(ratio, 4),
+            "survives_screen": bool(n and nd >= margin * n),
+            "exact": False,
+            "is_key": None,
+        })
+
+    for c, cs in sorted(part.columns.items()):
+        nd = est.get(("c", c))
+        if nd is None:
+            continue  # no shard contributed values
+        _emit(c, 1, nd + (1 if cs.n_missing else 0))
+    for p in pair_list:
+        nd = est.get(("p", p))
+        if nd is None:
+            continue
+        _emit(",".join(p), 2, nd)
+    out.sort(key=lambda r: (
+        not r["survives_screen"],
+        -(r["screen_ratio"] if r["screen_ratio"] is not None else -1e18),
+        r["arity"], r["key"],
+    ))
+    return out
+
+
 def finalize_partial(
     part: PartialProfile,
     spark: SparkSession,

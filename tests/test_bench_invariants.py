@@ -40,12 +40,19 @@ def test_slow_rows_labeled_or_production():
     # the empty-list rule is calibrated for a CLEAN sf0.1 sweep — a
     # loaded host inflates absolute wall times across the board, which
     # the artifact's own contamination markers witness; those sweeps
-    # record the list honestly but are not a labeling violation
+    # record the list honestly but are not a labeling violation. The
+    # cleanliness signal is the CPU canaries (host_load_1m is
+    # self-polluted by the 32-thread session by design)
     sf = full.get("sf")
+    canaries = [
+        full.get(k) for k in
+        ("cpu_canary_sec", "cpu_canary_mid_sec", "cpu_canary_end_sec")
+        if isinstance(full.get(k), (int, float))
+    ]
     clean = (
         isinstance(sf, (int, float)) and sf >= 0.1
         and not (full.get("throttle") or {}).get("throttled")
-        and (full.get("host_load_1m") or 0) <= 12
+        and canaries and max(canaries) < 1.5
     )
     if not clean:
         import pytest

@@ -1578,3 +1578,54 @@ def test_cli_fd_pairs_state_screen_loop(tmp_path):
     spec = json.loads(suite.read_text())
     assert not [c for c in spec["checks"]
                 if c["kind"] == "functional_dependency"]
+
+
+def test_state_mode_key_discovery_screen(spark):
+    """discover_keys_of: key-candidate screening from persisted states —
+    the SAME per-column + fd-pair sketches serve both miners; unary
+    candidates come from every profiled column (NULL-adjusted), pair
+    candidates from the declared fd_pairs; survivors verify through one
+    discover_keys melt; never decides (is_key=None everywhere)."""
+    from pandas_profiling_personal_spark.operators.checks import (
+        discover_keys,
+    )
+    from pandas_profiling_personal_spark.plans.incremental import (
+        PartialProfile,
+        discover_keys_of,
+        merge_partials,
+        partial_profile,
+    )
+
+    rows = [(i, i % 7, f"u{i}", i // 2) for i in range(100)]
+    df = spark.createDataFrame(rows, "id int, m int, uid string, half int")
+    pairs = [("half", "m"), ("m", "uid")]
+    shards = [df.where(f"id % 3 = {k}") for k in range(3)]
+    parts = [partial_profile(s, fd_pairs=pairs) for s in shards]
+    merged = PartialProfile.from_json(merge_partials(parts).to_json())
+
+    cand = discover_keys_of(merged, spark)
+    got = {c["key"]: c for c in cand}
+    assert all(c["is_key"] is None and c["exact"] is False for c in cand)
+    # unary keys and the composite key survive with ratio ~1
+    for k in ("id", "uid", "half,m"):
+        assert got[k]["survives_screen"], k
+        assert got[k]["screen_ratio"] >= 0.85
+    # low-cardinality columns read tiny ratios and are screened out
+    assert not got["m"]["survives_screen"]
+    assert got["m"]["screen_ratio"] < 0.2
+    # ranked best-first: every survivor precedes every non-survivor
+    flags = [c["survives_screen"] for c in cand]
+    assert flags == sorted(flags, reverse=True)
+
+    # survivors verify through the one melt and the true keys hold
+    surv = [tuple(c["key"].split(",")) for c in cand
+            if c["survives_screen"]]
+    ver = {r["key"]: r for r in discover_keys(
+        df, candidates=surv).collect()}
+    assert ver["id"]["is_key"] and ver["uid"]["is_key"]
+    assert ver["half,m"]["is_key"]
+
+    # a state with no pair sketches still screens unary candidates
+    bare = partial_profile(df)
+    unary_only = discover_keys_of(bare, spark)
+    assert {c["key"] for c in unary_only} == set(df.columns)
