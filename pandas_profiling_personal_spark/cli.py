@@ -339,7 +339,9 @@ def build_parser() -> argparse.ArgumentParser:
         "binary, HLL screens + exact melt verification): on a profile "
         "run, attach them to the Relationships section; with "
         "--suggest-checks, declare every verified null-free key as a "
-        "primary_key check (nullable keys as uniqueness)",
+        "primary_key check (nullable keys as uniqueness); with "
+        "--checks-from-state, SCREEN candidates from the state's "
+        "sketches with zero rescans (ranked in the output)",
     )
     s.add_argument(
         "--discover-fks",
@@ -826,17 +828,23 @@ def main(argv: list[str] | None = None) -> int:
                         ))
                         discovered_fds += 1
             discovered_keys = 0
+            key_screen: "list[dict] | None" = None
             if args.discover_keys:
                 if args.checks_from_state:
-                    raise SystemExit(
-                        "--discover-keys needs the raw table (the melt "
-                        "verification scans it) — not available with "
-                        "--checks-from-state"
+                    # the SCREEN tier: rank key candidates from the
+                    # persisted sketches with zero rescans; no contract
+                    # is declared without the verification melt
+                    from pandas_profiling_personal_spark.plans.incremental import (  # noqa: E501
+                        discover_keys_of,
                     )
-                try:
-                    key_rows = CK.discover_keys(df_in).collect()
-                except ValueError:
+
+                    key_screen = discover_keys_of(part, spark)
                     key_rows = []
+                else:
+                    try:
+                        key_rows = CK.discover_keys(df_in).collect()
+                    except ValueError:
+                        key_rows = []
                 have = {(c.kind, c.columns) for c in suite}
                 for r in key_rows:
                     if not (r["is_key"] and r["exact"]):
@@ -902,6 +910,8 @@ def main(argv: list[str] | None = None) -> int:
             }
             if fd_candidates is not None:
                 meta_out["fd_candidates"] = fd_candidates
+            if key_screen is not None:
+                meta_out["key_candidates"] = key_screen
             print(json.dumps(meta_out))
             return 0
         df = read_table(spark, args.input)

@@ -1731,6 +1731,100 @@ def discover_keys_of(
     return out
 
 
+def discover_inclusions_of(
+    child: PartialProfile,
+    parent: PartialProfile,
+    spark: SparkSession,
+    margin: float = 1.1,
+) -> "list[dict[str, Any]]":
+    """State-mode INCLUSION/FK SCREEN between two persisted states: the
+    :func:`~.operators.checks.discover_inclusions` tier-1 necessary-
+    condition screen with ZERO data rescans — completing the discovery
+    triad's operating-mode matrix (FDs: :func:`discover_fds_of`; keys:
+    :func:`discover_keys_of`; inclusions: here).
+
+    Candidate pairs are type-family compatible columns (NUMERIC/
+    DATETIME/CATEGORICAL/BOOLEAN from the states' variable types — the
+    batch operator's family rule over Spark types, coarsened to what a
+    state can know). Each passes ``nd(child) <= margin * nd(parent)``
+    from the per-column HLL sketches (ONE select over literals from BOTH
+    states) and, where both states carry extents (numeric/datetime), the
+    child range must sit inside the parent range. ``a ⊆ b`` cannot hold
+    if either fails — survivors are NECESSARY-condition passes only,
+    never containment verdicts (``contained=None``): feed them to
+    ``discover_inclusions(child_df, parent_df, candidates=[...])`` for
+    the one distinct-values anti-join that decides.
+
+    Returns candidates ranked best-first (survivors first, then by
+    child/parent name)."""
+    fam = {
+        VT.NUMERIC.value: "num",
+        VT.DATETIME.value: "time",
+        VT.CATEGORICAL.value: "cat",
+        VT.BOOLEAN.value: "bool",
+    }
+    pairs = [
+        (a, b)
+        for a, ca in sorted(child.columns.items())
+        for b, cb in sorted(parent.columns.items())
+        if fam.get(ca.type) is not None
+        and fam.get(ca.type) == fam.get(cb.type)
+    ]
+    if not pairs:
+        raise ValueError(
+            "discover_inclusions_of: no type-compatible candidate pairs "
+            "between the states"
+        )
+    exprs, keys = [], []
+    for side, part, cols in (
+        ("c", child, sorted({a for a, _ in pairs})),
+        ("p", parent, sorted({b for _, b in pairs})),
+    ):
+        for c in cols:
+            cs = part.columns[c]
+            pend = (part._pending.get(c) or {}).get("hll") or []
+            hlls = list(pend) + ([cs.hll] if cs.hll else [])
+            if hlls:
+                e = F.lit(hlls[0])
+                for x in hlls[1:]:
+                    e = F.hll_union(e, F.lit(x))
+                exprs.append(
+                    F.hll_sketch_estimate(e).alias(f"s_{len(keys)}")
+                )
+                keys.append((side, c))
+    est: dict[tuple, float] = {}
+    if exprs:
+        row = spark.range(1).select(*exprs).collect()[0]
+        for i, key in enumerate(keys):
+            est[key] = float(row[i])
+
+    out: list[dict[str, Any]] = []
+    for a, b in pairs:
+        nd_a = est.get(("c", a), 0.0)
+        nd_b = est.get(("p", b), 0.0)
+        ok = nd_a > 0 and nd_a <= margin * nd_b
+        ca, cb = child.columns[a], parent.columns[b]
+        if ok and ca.min is not None and cb.min is not None:
+            try:
+                ok = ca.min >= cb.min and ca.max <= cb.max
+            except TypeError:  # cross-type ordering edge
+                pass
+        out.append({
+            "child_column": a,
+            "parent_column": b,
+            "screen_ratio": (
+                round(nd_a / nd_b, 4) if nd_b else None
+            ),
+            "survives_screen": bool(ok),
+            "contained": None,
+            "exact": False,
+        })
+    out.sort(key=lambda r: (
+        not r["survives_screen"], r["child_column"], r["parent_column"],
+    ))
+    return out
+
+
 def finalize_partial(
     part: PartialProfile,
     spark: SparkSession,

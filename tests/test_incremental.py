@@ -1567,8 +1567,18 @@ def test_cli_fd_pairs_state_screen_loop(tmp_path):
     merged.write_text(merge_partials([pa, pb]).to_json(), encoding="utf-8")
     suite = tmp_path / "suite.json"
     out = run(str(merged), "--suggest-checks", str(suite),
-              "--checks-from-state", "--discover-fds")
+              "--checks-from-state", "--discover-fds", "--discover-keys")
     meta = json.loads(out.stdout.strip().splitlines()[-1])
+    # the key screen rides the same state sketches: ranked, no contracts
+    kc = {c["key"]: c for c in meta["key_candidates"]}
+    # no column set is anywhere near a key on this frame (18 distinct
+    # (city, price) tuples over 180 rows) — the screen says so honestly
+    # from the sketches alone, never inventing a survivor
+    assert not any(c["survives_screen"] for c in kc.values())
+    assert kc["city,price"]["arity"] == 2
+    assert kc["city,price"]["screen_ratio"] <= 0.2
+    assert all(c["is_key"] is None for c in kc.values())
+    assert meta["discovered_keys"] == 0
     cands = meta["fd_candidates"]
     surv = {(c["determinant"], c["dependent"])
             for c in cands if c["survives_screen"]}
@@ -1629,3 +1639,64 @@ def test_state_mode_key_discovery_screen(spark):
     bare = partial_profile(df)
     unary_only = discover_keys_of(bare, spark)
     assert {c["key"] for c in unary_only} == set(df.columns)
+
+
+def test_state_mode_inclusion_screen(spark):
+    """discover_inclusions_of: cross-state FK screening — the inclusion
+    necessary conditions (cardinality + range) from two persisted
+    states' sketches and extents with zero rescans; survivors verify
+    through one discover_inclusions anti-join; never decides
+    (contained=None everywhere)."""
+    from pandas_profiling_personal_spark.operators.checks import (
+        discover_inclusions,
+    )
+    from pandas_profiling_personal_spark.plans.incremental import (
+        PartialProfile,
+        discover_inclusions_of,
+        partial_profile,
+    )
+
+    child = spark.createDataFrame(
+        [(i % 20, float(i % 20), f"u{i}") for i in range(100)],
+        "fk int, fkd double, uid string")
+    parent = spark.createDataFrame(
+        [(k, f"p{k}") for k in range(25)], "pk bigint, name string")
+    pc = PartialProfile.from_json(partial_profile(child).to_json())
+    pp = PartialProfile.from_json(partial_profile(parent).to_json())
+
+    cand = discover_inclusions_of(pc, pp, spark)
+    got = {(c["child_column"], c["parent_column"]): c for c in cand}
+    assert all(c["contained"] is None and c["exact"] is False
+               for c in cand)
+    # the genuine references pass both necessary conditions
+    for k in (("fk", "pk"), ("fkd", "pk")):
+        assert got[k]["survives_screen"], k
+    # 100 distinct uids cannot live inside 25 names: screened out
+    assert not got[("uid", "name")]["survives_screen"]
+    assert got[("uid", "name")]["screen_ratio"] > 1.2
+    # family rule: no string/int cross-family candidates
+    assert ("uid", "pk") not in got and ("fk", "name") not in got
+
+    # survivors verify through the one anti-join and genuinely hold
+    surv = [(c["child_column"], c["parent_column"]) for c in cand
+            if c["survives_screen"]]
+    ver = {(r["child_column"], r["parent_column"]): r
+           for r in discover_inclusions(
+               child, parent, candidates=surv).collect()}
+    assert ver[("fk", "pk")]["contained"]
+
+    # a range-excluded pair is screened even when cardinality passes:
+    # child values outside the parent's extent cannot be contained
+    c2 = spark.createDataFrame([(i + 1000,) for i in range(10)], "x int")
+    p2 = spark.createDataFrame([(k,) for k in range(25)], "y int")
+    s2 = discover_inclusions_of(
+        PartialProfile.from_json(partial_profile(c2).to_json()),
+        PartialProfile.from_json(partial_profile(p2).to_json()),
+        spark)[0]
+    assert not s2["survives_screen"]
+
+    # no compatible families refuses by name
+    only_str = partial_profile(child.select("uid"))
+    only_num = partial_profile(parent.select("pk"))
+    with pytest.raises(ValueError, match="no type-compatible"):
+        discover_inclusions_of(only_str, only_num, spark)
