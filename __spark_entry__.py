@@ -48,15 +48,13 @@ _SPECS: dict[str, tuple] = {
     # this comment: scripts/window_policy.py computes evidence ages from
     # CORRECTNESS_r*.json and tests/test_window_policy.py FAILS the suite
     # if the window violates it (VERDICT r11 #4). Rotation history for
-    # r7-r12 lives in git; every entry — window and tail — is verified by
+    # r7-r13 lives in git; every entry — window and tail — is verified by
     # tests/test_oracle_parity.py locally every round.
     #
-    # r13 window: the 5 rows whose latest evidence is r10 (oldest first),
-    # then 45 of the 50 r11-green rows. The 5 remaining r11 rows tie at
-    # age r11 with the newest in-window evidence (ties may sit either
-    # side); the 50 r12-green rows and the 2 rows-only-by-design specs
-    # fill the tail. After this round no spec's driver evidence is older
-    # than r11.
+    # Since r14 the window order is applied by the explicit _WINDOW_R14
+    # list below the literal (the literal keeps its r13 grouping so diffs
+    # stay reviewable); rotate by regenerating that list from
+    # `python scripts/window_policy.py`.
 
     # ---- never driver-recorded (NEW r13) -----------------------------------
     # KEY DISCOVERY — unique-column-combination mining completing the
@@ -541,6 +539,73 @@ _SPECS: dict[str, tuple] = {
         ),
         None,
     ),
+}
+
+
+# r14 driver window (derived from scripts/window_policy.py evidence ages
+# over CORRECTNESS_r*.json): the 7 rows whose latest evidence is r11,
+# then the 43 oldest r12-green rows. The 7 remaining r12 rows tie at age
+# r12 with the newest in-window evidence (ties may sit either side); the
+# 50 r13-green rows and the 2 rows-only-by-design specs fill the tail in
+# literal order. After this round no spec's driver evidence is older
+# than r12.
+_WINDOW_R14 = [
+    # latest driver evidence r11 (oldest — window head)
+    "join_fanout_orders_lineitem",
+    "lm_perplexity_documents",
+    "canonical_url_events",
+    "incremental_cramers_v_lineitem",
+    "ann_lsh_recall_embeddings",
+    "mixture_upsampled_documents",
+    "pii_summary_documents",
+    # latest driver evidence r12
+    "target_relevance_lineitem",
+    "weighted_sample_documents",
+    "seasonal_decompose_events",
+    "check_violations_lineitem",
+    "layout_stats_lineitem",
+    "incremental_target_relevance_lineitem",
+    "fd_discovery_lineitem",
+    "fk_discovery_orders_customer",
+    "contamination_documents",
+    "distinct_unique_lineitem",
+    "duplicate_stats_orders",
+    "embedding_near_dup_embeddings",
+    "missing_counts_events",
+    "text_profile_documents",
+    "binary_format_mix_documents",
+    "date_stats_orders",
+    "json_extract_events",
+    "spearman_lineitem",
+    "kendall_customer",
+    "char_counts_customer",
+    "video_metadata_documents",
+    "audio_near_dup_documents",
+    "packing_stats_documents",
+    "simhash_documents",
+    "semantic_dedup_embeddings",
+    "ivf_topk_embeddings",
+    "minhash_signatures_documents",
+    "mixture_counts_documents",
+    "numeric_summary_nation",
+    "pii_redact_documents",
+    "value_counts_event_type",
+    "dedup_keep_list_documents",
+    "hourly_rollup_events",
+    "minhash_lsh_dedup_documents",
+    "monotonicity_orders",
+    "split_counts_orders",
+    "tail_sample_orders",
+    "asof_state_events",
+    "range_join_events",
+    "acf_events",
+    "functional_dependency_lineitem",
+    "benford_lineitem",
+    "grouped_checks_documents",
+]
+_SPECS = {
+    name: _SPECS[name]
+    for name in _WINDOW_R14 + [n for n in _SPECS if n not in _WINDOW_R14]
 }
 
 

@@ -44,6 +44,13 @@ def _cpu_canary() -> float:
 # tests/test_bench_invariants.py asserts slow_unlabeled == [] on the
 # committed BENCH_FULL.json, and every sweep re-derives it
 SLOW_SEC = 3.0
+# committed clean-sweep flagship wall (sf0.1, canaries < 1.0): the
+# host-speed yardstick. Hosts at equal canary readings still show
+# 20-50% wall variance (the r13 driver sweep read the flagship at 8.3 s
+# vs 8.3 committed but four 2.0-2.5 s rows at 3.1-5.0 s), so the slow
+# threshold scales with the sweep's OWN flagship-vs-reference ratio —
+# never below SLOW_SEC, so a fast host cannot relax the rule.
+SLOW_REF_FLAGSHIP_SEC = 8.3
 PRODUCTION_SHAPES = {
     "full_profile_lineitem": "flagship multi-pass profile",
     "full_profile_wide100": "flagship 100-column profile",
@@ -57,6 +64,162 @@ PRODUCTION_SHAPES = {
     ),
     "image_dedup_keep_list_documents": (
         "full phash + band-join + keep-list materialization"
+    ),
+    "corpus_funnel_documents": (
+        "full sequential-filter funnel over every document (language, "
+        "quality, C4, repetition, PII, exact + near dedup flags) — the "
+        "production pre-training data pipeline being priced"
+    ),
+    "incremental_minhash_dedup_documents": (
+        "full daily store round trip by design (signature pass + banded "
+        "store join + store update) — this IS the incremental operation "
+        "being priced"
+    ),
+    "kendall_customer": (
+        "distributed exact tau-b production path: bounded per-bucket "
+        "applyInPandas kernels (retires the reference's all-data-on-one-"
+        "worker shape); exactness is the product, not a test tier"
+    ),
+}
+
+
+def slow_threshold_sec(flagship_sec: float | None, sf) -> float:
+    """Effective slow threshold for one sweep: SLOW_SEC scaled by the
+    sweep's own flagship-vs-committed-reference ratio (sf0.1 only — the
+    reference is an sf0.1 wall), floored at SLOW_SEC so fast hosts keep
+    the strict rule. Makes the ">SLOW_SEC => labeled" invariant portable
+    across hosts whose clean-canary walls differ 20-50%."""
+    scale = 1.0
+    if (
+        isinstance(flagship_sec, (int, float))
+        and flagship_sec > 0
+        and isinstance(sf, (int, float))
+        and abs(sf - 0.1) < 1e-9
+    ):
+        scale = max(1.0, flagship_sec / SLOW_REF_FLAGSHIP_SEC)
+    return round(SLOW_SEC * scale, 3)
+
+
+def derive_slow_unlabeled(timings: dict, query_tiers: dict, thr: float) -> list:
+    """The invariant's classification, shared by the sweep and the unit
+    tests: rows above ``thr`` with neither a tier label nor a declared
+    production shape."""
+    return sorted(
+        q for q, t in timings.items()
+        if isinstance(t, (int, float)) and t > thr
+        and q not in query_tiers and q not in PRODUCTION_SHAPES
+    )
+
+
+# tier labels (VERDICT r8 #6): specs that deliberately run a TEST-tier
+# plan — their sweep numbers price the parity harness, not the
+# production path; read these before calling a number a regression
+QUERY_TIERS = {
+    "spearman_lineitem": (
+        "oracle tier: method='window' (single-partition rank join for "
+        "cross-engine determinism); production default method='ml' "
+        "measured ~2.5x faster on the same data"
+    ),
+    "incremental_pearson_lineitem": (
+        "test harness: 3 full partial_profile passes + merge — the "
+        "Pearson increment itself rides the existing moment aggregate "
+        "(zero extra jobs; sf1 scale point in PERFORMANCE.md)"
+    ),
+    "incremental_cramers_v_lineitem": (
+        "test harness: 3 full partial_profile passes + merge — the "
+        "contingency state is one melt shuffle per shard"
+    ),
+    "incremental_target_relevance_lineitem": (
+        "test harness: 3 full partial_profile passes (correlations + "
+        "group-moment cells) + merge + finalize — the production mode "
+        "ranks from persisted daily states with zero jobs (sf1 point "
+        "flat, PERFORMANCE.md r12)"
+    ),
+    "incremental_drift_lineitem": (
+        "test harness: profiles BOTH shards then drifts the states; "
+        "the production mode drifts two persisted states with zero jobs"
+    ),
+    "incremental_embedding_drift_embeddings": (
+        "test harness: builds both embedding states in-spec; production "
+        "drifts persisted states"
+    ),
+    "incremental_image_dedup_documents": (
+        "full two-step store round trip by design — this IS the daily "
+        "operation being priced"
+    ),
+    "ann_lsh_recall_embeddings": (
+        "gate tier: runs the exact scan AND the LSH path to measure "
+        "recall; production ANN is ann_lsh_topk / pipeline_ann_lsh"
+    ),
+    "rolling_trend_events": (
+        "oracle tier: stable=True grid (exact DECIMAL bucket means) + "
+        "scaled-BIGINT window sums for cross-engine bit-equality; "
+        "production default uses plain avg (codegen, no decimals)"
+    ),
+    "ts_anomaly_events": (
+        "oracle tier: stable=True grid + exact scaled-integer "
+        "threshold (the flag boolean is the hash-matched quantity); "
+        "production default computes the same rule in doubles"
+    ),
+    "asof_state_events": (
+        "spec builds the snapshot table in-query (hourly groupBy) "
+        "before the as-of itself — the union-tag window is the priced "
+        "operator"
+    ),
+    "phik_mixed_contingency_lineitem": (
+        "oracle tier: EXACT decile edges (F.percentile) for "
+        "cross-engine bit-equality; production phik_matrix uses GK "
+        "approx edges on the same one-shuffle contingency"
+    ),
+    "seasonal_decompose_events": (
+        "oracle tier: stable DECIMAL grid + scaled-BIGINT window "
+        "sums, aggregated per period for the hash gate; production "
+        "decomposition is plain doubles on the same bounded grid "
+        "(sf1 point: flat, PERFORMANCE.md)"
+    ),
+    "check_violations_lineitem": (
+        "diagnostic tier by design: one bounded TakeOrderedAndProject "
+        "job per check — run on the failed handful, not the suite "
+        "(the gate itself stays one-scan-per-family)"
+    ),
+    "numeric_summary_nation": (
+        "25-row table: wall is pure fixed overhead, not operator cost"
+    ),
+    "numeric_summary_lineitem": (
+        "oracle tier: exact percentiles (sort-based F.percentile second "
+        "scan) + exact distincts for cross-engine bit-equality; the "
+        "production default tier is GK approx_percentile + HLL riding "
+        "the single scalar scan"
+    ),
+    "benford_lineitem": (
+        "oracle tier: printf-decimal first-digit extraction (string "
+        "arithmetic chosen because it is engine-identical where "
+        "log10/pow float arithmetic is not); spread has always been "
+        "~2x on this container (GC-adjacent)"
+    ),
+    "embedding_drift_embeddings": (
+        "test harness: builds BOTH halves' embedding profiles in-spec "
+        "before drifting them; production drifts two persisted states "
+        "with zero rescans (kin incremental_embedding_drift)"
+    ),
+    "fk_catalog_tpch": (
+        "oracle tier: prune=False so EVERY type-compatible pair "
+        "(16 anti-joins across 3 tables) verifies exactly for the "
+        "DuckDB catalog rebuild; production prunes with one "
+        "min/max/HLL stats scan per table and anti-joins survivors "
+        "only"
+    ),
+    "drift_psi_lineitem": (
+        "test harness: builds BOTH the baseline and the shifted "
+        "candidate profile in-spec before the PSI compare (the same "
+        "shape its kin embedding_drift_embeddings labels); production "
+        "drifts persisted states with zero rescans"
+    ),
+    "mad_lineitem": (
+        "oracle tier: exact-percentile pass (median-of-medians rides "
+        "the same sort-based F.percentile scan numeric_summary pins); "
+        "production MAD uses GK approx percentiles on the single "
+        "scalar scan"
     ),
 }
 
@@ -360,122 +523,15 @@ def main() -> None:
     # from the artifact.
     canary_end = _cpu_canary()
 
-    # tier labels (VERDICT r8 #6): specs that deliberately run a TEST-tier
-    # plan — their sweep numbers price the parity harness, not the
-    # production path; read these before calling a number a regression
-    query_tiers = {
-        "spearman_lineitem": (
-            "oracle tier: method='window' (single-partition rank join for "
-            "cross-engine determinism); production default method='ml' "
-            "measured ~2.5x faster on the same data"
-        ),
-        "incremental_pearson_lineitem": (
-            "test harness: 3 full partial_profile passes + merge — the "
-            "Pearson increment itself rides the existing moment aggregate "
-            "(zero extra jobs; sf1 scale point in PERFORMANCE.md)"
-        ),
-        "incremental_cramers_v_lineitem": (
-            "test harness: 3 full partial_profile passes + merge — the "
-            "contingency state is one melt shuffle per shard"
-        ),
-        "incremental_target_relevance_lineitem": (
-            "test harness: 3 full partial_profile passes (correlations + "
-            "group-moment cells) + merge + finalize — the production mode "
-            "ranks from persisted daily states with zero jobs (sf1 point "
-            "flat, PERFORMANCE.md r12)"
-        ),
-        "incremental_drift_lineitem": (
-            "test harness: profiles BOTH shards then drifts the states; "
-            "the production mode drifts two persisted states with zero jobs"
-        ),
-        "incremental_embedding_drift_embeddings": (
-            "test harness: builds both embedding states in-spec; production "
-            "drifts persisted states"
-        ),
-        "incremental_image_dedup_documents": (
-            "full two-step store round trip by design — this IS the daily "
-            "operation being priced"
-        ),
-        "ann_lsh_recall_embeddings": (
-            "gate tier: runs the exact scan AND the LSH path to measure "
-            "recall; production ANN is ann_lsh_topk / pipeline_ann_lsh"
-        ),
-        "rolling_trend_events": (
-            "oracle tier: stable=True grid (exact DECIMAL bucket means) + "
-            "scaled-BIGINT window sums for cross-engine bit-equality; "
-            "production default uses plain avg (codegen, no decimals)"
-        ),
-        "ts_anomaly_events": (
-            "oracle tier: stable=True grid + exact scaled-integer "
-            "threshold (the flag boolean is the hash-matched quantity); "
-            "production default computes the same rule in doubles"
-        ),
-        "asof_state_events": (
-            "spec builds the snapshot table in-query (hourly groupBy) "
-            "before the as-of itself — the union-tag window is the priced "
-            "operator"
-        ),
-        "phik_mixed_contingency_lineitem": (
-            "oracle tier: EXACT decile edges (F.percentile) for "
-            "cross-engine bit-equality; production phik_matrix uses GK "
-            "approx edges on the same one-shuffle contingency"
-        ),
-        "seasonal_decompose_events": (
-            "oracle tier: stable DECIMAL grid + scaled-BIGINT window "
-            "sums, aggregated per period for the hash gate; production "
-            "decomposition is plain doubles on the same bounded grid "
-            "(sf1 point: flat, PERFORMANCE.md)"
-        ),
-        "check_violations_lineitem": (
-            "diagnostic tier by design: one bounded TakeOrderedAndProject "
-            "job per check — run on the failed handful, not the suite "
-            "(the gate itself stays one-scan-per-family)"
-        ),
-        "numeric_summary_nation": (
-            "25-row table: wall is pure fixed overhead, not operator cost"
-        ),
-        "numeric_summary_lineitem": (
-            "oracle tier: exact percentiles (sort-based F.percentile second "
-            "scan) + exact distincts for cross-engine bit-equality; the "
-            "production default tier is GK approx_percentile + HLL riding "
-            "the single scalar scan"
-        ),
-        "benford_lineitem": (
-            "oracle tier: printf-decimal first-digit extraction (string "
-            "arithmetic chosen because it is engine-identical where "
-            "log10/pow float arithmetic is not); spread has always been "
-            "~2x on this container (GC-adjacent)"
-        ),
-        "embedding_drift_embeddings": (
-            "test harness: builds BOTH halves' embedding profiles in-spec "
-            "before drifting them; production drifts two persisted states "
-            "with zero rescans (kin incremental_embedding_drift)"
-        ),
-        "fk_catalog_tpch": (
-            "oracle tier: prune=False so EVERY type-compatible pair "
-            "(16 anti-joins across 3 tables) verifies exactly for the "
-            "DuckDB catalog rebuild; production prunes with one "
-            "min/max/HLL stats scan per table and anti-joins survivors "
-            "only"
-        ),
-        "drift_psi_lineitem": (
-            "test harness: builds BOTH the baseline and the shifted "
-            "candidate profile in-spec before the PSI compare (the same "
-            "shape its kin embedding_drift_embeddings labels); production "
-            "drifts persisted states with zero rescans"
-        ),
-    }
-
-    # the ">SLOW_SEC => labeled or declared production shape" invariant,
-    # re-derived every sweep and recorded in the artifact so it cannot
-    # drift silently again (VERDICT r12 #5)
-    slow_unlabeled = sorted(
-        q for q, t in timings.items()
-        if isinstance(t, (int, float)) and t > SLOW_SEC
-        and q not in query_tiers and q not in PRODUCTION_SHAPES
-    )
-
+    query_tiers = QUERY_TIERS
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # the ">threshold => labeled or declared production shape" invariant,
+    # re-derived every sweep and recorded in the artifact so it cannot
+    # drift silently again (VERDICT r12 #5); the threshold is scaled by
+    # this sweep's flagship-vs-reference ratio so equal-canary hosts with
+    # 20-50% wall variance do not flag borderline rows (VERDICT r13 #2)
+    slow_thr = slow_threshold_sec(timings.get("full_profile_lineitem"), sf_val)
+    slow_unlabeled = derive_slow_unlabeled(timings, query_tiers, slow_thr)
     # contamination markers: cpu_canary_sec (measured BEFORE the JVM started;
     # 0.77-2.0 s observed for identical code — the host CPU-speed multiplier
     # for this sweep) and end-of-sweep loadavg (self-polluted by the 32-thread
@@ -495,7 +551,9 @@ def main() -> None:
         "cpu_canary_end_sec": canary_end,
         "throttle": throttle_info,
         "production_shapes": PRODUCTION_SHAPES,
-        "slow_threshold_sec": SLOW_SEC,
+        "slow_threshold_sec": slow_thr,
+        "slow_threshold_base_sec": SLOW_SEC,
+        "slow_ref_flagship_sec": SLOW_REF_FLAGSHIP_SEC,
         "slow_unlabeled": slow_unlabeled,
     }
     # the full 60+-query map makes one very long line that the driver's tail

@@ -609,7 +609,17 @@ def main(argv: list[str] | None = None) -> int:
                     raise SystemExit(
                         f"--fks-catalog: bad entry {item!r} (want NAME=PATH)"
                     )
-                tabs[nm.strip()] = read_table(spark, path.strip())
+                nm = nm.strip()
+                if nm in tabs:
+                    # 'input' is reserved for the profiled table; any other
+                    # duplicate would silently replace an earlier entry and
+                    # hide the collision in the reported table list
+                    raise SystemExit(
+                        f"--fks-catalog: table name {nm!r} "
+                        + ("is reserved for the profiled input"
+                           if nm == "input" else "given twice")
+                    )
+                tabs[nm] = read_table(spark, path.strip())
             try:
                 rows = [
                     r.asDict()
@@ -849,9 +859,16 @@ def main(argv: list[str] | None = None) -> int:
                 for r in key_rows:
                     if not (r["is_key"] and r["exact"]):
                         continue
-                    cols_t = tuple(r["key"].split(","))
-                    # a column name containing a comma would split wrong —
-                    # skip rather than declare a bogus contract
+                    # disambiguate by arity (ADVICE r13): a unary key is
+                    # ONE column name verbatim — a name containing a comma
+                    # must not be split into a bogus composite contract
+                    # even when the fragments happen to be real columns
+                    if r["arity"] == 1:
+                        cols_t = (r["key"],)
+                    else:
+                        cols_t = tuple(r["key"].split(","))
+                        if len(cols_t) != r["arity"]:
+                            continue  # component name contains a comma
                     if not all(c in df_in.columns for c in cols_t):
                         continue
                     chk = (CK.primary_key(list(cols_t))

@@ -703,10 +703,13 @@ def discover_keys(
       by ONE extra scan of pair-struct HLLs. The lattice is capped at
       ``max_candidates`` and refuses loudly above it — narrow
       ``columns`` rather than silently sampling.
-    * tier 3: every surviving set — both arities — shares ONE melt ->
-      two-level groupBy (:func:`_score_uccs`, the declared uniqueness
-      check's kernel): the exchange carries (set, key value) groups,
-      never rows x sets beyond the melt.
+    * tier 3: surviving sets score through :func:`_score_uccs` (the
+      declared uniqueness check's melt -> two-level groupBy kernel):
+      the exchange carries (set, key value) groups, never rows x sets
+      beyond the melt. Explicit ``candidates`` / ``max_arity=1`` share
+      ONE melt for every set; the ``max_arity=2`` enumeration path pays
+      one melt per lattice LEVEL (the unary melt's exact results must
+      land before level 2 can be TANE-pruned).
 
     Explicit ``candidates`` (names or tuples of names) are scored
     verbatim — the deterministic oracle tier. Verified keys feed
@@ -845,24 +848,73 @@ def discover_keys(
     )
 
 
-def _inclusion_stats(df: DataFrame, cols: list[str]) -> dict:
+def _inclusion_family(dt) -> "str | None":
+    """Type family for inclusion candidate pairing: numerics pool, the
+    three time types pool, everything else pairs on its exact type.
+    Returns ``None`` for types that cannot be mined at all (anything
+    containing a MapType: not hashable, not orderable — min/max and
+    approx_count_distinct both raise), so callers skip them instead of
+    crashing the whole sweep (ADVICE r13)."""
+    from pyspark.sql import types as T
+
+    def _has_map(t) -> bool:
+        if isinstance(t, T.MapType):
+            return True
+        if isinstance(t, T.ArrayType):
+            return _has_map(t.elementType)
+        if isinstance(t, T.StructType):
+            return any(_has_map(f.dataType) for f in t.fields)
+        return False
+
+    if _has_map(dt):
+        return None
+    if isinstance(dt, T.NumericType):
+        return "num"
+    if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        return "time"
+    return dt.simpleString()
+
+
+def _inclusion_stats(
+    df: DataFrame, cols: list[str], tolerant: bool = False
+) -> dict:
     """ONE aggregate: ``{col: (approx_nd, min, max)}`` — the inclusion
     necessary-condition screen's per-table inputs (shared by the
     two-frame miner and the catalog sweep, which computes it once per
-    TABLE rather than once per table pair)."""
-    aggs = []
-    for i, c in enumerate(cols):
-        col = F.col(c)
-        aggs += [
-            F.approx_count_distinct(col).alias(f"s{i}_nd"),
-            F.min(col).alias(f"s{i}_mn"),
-            F.max(col).alias(f"s{i}_mx"),
-        ]
-    row = df.agg(*aggs).collect()[0]
-    return {
-        c: (row[f"s{i}_nd"], row[f"s{i}_mn"], row[f"s{i}_mx"])
-        for i, c in enumerate(cols)
-    }
+    TABLE rather than once per table pair). With ``tolerant=True`` a
+    failing aggregate degrades per column — failures record
+    ``(None, None, None)`` ("cannot screen, verify exactly") instead of
+    killing the caller's N-table hunt (ADVICE r13)."""
+
+    def _one_agg(sub: list[str]) -> dict:
+        aggs = []
+        for i, c in enumerate(sub):
+            col = F.col(c)
+            aggs += [
+                F.approx_count_distinct(col).alias(f"s{i}_nd"),
+                F.min(col).alias(f"s{i}_mn"),
+                F.max(col).alias(f"s{i}_mx"),
+            ]
+        row = df.agg(*aggs).collect()[0]
+        return {
+            c: (row[f"s{i}_nd"], row[f"s{i}_mn"], row[f"s{i}_mx"])
+            for i, c in enumerate(sub)
+        }
+
+    if not cols:
+        return {}
+    if not tolerant:
+        return _one_agg(cols)
+    try:
+        return _one_agg(cols)
+    except Exception:
+        out: dict = {}
+        for c in cols:
+            try:
+                out.update(_one_agg([c]))
+            except Exception:
+                out[c] = (None, None, None)
+        return out
 
 
 def discover_inclusions_catalog(
@@ -890,9 +942,28 @@ def discover_inclusions_catalog(
         )
     stats: dict[str, dict] = {}
     if prune:
+        # per-table stats restricted to columns that can participate in
+        # SOME candidate pair (family shared with another table, family
+        # minable at all) — an unpaired MapType/exotic column must not
+        # crash or pay for the sweep (ADVICE r13); tolerant=True degrades
+        # a still-failing column to "cannot screen" instead of raising
+        fams = {
+            nm: {
+                f.name: _inclusion_family(f.dataType)
+                for f in tables[nm].schema.fields
+            }
+            for nm in names
+        }
         for nm in names:
-            t = tables[nm]
-            stats[nm] = _inclusion_stats(t, list(t.columns))
+            other = {
+                f for o in names if o != nm
+                for f in fams[o].values() if f is not None
+            }
+            eligible = [
+                c for c, f in fams[nm].items()
+                if f is not None and f in other
+            ]
+            stats[nm] = _inclusion_stats(tables[nm], eligible, tolerant=True)
     outs = []
     for c_nm in names:
         for p_nm in names:
@@ -983,20 +1054,14 @@ def discover_inclusions(
     c_types = {f.name: f.dataType for f in child.schema.fields}
     p_types = {f.name: f.dataType for f in parent.schema.fields}
 
-    def _family(dt) -> str:
-        from pyspark.sql import types as T
-
-        if isinstance(dt, T.NumericType):
-            return "num"
-        if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
-            return "time"
-        return dt.simpleString()
+    _family = _inclusion_family
 
     screened_out: "list[tuple[str, str]]" = []
     if candidates is None:
         pairs = [
             (a, b) for a in c_cols for b in p_cols
-            if _family(c_types[a]) == _family(p_types[b])
+            if _family(c_types[a]) is not None
+            and _family(c_types[a]) == _family(p_types[b])
         ]
         if not pairs:
             raise ValueError(
@@ -1020,7 +1085,10 @@ def discover_inclusions(
             for a, b in pairs:
                 nd_a, mn_a, mx_a = cs[a]
                 nd_b, mn_b, mx_b = ps[b]
-                ok = nd_a <= 1.1 * nd_b
+                if nd_a is None or nd_b is None:
+                    ok = True  # stats unavailable: cannot screen — verify
+                else:
+                    ok = nd_a <= 1.1 * nd_b
                 if ok and mn_a is not None and mn_b is not None:
                     try:
                         ok = mn_a >= mn_b and mx_a <= mx_b

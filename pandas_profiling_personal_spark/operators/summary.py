@@ -83,6 +83,16 @@ def scalar_summary(
     # interpreted evaluation (~2x wall-clock). They run as a second aggregation
     # over the (persisted) input instead.
     pct_frags: list[str] = []
+    # approx_count_distinct (HLL++) is an ImperativeAggregate with the same
+    # mixing disease (r14 measurement on the 100-col frame at sf0.1:
+    # declarative-only 1.6 s + HLL-only 3.6 s run separately vs 7.5 s
+    # combined — the combined operator pays ~30% on top of the parts, and
+    # the HLLs drag every declarative update to interpreted dispatch). In
+    # the approx tier they run as their OWN aggregation over the
+    # (persisted) input — bit-identical results, one extra 1-row job
+    # CONSTANT in column count. The exact tier keeps count(DISTINCT) in
+    # the main agg (declarative expand plan, oracle-tier shape untouched).
+    hll_frags: list[str] = []
     qlist = "array(" + ", ".join(repr(float(q)) for q in config.quantiles) + ")"
     acc = max(1, int(round(1.0 / max(config.quantile_relative_error, 1e-6))))
     for i, (name, vt) in enumerate(types.items()):
@@ -94,14 +104,16 @@ def scalar_summary(
             # via their string form (reference converts maps to array(keys, values)
             # before grouping — dataframe_wrappers.py:520-531; casting is simpler
             # and equally distributed)
-            frags.append(
+            (frags if config.exact else hll_frags).append(
                 f"approx_count_distinct(cast({q} as string), {rsd}) AS {p}__approx_distinct"
             )
             continue
-        frags.append(
-            (f"count(DISTINCT {q})" if config.exact else f"approx_count_distinct({q}, {rsd})")
-            + f" AS {p}__n_distinct"
-        )
+        if config.exact:
+            frags.append(f"count(DISTINCT {q}) AS {p}__n_distinct")
+        else:
+            hll_frags.append(
+                f"approx_count_distinct({q}, {rsd}) AS {p}__n_distinct"
+            )
         if vt is VT.NUMERIC:
             # std/variance/skew/kurt deliberately absent here: Spark's
             # CentralMomentAgg update code degrades ~quadratically with the
@@ -156,7 +168,12 @@ def scalar_summary(
     extra_cols = []  # legacy Column extras ride a Column-built agg
     for k, e in extra.items():
         if isinstance(e, str):
-            frags.append(f"({e}) AS __x_{k}")
+            # imperative extras (the FD-rider pair HLLs) ride the HLL
+            # action for the same mixing reason as the per-column sketches
+            target = (
+                hll_frags if "approx_count_distinct(" in e else frags
+            )
+            target.append(f"({e}) AS __x_{k}")
         else:
             extra_cols.append(e.alias(f"__x_{k}"))
     # selectExpr, NOT spark.sql("... FROM {df}"): the {df} substitution
@@ -168,6 +185,8 @@ def scalar_summary(
     # parses the same fragments in ONE Py4J call but keeps the DataFrame
     # lineage, so both the cheap build and the cache hit hold.
     row = df.selectExpr(*frags).collect()[0].asDict()
+    if hll_frags:
+        row.update(df.selectExpr(*hll_frags).collect()[0].asDict())
     if extra_cols:
         row.update(df.agg(*extra_cols).collect()[0].asDict())
     if pct_frags:

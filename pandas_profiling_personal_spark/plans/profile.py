@@ -1285,8 +1285,23 @@ def profile(
                             df, columns=kd_cols
                         ).collect()
                     ]
-                except ValueError:
-                    key_candidates = []  # nothing to score
+                except ValueError as exc:
+                    if "max_candidates" in str(exc):
+                        # the loud lattice refusal must not be silently
+                        # swallowed (ADVICE r13): fall back to unary keys
+                        # (already-verified results kept) and surface the
+                        # level-2 skip reason in the report
+                        key_candidates = [
+                            r.asDict()
+                            for r in discover_keys(
+                                df, columns=kd_cols, max_arity=1
+                            ).collect()
+                        ]
+                        key_candidates.append(
+                            {"key": None, "arity": 2, "skipped": str(exc)}
+                        )
+                    else:
+                        key_candidates = []  # nothing to score
             _mark("key_discovery")
 
         dataset_meta = {

@@ -65,6 +65,35 @@ def test_slow_rows_labeled_or_production():
     )
 
 
+def test_slow_rule_is_host_portable():
+    """VERDICT r13 #2: equal-canary hosts show 20-50% wall variance, so
+    the slow threshold scales with the sweep's own flagship ratio. The
+    invariant must hold on BOTH the committed artifact and a synthetic
+    sweep 1.5x slower across the board (the r13 driver-host scenario)."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    import bench
+
+    full = _load_full()
+    tiers = bench.QUERY_TIERS  # the live rule, not the artifact snapshot
+    for factor in (1.0, 1.5):
+        timings = {
+            q: t * factor for q, t in full["queries"].items()
+            if isinstance(t, (int, float))
+        }
+        thr = bench.slow_threshold_sec(
+            timings.get("full_profile_lineitem"), full.get("sf")
+        )
+        assert bench.derive_slow_unlabeled(timings, tiers, thr) == [], (
+            f"slow rows unlabeled at host-slowdown factor {factor}"
+        )
+    # the scaling never RELAXES the rule on a fast host: a sweep whose
+    # flagship beats the reference keeps the base threshold
+    assert bench.slow_threshold_sec(0.5 * bench.SLOW_REF_FLAGSHIP_SEC, 0.1) \
+        == bench.SLOW_SEC
+
+
 def test_production_shapes_and_tiers_name_real_specs():
     """Every label/production entry names a spec that exists (or a bench-
     only synthetic like full_profile_*): a renamed spec must not leave a

@@ -846,3 +846,28 @@ def test_relevance_stream_single_aggregation_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # one exchange on the window key (tree + details print it twice)
     assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
+
+
+def test_spearman_raw_default_is_scale_safe(spark, monkeypatch):
+    """VERDICT r13 #7: a user calling spearman_matrix raw (no method=)
+    must get the distributed 'ml' ranking path — never the oracle tier's
+    single-partition Window.orderBy rank join."""
+    from pandas_profiling_personal_spark.operators import correlations as C
+
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("a"),
+        (F.col("id") * 2).cast("double").alias("b"),
+    )
+    routed = {}
+
+    def _fake_ml(frame, cols, method):
+        routed["method"] = method
+        return {(cols[0], cols[1]): 1.0}
+
+    monkeypatch.setattr(C, "_ml_corr", _fake_ml)
+    out = C.spearman_matrix(df, ["a", "b"])
+    assert routed.get("method") == "spearman", (
+        "default spearman_matrix must route through the distributed "
+        "ml.stat path"
+    )
+    assert out == {("a", "b"): 1.0}
