@@ -127,8 +127,14 @@ class ProfileConfig:
     #: instead of the full row payload — ~10-50x less exchange volume on wide
     #: tables; see operators/duplicates.duplicate_summary_hashed). "auto":
     #: hashed when the table has > duplicates_hash_min_cols grouped columns.
+    #: The r14 threshold drop 20 -> 8 is measured: even at 11 narrow lineitem
+    #: columns the hashed exchange (16 B + count per row) beats the full-row
+    #: groupBy by ~24% locally and by the payload ratio (~5x fewer exchange
+    #: bytes) at scale; below ~8 columns the row is as narrow as the hashes.
+    #: "auto" applies only in the approx tier (exact mode keeps the full-row
+    #: groupBy, so oracle/test semantics and top-N tie-breaks never change).
     duplicates_hash: bool | str = "auto"
-    duplicates_hash_min_cols: int = 20
+    duplicates_hash_min_cols: int = 8
     samples_head: int = 10
     samples_random: int = 10
     #: tail sample size (K3). 0 disables (the default — the reference skips

@@ -216,6 +216,127 @@ def extreme_counts(
     return mins.unionByName(maxs)
 
 
+def _topk_extremes_fused(
+    vc: DataFrame,
+    k: int,
+    n: int,
+    numeric_cols: list[str],
+    ext_cols: list[str],
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """:func:`top_k_with_totals` and :func:`extreme_counts` as TWO branches
+    of ONE plan over the SAME salted exchange, so the (column, value)
+    frequency table is shuffled once — not once per job (r14, guide §2.4).
+
+    Both branches window over identical ``hashpartitioning(column,
+    __salt)`` children, so Catalyst's ReuseExchange executes the melt ->
+    count shuffle and the salted exchange ONCE (plan-gated in
+    test_plan_quality). Equivalence with the two-job path (pinned by
+    test_semantics.py::test_fused_pass2_matches_two_job_path):
+
+    * top-k + totals: branch T is literally the :func:`top_k_with_totals`
+      pipeline; the extreme branch never feeds it.
+    * extremes: instead of PRE-filtering NaN rows and non-extreme columns
+      (which would change the exchange and break reuse), branch E ranks
+      everything and reproduces the filter inside the window arithmetic —
+      NaN sorts above every finite double in Spark's asc order, so the
+      non-NaN rows occupy ranks 1..count(non-NaN) exactly as they would
+      after the pre-filter; the survivor predicate adds ``NOT isnan`` and
+      the extreme-column membership. Output: one long frame, ``end`` in
+      ('top', 'min', 'max'); 'top' rows carry the exact totals.
+    """
+    num_set = set(numeric_cols)
+    ext_set = set(ext_cols)
+    in_num = (
+        F.col("column").isin(*num_set) if num_set else F.lit(False)
+    )
+    base = (
+        vc.withColumn("__salt", F.abs(F.hash("value")) % salt_buckets)
+        .withColumn(
+            "__num", F.when(in_num, F.col("value").cast("double"))
+        )
+        .withColumn(
+            "__nan",
+            F.coalesce(
+                F.isnan(F.col("value").try_cast("double")), F.lit(False)
+            )
+            & in_num,
+        )
+    )
+    # branch T — top_k_with_totals verbatim over the shared exchange
+    salted_top = Window.partitionBy("column", "__salt").orderBy(
+        F.desc("count"), F.asc("value")
+    )
+    salted_all = Window.partitionBy("column", "__salt")
+    final_top = Window.partitionBy("column").orderBy(
+        F.desc("count"), F.asc("value")
+    )
+    final_all = Window.partitionBy("column")
+    tops = (
+        base.withColumn("__r1", F.row_number().over(salted_top))
+        .withColumn("__pd", F.count(F.lit(1)).over(salted_all))
+        .withColumn(
+            "__pu",
+            F.sum(F.when(F.col("count") == 1, 1).otherwise(0)).over(salted_all),
+        )
+        .where(F.col("__r1") <= k)
+        .withColumn("rank", F.row_number().over(final_top))
+        .withColumn(
+            "n_distinct",
+            F.sum(F.when(F.col("__r1") == 1, F.col("__pd"))).over(final_all),
+        )
+        .withColumn(
+            "n_unique",
+            F.coalesce(
+                F.sum(F.when(F.col("__r1") == 1, F.col("__pu"))).over(final_all),
+                F.lit(0),
+            ),
+        )
+        .where(F.col("rank") <= k)
+        .select(
+            "column", "value", "count", F.lit("top").alias("end"), "rank",
+            "n_distinct", "n_unique",
+        )
+    )
+    if not ext_set or n <= 0:
+        return tops
+    # branch E — extreme_counts with the pre-filters folded into the
+    # window arithmetic (NaN-last ordering + non-NaN count bounds)
+    order = [F.asc("__num"), F.asc("value")]
+    salted_ext = Window.partitionBy("column", "__salt").orderBy(*order)
+    e1 = (
+        base.withColumn("__r1", F.row_number().over(salted_ext))
+        .withColumn(
+            "__cok", F.sum((~F.col("__nan")).cast("int")).over(salted_all)
+        )
+        .where(
+            F.col("column").isin(*ext_set)
+            & ~F.col("__nan")
+            & (
+                (F.col("__r1") <= n)
+                | (F.col("__r1") > F.col("__cok") - n)
+            )
+        )
+    )
+    final_ext = Window.partitionBy("column").orderBy(*order)
+    both = e1.withColumn("__r2", F.row_number().over(final_ext)).withColumn(
+        "__c2", F.count(F.lit(1)).over(final_all)
+    )
+    mins = both.where(F.col("__r2") <= n).select(
+        "column", "value", "count", F.lit("min").alias("end"),
+        F.col("__r2").alias("rank"),
+        F.lit(None).cast("long").alias("n_distinct"),
+        F.lit(None).cast("long").alias("n_unique"),
+    )
+    maxs = both.where(F.col("__r2") > F.col("__c2") - n).select(
+        "column", "value", "count", F.lit("max").alias("end"),
+        (F.col("__c2") - F.col("__r2") + 1).alias("rank"),
+        F.lit(None).cast("long").alias("n_distinct"),
+        F.lit(None).cast("long").alias("n_unique"),
+    )
+    return tops.unionByName(mins).unionByName(maxs)
+
+
 def frequency_summary(
     df: DataFrame,
     columns: list[str] | None = None,
@@ -241,31 +362,26 @@ def frequency_summary(
     {column: [(value, count), ...]},
     {column: {'min': [(value, count), ...], 'max': [...]}})``.
     """
-    from pyspark import StorageLevel
-
     columns = df.columns if columns is None else columns
-    # ONE raw-table scan producing the per-column counts; cache the (much smaller)
-    # counts. Action 1 computes the salted two-phase top-K with the exact
-    # distinct/unique totals riding the same two window shuffles
-    # (top_k_with_totals — no separate groupBy job); action 2, only when a
-    # rankable column exists, the extreme-observation ranks.
-    vc = value_counts_all(df, columns).persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        top_rows = top_k_with_totals(vc, k).collect()
-        skip_extremes = extreme_cols is not None and len(extreme_cols) == 0
-        if n_extreme > 0 and not skip_extremes:
-            evc = (
-                vc.where(F.col("column").isin(*extreme_cols))
-                if extreme_cols
-                else vc
-            )
-            ext_rows = extreme_counts(
-                evc, n_extreme, extreme_numeric or []
-            ).collect()
-        else:
-            ext_rows = []
-    finally:
-        vc.unpersist()
+    # ONE raw-table scan producing the per-column counts, then ONE action:
+    # the salted two-phase top-K (exact distinct/unique totals riding its
+    # window shuffles) and the extreme-observation ranks run as two
+    # branches over the SAME salted exchange (ReuseExchange), so the
+    # frequency table is shuffled once — not once per job — and needs no
+    # persist (r14; the two-job path equivalence is pinned in
+    # test_semantics.py).
+    vc = value_counts_all(df, columns)
+    skip_extremes = extreme_cols is not None and len(extreme_cols) == 0
+    want_ext = n_extreme > 0 and not skip_extremes
+    fused = _topk_extremes_fused(
+        vc, k, n_extreme if want_ext else 0,
+        extreme_numeric or [],
+        (extreme_cols if extreme_cols is not None else columns)
+        if want_ext else [],
+    )
+    all_rows = fused.collect()
+    top_rows = [r for r in all_rows if r["end"] == "top"]
+    ext_rows = [r for r in all_rows if r["end"] != "top"]
     scalars: dict[str, dict] = {
         c: {"n_distinct": 0, "n_unique": 0} for c in columns
     }

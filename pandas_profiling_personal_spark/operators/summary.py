@@ -88,10 +88,12 @@ def scalar_summary(
     # declarative-only 1.6 s + HLL-only 3.6 s run separately vs 7.5 s
     # combined — the combined operator pays ~30% on top of the parts, and
     # the HLLs drag every declarative update to interpreted dispatch). In
-    # the approx tier they run as their OWN aggregation over the
-    # (persisted) input — bit-identical results, one extra 1-row job
-    # CONSTANT in column count. The exact tier keeps count(DISTINCT) in
-    # the main agg (declarative expand plan, oracle-tier shape untouched).
+    # the approx tier they ride the SKETCH aggregation shared with the
+    # percentile sketches (imperative families mix without penalty:
+    # combined 2.6 s vs 3.7 s as two actions) — bit-identical results,
+    # job count CONSTANT in column count, one less full pass at scale.
+    # The exact tier keeps count(DISTINCT) in the main agg (declarative
+    # expand plan, oracle-tier shape untouched).
     hll_frags: list[str] = []
     qlist = "array(" + ", ".join(repr(float(q)) for q in config.quantiles) + ")"
     acc = max(1, int(round(1.0 / max(config.quantile_relative_error, 1e-6))))
@@ -185,12 +187,15 @@ def scalar_summary(
     # parses the same fragments in ONE Py4J call but keeps the DataFrame
     # lineage, so both the cheap build and the cache hit hold.
     row = df.selectExpr(*frags).collect()[0].asDict()
-    if hll_frags:
-        row.update(df.selectExpr(*hll_frags).collect()[0].asDict())
     if extra_cols:
         row.update(df.agg(*extra_cols).collect()[0].asDict())
-    if pct_frags:
-        row.update(df.selectExpr(*pct_frags).collect()[0].asDict())
+    # ONE shared sketch action for the imperative families: HLL distinct
+    # sketches and percentile sketches mix without penalty (r14 measured
+    # on the 100-col frame: combined 2.6 s vs 3.7 s as two actions) and
+    # sharing the action saves a full table pass at 100 TB scale
+    sketch_frags = hll_frags + pct_frags
+    if sketch_frags:
+        row.update(df.selectExpr(*sketch_frags).collect()[0].asDict())
     _moment_pass(df, types, row)
     n = row.pop("__n")
     extras = {k: row.pop(f"__x_{k}") for k in extra}

@@ -202,6 +202,15 @@ def profile(
         if progress is not None and name not in _done:
             _done.append(name)
             progress(name, len(_done), len(_planned))
+        # label the NEXT pass's jobs in the Spark UI/event log (guide:
+        # a program running many queries should be readable per job);
+        # thread-local and one Py4J call per pass — negligible cost
+        try:
+            df.sparkSession.sparkContext.setJobDescription(
+                f"profile: after {name}"
+            )
+        except Exception:
+            pass
     # ``None`` means "all columns"; an explicit empty list means "no columns"
     # (empty result), never a silent fall-through to the full table — the
     # near-unique gate made gate-everything -> [] -> full-table-melt reachable.
@@ -210,6 +219,10 @@ def profile(
 
         df = df.select(*[S.col(c) for c in columns])
 
+    try:
+        df.sparkSession.sparkContext.setJobDescription("profile: pass1")
+    except Exception:
+        pass
     persisted = False
     if cfg.persist and df.storageLevel == StorageLevel.NONE:
         # Widen under-split inputs BEFORE persisting: a byte-sized scan of a
@@ -875,8 +888,12 @@ def profile(
             if vt in (VT.NUMERIC, VT.CATEGORICAL, VT.BOOLEAN, VT.DATETIME)
         ]
         duplicates: list[dict[str, Any]] = []
+        # "auto" resolves to the hashed tier only in the approx/scale mode,
+        # like the freq near-unique gate: exact/oracle mode keeps the
+        # full-row groupBy so test semantics and tie-breaks never change
         use_hashed_dup = cfg.duplicates_hash is True or (
             cfg.duplicates_hash == "auto"
+            and not cfg.exact
             and len(dup_cols) > cfg.duplicates_hash_min_cols
         )
         if cfg.duplicates and dup_cols and use_hashed_dup:
@@ -1388,6 +1405,10 @@ def profile(
     finally:
         if persisted:
             df.unpersist()
+        try:
+            df.sparkSession.sparkContext.setJobDescription(None)
+        except Exception:
+            pass
 
 
 def profile_column(

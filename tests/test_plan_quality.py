@@ -871,3 +871,19 @@ def test_spearman_raw_default_is_scale_safe(spark, monkeypatch):
         "ml.stat path"
     )
     assert out == {("a", "b"): 1.0}
+
+
+def test_fused_pass2_reuses_exchanges(spark):
+    """r14: the fused top-k/extremes plan must share the melt->count and
+    salted exchanges between its branches (ReusedExchange) — losing the
+    reuse silently doubles pass 2's shuffle volume at scale."""
+    from pandas_profiling_personal_spark.operators import frequencies as FQ
+
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    num = ["l_quantity", "l_extendedprice"]
+    vc = FQ.value_counts_all(df, num + ["l_returnflag"])
+    fused = FQ._topk_extremes_fused(vc, 5, 3, num, num)
+    fused.collect()  # AQE decides exchange reuse at runtime: read the FINAL plan
+    plan = _plan(fused)
+    assert "isFinalPlan=true" in plan, plan[:500]
+    assert "ReusedExchange" in plan, plan[:3000]

@@ -1109,3 +1109,51 @@ def test_relevance_target_profile_section(spark):
     assert skip["method"] == "skipped" and skip["score"] is None
     assert "id-like target" in skip["reason"]
     assert r3.variables  # the rest of the profile survived
+
+
+def test_fused_pass2_matches_two_job_path(spark):
+    """r14: pass 2 runs top-k/totals and extremes as two branches of ONE
+    plan over a shared salted exchange. The fused path must reproduce the
+    two-job path bit-for-bit on NaN, nulls, count ties and datetimes —
+    including NaN exclusion from numeric extremes."""
+    import datetime as dt
+
+    rows = [
+        (float("nan"), "a", dt.date(2021, 1, 1)),
+        (1.0, "b", dt.date(2021, 1, 2)),
+        (1.0, "b", None),
+        (2.0, None, dt.date(2020, 6, 1)),
+        (None, "c", dt.date(2021, 1, 2)),
+        (3.0, "c", dt.date(2022, 3, 1)),
+        (float("nan"), "d", dt.date(2021, 1, 1)),
+        (-1.5, "d", dt.date(2021, 1, 1)),
+    ]
+    df = spark.createDataFrame(rows, "x double, s string, d date")
+    vc = FQ.value_counts_all(df, ["x", "s", "d"])
+    k, n = 2, 2
+    num, ext = ["x"], ["x", "d"]
+    old_top = sorted(
+        (r["column"], r["rank"], r["value"], r["count"],
+         r["n_distinct"], r["n_unique"])
+        for r in FQ.top_k_with_totals(vc, k).collect()
+    )
+    old_ext = sorted(
+        (r["column"], r["end"], r["rank"], r["value"], r["count"])
+        for r in FQ.extreme_counts(
+            vc.where(F.col("column").isin(*ext)), n, num
+        ).collect()
+    )
+    fused = FQ._topk_extremes_fused(vc, k, n, num, ext).collect()
+    new_top = sorted(
+        (r["column"], r["rank"], r["value"], r["count"],
+         r["n_distinct"], r["n_unique"])
+        for r in fused if r["end"] == "top"
+    )
+    new_ext = sorted(
+        (r["column"], r["end"], r["rank"], r["value"], r["count"])
+        for r in fused if r["end"] != "top"
+    )
+    assert new_top == old_top
+    assert new_ext == old_ext
+    # NaN must not surface as a numeric extreme in either path
+    assert not any("nan" in str(v).lower() for _, _, _, v, _ in new_ext)
