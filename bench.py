@@ -62,6 +62,10 @@ PRODUCTION_SHAPES = {
     "video_near_dup_documents": (
         "real decode + frame-signature + banded join pipeline"
     ),
+    "audio_near_dup_documents": (
+        "real decode + audio-fingerprint + banded join pipeline (the "
+        "audio twin of video_near_dup; codec boundary is the cost)"
+    ),
     "image_dedup_keep_list_documents": (
         "full phash + band-join + keep-list materialization"
     ),
@@ -81,6 +85,21 @@ PRODUCTION_SHAPES = {
         "worker shape); exactness is the product, not a test tier"
     ),
 }
+
+
+def _spark_canary(spark) -> float:
+    """Fixed parallel canary: one codegen'd 64M-row range aggregate using
+    every core. The single-thread CPU canary misses the r14-observed
+    failure mode — single-thread speed normal while the container's
+    PARALLEL throughput collapses (external load on the host): sweeps in
+    such a window read 2-10x slow on every multi-core stage with clean
+    CPU canaries. This canary is the 32-thread counterpart; compare
+    start/mid/end readings to date a window."""
+    t0 = time.time()
+    spark.range(64_000_000).selectExpr(
+        "count(if(id % 7 = 0, 1, null))"
+    ).collect()
+    return round(time.time() - t0, 3)
 
 
 def slow_threshold_sec(flagship_sec: float | None, sf) -> float:
@@ -261,6 +280,11 @@ def main() -> None:
     # sf0.01 immediately before ITS timed attempts (in the query loop),
     # so the generated classes are compiled and cached when timing
     # starts, exactly like steady-state production.
+
+    # parallel Spark canary (r14): dates the container's PARALLEL
+    # throughput at sweep start — the single-thread canaries miss windows
+    # where per-core speed is normal but multi-core throughput collapses
+    spark_canary = _spark_canary(spark)
 
     # flagship: full default-tier profile of lineitem (approx estimators — the
     # configuration that scales; exact tier is for the oracle gate)
@@ -449,6 +473,7 @@ def main() -> None:
 
     qitems = list(E.queries().items())
     canary_mid = None
+    spark_canary_mid = None
     for i, (name, fn) in enumerate(qitems):
         if i == len(qitems) // 2:
             # mid-sweep canary: the pre-JVM canary dates the host's speed at
@@ -458,6 +483,7 @@ def main() -> None:
             # mid-to-pre — a 3x+ mid/pre ratio next to a normal pre canary
             # is the throttle signature
             canary_mid = _cpu_canary()
+            spark_canary_mid = _spark_canary(spark)
         try:
             # per-spec warm-up at sf0.01: compiles + caches THIS spec's
             # generated classes (and spins the Python worker pool for
@@ -522,6 +548,7 @@ def main() -> None:
     # sample brackets the whole sweep so a late window is self-evident
     # from the artifact.
     canary_end = _cpu_canary()
+    spark_canary_end = _spark_canary(spark)
 
     query_tiers = QUERY_TIERS
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -549,6 +576,9 @@ def main() -> None:
         "cpu_canary_sec": canary,
         "cpu_canary_mid_sec": canary_mid,
         "cpu_canary_end_sec": canary_end,
+        "spark_canary_sec": spark_canary,
+        "spark_canary_mid_sec": spark_canary_mid,
+        "spark_canary_end_sec": spark_canary_end,
         "throttle": throttle_info,
         "production_shapes": PRODUCTION_SHAPES,
         "slow_threshold_sec": slow_thr,
@@ -592,6 +622,9 @@ def main() -> None:
         "cpu_canary_sec": canary,
         "cpu_canary_mid_sec": canary_mid,
         "cpu_canary_end_sec": canary_end,
+        "spark_canary_sec": spark_canary,
+        "spark_canary_mid_sec": spark_canary_mid,
+        "spark_canary_end_sec": spark_canary_end,
         "throttled": throttle_info["throttled"],
         "flagship_throttled_by_spread": any(
             throttle_info["flagship_throttled_by_spread"].values()

@@ -351,7 +351,9 @@ def frequency_summary(
 ]:
     """Driver-side convenience: per column, exact ``n_distinct``/``n_unique``,
     the top-K value list, and (when ``n_extreme`` > 0) the bottom/top-``n_extreme``
-    values by magnitude — all off ONE raw-table scan, in at most TWO actions.
+    values by magnitude — all off ONE raw-table scan, in ONE action (r14:
+    the top-k and extreme branches share their exchanges via runtime
+    ReuseExchange, so the frequency table is shuffled once).
 
     ``extreme_cols`` semantics: ``None`` means rank every column; an empty list
     means the caller has no rankable (numeric/datetime) columns, so the extremes

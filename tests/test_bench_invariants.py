@@ -49,10 +49,25 @@ def test_slow_rows_labeled_or_production():
         ("cpu_canary_sec", "cpu_canary_mid_sec", "cpu_canary_end_sec")
         if isinstance(full.get(k), (int, float))
     ]
+    # r14: the CPU canaries are single-thread and miss windows where
+    # per-core speed is normal but the container's PARALLEL throughput
+    # collapses (observed: flagship attempts 16-70 s at canaries 0.7-0.9).
+    # The spark canaries are the 32-thread counterpart: a >2x spread
+    # between the sweep's own samples marks a window, so the sweep is not
+    # clean even with fast CPU canaries.
+    sparkies = [
+        full.get(k) for k in
+        ("spark_canary_sec", "spark_canary_mid_sec", "spark_canary_end_sec")
+        if isinstance(full.get(k), (int, float)) and full.get(k) > 0
+    ]
+    parallel_steady = (
+        not sparkies or max(sparkies) <= 2.0 * min(sparkies)
+    )
     clean = (
         isinstance(sf, (int, float)) and sf >= 0.1
         and not (full.get("throttle") or {}).get("throttled")
         and canaries and max(canaries) < 1.5
+        and parallel_steady
     )
     if not clean:
         import pytest
