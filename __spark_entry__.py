@@ -542,70 +542,72 @@ _SPECS: dict[str, tuple] = {
 }
 
 
-# r14 driver window (derived from scripts/window_policy.py evidence ages
-# over CORRECTNESS_r*.json): the 7 rows whose latest evidence is r11,
-# then the 43 oldest r12-green rows. The 7 remaining r12 rows tie at age
-# r12 with the newest in-window evidence (ties may sit either side); the
-# 50 r13-green rows and the 2 rows-only-by-design specs fill the tail in
-# literal order. After this round no spec's driver evidence is older
-# than r12.
-_WINDOW_R14 = [
-    # latest driver evidence r11 (oldest — window head)
-    "join_fanout_orders_lineitem",
-    "lm_perplexity_documents",
-    "canonical_url_events",
-    "incremental_cramers_v_lineitem",
-    "ann_lsh_recall_embeddings",
-    "mixture_upsampled_documents",
-    "pii_summary_documents",
-    # latest driver evidence r12
-    "target_relevance_lineitem",
-    "weighted_sample_documents",
-    "seasonal_decompose_events",
-    "check_violations_lineitem",
-    "layout_stats_lineitem",
-    "incremental_target_relevance_lineitem",
-    "fd_discovery_lineitem",
-    "fk_discovery_orders_customer",
-    "contamination_documents",
-    "distinct_unique_lineitem",
-    "duplicate_stats_orders",
-    "embedding_near_dup_embeddings",
-    "missing_counts_events",
-    "text_profile_documents",
-    "binary_format_mix_documents",
-    "date_stats_orders",
-    "json_extract_events",
-    "spearman_lineitem",
-    "kendall_customer",
-    "char_counts_customer",
-    "video_metadata_documents",
-    "audio_near_dup_documents",
-    "packing_stats_documents",
-    "simhash_documents",
-    "semantic_dedup_embeddings",
-    "ivf_topk_embeddings",
-    "minhash_signatures_documents",
-    "mixture_counts_documents",
-    "numeric_summary_nation",
-    "pii_redact_documents",
-    "value_counts_event_type",
-    "dedup_keep_list_documents",
-    "hourly_rollup_events",
-    "minhash_lsh_dedup_documents",
-    "monotonicity_orders",
-    "split_counts_orders",
-    "tail_sample_orders",
-    "asof_state_events",
-    "range_join_events",
-    "acf_events",
-    "functional_dependency_lineitem",
-    "benford_lineitem",
-    "grouped_checks_documents",
+# r15 driver window (generated by scripts/window_policy.py
+# propose_window() over CORRECTNESS_r*.json evidence ages): rule 0 puts
+# fk_catalog_tpch first (touched by the r14 checks.py tolerant-stats fix
+# the same round it rotated out — no driver evidence since); then the 7
+# rows whose latest evidence is r12, then the 42 oldest r13-green rows.
+# The 7 remaining r13 rows tie at age r13 with the newest in-window
+# evidence (ties may sit either side); the 50 r14-green rows and the 2
+# rows-only-by-design specs fill the tail in literal order.
+_WINDOW_R15 = [
+    # rule 0: touched last round, no driver evidence since
+    "fk_catalog_tpch",
+    # latest driver evidence r12 (oldest — window head)
+    "phik_contingency_lineitem",
+    "drift_psi_lineitem",
+    "embedding_drift_embeddings",
+    "exact_dedup_documents",
+    "media_metadata_documents",
+    "top_duplicates_lineitem",
+    "url_parts_events",
+    # latest driver evidence r13
+    "key_discovery_orders",
+    "mad_lineitem",
+    "value_counts_returnflag",
+    "seasonal_profile_events",
+    "ts_anomaly_events",
+    "referential_integrity_lineitem",
+    "rolling_trend_events",
+    "phik_mixed_contingency_lineitem",
+    "numeric_summary_lineitem",
+    "string_lengths_customer",
+    "cramers_v_lineitem",
+    "scatter_lineitem",
+    "top_k_part_brand",
+    "path_parts_events",
+    "grouped_summary_lineitem",
+    "incremental_pearson_lineitem",
+    "corpus_funnel_documents",
+    "pii_scan_documents",
+    "mixture_plan_documents",
+    "dedup_clusters_documents",
+    "image_dedup_keep_list_documents",
+    "pack_sequences_documents",
+    "audio_metadata_documents",
+    "incremental_embedding_drift_embeddings",
+    "cosine_topk_embeddings",
+    "check_suite_orders",
+    "ngram_jaccard_pairs_documents",
+    "embedding_stats_embeddings",
+    "token_overlap_documents",
+    "image_near_dup_documents",
+    "drift_psi_categorical",
+    "grouped_top_k_documents",
+    "histogram_extendedprice",
+    "incremental_minhash_dedup_documents",
+    "tfidf_top_terms_documents",
+    "pearson_lineitem",
+    "incremental_drift_lineitem",
+    "incremental_exact_dedup_documents",
+    "stratified_sample_documents",
+    "incremental_image_dedup_documents",
+    "session_stats_events",
+    "video_near_dup_documents",
 ]
 _SPECS = {
     name: _SPECS[name]
-    for name in _WINDOW_R14 + [n for n in _SPECS if n not in _WINDOW_R14]
+    for name in _WINDOW_R15 + [n for n in _SPECS if n not in _WINDOW_R15]
 }
 
 

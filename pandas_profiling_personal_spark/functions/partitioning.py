@@ -34,3 +34,29 @@ def parallelize_narrow(df: DataFrame, min_partitions: int | None = None) -> Data
         # the physical shape to the engine.
         pass
     return df
+
+
+def shj_build(df: DataFrame) -> DataFrame:
+    """Mark a PROVABLY BOUNDED build side for a shuffled-hash join.
+
+    The engine's keep-flag / store / recall joins all probe a corpus-sized
+    side against a table that is bounded by construction (a cluster map, a
+    per-fingerprint winner store projection, per-query hit counts) — for
+    those, hash-building the bounded side beats sort-merge (r14 interleaved
+    A/B: -6..-22%, no regressions). r14 achieved this with the
+    session-global ``spark.sql.join.preferSortMergeJoin=false``, which also
+    governed arbitrary user frames profiled through the library, where the
+    shuffled-hash build side does NOT spill and a size-misestimated build
+    partition can OOM where sort-merge would have degraded gracefully
+    (VERDICT r14 #6 / ADVICE r14). This helper scopes the choice to the
+    engine's own joins: a SHUFFLE_HASH hint on the bounded side only, with
+    the Spark default (sort-merge preference) restored for everything else.
+
+    ``SPARK_GRAFT_PREFER_SMJ=1`` disables the hints too — the same escape
+    hatch the session conf had.
+    """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_PREFER_SMJ"):
+        return df
+    return df.hint("shuffle_hash")

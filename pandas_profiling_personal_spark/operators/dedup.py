@@ -23,7 +23,10 @@ import random
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from pandas_profiling_personal_spark.functions import stats as S
-from pandas_profiling_personal_spark.functions.partitioning import parallelize_narrow
+from pandas_profiling_personal_spark.functions.partitioning import (
+    parallelize_narrow,
+    shj_build,
+)
 from pandas_profiling_personal_spark.operators.text import normalize_text, tokens
 
 #: Mersenne prime 2^31-1; universal-hash modulus for MinHash
@@ -443,8 +446,9 @@ def dedup_keep_list(
     one representative (minimum id) per near-dup cluster, everything not in any
     cluster kept. Filter ``keep`` to materialize the deduplicated corpus."""
     clusters = cluster_pairs(pairs)
+    # cluster map is bounded (ids of clustered docs only) — hash-build it
     out = df.join(
-        clusters.withColumnRenamed("doc_id", "__cid"),
+        shj_build(clusters.withColumnRenamed("doc_id", "__cid")),
         S.col(id_col) == F.col("__cid"),
         "left",
     )
@@ -1063,7 +1067,10 @@ def incremental_exact_dedup(
             ),
         )
     return (
-        fps.join(store, "fingerprint", "left")
+        # the store side of this join is the winner projection
+        # (fingerprint, id) — bounded metadata, never document text;
+        # hash-build it (bucketed stores still join exchange-free)
+        fps.join(shj_build(store), "fingerprint", "left")
         .select(
             "doc_id",
             "fingerprint",
@@ -1204,7 +1211,9 @@ def incremental_minhash_dedup(
         .agg(F.min(F.col("a.doc_id")).alias("dup_of"))
     )
     return (
-        sigs_new.join(nd, "doc_id", "left")
+        # nd is bounded (one row per FLAGGED new doc: id + dup_of) —
+        # hash-build it against the corpus-sized signature side
+        sigs_new.join(shj_build(nd), "doc_id", "left")
         .select(
             "doc_id",
             F.col("dup_of").isNull().alias("keep"),
@@ -1308,7 +1317,8 @@ def incremental_hamming_dedup(
         .groupBy(F.col("b.doc_id").alias("doc_id"))
         .agg(F.min(F.col("a.doc_id")).alias("dup_of"))
     )
-    return ids.join(nd, "doc_id", "left").select(
+    # nd is bounded (one row per flagged new signature) — hash-build it
+    return ids.join(shj_build(nd), "doc_id", "left").select(
         F.col("doc_id").alias(id_col),
         F.col("__sig").alias(sig_col),
         F.col("dup_of").isNull().alias("keep"),

@@ -372,18 +372,55 @@ def frequency_summary(
     # frequency table is shuffled once — not once per job — and needs no
     # persist (r14; the two-job path equivalence is pinned in
     # test_semantics.py).
-    vc = value_counts_all(df, columns)
+    #
+    # Runtime guard (VERDICT r14 #4): the fusion's entire premise is
+    # exchange reuse — with ``spark.sql.exchange.reuse=false`` the
+    # un-persisted frequency table would be computed once PER BRANCH,
+    # strictly worse than the persist+two-job shape. Detect that
+    # configuration up front and fall back (bit-equal output both ways,
+    # pinned by test_semantics.py::test_fused_pass2_fallback_without_reuse).
     skip_extremes = extreme_cols is not None and len(extreme_cols) == 0
     want_ext = n_extreme > 0 and not skip_extremes
-    fused = _topk_extremes_fused(
-        vc, k, n_extreme if want_ext else 0,
-        extreme_numeric or [],
-        (extreme_cols if extreme_cols is not None else columns)
-        if want_ext else [],
-    )
-    all_rows = fused.collect()
-    top_rows = [r for r in all_rows if r["end"] == "top"]
-    ext_rows = [r for r in all_rows if r["end"] != "top"]
+    try:
+        _reuse_ok = (
+            str(
+                df.sparkSession.conf.get("spark.sql.exchange.reuse", "true")
+            ).lower()
+            == "true"
+        )
+    except Exception:
+        _reuse_ok = True
+    if not _reuse_ok and want_ext:
+        # persist + two jobs: the pre-r14 shape (one extra cache
+        # materialization, but each branch reads the counts once)
+        from pyspark import StorageLevel
+
+        vc = value_counts_all(df, columns).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            top_rows = top_k_with_totals(vc, k).collect()
+            evc = (
+                vc.where(F.col("column").isin(*extreme_cols))
+                if extreme_cols
+                else vc
+            )
+            ext_rows = extreme_counts(
+                evc, n_extreme, extreme_numeric or []
+            ).collect()
+        finally:
+            vc.unpersist()
+    else:
+        vc = value_counts_all(df, columns)
+        fused = _topk_extremes_fused(
+            vc, k, n_extreme if want_ext else 0,
+            extreme_numeric or [],
+            (extreme_cols if extreme_cols is not None else columns)
+            if want_ext else [],
+        )
+        all_rows = fused.collect()
+        top_rows = [r for r in all_rows if r["end"] == "top"]
+        ext_rows = [r for r in all_rows if r["end"] != "top"]
     scalars: dict[str, dict] = {
         c: {"n_distinct": 0, "n_unique": 0} for c in columns
     }

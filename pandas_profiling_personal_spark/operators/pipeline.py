@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, functions as F
 from pandas_profiling_personal_spark.functions import stats as S
 from pandas_profiling_personal_spark.functions.partitioning import (
     parallelize_narrow,
+    shj_build,
 )
 from pandas_profiling_personal_spark.operators import text as TX
 
@@ -184,7 +185,8 @@ def corpus_funnel(
         nd = pairs.groupBy(F.col("doc_b").alias("id")).agg(
             F.min("doc_a").alias("__nd_of")
         )
-        flags = flags.join(nd, "id", "left").withColumn(
+        # nd is bounded (one row per dropped near-dup) — hash-build it
+        flags = flags.join(shj_build(nd), "id", "left").withColumn(
             "pass_near_dup",
             F.col("pass_dedup") & F.col("__nd_of").isNull(),
         )
@@ -206,7 +208,7 @@ def corpus_funnel(
         ).select(
             F.col("doc_id").alias("id"), F.col("keep").alias("__c_keep")
         )
-        flags = flags.join(contam, "id", "left").withColumn(
+        flags = flags.join(shj_build(contam), "id", "left").withColumn(
             "pass_decontam",
             F.col("pass_near_dup")
             & F.coalesce(F.col("__c_keep"), F.lit(True)),

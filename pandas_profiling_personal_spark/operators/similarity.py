@@ -18,7 +18,10 @@ import random
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from pandas_profiling_personal_spark.functions import stats as S
-from pandas_profiling_personal_spark.functions.partitioning import parallelize_narrow
+from pandas_profiling_personal_spark.functions.partitioning import (
+    parallelize_narrow,
+    shj_build,
+)
 
 
 def as_double(vec: Column) -> Column:
@@ -238,9 +241,10 @@ def ann_lsh_recall(
         F.count(F.lit(1)).alias("__n_exact")
     )
     return (
+        # n_ex / hits are bounded (≤ one row per query) — hash-build them
         queries.select(F.col(id_col).alias("query_id"))
-        .join(n_ex, "query_id", "left")
-        .join(hits, "query_id", "left")
+        .join(shj_build(n_ex), "query_id", "left")
+        .join(shj_build(hits), "query_id", "left")
         .select(
             "query_id",
             F.coalesce(F.col("__n_exact"), F.lit(0)).alias("n_exact"),
@@ -557,7 +561,9 @@ def semantic_dedup(
         .agg(F.min(F.col("a.id")).alias("dup_of"))
     )
     return (
-        assign.join(dups, "id", "left")
+        # dups is bounded (one row per flagged id) — hash-build it against
+        # the corpus-sized assignment side
+        assign.join(shj_build(dups), "id", "left")
         .select(
             "id",
             "cell_id",

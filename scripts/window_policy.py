@@ -30,6 +30,19 @@ import re
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
 
+#: spec -> why it was TOUCHED in the previous round (implementation change
+#: that could alter its plan or results). Rule 0 (VERDICT r14 #7): a
+#: touched spec whose latest driver evidence predates the newest evidence
+#: round must be IN the window, outranking the pure age rule — a spec
+#: changed after its last oracle run has no fresh driver proof.
+TOUCHED_PREV_ROUND: dict[str, str] = {
+    "fk_catalog_tpch": (
+        "r14 checks.py tolerant-stats/_inclusion_family change (commit "
+        "b4bbcc6) landed the same round the spec rotated out — no driver "
+        "evidence since"
+    ),
+}
+
 #: out-of-window spec -> the in-window kin whose green exercises the same
 #: machinery. Only consulted when the out spec is strictly older than some
 #: in-window spec; each entry documents WHY the exception is sound.
@@ -81,6 +94,16 @@ def violations() -> list[str]:
     tail = [s for s in specs[WINDOW:] if s in sql_backed]
 
     out: list[str] = []
+    # rule 0 (VERDICT r14 #7): a spec touched last round without driver
+    # evidence since must be in the window — outranks the age rule
+    newest_any = max(latest.values(), default=-1)
+    for s in tail:
+        if s in TOUCHED_PREV_ROUND and latest.get(s, -1) < newest_any:
+            out.append(
+                f"{s}: touched last round ({TOUCHED_PREV_ROUND[s]}) with "
+                f"evidence r{latest.get(s, -1)} older than the newest "
+                f"round r{newest_any}, but outside the window"
+            )
     # rule 1: never-recorded SQL-backed specs must be in the window
     for s in tail:
         if s not in latest:
@@ -116,6 +139,32 @@ def violations() -> list[str]:
         if s not in E._SPECS or kin not in E._SPECS:
             out.append(f"KIN_EXCEPTIONS names unknown spec: {s} -> {kin}")
     return out
+
+
+def propose_window() -> list[str]:
+    """Mechanically derive the next round's window: never-recorded
+    SQL-backed specs first, then touched-last-round specs lacking
+    newest-round evidence (rule 0), then everything else oldest-evidence
+    first (ties broken by current literal order). First ``WINDOW`` names."""
+    import __spark_entry__ as E
+
+    latest = evidence_rounds()
+    newest_any = max(latest.values(), default=-1)
+    specs = [n for n, s in E._SPECS.items() if s[1] is not None]
+    order = {n: i for i, n in enumerate(E._SPECS)}
+
+    def rank(s: str) -> tuple:
+        never = s not in latest
+        touched = (
+            s in TOUCHED_PREV_ROUND and latest.get(s, -1) < newest_any
+        )
+        return (
+            0 if never else (1 if touched else 2),
+            latest.get(s, -1),
+            order[s],
+        )
+
+    return sorted(specs, key=rank)[:WINDOW]
 
 
 def main() -> None:

@@ -887,3 +887,37 @@ def test_fused_pass2_reuses_exchanges(spark):
     plan = _plan(fused)
     assert "isFinalPlan=true" in plan, plan[:500]
     assert "ReusedExchange" in plan, plan[:3000]
+
+
+def test_engine_joins_shj_hinted_user_joins_default(spark):
+    """r15 (VERDICT r14 #6): the r14 session-global
+    preferSortMergeJoin=false is replaced by SHUFFLE_HASH hints scoped to
+    the engine's bounded-build-side joins. The engine's keep/store joins
+    must still plan ShuffledHashJoin; an arbitrary user-frame equi-join
+    must keep Spark's sort-merge default."""
+    from pandas_profiling_personal_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 7}") for i in range(64)], "doc_id long, text string"
+    )
+    store = spark.createDataFrame(
+        [("fp0", 1)], "fingerprint string, doc_id long"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        flags = DD.incremental_exact_dedup(docs, store)
+        assert "ShuffledHashJoin" in _plan(flags)
+        # a plain user join on the same session stays sort-merge
+        a = spark.range(1000).withColumnRenamed("id", "k")
+        b = spark.range(1000).withColumnRenamed("id", "k")
+        user = a.join(b, "k")
+        p = _plan(user)
+        assert "SortMergeJoin" in p and "ShuffledHashJoin" not in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # the session no longer flips the global preference
+    assert (
+        spark.conf.get("spark.sql.join.preferSortMergeJoin", "true")
+        == "true"
+    )

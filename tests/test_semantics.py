@@ -1157,3 +1157,32 @@ def test_fused_pass2_matches_two_job_path(spark):
     assert new_ext == old_ext
     # NaN must not surface as a numeric extreme in either path
     assert not any("nan" in str(v).lower() for _, _, _, v, _ in new_ext)
+
+
+def test_fused_pass2_fallback_without_reuse(spark):
+    """r15 (VERDICT r14 #4): with spark.sql.exchange.reuse=false the fused
+    plan would compute the un-persisted frequency table once PER BRANCH —
+    frequency_summary must fall back to the persist+two-job path, with
+    bit-equal output either way."""
+    import datetime as dt
+
+    rows = [
+        (float("nan"), "a", dt.date(2021, 1, 1)),
+        (1.0, "b", dt.date(2021, 1, 2)),
+        (1.0, "b", None),
+        (2.0, None, dt.date(2020, 6, 1)),
+        (None, "c", dt.date(2021, 1, 2)),
+        (3.0, "c", dt.date(2022, 3, 1)),
+    ]
+    df = spark.createDataFrame(rows, "x double, s string, d date")
+    args = dict(
+        columns=["x", "s", "d"], k=2, n_extreme=2,
+        extreme_numeric=["x"], extreme_cols=["x", "d"],
+    )
+    fused_out = FQ.frequency_summary(df, **args)
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        fallback_out = FQ.frequency_summary(df, **args)
+    finally:
+        spark.conf.unset("spark.sql.exchange.reuse")
+    assert fallback_out == fused_out
