@@ -107,7 +107,12 @@ def slow_threshold_sec(flagship_sec: float | None, sf) -> float:
     sweep's own flagship-vs-committed-reference ratio (sf0.1 only — the
     reference is an sf0.1 wall), floored at SLOW_SEC so fast hosts keep
     the strict rule. Makes the ">SLOW_SEC => labeled" invariant portable
-    across hosts whose clean-canary walls differ 20-50%."""
+    across hosts whose clean-canary walls differ 20-50%.
+
+    The scale is CAPPED at 2.0 (ADVICE r14): without the cap a genuine
+    flagship regression would proportionally relax the labeling rule for
+    every other row — a >2x flagship ratio is a regression or a throttle
+    window, not host variance, and must not buy unlabeled-slow amnesty."""
     scale = 1.0
     if (
         isinstance(flagship_sec, (int, float))
@@ -115,7 +120,7 @@ def slow_threshold_sec(flagship_sec: float | None, sf) -> float:
         and isinstance(sf, (int, float))
         and abs(sf - 0.1) < 1e-9
     ):
-        scale = max(1.0, flagship_sec / SLOW_REF_FLAGSHIP_SEC)
+        scale = min(2.0, max(1.0, flagship_sec / SLOW_REF_FLAGSHIP_SEC))
     return round(SLOW_SEC * scale, 3)
 
 

@@ -1314,8 +1314,19 @@ def profile(
                                 df, columns=kd_cols, max_arity=1
                             ).collect()
                         ]
+                        # full row shape (ADVICE r14): the sentinel renders
+                        # in the same HTML table as real candidates, so it
+                        # must carry every column those rows carry
                         key_candidates.append(
-                            {"key": None, "arity": 2, "skipped": str(exc)}
+                            {
+                                "key": None,
+                                "arity": 2,
+                                "uniqueness_ratio": None,
+                                "is_key": None,
+                                "null_free": None,
+                                "exact": False,
+                                "skipped": str(exc),
+                            }
                         )
                     else:
                         key_candidates = []  # nothing to score

@@ -1021,13 +1021,20 @@ def render_html(result: "Any", title: "str | None" = None) -> str:
             "<h3 data-section='key-candidates'>Key candidates</h3>"
             "<div class='card'>"
         )
+        # 'skipped' marks a lattice-refusal sentinel (profile falls back to
+        # max_arity=1); surface the reason in the table, not just the JSON
+        _any_skip = any(r.get("skipped") for r in key_candidates)
         parts.append(_sample_table([
             {"key": r.get("key"),
              "arity": r.get("arity"),
              "uniqueness": _fmt(r.get("uniqueness_ratio")),
              "is_key": r.get("is_key"),
              "null_free": r.get("null_free"),
-             "tier": "exact" if r.get("exact") else "screened"}
+             "tier": (
+                 "skipped" if r.get("skipped")
+                 else ("exact" if r.get("exact") else "screened")
+             ),
+             **({"note": r.get("skipped") or ""} if _any_skip else {})}
             for r in key_candidates
         ]))
         parts.append("</div>")

@@ -109,6 +109,73 @@ def test_slow_rule_is_host_portable():
         == bench.SLOW_SEC
 
 
+def test_slow_scale_capped_at_regression_bound():
+    """ADVICE r14: without a cap, a genuine flagship regression would
+    proportionally relax the slow-labeling rule for every other row. A
+    >2x flagship-vs-reference ratio is a regression or a throttle window,
+    not host variance — the threshold must stop scaling there."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    import bench
+
+    assert bench.slow_threshold_sec(
+        10.0 * bench.SLOW_REF_FLAGSHIP_SEC, 0.1
+    ) == round(bench.SLOW_SEC * 2.0, 3)
+
+
+# VERDICT r14 #9: the label lists are FROZEN. Growing them shrinks the
+# bench's bite — any addition must show up as a diff to these constants
+# with a VERDICT/ADVICE citation in the commit message.
+_FROZEN_QUERY_TIERS = [
+    "ann_lsh_recall_embeddings",
+    "asof_state_events",
+    "benford_lineitem",
+    "check_violations_lineitem",
+    "drift_psi_lineitem",
+    "embedding_drift_embeddings",
+    "fk_catalog_tpch",
+    "incremental_cramers_v_lineitem",
+    "incremental_drift_lineitem",
+    "incremental_embedding_drift_embeddings",
+    "incremental_image_dedup_documents",
+    "incremental_pearson_lineitem",
+    "incremental_target_relevance_lineitem",
+    "mad_lineitem",
+    "numeric_summary_lineitem",
+    "numeric_summary_nation",
+    "phik_mixed_contingency_lineitem",
+    "rolling_trend_events",
+    "seasonal_decompose_events",
+    "spearman_lineitem",
+    "ts_anomaly_events",
+]
+_FROZEN_PRODUCTION_SHAPES = [
+    "audio_near_dup_documents",
+    "corpus_funnel_documents",
+    "full_profile_events",
+    "full_profile_lineitem",
+    "full_profile_wide100",
+    "image_dedup_keep_list_documents",
+    "incremental_minhash_dedup_documents",
+    "kendall_customer",
+    "semantic_dedup_embeddings",
+    "video_near_dup_documents",
+]
+
+
+def test_label_lists_frozen():
+    """VERDICT r14 #9: QUERY_TIERS / PRODUCTION_SHAPES membership equals
+    the committed constant above — silent label creep is a test failure."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    import bench
+
+    assert sorted(bench.QUERY_TIERS) == _FROZEN_QUERY_TIERS
+    assert sorted(bench.PRODUCTION_SHAPES) == _FROZEN_PRODUCTION_SHAPES
+
+
 def test_production_shapes_and_tiers_name_real_specs():
     """Every label/production entry names a spec that exists (or a bench-
     only synthetic like full_profile_*): a renamed spec must not leave a
