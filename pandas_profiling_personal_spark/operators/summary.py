@@ -37,6 +37,66 @@ from pandas_profiling_personal_spark.types import (
 #: stats whose values are timestamps/dates rather than numbers
 _DATETIME_STATS = {"min", "max"}
 
+#: Pass-1 batching (VERDICT r14 #3, guide §2.6): a single declarative
+#: aggregate with many hundreds of fragments cannot WholeStageCodegen
+#: (above spark.sql.codegen.maxFields) and its per-row interpreted update
+#: cost degrades superlinearly with operator width — measured on the
+#: sf0.1 wide100 frame (651 fragments, 32 cores, interleaved min-of-5):
+#: one action 5.17 s; the same fragments as 4 sequential batches 2.91 s;
+#: 4 batches from a driver thread pool 0.93 s; with codegen.maxFields=320
+#: so each ~163-fragment batch codegens, 0.80 s (6.5x). Above this
+#: fragment count the aggregate splits into _WIDE_AGG_BATCHES near-equal
+#: batches submitted concurrently (FIFO scheduling back-fills each job's
+#: task tail — guide §2.6); the batch count is FIXED, so the profile's
+#: job count stays O(1) in column count (the invariant
+#: test_wide_profile_constant_job_count pins). Batching requires a
+#: persisted input: each batch is a separate action, and an uncached
+#: lineage would recompute once per batch (profile() persists by
+#: default; unpersisted callers keep the single-action shape).
+_WIDE_AGG_FIELD_CAP = 320  # = session codegen.maxFields
+_WIDE_AGG_BATCHES = 4
+
+
+def _agg_batches(df: DataFrame, frags: "list[str]") -> "list[list[str]]":
+    from pyspark import StorageLevel
+
+    if (
+        len(frags) <= _WIDE_AGG_FIELD_CAP
+        or df.storageLevel == StorageLevel.NONE
+    ):
+        return [frags]
+    nb = _WIDE_AGG_BATCHES
+    size = (len(frags) + nb - 1) // nb
+    return [frags[i : i + size] for i in range(0, len(frags), size)]
+
+
+def _collect_agg_groups(
+    df: DataFrame, groups: "list[list[str]]"
+) -> "dict[str, Any]":
+    """Collect each fragment group's one-row aggregate; >1 group runs from
+    a small thread pool (independent jobs over the same persisted input —
+    concurrent actions are safe, and the BlockManager's per-block write
+    lock means racing jobs do not duplicate cache materialization)."""
+    row: "dict[str, Any]" = {}
+    if len(groups) == 1:
+        return df.selectExpr(*groups[0]).collect()[0].asDict()
+    from concurrent.futures import ThreadPoolExecutor
+
+    sc = df.sparkSession.sparkContext
+    desc = sc.getLocalProperty("spark.job.description")
+
+    def run(fs: "list[str]") -> "dict[str, Any]":
+        # job descriptions are thread-local (guide §1.5) — re-label so the
+        # batch jobs stay attributable in the UI
+        if desc:
+            sc.setJobDescription(desc)
+        return df.selectExpr(*fs).collect()[0].asDict()
+
+    with ThreadPoolExecutor(max_workers=len(groups)) as ex:
+        for d in ex.map(run, groups):
+            row.update(d)
+    return row
+
 
 def _sq(name: str) -> str:
     """SQL identifier quoting tolerant of dots/spaces/backticks — the SQL-text
@@ -186,16 +246,32 @@ def scalar_summary(
     # test_plan_quality.py::test_scalar_summary_hits_cache). selectExpr
     # parses the same fragments in ONE Py4J call but keeps the DataFrame
     # lineage, so both the cheap build and the cache hit hold.
-    row = df.selectExpr(*frags).collect()[0].asDict()
-    if extra_cols:
-        row.update(df.agg(*extra_cols).collect()[0].asDict())
     # ONE shared sketch action for the imperative families: HLL distinct
     # sketches and percentile sketches mix without penalty (r14 measured
     # on the 100-col frame: combined 2.6 s vs 3.7 s as two actions) and
     # sharing the action saves a full table pass at 100 TB scale
     sketch_frags = hll_frags + pct_frags
-    if sketch_frags:
-        row.update(df.selectExpr(*sketch_frags).collect()[0].asDict())
+    # approx tier, very wide tables: split the declarative aggregate into
+    # a fixed number of concurrent batches (see _WIDE_AGG_BATCHES above).
+    # The exact tier keeps the single action — its count(DISTINCT) Expand
+    # is the oracle-tier shape, deliberately untouched.
+    groups = _agg_batches(df, frags) if not config.exact else [frags]
+    if len(groups) > 1 and sketch_frags:
+        # the sketch action is independent of the declarative batches —
+        # it joins the same pool instead of serializing after them, and
+        # very wide sketch lists split the same way (the one-operator
+        # imperative update cost degrades with width exactly like the
+        # declarative agg: wide100 sketch action 4.2 s as one job,
+        # 1.9-2.1 s as 4 concurrent batches)
+        row = _collect_agg_groups(
+            df, groups + _agg_batches(df, sketch_frags)
+        )
+    else:
+        row = _collect_agg_groups(df, groups)
+        if sketch_frags:
+            row.update(df.selectExpr(*sketch_frags).collect()[0].asDict())
+    if extra_cols:
+        row.update(df.agg(*extra_cols).collect()[0].asDict())
     _moment_pass(df, types, row)
     n = row.pop("__n")
     extras = {k: row.pop(f"__x_{k}") for k in extra}
@@ -263,8 +339,10 @@ def _moment_pass(
         targets.append((p, name))
     if not mexprs:
         return
-    # selectExpr keeps the cache-hitting lineage (see scalar_summary)
-    mrow = df.selectExpr(*mexprs).collect()[0].asDict()
+    # selectExpr keeps the cache-hitting lineage (see scalar_summary);
+    # very wide tables batch the power sums exactly like pass 1a (4 sums
+    # per numeric column crosses the codegen cap at ~80 numerics)
+    mrow = _collect_agg_groups(df, _agg_batches(df, mexprs))
     for p, name in targets:
         cnt = row[f"{p}__count"]
         s1 = float(mrow[f"{p}__ms1"])

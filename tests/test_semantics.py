@@ -1186,3 +1186,56 @@ def test_fused_pass2_fallback_without_reuse(spark):
     finally:
         spark.conf.unset("spark.sql.exchange.reuse")
     assert fallback_out == fused_out
+
+
+def test_batched_pass1_matches_single_action(spark):
+    """r15 (VERDICT r14 #3): above _WIDE_AGG_FIELD_CAP fragments the
+    approx-tier pass-1 aggregate splits into fixed concurrent batches —
+    the same fragments, partitioned; every stat must be bit-equal to the
+    single-action shape (here forced by leaving the input unpersisted)."""
+    import datetime as dt
+    import random
+
+    from pyspark import StorageLevel
+
+    from pandas_profiling_personal_spark.operators import summary as SU
+
+    rng = random.Random(42)
+    n_num = 38  # 1 + 38*9 + ... fragments > _WIDE_AGG_FIELD_CAP
+    rows = []
+    for i in range(300):
+        vals = [
+            float("nan") if i == 7 and j == 0 else rng.uniform(-5, 5)
+            for j in range(n_num)
+        ]
+        rows.append(
+            tuple(vals)
+            + (f"s{i % 11}" if i % 13 else None,
+               dt.date(2021, 1 + i % 12, 1 + i % 28))
+        )
+    schema = (
+        ", ".join(f"n{j} double" for j in range(n_num))
+        + ", s string, d date"
+    )
+    df = spark.createDataFrame(rows, schema)
+
+    single = SU.scalar_summary(df)  # unpersisted -> single action
+    cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        assert len(SU._agg_batches(
+            cached, ["x"] * (SU._WIDE_AGG_FIELD_CAP + 1)
+        )) == SU._WIDE_AGG_BATCHES
+        batched = SU.scalar_summary(cached)  # persisted + wide -> batched
+    finally:
+        cached.unpersist()
+
+    assert single.keys() == batched.keys()
+    for col in single:
+        a, b = single[col], batched[col]
+        assert a.keys() == b.keys(), col
+        for k in a:
+            va, vb = a[k], b[k]
+            if isinstance(va, float) and math.isnan(va):
+                assert isinstance(vb, float) and math.isnan(vb), (col, k)
+            else:
+                assert va == vb, (col, k, va, vb)
