@@ -2137,15 +2137,26 @@ def benford_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     Deviation scoring stays driver-side (:func:`benford_alerts`) — the
     digit counts are the distributed part.
     """
+    # compute each column's first digit ONCE per row in a pre-aggregation
+    # projection (guide §1.2 per-task work): the printf+regex digit
+    # expression is far more expensive than the conditional sums it
+    # feeds, and embedding it in the aggregate evaluates 10 copies per
+    # column per row — codegen does NOT common them up (r15 interleaved
+    # A/B at sf0.1: 13.3 s -> 3.0 s median, bit-identical). The Project
+    # fuses into the partial aggregate's codegen stage, so the digit is
+    # one generated local per row.
+    proj = df.select(
+        *[_first_digit(F.col(c)).alias(f"d{i}") for i, c in enumerate(cols)]
+    )
     aggs = []
     for i, col in enumerate(cols):
-        d = _first_digit(F.col(col))
+        d = F.col(f"d{i}")
         aggs.append(F.count(d).alias(f"t{i}"))
         for dig in range(1, 10):
             aggs.append(
                 F.sum(F.when(d == dig, 1).otherwise(0)).alias(f"c{i}_{dig}")
             )
-    agg = df.agg(*aggs)
+    agg = proj.agg(*aggs)
     structs = [
         F.struct(
             F.lit(col).alias("col_name"),
